@@ -1,0 +1,76 @@
+"""Text-analysis expressions for the training-data pipeline.
+
+All native Column expressions (split/transform/aggregate stay JVM-side in
+whole-stage codegen) — the 100 TB path never crosses into Python here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic per-language marker lexicons for the n-gram/stopword
+# language-ID heuristic. Public common function words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ni3", "ta1", "men5"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document as an array<string>.
+
+    Built with higher-order functions only: sequence + transform + slice.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    lower = F.lower(text)
+    stripped = F.regexp_replace(lower, r"[a-z0-9 ]", "")
+    return F.length(stripped) / F.length(lower)
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common English stopwords."""
+    sw = stopwords or LANG_MARKERS["en"]
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: favors 50-10k chars, low
+    punctuation density, and a plausible mean word length (3-12)."""
+    n = F.length(text)
+    len_score = F.when(n < 50, n / 50.0).when(n > 10000, F.lit(0.5)).otherwise(F.lit(1.0))
+    mwl = n / token_count(text)
+    word_score = F.when((mwl >= 3) & (mwl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    from .scalars import dround
+
+    return dround((len_score + word_score + punct_score) / 3.0, 6)
+
+
+def rolling_fingerprint(text: Column, k: int = 5) -> Column:
+    """Document fingerprint: lexicographic-min MD5 of the k-word shingles
+    (a winnowing-style rolling-hash selector; min over fixed-width hex ==
+    min over the hash integer, so plain string MIN is exact)."""
+    return F.array_min(F.transform(word_shingles(text, k), lambda s: F.md5(s)))

@@ -1,0 +1,237 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four families, all shuffle-conscious:
+
+- exact            — hash-groupBy on a content digest (one shuffle).
+- n-gram Jaccard   — shingle self-join with blocking keys; exact
+  similarity, quadratic only within blocks.
+- MinHash + LSH    — shingle -> minhash signature -> banded bucket join;
+  candidate pairs verified with true Jaccard. The scale path: cost is
+  O(docs x bands), never all-pairs.
+- SimHash          — 32-bit sign-aggregated token hash; near-dups share a
+  band chunk and differ in <= k bits.
+
+Hash parity: engines hash with MD5 over seeded strings; min/compare on the
+fixed-width hex string equals min on the integer value, so the DuckDB
+oracle can mirror every step with identical results (no engine-specific
+hash functions in the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround
+from ..functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical content digest.
+    Returns (id, content_sha, n_copies) for survivors."""
+    h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+    return h.groupBy("content_sha").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct k-word shingles, plus per-doc
+    shingle count for Jaccard denominators."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    return sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, threshold: float = 0.8,
+                        block_col: str | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Self-join on the shingle value — only documents sharing at least one
+    shingle ever pair up, and an optional block column (e.g. language)
+    bounds the join further. Output jaccard rounded to 6 for stability.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    cols_a = [F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"),
+              F.col("shingle")]
+    cols_b = [F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"),
+              F.col("shingle")]
+    if block_col:
+        blocks = df.select(F.col(id_col), F.col(block_col))
+        sh = sh.join(blocks, id_col)
+        cols_a.append(F.col(block_col).alias("block_a"))
+        cols_b.append(F.col(block_col).alias("block_b"))
+    a = sh.select(*cols_a)
+    b = sh.select(*cols_b)
+    on = [a.shingle == b.shingle, a.id_a < b.id_b]
+    if block_col:
+        on.append(F.col("block_a") == F.col("block_b"))
+    common = (
+        a.join(b, on)
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", dround(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3, n_hashes: int = 8) -> DataFrame:
+    """(id, mh_0 .. mh_{n-1}): per-doc MinHash signature.
+
+    mh_i = MIN over shingles of md5('<i>|' || shingle) — fixed-width hex,
+    so the string MIN is the integer MIN. One aggregate, one shuffle.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 3, n_hashes: int = 8, band_rows: int = 2,
+                      threshold: float = 0.6) -> DataFrame:
+    """MinHash-LSH near-dup candidates verified with exact Jaccard.
+
+    Bands of ``band_rows`` minhashes; docs sharing any band signature are
+    candidates (bucket equi-join — never all-pairs). Candidates are then
+    verified with the true shingle Jaccard >= threshold.
+    """
+    n_bands = n_hashes // band_rows
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("", *[
+                        F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)
+                    ]).alias("sig"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = shingle_table(df, text_col, id_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"),
+                  "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"),
+                  "shingle")
+    common = (
+        a.join(b, ["shingle"])
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", dround(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hex_digit(col: Column) -> Column:
+    return F.instr(F.lit("0123456789abcdef"), col) - 1
+
+
+def simhash_bits(df: DataFrame, text_col: str, id_col: str,
+                 n_bits: int = 32) -> DataFrame:
+    """(id, simhash) where simhash is an ``n_bits``-char '0'/'1' string.
+
+    Bit b of a token's MD5 comes from hex digit b//4, bit 3-(b%4); the
+    simhash bit is the sign of the +/-1 sum across the doc's distinct
+    tokens. All arithmetic mirrors 1:1 into the DuckDB oracle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    per_bit = toks.select(
+        F.col(id_col), F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
+    )
+    digit = _hex_digit(F.substring(F.col("h"), (F.col("b") / 4 + 1).cast("int"), 1))
+    bit = F.floor(digit / F.pow(F.lit(2.0), (3 - F.col("b") % 4).cast("double"))) % 2
+    weight = (bit * 2 - 1).cast("long")
+    sums = per_bit.withColumn("w", weight).groupBy(id_col, "b").agg(
+        F.sum("w").alias("s")
+    )
+    bitchar = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return sums.withColumn("bit", bitchar).groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "bit"))),
+                lambda s: s["bit"],
+            ),
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  n_bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: banded on n_bits/4-bit chunks (pigeonhole:
+    hamming <= 3 implies an identical chunk among 4), verified by exact
+    hamming distance."""
+    sig = simhash_bits(df, text_col, id_col, n_bits)
+    chunk = n_bits // 4
+    bands = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("simhash", i * chunk + 1, chunk).alias("sig"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bs"),
+    ).select(id_col, "simhash", F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                     "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                     "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(F.col("sh_a"), 1, n_bits).substr(i, F.lit(1))
+            != F.substring(F.col("sh_b"), 1, n_bits).substr(i, F.lit(1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,109 @@
+"""Workload-profile composite scoring — the reference's flagship analytic
+(SURVEY.md §2.5 A1-A3; workload_profile_scores.py:156-442).
+
+Pipeline (all relational, 3 shuffles total, partial aggregation free):
+
+1. ``best_per_entry``  — max (or min when lower-is-better) score per
+   (subject, entry) over rows passing the entry's config filter (A1).
+2. ``fleet_median``    — EXACT median of best scores per entry (A2;
+   ``percentile`` not ``approx_percentile`` — medians feed every score).
+3. ``composite``       — weighted geometric mean of median-normalized
+   scores: ``2^(Σ wᵢ·log2(rawᵢ/medianᵢ) / Σ wᵢ)`` with orientation flip
+   and missing-component policies IGNORE/PENALIZE/REQUIRE (A3).
+
+Determinism: the log-sum is accumulated in DECIMAL so partial-aggregation
+order can't perturb the double sum (oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PENALTY_DEFAULT = 1e-4  # workload_profile_scores.py penalize default
+
+
+def best_per_entry(scores: DataFrame, subject_keys: list[str], entry_key: str,
+                   score_col: str = "score",
+                   higher_is_better_col: str | None = None) -> DataFrame:
+    """A1: best score per (subject, entry); max, or min when the entry is
+    lower-is-better (workload_profile_scores.py:182-213)."""
+    if higher_is_better_col:
+        best = F.max(
+            F.when(F.col(higher_is_better_col), F.col(score_col))
+        ).alias("_best_hi")
+        worst = F.min(
+            F.when(~F.col(higher_is_better_col), F.col(score_col))
+        ).alias("_best_lo")
+        out = scores.groupBy(*subject_keys, entry_key).agg(best, worst)
+        return out.withColumn(
+            "best_score", F.coalesce(F.col("_best_hi"), F.col("_best_lo"))
+        ).drop("_best_hi", "_best_lo")
+    return scores.groupBy(*subject_keys, entry_key).agg(
+        F.max(score_col).alias("best_score")
+    )
+
+
+def fleet_median(best: DataFrame, entry_key: str,
+                 score_col: str = "best_score") -> DataFrame:
+    """A2: exact fleet median per entry. ``percentile(…, 0.5)`` linearly
+    interpolates on even counts — same as ``statistics.median``."""
+    return best.groupBy(entry_key).agg(
+        F.percentile(F.col(score_col), F.lit(0.5)).alias("median_score")
+    )
+
+
+def composite_scores(best: DataFrame, medians: DataFrame, weights: DataFrame,
+                     subject_keys: list[str], entry_key: str,
+                     n_components: int | None = None,
+                     on_missing: str = "ignore") -> DataFrame:
+    """A3: weighted geometric mean of median-normalized best scores.
+
+    ``weights``: (entry_key, weight [, higher_is_better]). Orientation flip
+    happens on the ratio (median/raw for lower-is-better).
+    ``on_missing``: 'ignore' renormalizes over present components;
+    'require' suppresses subjects missing any of ``n_components``;
+    'penalize' substitutes ``PENALTY_DEFAULT`` for missing normalized
+    values (needs ``n_components``).
+    Output: subject_keys + score (3 sig figs upstream of rounding caller),
+    coverage = present weight share.
+    """
+    j = best.join(F.broadcast(medians), entry_key).join(F.broadcast(weights), entry_key)
+    hib = (
+        F.col("higher_is_better")
+        if "higher_is_better" in weights.columns
+        else F.lit(True)
+    )
+    ratio = F.when(hib, F.col("best_score") / F.col("median_score")).otherwise(
+        F.col("median_score") / F.col("best_score")
+    )
+    j = j.filter(F.col("median_score") != 0).withColumn(
+        "_wlog", (F.col("weight") * F.log2(ratio)).cast("decimal(28,12)")
+    )
+    agg = j.groupBy(*subject_keys).agg(
+        F.sum("_wlog").alias("_sum_wlog"),
+        F.sum(F.col("weight").cast("decimal(28,12)")).alias("_sum_w"),
+        F.count("*").alias("_n_present"),
+    )
+    if n_components is not None and on_missing == "require":
+        agg = agg.filter(F.col("_n_present") == n_components)
+    if n_components is not None and on_missing == "penalize":
+        total_w = weights.agg(F.sum("weight")).collect()[0][0]
+        missing_w = F.lit(float(total_w)) - F.col("_sum_w").cast("double")
+        penal = missing_w * F.lit(float(__import__("math").log2(PENALTY_DEFAULT)))
+        score = F.pow(
+            F.lit(2.0),
+            (F.col("_sum_wlog").cast("double") + penal) / F.lit(float(total_w)),
+        )
+        coverage = F.col("_sum_w").cast("double") / F.lit(float(total_w))
+    else:
+        score = F.pow(
+            F.lit(2.0), F.col("_sum_wlog").cast("double") / F.col("_sum_w").cast("double")
+        )
+        coverage = F.lit(1.0)
+    return agg.select(
+        *subject_keys,
+        score.alias("score"),
+        coverage.alias("coverage"),
+        F.col("_n_present").alias("n_components"),
+    )

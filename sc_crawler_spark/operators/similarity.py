@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small)
+  query set against the corpus, one scan, window top-k. The correctness
+  baseline; linear in corpus size, embarrassingly parallel.
+- :func:`lsh_signatures` / :func:`cosine_topk_lsh` — random-hyperplane LSH:
+  sign-projection signature, banded bucket join, cosine verify. The scale
+  path — candidate generation is an equi-join on band buckets, never a
+  cross join. Hyperplanes are derived deterministically from MD5 so the
+  DuckDB oracle can embed the identical +/-1 matrix.
+
+All vector math is native (zip_with/aggregate fold left-to-right) —
+bit-identical to DuckDB's list functions after a double cast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround
+from ..functions.vectors import as_double, cosine
+
+
+def hyperplane_signs(n_planes: int, dim: int, seed: str = "hp") -> list[list[int]]:
+    """Deterministic pseudo-random +/-1 matrix: sign(j,i) = +1 iff the
+    first hex digit of md5('<seed>|<j>|<i>') is even."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()  # noqa: S324
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
+                           vec_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dround(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
+                   planes: list[list[int]]) -> DataFrame:
+    """Per-vector sign signature: bit j = 1 iff dot(v, plane_j) > 0."""
+    v = as_double(F.col(vec_col))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(s)) for s in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return df.select(F.col(id_col), F.concat(*bits).alias("lsh_sig"))
+
+
+def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
+                    id_col: str, k: int = 5, n_planes: int = 16,
+                    n_bands: int = 4, dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band signature;
+    verified and ranked by exact cosine."""
+    planes = hyperplane_signs(n_planes, dim)
+    chunk = n_planes // n_bands
+    qs = lsh_signatures(queries, vec_col, id_col, planes).withColumnRenamed(
+        id_col, "query_id"
+    )
+    cs = lsh_signatures(corpus, vec_col, id_col, planes).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    def bands(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("lsh_sig", i * chunk + 1, chunk).alias("sig"),
+                    )
+                    for i in range(n_bands)
+                ])
+            ).alias("bs"),
+        ).select(idc, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        bands(qs, "query_id")
+        .join(bands(cs, "neighbor_id"), ["band", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cos_sim", dround(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

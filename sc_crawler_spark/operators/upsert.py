@@ -1,0 +1,67 @@
+"""Upsert / lifecycle engine (SURVEY.md §2.2 K1-K2, §2.10 T1-T2).
+
+The reference's write cycle per (vendor, table): mark existing rows
+INACTIVE, then bulk-upsert the fresh fetch as ACTIVE — rows absent from
+the new fetch stay INACTIVE (tables.py:224-283, insert.py:115-173).
+
+Without a transactional table format in this container, MERGE is expressed
+as a full-outer-join rewrite over the stored snapshot — the exact
+``whenMatched / whenNotMatched / whenNotMatchedBySource`` semantics. On a
+cluster with Delta/Iceberg the same plan maps 1:1 onto ``MERGE INTO``
+(and only rewrites matched files); the operator is the semantic contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
+                 inactivate_missing: bool = False,
+                 scope: DataFrame | None = None) -> DataFrame:
+    """Upsert ``updates`` into ``current`` by PK.
+
+    - matched PK       -> take the update row (ON CONFLICT DO UPDATE,
+      insert.py:151-161)
+    - unmatched update -> insert
+    - unmatched current-> keep; if ``inactivate_missing`` and the row is in
+      ``scope`` (e.g. this vendor's rows), flip status to 'inactive' (T1)
+
+    Single shuffle on the PK; both inputs should share partitioning on the
+    PK at scale (bucketed silver tables) so the join is co-located.
+    """
+    cols = current.columns
+    upd = updates.select(*cols)
+    joined = current.alias("c").join(upd.alias("u"), pks, "full_outer")
+
+    take_update = F.col(f"u.{pks[0]}").isNotNull()
+    out_cols = []
+    for c in cols:
+        if c in pks:
+            out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"c.{c}")).alias(c))
+        elif c == "status" and inactivate_missing:
+            out_cols.append(
+                F.when(take_update, F.col("u.status"))
+                .otherwise(F.lit("inactive"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(
+                F.when(take_update, F.col(f"u.{c}")).otherwise(F.col(f"c.{c}")).alias(c)
+            )
+    return joined.select(*out_cols)
+
+
+def scd2_append(history: DataFrame, changed: DataFrame) -> DataFrame:
+    """SCD Type 2: append changed version rows; (pks + observed_at) is the
+    history PK so this is a pure union (tables_scd.py:45-53)."""
+    return history.unionByName(changed.select(*history.columns))
+
+
+def set_status_inactive(df: DataFrame, predicate) -> DataFrame:
+    """Soft-delete sweep (tables.py:256-260): status='inactive' where
+    predicate holds."""
+    return df.withColumn(
+        "status", F.when(predicate, F.lit("inactive")).otherwise(F.col("status"))
+    )

@@ -1,0 +1,69 @@
+"""Window-shaped operators (SURVEY.md §2.6 W1-W3, §2.5 A4/A5).
+
+All are single-shuffle ``row_number`` plans: Spark turns these into a
+hash-partition on the group keys + in-partition sort — no global sort, and
+AQE coalesces the post-shuffle partitions at small SFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top1_per_group(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Keep the first row per group under the given deterministic order.
+
+    Reference: inspector.py:599-602 — sort by (keys…, -rps), groupby keys,
+    take first (highest-rps benchmark record per config group).
+    The order MUST be total (include a tiebreaker column) for parity.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def keep_last_dedup(df: DataFrame, pks: list[str], position: str) -> DataFrame:
+    """PK dedup keeping the LAST arrival (insert.py:24-72, A4).
+
+    The reference relies on list order; DataFrames have none, so callers
+    must carry an explicit arrival-position column (file/batch index or
+    ``monotonically_increasing_id`` stamped at single-source ingest).
+    """
+    return top1_per_group(df, pks, [F.col(position).desc()])
+
+
+def latest_snapshot(df: DataFrame, pks: list[str], observed_at: str = "observed_at",
+                    tiebreak: str | None = None) -> DataFrame:
+    """Current state from an SCD2 append-only history (tables_scd.py:45-53):
+    the newest version row per PK."""
+    order = [F.col(observed_at).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    return top1_per_group(df, pks, order)
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap_seconds: int = 1800, tiebreak: str | None = None) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event exceeds ``gap_seconds``. Returns the input plus a
+    per-user ``session_id`` (cumulative count of gap-breaks).
+
+    Batch analog of Structured Streaming session windows; one shuffle on
+    the user key, then two in-partition window passes.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(is_new).over(running))

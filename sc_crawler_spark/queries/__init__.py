@@ -1,0 +1,26 @@
+"""Declared query inventory.
+
+Each submodule exposes ``QUERIES: dict[str, tuple[fn, sql]]`` where ``fn``
+is ``(spark, sf_dir) -> DataFrame`` and ``sql`` is the equivalent DuckDB
+oracle (or ``None`` for non-SQL-expressible ops). ``__spark_entry__.py``
+assembles the full registry from here.
+
+Cross-engine determinism conventions used throughout (see SURVEY.md §7.4):
+
+- every SUM/AVG over doubles goes through DECIMAL (order-independent);
+- every double output column is ``round(x, n)`` in BOTH engines;
+- every top-k / keep-first has a TOTAL order (explicit tiebreakers);
+- hashes are MD5/SHA2 over strings built identically in both engines;
+- column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from . import domain, lifecycle, pipeline, tpch
+
+REGISTRY: dict[str, tuple] = {}
+for mod in (tpch, lifecycle, pipeline, domain):
+    overlap = REGISTRY.keys() & mod.QUERIES.keys()
+    if overlap:
+        raise ValueError(f"duplicate query names: {overlap}")
+    REGISTRY.update(mod.QUERIES)

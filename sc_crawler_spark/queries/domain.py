@@ -1,0 +1,88 @@
+"""Flagship domain analytic: the reference's workload-profile composite
+score (SURVEY.md §2.5 A1-A3, workload_profile_scores.py:156-442) running
+on the lake's ``events`` table.
+
+Mapping onto the generic operator: subject = user_id (plays the server),
+entry = event_type (plays the benchmark), score = value. One entry
+('error') is lower-is-better to exercise the orientation flip; weights are
+a static recipe like WORKLOADS (workload_profiles.py:125-470).
+
+Pipeline: best-per-entry (A1) -> exact fleet median (A2) -> weighted
+geometric mean of median-normalized scores (A3), decimal-accumulated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround, sql_round
+from ..operators.scores import best_per_entry, composite_scores, fleet_median
+from ..tables import load
+
+# Static workload recipe: (entry, weight, higher_is_better).
+WORKLOAD_WEIGHTS = [
+    ("view", 1.0, True),
+    ("click", 2.0, True),
+    ("purchase", 4.0, True),
+    ("signup", 2.0, True),
+    ("error", 1.0, False),  # latency-style: lower is better
+]
+
+
+def workload_scores(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    weights = spark.createDataFrame(
+        WORKLOAD_WEIGHTS, ["event_type", "weight", "higher_is_better"]
+    )
+    scored = ev.join(F.broadcast(weights), "event_type")
+    best = best_per_entry(
+        scored, ["user_id"], "event_type",
+        score_col="value", higher_is_better_col="higher_is_better",
+    )
+    medians = fleet_median(best, "event_type")
+    comp = composite_scores(
+        best, medians, weights, ["user_id"], "event_type", on_missing="ignore"
+    )
+    return comp.select(
+        "user_id",
+        dround(F.col("score"), 4).alias("score"),
+        F.col("coverage").cast("double").alias("coverage"),
+        "n_components",
+    )
+
+
+_WEIGHT_VALUES = ", ".join(
+    f"('{e}', {w}, {str(h).lower()})" for e, w, h in WORKLOAD_WEIGHTS
+)
+
+WORKLOAD_SQL = f"""
+WITH w(event_type, weight, hib) AS (VALUES {_WEIGHT_VALUES}),
+best AS (
+  SELECT user_id, e.event_type,
+    CASE WHEN hib THEN MAX(value) ELSE MIN(value) END AS best_score
+  FROM events e JOIN w USING (event_type)
+  GROUP BY user_id, e.event_type, hib
+),
+med AS (
+  SELECT event_type, quantile_cont(best_score, 0.5) AS median_score
+  FROM best GROUP BY event_type
+),
+j AS (
+  SELECT user_id, weight,
+    CASE WHEN hib THEN best_score / median_score
+         ELSE median_score / best_score END AS ratio
+  FROM best JOIN med USING (event_type) JOIN w USING (event_type)
+  WHERE median_score != 0
+)
+SELECT user_id,
+  {sql_round("pow(2.0, CAST(SUM(CAST(weight * log2(ratio) AS DECIMAL(28,12))) AS DOUBLE) / CAST(SUM(CAST(weight AS DECIMAL(28,12))) AS DOUBLE))")} AS score,
+  CAST(1.0 AS DOUBLE) AS coverage,
+  COUNT(*) AS n_components
+FROM j GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "workload_scores": (workload_scores, WORKLOAD_SQL),
+}

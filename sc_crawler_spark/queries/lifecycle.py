@@ -1,0 +1,216 @@
+"""Lifecycle / sync / temporal queries (SURVEY.md §2.2 K1, §2.4 J6,
+§2.10 T1-T3) plus the streaming-analog batch windows (§2.11 extension).
+
+The sync fixture follows FIXTURES.md §2.7: a deterministic mutation of the
+``orders`` table plays the target snapshot so both engines can construct
+identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sync import hash_diff
+from ..operators.upsert import merge_upsert
+from ..operators.windows import latest_snapshot, sessionize
+from ..functions.scalars import dround, sql_round
+from ..tables import load
+
+# ----------------------------------------------------- hash-diff sync (J6/T3)
+
+
+def _orders_stable(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders projected to hash-stable columns (ints/strings only; price
+    as integer cents so double->string formatting never enters the hash)."""
+    return load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+
+
+def hash_diff_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """Full sync classification: new / update / deleted between a source
+    snapshot and a deterministically mutated target (cli.py:373-597).
+
+    Target := source MINUS (orderkey%19=3)           -> those become 'new'
+              with price+100 cents where %17=5       -> 'update'
+              PLUS clones orderkey+10000000 (%23=7)  -> 'deleted'
+    """
+    src = _orders_stable(spark, sf)
+    kept = src.filter(F.col("o_orderkey") % 19 != 3)
+    mutated = kept.withColumn(
+        "price_cents",
+        F.when(F.col("o_orderkey") % 17 == 5, F.col("price_cents") + 100)
+        .otherwise(F.col("price_cents")),
+    )
+    extra = src.filter(F.col("o_orderkey") % 23 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    tgt = mutated.unionByName(extra)
+    return hash_diff(src, tgt, pks=["o_orderkey"])
+
+
+# DuckDB mirror of functions/hashing.row_hash: sha256 over
+# name<US>value pairs sorted by column name, <US> = chr(31).
+_HASH_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus", "price_cents"]
+_HASH_EXPR = "sha256(concat_ws(chr(31), " + ", ".join(
+    f"'{c}', coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in _HASH_COLS
+) + "))"
+
+HASH_DIFF_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders
+), tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderkey % 17 = 5 THEN price_cents + 100 ELSE price_cents END AS price_cents
+  FROM src WHERE o_orderkey % 19 != 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_orderpriority, price_cents
+  FROM src WHERE o_orderkey % 23 = 7
+), sh AS (SELECT o_orderkey, {_HASH_EXPR} AS row_sha FROM src),
+   th AS (SELECT o_orderkey, {_HASH_EXPR} AS row_sha FROM tgt)
+SELECT s.o_orderkey, 'new' AS action FROM sh s
+  WHERE NOT EXISTS (SELECT 1 FROM th t WHERE t.o_orderkey = s.o_orderkey)
+UNION ALL
+SELECT s.o_orderkey, 'update' AS action FROM sh s JOIN th t USING (o_orderkey)
+  WHERE s.row_sha != t.row_sha
+UNION ALL
+SELECT t.o_orderkey, 'deleted' AS action FROM th t
+  WHERE NOT EXISTS (SELECT 1 FROM sh s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+# --------------------------------------------------- merge upsert + T1 sweep
+
+
+def merge_upsert_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Inactivate-then-upsert inventory cycle (K1+T1 — insert.py:115-173,
+    tables.py:224-283): even customers are 're-fetched' with a new balance,
+    some arrive as brand-new rows, everyone missing from the fetch flips
+    to inactive."""
+    cust = load(spark, sf, "customer")
+    current = cust.withColumn("status", F.lit("active"))
+    refetched = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10
+    )
+    new_rows = cust.filter(F.col("c_custkey") % 37 == 2).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    updates = refetched.unionByName(new_rows).withColumn("status", F.lit("active"))
+    merged = merge_upsert(current, updates, pks=["c_custkey"], inactivate_missing=True)
+    return merged.select(
+        "c_custkey", dround(F.col("c_acctbal"), 4).alias("acctbal"), "status"
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 10 AS c_acctbal FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal FROM customer WHERE c_custkey % 37 = 2
+)
+SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+       {sql_round('coalesce(u.c_acctbal, c.c_acctbal)')} AS acctbal,
+       CASE WHEN u.c_custkey IS NOT NULL THEN 'active' ELSE 'inactive' END AS status
+FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+"""
+
+# ----------------------------------------------------------- SCD2 latest (T2)
+
+
+def scd2_latest_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Current state from an append-only history (T2 — tables_scd.py:45-53):
+    newest version row per entity."""
+    ev = load(spark, sf, "events")
+    return latest_snapshot(ev, ["user_id"], observed_at="ts", tiebreak="event_id").select(
+        "user_id", "event_id", "event_type", dround(F.col("value"), 4).alias("value")
+    )
+
+
+SCD2_SQL = f"""
+SELECT user_id, event_id, event_type, {sql_round('value')} AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+# ------------------------------------------------- sessions & running windows
+
+
+def session_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (streaming session-window batch analog):
+    30-minute inactivity gap, per-user session and event counts."""
+    ev = load(spark, sf, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SESSION_SQL = """
+WITH flags AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+FROM flags GROUP BY user_id
+"""
+
+
+def running_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Running total per user (frame-spec window; decimal-accumulated so
+    the cumulative sum is order-exact in both engines)."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+    return ev.select("user_id", "event_id", dround(running, 4).alias("running_value"))
+
+
+RUNNING_SQL = f"""
+SELECT user_id, event_id,
+  {sql_round("SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value
+FROM events
+"""
+
+
+def tumbling_daily_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-day event-time window (Structured Streaming's windowed
+    agg pattern run in batch; F.window == date_trunc for aligned tumble)."""
+    ev = load(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 day")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum(F.col("value").cast("decimal(28,6)")), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT date_trunc('day', ts) AS wstart, event_type, COUNT(*) AS n_events,
+  {sql_round("SUM(CAST(value AS DECIMAL(28,6)))")} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
+    "merge_upsert_lifecycle": (merge_upsert_lifecycle, MERGE_UPSERT_SQL),
+    "scd2_latest_event": (scd2_latest_event, SCD2_SQL),
+    "session_counts": (session_counts, SESSION_SQL),
+    "running_user_value": (running_user_value, RUNNING_SQL),
+    "tumbling_daily_stats": (tumbling_daily_stats, TUMBLING_SQL),
+}

@@ -1,0 +1,388 @@
+"""Training-data pipeline queries over ``documents`` and ``embeddings``:
+deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity
+search (brute-force + LSH ANN), and text analysis (token stats, quality,
+language-ID, fingerprint).
+
+Every step is mirrored into DuckDB SQL built from the same constants, so
+the oracle hash-matches: MD5 over seeded strings for hashes, min/compare
+on fixed-width hex, decimal accumulation for sums, explicit tiebreaks.
+
+The dedup corpora inject deterministic clones (FIXTURES.md-style): exact
+copies (doc_id+100000 for doc_id%10=0) and near-copies with the last word
+dropped (doc_id+200000 for doc_id%10=5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround, sql_round
+from ..functions.text import (
+    LANG_MARKERS, punct_ratio, quality_score, rolling_fingerprint, tokens,
+)
+from ..operators import dedup, similarity
+from ..tables import load
+
+# ------------------------------------------------------------ corpus helpers
+
+
+def _docs_with_clones(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    toks = F.split(F.col("text"), " ")
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(text, ' ')[1:len(string_split(text, ' '))-1], ' '),
+         lang
+  FROM documents WHERE doc_id % 10 = 5
+)"""
+
+# Distinct 3-word shingles + per-doc counts, over `corpus`.
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM corpus),
+sh AS (
+  SELECT doc_id, lang, words,
+         unnest(generate_series(1, greatest(len(words)-2, 1))) AS i
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, lang,
+               array_to_string(words[i:i+2], ' ') AS shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)"""
+
+# ------------------------------------------------------------ text analysis
+
+
+def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens, char count, mean word length."""
+    docs = load(spark, sf, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    sum_tok_len = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        dround(sum_tok_len / n_tok, 6).alias("mean_word_len"),
+    )
+
+
+_MEAN_WORD_EXPR = (
+    r"length(regexp_replace(text, '\s', '', 'g'))"
+    " / len(string_split(lower(text), ' '))"
+)
+TOKEN_STATS_SQL = f"""
+SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+  length(text) AS n_chars_actual,
+  {sql_round(_MEAN_WORD_EXPR, 6)} AS mean_word_len
+FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / word-shape)."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).cast("double").alias("quality"),
+        dround(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+PUNCT_EXPR = ("length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) "
+              "/ CAST(length(lower(text)) AS DOUBLE)")
+QUALITY_EXPR = (
+    "((CASE WHEN length(text) < 50 THEN length(text)/50.0 "
+    "WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END) "
+    "+ (CASE WHEN length(text)/CAST(len(string_split(lower(text),' ')) AS DOUBLE) "
+    "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) "
+    "+ (1.0 - least(5.0 * " + PUNCT_EXPR + ", 1.0))) / 3.0"
+)
+QUALITY_SQL = f"""
+SELECT doc_id,
+  {sql_round(QUALITY_EXPR, 6)} AS quality,
+  {sql_round(PUNCT_EXPR, 6)} AS punct_ratio
+FROM documents
+"""
+
+
+def doc_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-lexicon language ID: argmax of marker-token hits per doc
+    (docs with zero hits in every lexicon are not emitted)."""
+    docs = load(spark, sf, "documents")
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        ["cand_lang", "marker"],
+    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("cand_lang"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "n_hits")
+    )
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+)
+
+LANGID_SQL = f"""
+WITH markers(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
+toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+hits AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+  FROM toks JOIN markers ON tok = marker
+  GROUP BY doc_id, cand_lang
+)
+SELECT doc_id, cand_lang AS pred_lang, n_hits
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY n_hits DESC, cand_lang) AS rn FROM hits)
+WHERE rn = 1
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min MD5 over 5-word shingles."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text"), k=5).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, greatest(len(words)-4, 1))) AS i
+  FROM toks
+)
+SELECT doc_id, MIN(md5(array_to_string(words[i:i+4], ' '))) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+# ------------------------------------------------------------- deduplication
+
+
+def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content digest over the cloned corpus: survivor id
+    (min) and copy count per digest."""
+    corpus = _docs_with_clones(spark, sf)
+    return dedup.exact_dedup(corpus, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {_CORPUS_SQL}
+SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY sha256(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (same-language blocking)."""
+    corpus = _docs_with_clones(spark, sf)
+    return dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.5, block_col="lang"
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_CORPUS_SQL}, {_SHINGLE_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} AS jaccard
+FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      AND a.lang = b.lang
+JOIN cnt ca ON ca.doc_id = a.doc_id
+JOIN cnt cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification."""
+    corpus = _docs_with_clones(spark, sf)
+    return dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2, threshold=0.5
+    )
+
+
+def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) -> str:
+    mh_cols = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(n_hashes)
+    )
+    n_bands = n_hashes // band_rows
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh_{b * band_rows} || mh_{b * band_rows + 1} AS sig FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+sig AS (SELECT doc_id, {mh_cols} FROM shd GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                            AND a.doc_id < b.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} AS jaccard
+FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+JOIN cnt ca ON ca.doc_id = a.doc_id
+JOIN cnt cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= {threshold}
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (banded, hamming <= 3)."""
+    corpus = _docs_with_clones(spark, sf)
+    return dedup.simhash_pairs(corpus, "text", "doc_id", n_bits=32, max_hamming=3)
+
+
+def _simhash_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    hamming = " + ".join(
+        f"CASE WHEN substr(sh_a,{i},1) != substr(sh_b,{i},1) THEN 1 ELSE 0 END"
+        for i in range(1, n_bits + 1)
+    )
+    chunk = n_bits // 4
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, substr(simhash, {i * chunk + 1}, {chunk}) AS sig FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH {_CORPUS_SQL},
+tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  FROM corpus
+),
+th AS (SELECT doc_id, md5(t) AS h FROM tok),
+perbit AS (
+  SELECT doc_id, b,
+    SUM(((CAST(floor((strpos('0123456789abcdef', substr(h, CAST(b//4 AS INT) + 1, 1)) - 1)
+        / pow(2, 3 - (b % 4))) AS BIGINT) % 2) * 2 - 1)) AS s
+  FROM th, (SELECT unnest(generate_series(0, {n_bits - 1})) AS b) g
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM perbit GROUP BY doc_id
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                            AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({hamming}) AS hamming
+FROM cand
+WHERE ({hamming}) <= {max_hamming}
+"""
+
+# -------------------------------------------------------- similarity search
+
+
+def embed_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for query vectors
+    (vec_id < 10)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(queries, emb, "embedding", "vec_id", k=5)
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    {sql_round("list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))", 6)} AS cos_sim
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def embed_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (random-hyperplane
+    signatures, banded candidates, cosine-verified top-5)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(
+        queries, emb, "embedding", "vec_id", k=5, n_planes=16, n_bands=4, dim=64
+    )
+
+
+def _ann_lsh_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64, k: int = 5) -> str:
+    planes = similarity.hyperplane_signs(n_planes, dim)
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(f"{float(s)}" for s in plane)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    chunk = n_planes // n_bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, substr(sig, {i * chunk + 1}, {chunk}) AS s FROM sigs"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, {bit_exprs} AS sig FROM vecs),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
+  WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    {sql_round("list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))", 6)} AS cos_sim
+  FROM cand JOIN vecs q ON q.vec_id = query_id
+            JOIN vecs c ON c.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+QUERIES = {
+    "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
+    "doc_quality": (doc_quality, QUALITY_SQL),
+    "doc_langid": (doc_langid, LANGID_SQL),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),
+    "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
+}

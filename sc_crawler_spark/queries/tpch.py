@@ -1,0 +1,500 @@
+"""Generic relational operator queries (SURVEY.md §2.3-2.9) over the
+TPC-H-ish lake tables.
+
+Each query exercises one operator class from the reference's inventory,
+re-expressed as a declarative DataFrame plan (Catalyst handles pushdown,
+pruning, join strategy; dims broadcast under AQE). SQL oracles mirror the
+decimal-accumulation / decimal-rounding conventions (see queries/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import decimal_sum, dround, extract_last_number, sql_round
+from ..tables import load
+
+# ---------------------------------------------------------------- q1: A-aggs
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+filter+groupBy aggregate (A1/A10 analogs;
+    filter pushes down to the parquet scan)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dround(decimal_sum(F.col("l_quantity")), 4).alias("sum_qty"),
+        dround(decimal_sum(F.col("l_extendedprice")), 4).alias("sum_base_price"),
+        dround(decimal_sum(disc_price), 4).alias("sum_disc_price"),
+        dround(decimal_sum(charge), 4).alias("sum_charge"),
+        dround(decimal_sum(F.col("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+        dround(decimal_sum(F.col("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_round("SUM(CAST(l_quantity AS DECIMAL(28,6)))")} AS sum_qty,
+  {sql_round("SUM(CAST(l_extendedprice AS DECIMAL(28,6)))")} AS sum_base_price,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS sum_disc_price,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6)))")} AS sum_charge,
+  {sql_round("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*)")} AS avg_qty,
+  {sql_round("CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*)")} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ------------------------------------------------------- q3: join+agg+limit
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way equi-join + aggregate + deterministic top-10 (J2/J3 + O4)."""
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    revenue = decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dround(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+# ------------------------------------------- q5: multi-join with region gate
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """6-table join with broadcast dims + group aggregate (J1/J2/J3)."""
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    revenue = decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dround(revenue, 4).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+# --------------------------------------------------- broadcast dim join (J1)
+
+
+def dim_join_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast dimension join: customer count + avg balance per region
+    (J1 — the reference's lookup-dict probe, utils.py:118-143)."""
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dround(decimal_sum(F.col("c_acctbal")).cast("double") / F.count("*"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+DIM_JOIN_SQL = f"""
+SELECT r_name, COUNT(*) AS n_customers,
+  {sql_round("CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*)")} AS avg_acctbal
+FROM customer, nation, region
+WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ------------------------------------------------------------ semi/anti (J5/J6)
+
+
+def semi_join_big_spenders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi existence gate (J5 — `_server_in_zone`, _gcp.py:82-85)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", dround(F.col("c_acctbal"), 4).alias("acctbal"))
+    )
+
+
+SEMI_SQL = f"""
+SELECT c_custkey, c_name, {sql_round("c_acctbal")} AS acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+"""
+
+
+def anti_join_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti set difference (J6 'new rows' / E2, cli.py:509-514)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# ------------------------------------------------------------- windows (W1-W3)
+
+
+def top1_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-1 per group under total order (W1 — inspector.py:599-602)."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                dround(F.col("o_totalprice"), 4).alias("best_price"))
+    )
+
+
+TOP1_SQL = f"""
+SELECT o_custkey, o_orderkey, {sql_round("o_totalprice")} AS best_price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def keep_last_dedup_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-last PK dedup with explicit arrival position (A4/W2 —
+    insert.py:24-72; l_linenumber plays the arrival-position column)."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey", "l_suppkey").orderBy(
+        F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                dround(F.col("l_quantity"), 4).alias("quantity"))
+    )
+
+
+KEEP_LAST_SQL = f"""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       {sql_round("l_quantity")} AS quantity
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey, l_suppkey
+        ORDER BY l_linenumber DESC) AS rn FROM lineitem)
+WHERE rn = 1
+"""
+
+# ------------------------------------------------------------ aggregates
+
+
+def exact_median_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median per group (A2 — fleet medians must be exact,
+    workload_profile_scores.py:215-223)."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        dround(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+MEDIAN_SQL = f"""
+SELECT o_orderpriority,
+  {sql_round("quantile_cont(o_totalprice, 0.5)")} AS median_price,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def mode_brand_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic mode (A8 — most-frequent GPU model, inspector.py:
+    1066-1067): count + row_number with lexicographic tiebreak."""
+    part = load(spark, sf, "part")
+    counts = part.groupBy("p_type", "p_brand").count()
+    w = Window.partitionBy("p_type").orderBy(F.col("count").desc(), F.col("p_brand"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_type", F.col("p_brand").alias("mode_brand"),
+                F.col("count").alias("n"))
+    )
+
+
+MODE_SQL = """
+SELECT p_type, p_brand AS mode_brand, n
+FROM (SELECT p_type, p_brand, COUNT(*) AS n,
+        row_number() OVER (PARTITION BY p_type ORDER BY COUNT(*) DESC, p_brand) AS rn
+      FROM part GROUP BY p_type, p_brand)
+WHERE rn = 1
+"""
+
+
+def group_merge_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-merge of catalog rows (A6 — merge_database_catalog_rows,
+    vendor_helpers.py:114-135): sorted distinct union per group."""
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+GROUP_MERGE_SQL = """
+SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation, region WHERE n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def minmax_bounds_part(spark: SparkSession, sf: str) -> DataFrame:
+    """Min/max bounds fold (A7 — storage-type bounds, _aws.py:1470-1510)."""
+    part = load(spark, sf, "part")
+    return part.groupBy("p_type").agg(
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        dround(F.max("p_retailprice"), 4).alias("max_price"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+MINMAX_SQL = f"""
+SELECT p_type, MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+       {sql_round("MAX(p_retailprice)")} AS max_price,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_type
+"""
+
+
+def argmax_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by extraction (A13 — best1/bestn, inspector.py:562-574) with a
+    total-order tiebreak."""
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey).select(
+        "n_name", F.col("c_name").alias("top_customer"),
+        dround(F.col("c_acctbal"), 4).alias("acctbal"),
+    )
+
+
+ARGMAX_SQL = f"""
+SELECT n_name, c_name AS top_customer, {sql_round("c_acctbal")} AS acctbal
+FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) c, nation
+WHERE rn = 1 AND c_nationkey = n_nationkey
+"""
+
+
+def count_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-based row expansion (A11 — `_array_expand_by_count`,
+    _aws.py:292-313): explode(sequence) == unnest(generate_series)."""
+    part = load(spark, sf, "part")
+    n = (F.col("p_size") % 3 + 1).cast("int")
+    return (
+        part.withColumn("copy_idx", F.explode(F.sequence(F.lit(1), n)))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("expanded_rows"))
+    )
+
+
+COUNT_EXPANSION_SQL = """
+SELECT p_brand, COUNT(*) AS expanded_rows
+FROM (SELECT p_brand,
+        unnest(generate_series(1, CAST(p_size % 3 + 1 AS BIGINT))) AS i
+      FROM part)
+GROUP BY p_brand
+"""
+
+
+def weighted_geomean_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted geometric mean (A3 core math — workload_profile_scores.py:
+    240-400): 2^(sum(w*log2(x))/sum(w)), decimal-accumulated."""
+    li = load(spark, sf, "lineitem")
+    wlog = (F.col("l_quantity") * F.log2(F.col("l_extendedprice"))).cast("decimal(28,12)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(wlog).alias("swl"),
+        F.sum(F.col("l_quantity").cast("decimal(28,12)")).alias("sw"),
+    )
+    score = F.pow(F.lit(2.0), F.col("swl").cast("double") / F.col("sw").cast("double"))
+    return agg.select("l_returnflag", dround(score, 4).alias("geo_mean_price"))
+
+
+GEOMEAN_SQL = f"""
+SELECT l_returnflag,
+  {sql_round("pow(2.0, CAST(SUM(CAST(l_quantity * log2(l_extendedprice) AS DECIMAL(28,12))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE))")} AS geo_mean_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# ------------------------------------------------------------- scalar funcs
+
+
+def sig_fig_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """3-significant-figure rounding (F7 — workload_profile_scores.py:
+    37-57) via string-length magnitude (cross-engine exact for x>=1)."""
+    orders = load(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    mag = F.length(F.floor(F.abs(F.col("o_totalprice"))).cast("bigint").cast("string")) - 1
+    decimals = F.greatest(F.lit(2) - mag, F.lit(0))
+    shift = F.pow(F.lit(10.0), decimals.cast("double"))
+    return orders.select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * shift, 0) / shift).alias("price_3sf"),
+    )
+
+
+SIG_FIG_SQL = """
+SELECT o_orderkey,
+  round(o_totalprice * s) / s AS price_3sf
+FROM (SELECT o_orderkey, o_totalprice,
+        pow(10.0, CAST(greatest(2 - (length(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR)) - 1), 0) AS DOUBLE)) AS s
+      FROM orders WHERE o_totalprice >= 1)
+"""
+
+
+def unit_conversions(spark: SparkSession, sf: str) -> DataFrame:
+    """Unit conversion arithmetic (F4/F6 — utils.py:13-26: 730 h/month,
+    GiB->GB; 4-decimal price rounding, tables.py:263-283)."""
+    orders = load(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") / 730.0, 4).alias("hourly_price"),
+        dround(F.col("o_totalprice") * 1.073741824, 4).alias("gib_as_gb"),
+    )
+
+
+UNIT_CONV_SQL = f"""
+SELECT o_orderkey,
+  {sql_round("o_totalprice / 730.0")} AS hourly_price,
+  {sql_round("o_totalprice * 1.073741824")} AS gib_as_gb
+FROM orders
+"""
+
+
+def extract_brand_number(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-number extraction (F3 — str_utils.py:64-80)."""
+    part = load(spark, sf, "part")
+    return part.select(
+        "p_partkey", extract_last_number(F.col("p_brand")).alias("brand_num")
+    )
+
+
+EXTRACT_NUM_SQL = r"""
+SELECT p_partkey,
+  CAST(nullif(regexp_extract(p_brand, '([0-9]+\.?[0-9]*)[^0-9]*$', 1), '') AS DOUBLE) AS brand_num
+FROM part
+"""
+
+
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested JSON path extraction (F18 — terms→priceDimensions walking,
+    _aws.py:405-447) over the events.props JSON column."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def min_unit_price_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's flagship slice query shape (SURVEY.md §7.2:
+    'cheapest ondemand price per server across regions'): min unit price
+    per part joined back to the dimension."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    part = load(spark, sf, "part")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    best = li.groupBy("l_partkey").agg(dround(F.min(unit), 4).alias("min_unit_price"))
+    return best.join(F.broadcast(part), best.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", "min_unit_price"
+    )
+
+
+MIN_UNIT_PRICE_SQL = f"""
+SELECT p_partkey, p_name,
+  {sql_round("MIN(l_extendedprice / l_quantity)")} AS min_unit_price
+FROM lineitem, part
+WHERE l_quantity > 0 AND l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "dim_join_enrichment": (dim_join_enrichment, DIM_JOIN_SQL),
+    "semi_join_big_spenders": (semi_join_big_spenders, SEMI_SQL),
+    "anti_join_no_orders": (anti_join_no_orders, ANTI_SQL),
+    "top1_order_per_customer": (top1_order_per_customer, TOP1_SQL),
+    "keep_last_dedup_lineitem": (keep_last_dedup_lineitem, KEEP_LAST_SQL),
+    "exact_median_price": (exact_median_price, MEDIAN_SQL),
+    "mode_brand_per_type": (mode_brand_per_type, MODE_SQL),
+    "group_merge_nations": (group_merge_nations, GROUP_MERGE_SQL),
+    "minmax_bounds_part": (minmax_bounds_part, MINMAX_SQL),
+    "argmax_customer_per_nation": (argmax_customer_per_nation, ARGMAX_SQL),
+    "count_expansion": (count_expansion, COUNT_EXPANSION_SQL),
+    "weighted_geomean_price": (weighted_geomean_price, GEOMEAN_SQL),
+    "sig_fig_prices": (sig_fig_prices, SIG_FIG_SQL),
+    "unit_conversions": (unit_conversions, UNIT_CONV_SQL),
+    "extract_brand_number": (extract_brand_number, EXTRACT_NUM_SQL),
+    "json_props_extract": (json_props_extract, JSON_EXTRACT_SQL),
+    "min_unit_price_per_part": (min_unit_price_per_part, MIN_UNIT_PRICE_SQL),
+}

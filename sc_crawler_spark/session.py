@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness parity with the DuckDB oracle
+(UTC session timezone, ANSI off so casts behave like the reference's
+permissive Python coercions) and for scale (AQE with skew-join handling,
+partition coalescing, broadcast-join threshold).
+
+On a real cluster the same builder is used — only ``master`` and the
+shuffle-partition count change (set ``spark.sql.shuffle.partitions`` to
+~2-3x total executor cores; AQE coalesces the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
+    bench harness controls core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-planning — coalesce small shuffle partitions,
+        # convert to broadcast joins when a side turns out small, split
+        # skewed partitions. Essential at 100 TB, harmless at sf0.01.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas-UDF path (vectorized Python boundary).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Oracle parity: DuckDB reads parquet timestamps as naive/UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The reference tolerates permissive coercions (pydantic fills
+        # defaults); ANSI-strict casts would fail rows instead.
+        .config("spark.sql.ansi.enabled", "false")
+        # The lake's events table carries TIMESTAMP(NANOS) parquet columns
+        # (pandas-written); read them as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Small dims (region/nation/vendor catalogs) should always
+        # broadcast; 64 MiB covers every dimension table at any SF.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

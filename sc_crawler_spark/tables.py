@@ -1,0 +1,44 @@
+"""Loaders for the synthetic lake tables (TESTDATA.md).
+
+Every query receives ``sf_dir`` (e.g. ``/root/testdata/sf0.01``) and reads
+only the tables it needs — parquet scans get Catalyst column pruning and
+predicate pushdown for free, so loading is cheap and declarative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Plain parquet scan — pushdown-friendly.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the files; Spark reads it as a
+    nanosecond long (``nanosAsLong``) and we convert to a microsecond
+    timestamp — the same truncation DuckDB's TIMESTAMP_NS -> pandas path
+    applies, so oracle values align.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every lake table as a temp view for spark.sql() queries."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
