@@ -29,16 +29,36 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a token array.
+
+    Built by zipping the array with its own shifted slices
+    (``zip_with(toks, toks[2:], concat)`` etc.) instead of
+    ``transform(sequence, i -> slice(toks, i, k))`` — Catalyst inlines
+    column arguments into lambda bodies, so the slice form re-evaluates
+    the whole token array once PER SHINGLE (O(n^2) per doc; measured 10x
+    slowdown on the dedup pipeline). The zip form touches ``toks`` only
+    O(k) times per row. Docs shorter than k tokens yield one whole-text
+    shingle (matching the oracle's clamped-slice semantics).
+    """
+    n = F.size(toks)
+    big = F.lit(1 << 30)
+    zipped = toks
+    for j in range(2, k + 1):
+        shifted = F.slice(toks, j, big)
+        zipped = F.zip_with(zipped, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.slice(zipped, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
+    short_doc = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n < k, short_doc).otherwise(full))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a document as an array<string>.
 
-    Built with higher-order functions only: sequence + transform + slice.
+    Convenience wrapper; for hot paths materialize the token array first
+    and use :func:`shingles_from_tokens` (see note there).
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+    return shingles_from_tokens(tokens(text), k)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -69,8 +89,12 @@ def quality_score(text: Column) -> Column:
     return dround((len_score + word_score + punct_score) / 3.0, 6)
 
 
-def rolling_fingerprint(text: Column, k: int = 5) -> Column:
+def rolling_fingerprint(toks: Column, k: int = 5) -> Column:
     """Document fingerprint: lexicographic-min MD5 of the k-word shingles
     (a winnowing-style rolling-hash selector; min over fixed-width hex ==
-    min over the hash integer, so plain string MIN is exact)."""
-    return F.array_min(F.transform(word_shingles(text, k), lambda s: F.md5(s)))
+    min over the hash integer, so plain string MIN is exact).
+
+    Takes a materialized token-array column (see shingles_from_tokens)."""
+    return F.array_min(
+        F.transform(shingles_from_tokens(toks, k), lambda s: F.md5(s))
+    )

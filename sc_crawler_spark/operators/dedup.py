@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
-from ..functions.text import word_shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -35,12 +35,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                 extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, shingles: array<string>) — tokens materialized first so the
+    split isn't re-evaluated per shingle (see shingles_from_tokens)."""
+    keep = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    toked = df.select(*keep, tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
+        *[c for c in (id_col, *(extra_cols or []))],
+        shingles_from_tokens(F.col("_toks"), k).alias("shingles"),
+    )
+
+
 def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct k-word shingles, plus per-doc
     shingle count for Jaccard denominators."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    sh = doc_shingles(df, text_col, id_col, k).withColumn(
+        "n_shingles", F.size("shingles")
+    )
     return sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
 
 
@@ -103,9 +115,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Bands of ``band_rows`` minhashes; docs sharing any band signature are
     candidates (bucket equi-join — never all-pairs). Candidates are then
-    verified with the true shingle Jaccard >= threshold.
+    verified with the true shingle Jaccard >= threshold, computed by
+    intersecting the two docs' shingle ARRAYS (candidates are sparse, so
+    two id-joins + array_intersect beats re-exploding and self-joining
+    every shingle — at sf0.1 this is ~10x less shuffle).
     """
     n_bands = n_hashes // band_rows
+    shingles = doc_shingles(df, text_col, id_col, k)
     sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
     bands = sig.select(
         F.col(id_col),
@@ -131,20 +147,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         .distinct()
     )
 
-    sh = shingle_table(df, text_col, id_col, k)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"),
-                  "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"),
-                  "shingle")
-    common = (
-        a.join(b, ["shingle"])
-        .join(cand, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        common.withColumn("jaccard", dround(jac, 6))
+        paired.withColumn("jaccard", dround(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -155,47 +164,45 @@ def _hex_digit(col: Column) -> Column:
 
 
 def simhash_bits(df: DataFrame, text_col: str, id_col: str,
-                 n_bits: int = 32) -> DataFrame:
+                 n_bits: int = 32, k: int = 3) -> DataFrame:
     """(id, simhash) where simhash is an ``n_bits``-char '0'/'1' string.
 
-    Bit b of a token's MD5 comes from hex digit b//4, bit 3-(b%4); the
-    simhash bit is the sign of the +/-1 sum across the doc's distinct
-    tokens. All arithmetic mirrors 1:1 into the DuckDB oracle.
+    SimHash over the doc's distinct k-word SHINGLES (shingle sets are
+    discriminative even on small vocabularies, where token-set simhash
+    degenerates into all-pairs collisions). Bit b of a shingle's MD5
+    comes from hex digit b//4, bit 3-(b%4); the simhash bit is the sign
+    of the +/-1 sum across shingles.
+
+    Plan shape: one explode (doc x shingle), one projection with n_bits
+    +/-1 columns, one groupBy with n_bits SUMs — no per-bit row explosion
+    (n_bits x fewer intermediate rows than the naive unnest form). All
+    arithmetic mirrors 1:1 into the DuckDB oracle.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    per_bit = toks.select(
-        F.col(id_col), F.col("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
+    sh = shingle_table(df, text_col, id_col, k).select(
+        F.col(id_col), F.md5(F.col("shingle")).alias("h")
     )
-    digit = _hex_digit(F.substring(F.col("h"), (F.col("b") / 4 + 1).cast("int"), 1))
-    bit = F.floor(digit / F.pow(F.lit(2.0), (3 - F.col("b") % 4).cast("double"))) % 2
-    weight = (bit * 2 - 1).cast("long")
-    sums = per_bit.withColumn("w", weight).groupBy(id_col, "b").agg(
-        F.sum("w").alias("s")
+    weights = []
+    for b in range(n_bits):
+        digit = _hex_digit(F.substring(F.col("h"), b // 4 + 1, 1))
+        bit = F.floor(digit / F.lit(2 ** (3 - b % 4))).cast("long") % 2
+        weights.append((bit * 2 - 1).alias(f"w_{b}"))
+    per_doc = sh.select(F.col(id_col), *weights).groupBy(id_col).agg(
+        *[F.sum(f"w_{b}").alias(f"s_{b}") for b in range(n_bits)]
     )
-    bitchar = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
-    return sums.withColumn("bit", bitchar).groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("b", "bit"))),
-                lambda s: s["bit"],
-            ),
-        ).alias("simhash")
-    )
+    bitchars = [
+        F.when(F.col(f"s_{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(n_bits)
+    ]
+    return per_doc.select(F.col(id_col), F.concat(*bitchars).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  n_bits: int = 32, max_hamming: int = 3) -> DataFrame:
+                  n_bits: int = 32, max_hamming: int = 3,
+                  k: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: banded on n_bits/4-bit chunks (pigeonhole:
     hamming <= 3 implies an identical chunk among 4), verified by exact
     hamming distance."""
-    sig = simhash_bits(df, text_col, id_col, n_bits)
+    sig = simhash_bits(df, text_col, id_col, n_bits, k)
     chunk = n_bits // 4
     bands = sig.select(
         F.col(id_col), F.col("simhash"),

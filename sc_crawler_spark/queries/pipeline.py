@@ -164,8 +164,9 @@ WHERE rn = 1
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style document fingerprint: min MD5 over 5-word shingles."""
     docs = load(spark, sf, "documents")
-    return docs.select(
-        "doc_id", rolling_fingerprint(F.col("text"), k=5).alias("fingerprint")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id", rolling_fingerprint(F.col("toks"), k=5).alias("fingerprint")
     )
 
 
@@ -262,6 +263,18 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    # per-bit +/-1 weight columns from the shingle MD5 hex digits —
+    # mirrors operators/dedup.simhash_bits exactly
+    sums = ", ".join(
+        "SUM((CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        " / {shift}) AS BIGINT) % 2) * 2 - 1) AS s_{b}".format(
+            pos=b // 4 + 1, shift=2 ** (3 - b % 4), b=b
+        )
+        for b in range(n_bits)
+    )
+    sigchars = " || ".join(
+        f"(CASE WHEN s_{b} > 0 THEN '1' ELSE '0' END)" for b in range(n_bits)
+    )
     hamming = " + ".join(
         f"CASE WHEN substr(sh_a,{i},1) != substr(sh_b,{i},1) THEN 1 ELSE 0 END"
         for i in range(1, n_bits + 1)
@@ -272,24 +285,10 @@ def _simhash_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
         for i in range(4)
     )
     return f"""
-WITH {_CORPUS_SQL},
-tok AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
-  FROM corpus
-),
-th AS (SELECT doc_id, md5(t) AS h FROM tok),
-perbit AS (
-  SELECT doc_id, b,
-    SUM(((CAST(floor((strpos('0123456789abcdef', substr(h, CAST(b//4 AS INT) + 1, 1)) - 1)
-        / pow(2, 3 - (b % 4))) AS BIGINT) % 2) * 2 - 1)) AS s
-  FROM th, (SELECT unnest(generate_series(0, {n_bits - 1})) AS b) g
-  GROUP BY doc_id, b
-),
-sig AS (
-  SELECT doc_id,
-    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-  FROM perbit GROUP BY doc_id
-),
+WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+th AS (SELECT doc_id, md5(shingle) AS h FROM shd),
+perdoc AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {sigchars} AS simhash FROM perdoc),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
