@@ -1,0 +1,205 @@
+"""CLI mirroring the reference's command surface (cli.py:64: pull, sync,
+copy, dump, hash) over a parquet lake directory.
+
+A "lake" is a directory of ``<table>/`` parquet datasets. The commands
+reproduce the reference semantics:
+
+- ``pull``  — seed/refresh the static dimension tables (T5 lifecycle:
+  inactivate-then-merge canon rows, cli.py:849-866).
+- ``hash``  — per-table content digest and a whole-lake digest
+  (utils.py:62-104): sha1 over the sorted row hashes.
+- ``sync``  — hash-diff source vs target per table, print the action
+  report (cli.py:540-554), apply to target (or its ``_scd`` twin).
+- ``dump``  — JSON export partitioned by PK (cli.py:600-756) plus a
+  ``_schema.json`` manifest per table.
+- ``copy``  — re-write a lake to a new location table by table.
+
+Usage: ``python -m sc_crawler_spark.cli <cmd> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .operators.sync import hash_diff, with_row_hash
+from .operators.upsert import merge_upsert, scd2_append
+from .session import get_spark
+from .sources import lookup
+
+
+def _table_path(lake: str, table: str) -> str:
+    return os.path.join(lake, table)
+
+
+def _read(spark: SparkSession, lake: str, table: str) -> DataFrame:
+    return spark.read.parquet(_table_path(lake, table))
+
+
+def _tables_in(lake: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(lake)
+        if os.path.isdir(os.path.join(lake, d))
+        and not d.startswith("_") and not d.endswith("_stage")
+    )
+
+
+def _rewrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Overwrite a parquet dataset that the plan may itself read from:
+    stage to a sibling dir, rewrite, drop the stage."""
+    df.write.mode("overwrite").parquet(path + "_stage")
+    spark.read.parquet(path + "_stage").write.mode("overwrite").parquet(path)
+    shutil.rmtree(path + "_stage", ignore_errors=True)
+
+
+def cmd_pull(spark: SparkSession, lake: str) -> None:
+    """Seed/refresh static dimensions (T5): inactivate + merge canon."""
+    os.makedirs(lake, exist_ok=True)
+    dims = {
+        "country": (lookup.countries(spark), ["country_id"]),
+        "compliance_framework": (
+            lookup.compliance_frameworks(spark), ["compliance_framework_id"]),
+        "benchmark": (lookup.benchmarks(spark), ["benchmark_id"]),
+    }
+    for table, (canon, pks) in dims.items():
+        path = _table_path(lake, table)
+        try:
+            current = spark.read.parquet(path)
+            merged = merge_upsert(
+                current, canon.select(*current.columns), pks,
+                inactivate_missing=True,
+            )
+        except Exception:
+            merged = canon
+        _rewrite(spark, merged, path)
+        print(f"pull: {table}: {spark.read.parquet(path).count()} rows")
+
+
+def table_digest(spark: SparkSession, lake: str, table: str) -> str:
+    """Content digest: sha1 over the sorted per-row hashes (T3 semantics;
+    ignores observed_at). Distributed row hashing; only the fixed-width
+    digests are collected."""
+    df = _read(spark, lake, table)
+    pks = schemas.PRIMARY_KEYS.get(table, df.columns[:1])
+    hashed = with_row_hash(df, [c for c in pks if c in df.columns])
+    rows = hashed.select("row_sha").orderBy("row_sha").collect()
+    h = hashlib.sha1()  # noqa: S324 - content fingerprint
+    for r in rows:
+        h.update(r.row_sha.encode())
+    return h.hexdigest()
+
+
+def cmd_hash(spark: SparkSession, lake: str, table: str | None) -> None:
+    tables = [table] if table else _tables_in(lake)
+    digests = {t: table_digest(spark, lake, t) for t in tables}
+    whole = hashlib.sha1(  # noqa: S324
+        "".join(f"{t}:{d}" for t, d in sorted(digests.items())).encode()
+    ).hexdigest()
+    print(json.dumps({"tables": digests, "database": whole}, indent=2))
+
+
+def cmd_sync(spark: SparkSession, source: str, target: str,
+             table: str, scd: bool = False) -> None:
+    src = _read(spark, source, table)
+    tgt = _read(spark, target, table)
+    pks = [c for c in schemas.PRIMARY_KEYS.get(table, []) if c in src.columns]
+    diff = hash_diff(src, tgt, pks)
+    stats = {r["action"]: r["count"] for r in diff.groupBy("action").count().collect()}
+    print(json.dumps({"table": table, **stats}))
+
+    changed = diff.filter(F.col("action").isin("new", "update")).select(*pks)
+    changed_rows = src.join(changed, pks, "left_semi")
+    deleted = diff.filter(F.col("action") == "deleted").select(*pks)
+    deleted_rows = (
+        tgt.join(deleted, pks, "left_semi")
+        .withColumn("status", F.lit("inactive"))
+        .withColumn("observed_at", F.current_timestamp())
+    )
+    apply_rows = changed_rows.unionByName(deleted_rows)
+    if scd:
+        out_table = f"{table}_scd"
+        try:
+            hist = _read(spark, target, out_table)
+            result = scd2_append(hist, apply_rows)
+        except Exception:
+            result = apply_rows
+    else:
+        out_table = table
+        result = merge_upsert(tgt, apply_rows, pks)
+    _rewrite(spark, result, _table_path(target, out_table))
+
+
+def cmd_dump(spark: SparkSession, lake: str, out: str,
+             table: str | None) -> None:
+    tables = [table] if table else _tables_in(lake)
+    for t in tables:
+        df = _read(spark, lake, t)
+        pks = [c for c in schemas.PRIMARY_KEYS.get(t, []) if c in df.columns]
+        dest = os.path.join(out, t)
+        writer = df.write.mode("overwrite")
+        if pks[:-1]:
+            writer = writer.partitionBy(*pks[:-1])
+        writer.json(dest)
+        with open(os.path.join(out, f"{t}._schema.json"), "w") as fh:
+            fh.write(df.schema.json())
+        print(f"dump: {t} -> {dest}")
+
+
+def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
+    for t in _tables_in(source):
+        _read(spark, source, t).write.mode("overwrite").parquet(
+            _table_path(target, t)
+        )
+        print(f"copy: {t}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="sc-crawler-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pull", help="seed/refresh static dimension tables")
+    p.add_argument("--lake", required=True)
+
+    p = sub.add_parser("hash", help="content digests per table + whole lake")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--table")
+
+    p = sub.add_parser("sync", help="hash-diff sync source -> target")
+    p.add_argument("--source", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--scd", action="store_true")
+
+    p = sub.add_parser("dump", help="JSON export partitioned by PK")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--table")
+
+    p = sub.add_parser("copy", help="copy lake to a new location")
+    p.add_argument("--source", required=True)
+    p.add_argument("--target", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark("sc-crawler-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "pull":
+        cmd_pull(spark, args.lake)
+    elif args.cmd == "hash":
+        cmd_hash(spark, args.lake, args.table)
+    elif args.cmd == "sync":
+        cmd_sync(spark, args.source, args.target, args.table, args.scd)
+    elif args.cmd == "dump":
+        cmd_dump(spark, args.lake, args.out, args.table)
+    elif args.cmd == "copy":
+        cmd_copy(spark, args.source, args.target)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,23 +32,30 @@ def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
     PK at scale (bucketed silver tables) so the join is co-located.
     """
     cols = current.columns
-    upd = updates.select(*cols)
-    joined = current.alias("c").join(upd.alias("u"), pks, "full_outer")
+    # Rename the update side before joining: updates often derive from the
+    # same plan as current (re-fetch + mutate), and alias-based column
+    # references can't disambiguate shared lineage in a full-outer self-join.
+    upd = updates.select(*[F.col(c).alias(f"__u_{c}") for c in cols])
+    cond = None
+    for pk in pks:
+        eq = current[pk] == upd[f"__u_{pk}"]
+        cond = eq if cond is None else cond & eq
+    joined = current.join(upd, cond, "full_outer")
 
-    take_update = F.col(f"u.{pks[0]}").isNotNull()
+    take_update = F.col(f"__u_{pks[0]}").isNotNull()
     out_cols = []
     for c in cols:
         if c in pks:
-            out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"c.{c}")).alias(c))
+            out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
         elif c == "status" and inactivate_missing:
             out_cols.append(
-                F.when(take_update, F.col("u.status"))
+                F.when(take_update, F.col("__u_status"))
                 .otherwise(F.lit("inactive"))
                 .alias(c)
             )
         else:
             out_cols.append(
-                F.when(take_update, F.col(f"u.{c}")).otherwise(F.col(f"c.{c}")).alias(c)
+                F.when(take_update, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
             )
     return joined.select(*out_cols)
 

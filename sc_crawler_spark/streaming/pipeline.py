@@ -1,0 +1,105 @@
+"""Structured Streaming extension (SURVEY.md §2.11).
+
+The reference is a scheduled batch crawler with no streaming operators;
+this module is the designed extension path: incremental ingestion of
+observation streams (spot prices / events) with event-time semantics.
+
+- :func:`read_event_stream`   — file-source stream with declared schema
+  (nanosecond-timestamp tolerant, same convention as tables.load).
+- :func:`tumbling_stats`      — watermarked tumbling event-time window;
+  identical results to the batch ``tumbling_daily_stats`` query when run
+  with ``Trigger.AvailableNow`` over the same files.
+- :func:`stream_keep_last_upsert` — foreachBatch keep-last MERGE: each
+  micro-batch is deduped (A4 keep-last on observed_at) and upserted into
+  the silver snapshot, giving the reference's T1/T2 lifecycle a streaming
+  form.
+
+At scale: file-source here stands in for Kafka/queue sources — the
+transforms are source-agnostic; watermark bounds state, and the
+foreachBatch MERGE maps onto Delta/Iceberg upserts on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),        # ns epoch in the lake files
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+EVENT_SCHEMA_TS = StructType(
+    [f if f.name != "ts" else StructField("ts", TimestampType())
+     for f in EVENT_SCHEMA.fields]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream; converts the lake's nanosecond-long ts
+    to a proper timestamp (mirrors tables.load)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_stats(events: DataFrame, window: str = "1 day",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling event-time aggregate — the streaming analog of
+    the batch tumbling_daily_stats query (late rows beyond the watermark
+    are dropped; state is bounded by watermark horizon)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
+            .cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events",
+                "sum_value")
+    )
+
+
+def stream_keep_last_upsert(events: DataFrame, state_dir: str,
+                            checkpoint_dir: str, pks: list[str],
+                            order_col: str = "ts"):
+    """foreachBatch keep-last upsert into a parquet silver snapshot.
+
+    Each micro-batch: keep-last dedup within the batch (A4), then
+    merge_upsert against the stored snapshot (K1). Returns the streaming
+    query (caller awaits/stops it).
+    """
+    from ..operators.upsert import merge_upsert
+    from ..operators.windows import keep_last_dedup
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = keep_last_dedup(batch, pks, order_col)
+        try:
+            current = spark.read.parquet(state_dir)
+            merged = merge_upsert(current, deduped.select(*current.columns), pks)
+        except Exception:  # first batch: no snapshot yet
+            merged = deduped
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        # atomic-ish swap: rewrite snapshot from staged copy
+        spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,58 @@
+"""CLI command-surface tests (pull/hash/sync/dump/copy over a tmp lake)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sc_crawler_spark import cli
+
+
+def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+
+    # pull seeds the static dims
+    cli.cmd_pull(spark, lake)
+    assert spark.read.parquet(os.path.join(lake, "country")).count() > 30
+    assert spark.read.parquet(os.path.join(lake, "benchmark")).count() > 5
+
+    # pull again: idempotent (T5 inactivate+merge keeps everything active)
+    cli.cmd_pull(spark, lake)
+    c = spark.read.parquet(os.path.join(lake, "country"))
+    assert c.filter(F.col("status") == "inactive").count() == 0
+
+    # hash: stable digests
+    d1 = cli.table_digest(spark, lake, "country")
+    d2 = cli.table_digest(spark, lake, "country")
+    assert d1 == d2 and len(d1) == 40
+
+    # copy to a second lake, digest must match (K4/T3)
+    lake2 = str(tmp_path / "lake2")
+    cli.cmd_copy(spark, lake, lake2)
+    assert cli.table_digest(spark, lake2, "country") == d1
+
+    # mutate the copy, sync back, digests converge
+    path = os.path.join(lake2, "country")
+    mutated = spark.read.parquet(path).withColumn(
+        "continent",
+        F.when(F.col("country_id") == "US", F.lit("Mars"))
+        .otherwise(F.col("continent")),
+    ).filter(F.col("country_id") != "DE")
+    mutated.write.mode("overwrite").parquet(path + "_tmp")
+    spark.read.parquet(path + "_tmp").write.mode("overwrite").parquet(path)
+    assert cli.table_digest(spark, lake2, "country") != d1
+
+    cli.cmd_sync(spark, lake, lake2, "country")
+    out = capsys.readouterr().out
+    report = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert report["new"] == 1       # DE missing from target
+    assert report["update"] == 1    # US continent changed
+
+    # dump produces JSON + schema manifest
+    dump_dir = str(tmp_path / "dump")
+    cli.cmd_dump(spark, lake, dump_dir, "country")
+    assert os.path.exists(os.path.join(dump_dir, "country._schema.json"))
+    dumped = spark.read.json(os.path.join(dump_dir, "country"))
+    assert dumped.count() == spark.read.parquet(os.path.join(lake, "country")).count()

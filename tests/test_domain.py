@@ -1,0 +1,373 @@
+"""Domain-fixture tests mirroring the reference's unit-test strategy
+(SURVEY.md §5): mocked vendor payloads -> standardized rows, upsert/dedup
+semantics, workload-score behavioral invariants, schema sanity.
+
+Reference analogs cited per test (tests/* in /root/reference)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sc_crawler_spark import schemas
+from sc_crawler_spark.functions.hashing import jsoned_hash, row_hash
+from sc_crawler_spark.operators.scores import (
+    best_per_entry, composite_scores, fleet_median,
+)
+from sc_crawler_spark.operators.sync import hash_diff
+from sc_crawler_spark.operators.upsert import merge_upsert, scd2_append
+from sc_crawler_spark.operators.windows import keep_last_dedup, latest_snapshot
+from sc_crawler_spark.sources import aws, azure, gcp
+
+
+def test_jsoned_hash_golden():
+    # utils.py:32-38 doctest anchor
+    assert jsoned_hash(42) == "0211c62419aece235ba19582d3cf7fd8e25f837c"
+
+
+def test_schema_inventory_complete():
+    # 19 tables + _metadata (tables.py:798-810)
+    assert len(schemas.TABLES) == 20
+    for name, pks in schemas.PRIMARY_KEYS.items():
+        cols = schemas.TABLES[name].fieldNames()
+        for pk in pks:
+            assert pk in cols, f"{name}: pk {pk} missing"
+    assert schemas.scd_primary_keys("server") == [
+        "vendor_id", "server_id", "observed_at"
+    ]
+
+
+def test_gcp_derived_price_formula(spark):
+    # tests/test_databases.py:306-345: 0.0413*4 + 0.007*15.0 = 0.2702
+    servers = spark.createDataFrame(
+        [("gcp", "n2d-highmem-4", "n2d", 4, 15 * 1024, "us-east4")],
+        ["vendor_id", "server_id", "family", "vcpus", "memory_amount",
+         "region_id"],
+    )
+    rates = spark.createDataFrame(
+        [("n2d", "us-east4", "ondemand", "CPU", 0.0413),
+         ("n2d", "us-east4", "ondemand", "RAM", 0.007)],
+        ["family", "region_id", "allocation", "resource_group", "rate"],
+    )
+    row = gcp.derive_server_prices(servers, rates).collect()[0]
+    assert row.price == pytest.approx(0.2702)
+    assert row.allocation == "ondemand"
+
+
+def test_gcp_instance_rate_fallback(spark):
+    # _gcp.py:397-410 fallback path (m2 premium style)
+    servers = spark.createDataFrame(
+        [("gcp", "f1-micro", "f1", 1, 614, "us-east4")],
+        ["vendor_id", "server_id", "family", "vcpus", "memory_amount",
+         "region_id"],
+    )
+    rates = spark.createDataFrame(
+        [("f1", "us-east4", "ondemand", "INSTANCE", 0.0076)],
+        ["family", "region_id", "allocation", "resource_group", "rate"],
+    )
+    row = gcp.derive_server_prices(servers, rates).collect()[0]
+    assert row.price == pytest.approx(0.0076)
+
+
+AWS_FIXTURE = {
+    "InstanceType": "g4dn.12xlarge",
+    "BurstablePerformanceSupported": False,
+    "VCpuInfo": {"DefaultVCpus": 48, "DefaultCores": 24},
+    "ProcessorInfo": {
+        "SupportedArchitectures": ["x86_64"],
+        "SustainedClockSpeedInGhz": 2.5,
+        "Manufacturer": "Intel",
+    },
+    "MemoryInfo": {"SizeInMiB": 196608},
+    "GpuInfo": {
+        "Gpus": [{"Manufacturer": "NVIDIA", "Name": "T4", "Count": 4,
+                  "MemoryInfo": {"SizeInMiB": 16384}}],
+        "TotalGpuMemoryInMiB": 65536,
+    },
+    "InstanceStorageInfo": {
+        "TotalSizeInGB": 900,
+        "NvmeSupport": "required",
+        "Disks": [{"SizeInGB": 225, "Count": 4, "Type": "ssd"}],
+    },
+    "NetworkInfo": {"NetworkCards": [
+        {"BaselineBandwidthInGbps": 50.0, "PeakBandwidthInGbps": 50.0}
+    ]},
+    "Hypervisor": "nitro",
+}
+
+
+def test_aws_instance_standardization(spark):
+    # P1/A8/A9/A11 (_aws.py:292-392); fixture shape from FIXTURES.md §2.2
+    import json
+
+    raw = spark.createDataFrame([(json.dumps(AWS_FIXTURE),)], ["json"]).select(
+        F.from_json("json", aws.RAW_INSTANCE_TYPE).alias("payload")
+    )
+    row = aws.standardize_instance_types(raw).collect()[0]
+    assert row.server_id == "g4dn.12xlarge"
+    assert row.family == "g4dn"
+    assert row.vcpus == 48
+    assert row.cpu_allocation == "Shared"
+    assert row.gpu_count == 4.0                 # A11 expansion
+    assert row.gpu_memory_min == 16384          # A9 min
+    assert row.gpu_memory_total == 65536
+    assert row.gpu_manufacturer == "NVIDIA"     # A8 mode
+    assert row.gpu_model == "T4"
+    assert row.storage_size == 900
+    assert len(row.storages) == 4               # A11 disk expansion
+    assert row.storages[0].size == 225 and row.storages[0].storage_type == "ssd"
+    assert row.storage_type == "ssd"
+    assert row.network_speed_baseline == 50.0
+
+
+def test_aws_price_extraction(spark):
+    # P2/P3 (_aws.py:405-447): terms walk + tier sort + Infinity
+    terms = {
+        "t1": {"priceDimensions": {
+            "d2": {"pricePerUnit": {"USD": "0.30"}, "beginRange": "100",
+                   "endRange": "Inf", "unit": "GB"},
+            "d1": {"pricePerUnit": {"USD": "0.145"}, "beginRange": "0",
+                   "endRange": "100", "unit": "GB"},
+        }},
+    }
+    import json
+
+    df = spark.createDataFrame([(json.dumps(terms),)], ["json"]).select(
+        F.from_json("json", aws.TERMS_SCHEMA).alias("ondemand")
+    )
+    out = df.select(
+        aws.extract_ondemand_price(F.col("ondemand")).alias("price"),
+        aws.extract_ondemand_prices(F.col("ondemand")).alias("tiers"),
+    ).collect()[0]
+    assert out.price in (0.145, 0.30)  # first dimension (map order)
+    assert [t.lower for t in out.tiers] == [0.0, 100.0]  # sorted (O1)
+    assert out.tiers[1].upper == "Infinity"              # F5 convention
+    assert out.tiers[0].price == 0.145
+
+
+def test_azure_name_parser(spark):
+    # P10 (_azure.py:298-451)
+    df = spark.createDataFrame(
+        [("Standard_E16-8ds_v5",), ("Standard_D4s_v3",), ("Basic_A0",),
+         ("garbage",)], ["name"],
+    ).select("name", azure.parse_azure_vm_name(F.col("name")).alias("p"))
+    rows = {r.name: r.p for r in df.collect()}
+    e16 = rows["Standard_E16-8ds_v5"]
+    assert (e16.family, e16.vcpus, e16.vcpus_constrained, e16.features,
+            e16.version) == ("E", 16, 8, "ds", 5)
+    d4 = rows["Standard_D4s_v3"]
+    assert (d4.family, d4.vcpus, d4.features, d4.version) == ("D", 4, "s", 3)
+    assert rows["Basic_A0"].tier == "Basic"
+    assert rows["garbage"].family is None
+
+
+def test_upcloud_name_parser(spark):
+    df = spark.createDataFrame([("HICPU-8xCPU-16GB",)], ["name"]).select(
+        azure.parse_upcloud_plan(F.col("name")).alias("p")
+    )
+    p = df.collect()[0].p
+    assert (p.family, p.vcpus, p.memory_mib) == ("HICPU", 8, 16384)
+
+
+def test_azure_residual_filters(spark):
+    # P5 (_azure.py:611-632)
+    df = spark.createDataFrame(
+        [("D4 Low Priority", "Virtual Machines Dv3", 0.1),
+         ("D4", "Virtual Machines Dv3 Windows", 0.2),
+         ("D4", "Virtual Machines Dv3", 0.0),
+         ("D4", "Virtual Machines Dv3", 0.2)],
+        ["meterName", "productName", "retailPrice"],
+    )
+    assert azure.azure_residual_filters(df).count() == 1
+
+
+def test_keep_last_dedup_canonical_config(spark):
+    # insert.py:24-72 + FIXTURES.md §2.8: same PK (config key order
+    # canonicalized) -> last occurrence wins
+    from sc_crawler_spark.functions.hashing import canonical_json
+
+    rows = [
+        ("aws", "m1", "bench", canonical_json({"size": 1, "op": "rd"}), 1.0, 0),
+        ("aws", "m1", "bench", canonical_json({"op": "rd", "size": 1}), 2.0, 1),
+        ("aws", "m2", "bench", canonical_json({"op": "rd"}), 3.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, ["vendor_id", "server_id", "benchmark_id", "config", "score",
+               "_pos"],
+    )
+    out = keep_last_dedup(
+        df, ["vendor_id", "server_id", "benchmark_id", "config"], "_pos"
+    ).orderBy("server_id").collect()
+    assert len(out) == 2
+    assert out[0].score == 2.0  # last occurrence won
+
+
+def test_merge_upsert_semantics(spark):
+    # K1+T1 (insert.py:115-173, tables.py:224-283)
+    current = spark.createDataFrame(
+        [("aws", "a", 1.0, "active"), ("aws", "b", 2.0, "active")],
+        ["vendor_id", "server_id", "score", "status"],
+    )
+    updates = spark.createDataFrame(
+        [("aws", "a", 10.0, "active"), ("aws", "c", 3.0, "active")],
+        ["vendor_id", "server_id", "score", "status"],
+    )
+    out = {r.server_id: r for r in merge_upsert(
+        current, updates, ["vendor_id", "server_id"], inactivate_missing=True
+    ).collect()}
+    assert out["a"].score == 10.0 and out["a"].status == "active"
+    assert out["b"].score == 2.0 and out["b"].status == "inactive"  # swept
+    assert out["c"].score == 3.0 and out["c"].status == "active"    # inserted
+
+
+def test_hash_diff_classification(spark):
+    # cli.py:502-538 / FIXTURES.md §2.7
+    src = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")],
+        ["pk", "v", "observed_at_free"],
+    )
+    tgt = spark.createDataFrame(
+        [("b", 2, "y"), ("c", 99, "z"), ("d", 4, "w")],
+        ["pk", "v", "observed_at_free"],
+    )
+    out = {(r.pk): r.action for r in hash_diff(src, tgt, ["pk"]).collect()}
+    assert out == {"a": "new", "c": "update", "d": "deleted"}
+
+
+def test_row_hash_null_vs_empty(spark):
+    df = spark.createDataFrame([("k", None), ("k", "")], ["pk", "v"])
+    hashes = [r.h for r in df.select(row_hash(["v"]).alias("h")).collect()]
+    assert hashes[0] != hashes[1]
+
+
+def test_scd2_append_and_latest(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    hist = spark.createDataFrame(
+        [("aws", "a", 1.0, t0)], ["vendor_id", "server_id", "score",
+                                  "observed_at"],
+    )
+    changed = spark.createDataFrame(
+        [("aws", "a", 2.0, t1)], ["vendor_id", "server_id", "score",
+                                  "observed_at"],
+    )
+    hist2 = scd2_append(hist, changed)
+    assert hist2.count() == 2
+    latest = latest_snapshot(hist2, ["vendor_id", "server_id"]).collect()
+    assert len(latest) == 1 and latest[0].score == 2.0
+
+
+# ----------------------------- workload-score invariants (FIXTURES.md §2.6)
+
+
+def _score_fixture(spark, per_server: dict[str, dict[str, float]],
+                   hib: dict[str, bool] | None = None):
+    rows = [
+        (srv, entry, score)
+        for srv, entries in per_server.items()
+        for entry, score in entries.items()
+    ]
+    scores = spark.createDataFrame(rows, ["server_id", "entry", "score"])
+    entries = sorted({e for v in per_server.values() for e in v})
+    hib = hib or {}
+    weights = spark.createDataFrame(
+        [(e, 1.0, hib.get(e, True)) for e in entries],
+        ["entry", "weight", "higher_is_better"],
+    )
+    scored = scores.join(F.broadcast(weights), "entry")
+    best = best_per_entry(scored, ["server_id"], "entry",
+                          higher_is_better_col="higher_is_better")
+    medians = fleet_median(best, "entry")
+    return best, medians, weights, len(entries)
+
+
+def test_score_one_at_fleet_median(spark):
+    # test_workload_profile_scores.py:94 — server at median on every
+    # component scores exactly 1.0
+    best, med, w, n = _score_fixture(spark, {
+        "s1": {"e1": 10.0, "e2": 100.0},
+        "s2": {"e1": 20.0, "e2": 200.0},
+        "s3": {"e1": 30.0, "e2": 300.0},
+    })
+    out = {r.server_id: r.score for r in composite_scores(
+        best, med, w, ["server_id"], "entry").collect()}
+    assert out["s2"] == pytest.approx(1.0)
+
+
+def test_score_two_at_double_median(spark):
+    # :118 — 2x median on every component -> 2.0
+    best, med, w, n = _score_fixture(spark, {
+        "s1": {"e1": 10.0}, "s2": {"e1": 20.0}, "s3": {"e1": 40.0},
+    })
+    out = {r.server_id: r.score for r in composite_scores(
+        best, med, w, ["server_id"], "entry").collect()}
+    assert out["s3"] == pytest.approx(2.0)
+
+
+def test_lower_is_better_flip(spark):
+    # :175 — latency-style entry: half the median latency doubles the score
+    best, med, w, n = _score_fixture(
+        spark,
+        {"s1": {"lat": 5.0}, "s2": {"lat": 10.0}, "s3": {"lat": 20.0}},
+        hib={"lat": False},
+    )
+    out = {r.server_id: r.score for r in composite_scores(
+        best, med, w, ["server_id"], "entry").collect()}
+    assert out["s1"] == pytest.approx(2.0)
+    assert out["s3"] == pytest.approx(0.5)
+
+
+def test_missing_require_suppresses(spark):
+    # :370 — REQUIRE: server missing a component is dropped
+    best, med, w, n = _score_fixture(spark, {
+        "s1": {"e1": 10.0, "e2": 1.0},
+        "s2": {"e1": 20.0},
+        "s3": {"e1": 30.0, "e2": 3.0},
+    })
+    out = composite_scores(best, med, w, ["server_id"], "entry",
+                           n_components=n, on_missing="require")
+    assert {r.server_id for r in out.collect()} == {"s1", "s3"}
+
+
+def test_missing_penalize(spark):
+    # :283 — PENALIZE: missing component contributes penalty normalized
+    best, med, w, n = _score_fixture(spark, {
+        "s1": {"e1": 10.0, "e2": 1.0},
+        "s2": {"e1": 10.0},
+        "s3": {"e1": 10.0, "e2": 1.0},
+    })
+    out = {r.server_id: r for r in composite_scores(
+        best, med, w, ["server_id"], "entry",
+        n_components=n, on_missing="penalize").collect()}
+    # s2 at median on e1, penalized 1e-4 on e2:
+    # 2^((0 + log2(1e-4))/2) = 1e-2
+    assert out["s2"].score == pytest.approx(1e-2, rel=1e-6)
+    assert out["s2"].coverage == pytest.approx(0.5)
+    assert out["s1"].score == pytest.approx(1.0)
+
+
+def test_reconstruction_property(spark):
+    # test_workload_profile_scores.py:27-41 — the composite equals
+    # 2^(sum w*log2(normalized) / sum w) rebuilt from its own parts
+    import math
+
+    best, med, w, n = _score_fixture(spark, {
+        "s1": {"e1": 12.0, "e2": 180.0},
+        "s2": {"e1": 25.0, "e2": 90.0},
+        "s3": {"e1": 31.0, "e2": 310.0},
+    })
+    parts = best.join(med, "entry").join(w, "entry").collect()
+    manual: dict[str, float] = {}
+    weights_sum: dict[str, float] = {}
+    for r in parts:
+        norm = r.best_score / r.median_score
+        manual[r.server_id] = manual.get(r.server_id, 0.0) + 1.0 * math.log2(norm)
+        weights_sum[r.server_id] = weights_sum.get(r.server_id, 0.0) + 1.0
+    expect = {s: 2 ** (v / weights_sum[s]) for s, v in manual.items()}
+    out = {r.server_id: r.score for r in composite_scores(
+        best, med, w, ["server_id"], "entry").collect()}
+    for s, v in expect.items():
+        assert out[s] == pytest.approx(v, rel=1e-9)

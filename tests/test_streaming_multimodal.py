@@ -1,0 +1,106 @@
+"""Streaming extension + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sc_crawler_spark.multimodal import (
+    MEDIA_SCHEMA, extract_image_features, sample_video_frames,
+)
+from sc_crawler_spark.streaming import read_event_stream, tumbling_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_stream_tumbling_matches_batch(spark, tmpdir):
+    # availableNow over the same files must equal the batch query
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", src)
+
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    agg = tumbling_stats(stream, window="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("tumble_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.wstart, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumble_test").collect()
+    }
+
+    from sc_crawler_spark.queries.lifecycle import tumbling_daily_stats
+
+    want = {
+        (r.wstart, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_daily_stats(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_keep_last_upsert(spark, tmpdir):
+    from sc_crawler_spark.streaming import stream_keep_last_upsert
+
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", src)
+    state = os.path.join(tmpdir, "state")
+    q = stream_keep_last_upsert(
+        read_event_stream(spark, src), state,
+        os.path.join(tmpdir, "ckpt2"), pks=["user_id"], order_col="ts",
+    )
+    q.awaitTermination(120)
+    snap = spark.read.parquet(state)
+    # one current row per user, and it's the latest event
+    from sc_crawler_spark.queries.lifecycle import scd2_latest_event
+
+    want = {(r.user_id, r.event_id) for r in scd2_latest_event(spark, SF).collect()}
+    got = {(r.user_id, r.event_id) for r in snap.collect()}
+    assert got == want
+
+
+def test_image_feature_extraction(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNG fake image bytes"), "image/png", "s3://x/1"),
+        (2, "image", bytearray(b"another payload"), "image/jpeg", "s3://x/2"),
+        (3, "video", bytearray(b"\x00" * 4096), "video/mp4", "s3://x/3"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert set(feats) == {1, 2}                      # video filtered out
+    assert feats[1].n_bytes == 21
+    assert len(feats[1].sha1) == 40
+    assert 16 <= feats[1].width < 256                # stub decode bounds
+    assert feats[1].format in ("png", "jpeg", "webp")
+    # determinism: same payload -> same fake decode
+    again = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert again[1] == feats[1]
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, real_decode=True)
+
+
+def test_video_frame_sampling(spark):
+    rows = [(3, "video", bytearray(b"\x00" * 4096), "video/mp4", "s3://x/3")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_n=2).collect()
+    # 4096/1024 + 1 = 5 frames, sampled every 2 -> idx 0,2,4
+    assert [r.frame_idx for r in frames] == [0, 2, 4]
