@@ -16,10 +16,10 @@ Cross-engine determinism conventions used throughout (see SURVEY.md §7.4):
 
 from __future__ import annotations
 
-from . import domain, lifecycle, pipeline, tpch
+from . import domain, extra, lifecycle, pipeline, tpch
 
 REGISTRY: dict[str, tuple] = {}
-for mod in (tpch, lifecycle, pipeline, domain):
+for mod in (tpch, lifecycle, pipeline, domain, extra):
     overlap = REGISTRY.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -36,10 +36,13 @@ def workload_scores(spark: SparkSession, sf: str) -> DataFrame:
         WORKLOAD_WEIGHTS, ["event_type", "weight", "higher_is_better"]
     )
     scored = ev.join(F.broadcast(weights), "event_type")
+    # best feeds BOTH the fleet-median aggregate and the composite join;
+    # without a cache the whole scan+shuffle lineage runs twice (at 100 TB
+    # that's a second full pass over the fact table).
     best = best_per_entry(
         scored, ["user_id"], "event_type",
         score_col="value", higher_is_better_col="higher_is_better",
-    )
+    ).cache()
     medians = fleet_median(best, "event_type")
     comp = composite_scores(
         best, medians, weights, ["user_id"], "event_type", on_missing="ignore"

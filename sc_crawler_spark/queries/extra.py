@@ -1,0 +1,213 @@
+"""Additional operator coverage: grouping sets, exact distinct counts,
+multi-quantiles, scalar-subquery joins, global top-k, set ops, and the
+reference's P6 float-tolerance config filter / P9 text standardizers.
+
+The reference has no rollup/cube (SURVEY.md §2.5 note) — Catalyst gives
+them for free, so they're exposed as engine capabilities beyond parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import decimal_sum, dround, sql_round
+from ..tables import load
+
+# ------------------------------------------------------------ grouping sets
+
+
+def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
+    (partial aggregation reused across grouping sets by Catalyst)."""
+    li = load(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dround(decimal_sum(disc), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand+two-phase agg in Spark)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_items"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def price_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p25/p50/p75 per group (A2 family; interpolating quantiles)."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        dround(F.percentile(F.col("o_totalprice"), F.lit(0.25)), 4).alias("p25"),
+        dround(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("p50"),
+        dround(F.percentile(F.col("o_totalprice"), F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+QUARTILES_SQL = f"""
+SELECT o_orderstatus,
+  {sql_round("quantile_cont(o_totalprice, 0.25)")} AS p25,
+  {sql_round("quantile_cont(o_totalprice, 0.50)")} AS p50,
+  {sql_round("quantile_cont(o_totalprice, 0.75)")} AS p75
+FROM orders GROUP BY o_orderstatus
+"""
+
+# ------------------------------------------------- scalar-subquery pattern
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their part's
+    average quantity — per-part scalar aggregate joined back to the fact."""
+    li = load(spark, sf, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (decimal_sum(F.col("l_quantity")).cast("double") / F.count("*"))
+        .alias("avg_qty")
+    )
+    j = li.join(avg_qty, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return j.agg(
+        dround(decimal_sum(F.col("l_extendedprice")).cast("double") / 7.0, 4)
+        .alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q17_SQL = f"""
+WITH pa AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  {sql_round("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)/7.0")} AS avg_yearly,
+  COUNT(*) AS n_items
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-5 by aggregate (sort-limit after agg; Spark uses
+    TakeOrderedAndProject — no full sort)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(dround(decimal_sum(F.col("value")), 4).alias("total_value"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(5)
+    )
+
+
+HEAVY_SQL = f"""
+SELECT user_id,
+  {sql_round("SUM(CAST(value AS DECIMAL(28,6)))")} AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 5
+"""
+
+# ------------------------------------------------------------------ set ops
+
+
+def except_building_buyers(spark: SparkSession, sf: str) -> DataFrame:
+    """E2 set difference via EXCEPT (distinct): buyers who are not in the
+    BUILDING segment."""
+    orders = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("custkey"))
+    return orders.subtract(building)
+
+
+EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+# ------------------------------------------- P6 float-tolerance filter, P9
+
+
+def config_tolerance_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 — `_config_matches` float tolerance (workload_profile_scores.py:
+    79-98): keep rows whose value is within eps of a config constant
+    (here: near-integral values), then best-per-subject (A1)."""
+    ev = load(spark, sf, "events")
+    eps = 0.05
+    near = ev.filter(
+        F.abs(F.col("value") - F.round(F.col("value"), 0)) < eps
+    )
+    return near.groupBy("user_id").agg(
+        dround(F.max("value"), 4).alias("best_near_integral"),
+        F.count("*").alias("n_matching"),
+    )
+
+
+TOLERANCE_SQL = f"""
+SELECT user_id,
+  {sql_round("MAX(value)")} AS best_near_integral,
+  COUNT(*) AS n_matching
+FROM events
+WHERE abs(value - round(value, 0)) < 0.05
+GROUP BY user_id
+"""
+
+
+def standardize_part_names(spark: SparkSession, sf: str) -> DataFrame:
+    """P9 — text standardizer chains (inspector.py:760-1012): prefix strip
+    + regex cleanup + case fold, as a pure projection."""
+    part = load(spark, sf, "part")
+    cleaned = F.upper(
+        F.regexp_replace(
+            F.regexp_replace(F.col("p_name"), r"^(small|large|cold|blue) ", ""),
+            r"[aeiou]", "",
+        )
+    )
+    return part.select(
+        "p_partkey",
+        cleaned.alias("standardized_name"),
+        F.length(cleaned).alias("std_len"),
+    )
+
+
+STANDARDIZE_SQL = """
+SELECT p_partkey,
+  upper(regexp_replace(regexp_replace(p_name, '^(small|large|cold|blue) ', ''),
+        '[aeiou]', '', 'g')) AS standardized_name,
+  length(upper(regexp_replace(regexp_replace(p_name, '^(small|large|cold|blue) ', ''),
+        '[aeiou]', '', 'g'))) AS std_len
+FROM part
+"""
+
+
+QUERIES = {
+    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "distinct_part_counts": (distinct_part_counts, DISTINCT_SQL),
+    "price_quartiles": (price_quartiles, QUARTILES_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "heavy_hitter_users": (heavy_hitter_users, HEAVY_SQL),
+    "except_building_buyers": (except_building_buyers, EXCEPT_SQL),
+    "config_tolerance_filter": (config_tolerance_filter, TOLERANCE_SQL),
+    "standardize_part_names": (standardize_part_names, STANDARDIZE_SQL),
+}
