@@ -38,9 +38,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
                  extra_cols: list[str] | None = None) -> DataFrame:
     """(id, shingles: array<string>) — tokens materialized first so the
-    split isn't re-evaluated per shingle (see shingles_from_tokens)."""
+    split isn't re-evaluated per shingle (see shingles_from_tokens).
+
+    Repartitions on the id first: corpora often arrive as one or two
+    parquet files, which would pin the tokenize/shingle compute to as many
+    tasks; the raw-text shuffle is cheap next to serial hashing.
+    """
     keep = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
-    toked = df.select(*keep, tokens(F.col(text_col)).alias("_toks"))
+    toked = df.repartition(F.col(id_col)).select(
+        *keep, tokens(F.col(text_col)).alias("_toks")
+    )
     return toked.select(
         *[c for c in (id_col, *(extra_cols or []))],
         shingles_from_tokens(F.col("_toks"), k).alias("shingles"),
@@ -93,19 +100,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       k: int = 3, n_hashes: int = 8) -> DataFrame:
-    """(id, mh_0 .. mh_{n-1}): per-doc MinHash signature.
-
-    mh_i = MIN over shingles of md5('<i>|' || shingle) — fixed-width hex,
-    so the string MIN is the integer MIN. One aggregate, one shuffle.
-    """
-    sh = shingle_table(df, text_col, id_col, k)
+def _signatures_from_shingles(shingles: DataFrame, id_col: str,
+                              n_hashes: int) -> DataFrame:
+    """MinHash signature from a (id, shingles array) table: mh_i = MIN over
+    shingles of md5('<i>|' || shingle) — fixed-width hex, so the string MIN
+    is the integer MIN. One aggregate, one shuffle."""
+    sh = shingles.select(id_col, F.explode("shingles").alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3, n_hashes: int = 8) -> DataFrame:
+    """(id, mh_0 .. mh_{n-1}): per-doc MinHash signature."""
+    return _signatures_from_shingles(
+        doc_shingles(df, text_col, id_col, k), id_col, n_hashes
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -121,8 +134,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     every shingle — at sf0.1 this is ~10x less shuffle).
     """
     n_bands = n_hashes // band_rows
-    shingles = doc_shingles(df, text_col, id_col, k)
-    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    # Repartition before the per-doc compute: a single-file corpus would
+    # otherwise tokenize/hash on 1-2 tasks regardless of cores. Shingles
+    # feed both sides of the verify join AND the signature derivation;
+    # the signature table feeds both sides of the band join — cache both
+    # narrow intermediates.
+    shingles = doc_shingles(df, text_col, id_col, k).cache()
+    sig = _signatures_from_shingles(shingles, id_col, n_hashes).cache()
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -149,7 +167,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
     sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    # candidate set is sparse by construction — broadcast it through both
+    # shingle-array joins rather than shuffling the arrays
+    paired = F.broadcast(cand).join(sh_a, "id_a").join(sh_b, "id_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
@@ -202,7 +222,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     """Near-dup pairs by SimHash: banded on n_bits/4-bit chunks (pigeonhole:
     hamming <= 3 implies an identical chunk among 4), verified by exact
     hamming distance."""
-    sig = simhash_bits(df, text_col, id_col, n_bits, k)
+    sig = simhash_bits(df, text_col, id_col, n_bits, k).cache()
     chunk = n_bits // 4
     bands = sig.select(
         F.col(id_col), F.col("simhash"),

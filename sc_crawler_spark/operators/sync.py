@@ -33,8 +33,12 @@ def hash_diff(source: DataFrame, target: DataFrame, pks: list[str],
               ignored: tuple[str, ...] = ("observed_at",)) -> DataFrame:
     """Return source/target rows classified with an ``action`` column
     (new | update | deleted). Projection keeps (pks, action)."""
-    s = with_row_hash(source, pks, ignored).select(*pks, "row_sha")
-    t = with_row_hash(target, pks, ignored).select(*pks, "row_sha")
+    # Each side feeds two joins (anti + inner or anti); cache the narrow
+    # (pks, hash) projection so the scan+hash map stage runs once per side.
+    # The projection is ~50 B/row regardless of table width — it spills
+    # cleanly at scale and beats re-reading the wide table.
+    s = with_row_hash(source, pks, ignored).select(*pks, "row_sha").cache()
+    t = with_row_hash(target, pks, ignored).select(*pks, "row_sha").cache()
 
     new = s.join(t, pks, "left_anti").select(*pks).withColumn("action", F.lit("new"))
     updated = (

@@ -1,0 +1,96 @@
+"""Row validation / default-fill (SURVEY.md §2.3 P8; insert.py:75-112).
+
+The reference validates every item through its pydantic Base model —
+coercing types, filling defaults, raising per row. Here validation is a
+transform against the declared StructType (schemas.py):
+
+- columns are cast to the declared types (permissive casts, ANSI off —
+  un-castable values become NULL);
+- missing columns are added as NULL, then defaults fill: ``status`` ->
+  'active', ``observed_at`` -> current timestamp (table_bases.py:219-230);
+- rows violating non-null constraints are split to an error-side output
+  instead of failing the job (documented behavior difference: the
+  reference raises; a 100 TB batch must quarantine, not abort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructField, StructType
+
+from .. import schemas
+
+
+def _nullable(dtype: DataType) -> DataType:
+    """Recursively drop NOT NULL from nested types: Spark refuses casts
+    INTO non-nullable struct fields; nullability is enforced by the
+    validation checks, not the cast."""
+    if isinstance(dtype, StructType):
+        return StructType([
+            StructField(f.name, _nullable(f.dataType), True) for f in dtype.fields
+        ])
+    if isinstance(dtype, ArrayType):
+        return ArrayType(_nullable(dtype.elementType), True)
+    if isinstance(dtype, MapType):
+        return MapType(_nullable(dtype.keyType), _nullable(dtype.valueType), True)
+    return dtype
+
+def _defaults():
+    # built lazily — Column constructors need an active session.
+    # Zero-defaults mirror the pydantic field defaults the reference
+    # fills before bulk insert (table_bases.py: gpu_count=0,
+    # storage_size=0, inbound/outbound_traffic=0, ipv4=0).
+    return {
+        "status": F.lit("active"),
+        "observed_at": F.current_timestamp(),
+        "gpu_count": F.lit(0.0),
+        "storage_size": F.lit(0),
+        "inbound_traffic": F.lit(0.0),
+        "outbound_traffic": F.lit(0.0),
+        "ipv4": F.lit(0),
+        "price_upfront": F.lit(0.0),
+        "currency": F.lit("USD"),
+    }
+
+
+def apply_schema(df: DataFrame, schema: StructType) -> DataFrame:
+    """Cast/project df onto the declared schema, adding missing columns
+    as NULL and filling lifecycle defaults."""
+    defaults = _defaults()
+    out = []
+    for field in schema.fields:
+        if field.name in df.columns:
+            col = F.col(field.name).cast(_nullable(field.dataType))
+        elif field.name in defaults:
+            col = defaults[field.name].cast(_nullable(field.dataType))
+        else:
+            col = F.lit(None).cast(_nullable(field.dataType))
+        if field.name in defaults:
+            col = F.coalesce(col, defaults[field.name].cast(_nullable(field.dataType)))
+        out.append(col.alias(field.name))
+    return df.select(*out)
+
+
+def validate_items(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
+    """Normalize rows for a silver table; returns (valid, invalid).
+
+    Invalid = any non-nullable column NULL after coercion (the analog of
+    a pydantic validation error, insert.py:96-110). Both outputs carry
+    the full declared schema; ``invalid`` adds ``_errors``.
+    """
+    schema = schemas.TABLES[table]
+    coerced = apply_schema(df, schema)
+    checks = [
+        F.when(F.col(f.name).isNull(), F.lit(f.name))
+        for f in schema.fields
+        if not f.nullable
+    ]
+    flagged = coerced.withColumn(
+        "_errors",
+        F.filter(F.array(*checks), lambda c: c.isNotNull())
+        if checks else F.array().cast("array<string>"),
+    )
+    valid = flagged.filter(F.size("_errors") == 0).drop("_errors")
+    invalid = flagged.filter(F.size("_errors") > 0)
+    return valid, invalid

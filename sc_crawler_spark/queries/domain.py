@@ -32,8 +32,14 @@ WORKLOAD_WEIGHTS = [
 
 def workload_scores(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
-    weights = spark.createDataFrame(
-        WORKLOAD_WEIGHTS, ["event_type", "weight", "higher_is_better"]
+    # literal VALUES -> LocalRelation; createDataFrame would round-trip
+    # through a Python RDD job (~2 s of pure overhead per invocation)
+    values = ", ".join(
+        f"('{e}', CAST({w} AS DOUBLE), {str(h).lower()})"
+        for e, w, h in WORKLOAD_WEIGHTS
+    )
+    weights = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(event_type, weight, higher_is_better)"
     )
     scored = ev.join(F.broadcast(weights), "event_type")
     # best feeds BOTH the fleet-median aggregate and the composite join;

@@ -124,9 +124,11 @@ def doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-lexicon language ID: argmax of marker-token hits per doc
     (docs with zero hits in every lexicon are not emitted)."""
     docs = load(spark, sf, "documents")
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
-        ["cand_lang", "marker"],
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    markers = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(cand_lang, marker)"
     )
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     hits = (
