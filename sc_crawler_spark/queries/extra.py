@@ -201,8 +201,45 @@ FROM part
 """
 
 
+def ecpus_scalability(spark: SparkSession, sf: str) -> DataFrame:
+    """A12/A13 — benchmark-curve derivations (reference inspector.py:562-574,
+    1329-1376): best1 = score of the first sample, bestn = max score,
+    ecpus = bestn/best1, scalability = ecpus/n_samples*100. Mapped onto
+    ``events`` (each user's stream is the curve, event_id the sample order).
+
+    Scale note: one groupBy shuffle only — ``min_by`` replaces the
+    row_number-window + filter formulation (which would add a per-group
+    sort over the full fact table).
+    """
+    ev = load(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min_by("value", "event_id").alias("best1"),
+        F.max("value").alias("bestn"),
+        F.count("*").alias("n_samples"),
+    )
+    ecpus = F.col("bestn") / F.col("best1")
+    return agg.select(
+        "user_id", "best1", "bestn",
+        dround(ecpus, 4).alias("ecpus"),
+        dround(ecpus / F.col("n_samples") * 100, 4).alias("scalability"),
+    )
+
+
+ECPUS_SQL = f"""
+SELECT user_id, best1, bestn,
+  {sql_round("bestn/best1")} AS ecpus,
+  {sql_round("bestn/best1/n_samples*100")} AS scalability
+FROM (
+  SELECT user_id, arg_min(value, event_id) AS best1,
+         max(value) AS bestn, count(*) AS n_samples
+  FROM events GROUP BY user_id
+)
+"""
+
+
 QUERIES = {
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "ecpus_scalability": (ecpus_scalability, ECPUS_SQL),
     "distinct_part_counts": (distinct_part_counts, DISTINCT_SQL),
     "price_quartiles": (price_quartiles, QUARTILES_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),

@@ -1,0 +1,139 @@
+"""Inspector benchmark-corpus readers (SURVEY.md §2.1 S6-S10) against a
+generated fixture tree mirroring the reference's <vendor>/<server>/<file>
+layout (reference inspector.py:137-757), oracle-checked with DuckDB over
+the same files where DuckDB has a reader (csv), hand-computed otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import duckdb
+import pytest
+
+from sc_crawler_spark.sources import inspector as insp
+
+SERVERS = ["m1.small", "m1.large"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("inspector_corpus")
+    curves = {
+        "m1.small": [(1, 100.0), (2, 180.0), (4, 260.0)],
+        "m1.large": [(1, 50.0), (8, 390.0), (16, 410.0)],
+    }
+    for server in SERVERS:
+        d = root / "aws" / server
+        d.mkdir(parents=True)
+        # S7 stressng csv
+        lines = ["cores,score"] + [f"{c},{s}" for c, s in curves[server]]
+        (d / "stressngfull.csv").write_text("\n".join(lines) + "\n")
+        # S10 bw_mem text with noise lines
+        (d / "bw_mem.txt").write_text(textwrap.dedent("""\
+            # bw_mem output
+            rd 64.00 57232.00
+            wr 64.00 41210.50
+            warning: ignore me
+            rdwr 128.00 38000.25
+        """))
+        # S6 geekbench results.json
+        (d / "results.json").write_text(json.dumps({
+            "Single-Core Performance": {
+                "AES-XTS": {"score": 1500.0, "description": "2.5 GB/sec"},
+                "HTML5": {"score": 1100.0, "description": "1.1 Melems/sec"},
+            },
+            "Multi-Core Performance": {
+                "AES-XTS": {"score": 2900.0, "description": "4.9 GB/sec"},
+            },
+        }))
+        # S7 redis csv (DictReader-style)
+        (d / "redis.csv").write_text(textwrap.dedent("""\
+            size,connections,pipeline,operation,rps,latency,server_usr,server_sys,client_usr,client_sys
+            64k,10,1,GET,1000.0,0.5,2.0,1.0,0.5,0.5
+            64k,20,1,GET,1400.0,0.7,2.0,1.0,0.5,0.5
+            64k,20,4,SET,900.0,0.9,1.5,1.5,0.5,0.5
+        """))
+        # S8 passmark yaml
+        (d / "passmark.yml").write_text(
+            "Results:\n  CPU_MARK: 4321.5\n  MEM_MARK: 2100.0\n  BAD: n/a\n"
+        )
+    return str(root)
+
+
+def test_stressng_reader_matches_duckdb(spark, corpus):
+    got = sorted(
+        insp.read_stressng_csv(spark, f"{corpus}/*/*/stressngfull.csv")
+        .select("server_id", "cores", "score").collect()
+    )
+    want = sorted(duckdb.sql(
+        "SELECT parse_path(filename)[-2] AS server_id, cores, score "
+        f"FROM read_csv('{corpus}/*/*/stressngfull.csv', header=true, "
+        "columns={'cores': 'INT', 'score': 'DOUBLE'}, filename=true)"
+    ).fetchall())
+    assert [tuple(r) for r in got] == want
+    assert len(got) == 6
+
+
+def test_stressng_derivations(spark, corpus):
+    df = insp.read_stressng_csv(spark, f"{corpus}/*/*/stressngfull.csv")
+    rows = {r["server_id"]: r for r in insp.stressng_derivations(df).collect()}
+    # m1.small: best1=100@1core, bestn=260, ecpus=2.6, scalability=2.6/4*100
+    assert rows["m1.small"]["best1"] == 100.0
+    assert rows["m1.small"]["ecpus"] == 2.6
+    assert rows["m1.small"]["scalability"] == 65.0
+    # m1.large: 410/50 = 8.2; 8.2/16*100 = 51.25
+    assert rows["m1.large"]["ecpus"] == 8.2
+    assert rows["m1.large"]["scalability"] == 51.25
+
+
+def test_bw_mem_regex_line_scan(spark, corpus):
+    df = insp.read_bw_mem_lines(spark, f"{corpus}/*/*/bw_mem.txt")
+    per_server = df.filter(df.server_id == "m1.small").collect()
+    # noise/comment lines dropped, 3 matching lines kept
+    assert len(per_server) == 3
+    ops = {r["operation"]: r for r in per_server}
+    assert ops["rd"]["mb_per_s"] == 57232.00
+    assert ops["rdwr"]["size_mb"] == 128.0
+
+
+def test_geekbench_json_explode(spark, corpus):
+    df = insp.read_geekbench_results(spark, f"{corpus}/*/*/results.json")
+    rows = df.filter(df.server_id == "m1.large").collect()
+    assert len(rows) == 3  # 2 single-core + 1 multi-core workloads
+    key = {(r["section"], r["workload"]): r["score"] for r in rows}
+    assert key[("Multi-Core Performance", "AES-XTS")] == 2900.0
+    assert key[("Single-Core Performance", "HTML5")] == 1100.0
+
+
+def test_redis_top1_and_throughput(spark, corpus):
+    df = insp.read_redis_csv(spark, f"{corpus}/*/*/redis.csv")
+    out = {
+        (r["server_id"], r["operation"]): r
+        for r in insp.redis_derivations(df).collect()
+    }
+    # W1: GET keeps the 20-connection row (rps 1400 > 1000)
+    get = out[("m1.small", "GET")]
+    assert get["rps"] == 1400.0
+    # F12: 64k -> 65536 bytes; throughput = rps * bytes
+    assert get["throughput_bytes"] == 1400.0 * 65536
+    # F13: extrapolated = rps/usrsys*(usrsys+client); 1400/3*4
+    assert get["rps_extrapolated"] == round(1400.0 / 3.0 * 4.0, 4)
+    assert out[("m1.small", "SET")]["rps"] == 900.0
+
+
+def test_passmark_yaml_gated(spark, corpus):
+    df = insp.parse_passmark_yaml(spark, f"{corpus}/*/*/passmark.yml")
+    rows = df.collect()
+    try:
+        import yaml  # noqa: F401
+        has_yaml = True
+    except ImportError:
+        has_yaml = False
+    if has_yaml:
+        got = {(r["server_id"], r["metric"]): r["value"] for r in rows}
+        assert got[("m1.small", "CPU_MARK")] == 4321.5
+        assert len(rows) == 4  # BAD: n/a dropped, 2 metrics x 2 servers
+    else:
+        assert rows == []
