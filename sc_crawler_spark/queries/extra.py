@@ -225,6 +225,65 @@ def ecpus_scalability(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sku_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 — computed-key equi-join via prefix strip (reference
+    _aws.py:1563-1570: ``db.m5.large`` -> ``m5.large``). Analog on the
+    lake: customer and supplier rows share the numeric suffix of their
+    ``<Kind>#NNN`` names; join on the stripped key. The supplier side is
+    small -> broadcast, so the computed key costs no extra shuffle.
+    """
+    cust = load(spark, sf, "customer").select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"^Customer#", "").alias("entity_num"),
+    )
+    supp = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_acctbal",
+        F.regexp_replace("s_name", r"^Supplier#", "").alias("entity_num"),
+    )
+    return (
+        cust.join(F.broadcast(supp), "entity_num")
+        .select("entity_num", "c_custkey", "s_suppkey",
+                dround(F.col("s_acctbal"), 2).alias("s_acctbal"))
+    )
+
+
+SKU_PREFIX_SQL = f"""
+SELECT regexp_replace(c_name, '^Customer#', '') AS entity_num,
+       c_custkey, s_suppkey,
+       {sql_round("s_acctbal", 2)} AS s_acctbal
+FROM customer
+JOIN supplier ON regexp_replace(c_name, '^Customer#', '')
+               = regexp_replace(s_name, '^Supplier#', '')
+"""
+
+
+def first_version_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 — first-row-per-version filter (reference _aws.py:1368-1375:
+    keep RDS options matching the first EngineVersion). Analog: keep every
+    order placed on each customer's earliest order date — dense_rank, not
+    row_number, because ALL rows at the first version survive.
+    """
+    orders = load(spark, sf, "orders")
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        orders.withColumn("_rk", F.dense_rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate",
+                dround(F.col("o_totalprice"), 2).alias("o_totalprice"))
+    )
+
+
+FIRST_VERSION_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       {sql_round("o_totalprice", 2)} AS o_totalprice
+FROM (
+  SELECT *, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rk
+  FROM orders
+) WHERE rk = 1
+"""
+
+
 ECPUS_SQL = f"""
 SELECT user_id, best1, bestn,
   {sql_round("bestn/best1")} AS ecpus,
@@ -240,6 +299,8 @@ FROM (
 QUERIES = {
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
     "ecpus_scalability": (ecpus_scalability, ECPUS_SQL),
+    "sku_prefix_join": (sku_prefix_join, SKU_PREFIX_SQL),
+    "first_version_orders": (first_version_orders, FIRST_VERSION_SQL),
     "distinct_part_counts": (distinct_part_counts, DISTINCT_SQL),
     "price_quartiles": (price_quartiles, QUARTILES_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),

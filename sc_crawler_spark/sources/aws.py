@@ -189,6 +189,116 @@ def extract_ondemand_price(ondemand: Column) -> Column:
     return F.coalesce(usd, first_any).cast("double")
 
 
+def assemble_server_prices(
+    products: DataFrame,
+    servers: DataFrame,
+    regions: DataFrame,
+    zone_offerings: DataFrame,
+) -> DataFrame:
+    """J2 — ondemand server_price assembly (_aws.py:1006-1032): product
+    facts joined to the server catalog (by instance type) and the region
+    dim (by location name, alias-aware), then fanned out to one row per
+    zone offering the instance (explode at _aws.py:1018).
+
+    Inputs: ``products(instance_type, location, operating_system, price)``,
+    ``servers(vendor_id, server_id)``, ``regions(vendor_id, region_id,
+    name, aliases: array<string>)``, ``zone_offerings(region_id, zones:
+    array<string>)``. Dims are broadcast (J1): the product fact is the
+    only big side, so the assembly is shuffle-free.
+    """
+    # alias-aware region lookup: explode name+aliases into one probe table
+    # vendor_id comes from the server catalog side; the region dim is
+    # probed by location string only (single-vendor assembly).
+    region_probe = regions.select(
+        "region_id",
+        F.explode(
+            F.array_union(F.array(F.col("name")), F.coalesce(
+                F.col("aliases"), F.array().cast("array<string>")))
+        ).alias("location"),
+    )
+    joined = (
+        products
+        .join(F.broadcast(servers.withColumnRenamed("server_id", "instance_type")),
+              "instance_type")
+        .join(F.broadcast(region_probe), "location")
+        .join(F.broadcast(zone_offerings), "region_id")
+    )
+    return joined.select(
+        "vendor_id",
+        "region_id",
+        F.explode("zones").alias("zone_id"),
+        F.col("instance_type").alias("server_id"),
+        "operating_system",
+        F.lit("ondemand").alias("allocation"),
+        F.round("price", 4).alias("price"),
+        F.lit("USD").alias("currency"),
+        F.lit("hour").alias("unit"),
+    )
+
+
+def match_database_servers(databases: DataFrame, servers: DataFrame) -> DataFrame:
+    """J7 — RDS SKU -> Server match (_aws.py:1563-1570): ``db.m5.large``
+    joins ``m5.large`` by stripping the ``db.`` prefix. The join key is a
+    computed column, so Catalyst shuffles both sides on the derived key
+    (or broadcasts the server catalog, which is always the small side).
+    """
+    stripped = databases.withColumn(
+        "_server_key", F.regexp_replace("database_id", r"^db\.", "")
+    )
+    dim = servers.select(
+        F.col("server_id").alias("_server_key"), "server_id"
+    )
+    return (
+        stripped.join(F.broadcast(dim), "_server_key", "left")
+        .drop("_server_key")
+    )
+
+
+def first_engine_version_options(options: DataFrame,
+                                 group_cols: list[str] | None = None) -> DataFrame:
+    """W3 — keep option rows matching the first EngineVersion per group
+    (_aws.py:1368-1375). 'First' is made deterministic as the minimum
+    version; all rows at that version survive (dense_rank, not
+    row_number — the reference keeps every matching row).
+    """
+    group_cols = group_cols or ["engine"]
+    w = Window.partitionBy(*group_cols).orderBy("engine_version")
+    return (
+        options.withColumn("_rk", F.dense_rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def merge_database_catalog_rows(catalog: DataFrame) -> DataFrame:
+    """A6 — per-database_id group-merge (vendor_helpers.py:114-135):
+    union+sort engine_versions, OR the capability flags, max of
+    continuous-backup days. One shuffle; array work is per-group local.
+    """
+    return catalog.groupBy("vendor_id", "database_id").agg(
+        F.first("engine").alias("engine"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("engine_versions")))
+        ).alias("engine_versions"),
+        F.max("multi_az").alias("multi_az"),
+        F.max("auto_minor_version_upgrade").alias("auto_minor_version_upgrade"),
+        F.max("continuous_backup_days").alias("continuous_backup_days"),
+    )
+
+
+def storage_option_bounds(options: DataFrame) -> DataFrame:
+    """A7 — min/max/any bounds per storage type (_aws.py:1470-1510,
+    1596-1601): fold orderable-option rows into min(min_size),
+    max(max_size/max_iops/max_throughput), any(multi_az)."""
+    return options.groupBy("vendor_id", "storage_type").agg(
+        F.min("min_size").alias("min_size"),
+        F.max("max_size").alias("max_size"),
+        F.max("max_iops").alias("max_iops"),
+        F.max("max_throughput").alias("max_throughput"),
+        F.max(F.col("multi_az").cast("boolean")).alias("multi_az"),
+    )
+
+
 def extract_ondemand_prices(ondemand: Column) -> Column:
     """P3 — `_extract_ondemand_prices` (_aws.py:419-447): all price
     dimensions as [{lower, upper, price}] sorted by lower bound; endRange
