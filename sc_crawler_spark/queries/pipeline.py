@@ -231,7 +231,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) -> str:
     mh_cols = ", ".join(
-        f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(n_hashes)
+        f"MIN(substr(md5('{i // 4}|' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh_{i}"
+        for i in range(n_hashes)
     )
     n_bands = n_hashes // band_rows
     band_selects = " UNION ALL ".join(
