@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, dot, norm
 
 
 def hyperplane_signs(n_planes: int, dim: int, seed: str = "hp") -> list[list[int]]:
@@ -39,16 +39,26 @@ def hyperplane_signs(n_planes: int, dim: int, seed: str = "hp") -> list[list[int
 
 def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
                            vec_col: str, id_col: str, k: int = 5) -> DataFrame:
-    """Exact top-k cosine neighbors per query (excluding self)."""
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Norms are precomputed per row, not per pair: the |q| x |corpus| inner
+    loop then costs ONE array fold (the dot product) instead of three —
+    identical arithmetic (sqrt of the same self-dot), just hoisted.
+    """
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qn", norm(F.col("qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", dround(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -120,12 +130,17 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
     )
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qn", norm(F.col("qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", norm(F.col("cv")))
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cos_sim", dround(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
