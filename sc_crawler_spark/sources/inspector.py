@@ -159,6 +159,20 @@ def redis_derivations(df: DataFrame) -> DataFrame:
     )
 
 
+def average_time_to_start(timings: DataFrame) -> DataFrame:
+    """A10 — mean of positive (machine_start - api_start) durations per
+    server, rounded to 2 (inspector.py:232-242). Rows with a missing
+    endpoint or non-positive duration are excluded BEFORE the mean (the
+    reference skips them, they don't contribute to the denominator)."""
+    dur = F.col("machine_start").cast("double") - F.col("api_start").cast("double")
+    return (
+        timings.withColumn("_dur", dur)
+        .filter(F.col("_dur").isNotNull() & (F.col("_dur") > 0))
+        .groupBy("server_id")
+        .agg(F.round(F.avg("_dur"), 2).alias("average_time_to_start"))
+    )
+
+
 def parse_passmark_yaml(spark: SparkSession, glob: str) -> DataFrame:
     """S8 — passmark stdout is YAML; no Spark datasource exists, so parse
     per file with an Arrow-batched pandas UDF over wholetext reads
