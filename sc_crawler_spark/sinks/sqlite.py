@@ -1,0 +1,119 @@
+"""SQLite publish sink (SURVEY.md §2.2 K1/K5; reference
+insert.py:115-173, cli.py:242-279).
+
+The reference's published artifact is one SQLite file written with
+chunked ``INSERT ... ON CONFLICT DO UPDATE`` statements (100 rows per
+statement to stay under SQLite's variable limit). SQLite is a
+single-writer store, so this is inherently a driver-side sink: rows
+stream off the cluster via ``toLocalIterator`` (one partition in memory
+at a time — executors never block on the writer, and the driver never
+holds the full table).
+
+Scale note: at 100 TB the SILVER tables stay in parquet/Delta on the
+lake; what gets published to SQLite is the standardized CURRENT-STATE
+catalog (the reference's whole artifact is ~a few GB — catalog-sized,
+not fact-sized), so a streamed single-writer publish is the right shape,
+not a bottleneck.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from datetime import datetime, timezone
+from itertools import islice
+
+from pyspark.sql import DataFrame
+
+CHUNK = 100  # reference insert.py:150 — "too many SQL variables" guard
+
+_TYPE_MAP = {
+    "string": "TEXT", "int": "INTEGER", "bigint": "INTEGER",
+    "smallint": "INTEGER", "tinyint": "INTEGER", "boolean": "INTEGER",
+    "double": "REAL", "float": "REAL", "date": "TEXT",
+    "timestamp": "TEXT", "timestamp_ntz": "TEXT", "binary": "BLOB",
+}
+
+
+def _sqlite_type(dt: str) -> str:
+    # nested/array/map/json columns publish as canonical JSON TEXT,
+    # matching the reference's JSON columns in SQLite
+    return _TYPE_MAP.get(dt, "TEXT")
+
+
+def _create_table(con: sqlite3.Connection, name: str, df: DataFrame,
+                  pks: list[str]) -> None:
+    cols = ", ".join(
+        f'"{c}" {_sqlite_type(t)}' for c, t in df.dtypes
+    )
+    pk = f', PRIMARY KEY ({", ".join(pks)})' if pks else ""
+    con.execute(f'CREATE TABLE IF NOT EXISTS "{name}" ({cols}{pk})')
+
+
+def _chunks(it, n):
+    while chunk := list(islice(it, n)):
+        yield chunk
+
+
+def publish_table(con: sqlite3.Connection, df: DataFrame, name: str,
+                  pks: list[str]) -> int:
+    """K1 — chunked bulk upsert: INSERT .. ON CONFLICT(pks) DO UPDATE of
+    every non-PK column (insert.py:151-156), 100 rows per statement.
+
+    Arrays/structs are serialized to JSON strings upstream (the caller
+    projects them with ``to_json``); this writer handles scalars.
+    """
+    _create_table(con, name, df, pks)
+    cols = [c for c, _ in df.dtypes]
+    attrs = [c for c in cols if c not in pks]
+    placeholders = ", ".join("?" for _ in cols)
+    if pks and attrs:
+        conflict = (
+            f' ON CONFLICT ({", ".join(pks)}) DO UPDATE SET '
+            + ", ".join(f'"{c}"=excluded."{c}"' for c in attrs)
+        )
+    elif pks:
+        conflict = f' ON CONFLICT ({", ".join(pks)}) DO NOTHING'
+    else:
+        conflict = ""
+    sql = (
+        f'INSERT INTO "{name}" ({", ".join(cols)}) VALUES ({placeholders})'
+        + conflict
+    )
+    n = 0
+    # toLocalIterator: streams one partition at a time to the driver
+    for chunk in _chunks((tuple(row) for row in df.toLocalIterator()), CHUNK):
+        con.executemany(sql, chunk)
+        n += len(chunk)
+    con.commit()
+    return n
+
+
+def publish_lake(tables: dict[str, tuple[DataFrame, list[str]]],
+                 path: str, version: str = "0.1.0",
+                 extra_metadata: dict[str, str] | None = None) -> dict[str, int]:
+    """Publish a dict of ``name -> (df, pks)`` into one SQLite file, then
+    write the ``_metadata`` KV table LAST (cli.py:242-279 ordering — a
+    reader seeing ``published_at`` knows the data tables are complete)."""
+    con = sqlite3.connect(path)
+    try:
+        counts = {}
+        for name, (df, pks) in tables.items():
+            counts[name] = publish_table(con, df, name, pks)
+        con.execute(
+            'CREATE TABLE IF NOT EXISTS "_metadata" '
+            "(key TEXT PRIMARY KEY, value TEXT)"
+        )
+        meta = {
+            "sc_crawler_version": version,
+            "published_at": str(datetime.now(timezone.utc)),
+            **(extra_metadata or {}),
+        }
+        con.executemany(
+            'INSERT INTO "_metadata" (key, value) VALUES (?, ?) '
+            "ON CONFLICT (key) DO UPDATE SET value=excluded.value",
+            list(meta.items()),
+        )
+        con.commit()
+        return counts
+    finally:
+        con.close()
