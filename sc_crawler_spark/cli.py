@@ -160,6 +160,25 @@ def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
         print(f"copy: {t}")
 
 
+def cmd_publish(spark: SparkSession, lake: str, out: str,
+                version: str = "0.1.0") -> None:
+    """Publish the lake as one SQLite artifact (K1/K5; the reference's
+    released ``sc-data-all.db``). Nested columns serialize to JSON text;
+    ``_metadata`` is written last."""
+    from .sinks.sqlite import publish_lake
+
+    tables = {}
+    for t in _tables_in(lake):
+        df = _read(spark, lake, t)
+        for c, dt in df.dtypes:
+            if dt.startswith(("array", "struct", "map")):
+                df = df.withColumn(c, F.to_json(F.col(c)))
+        pks = [c for c in schemas.PRIMARY_KEYS.get(t, []) if c in df.columns]
+        tables[t] = (df, pks or [df.columns[0]])
+    counts = publish_lake(tables, out, version=version)
+    print(json.dumps({"published": counts, "path": out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sc-crawler-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -186,6 +205,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
 
+    p = sub.add_parser("publish", help="publish lake to one SQLite artifact")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--version", default="0.1.0")
+
     args = ap.parse_args(argv)
     spark = get_spark("sc-crawler-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -199,6 +223,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_dump(spark, args.lake, args.out, args.table)
     elif args.cmd == "copy":
         cmd_copy(spark, args.source, args.target)
+    elif args.cmd == "publish":
+        cmd_publish(spark, args.lake, args.out, args.version)
 
 
 if __name__ == "__main__":

@@ -56,3 +56,15 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
     assert os.path.exists(os.path.join(dump_dir, "country._schema.json"))
     dumped = spark.read.json(os.path.join(dump_dir, "country"))
     assert dumped.count() == spark.read.parquet(os.path.join(lake, "country")).count()
+
+    # publish: one SQLite artifact with data tables + _metadata (K1/K5)
+    import sqlite3
+
+    db = str(tmp_path / "sc-data-all.db")
+    cli.cmd_publish(spark, lake, db, version="9.9.9")
+    con = sqlite3.connect(db)
+    n_sqlite = con.execute("SELECT count(*) FROM country").fetchone()[0]
+    assert n_sqlite == spark.read.parquet(os.path.join(lake, "country")).count()
+    meta = dict(con.execute("SELECT key, value FROM _metadata"))
+    assert meta["sc_crawler_version"] == "9.9.9"
+    con.close()
