@@ -206,8 +206,27 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sync_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A15 — stats-of-sync summary (cli.py:540-552): count of new /
+    update / deleted actions from the same hash-diff classification.
+    Reuses the diff's plan; the rollup is one tiny partial-aggregated
+    count on top."""
+    return (
+        hash_diff_sync(spark, sf)
+        .groupBy("action")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SYNC_STATS_SQL = f"""
+WITH diff AS ({HASH_DIFF_SQL})
+SELECT action, count(*) AS n FROM diff GROUP BY action
+"""
+
+
 QUERIES = {
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
+    "sync_stats": (sync_stats, SYNC_STATS_SQL),
     "merge_upsert_lifecycle": (merge_upsert_lifecycle, MERGE_UPSERT_SQL),
     "scd2_latest_event": (scd2_latest_event, SCD2_SQL),
     "session_counts": (session_counts, SESSION_SQL),
