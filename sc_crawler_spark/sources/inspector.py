@@ -159,6 +159,59 @@ def redis_derivations(df: DataFrame) -> DataFrame:
     )
 
 
+def enrich_servers(servers: DataFrame,
+                   lscpu: DataFrame | None = None,
+                   stressng: DataFrame | None = None,
+                   timings: DataFrame | None = None) -> DataFrame:
+    """§2.12 — the relational form of ``inspect_update_server_dict``
+    (inspector.py:1222-1453): HW-inspection measurements override
+    vendor-declared columns when present (the reference's
+    ``override_mapping``), expressed as broadcast left-joins + coalesce.
+
+    Inputs (all optional, keyed by server_id):
+    - ``lscpu(server_id, vcpus, cpu_cores, cpu_model_raw)`` — parsed
+      lscpu fields (S6); cpu_model is standardized here (P9).
+    - ``stressng(server_id, cores, score)`` — the scaling curve;
+      ecpus = round(bestn/best1, 1), scalability =
+      round(ecpus/cpu_cores*100, 2) (inspector.py:1329-1342, 1372-1376).
+    - ``timings(server_id, api_start, machine_start)`` — A10 mean.
+
+    One server row in, one enriched row out; the many-rows-out benchmark
+    extraction lives in the reader+derivation functions above (the
+    reference's UDTF shape becomes plain DataFrames).
+    """
+    from ..functions.standardize import standardize_cpu_model
+
+    out = servers
+    if lscpu is not None:
+        insp = lscpu.select(
+            "server_id",
+            F.col("vcpus").alias("_i_vcpus"),
+            F.col("cpu_cores").alias("_i_cores"),
+            standardize_cpu_model(F.col("cpu_model_raw")).alias("_i_model"),
+        )
+        out = out.join(F.broadcast(insp), "server_id", "left")
+        for tgt, src in [("vcpus", "_i_vcpus"), ("cpu_cores", "_i_cores"),
+                         ("cpu_model", "_i_model")]:
+            base = F.col(tgt) if tgt in out.columns else F.lit(None)
+            out = out.withColumn(tgt, F.coalesce(F.col(src), base))
+        out = out.drop("_i_vcpus", "_i_cores", "_i_model")
+    if stressng is not None:
+        curve = stressng.groupBy("server_id").agg(
+            (F.max("score") / F.min_by("score", "cores")).alias("_ratio")
+        ).select("server_id", F.round("_ratio", 1).alias("ecpus"))
+        out = out.join(F.broadcast(curve), "server_id", "left")
+        out = out.withColumn(
+            "scalability",
+            F.round(F.col("ecpus") / F.col("cpu_cores") * 100, 2),
+        )
+    if timings is not None:
+        out = out.join(
+            F.broadcast(average_time_to_start(timings)), "server_id", "left"
+        )
+    return out
+
+
 def average_time_to_start(timings: DataFrame) -> DataFrame:
     """A10 — mean of positive (machine_start - api_start) durations per
     server, rounded to 2 (inspector.py:232-242). Rows with a missing

@@ -137,3 +137,41 @@ def test_passmark_yaml_gated(spark, corpus):
         assert len(rows) == 4  # BAD: n/a dropped, 2 metrics x 2 servers
     else:
         assert rows == []
+
+
+def test_enrich_servers_override_semantics(spark):
+    """Inspector data overrides vendor columns when present; vendor values
+    survive when inspection is missing (inspector.py override_mapping)."""
+    import datetime
+
+    servers = spark.createDataFrame(
+        [("m1.small", 2, 2, "vendor-model"), ("m1.large", 16, 8, None)],
+        "server_id string, vcpus int, cpu_cores int, cpu_model string",
+    )
+    lscpu = spark.createDataFrame(
+        [("m1.small", 2, 1, "Intel(R) Xeon(R) Platinum 8175M CPU @ 2.50GHz")],
+        "server_id string, vcpus int, cpu_cores int, cpu_model_raw string",
+    )
+    stressng = spark.createDataFrame(
+        [("m1.small", 1, 100.0), ("m1.small", 2, 180.0)],
+        "server_id string, cores int, score double",
+    )
+    t0 = datetime.datetime(2026, 1, 1)
+    timings = spark.createDataFrame(
+        [("m1.large", t0, t0 + datetime.timedelta(seconds=12))],
+        "server_id string, api_start timestamp, machine_start timestamp",
+    )
+    from sc_crawler_spark.sources.inspector import enrich_servers
+
+    out = {r["server_id"]: r
+           for r in enrich_servers(servers, lscpu, stressng, timings).collect()}
+    small, large = out["m1.small"], out["m1.large"]
+    # inspected model standardized and overriding the vendor string
+    assert small["cpu_model"] == "8175M"
+    assert small["cpu_cores"] == 1            # inspector wins
+    assert small["ecpus"] == 1.8              # 180/100 rounded to 1
+    assert small["scalability"] == 180.0      # 1.8/1*100
+    # no inspection -> vendor values survive, enrichment columns NULL
+    assert large["cpu_model"] is None and large["vcpus"] == 16
+    assert large["ecpus"] is None
+    assert large["average_time_to_start"] == 12.0
