@@ -73,6 +73,53 @@ def tumbling_stats(events: DataFrame, window: str = "1 day",
     )
 
 
+def stateful_best_scores(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running best score per (user_id,
+    event_type) — the streaming form of A1 ``best_per_entry``
+    (workload_profile_scores.py:182-213), kept incrementally via
+    ``applyInPandasWithState``.
+
+    State per key is just ``(best, n_obs)`` — O(1) per key, no raw-event
+    retention, so state size is bounded by key cardinality regardless of
+    stream length. Each micro-batch emits the keys it updated (output
+    mode 'update'); the latest emission per key is the current best.
+
+    Arrow-batched: the per-group function sees pandas frames, not rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("best", DoubleType()),
+        StructField("n_obs", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("best", DoubleType()),
+        StructField("n_obs", LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        best, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                m = float(vals.max())
+                best = m if best is None or m > best else best
+                n += int(len(vals))
+        state.update((best, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_type": [key[1]],
+             "best": [best], "n_obs": [n]}
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_keep_last_upsert(events: DataFrame, state_dir: str,
                             checkpoint_dir: str, pks: list[str],
                             order_col: str = "ts"):

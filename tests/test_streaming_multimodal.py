@@ -104,3 +104,51 @@ def test_video_frame_sampling(spark):
     frames = sample_video_frames(media, every_n=2).collect()
     # 4096/1024 + 1 = 5 frames, sampled every 2 -> idx 0,2,4
     assert [r.frame_idx for r in frames] == [0, 2, 4]
+
+
+def test_stateful_best_scores_across_batches(spark, tmpdir):
+    """applyInPandasWithState keeps O(1) per-key state across
+    micro-batches; the final emission per key equals the batch max."""
+    from sc_crawler_spark.streaming import stateful_best_scores
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(2000)
+    # two plain files -> two micro-batches with maxFilesPerTrigger=1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, half in [("a", ev.filter(F.col("event_id") % 2 == 0)),
+                       ("b", ev.filter(F.col("event_id") % 2 == 1))]:
+        pq.write_table(
+            pa.Table.from_pandas(half.toPandas()),
+            os.path.join(src, f"{name}.parquet"),
+        )
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stateful_best_scores(stream)
+        .writeStream.format("memory").queryName("best_state")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+
+    emitted = spark.sql("SELECT * FROM best_state").collect()
+    latest = {}
+    for r in emitted:
+        k = (r.user_id, r.event_type)
+        if k not in latest or r.n_obs > latest[k].n_obs:
+            latest[k] = r
+
+    want = {
+        (r.user_id, r.event_type): (r.best, r.n_obs)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.max("value").alias("best"), F.count("value").alias("n_obs"))
+        .collect()
+    }
+    got = {k: (r.best, r.n_obs) for k, r in latest.items()}
+    assert got == want
