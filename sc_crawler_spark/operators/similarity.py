@@ -70,6 +70,82 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
     )
 
 
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               vec_col: str = "cv", cent_col: str = "centv") -> DataFrame:
+    """IVF cell assignment: each vector goes to the centroid with the
+    highest inner product (deterministic tiebreak on cell_id). Centroids
+    broadcast; cost is |corpus| x n_cells dot products, one pass."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "dotp", dot(F.col(vec_col), F.col(cent_col))
+    )
+    w = Window.partitionBy(corpus.columns[0]).orderBy(
+        F.col("dotp").desc(), F.col("cell_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "dotp", cent_col)
+    )
+
+
+def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
+                    id_col: str, k: int = 5, n_cells: int = 8,
+                    n_probe: int = 2) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are bucketed into
+    ``n_cells`` inverted lists (cell = argmax inner product against a
+    deterministic centroid set — the first ``n_cells`` corpus vectors by
+    id, a seed choice that keeps both engines and re-runs identical);
+    each query probes its ``n_probe`` closest cells and ranks candidates
+    by exact cosine.
+
+    The scale path: per-query work drops from |corpus| to
+    ~|corpus| * n_probe / n_cells, and the probe join is an equi-join on
+    cell id — shuffle-partitionable, never all-pairs. Recall/latency
+    trades via n_probe (n_probe = n_cells degrades to brute force).
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cell_id"),
+                      as_double(F.col(vec_col)).alias("centv"))
+        .filter(F.col("cell_id") < n_cells)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", norm(F.col("cv")))
+    assigned = ivf_assign(c, cents, "cv", "centv")
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qn", norm(F.col("qv")))
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dotp", dot(F.col("qv"), F.col("centv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dotp").desc(), F.col("cell_id")
+    )
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+
+    scored = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
                    planes: list[list[int]]) -> DataFrame:
     """Per-vector sign signature: bit j = 1 iff dot(v, plane_j) > 0."""

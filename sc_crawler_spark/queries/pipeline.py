@@ -341,6 +341,55 @@ def embed_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embed_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbors: 8 inverted lists,
+    2-cell probes, cosine-verified top-5."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf(
+        queries, emb, "embedding", "vec_id", k=5, n_cells=8, n_probe=2
+    )
+
+
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    cos = sql_round(
+        "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
+        " * sqrt(list_inner_product(cv, cv)))", 6,
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centv
+         FROM embeddings WHERE vec_id < {n_cells}),
+assign_cells AS (
+  SELECT neighbor_id, cell_id FROM (
+    SELECT neighbor_id, cell_id,
+      row_number() OVER (PARTITION BY neighbor_id
+        ORDER BY list_inner_product(cv, centv) DESC, cell_id) AS rn
+    FROM c, cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT query_id, qv, cell_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY list_inner_product(qv, centv) DESC, cell_id) AS rn
+    FROM q, cent) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos_sim
+  FROM probes
+  JOIN assign_cells USING (cell_id)
+  JOIN c USING (neighbor_id)
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _ann_lsh_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64, k: int = 5) -> str:
     planes = similarity.hyperplane_signs(n_planes, dim)
     bit_exprs = " || ".join(
@@ -387,4 +436,5 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
+    "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql()),
 }
