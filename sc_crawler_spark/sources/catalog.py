@@ -1,0 +1,117 @@
+"""Data-driven standardization for the long-tail vendors (SURVEY.md §2.1
+S4, §2.3 P1; reference vendors/_hcloud.py, _vultr.py, _upcloud.py,
+_ovh.py).
+
+The reference writes one imperative fetch+transform per vendor; the
+engine expresses each vendor as DATA — a column-mapping spec of target
+column -> SQL expression over the raw payload — compiled into a single
+``selectExpr`` projection. Adding a vendor is adding a dict, not code:
+the plan, pushdown, and codegen come from the shared compiler.
+
+Vendor-specific lookup tables (e.g. Hetzner's manual CPU list,
+_hcloud.py:41-70) are literal dimension frames broadcast-joined on the
+standardized rows (J1), not Python branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# target column -> SQL expression over the raw payload columns
+VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
+    # _hcloud.py inventory_servers: cores/memory(GB)/disk(GB), cpu_type
+    # shared|dedicated, architecture x86|arm
+    "hcloud": {
+        "server_id": "CAST(id AS STRING)",
+        "name": "name",
+        "api_reference": "name",
+        "vcpus": "CAST(cores AS INT)",
+        "cpu_allocation": (
+            "CASE cpu_type WHEN 'shared' THEN 'Shared'"
+            " WHEN 'dedicated' THEN 'Dedicated' END"
+        ),
+        "cpu_architecture": (
+            "CASE architecture WHEN 'x86' THEN 'x86_64'"
+            " WHEN 'arm' THEN 'arm64' END"
+        ),
+        "memory_amount": "CAST(memory * 1024 AS BIGINT)",  # GB -> MiB
+        "storage_size": "CAST(disk AS BIGINT)",
+    },
+    # _vultr.py:392-470: vcpu_count (shared) vs cpu_count (metal),
+    # cpu_mhz, ram in MiB, disk in GB
+    "vultr": {
+        "server_id": "id",
+        "name": "id",
+        "api_reference": "id",
+        "vcpus": "CAST(coalesce(vcpu_count, cpu_threads) AS INT)",
+        "cpu_cores": "CAST(cpu_count AS INT)",
+        "cpu_allocation": (
+            "CASE WHEN vcpu_count IS NOT NULL THEN 'Shared'"
+            " ELSE 'Dedicated' END"
+        ),
+        "cpu_speed": "CAST(cpu_mhz AS DOUBLE) / 1000",
+        "memory_amount": "CAST(ram AS BIGINT)",
+        "storage_size": "CAST(disk AS BIGINT)",
+    },
+    # _upcloud.py:94-124: plan fields are already MiB/GB scalars; the
+    # HICPU-8xCPU-16GB name grammar is parsed separately (P10,
+    # sources/azure.parse_upcloud_plan)
+    "upcloud": {
+        "server_id": "name",
+        "name": "name",
+        "api_reference": "name",
+        "vcpus": "CAST(core_number AS INT)",
+        "memory_amount": "CAST(memory_amount AS BIGINT)",
+        "storage_size": "CAST(storage_size AS BIGINT)",
+    },
+}
+
+
+def standardize_catalog(raw: DataFrame, vendor_id: str,
+                        spec: dict[str, str] | None = None) -> DataFrame:
+    """Compile a vendor spec into one projection (P1). Unknown vendors
+    must pass an explicit spec."""
+    spec = spec or VENDOR_SERVER_SPECS[vendor_id]
+    return raw.selectExpr(
+        f"'{vendor_id}' AS vendor_id",
+        *[f"{expr} AS {col}" for col, expr in spec.items()],
+    ).withColumn("status", F.lit("active"))
+
+
+# Hetzner's manual CPU mapping (_hcloud.py:41-70) as a literal dim.
+_HCLOUD_CPU_ROWS = [
+    (name, mfr, fam)
+    for names, mfr, fam in [
+        (["CX11", "CX21", "CX31", "CX41", "CX51", "CX22", "CX32", "CX42",
+          "CX52"], "Intel", "Xeon Gold"),
+        (["CX23", "CX33", "CX43", "CX53"], None, None),
+        (["CPX11", "CPX21", "CPX31", "CPX41", "CPX51"], "AMD", "EPYC"),
+        (["CPX12", "CPX22", "CPX32", "CPX42", "CPX52", "CPX62"], "AMD", None),
+        (["CAX11", "CAX21", "CAX31", "CAX41"], "Ampere", "Ampere Altra"),
+        (["CCX13", "CCX23", "CCX33", "CCX43", "CCX53", "CCX63"], "AMD", None),
+    ]
+    for name in names
+]
+
+
+def hcloud_cpu_dim(spark: SparkSession) -> DataFrame:
+    values = ", ".join(
+        "('{}', {}, {})".format(
+            n,
+            f"'{m}'" if m else "CAST(NULL AS STRING)",
+            f"'{f}'" if f else "CAST(NULL AS STRING)",
+        )
+        for n, m, f in _HCLOUD_CPU_ROWS
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {values}"
+        " AS t(name_upper, cpu_manufacturer, cpu_family)"
+    )
+
+
+def enrich_hcloud_cpu(servers: DataFrame, cpu_dim: DataFrame) -> DataFrame:
+    """J1 — broadcast lookup of the manual CPU facts by plan name."""
+    return servers.withColumn("name_upper", F.upper("name")).join(
+        F.broadcast(cpu_dim), "name_upper", "left"
+    ).drop("name_upper")
