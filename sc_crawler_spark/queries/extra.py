@@ -296,9 +296,36 @@ FROM (
 """
 
 
+def shuffled_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """O5 — shuffled-order sampling under a budget (reference
+    _alicloud.py:1125-1156: shuffle the list, fetch until time runs out).
+    The engine form is a SEEDED HASH shuffle — order by md5(seed|key),
+    take N — deterministic and identical across engines/re-runs, unlike
+    ``rand()``. A global top-N by hash is a TakeOrderedAndProject: no
+    full sort, each partition keeps N, driver merges."""
+    orders = load(spark, sf, "orders")
+    h = F.md5(F.concat(F.lit("seed42|"), F.col("o_orderkey").cast("string")))
+    return (
+        orders.withColumn("sample_key", h)
+        .orderBy("sample_key")
+        .limit(100)
+        .select("sample_key", "o_orderkey",
+                dround(F.col("o_totalprice"), 2).alias("o_totalprice"))
+    )
+
+
+SAMPLE_SQL = f"""
+SELECT md5('seed42|' || CAST(o_orderkey AS VARCHAR)) AS sample_key,
+       o_orderkey, {sql_round("o_totalprice", 2)} AS o_totalprice
+FROM orders
+ORDER BY sample_key LIMIT 100
+"""
+
+
 QUERIES = {
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
     "ecpus_scalability": (ecpus_scalability, ECPUS_SQL),
+    "shuffled_sample_orders": (shuffled_sample_orders, SAMPLE_SQL),
     "sku_prefix_join": (sku_prefix_join, SKU_PREFIX_SQL),
     "first_version_orders": (first_version_orders, FIRST_VERSION_SQL),
     "distinct_part_counts": (distinct_part_counts, DISTINCT_SQL),

@@ -159,6 +159,49 @@ def redis_derivations(df: DataFrame) -> DataFrame:
     )
 
 
+def read_nvidia_smi_xml(spark: SparkSession, glob: str) -> DataFrame:
+    """S9 — nvidia-smi XML output -> one row per GPU (inspector.py:193-198
+    parses with ElementTree; same here, Arrow-batched per FILE not per
+    row — stdlib xml, no spark-xml dependency)."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+    )
+    out_schema = StructType([
+        StructField("server_id", StringType()),
+        StructField("product_name", StringType()),
+        StructField("memory_total_mib", DoubleType()),
+    ])
+
+    def _parse(it):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for server_id, text in zip(pdf["server_id"], pdf["value"]):
+                try:
+                    root = ET.fromstring(text)
+                except ET.ParseError:
+                    continue
+                for gpu in root.findall("gpu"):
+                    name = gpu.findtext("product_name")
+                    mem = gpu.findtext("fb_memory_usage/total", default="")
+                    mib = None
+                    if mem.endswith(" MiB"):
+                        try:
+                            mib = float(mem[:-4])
+                        except ValueError:
+                            pass
+                    rows.append((server_id, name, mib))
+            yield pd.DataFrame(
+                rows, columns=["server_id", "product_name", "memory_total_mib"]
+            )
+
+    return raw.mapInPandas(_parse, out_schema)
+
+
 def enrich_servers(servers: DataFrame,
                    lscpu: DataFrame | None = None,
                    stressng: DataFrame | None = None,

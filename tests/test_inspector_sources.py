@@ -175,3 +175,26 @@ def test_enrich_servers_override_semantics(spark):
     assert large["cpu_model"] is None and large["vcpus"] == 16
     assert large["ecpus"] is None
     assert large["average_time_to_start"] == 12.0
+
+
+def test_nvidia_smi_xml(spark, tmp_path):
+    xml = """<?xml version="1.0" ?>
+<nvidia_smi_log>
+  <gpu id="0"><product_name>NVIDIA A10G</product_name>
+    <fb_memory_usage><total>22888 MiB</total></fb_memory_usage></gpu>
+  <gpu id="1"><product_name>NVIDIA A10G</product_name>
+    <fb_memory_usage><total>22888 MiB</total></fb_memory_usage></gpu>
+</nvidia_smi_log>"""
+    d = tmp_path / "aws" / "g5.xlarge"
+    d.mkdir(parents=True)
+    (d / "nvidia_smi.xml").write_text(xml)
+    (tmp_path / "aws" / "bad").mkdir()
+    (tmp_path / "aws" / "bad" / "nvidia_smi.xml").write_text("<broken")
+
+    rows = insp.read_nvidia_smi_xml(
+        spark, f"{tmp_path}/*/*/nvidia_smi.xml"
+    ).collect()
+    assert len(rows) == 2  # malformed file skipped, 2 GPUs parsed
+    assert all(r["server_id"] == "g5.xlarge" for r in rows)
+    assert all(r["product_name"] == "NVIDIA A10G" for r in rows)
+    assert all(r["memory_total_mib"] == 22888.0 for r in rows)
