@@ -70,6 +70,21 @@ def round_sig_figs(col: Column, figs: int = SCORE_SIG_FIGS) -> Column:
     )
 
 
+def round_sig_figs_pure(col: Column, figs: int = 3) -> Column:
+    """Pure significant-figure rounding, no integer floor — mirrors the
+    reference's ``_round_sigfigs`` (`float(f"{v:.3g}")`,
+    workload_profile_scores.py:53-57) used for unitless ratios
+    (weight_share, impact, composite score). Differs from
+    :func:`round_sig_figs`, which keeps integer precision above 10^figs
+    for measurements."""
+    magnitude = F.floor(F.log10(F.abs(col)))
+    decimals = (F.lit(figs - 1) - magnitude).cast("double")
+    shift = F.pow(F.lit(10.0), decimals)
+    return F.when(col.isNull() | (col == 0), col).otherwise(
+        F.round(col * shift, 0) / shift
+    )
+
+
 def decimal_sum(col: Column, scale: int = 6) -> Column:
     """Deterministic SUM of a double column.
 

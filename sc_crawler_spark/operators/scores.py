@@ -17,7 +17,7 @@ order can't perturb the double sum (oracle parity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PENALTY_DEFAULT = 1e-4  # workload_profile_scores.py penalize default
@@ -50,6 +50,78 @@ def fleet_median(best: DataFrame, entry_key: str,
     interpolates on even counts — same as ``statistics.median``."""
     return best.groupBy(entry_key).agg(
         F.percentile(F.col(score_col), F.lit(0.5)).alias("median_score")
+    )
+
+
+def composite_breakdown(best: DataFrame, medians: DataFrame,
+                        weights: DataFrame, subject_keys: list[str],
+                        entry_key: str) -> DataFrame:
+    """A3 — per-component ``score_breakdown`` published next to the
+    composite (workload_profile_scores.py:340-400): for each component,
+    {label, weight, weight_share, raw, reference, normalized,
+    higher_is_better, impact} where
+
+    - weight_share = weight / Σ weight, 3 sig figs,
+    - impact = (normalized^weight_share - 1) * 100, 3 sig figs
+      (`_component_impact_pct`, :60-76),
+    - raw/reference use measurement rounding (4 sig figs, integers kept
+      whole above 1000 — `_round_measurement`, :37-51),
+    - score = 2^(Σ w·log2(norm) / Σ w), 3 sig figs.
+
+    The struct array is sorted by label (struct comparison leads with the
+    first field) so output is deterministic under any partitioning.
+    """
+    from ..functions.scalars import round_sig_figs, round_sig_figs_pure
+
+    j = best.join(F.broadcast(medians), entry_key).join(
+        F.broadcast(weights), entry_key
+    )
+    hib = (
+        F.col("higher_is_better")
+        if "higher_is_better" in weights.columns
+        else F.lit(True)
+    )
+    ratio = F.when(hib, F.col("best_score") / F.col("median_score")).otherwise(
+        F.col("median_score") / F.col("best_score")
+    )
+    j = j.filter(F.col("median_score") != 0).withColumn("_norm", ratio)
+    w = Window.partitionBy(*subject_keys)
+    j = j.withColumn("_total_w", F.sum("weight").over(w)).withColumn(
+        "_wshare", round_sig_figs_pure(F.col("weight") / F.col("_total_w"), 3)
+    )
+    component = F.struct(
+        F.col(entry_key).alias("label"),
+        F.col("weight").alias("weight"),
+        F.col("_wshare").alias("weight_share"),
+        round_sig_figs(F.col("best_score"), 4).alias("raw"),
+        round_sig_figs(F.col("median_score"), 4).alias("reference"),
+        F.col("_norm").alias("normalized"),
+        hib.alias("higher_is_better"),
+        round_sig_figs_pure(
+            (F.pow(F.col("_norm"), F.col("_wshare")) - 1) * 100, 3
+        ).alias("impact"),
+    )
+    wlog = (F.col("weight") * F.log2(F.col("_norm"))).cast("decimal(28,12)")
+    return (
+        j.withColumn("_c", component)
+        .groupBy(*subject_keys)
+        .agg(
+            F.sort_array(F.collect_list("_c")).alias("components"),
+            F.sum(wlog).alias("_sum_wlog"),
+            F.first("_total_w").alias("coverage"),
+        )
+        .select(
+            *subject_keys,
+            round_sig_figs_pure(
+                F.pow(
+                    F.lit(2.0),
+                    F.col("_sum_wlog").cast("double") / F.col("coverage"),
+                ),
+                3,
+            ).alias("score"),
+            "coverage",
+            "components",
+        )
     )
 
 

@@ -371,3 +371,38 @@ def test_reconstruction_property(spark):
         best, med, w, ["server_id"], "entry").collect()}
     for s, v in expect.items():
         assert out[s] == pytest.approx(v, rel=1e-9)
+
+
+def test_breakdown_reconstruction_and_impact(spark):
+    """The published breakdown rebuilds its own composite
+    (test_workload_profile_scores.py:27-41) and the impact formula is
+    (normalized^weight_share - 1)*100 at 3 sig figs (:60-76)."""
+    import math
+
+    best, med, w, n = _score_fixture(spark, {
+        "s1": {"e1": 12.0, "e2": 180.0},
+        "s2": {"e1": 25.0, "e2": 90.0},
+    })
+    from sc_crawler_spark.operators.scores import composite_breakdown
+
+    out = {r.server_id: r for r in composite_breakdown(
+        best, med, w, ["server_id"], "entry").collect()}
+    for s, row in out.items():
+        # reconstruct: product of normalized^weight_share ~= score
+        rebuilt = 1.0
+        for c in row.components:
+            rebuilt *= c.normalized ** c.weight_share
+            # impact consistency with its own published parts
+            expect_impact = (c.normalized ** c.weight_share - 1) * 100
+            # impact is published at 3 sig figs -> tolerance is half a
+            # unit in the 3rd significant digit
+            assert c.impact == pytest.approx(expect_impact, rel=5e-3)
+            assert c.weight_share == 0.5
+        assert row.score == pytest.approx(rebuilt, rel=1e-2)
+        # deterministic ordering by label
+        assert [c.label for c in row.components] == ["e1", "e2"]
+    # measurement rounding: >=1000 stays integral
+    big, _, _, _ = _score_fixture(spark, {"s1": {"e1": 251435.6, "e2": 1.0}})
+    r = composite_breakdown(big, med, w, ["server_id"], "entry").collect()
+    raws = {c.label: c.raw for row in r for c in row.components}
+    assert raws["e1"] == 251436.0
