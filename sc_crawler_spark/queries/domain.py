@@ -61,6 +61,92 @@ def workload_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def workload_breakdown(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 breakdown published per component (workload_profile_scores.py:
+    340-400), exploded to rows so the oracle can hash it: weight_share
+    (3 sig figs), normalized ratio, impact = (norm^share - 1)*100."""
+    from ..operators.scores import composite_breakdown
+
+    ev = load(spark, sf, "events")
+    values = ", ".join(
+        f"('{e}', CAST({w} AS DOUBLE), {str(h).lower()})"
+        for e, w, h in WORKLOAD_WEIGHTS
+    )
+    weights = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(event_type, weight, higher_is_better)"
+    )
+    scored = ev.join(F.broadcast(weights), "event_type")
+    best = best_per_entry(
+        scored, ["user_id"], "event_type",
+        score_col="value", higher_is_better_col="higher_is_better",
+    ).cache()
+    medians = fleet_median(best, "event_type")
+    bd = composite_breakdown(best, medians, weights, ["user_id"], "event_type")
+    c = F.explode("components").alias("c")
+    flat = bd.select("user_id", c).select(
+        "user_id",
+        F.col("c.label").alias("label"),
+        F.col("c.weight_share").alias("weight_share"),
+        dround(F.col("c.normalized"), 6).alias("normalized"),
+        F.col("c.impact").alias("impact"),
+    )
+    return flat
+
+
+def _sql_sigfigs_pure(expr: str, figs: int = 3) -> str:
+    """DuckDB mirror of round_sig_figs_pure (pow-shift, scale may go
+    negative for |x| >= 10^figs)."""
+    d = f"({figs - 1} - floor(log10(abs({expr}))))"
+    return (
+        f"CASE WHEN {expr} = 0 OR {expr} IS NULL THEN {expr} "
+        f"ELSE round({expr} * pow(10.0, {d}), 0) / pow(10.0, {d}) END"
+    )
+
+
+_BREAKDOWN_NORM = (
+    "CASE WHEN hib THEN best_score / median_score"
+    " ELSE median_score / best_score END"
+)
+
+BREAKDOWN_SQL_TEMPLATE = """
+WITH w(event_type, weight, hib) AS (VALUES {weights}),
+best AS (
+  SELECT user_id, e.event_type, hib, weight,
+    CASE WHEN hib THEN MAX(value) ELSE MIN(value) END AS best_score
+  FROM events e JOIN w USING (event_type)
+  GROUP BY user_id, e.event_type, hib, weight
+),
+med AS (
+  SELECT event_type, quantile_cont(best_score, 0.5) AS median_score
+  FROM best GROUP BY event_type
+),
+j AS (
+  SELECT user_id, event_type, weight, hib, best_score, median_score,
+    {norm} AS normalized,
+    weight / SUM(weight) OVER (PARTITION BY user_id) AS ws_raw
+  FROM best JOIN med USING (event_type)
+  WHERE median_score != 0
+)
+SELECT user_id, event_type AS label,
+  {ws} AS weight_share,
+  {normr} AS normalized,
+  {impact} AS impact
+FROM j
+"""
+
+
+def _breakdown_sql() -> str:
+    ws = _sql_sigfigs_pure("ws_raw", 3)
+    impact_raw = f"(pow(normalized, {ws}) - 1) * 100"
+    return BREAKDOWN_SQL_TEMPLATE.format(
+        weights=_WEIGHT_VALUES,
+        norm=_BREAKDOWN_NORM,
+        ws=ws,
+        normr=sql_round("normalized", 6),
+        impact=_sql_sigfigs_pure(f"({impact_raw})", 3),
+    )
+
+
 _WEIGHT_VALUES = ", ".join(
     f"('{e}', {w}, {str(h).lower()})" for e, w, h in WORKLOAD_WEIGHTS
 )
@@ -94,4 +180,5 @@ FROM j GROUP BY user_id
 
 QUERIES = {
     "workload_scores": (workload_scores, WORKLOAD_SQL),
+    "workload_breakdown": (workload_breakdown, _breakdown_sql()),
 }
