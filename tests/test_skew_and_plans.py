@@ -1,0 +1,60 @@
+"""Skew-join equivalence + physical-plan regression guards."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sc_crawler_spark.operators.skew import salted_join
+from sc_crawler_spark.queries import REGISTRY
+
+from .conftest import SF_ORACLE
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed fact: 90% of rows on one key
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(50)],
+        "k string, attr string",
+    )
+    plain = fact.join(dim, ["k"]).groupBy("k", "attr").count()
+    salted = salted_join(fact, dim, ["k"], n_salts=8).groupBy("k", "attr").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([("a", 1), ("missing", 2)], "k string, v int")
+    dim = spark.createDataFrame([("a", "A")], "k string, attr string")
+    rows = {r["k"]: r["attr"]
+            for r in salted_join(fact, dim, ["k"], 4, "left").collect()}
+    assert rows == {"a": "A", "missing": None}
+
+
+PLAN_GUARDED = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "top1_order_per_customer", "hash_diff_sync", "workload_scores",
+    "dedup_minhash_lsh", "sku_prefix_join",
+]
+
+
+@pytest.mark.parametrize("name", PLAN_GUARDED)
+def test_no_cartesian_or_smj_in_headline_plans(spark, name):
+    """Plan audit as a regression test: dimension joins must broadcast;
+    nothing in the headline suite may fall back to CartesianProduct, and
+    at lake scale factors nothing should sort-merge on local[n]."""
+    plan = REGISTRY[name][0](spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "SortMergeJoin" not in plan, f"{name} fell back to sort-merge join"
+    # every parquet scan carries pushdown metadata (column pruning active)
+    scans = re.findall(r"ReadSchema: \S+", plan)
+    assert scans, f"{name}: no parquet scans found in plan"
