@@ -58,6 +58,11 @@ def round_sig_figs(col: Column, figs: int = SCORE_SIG_FIGS) -> Column:
     >= 10^(figs) are rounded to integer precision, never to fewer digits).
     Pure expression math so DuckDB can mirror it exactly:
     round(x, figs - 1 - floor(log10(abs(x)))).
+
+    Documented deviation: values EXACTLY halfway at the boundary round
+    HALF-UP here (matching DuckDB, the correctness oracle) where
+    CPython's round()/%g round half-even. Cross-engine parity is the
+    contract; exact halves are measure-zero for measured doubles.
     """
     magnitude = F.floor(F.log10(F.abs(col)))
     # integers >= 10^figs keep integer precision (decimals floored at 0)
