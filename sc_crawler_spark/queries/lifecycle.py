@@ -159,7 +159,7 @@ WITH flags AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flags GROUP BY user_id
 """
 

@@ -448,7 +448,7 @@ def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 JSON_EXTRACT_SQL = """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """

@@ -52,6 +52,14 @@ def assert_oracle_match(spark, name: str, fn, sql: str, sf_dir: str = SF_ORACLE)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != oracle {list(want.columns)}"
     )
+    # dtype KINDS must agree (int vs float): a strict value-hash would
+    # stringify 99111 vs 99111.0 differently even when numerically equal
+    kinds_got = [d.kind for d in got.dtypes]
+    kinds_want = [d.kind for d in want.dtypes]
+    assert kinds_got == kinds_want, (
+        f"{name}: dtype kinds {kinds_got} != oracle {kinds_want} "
+        f"(cast the oracle aggregate, e.g. SUM -> BIGINT)"
+    )
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9,
         obj=name,
