@@ -16,6 +16,22 @@ PRICE_DECIMALS = 4
 SCORE_SIG_FIGS = 3
 
 
+def snake_case(name: str) -> str:
+    """F1 — CamelCase -> snake_case (str_utils.py:22-35); driver-side
+    (used for table naming, not row data).
+
+    >>> snake_case("BenchmarkScore")
+    'benchmark_score'
+    >>> snake_case("DescriptionToComment")
+    'description_to_comment'
+    >>> snake_case("Ipv4Price")
+    'ipv4_price'
+    """
+    import re
+
+    return "_".join(re.sub(r"([A-Z][a-z]+)", r" \1", name).split()).lower()
+
+
 def extract_last_number(col: Column) -> Column:
     """Last number in a string, as double; NULL if none.
 
