@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the lifecycle operators — laws
+the reference's upsert/dedup semantics imply (insert.py:24-72,
+tables.py:224-283), checked over generated tables.
+
+Few examples, deadline off: each example round-trips through Spark, so
+the budget goes to diverse shapes, not example count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sc_crawler_spark.operators.upsert import merge_upsert
+from sc_crawler_spark.operators.windows import keep_last_dedup
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.text(alphabet="abc", min_size=0, max_size=3)
+
+ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=12)
+
+
+def _df(spark, rows, with_pos=False):
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v string, pos int")
+    return df if with_pos else df.drop("pos")
+
+
+def _canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(current=ROWS, incoming=ROWS)
+def test_merge_upsert_idempotent(spark, current, incoming):
+    """Applying the same batch twice equals applying it once."""
+    cur = _df(spark, [(k, v) for k, v in current]).dropDuplicates(["k"])
+    inc = _df(spark, [(k, v) for k, v in incoming]).dropDuplicates(["k"])
+    once = merge_upsert(cur, inc, ["k"])
+    twice = merge_upsert(once, inc, ["k"])
+    assert _canon(once) == _canon(twice)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(current=ROWS, incoming=ROWS)
+def test_merge_upsert_source_wins(spark, current, incoming):
+    """Every incoming PK's value is the incoming value; PKs only in the
+    target survive unchanged (K1 ON CONFLICT DO UPDATE semantics)."""
+    cur = _df(spark, [(k, v) for k, v in current]).dropDuplicates(["k"])
+    inc = _df(spark, [(k, v) for k, v in incoming]).dropDuplicates(["k"])
+    out = {k: v for k, v in _canon(merge_upsert(cur, inc, ["k"]))}
+    inc_map = {r["k"]: r["v"] for r in inc.collect()}
+    cur_map = {r["k"]: r["v"] for r in cur.collect()}
+    assert set(out) == set(cur_map) | set(inc_map)
+    for k, v in out.items():
+        assert v == inc_map.get(k, cur_map.get(k))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS)
+def test_keep_last_dedup_is_python_dict_semantics(spark, rows):
+    """keep_last over arrival position == the reference's
+    `{row[pk]: row for row in rows}` dict comprehension (A4/A5)."""
+    df = _df(spark, rows, with_pos=True)
+    got = {r["k"]: r["v"]
+           for r in keep_last_dedup(df, ["k"], "pos").collect()}
+    want = {}
+    for k, v in rows:
+        want[k] = v
+    assert got == want
