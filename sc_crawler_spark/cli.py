@@ -160,6 +160,87 @@ def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
         print(f"copy: {t}")
 
 
+def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
+                  vendor: str = "aws") -> None:
+    """The reference's per-vendor `pull` (cli.py:868-906, §3.1) over a
+    landed bronze tree:
+
+    - ``<bronze>/<vendor>/instance_types.json`` — one raw
+      describe-instance-types payload per line (S1),
+    - ``<bronze>/<vendor>/products.json`` — pricing rows with the nested
+      ``terms`` JSON (P2 walk),
+    - ``<bronze>/<vendor>/regions.json`` / ``zones.json`` — dims.
+
+    standardize (P1) -> keep-last dedup (A4) -> validate/default-fill
+    (P8) -> price assembly with zone fan-out (J2) -> merge-upsert into
+    the lake with inactivate-missing (K1+T1). Invalid rows go to an
+    error-side table, never fail the job.
+    """
+    from .operators.validate import validate_items
+    from .operators.windows import keep_last_dedup
+    from .sources import aws
+
+    vroot = os.path.join(bronze, vendor)
+    raw = spark.read.schema(aws.RAW_INSTANCE_TYPE).json(
+        os.path.join(vroot, "instance_types.json")
+    )
+    payload = raw.select(
+        F.struct(*[F.col(f.name) for f in aws.RAW_INSTANCE_TYPE.fields])
+        .alias("payload")
+    )
+    servers = aws.standardize_instance_types(payload, vendor).withColumn(
+        "_pos", F.monotonically_increasing_id()
+    )
+    servers = keep_last_dedup(
+        servers, ["vendor_id", "server_id"], "_pos"
+    ).drop("_pos")
+    valid, invalid = validate_items(servers, "server")
+
+    prods = spark.read.schema(
+        "instance_type string, location string, operating_system string, "
+        "terms string"
+    ).json(os.path.join(vroot, "products.json"))
+    products = prods.select(
+        "instance_type", "location", "operating_system",
+        F.round(
+            aws.extract_ondemand_price(
+                F.from_json("terms", aws.TERMS_SCHEMA)
+            ), 4,
+        ).alias("price"),
+    ).filter(F.col("price").isNotNull())
+    regions = spark.read.schema(
+        "region_id string, name string, aliases array<string>"
+    ).json(os.path.join(vroot, "regions.json"))
+    zones = spark.read.schema(
+        "region_id string, zones array<string>"
+    ).json(os.path.join(vroot, "zones.json"))
+    prices = aws.assemble_server_prices(
+        products, valid.select("vendor_id", "server_id"), regions, zones
+    )
+    prices_valid, prices_invalid = validate_items(prices, "server_price")
+
+    os.makedirs(lake, exist_ok=True)
+    outputs = {
+        "server": (valid, schemas.PRIMARY_KEYS["server"]),
+        "server_price": (prices_valid, schemas.PRIMARY_KEYS["server_price"]),
+        "server_invalid": (invalid.unionByName(prices_invalid,
+                                               allowMissingColumns=True), None),
+    }
+    for table, (df, pks) in outputs.items():
+        path = _table_path(lake, table)
+        if pks:
+            try:
+                current = spark.read.parquet(path)
+                df = merge_upsert(
+                    current, df.select(*current.columns), pks,
+                    inactivate_missing=True,
+                )
+            except Exception:
+                pass
+        _rewrite(spark, df, path)
+        print(f"inventory: {table}: {spark.read.parquet(path).count()} rows")
+
+
 def cmd_publish(spark: SparkSession, lake: str, out: str,
                 version: str = "0.1.0") -> None:
     """Publish the lake as one SQLite artifact (K1/K5; the reference's
@@ -205,6 +286,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
 
+    p = sub.add_parser("inventory", help="pull a vendor from bronze into the lake")
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--vendor", default="aws")
+
     p = sub.add_parser("publish", help="publish lake to one SQLite artifact")
     p.add_argument("--lake", required=True)
     p.add_argument("--out", required=True)
@@ -223,6 +309,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_dump(spark, args.lake, args.out, args.table)
     elif args.cmd == "copy":
         cmd_copy(spark, args.source, args.target)
+    elif args.cmd == "inventory":
+        cmd_inventory(spark, args.bronze, args.lake, args.vendor)
     elif args.cmd == "publish":
         cmd_publish(spark, args.lake, args.out, args.version)
 

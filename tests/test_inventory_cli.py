@@ -1,0 +1,93 @@
+"""Full `inventory` pull: bronze JSON tree -> silver lake -> re-pull
+lifecycle (T1) -> publish, mirroring the reference's per-vendor pull
+(cli.py:868-906)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sc_crawler_spark import cli
+
+
+def _instance(name, vcpus, mib):
+    return json.dumps({
+        "InstanceType": name,
+        "BurstablePerformanceSupported": False,
+        "VCpuInfo": {"DefaultVCpus": vcpus, "DefaultCores": vcpus // 2},
+        "ProcessorInfo": {"SupportedArchitectures": ["x86_64"],
+                          "SustainedClockSpeedInGhz": 3.0,
+                          "Manufacturer": "Intel"},
+        "MemoryInfo": {"SizeInMiB": mib},
+        "Hypervisor": "nitro",
+    })
+
+
+def _product(itype, location, price):
+    terms = {"t1": {"priceDimensions": {
+        "d1": {"pricePerUnit": {"USD": str(price)},
+               "beginRange": "0", "endRange": "Inf", "unit": "Hrs"}}}}
+    return json.dumps({
+        "instance_type": itype, "location": location,
+        "operating_system": "Linux", "terms": json.dumps(terms),
+    })
+
+
+def _write_bronze(root, instances, products):
+    d = os.path.join(root, "aws")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "instance_types.json"), "w") as fh:
+        fh.write("\n".join(instances))
+    with open(os.path.join(d, "products.json"), "w") as fh:
+        fh.write("\n".join(products))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-east-1",
+                             "name": "US East (N. Virginia)",
+                             "aliases": ["Virginia"]}))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-east-1",
+                             "zones": ["use1-az1", "use1-az2"]}))
+
+
+def test_inventory_pull_and_repull(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    _write_bronze(
+        bronze,
+        [_instance("m5.large", 2, 8192), _instance("c5.large", 2, 4096)],
+        [_product("m5.large", "US East (N. Virginia)", 0.096),
+         _product("c5.large", "Virginia", 0.085),       # via region alias
+         _product("unknown.x", "Virginia", 1.0)],       # not in catalog
+    )
+    cli.cmd_inventory(spark, bronze, lake)
+
+    servers = spark.read.parquet(os.path.join(lake, "server"))
+    assert servers.count() == 2
+    assert set(servers.select("status").distinct().toPandas()["status"]) == {"active"}
+
+    prices = spark.read.parquet(os.path.join(lake, "server_price"))
+    # 2 catalog servers x 2 zones (J2 fan-out); unknown SKU dropped
+    assert prices.count() == 4
+    got = {(r["server_id"], r["zone_id"]): r["price"] for r in prices.collect()}
+    assert got[("c5.large", "use1-az2")] == 0.085
+    assert all(r["status"] == "active" for r in prices.collect())
+
+    # ---- re-pull with c5.large gone: T1 flips it inactive, m5 updated
+    _write_bronze(
+        bronze,
+        [_instance("m5.large", 2, 16384)],
+        [_product("m5.large", "US East (N. Virginia)", 0.099)],
+    )
+    cli.cmd_inventory(spark, bronze, lake)
+    servers = spark.read.parquet(os.path.join(lake, "server"))
+    by_id = {r["server_id"]: r for r in servers.collect()}
+    assert by_id["m5.large"]["status"] == "active"
+    assert by_id["m5.large"]["memory_amount"] == 16384
+    assert by_id["c5.large"]["status"] == "inactive"
+
+    prices = spark.read.parquet(os.path.join(lake, "server_price"))
+    live = prices.filter(F.col("status") == "active")
+    assert live.count() == 2
+    assert {r["price"] for r in live.collect()} == {0.099}
