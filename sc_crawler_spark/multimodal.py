@@ -86,6 +86,75 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
     return imgs.mapInPandas(_batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_images(media: DataFrame, max_side: int = 256,
+                  real_decode: bool = False) -> DataFrame:
+    """Resize stage: aspect-preserving downscale to ``max_side``.
+
+    The pixel kernel is stubbed (no codec here): output dims follow the
+    stub decoder's dims scaled to max_side, payload passes through
+    truncated-by-ratio so byte volume shrinks like a real resize would.
+    The Spark shape is real — mapInPandas over binary Arrow batches, blob
+    column pruned when downstream selects metadata only.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real resize needs a codec library (PIL/cv2) not present here"
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _ = _decode_image_stub(data)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(data) * scale * scale)) if data else 0
+                rows.append((media_id, nw, nh, data[:keep]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType()),
+    StructField("duration_s", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature stage (duration/sample-rate): stub model derives
+    both from payload size deterministically (16 kHz mono 16-bit —
+    duration = bytes / 32000). Real decoders slot into the same
+    mapInPandas signature."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(bytes(payload)) if payload is not None else 0
+                rows.append((media_id, n, max(0, n // 32000), 16000))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plumbing: emits (media_id, frame_idx) plan rows that
     a real extractor would fill with frames. Frame decode itself is

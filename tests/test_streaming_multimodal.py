@@ -152,3 +152,38 @@ def test_stateful_best_scores_across_batches(spark, tmpdir):
     }
     got = {k: (r.best, r.n_obs) for k, r in latest.items()}
     assert got == want
+
+
+def test_resize_and_audio_stubs(spark):
+    import os as _os
+
+    from sc_crawler_spark.multimodal import (
+        extract_audio_features, resize_images,
+    )
+
+    rows = [
+        (1, "image", bytearray(_os.urandom(0) + b"\x89PNG" + b"x" * 50000), "image/png", "s3://a"),
+        (2, "audio", bytearray(b"RIFF" + b"y" * 64000), "audio/wav", "s3://b"),
+        (3, "image", bytearray(b"\xff\xd8" + b"z" * 100), "image/jpeg", "s3://c"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    resized = {r["media_id"]: r for r in resize_images(media, max_side=64).collect()}
+    assert set(resized) == {1, 3}       # images only
+    for r in resized.values():
+        assert max(r["width"], r["height"]) <= 64
+        assert len(r["payload"]) >= 1
+    # deterministic: same payload -> same output dims
+    again = {r["media_id"]: r for r in resize_images(media, max_side=64).collect()}
+    assert {k: (v["width"], v["height"]) for k, v in resized.items()} == \
+           {k: (v["width"], v["height"]) for k, v in again.items()}
+
+    audio = extract_audio_features(media).collect()
+    assert len(audio) == 1
+    assert audio[0]["media_id"] == 2
+    assert audio[0]["duration_s"] == 2          # 64004 bytes // 32000
+    assert audio[0]["sample_rate"] == 16000
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, real_decode=True)
