@@ -65,14 +65,85 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
         "memory_amount": "CAST(memory_amount AS BIGINT)",
         "storage_size": "CAST(storage_size AS BIGINT)",
     },
+    # _ovh.py:580-735: public-cloud "flavor" addons; payload is the
+    # nested catalog blob (commercial / technical structs). Resources
+    # are dedicated except the Discovery series (:613-618); memory is
+    # GiB -> MiB (:620-622).
+    "ovh": {
+        "server_id": "invoiceName",
+        "name": "coalesce(blobs.commercial.name, invoiceName)",
+        "api_reference": "planCode",
+        "vcpus": "CAST(coalesce(blobs.technical.cpu.cores, 0) AS INT)",
+        "cpu_allocation": (
+            "CASE WHEN blobs.commercial.brickSubtype = 'discovery'"
+            " THEN 'Shared' ELSE 'Dedicated' END"
+        ),
+        "cpu_speed": "CAST(blobs.technical.cpu.frequency AS DOUBLE)",
+        "memory_amount": (
+            "CAST(blobs.technical.memory.size * 1024 AS BIGINT)"
+        ),
+        "gpu_count": "CAST(coalesce(blobs.technical.gpu.number, 0) AS INT)",
+        "gpu_memory_min": (
+            "CAST(coalesce(blobs.technical.gpu.memory.size, 0) * 1024 AS BIGINT)"
+        ),
+    },
+    # _alicloud.py:829-1010 DescribeInstanceTypes: MemorySize is GiB
+    # (x1024 -> MiB, :920), local storage GiB->GB (:926-932), GPU
+    # memory is per-GPU when GPUAmount>1 else total (:938-941), CPU
+    # allocation from BaselineCredit/InstanceCategory (:433-448).
+    "alicloud": {
+        "server_id": "InstanceTypeId",
+        "name": "InstanceTypeId",
+        "api_reference": "InstanceTypeId",
+        "family": "InstanceTypeFamily",
+        "vcpus": "CAST(CpuCoreCount AS INT)",
+        "cpu_cores": "CAST(CpuCoreCount AS INT)",
+        "cpu_speed": "nullif(CAST(CpuSpeedFrequency AS DOUBLE), 0.0)",
+        "cpu_allocation": (
+            "CASE WHEN coalesce(BaselineCredit, 0) > 0 THEN 'Burstable'"
+            " WHEN InstanceCategory = 'Shared' THEN 'Shared'"
+            " ELSE 'Dedicated' END"
+        ),
+        "cpu_architecture": (
+            "CASE CpuArchitecture WHEN 'X86' THEN 'x86_64'"
+            " WHEN 'ARM' THEN 'arm64' END"
+        ),
+        "memory_amount": "CAST(MemorySize * 1024 AS BIGINT)",
+        "storage_size": (
+            "CAST(coalesce(LocalStorageAmount, 0)"
+            " * coalesce(LocalStorageCapacity, 0)"
+            " * pow(1024, 3) / pow(1000, 3) AS BIGINT)"
+        ),
+        "gpu_count": "CAST(coalesce(GPUAmount, 0) AS INT)",
+        "gpu_memory_total": (
+            "CAST(CASE WHEN coalesce(GPUAmount, 0) >= 1"
+            " THEN GPUAmount * coalesce(GPUMemorySize, 0) * 1024"
+            " ELSE coalesce(GPUMemorySize, 0) * 1024 END AS BIGINT)"
+        ),
+    },
+}
+
+# Catalog-level row gates applied before projection (P5 residual
+# filters expressed as data, like the specs themselves).
+VENDOR_SERVER_FILTERS: dict[str, str] = {
+    # _ovh.py:584-596: linux public-cloud instances on hourly rates
+    "ovh": (
+        "product = 'publiccloud-instance'"
+        " AND blobs.technical.os.family = 'linux'"
+        " AND planCode LIKE '%.consumption'"
+    ),
 }
 
 
 def standardize_catalog(raw: DataFrame, vendor_id: str,
                         spec: dict[str, str] | None = None) -> DataFrame:
     """Compile a vendor spec into one projection (P1). Unknown vendors
-    must pass an explicit spec."""
+    must pass an explicit spec. A vendor's residual filter (P5) is
+    applied before the projection so Catalyst can push it to the scan."""
     spec = spec or VENDOR_SERVER_SPECS[vendor_id]
+    gate = VENDOR_SERVER_FILTERS.get(vendor_id)
+    if gate is not None:
+        raw = raw.filter(gate)
     return raw.selectExpr(
         f"'{vendor_id}' AS vendor_id",
         *[f"{expr} AS {col}" for col, expr in spec.items()],
