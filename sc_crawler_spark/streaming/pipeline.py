@@ -46,6 +46,10 @@ def read_event_stream(spark: SparkSession, source_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source event stream; converts the lake's nanosecond-long ts
     to a proper timestamp (mirrors tables.load)."""
+    try:  # self-sufficient under a vanilla session, same as tables.load
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -26,6 +26,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp — the same truncation DuckDB's TIMESTAMP_NS -> pandas path
     applies, so oracle values align.
     """
+    # events.parquet carries INT64 TIMESTAMP(NANOS); a vanilla SparkSession
+    # (e.g. the correctness harness) throws PARQUET_TYPE_ILLEGAL unless the
+    # nanosAsLong legacy conf is on.  It is runtime-settable, so load() is
+    # self-sufficient and never depends on how the session was built.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf store (shouldn't happen) — fall through to read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
