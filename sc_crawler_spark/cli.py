@@ -32,6 +32,7 @@ from . import schemas
 from .operators.sync import hash_diff, with_row_hash
 from .operators.upsert import merge_upsert, scd2_append
 from .session import get_spark
+from .sinks.snapshot import read_snapshot, write_snapshot
 from .sources import lookup
 
 
@@ -40,7 +41,7 @@ def _table_path(lake: str, table: str) -> str:
 
 
 def _read(spark: SparkSession, lake: str, table: str) -> DataFrame:
-    return spark.read.parquet(_table_path(lake, table))
+    return read_snapshot(spark, _table_path(lake, table))
 
 
 def _tables_in(lake: str) -> list[str]:
@@ -52,11 +53,9 @@ def _tables_in(lake: str) -> list[str]:
 
 
 def _rewrite(spark: SparkSession, df: DataFrame, path: str) -> None:
-    """Overwrite a parquet dataset that the plan may itself read from:
-    stage to a sibling dir, rewrite, drop the stage."""
-    df.write.mode("overwrite").parquet(path + "_stage")
-    spark.read.parquet(path + "_stage").write.mode("overwrite").parquet(path)
-    shutil.rmtree(path + "_stage", ignore_errors=True)
+    """Commit ``df`` as the table's next snapshot version (atomic pointer
+    swap; the plan may read the current snapshot of ``path`` itself)."""
+    write_snapshot(spark, df, path)
 
 
 def cmd_pull(spark: SparkSession, lake: str) -> None:
@@ -71,7 +70,7 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
     for table, (canon, pks) in dims.items():
         path = _table_path(lake, table)
         try:
-            current = spark.read.parquet(path)
+            current = read_snapshot(spark, path)
             merged = merge_upsert(
                 current, canon.select(*current.columns), pks,
                 inactivate_missing=True,
@@ -79,7 +78,7 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
         except Exception:
             merged = canon
         _rewrite(spark, merged, path)
-        print(f"pull: {table}: {spark.read.parquet(path).count()} rows")
+        print(f"pull: {table}: {read_snapshot(spark, path).count()} rows")
 
 
 def table_digest(spark: SparkSession, lake: str, table: str) -> str:
@@ -154,9 +153,7 @@ def cmd_dump(spark: SparkSession, lake: str, out: str,
 
 def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
     for t in _tables_in(source):
-        _read(spark, source, t).write.mode("overwrite").parquet(
-            _table_path(target, t)
-        )
+        write_snapshot(spark, _read(spark, source, t), _table_path(target, t))
         print(f"copy: {t}")
 
 
@@ -230,15 +227,18 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
         path = _table_path(lake, table)
         if pks:
             try:
-                current = spark.read.parquet(path)
+                current = read_snapshot(spark, path)
                 df = merge_upsert(
                     current, df.select(*current.columns), pks,
                     inactivate_missing=True,
+                    # per-vendor pull: never sweep other vendors' rows
+                    scope=(F.col("vendor_id") == vendor
+                           if "vendor_id" in current.columns else None),
                 )
             except Exception:
                 pass
         _rewrite(spark, df, path)
-        print(f"inventory: {table}: {spark.read.parquet(path).count()} rows")
+        print(f"inventory: {table}: {read_snapshot(spark, path).count()} rows")
 
 
 def cmd_publish(spark: SparkSession, lake: str, out: str,

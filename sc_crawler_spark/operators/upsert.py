@@ -13,25 +13,41 @@ cluster with Delta/Iceberg the same plan maps 1:1 onto ``MERGE INTO``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
                  inactivate_missing: bool = False,
-                 scope: DataFrame | None = None) -> DataFrame:
+                 scope: Column | DataFrame | None = None) -> DataFrame:
     """Upsert ``updates`` into ``current`` by PK.
 
     - matched PK       -> take the update row (ON CONFLICT DO UPDATE,
       insert.py:151-161)
     - unmatched update -> insert
     - unmatched current-> keep; if ``inactivate_missing`` and the row is in
-      ``scope`` (e.g. this vendor's rows), flip status to 'inactive' (T1)
+      ``scope``, flip status to 'inactive' (T1)
+
+    ``scope`` bounds the inactivation sweep the way the reference bounds
+    its per-vendor UPDATE (tables.py:224-283): a boolean ``Column`` over
+    ``current``'s columns (e.g. ``F.col("vendor_id") == "aws"``), or a
+    DataFrame whose distinct PK rows define the sweep set (broadcast
+    marker join). With ``scope=None`` every unmatched current row is
+    swept — correct only for whole-table refreshes.
 
     Single shuffle on the PK; both inputs should share partitioning on the
     PK at scale (bucketed silver tables) so the join is co-located.
     """
     cols = current.columns
+    in_scope: Column | None = None
+    if inactivate_missing and scope is not None:
+        if isinstance(scope, DataFrame):
+            marker = (scope.select(*pks).distinct()
+                      .withColumn("__in_scope", F.lit(True)))
+            current = current.join(F.broadcast(marker), on=pks, how="left")
+            in_scope = F.coalesce(F.col("__in_scope"), F.lit(False))
+        else:
+            in_scope = scope
     # Rename the update side before joining: updates often derive from the
     # same plan as current (re-fetch + mutate), and alias-based column
     # references can't disambiguate shared lineage in a full-outer self-join.
@@ -48,9 +64,11 @@ def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
         if c in pks:
             out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
         elif c == "status" and inactivate_missing:
+            keep = (F.lit("inactive") if in_scope is None else
+                    F.when(in_scope, F.lit("inactive")).otherwise(F.col(c)))
             out_cols.append(
                 F.when(take_update, F.col("__u_status"))
-                .otherwise(F.lit("inactive"))
+                .otherwise(keep)
                 .alias(c)
             )
         else:

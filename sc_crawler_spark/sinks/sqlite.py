@@ -34,6 +34,12 @@ _TYPE_MAP = {
 }
 
 
+def _q(ident: str) -> str:
+    """Quote an identifier — keyword-named or oddly-charactered columns
+    must not break the generated DDL/DML."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def _sqlite_type(dt: str) -> str:
     # nested/array/map/json columns publish as canonical JSON TEXT,
     # matching the reference's JSON columns in SQLite
@@ -43,9 +49,10 @@ def _sqlite_type(dt: str) -> str:
 def _create_table(con: sqlite3.Connection, name: str, df: DataFrame,
                   pks: list[str]) -> None:
     cols = ", ".join(
-        f'"{c}" {_sqlite_type(t)}' for c, t in df.dtypes
+        f"{_q(c)} {_sqlite_type(t)}" for c, t in df.dtypes
     )
-    pk = f', PRIMARY KEY ({", ".join(pks)})' if pks else ""
+    pk = (f', PRIMARY KEY ({", ".join(_q(c) for c in pks)})'
+          if pks else "")
     con.execute(f'CREATE TABLE IF NOT EXISTS "{name}" ({cols}{pk})')
 
 
@@ -68,20 +75,32 @@ def publish_table(con: sqlite3.Connection, df: DataFrame, name: str,
     placeholders = ", ".join("?" for _ in cols)
     if pks and attrs:
         conflict = (
-            f' ON CONFLICT ({", ".join(pks)}) DO UPDATE SET '
-            + ", ".join(f'"{c}"=excluded."{c}"' for c in attrs)
+            f' ON CONFLICT ({", ".join(_q(c) for c in pks)}) DO UPDATE SET '
+            + ", ".join(f"{_q(c)}=excluded.{_q(c)}" for c in attrs)
         )
     elif pks:
-        conflict = f' ON CONFLICT ({", ".join(pks)}) DO NOTHING'
+        conflict = f' ON CONFLICT ({", ".join(_q(c) for c in pks)}) DO NOTHING'
     else:
         conflict = ""
     sql = (
-        f'INSERT INTO "{name}" ({", ".join(cols)}) VALUES ({placeholders})'
-        + conflict
+        f'INSERT INTO {_q(name)} ({", ".join(_q(c) for c in cols)}) '
+        f"VALUES ({placeholders})" + conflict
     )
+    # datetime/date objects go through sqlite3's default adapters, which
+    # are deprecated since Python 3.12 — publish ISO-8601 text instead.
+    temporal = [i for i, (_, t) in enumerate(df.dtypes)
+                if t in ("date", "timestamp", "timestamp_ntz")]
+
+    def _vals(row):
+        vals = list(row)
+        for i in temporal:
+            if vals[i] is not None:
+                vals[i] = str(vals[i])  # ISO-8601 for both datetime and date
+        return tuple(vals)
+
     n = 0
     # toLocalIterator: streams one partition at a time to the driver
-    for chunk in _chunks((tuple(row) for row in df.toLocalIterator()), CHUNK):
+    for chunk in _chunks((_vals(row) for row in df.toLocalIterator()), CHUNK):
         con.executemany(sql, chunk)
         n += len(chunk)
     con.commit()

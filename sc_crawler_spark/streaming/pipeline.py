@@ -135,18 +135,20 @@ def stream_keep_last_upsert(events: DataFrame, state_dir: str,
     """
     from ..operators.upsert import merge_upsert
     from ..operators.windows import keep_last_dedup
+    from ..sinks.snapshot import read_snapshot, write_snapshot
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         deduped = keep_last_dedup(batch, pks, order_col)
         try:
-            current = spark.read.parquet(state_dir)
+            current = read_snapshot(spark, state_dir)
             merged = merge_upsert(current, deduped.select(*current.columns), pks)
         except Exception:  # first batch: no snapshot yet
             merged = deduped
-        merged.write.mode("overwrite").parquet(state_dir + "_next")
-        # atomic-ish swap: rewrite snapshot from staged copy
-        spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+        # versioned write + atomic pointer swap: a crash mid-write leaves
+        # the previous committed snapshot intact, so the checkpoint's
+        # replayed batch merges against complete state, never a truncation
+        write_snapshot(spark, merged, state_dir)
 
     return (
         events.writeStream.foreachBatch(_apply)

@@ -8,6 +8,7 @@ import os
 from pyspark.sql import functions as F
 
 from sc_crawler_spark import cli
+from sc_crawler_spark.sinks.snapshot import read_snapshot, write_snapshot
 
 
 def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
@@ -15,12 +16,12 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
 
     # pull seeds the static dims
     cli.cmd_pull(spark, lake)
-    assert spark.read.parquet(os.path.join(lake, "country")).count() > 30
-    assert spark.read.parquet(os.path.join(lake, "benchmark")).count() > 5
+    assert read_snapshot(spark, os.path.join(lake, "country")).count() > 30
+    assert read_snapshot(spark, os.path.join(lake, "benchmark")).count() > 5
 
     # pull again: idempotent (T5 inactivate+merge keeps everything active)
     cli.cmd_pull(spark, lake)
-    c = spark.read.parquet(os.path.join(lake, "country"))
+    c = read_snapshot(spark, os.path.join(lake, "country"))
     assert c.filter(F.col("status") == "inactive").count() == 0
 
     # hash: stable digests
@@ -35,13 +36,12 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
 
     # mutate the copy, sync back, digests converge
     path = os.path.join(lake2, "country")
-    mutated = spark.read.parquet(path).withColumn(
+    mutated = read_snapshot(spark, path).withColumn(
         "continent",
         F.when(F.col("country_id") == "US", F.lit("Mars"))
         .otherwise(F.col("continent")),
     ).filter(F.col("country_id") != "DE")
-    mutated.write.mode("overwrite").parquet(path + "_tmp")
-    spark.read.parquet(path + "_tmp").write.mode("overwrite").parquet(path)
+    write_snapshot(spark, mutated, path)
     assert cli.table_digest(spark, lake2, "country") != d1
 
     cli.cmd_sync(spark, lake, lake2, "country")
@@ -55,7 +55,8 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
     cli.cmd_dump(spark, lake, dump_dir, "country")
     assert os.path.exists(os.path.join(dump_dir, "country._schema.json"))
     dumped = spark.read.json(os.path.join(dump_dir, "country"))
-    assert dumped.count() == spark.read.parquet(os.path.join(lake, "country")).count()
+    n_country = read_snapshot(spark, os.path.join(lake, "country")).count()
+    assert dumped.count() == n_country
 
     # publish: one SQLite artifact with data tables + _metadata (K1/K5)
     import sqlite3
@@ -64,7 +65,24 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
     cli.cmd_publish(spark, lake, db, version="9.9.9")
     con = sqlite3.connect(db)
     n_sqlite = con.execute("SELECT count(*) FROM country").fetchone()[0]
-    assert n_sqlite == spark.read.parquet(os.path.join(lake, "country")).count()
+    assert n_sqlite == n_country
     meta = dict(con.execute("SELECT key, value FROM _metadata"))
     assert meta["sc_crawler_version"] == "9.9.9"
     con.close()
+
+
+def test_snapshot_atomic_swap_survives_garbage(spark, tmp_path):
+    """A crashed half-write (version dir without _SUCCESS, stale .tmp
+    pointer) must not affect readers: the committed pointer still
+    resolves to complete data."""
+    root = str(tmp_path / "t")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_snapshot(spark, df, root)
+    # simulate a crash mid-second-write: partial dir, no pointer swap
+    os.makedirs(os.path.join(root, "v-00000099"))
+    with open(os.path.join(root, "_CURRENT.tmp"), "w") as fh:
+        fh.write("v-00000099")
+    assert read_snapshot(spark, root).count() == 10
+    # next commit supersedes the junk version number and stays readable
+    write_snapshot(spark, df.filter("k < 5"), root)
+    assert read_snapshot(spark, root).count() == 5

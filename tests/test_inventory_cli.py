@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from sc_crawler_spark import cli
+from sc_crawler_spark.sinks.snapshot import read_snapshot
 
 
 def _instance(name, vcpus, mib):
@@ -63,11 +64,11 @@ def test_inventory_pull_and_repull(spark, tmp_path):
     )
     cli.cmd_inventory(spark, bronze, lake)
 
-    servers = spark.read.parquet(os.path.join(lake, "server"))
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
     assert servers.count() == 2
     assert set(servers.select("status").distinct().toPandas()["status"]) == {"active"}
 
-    prices = spark.read.parquet(os.path.join(lake, "server_price"))
+    prices = read_snapshot(spark, os.path.join(lake, "server_price"))
     # 2 catalog servers x 2 zones (J2 fan-out); unknown SKU dropped
     assert prices.count() == 4
     got = {(r["server_id"], r["zone_id"]): r["price"] for r in prices.collect()}
@@ -81,13 +82,56 @@ def test_inventory_pull_and_repull(spark, tmp_path):
         [_product("m5.large", "US East (N. Virginia)", 0.099)],
     )
     cli.cmd_inventory(spark, bronze, lake)
-    servers = spark.read.parquet(os.path.join(lake, "server"))
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
     by_id = {r["server_id"]: r for r in servers.collect()}
     assert by_id["m5.large"]["status"] == "active"
     assert by_id["m5.large"]["memory_amount"] == 16384
     assert by_id["c5.large"]["status"] == "inactive"
 
-    prices = spark.read.parquet(os.path.join(lake, "server_price"))
+    prices = read_snapshot(spark, os.path.join(lake, "server_price"))
     live = prices.filter(F.col("status") == "active")
     assert live.count() == 2
     assert {r["price"] for r in live.collect()} == {0.099}
+
+
+def _write_vendor_bronze(root, vendor, itype, price):
+    d = os.path.join(root, vendor)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "instance_types.json"), "w") as fh:
+        fh.write(_instance(itype, 2, 8192))
+    with open(os.path.join(d, "products.json"), "w") as fh:
+        fh.write(_product(itype, "US East (N. Virginia)", price))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-east-1",
+                             "name": "US East (N. Virginia)",
+                             "aliases": ["Virginia"]}))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-east-1",
+                             "zones": ["use1-az1"]}))
+
+
+def test_inventory_scope_is_per_vendor(spark, tmp_path):
+    """Pulling vendor B must NOT inactivate vendor A's rows (the
+    reference's UPDATE is vendor-scoped, tables.py:224-283)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    _write_vendor_bronze(bronze, "aws", "m5.large", 0.096)
+    _write_vendor_bronze(bronze, "emu", "e1.small", 0.010)
+    cli.cmd_inventory(spark, bronze, lake, vendor="aws")
+    cli.cmd_inventory(spark, bronze, lake, vendor="emu")
+
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
+    status = {(r["vendor_id"], r["server_id"]): r["status"]
+              for r in servers.collect()}
+    assert status == {("aws", "m5.large"): "active",
+                      ("emu", "e1.small"): "active"}
+
+    # re-pull ONLY aws with the instance gone: aws row flips, emu stays
+    _write_vendor_bronze(bronze, "aws", "m6.large", 0.10)
+    cli.cmd_inventory(spark, bronze, lake, vendor="aws")
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
+    status = {(r["vendor_id"], r["server_id"]): r["status"]
+              for r in servers.collect()}
+    assert status[("aws", "m5.large")] == "inactive"
+    assert status[("aws", "m6.large")] == "active"
+    assert status[("emu", "e1.small")] == "active"

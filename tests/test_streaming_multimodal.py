@@ -65,7 +65,8 @@ def test_stream_keep_last_upsert(spark, tmpdir):
         os.path.join(tmpdir, "ckpt2"), pks=["user_id"], order_col="ts",
     )
     q.awaitTermination(120)
-    snap = spark.read.parquet(state)
+    from sc_crawler_spark.sinks.snapshot import read_snapshot
+    snap = read_snapshot(spark, state)
     # one current row per user, and it's the latest event
     from sc_crawler_spark.queries.lifecycle import scd2_latest_event
 
