@@ -81,17 +81,30 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
         print(f"pull: {table}: {read_snapshot(spark, path).count()} rows")
 
 
-def table_digest(spark: SparkSession, lake: str, table: str) -> str:
-    """Content digest: sha1 over the sorted per-row hashes (T3 semantics;
-    ignores observed_at). Distributed row hashing; only the fixed-width
-    digests are collected."""
+def table_digest(spark: SparkSession, lake: str, table: str,
+                 buckets_hex: int = 4) -> str:
+    """Content digest (T3 semantics; ignores observed_at), computed fully
+    distributed: rows are bucketed by the first ``buckets_hex`` hex chars
+    of their row hash (content-based — independent of file layout, unlike
+    range-partitioner sampling), each bucket folds its sorted row hashes
+    into one sha1 JVM-side, and the driver folds only the ≤16^buckets_hex
+    bucket digests in bucket order. At 100 TB nothing row-sized ever
+    reaches the driver; raise ``buckets_hex`` to shrink per-bucket state."""
     df = _read(spark, lake, table)
     pks = schemas.PRIMARY_KEYS.get(table, df.columns[:1])
     hashed = with_row_hash(df, [c for c in pks if c in df.columns])
-    rows = hashed.select("row_sha").orderBy("row_sha").collect()
+    parts = (
+        hashed.select(F.substring("row_sha", 1, buckets_hex).alias("b"),
+                      "row_sha")
+        .groupBy("b")
+        .agg(F.sha1(F.concat_ws(
+            "", F.array_sort(F.collect_list("row_sha")))).alias("bucket_sha"))
+        .orderBy("b")
+        .collect()
+    )
     h = hashlib.sha1()  # noqa: S324 - content fingerprint
-    for r in rows:
-        h.update(r.row_sha.encode())
+    for r in parts:
+        h.update(f"{r.b}:{r.bucket_sha}".encode())
     return h.hexdigest()
 
 
