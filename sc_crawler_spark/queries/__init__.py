@@ -24,3 +24,16 @@ for mod in (tpch, lifecycle, pipeline, domain, extra):
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
     REGISTRY.update(mod.QUERIES)
+
+# The round driver checks queries in registry order and may cap how many
+# it runs (round 1 stopped at 50 of 52). Keep queries that are the SOLE
+# oracle evidence for an operator ID at the front; queries whose operator
+# IDs have redundant green coverage elsewhere go last.
+_PRIORITY = [
+    "config_tolerance_filter",   # P6 — skipped in round 1 (position 51)
+    "standardize_part_names",    # P9 — skipped in round 1 (position 52)
+]
+REGISTRY = {
+    n: REGISTRY[n]
+    for n in (*_PRIORITY, *[k for k in REGISTRY if k not in _PRIORITY])
+}
