@@ -30,8 +30,10 @@ for mod in (tpch, lifecycle, pipeline, domain, extra):
 # oracle evidence for an operator ID at the front; queries whose operator
 # IDs have redundant green coverage elsewhere go last.
 _PRIORITY = [
-    "config_tolerance_filter",   # P6 — skipped in round 1 (position 51)
-    "standardize_part_names",    # P9 — skipped in round 1 (position 52)
+    "config_tolerance_filter",     # P6 — skipped in round 1 (position 51)
+    "standardize_part_names",      # P9 — skipped in round 1 (position 52)
+    "workload_profiles_catalog",   # new: real catalog end-to-end
+    "workload_catalog_breakdown",  # new: per-component breakdown
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -178,7 +178,26 @@ FROM j GROUP BY user_id
 """
 
 
+def _catalog(spark, sf):
+    from ..workloads import workload_profiles_catalog
+    return workload_profiles_catalog(spark, sf)
+
+
+def _catalog_breakdown(spark, sf):
+    from ..workloads import workload_catalog_breakdown
+    return workload_catalog_breakdown(spark, sf)
+
+
+def _catalog_sqls():
+    from ..workloads import breakdown_oracle_sql, catalog_oracle_sql
+    return catalog_oracle_sql(), breakdown_oracle_sql()
+
+
+_CAT_SQL, _CAT_BD_SQL = _catalog_sqls()
+
 QUERIES = {
     "workload_scores": (workload_scores, WORKLOAD_SQL),
     "workload_breakdown": (workload_breakdown, _breakdown_sql()),
+    "workload_profiles_catalog": (_catalog, _CAT_SQL),
+    "workload_catalog_breakdown": (_catalog_breakdown, _CAT_BD_SQL),
 }

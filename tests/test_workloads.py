@@ -1,0 +1,104 @@
+"""Real workload-profile catalog (reference workload_profiles.py:125-470,
+workload_profile_scores.py:37-442; reconstruction property mirrors
+reference tests/test_workload_profile_scores.py:27-41)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sc_crawler_spark.workloads import (
+    ENTRIES,
+    N_VARIANTS,
+    VARIANTS,
+    WORKLOADS,
+    benchmark_scores,
+    workload_catalog_breakdown,
+    workload_profiles_catalog,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_catalog_shape_and_weights():
+    # weights within each workload sum to 1.0 (workload_profiles.py:9)
+    for wk, w in WORKLOADS.items():
+        total = sum(float(b[1]) for b in w["benchmarks"])
+        assert abs(total - 1.0) < 1e-9, (wk, total)
+    # global entry index order is the workload-key iteration order
+    assert [e["entry_idx"] for e in ENTRIES] == list(range(len(ENTRIES)))
+    # every entry has at least one exactly-matching variant
+    variant_cfgs = {(bid, cfg) for _, bid, cfg in VARIANTS}
+    assert N_VARIANTS == len(VARIANTS) == len(variant_cfgs)
+
+
+def test_fixture_is_deterministic(spark):
+    a = benchmark_scores(spark, SF).orderBy("vendor_id", "server_id",
+                                            "variant_id", "score").collect()
+    b = benchmark_scores(spark, SF).orderBy("vendor_id", "server_id",
+                                            "variant_id", "score").collect()
+    assert a == b and len(a) > 0
+
+
+def test_score_reconstruction_from_breakdown(spark):
+    """Rebuild each composite from its published per-component breakdown
+    the same way the reference test does: score ≈ 2^(Σ w·log2(norm) / Σ w)
+    over the component rows (normalized is 3-sig-fig rounded, so allow a
+    small relative tolerance)."""
+    scores = {
+        (r.vendor_id, r.server_id, r.benchmark_id): (r.score, r.coverage)
+        for r in workload_profiles_catalog(spark, SF).collect()
+    }
+    rows = workload_catalog_breakdown(spark, SF).collect()
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        by_group.setdefault(
+            (r.vendor_id, r.server_id, f"workload_profile:{r.workload_key}"),
+            []).append(r)
+    assert by_group, "breakdown produced no rows"
+    checked = 0
+    for key, comps in by_group.items():
+        score, coverage = scores[key]
+        log_sum = sum(r.weight * math.log2(r.normalized) for r in comps)
+        total_w = sum(r.weight for r in comps)
+        # IGNOREd components carry no weight; coverage is the kept weight
+        assert abs(total_w - coverage) < 1e-6, key
+        rebuilt = 2 ** (log_sum / total_w)
+        assert abs(rebuilt - score) / score < 0.02, (key, rebuilt, score)
+        checked += 1
+    assert checked == len(scores), "every composite row has breakdown rows"
+
+
+def test_config_subset_match_tolerance(spark):
+    """P6 float tolerance (1e-6) and subset semantics through the real
+    matching path: jittered configs inside tolerance match, mismatched
+    configs don't (reference _config_matches:79-99)."""
+    from sc_crawler_spark.workloads import _MATCH_SPARK
+
+    cases = [
+        # (config, filter, expect)
+        ('{"size":"1k","connections_per_vcpus":8.0000004,"x":"extra"}',
+         '{"connections_per_vcpus":8.0,"size":"1k"}', True),
+        ('{"size":"1k","connections_per_vcpus":8.01}',
+         '{"connections_per_vcpus":8.0,"size":"1k"}', False),
+        ('{"size":"64k","connections_per_vcpus":8.0}',
+         '{"connections_per_vcpus":8.0,"size":"1k"}', False),
+        ('{"size":"1k"}',  # missing filter key
+         '{"connections_per_vcpus":8.0,"size":"1k"}', False),
+        ('{"anything":1}', None, True),  # no filter matches all
+    ]
+    df = spark.createDataFrame(
+        [(c, f, e) for c, f, e in cases], ["config", "flt", "expect"])
+    got = df.withColumn("ok", F.expr(_MATCH_SPARK)).collect()
+    for r in got:
+        assert r.ok == r.expect, (r.config, r.flt)
+
+
+def test_llm_require_suppresses(spark):
+    """Servers missing a REQUIRE component have no llm row at all."""
+    cat = workload_profiles_catalog(spark, SF)
+    per_wk = {r.benchmark_id: r.cnt
+              for r in cat.groupBy("benchmark_id").agg(
+                  F.count("*").alias("cnt")).collect()}
+    assert per_wk["workload_profile:llm"] < per_wk["workload_profile:web"]
