@@ -185,11 +185,21 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     (P8) -> price assembly with zone fan-out (J2) -> merge-upsert into
     the lake with inactivate-missing (K1+T1). Invalid rows go to an
     error-side table, never fail the job.
+
+    GCP (``machine_types.json``, _gcp.py:289-350) and Azure
+    (``skus.json``, _azure.py:453-579) land server shapes through their
+    own standardizers; all vendors share the same silver merge path with
+    a per-vendor inactivation scope.
     """
     from .operators.validate import validate_items
     from .operators.windows import keep_last_dedup
     from .sources import aws
 
+    from .sources.catalog import VENDOR_SERVER_SPECS
+
+    if vendor == "azure" or vendor in VENDOR_SERVER_SPECS:
+        _inventory_catalog_vendor(spark, bronze, lake, vendor)
+        return
     vroot = os.path.join(bronze, vendor)
     raw = spark.read.schema(aws.RAW_INSTANCE_TYPE).json(
         os.path.join(vroot, "instance_types.json")
@@ -252,6 +262,67 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
                 pass
         _rewrite(spark, df, path)
         print(f"inventory: {table}: {read_snapshot(spark, path).count()} rows")
+
+
+_GCP_MACHINE_TYPE_SCHEMA = (
+    "id long, name string, description string, guest_cpus int, "
+    "memory_mb long, is_shared_cpu boolean, "
+    "accelerators array<struct<guest_accelerator_count:int,"
+    "guest_accelerator_type:string>>, deprecated struct<state:string>"
+)
+_AZURE_SKU_SCHEMA = (
+    "name string, family string, "
+    "capabilities array<struct<name:string,value:string>>"
+)
+
+
+def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
+                              vendor: str) -> None:
+    """GCP/Azure server inventory: bronze JSON -> standardize (P1) ->
+    validate (P8) -> vendor-scoped merge into the shared server table."""
+    from .operators.validate import validate_items
+    from .sources.azure import standardize_azure_servers
+    from .sources.catalog import standardize_catalog
+
+    vroot = os.path.join(bronze, vendor)
+    if vendor == "gcp":
+        raw = spark.read.schema(_GCP_MACHINE_TYPE_SCHEMA).json(
+            os.path.join(vroot, "machine_types.json"))
+        servers = standardize_catalog(raw, "gcp")
+    elif vendor == "azure":
+        raw = spark.read.schema(_AZURE_SKU_SCHEMA).json(
+            os.path.join(vroot, "skus.json"))
+        servers = standardize_azure_servers(raw)
+    else:  # long-tail catalog vendors: data-driven spec over servers.json
+        raw = spark.read.option("multiLine", "true").json(
+            os.path.join(vroot, "servers.json"))
+        servers = standardize_catalog(raw, vendor)
+    if "display_name" not in servers.columns:
+        # ScModel default: display_name falls back to the plan name
+        servers = servers.withColumn("display_name", F.col("name"))
+    valid, invalid = validate_items(servers, "server")
+
+    os.makedirs(lake, exist_ok=True)
+    path = _table_path(lake, "server")
+    df = valid
+    try:
+        current = read_snapshot(spark, path)
+        df = merge_upsert(
+            current, df.select(*current.columns), ["vendor_id", "server_id"],
+            inactivate_missing=True, scope=F.col("vendor_id") == vendor,
+        )
+    except Exception:
+        pass
+    _rewrite(spark, df, path)
+    if invalid.limit(1).count():
+        inv_path = _table_path(lake, "server_invalid")
+        try:
+            inv = read_snapshot(spark, inv_path).unionByName(
+                invalid, allowMissingColumns=True)
+        except Exception:
+            inv = invalid
+        _rewrite(spark, inv, inv_path)
+    print(f"inventory: server: {read_snapshot(spark, path).count()} rows")
 
 
 def cmd_publish(spark: SparkSession, lake: str, out: str,

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_AZURE_RE = r"^(Standard|Basic)_([A-Z]+)([0-9]+)(?:-([0-9]+))?([a-z]*)(?:_([A-Za-z]+))?(?:_v([0-9]+))?$"
+# accelerator spacers may be alphanumeric (A100, V620); the negative
+# lookahead keeps a trailing _v<N> as the version, not an accelerator
+_AZURE_RE = (r"^(Standard|Basic)_([A-Z]+)([0-9]+)(?:-([0-9]+))?([a-z]*)"
+             r"(?:_((?!v[0-9]+$)[A-Za-z0-9]+))?(?:_v([0-9]+))?$")
 
 
 def parse_azure_vm_name(name: Column) -> Column:
@@ -66,4 +69,153 @@ def azure_residual_filters(df, meter_col: str = "meterName",
         ~F.col(meter_col).contains("Low Priority")
         & ~F.col(product_col).endswith("Windows")
         & (F.col(price_col) > 0)
+    )
+
+
+# ------------------------------------------------ P1: VM SKU -> server rows
+
+# _azure.py:150-176 — lowercase name chars -> feature descriptions
+AZURE_SERVER_FEATURES = {
+    "a": "AMD processor", "p": "ARM processor",
+    "b": "Block Storage performance", "d": "Local Disk", "i": "Isolated",
+    "l": "Low Memory", "m": "Memory Intensive", "n": "Network Optimized",
+    "t": "Tiny Memory", "s": "Premium Storage capable", "r": "RDMA capable",
+    "e": "Memory Optimized", "x": "Unmatched Memory Capacity", "o": "o",
+}
+
+# GPU model -> memory in MiB (convert_gb_to_mib, utils.py:211-225)
+_AZURE_GPU_MEMORY = {
+    "T4": 16, "A10": 24, "M60": 8, "V620": 32, "V710": 24, "V100": 32,
+}
+
+
+def _cap(name: str) -> Column:
+    """Capability lookup over the SKU's name/value pairs
+    (_azure.py:504-508) — an array filter, not a Python loop."""
+    return F.expr(f"filter(capabilities, c -> c.name = '{name}')[0].value")
+
+
+def standardize_azure_servers(raw: DataFrame) -> DataFrame:
+    """P1 — the Azure VM standardization projection (_azure.py:453-579).
+
+    One declarative select over the raw SKU rows: name grammar via
+    `parse_azure_vm_name` (P10), capability lookups as array filters,
+    the manual GPU count/model/memory mapping of `_parse_server_name`
+    (_azure.py:347-451) as a flat CASE chain, and the synthesized
+    description (family + feature annotations + vCPUs). No UDFs; the
+    whole projection stays in whole-stage codegen.
+    """
+    p = parse_azure_vm_name(F.col("name"))
+    fam_name = p["family"]          # family from the NAME grammar
+    vc = p["vcpus"]                 # vcpus from the NAME (GPU mapping key)
+    accel = p["accelerator"]
+    # family override from the SKU listing (_azure.py:500-503)
+    fam = F.regexp_replace(
+        F.regexp_replace(F.col("family"), "(?i)^standard", ""),
+        "(?i)family$", "")
+
+    is_gpu_family = fam_name.isin("NC", "ND", "NG", "NV")
+    model = F.when(
+        is_gpu_family,
+        F.when(accel.isin(*_AZURE_GPU_MEMORY), accel)
+        .when((fam_name == "ND") & (vc == 40), F.lit("V100")),
+    )
+    mem_map = F.create_map(
+        *[F.lit(x) for kv in _AZURE_GPU_MEMORY.items()
+          for x in (kv[0], int(kv[1] * 1_000_000_000 / 1_048_576))]
+    )
+    gpu_mem = mem_map[model]  # MiB per GPU, NULL when model unknown
+    has_listed_accel = accel.isin("A100", "H100", "MI300X", "V620", "A10")
+    gpus = F.when(
+        ~is_gpu_family, F.lit(0.0)
+    ).when((fam_name == "NC") & (vc == 24) & ~F.coalesce(has_listed_accel, F.lit(False)), 4.0) \
+     .when((fam_name == "NC") & vc.isin(12, 48, 80), 2.0) \
+     .when((fam_name == "NC") & vc.isin(64, 96), 4.0) \
+     .when((fam_name == "ND") & (vc == 12), 2.0) \
+     .when((fam_name == "ND") & (vc == 24), 4.0) \
+     .when((fam_name == "ND") & vc.isin(40, 96), 8.0) \
+     .when((fam_name == "NG") & (vc == 8) & (model == "V620"), 1 / 4) \
+     .when((fam_name == "NG") & (vc == 16) & (model == "V620"), 1 / 2) \
+     .when((fam_name == "NV") & (vc == 4) & (model == "V710"), 1 / 6) \
+     .when((fam_name == "NV") & (vc == 4), 1 / 8) \
+     .when((fam_name == "NV") & (vc == 6) & (model == "A10"), 1 / 6) \
+     .when((fam_name == "NV") & (vc == 6), 1 / 2) \
+     .when((fam_name == "NV") & (vc == 8) & (model == "V710"), 1 / 3) \
+     .when((fam_name == "NV") & (vc == 8), 1 / 4) \
+     .when((fam_name == "NV") & (vc == 12) & (model == "A10"), 1 / 3) \
+     .when((fam_name == "NV") & (vc == 12) & (model == "V710"), 1 / 2) \
+     .when((fam_name == "NV") & (vc == 16), 1 / 2) \
+     .when((fam_name == "NV") & (vc == 18) & (model == "A10"), 1 / 2) \
+     .when((fam_name == "NV") & vc.isin(24, 72) & (model == "V710"), 1.0) \
+     .when((fam_name == "NV") & vc.isin(24, 72), 2.0) \
+     .when((fam_name == "NV") & (vc == 48), 4.0) \
+     .otherwise(1.0)
+
+    feat_map = F.create_map(
+        *[F.lit(x) for kv in AZURE_SERVER_FEATURES.items() for x in kv]
+    )
+    feats = F.filter(F.split(F.coalesce(p["features"], F.lit("")), ""),
+                     lambda c: c != "")
+    feature_tags = F.array_join(
+        F.transform(feats,
+                    lambda c: F.concat(F.lit(" ["),
+                                       F.coalesce(feat_map[c], c),
+                                       F.lit("]"))), "")
+    intel_tag = F.when(
+        F.exists(feats, lambda c: c.isin("a", "p")), F.lit("")
+    ).otherwise(F.lit(" [Intel processor]"))
+    vcpus_cap = _cap("vCPUs")
+    description = F.concat(
+        fam, F.lit(" family"), feature_tags, intel_tag,
+        F.lit(" "), vcpus_cap, F.lit(" vCPU"),
+        F.when(vcpus_cap.cast("int") > 1, F.lit("s")).otherwise(F.lit("")),
+    )
+
+    temp_gb = F.round(_cap("MaxResourceVolumeMB").cast("double") / 1e3, 0)
+    nvme_gb = F.round(
+        _cap("NvmeDiskSizeInMiB").cast("double") * 1024 * 1024 / 1e9, 0)
+    storages = F.filter(
+        F.array(
+            F.when(temp_gb.isNotNull(), F.struct(
+                temp_gb.cast("long").alias("size"),
+                F.lit("ssd").alias("storage_type"),
+                F.lit("temp disk").alias("description"))),
+            F.when(nvme_gb.isNotNull(), F.struct(
+                nvme_gb.cast("long").alias("size"),
+                F.lit("nvme ssd").alias("storage_type"),
+                F.lit(None).cast("string").alias("description"))),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+    gpu_valid = (gpus > 0) & gpu_mem.isNotNull()
+    return raw.select(
+        F.lit("azure").alias("vendor_id"),
+        F.col("name").alias("server_id"),
+        F.regexp_replace("name", "^Standard_", "").alias("name"),
+        description.alias("description"),
+        F.col("name").alias("api_reference"),
+        F.regexp_replace("name", "^Standard_", "").alias("display_name"),
+        fam.alias("family"),
+        _cap("vCPUsAvailable").cast("int").alias("vcpus"),
+        F.lit("Microsoft Hyper-V").alias("hypervisor"),
+        F.when(fam.startswith("B"), F.lit("Burstable"))
+        .otherwise(F.lit("Dedicated")).alias("cpu_allocation"),
+        F.when(_cap("CpuArchitectureType") == "Arm64", F.lit("arm64"))
+        .otherwise(F.lit("x86_64")).alias("cpu_architecture"),
+        (_cap("MemoryGB").cast("double") * 1024).alias("memory_amount"),
+        F.round(gpus, 4).alias("gpu_count"),
+        model.alias("gpu_model"),
+        F.when(~gpu_valid, F.lit(0))
+        .when(gpus <= 1, (gpu_mem * gpus).cast("long"))
+        .otherwise(gpu_mem.cast("long")).alias("gpu_memory_min"),
+        F.when(gpu_valid, (gpu_mem * gpus).cast("long"))
+        .otherwise(F.lit(0)).alias("gpu_memory_total"),
+        F.aggregate(storages, F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["size"]).alias("storage_size"),
+        storages.alias("storages"),
+        F.lit(0).alias("inbound_traffic"),
+        F.lit(0).alias("outbound_traffic"),
+        F.lit(0).alias("ipv4"),
+        F.lit("active").alias("status"),
     )

@@ -121,6 +121,49 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
             " ELSE coalesce(GPUMemorySize, 0) * 1024 END AS BIGINT)"
         ),
     },
+    # _gcp.py:289-350 machineTypes list: guest_cpus/memory_mb scalars,
+    # shared-core flag, optional accelerators block, deprecation state.
+    # t2a* is the ARM (Tau T2A) line (:311-315); family is the name's
+    # first dash segment (:298); GPU memory is unknown (NULL) when an
+    # accelerator is attached, 0 otherwise (:323-327).
+    "gcp": {
+        "server_id": "CAST(id AS STRING)",
+        "name": "name",
+        "api_reference": "name",
+        "display_name": "name",
+        "description": "description",
+        "family": "split(name, '-')[0]",
+        "vcpus": "CAST(guest_cpus AS INT)",
+        "cpu_allocation": (
+            "CASE WHEN is_shared_cpu THEN 'Shared' ELSE 'Dedicated' END"
+        ),
+        "cpu_architecture": (
+            "CASE WHEN name LIKE 't2a%' THEN 'arm64' ELSE 'x86_64' END"
+        ),
+        "memory_amount": "CAST(memory_mb AS BIGINT)",
+        "gpu_count": (
+            "CAST(CASE WHEN size(accelerators) > 0"
+            " THEN accelerators[0].guest_accelerator_count"
+            " ELSE 0 END AS INT)"
+        ),
+        "gpu_model": (
+            "CASE WHEN size(accelerators) > 0"
+            " THEN accelerators[0].guest_accelerator_type END"
+        ),
+        "gpu_memory_min": (
+            "CAST(CASE WHEN size(accelerators) > 0 THEN NULL"
+            " ELSE 0 END AS BIGINT)"
+        ),
+        "gpu_memory_total": (
+            "CAST(CASE WHEN size(accelerators) > 0 THEN NULL"
+            " ELSE 0 END AS BIGINT)"
+        ),
+        "storage_size": "CAST(0 AS BIGINT)",
+        "status": (
+            "CASE WHEN coalesce(deprecated.state, '') = ''"
+            " THEN 'active' ELSE 'inactive' END"
+        ),
+    },
 }
 
 # Catalog-level row gates applied before projection (P5 residual
@@ -144,10 +187,13 @@ def standardize_catalog(raw: DataFrame, vendor_id: str,
     gate = VENDOR_SERVER_FILTERS.get(vendor_id)
     if gate is not None:
         raw = raw.filter(gate)
-    return raw.selectExpr(
+    out = raw.selectExpr(
         f"'{vendor_id}' AS vendor_id",
         *[f"{expr} AS {col}" for col, expr in spec.items()],
-    ).withColumn("status", F.lit("active"))
+    )
+    if "status" not in spec:  # vendors with a deprecation flag set their own
+        out = out.withColumn("status", F.lit("active"))
+    return out
 
 
 # Hetzner's manual CPU mapping (_hcloud.py:41-70) as a literal dim.

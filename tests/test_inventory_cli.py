@@ -135,3 +135,61 @@ def test_inventory_scope_is_per_vendor(spark, tmp_path):
     assert status[("aws", "m5.large")] == "inactive"
     assert status[("aws", "m6.large")] == "active"
     assert status[("emu", "e1.small")] == "active"
+
+
+def test_inventory_gcp_azure_hcloud_e2e(spark, tmp_path):
+    """Non-AWS vendors land through their own standardizers into the
+    shared server table (P1 for GCP _gcp.py:289-350, Azure
+    _azure.py:453-579, data-driven spec for hcloud)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    os.makedirs(os.path.join(bronze, "gcp"))
+    with open(os.path.join(bronze, "gcp", "machine_types.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 3001, "name": "n2-standard-4", "description": "4/16",
+            "guest_cpus": 4, "memory_mb": 16384, "is_shared_cpu": False,
+            "deprecated": {"state": ""}}) + "\n")
+        fh.write(json.dumps({
+            "id": 3002, "name": "e2-micro", "description": "shared",
+            "guest_cpus": 2, "memory_mb": 1024, "is_shared_cpu": True,
+            "deprecated": {"state": ""}}))
+    os.makedirs(os.path.join(bronze, "azure"))
+    with open(os.path.join(bronze, "azure", "skus.json"), "w") as fh:
+        fh.write(json.dumps({
+            "name": "Standard_B2s", "family": "standardBSFamily",
+            "capabilities": [
+                {"name": "vCPUs", "value": "2"},
+                {"name": "vCPUsAvailable", "value": "2"},
+                {"name": "MemoryGB", "value": "4"},
+                {"name": "CpuArchitectureType", "value": "x64"}]}))
+    os.makedirs(os.path.join(bronze, "hcloud"))
+    with open(os.path.join(bronze, "hcloud", "servers.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 22, "name": "cx22", "cores": 2, "memory": 4.0,
+            "disk": 40, "cpu_type": "shared", "architecture": "x86"}))
+
+    for v in ("gcp", "azure", "hcloud"):
+        cli.cmd_inventory(spark, bronze, lake, vendor=v)
+
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
+    rows = {(r["vendor_id"], r["server_id"]): r for r in servers.collect()}
+    assert set(rows) == {("gcp", "3001"), ("gcp", "3002"),
+                         ("azure", "Standard_B2s"), ("hcloud", "22")}
+    assert all(r["status"] == "active" for r in rows.values())
+    assert rows[("azure", "Standard_B2s")]["cpu_allocation"] == "Burstable"
+    assert rows[("hcloud", "22")]["memory_amount"] == 4096
+
+    # re-pull gcp without e2-micro: only the gcp row flips inactive
+    with open(os.path.join(bronze, "gcp", "machine_types.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 3001, "name": "n2-standard-4", "description": "4/16",
+            "guest_cpus": 4, "memory_mb": 16384, "is_shared_cpu": False,
+            "deprecated": {"state": ""}}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="gcp")
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
+    status = {(r["vendor_id"], r["server_id"]): r["status"]
+              for r in servers.collect()}
+    assert status[("gcp", "3002")] == "inactive"
+    assert status[("gcp", "3001")] == "active"
+    assert status[("azure", "Standard_B2s")] == "active"
+    assert status[("hcloud", "22")] == "active"

@@ -149,3 +149,113 @@ def test_alicloud_instance_types(spark):
     assert gpu8["gpu_memory_total"] == 8 * 40 * 1024   # multi: per-GPU x n
     assert gpu8["cpu_architecture"] == "arm64"
     assert gpu8["storage_size"] == int(1 * 1788 * 1024**3 / 1000**3)
+
+
+# ---------------------------------------------------- GCP + Azure (P1)
+
+def test_gcp_machine_type_standardization(spark):
+    """Mock machineTypes payloads in the reference's test style
+    (_gcp.py:289-350)."""
+    rows = [
+        (3001, "n2-standard-4", "4 vCPUs 16 GB RAM", 4, 16384, False,
+         None, {"state": ""}),
+        (3002, "e2-micro", "shared-core", 2, 1024, True, None, {"state": ""}),
+        (3003, "t2a-standard-8", "Ampere Altra ARM", 8, 32768, False,
+         None, {"state": ""}),
+        (3004, "a2-highgpu-1g", "1x A100", 12, 87040, False,
+         [{"guest_accelerator_count": 1,
+           "guest_accelerator_type": "nvidia-tesla-a100"}], {"state": ""}),
+        (3005, "n1-standard-1", "legacy", 1, 3840, False, None,
+         {"state": "DEPRECATED"}),
+    ]
+    schema = ("id long, name string, description string, guest_cpus int, "
+              "memory_mb long, is_shared_cpu boolean, "
+              "accelerators array<struct<guest_accelerator_count:int,"
+              "guest_accelerator_type:string>>, "
+              "deprecated struct<state:string>")
+    raw = spark.createDataFrame(rows, schema)
+    out = {r["server_id"]: r for r in
+           standardize_catalog(raw, "gcp").collect()}
+    assert out["3001"]["family"] == "n2"
+    assert out["3001"]["cpu_allocation"] == "Dedicated"
+    assert out["3001"]["memory_amount"] == 16384
+    assert out["3002"]["cpu_allocation"] == "Shared"
+    assert out["3003"]["cpu_architecture"] == "arm64"
+    assert out["3001"]["cpu_architecture"] == "x86_64"
+    assert out["3004"]["gpu_count"] == 1
+    assert out["3004"]["gpu_model"] == "nvidia-tesla-a100"
+    assert out["3004"]["gpu_memory_total"] is None   # unknown, not 0
+    assert out["3001"]["gpu_memory_total"] == 0      # no GPU -> 0
+    assert out["3005"]["status"] == "inactive"
+    assert out["3001"]["status"] == "active"
+
+
+def _azure_sku(name, family, caps):
+    return (name, family,
+            [{"name": k, "value": str(v)} for k, v in caps.items()])
+
+
+def test_azure_vm_standardization(spark):
+    """Mock SKU payloads mirroring _azure.py:453-579's docstring example
+    (Standard_L80as_v3) plus GPU-mapped sizes."""
+    from sc_crawler_spark.sources.azure import standardize_azure_servers
+
+    rows = [
+        _azure_sku("Standard_L80as_v3", "standardLASv3Family", {
+            "MaxResourceVolumeMB": 819200, "vCPUs": 80,
+            "MemoryGB": 640, "CpuArchitectureType": "x64",
+            "vCPUsAvailable": 80, "NvmeDiskSizeInMiB": 18310546,
+        }),
+        _azure_sku("Standard_NC24ads_A100_v4", "standardNCADSA100v4Family", {
+            "vCPUs": 24, "MemoryGB": 220, "CpuArchitectureType": "x64",
+            "vCPUsAvailable": 24,
+        }),
+        _azure_sku("Standard_NV12ads_A10_v5", "standardNVADSA10v5Family", {
+            "vCPUs": 12, "MemoryGB": 110, "CpuArchitectureType": "x64",
+            "vCPUsAvailable": 12,
+        }),
+        _azure_sku("Standard_B2s", "standardBSFamily", {
+            "vCPUs": 2, "MemoryGB": 4, "CpuArchitectureType": "x64",
+            "vCPUsAvailable": 2,
+        }),
+        _azure_sku("Standard_D2ps_v5", "standardDPSv5Family", {
+            "vCPUs": 2, "MemoryGB": 8, "CpuArchitectureType": "Arm64",
+            "vCPUsAvailable": 2,
+        }),
+        _azure_sku("Standard_ND40rs_v2", "standardNDSv2Family", {
+            "vCPUs": 40, "MemoryGB": 672, "CpuArchitectureType": "x64",
+            "vCPUsAvailable": 40,
+        }),
+    ]
+    schema = ("name string, family string, "
+              "capabilities array<struct<name:string,value:string>>")
+    raw = spark.createDataFrame(rows, schema)
+    out = {r["server_id"]: r for r in standardize_azure_servers(raw).collect()}
+
+    l80 = out["Standard_L80as_v3"]
+    assert l80["name"] == "L80as_v3"
+    assert l80["family"] == "LASv3"
+    assert l80["vcpus"] == 80
+    assert l80["memory_amount"] == 640 * 1024
+    # temp disk 819 GB + NVMe round(18310546 MiB -> GB) = 19200
+    assert [s["storage_type"] for s in l80["storages"]] == ["ssd", "nvme ssd"]
+    assert l80["storage_size"] == 819 + 19200
+    assert "AMD processor" in l80["description"]
+    assert "Intel" not in l80["description"]
+    assert l80["description"].endswith("80 vCPUs")
+
+    nc = out["Standard_NC24ads_A100_v4"]
+    assert nc["gpu_count"] == 1.0       # A100 listed -> not the 4x K80 case
+    assert nc["gpu_model"] is None      # A100 memory not in the name map
+    nv = out["Standard_NV12ads_A10_v5"]
+    assert nv["gpu_model"] == "A10"
+    assert nv["gpu_count"] == round(1 / 3, 4)
+    nd = out["Standard_ND40rs_v2"]
+    assert nd["gpu_model"] == "V100"
+    assert nd["gpu_count"] == 8.0
+    assert nd["gpu_memory_min"] == int(32 * 1e9 / 1048576)
+    assert nd["gpu_memory_total"] == 8 * int(32 * 1e9 / 1048576)
+
+    assert out["Standard_B2s"]["cpu_allocation"] == "Burstable"
+    assert out["Standard_D2ps_v5"]["cpu_architecture"] == "arm64"
+    assert "ARM processor" in out["Standard_D2ps_v5"]["description"]
