@@ -304,3 +304,254 @@ def parse_passmark_yaml(spark: SparkSession, glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["server_id", "metric", "value"])
 
     return raw.mapInPandas(_parse, out_schema)
+
+
+# ------------------------------------------- S6: lscpu/lshw/lsblk/openssl
+
+LSCPU_SCHEMA = (
+    "lscpu array<struct<field:string,data:string,"
+    "children:array<struct<field:string,data:string>>>>"
+)
+
+
+def read_lscpu_json(spark: SparkSession, glob: str) -> DataFrame:
+    """S6 — ``lscpu -J`` stdout -> one typed row per server
+    (inspector.py:147-157, 1276-1340): vcpus, physical cores, raw model
+    name (P9 standardization happens in ``enrich_servers``), CPU speed
+    from the ``@ X.XGHz`` suffix, manufacturer/family detection,
+    BogoMIPS, flags. Native JSON + explode — no UDF."""
+    raw = (
+        spark.read.schema(LSCPU_SCHEMA).json(glob)
+        .withColumn("server_id", _server_from_path())
+    )
+    fields = raw.select(
+        "server_id",
+        F.explode(
+            F.flatten(F.array(
+                F.transform("lscpu", lambda e: F.struct(
+                    e["field"].alias("field"), e["data"].alias("data"))),
+                F.flatten(F.transform(
+                    "lscpu",
+                    lambda e: F.coalesce(
+                        F.transform(e["children"], lambda c: F.struct(
+                            c["field"].alias("field"), c["data"].alias("data"))),
+                        F.array().cast(
+                            "array<struct<field:string,data:string>>"),
+                    ))),
+            ))
+        ).alias("kv"),
+    ).select("server_id", F.col("kv.field").alias("field"),
+             F.col("kv.data").alias("data"))
+
+    def fld(name):
+        return F.first(F.when(F.col("field") == name, F.col("data")),
+                       ignorenulls=True)
+
+    model = fld("Model name:")
+    return fields.groupBy("server_id").agg(
+        fld("CPU(s):").cast("int").alias("vcpus"),
+        (fld("Core(s) per socket:").cast("int")
+         * fld("Socket(s):").cast("int")).alias("cpu_cores"),
+        model.alias("cpu_model_raw"),
+        F.regexp_extract(model, r" @ ([0-9\.]*)GHz$", 1)
+        .cast("double").alias("cpu_speed"),
+        # manufacturer/family token scan (inspector.py:1296-1322)
+        F.when(F.lower(model).contains("intel"), "Intel")
+        .when(F.lower(model).contains("amd"), "AMD")
+        .when(F.lower(model).contains("ampere"), "Ampere")
+        .alias("cpu_manufacturer"),
+        F.when(F.lower(model).contains("xeon"), "Xeon")
+        .when(F.lower(model).contains("epyc"), "EPYC")
+        .when(F.lower(model).contains("altra"), "Altra")
+        .alias("cpu_family"),
+        F.round(fld("BogoMIPS:").cast("double")).alias("bogomips"),
+        F.split(fld("Flags:"), " ").alias("cpu_flags"),
+    )
+
+
+LSBLK_SCHEMA = (
+    "blockdevices array<struct<name:string,size:long,rota:boolean,"
+    "type:string,tran:string,model:string>>"
+)
+
+
+def read_lsblk_json(spark: SparkSession, glob: str) -> DataFrame:
+    """S6 — ``lsblk -J -b`` stdout -> one row per physical disk
+    (inspector.py:178-190, 1182-1220): type='disk' rows only,
+    rota -> hdd, nvme transport -> 'nvme ssd', else ssd; size bytes ->
+    GB. Native JSON + explode."""
+    raw = (
+        spark.read.schema(LSBLK_SCHEMA).json(glob)
+        .withColumn("server_id", _server_from_path())
+    )
+    d = raw.select("server_id",
+                   F.explode("blockdevices").alias("d")).filter(
+        F.col("d.type") == "disk")
+    return d.select(
+        "server_id",
+        F.col("d.name").alias("name"),
+        (F.col("d.size") / F.lit(1e9)).cast("long").alias("size_gb"),
+        F.when(F.col("d.rota"), "hdd")
+        .when(F.col("d.tran") == "nvme", "nvme ssd")
+        .otherwise("ssd").alias("storage_type"),
+        F.col("d.model").alias("model"),
+    )
+
+
+def storage_summary(disks: DataFrame) -> DataFrame:
+    """storage_type of the LARGEST disk + total size per server
+    (inspector.py:1211-1219)."""
+    return disks.groupBy("server_id").agg(
+        F.max_by("storage_type", "size_gb").alias("storage_type"),
+        F.sum("size_gb").alias("storage_size"),
+        F.count("*").alias("n_disks"),
+    )
+
+
+OPENSSL_SCHEMA = "algo string, block_size long, speed double"
+
+
+def read_openssl_json(spark: SparkSession, glob: str) -> DataFrame:
+    """S6 — openssl parsed.json -> benchmark rows with
+    config={algo, block_size}, score=speed (inspector.py:478-494)."""
+    return (
+        spark.read.schema(OPENSSL_SCHEMA).json(glob)
+        .withColumn("server_id", _server_from_path())
+        .select("server_id",
+                F.lit("openssl").alias("benchmark_id"),
+                "algo", "block_size",
+                F.col("speed").cast("double").alias("score"))
+    )
+
+
+def read_lshw_json(spark: SparkSession, glob: str) -> DataFrame:
+    """S6 — lshw JSON (recursively nested ``children``) -> one row per
+    server with the memory amount (inspector_helpers.py:123-161:
+    first ``memory*`` node's size, else the sum of its ``bank*``
+    children). Arbitrary-depth recursion has no Spark schema, so this is
+    a per-FILE Arrow-batched parse like yaml/xml — the corpus is one
+    file per server, never row-scale Python."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+    )
+    out_schema = StructType([
+        StructField("server_id", StringType()),
+        StructField("memory_amount_mib", DoubleType()),
+    ])
+
+    def _find(obj):
+        if isinstance(obj, list):
+            for o in obj:
+                v = _find(o)
+                if v is not None:
+                    return v
+            return None
+        if not isinstance(obj, dict):
+            return None
+        if obj.get("id", "").lower().startswith("memory"):
+            size = obj.get("size")
+            if isinstance(size, int) and size > 0:
+                return size // 1024**2
+            banks = sum(
+                c.get("size", 0) for c in obj.get("children", []) or []
+                if isinstance(c, dict)
+                and c.get("id", "").lower().startswith("bank")
+                and isinstance(c.get("size"), int) and c.get("size") > 0
+            )
+            if banks > 0:
+                return banks // 1024**2
+        for child in obj.get("children", []) or []:
+            v = _find(child)
+            if v is not None:
+                return v
+        return None
+
+    def _parse(it):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for server_id, text in zip(pdf["server_id"], pdf["value"]):
+                try:
+                    mib = _find(_json.loads(text))
+                except ValueError:
+                    mib = None
+                rows.append((server_id,
+                             float(mib) if mib is not None else None))
+            yield pd.DataFrame(rows,
+                               columns=["server_id", "memory_amount_mib"])
+
+    return raw.mapInPandas(_parse, out_schema)
+
+
+def read_lstopo_xml(spark: SparkSession, glob: str) -> DataFrame:
+    """S9 — hwloc lstopo XML -> (server_id, memory_amount_mib, n_cores)
+    (inspector_helpers.py:92-120: sum of Misc/MemoryModule Size KiB where
+    Type is RAM; inspector_helpers.py:150-157: Core element count).
+    Same per-file ElementTree pattern as nvidia-smi."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+    )
+    out_schema = StructType([
+        StructField("server_id", StringType()),
+        StructField("memory_amount_mib", DoubleType()),
+        StructField("n_cores", IntegerType()),
+    ])
+
+    def _parse(it):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for server_id, text in zip(pdf["server_id"], pdf["value"]):
+                try:
+                    root = ET.fromstring(text)
+                except ET.ParseError:
+                    continue
+                total_kib = 0
+                n_cores = 0
+                for elem in root.iter():
+                    if elem.get("type") == "Core":
+                        n_cores += 1
+                    if (elem.get("type") == "Misc"
+                            and elem.get("subtype") == "MemoryModule"):
+                        infos = {i.get("name"): i.get("value")
+                                 for i in elem.iter("info")}
+                        if infos.get("Type") not in (None, "RAM"):
+                            continue
+                        try:
+                            total_kib += int(infos.get("Size", ""))
+                        except ValueError:
+                            continue
+                rows.append((server_id,
+                             float(total_kib // 1024) if total_kib > 0 else None,
+                             n_cores))
+            yield pd.DataFrame(
+                rows,
+                columns=["server_id", "memory_amount_mib", "n_cores"])
+
+    return raw.mapInPandas(_parse, out_schema)
+
+
+def memory_amount_actual(lstopo: DataFrame | None,
+                         lshw: DataFrame | None) -> DataFrame:
+    """The reference's fallback chain lstopo -> lshw
+    (inspector.py:1344-1351) as a coalesced outer join."""
+    if lstopo is None:
+        return lshw.select("server_id", F.col("memory_amount_mib")
+                           .alias("memory_amount_actual"))
+    if lshw is None:
+        return lstopo.select("server_id", F.col("memory_amount_mib")
+                             .alias("memory_amount_actual"))
+    a = lstopo.select("server_id",
+                      F.col("memory_amount_mib").alias("_topo"))
+    b = lshw.select("server_id", F.col("memory_amount_mib").alias("_lshw"))
+    return a.join(b, "server_id", "full_outer").select(
+        "server_id",
+        F.coalesce("_topo", "_lshw").alias("memory_amount_actual"))

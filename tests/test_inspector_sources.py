@@ -198,3 +198,107 @@ def test_nvidia_smi_xml(spark, tmp_path):
     assert all(r["server_id"] == "g5.xlarge" for r in rows)
     assert all(r["product_name"] == "NVIDIA A10G" for r in rows)
     assert all(r["memory_total_mib"] == 22888.0 for r in rows)
+
+
+# ------------------------- S6/S9 remainder: lscpu/lsblk/openssl/lshw/lstopo
+
+@pytest.fixture(scope="module")
+def hw_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hw_corpus")
+    d = root / "aws" / "m1.small"
+    d.mkdir(parents=True)
+    (d / "lscpu.json").write_text(json.dumps({"lscpu": [
+        {"field": "CPU(s):", "data": "8"},
+        {"field": "Core(s) per socket:", "data": "4"},
+        {"field": "Socket(s):", "data": "1"},
+        {"field": "Model name:",
+         "data": "Intel(R) Xeon(R) Platinum 8375C CPU @ 2.90GHz"},
+        {"field": "BogoMIPS:", "data": "5799.87"},
+        {"field": "Flags:", "data": "fpu vme sse avx512f"},
+        {"field": "Caches (sum of all):", "data": None, "children": [
+            {"field": "L1d:", "data": "192 KiB (4 instances)"}]},
+    ]}))
+    (d / "lsblk.json").write_text(json.dumps({"blockdevices": [
+        {"name": "nvme0n1", "size": 512110190592, "rota": False,
+         "type": "disk", "tran": "nvme", "model": "Amazon EC2 NVMe"},
+        {"name": "sdb", "size": 1000204886016, "rota": True,
+         "type": "disk", "tran": "sata", "model": "ST1000"},
+        {"name": "nvme0n1p1", "size": 511000000000, "rota": False,
+         "type": "part", "tran": "nvme", "model": None},
+    ]}))
+    (d / "openssl.json").write_text("\n".join(json.dumps(w) for w in [
+        {"algo": "AES-256-CBC", "block_size": 16384, "speed": 1588838.74},
+        {"algo": "AES-256-CBC", "block_size": 64, "speed": 996482.5},
+        {"algo": "sha256", "block_size": 16384, "speed": 2202661.19},
+    ]))
+    (d / "lshw.json").write_text(json.dumps({
+        "id": "server", "children": [
+            {"id": "core", "children": [
+                {"id": "memory", "size": 0, "children": [
+                    {"id": "bank:0", "size": 17179869184},
+                    {"id": "bank:1", "size": 17179869184},
+                    {"id": "proc", "size": 123}]},
+            ]}]}))
+    (d / "lstopo.xml").write_text("""<topology>
+      <object type="Machine">
+        <object type="Package">
+          <object type="Core" os_index="0"/>
+          <object type="Core" os_index="1"/>
+        </object>
+        <object type="Misc" subtype="MemoryModule">
+          <info name="Type" value="RAM"/><info name="Size" value="16777216"/>
+        </object>
+        <object type="Misc" subtype="MemoryModule">
+          <info name="Type" value="RAM"/><info name="Size" value="16777216"/>
+        </object>
+        <object type="Misc" subtype="MemoryModule">
+          <info name="Type" value="Flash"/><info name="Size" value="999999"/>
+        </object>
+      </object>
+    </topology>""")
+    return str(root)
+
+
+def test_read_lscpu_json(spark, hw_corpus):
+    row = insp.read_lscpu_json(spark, f"{hw_corpus}/*/*/lscpu.json").collect()[0]
+    assert row["server_id"] == "m1.small"
+    assert row["vcpus"] == 8
+    assert row["cpu_cores"] == 4
+    assert row["cpu_speed"] == 2.9
+    assert row["cpu_manufacturer"] == "Intel"
+    assert row["cpu_family"] == "Xeon"
+    assert row["bogomips"] == 5800.0      # rounded, inspector.py:350
+    assert "avx512f" in row["cpu_flags"]
+
+
+def test_read_lsblk_and_summary(spark, hw_corpus):
+    disks = insp.read_lsblk_json(spark, f"{hw_corpus}/*/*/lsblk.json")
+    rows = {r["name"]: r for r in disks.collect()}
+    assert set(rows) == {"nvme0n1", "sdb"}          # partitions excluded
+    assert rows["nvme0n1"]["storage_type"] == "nvme ssd"
+    assert rows["sdb"]["storage_type"] == "hdd"
+    summ = insp.storage_summary(disks).collect()[0]
+    assert summ["storage_type"] == "hdd"            # largest disk wins
+    assert summ["storage_size"] == 512 + 1000
+    assert summ["n_disks"] == 2
+
+
+def test_read_openssl_json(spark, hw_corpus):
+    rows = insp.read_openssl_json(
+        spark, f"{hw_corpus}/*/*/openssl.json").collect()
+    assert len(rows) == 3
+    aes = [r for r in rows
+           if r["algo"] == "AES-256-CBC" and r["block_size"] == 16384][0]
+    assert aes["score"] == 1588838.74
+    assert aes["benchmark_id"] == "openssl"
+
+
+def test_lshw_lstopo_memory_chain(spark, hw_corpus):
+    lshw = insp.read_lshw_json(spark, f"{hw_corpus}/*/*/lshw.json")
+    assert lshw.collect()[0]["memory_amount_mib"] == 32768.0  # bank sum
+    topo = insp.read_lstopo_xml(spark, f"{hw_corpus}/*/*/lstopo.xml")
+    t = topo.collect()[0]
+    assert t["memory_amount_mib"] == 32768.0  # 2x16 GiB RAM, Flash ignored
+    assert t["n_cores"] == 2
+    chain = insp.memory_amount_actual(topo, lshw).collect()[0]
+    assert chain["memory_amount_actual"] == 32768.0
