@@ -344,6 +344,44 @@ def cmd_publish(spark: SparkSession, lake: str, out: str,
     print(json.dumps({"published": counts, "path": out}))
 
 
+def cmd_metadata(db: str, action: str, entries: list[str] | None = None,
+                 version: str = "0.1.0") -> None:
+    """The reference's standalone ``metadata`` command surface
+    (cli.py:242-279): ``get`` prints the ``_metadata`` KV table;
+    ``set`` upserts key=value pairs, always stamping
+    ``sc_crawler_version`` and ``published_at`` (plus ``published_by``
+    from GitHub Actions env when present). Driver-side sqlite — the
+    metadata table is KV-sized, never cluster work."""
+    import sqlite3
+    from datetime import datetime, timezone
+
+    con = sqlite3.connect(db)
+    try:
+        con.execute('CREATE TABLE IF NOT EXISTS "_metadata" '
+                    "(key TEXT PRIMARY KEY, value TEXT)")
+        if action == "get":
+            print(json.dumps(dict(
+                con.execute('SELECT key, value FROM "_metadata" ORDER BY key')
+            ), indent=2))
+            return
+        rows = [("sc_crawler_version", version),
+                ("published_at", str(datetime.now(timezone.utc)))]
+        gh = ("GITHUB_SERVER_URL", "GITHUB_REPOSITORY", "GITHUB_RUN_ID")
+        if all(v in os.environ for v in gh):
+            rows.append(("published_by", "{}/{}/actions/runs/{}".format(
+                *[os.environ[v] for v in gh])))
+        for item in entries or []:
+            key, _, value = item.partition("=")
+            rows.append((key.strip(), value.strip()))
+        con.executemany(
+            'INSERT INTO "_metadata" (key, value) VALUES (?, ?) '
+            "ON CONFLICT (key) DO UPDATE SET value=excluded.value", rows)
+        con.commit()
+        print(json.dumps({"set": len(rows)}))
+    finally:
+        con.close()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="sc-crawler-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -380,7 +418,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--version", default="0.1.0")
 
+    p = sub.add_parser("metadata", help="get/set the _metadata KV table")
+    p.add_argument("action", choices=["get", "set"])
+    p.add_argument("--db", required=True)
+    p.add_argument("--version", default="0.1.0")
+    p.add_argument("entries", nargs="*",
+                   help="key=value pairs for `set`")
+
     args = ap.parse_args(argv)
+    if args.cmd == "metadata":  # pure sqlite — no SparkSession spin-up
+        cmd_metadata(args.db, args.action, args.entries, args.version)
+        return
     spark = get_spark("sc-crawler-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "pull":

@@ -86,3 +86,26 @@ def test_snapshot_atomic_swap_survives_garbage(spark, tmp_path):
     # next commit supersedes the junk version number and stays readable
     write_snapshot(spark, df.filter("k < 5"), root)
     assert read_snapshot(spark, root).count() == 5
+
+
+def test_metadata_get_set_roundtrip(tmp_path, capsys, monkeypatch):
+    db = str(tmp_path / "sc.db")
+    monkeypatch.setenv("GITHUB_SERVER_URL", "https://github.example")
+    monkeypatch.setenv("GITHUB_REPOSITORY", "org/repo")
+    monkeypatch.setenv("GITHUB_RUN_ID", "42")
+    cli.cmd_metadata(db, "set", ["publisher=Spare Cores", "license=BSL"],
+                     version="9.9.9")
+    capsys.readouterr()
+    cli.cmd_metadata(db, "get")
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["publisher"] == "Spare Cores"
+    assert meta["license"] == "BSL"
+    assert meta["sc_crawler_version"] == "9.9.9"
+    assert meta["published_by"] == "https://github.example/org/repo/actions/runs/42"
+    assert "published_at" in meta
+    # set again: upsert, not duplicate
+    cli.cmd_metadata(db, "set", ["license=MIT"], version="9.9.9")
+    capsys.readouterr()
+    cli.cmd_metadata(db, "get")
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["license"] == "MIT"
