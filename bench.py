@@ -55,13 +55,16 @@ HEADLINE = [
     "workload_scores",
 ]
 
-# scale subset: single-fact-table queries so the NxN union isolates
-# fact-volume scaling (dims stay 1x, like a real lake).
-SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs"]
+# scale subset: scan-agg, sessionization, dedup, join-agg, per-key
+# window — facts unioned Nx; dims stay 1x (like a real lake), so fact
+# keys into dims (o_custkey) are NOT offset while fact-to-fact keys
+# (l_orderkey = o_orderkey) offset consistently and stay joinable.
+SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
+                 "q5_local_supplier_volume", "top1_order_per_customer"]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
     "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
+    "orders": ["o_orderkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
 }
