@@ -156,3 +156,64 @@ def stream_keep_last_upsert(events: DataFrame, state_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_best_scores_tws(events: DataFrame) -> DataFrame:
+    """§2.11 — the same running-best operator on Spark 4's
+    ``transformWithStateInPandas`` (the successor of
+    ``applyInPandasWithState``): ValueState per (user, event_type),
+    object-store-backed via the RocksDB state store provider. This is
+    the API the 100 TB deployment should prefer — RocksDB state scales
+    past executor memory and supports incremental checkpointing; the
+    session must set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider``.
+
+    Env gate: the TWS python worker requires ``google.protobuf`` (its
+    state-server wire protocol), which this container lacks — the test
+    importorskips there; ``stateful_best_scores`` (applyInPandasWithState)
+    is the covered fallback with identical semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("best", DoubleType()),
+        StructField("n_obs", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("best", DoubleType()),
+        StructField("n_obs", LongType()),
+    ])
+
+    class BestScore(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("best", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            best, n = self._state.get() if self._state.exists() else (None, 0)
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    m = float(vals.max())
+                    best = m if best is None or m > best else best
+                    n += int(len(vals))
+            self._state.update((best, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "event_type": [key[1]],
+                 "best": [best], "n_obs": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=BestScore(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

