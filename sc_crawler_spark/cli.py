@@ -146,6 +146,9 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
         out_table = table
         result = merge_upsert(tgt, apply_rows, pks)
     _rewrite(spark, result, _table_path(target, out_table))
+    # hash_diff cached its (pk, sha) projections for the 3-way diff; the
+    # sync is done, so release them (a long-lived service leaks otherwise)
+    spark.catalog.clearCache()
 
 
 def cmd_dump(spark: SparkSession, lake: str, out: str,

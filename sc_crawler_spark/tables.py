@@ -32,6 +32,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # self-sufficient and never depends on how the session was built.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # oracle parity convention: timestamps are UTC-naive in the lake
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # read-only conf store (shouldn't happen) — fall through to read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
