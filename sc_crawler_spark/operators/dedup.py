@@ -271,3 +271,52 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embed_near_dup(df: DataFrame, vec_col: str, id_col: str,
+                   threshold: float, n_planes: int = 24, n_bands: int = 8,
+                   dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine ≥
+    threshold) — the semantic-dedup tier of the dedup family.
+
+    Candidates come from the same random-hyperplane banded LSH as the
+    similarity tier (never all-pairs: a pair is considered only if it
+    shares a band bucket; expected bucket size |corpus|/2^bits), then the
+    exact cosine verifies. Scale path = widen bands with corpus size.
+    """
+    from .similarity import hyperplane_signs, lsh_signatures
+    from ..functions.vectors import as_double, dot, norm
+
+    planes = hyperplane_signs(n_planes, dim)
+    chunk = n_planes // n_bands
+    sigs = lsh_signatures(df, vec_col, id_col, planes)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.substring("lsh_sig", i * chunk + 1, chunk).alias("sig"))
+            for i in range(n_bands)
+        ])).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    v = v.withColumn("n", norm(F.col("v")))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("n").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("n").alias("nb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos_sim", dround(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

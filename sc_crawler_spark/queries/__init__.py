@@ -34,6 +34,7 @@ _PRIORITY = [
     "standardize_part_names",      # P9 — skipped in round 1 (position 52)
     "workload_profiles_catalog",   # new: real catalog end-to-end
     "workload_catalog_breakdown",  # new: per-component breakdown
+    "dedup_embed_cosine",          # new: embedding-cosine near-dup tier
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,

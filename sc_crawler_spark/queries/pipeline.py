@@ -432,6 +432,55 @@ WHERE rank <= {k}
 """
 
 
+
+
+def dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings fixture.
+
+    Threshold 0.45 is FIXTURE-scaled (the synthetic vectors are near-
+    orthogonal; max pairwise cosine ≈ 0.51) — production semantic dedup
+    runs the same operator at ~0.9. LSH-bucketed candidates, exact
+    verify; oracle embeds the identical hyperplane matrix."""
+    from ..operators.dedup import embed_near_dup
+
+    emb = load(spark, sf, "embeddings")
+    return embed_near_dup(emb, "embedding", "vec_id", threshold=0.45,
+                          n_planes=24, n_bands=8, dim=64)
+
+
+def _embed_near_dup_sql(threshold: float = 0.45, n_planes: int = 24,
+                        n_bands: int = 8, dim: int = 64) -> str:
+    planes = similarity.hyperplane_signs(n_planes, dim)
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(f"{float(s)}" for s in plane)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    chunk = n_planes // n_bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, substr(sig, {i * chunk + 1}, {chunk}) AS s FROM sigs"
+        for i in range(n_bands)
+    )
+    cos = sql_round(
+        "list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v))"
+        " * sqrt(list_inner_product(c.v, c.v)))", 6)
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, {bit_exprs} AS sig FROM vecs),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos_sim
+FROM cand JOIN vecs q ON q.vec_id = id_a
+          JOIN vecs c ON c.vec_id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
@@ -441,6 +490,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "dedup_embed_cosine": (dedup_embed_cosine, _embed_near_dup_sql()),
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),

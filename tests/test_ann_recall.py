@@ -37,3 +37,31 @@ def test_ann_recall_at_5(spark):
     assert r_lsh >= 0.8, f"LSH recall@5 regressed: {r_lsh:.3f}"  # measured 0.88
     assert r_ivf >= 0.8, f"IVF recall@5 regressed: {r_ivf:.3f}"  # measured 0.82
     print(f"recall@5 lsh={r_lsh:.3f} ivf={r_ivf:.3f}")
+
+
+def test_embed_near_dup_pair_recall(spark):
+    """The LSH-bucketed near-dup tier must find every pair the exact
+    all-pairs scan finds at the fixture threshold (14/14 measured)."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.dedup import embed_near_dup
+    from sc_crawler_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+    approx = {(r.id_a, r.id_b)
+              for r in embed_near_dup(emb, "embedding", "vec_id",
+                                      threshold=0.45).collect()}
+    from sc_crawler_spark.functions.vectors import as_double, dot, norm
+    v = emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v"))
+    v = v.withColumn("n", norm(F.col("v")))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"))
+    exact = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb")))
+             .filter(F.col("cos") >= 0.45).collect()}
+    assert exact, "fixture has near-dup pairs at the test threshold"
+    assert approx == exact  # full pair recall at fixture scale
