@@ -331,10 +331,18 @@ def _scored_frame(spark: SparkSession, sf: str) -> DataFrame:
     medians = best.groupBy("entry_idx").agg(
         F.percentile(F.col("best_score"), F.lit(0.5)).alias("median_score")
     )
-    servers = best.select("vendor_id", "server_id").distinct()
+    # One row per server holding its entry->best map (≤35 entries), then
+    # a broadcast nested loop over the 35-row entry dim + map lookup.
+    # This avoids a sort-merge join of two server×entry-sized sides: the
+    # only wide-side shuffle is the (vendor, server) aggregate.
+    best_maps = best.groupBy("vendor_id", "server_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("entry_idx", "best_score"))).alias("_m")
+    )
     frame = (
-        servers.crossJoin(F.broadcast(entries_df(spark)))
-        .join(best, ["vendor_id", "server_id", "entry_idx"], "left")
+        best_maps.crossJoin(F.broadcast(entries_df(spark)))
+        .withColumn("best_score", F.element_at("_m", F.col("entry_idx")))
+        .drop("_m")
         .join(F.broadcast(medians), "entry_idx", "left")
     )
     ratio = F.when(F.col("hib"),

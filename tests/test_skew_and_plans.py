@@ -42,6 +42,10 @@ PLAN_GUARDED = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "top1_order_per_customer", "hash_diff_sync", "workload_scores",
     "dedup_minhash_lsh", "sku_prefix_join",
+    # round 2: catalog scoring (servers x entries frame must stay a
+    # BroadcastNestedLoopJoin over the 35-row dim, never a cartesian)
+    "workload_profiles_catalog", "workload_catalog_breakdown",
+    "dedup_embed_cosine",
 ]
 
 
