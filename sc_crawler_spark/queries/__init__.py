@@ -35,6 +35,7 @@ _PRIORITY = [
     "workload_profiles_catalog",   # new: real catalog end-to-end
     "workload_catalog_breakdown",  # new: per-component breakdown
     "dedup_embed_cosine",          # new: embedding-cosine near-dup tier
+    "training_set_select",         # new: dedup+quality+langid composition
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,

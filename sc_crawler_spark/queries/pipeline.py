@@ -481,11 +481,79 @@ WHERE {cos} >= {threshold}
 """
 
 
+
+
+def training_set_select(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-set selection the pipeline operators exist
+    for, over the cloned corpus (designed duplicates): keep a document
+    iff it (a) survives exact dedup (clone losers drop), (b) scores
+    quality >= 0.7, (c) language-IDs as English with >= 2 marker hits.
+    One corpus scan feeds dedup + quality; lang-ID joins a broadcast
+    marker lexicon — the composition adds no shuffle beyond its parts."""
+    corpus = _docs_with_clones(spark, sf)
+    survivors = dedup.exact_dedup(corpus, "text", "doc_id").select("doc_id")
+    markers = spark.sql(
+        f"SELECT * FROM VALUES {_MARKER_VALUES} AS t(cand_lang, marker)"
+    )
+    toks = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "cand_lang").agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang"))
+    lang = (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("cand_lang").alias("pred_lang"), "n_hits"))
+    n_tok = F.size(tokens(F.col("text")))
+    scored = corpus.select(
+        "doc_id",
+        dround(quality_score(F.col("text")).cast("double"), 6).alias("quality"),
+        n_tok.alias("n_tokens"),
+    )
+    return (
+        scored.join(survivors, "doc_id", "left_semi")
+        .join(lang, "doc_id")
+        .filter((F.col("quality") >= 0.7) & (F.col("pred_lang") == "en")
+                & (F.col("n_hits") >= 2))
+        .select("doc_id", "quality", "n_tokens", "pred_lang")
+    )
+
+
+TRAINING_SET_SQL = f"""
+WITH {_CORPUS_SQL},
+markers(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
+toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM corpus),
+hits AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+  FROM toks JOIN markers ON tok = marker
+  GROUP BY doc_id, cand_lang
+),
+lang AS (
+  SELECT doc_id, cand_lang AS pred_lang, n_hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY n_hits DESC, cand_lang) AS rn FROM hits) WHERE rn = 1
+),
+survivors AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)),
+scored AS (
+  SELECT doc_id, {sql_round(QUALITY_EXPR.replace("FROM documents", ""), 6)} AS quality,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM corpus
+)
+SELECT s.doc_id, s.quality, s.n_tokens, l.pred_lang
+FROM scored s
+JOIN survivors USING (doc_id)
+JOIN lang l USING (doc_id)
+WHERE s.quality >= 0.7 AND l.pred_lang = 'en' AND l.n_hits >= 2
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
