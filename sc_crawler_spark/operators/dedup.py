@@ -320,3 +320,57 @@ def embed_near_dup(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def chunk_boilerplate_dedup(df: DataFrame, text_col: str, id_col: str,
+                            chunk_tokens: int = 10,
+                            max_doc_freq: int = 2) -> DataFrame:
+    """Paragraph/boilerplate removal (CCNet-style, fixed token windows):
+    drop every ``chunk_tokens``-token chunk that appears in >=
+    ``max_doc_freq`` distinct documents, reassemble the rest in order.
+
+    Relational end-to-end: positional explode -> chunk aggregate ->
+    corpus-wide frequency -> anti-filter -> ordered re-aggregate. Two
+    groupBys + one join, all partial-agg friendly; nothing is ever
+    all-pairs, and chunk state is bounded by corpus vocabulary (hash the
+    chunk text for the frequency key at petabyte scale).
+
+    Output: (id, clean_sha = md5 of the reassembled text or NULL when
+    every chunk was boilerplate, n_chunks_kept, n_chunks_dropped).
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).withColumn("chunk_id", F.floor(F.col("pos") / chunk_tokens))
+    chunks = toks.groupBy(id_col, "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"]),
+            " ").alias("chunk_text")
+    )
+    freq = chunks.groupBy("chunk_text").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    kept = chunks.join(freq, "chunk_text").filter(
+        F.col("n_docs") < max_doc_freq)
+    out = kept.groupBy(id_col).agg(
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"]),
+            " ")).alias("clean_sha"),
+        F.count("*").alias("n_chunks_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("_n_chunks"))
+    return (
+        totals.join(out, id_col, "left")
+        .select(
+            id_col,
+            "clean_sha",
+            F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
+            (F.col("_n_chunks")
+             - F.coalesce("n_chunks_kept", F.lit(0))).alias("n_chunks_dropped"),
+        )
+    )

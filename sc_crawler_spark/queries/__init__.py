@@ -36,6 +36,7 @@ _PRIORITY = [
     "workload_catalog_breakdown",  # new: per-component breakdown
     "dedup_embed_cosine",          # new: embedding-cosine near-dup tier
     "training_set_select",         # new: dedup+quality+langid composition
+    "dedup_boilerplate_chunks",    # new: CCNet-style chunk boilerplate
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,
@@ -44,6 +45,9 @@ _TAIL = [
     "anti_join_no_orders",
     "keep_last_dedup_lineitem",
     "except_building_buyers",
+    "argmax_customer_per_nation",   # W1 covered by top1_order_per_customer
+    "dim_join_enrichment",          # J1 covered by every broadcast join
+    "price_quartiles",              # percentile covered by exact_median_price
     "q17_small_quantity_revenue",
 ]
 REGISTRY = {

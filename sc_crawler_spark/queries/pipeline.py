@@ -548,12 +548,56 @@ WHERE s.quality >= 0.7 AND l.pred_lang = 'en' AND l.n_hits >= 2
 """
 
 
+
+
+def dedup_boilerplate_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level boilerplate removal over the cloned corpus: chunks
+    shared by >= 2 docs (the designed exact clones) are dropped, the
+    rest reassembled in order (CCNet-style paragraph dedup on 10-token
+    windows)."""
+    from ..operators.dedup import chunk_boilerplate_dedup
+
+    corpus = _docs_with_clones(spark, sf)
+    return chunk_boilerplate_dedup(corpus, "text", "doc_id",
+                                   chunk_tokens=10, max_doc_freq=2)
+
+
+BOILERPLATE_SQL = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+  FROM corpus
+),
+chunks AS (
+  SELECT doc_id, CAST(floor((ord - 1) / 10) AS BIGINT) AS chunk_id,
+         string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+  FROM toks GROUP BY 1, 2
+),
+freq AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs
+         FROM chunks GROUP BY 1),
+kept AS (SELECT c.* FROM chunks c JOIN freq USING (chunk_text)
+         WHERE n_docs < 2),
+reassembled AS (
+  SELECT doc_id, md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS clean_sha,
+         COUNT(*) AS n_chunks_kept
+  FROM kept GROUP BY 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1)
+SELECT t.doc_id, r.clean_sha,
+       CAST(COALESCE(r.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept,
+       CAST(t.n_chunks - COALESCE(r.n_chunks_kept, 0) AS BIGINT) AS n_chunks_dropped
+FROM totals t LEFT JOIN reassembled r USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
+    "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
