@@ -149,13 +149,17 @@ def main() -> None:
         spark_s = {}
         duck_s = {}
         for name in SCALE_QUERIES:
-            best = float("inf")
-            for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name][0](spark, s16_dir).count()  # build INCLUDED
+            best = time.perf_counter() - t0
+            if best < 5.0:  # re-run only cheap queries; bound wall time
                 t0 = time.perf_counter()
-                REGISTRY[name][0](spark, s16_dir).count()  # build INCLUDED
+                REGISTRY[name][0](spark, s16_dir).count()
                 best = min(best, time.perf_counter() - t0)
             spark_s[name] = round(best, 3)
-            duck_s[name] = round(_duckdb_time(REGISTRY[name][1], s16_dir), 3)
+            duck_s[name] = round(_duckdb_time(
+                REGISTRY[name][1], s16_dir,
+                reps=2 if best < 5.0 else 1), 3)
         scale |= {
             "spark_sec": round(sum(spark_s.values()), 3),
             "duckdb_sec": round(sum(duck_s.values()), 3),
