@@ -297,8 +297,9 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
             os.path.join(vroot, "skus.json"))
         servers = standardize_azure_servers(raw)
     else:  # long-tail catalog vendors: data-driven spec over servers.json
-        raw = spark.read.option("multiLine", "true").json(
-            os.path.join(vroot, "servers.json"))
+        # bronze convention is JSON Lines (one payload per line), like
+        # every other vendor landing in this tree
+        raw = spark.read.json(os.path.join(vroot, "servers.json"))
         servers = standardize_catalog(raw, vendor)
     if "display_name" not in servers.columns:
         # ScModel default: display_name falls back to the plan name

@@ -51,6 +51,11 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
             " ELSE 'Dedicated' END"
         ),
         "cpu_speed": "CAST(cpu_mhz AS DOUBLE) / 1000",
+        # Grace (ARM) is the only non-x86 family (_vultr.py:411-413)
+        "cpu_architecture": (
+            "CASE WHEN coalesce(cpu_family, '') = 'Grace'"
+            " THEN 'arm64' ELSE 'x86_64' END"
+        ),
         "memory_amount": "CAST(ram AS BIGINT)",
         "storage_size": "CAST(disk AS BIGINT)",
     },
@@ -62,6 +67,7 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
         "name": "name",
         "api_reference": "name",
         "vcpus": "CAST(core_number AS INT)",
+        "cpu_architecture": "'x86_64'",  # _upcloud.py:415
         "memory_amount": "CAST(memory_amount AS BIGINT)",
         "storage_size": "CAST(storage_size AS BIGINT)",
     },
@@ -79,6 +85,7 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
             " THEN 'Shared' ELSE 'Dedicated' END"
         ),
         "cpu_speed": "CAST(blobs.technical.cpu.frequency AS DOUBLE)",
+        "cpu_architecture": "'x86_64'",  # _ovh.py:714
         "memory_amount": (
             "CAST(blobs.technical.memory.size * 1024 AS BIGINT)"
         ),

@@ -193,3 +193,35 @@ def test_inventory_gcp_azure_hcloud_e2e(spark, tmp_path):
     assert status[("gcp", "3001")] == "active"
     assert status[("azure", "Standard_B2s")] == "active"
     assert status[("hcloud", "22")] == "active"
+
+
+def test_inventory_vultr_and_invalid_side_table(spark, tmp_path):
+    """The generic servers.json path works for flat specs (vultr), and
+    rows failing validation land in server_invalid instead of aborting
+    (P8 quarantine semantics)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    os.makedirs(os.path.join(bronze, "vultr"))
+    with open(os.path.join(bronze, "vultr", "servers.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": "vc2-1c-1gb", "vcpu_count": 1, "cpu_count": None,
+            "cpu_threads": None, "cpu_mhz": 2400, "ram": 1024,
+            "disk": 25, "cpu_family": None}) + "\n")
+        # invalid: no vcpu/cpu counts at all -> vcpus NULL -> quarantined
+        fh.write(json.dumps({
+            "id": "broken-sku", "vcpu_count": None, "cpu_count": None,
+            "cpu_threads": None, "cpu_mhz": None, "ram": 512, "disk": 10,
+            "cpu_family": None}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="vultr")
+
+    servers = read_snapshot(spark, os.path.join(lake, "server"))
+    rows = {r["server_id"]: r for r in servers.collect()}
+    assert set(rows) == {"vc2-1c-1gb"}
+    assert rows["vc2-1c-1gb"]["vcpus"] == 1
+    assert rows["vc2-1c-1gb"]["cpu_speed"] == 2.4
+    assert rows["vc2-1c-1gb"]["cpu_allocation"] == "Shared"
+
+    invalid = read_snapshot(spark, os.path.join(lake, "server_invalid"))
+    bad = invalid.collect()
+    assert len(bad) == 1 and bad[0]["server_id"] == "broken-sku"
+    assert "vcpus" in bad[0]["_errors"]

@@ -34,11 +34,12 @@ def test_hcloud_standardize_and_cpu_lookup(spark):
 def test_vultr_shared_vs_metal(spark):
     raw = spark.createDataFrame(
         [
-            ("vc2-1c-1gb", 1, None, None, None, 1024, 25),
-            ("vbm-8c-132gb", None, 16, 8, 3000, 131072, 960),
+            ("vc2-1c-1gb", 1, None, None, None, 1024, 25, None),
+            ("vbm-8c-132gb", None, 16, 8, 3000, 131072, 960, None),
+            ("vcg-grace-1c", 1, None, None, None, 2048, 30, "Grace"),
         ],
         "id string, vcpu_count int, cpu_threads int, cpu_count int, "
-        "cpu_mhz int, ram long, disk int",
+        "cpu_mhz int, ram long, disk int, cpu_family string",
     )
     out = {r["server_id"]: r for r in standardize_catalog(raw, "vultr").collect()}
     shared, metal = out["vc2-1c-1gb"], out["vbm-8c-132gb"]
@@ -48,6 +49,8 @@ def test_vultr_shared_vs_metal(spark):
     assert metal["cpu_cores"] == 8
     assert metal["cpu_speed"] == 3.0   # MHz -> GHz
     assert metal["memory_amount"] == 131072
+    assert shared["cpu_architecture"] == "x86_64"
+    assert out["vcg-grace-1c"]["cpu_architecture"] == "arm64"
 
 
 def test_upcloud_plan_passthrough(spark):
