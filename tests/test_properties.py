@@ -71,3 +71,33 @@ def test_keep_last_dedup_is_python_dict_semantics(spark, rows):
     for k, v in rows:
         want[k] = v
     assert got == want
+
+
+def test_chunk_boilerplate_semantics(spark):
+    """Exact-clone pairs lose every chunk; unique docs keep every chunk;
+    kept + dropped always equals the doc's chunk count."""
+    from sc_crawler_spark.operators.dedup import chunk_boilerplate_dedup
+
+    uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    boiler = "one two three four five six seven eight nine ten " \
+             "cold unique tail words here only in doc three end stop"
+    rows = [(1, boiler), (2, boiler),                 # exact clones
+            (3, uniq)]                                # unique
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           chunk_boilerplate_dedup(df, "text", "doc_id",
+                                   chunk_tokens=10, max_doc_freq=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # both clones: every 10-token chunk appears in 2 docs -> all dropped
+    for d in (1, 2):
+        assert out[d].n_chunks_kept == 0
+        assert out[d].n_chunks_dropped == 3   # 21 tokens -> 3 chunks
+        assert out[d].clean_sha is None
+    # unique doc: everything kept, reassembly is deterministic
+    assert out[3].n_chunks_kept == 2 and out[3].n_chunks_dropped == 0
+    again = {r.doc_id: r.clean_sha for r in
+             chunk_boilerplate_dedup(df, "text", "doc_id",
+                                     chunk_tokens=10,
+                                     max_doc_freq=2).collect()}
+    assert again[3] == out[3].clean_sha is not None
