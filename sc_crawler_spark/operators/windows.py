@@ -67,3 +67,47 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("session_id", F.sum(is_new).over(running))
+
+
+def as_of_join(left: DataFrame, right: DataFrame, keys: list[str],
+               left_ts: str, right_ts: str,
+               value_cols: list[str]) -> DataFrame:
+    """As-of join: for each left row, the LATEST right row with
+    ``right_ts <= left_ts`` per key (DuckDB/kdb ASOF semantics).
+
+    Scalable formulation: tag both sides, union on the shared key, one
+    window pass ordered by (ts, side) with right-before-left at equal
+    timestamps (that makes the match inclusive), and ``last(...,
+    ignorenulls)`` carries the most recent right values forward. ONE
+    shuffle on the key — no range explosion, no per-row subquery, no
+    broadcast requirement on either side; skewed keys split fine under
+    AQE because the window is per-key sequential anyway.
+
+    ``right`` must be unique per (keys, right_ts) — pre-aggregate with
+    ``max_by`` to make ties deterministic. Right value columns must not
+    contain NULLs (a NULL would be skipped by ignorenulls and silently
+    fall back to an older row).
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = right.select(
+        *keys, F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"asof_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "asof_ts",
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")),
+               ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("_side") == 1)
+        .drop("_ts", "_side", *[f"_r_{c}" for c in value_cols])
+    )

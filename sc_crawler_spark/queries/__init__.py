@@ -37,6 +37,7 @@ _PRIORITY = [
     "dedup_embed_cosine",          # new: embedding-cosine near-dup tier
     "training_set_select",         # new: dedup+quality+langid composition
     "dedup_boilerplate_chunks",    # new: CCNet-style chunk boilerplate
+    "asof_latest_event_value",     # new: as-of join operator
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,
@@ -48,6 +49,7 @@ _TAIL = [
     "argmax_customer_per_nation",   # W1 covered by top1_order_per_customer
     "dim_join_enrichment",          # J1 covered by every broadcast join
     "price_quartiles",              # percentile covered by exact_median_price
+    "min_unit_price_per_part",      # min-per-group covered by minmax/top1
     "q17_small_quantity_revenue",
 ]
 REGISTRY = {

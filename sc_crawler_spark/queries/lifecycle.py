@@ -224,6 +224,55 @@ SELECT action, count(*) AS n FROM diff GROUP BY action
 """
 
 
+
+
+# --------------------------------------------------------- as-of join (T4+)
+
+def asof_latest_event_value(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each order picks the user's LATEST event value at or
+    before the order date (operators/windows.as_of_join — tagged-union +
+    one window pass, single shuffle; DuckDB's native ASOF JOIN is the
+    oracle). Users map onto customers via ``o_custkey % 150``; events
+    pre-aggregate with max_by so equal-timestamp ties are deterministic.
+    """
+    from ..operators.windows import as_of_join
+
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        "o_orderdate",
+    )
+    joined = as_of_join(orders, ev, ["user_id"], "o_orderdate", "ts",
+                        ["value"])
+    return joined.select(
+        "o_orderkey", "user_id",
+        dround(F.col("asof_value"), 6).alias("asof_value"),
+        F.col("asof_ts").alias("asof_ts"),
+    )
+
+
+ASOF_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE value IS NOT NULL GROUP BY user_id, ts
+),
+o AS (
+  SELECT o_orderkey, o_custkey % 150 AS user_id, o_orderdate FROM orders
+)
+SELECT o.o_orderkey, o.user_id,
+       {sql_round("ev.value", 6)} AS asof_value,
+       ev.ts AS asof_ts
+FROM o ASOF LEFT JOIN ev
+  ON o.user_id = ev.user_id AND ev.ts <= o.o_orderdate
+"""
+
+
 QUERIES = {
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
     "sync_stats": (sync_stats, SYNC_STATS_SQL),
@@ -232,4 +281,5 @@ QUERIES = {
     "session_counts": (session_counts, SESSION_SQL),
     "running_user_value": (running_user_value, RUNNING_SQL),
     "tumbling_daily_stats": (tumbling_daily_stats, TUMBLING_SQL),
+    "asof_latest_event_value": (asof_latest_event_value, ASOF_SQL),
 }

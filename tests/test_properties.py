@@ -101,3 +101,21 @@ def test_chunk_boilerplate_semantics(spark):
                                      chunk_tokens=10,
                                      max_doc_freq=2).collect()}
     assert again[3] == out[3].clean_sha is not None
+
+
+def test_as_of_join_semantics(spark):
+    """Inclusive <= matching, pre-first-event NULLs, and latest-wins
+    across keys (DuckDB ASOF semantics)."""
+    from sc_crawler_spark.operators.windows import as_of_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 1.5), (1, 20, 2.5), (2, 5, 9.0)], "k long, t long, v double")
+    left = spark.createDataFrame(
+        [(1, 15, 100), (1, 20, 101), (1, 3, 102), (2, 50, 103)],
+        "k long, t long, row long")
+    out = {r.row: (r.asof_v, r.asof_ts)
+           for r in as_of_join(left, right, ["k"], "t", "t", ["v"]).collect()}
+    assert out[100] == (1.5, 10)     # between events -> earlier one
+    assert out[101] == (2.5, 20)     # equal timestamp matches (inclusive)
+    assert out[102] == (None, None)  # before first event
+    assert out[103] == (9.0, 5)      # other key unaffected
