@@ -111,3 +111,30 @@ def as_of_join(left: DataFrame, right: DataFrame, keys: list[str],
         filled.filter(F.col("_side") == 1)
         .drop("_ts", "_side", *[f"_r_{c}" for c in value_cols])
     )
+
+
+def range_join_buckets(left: DataFrame, right: DataFrame, keys: list[str],
+                       left_ts: str, right_ts: str,
+                       window_days: int = 1) -> DataFrame:
+    """Range join: pair each left row with every right row whose
+    timestamp falls in ``[left_ts - window_days, left_ts]`` (inclusive).
+
+    Scalable formulation: the left side explodes into the (window_days
+    + 1) DAY BUCKETS its window covers, the join is an EQUI-join on
+    (keys, day) — never an inequality join that degenerates to a
+    cartesian per key — and the exact range predicate filters residually.
+    Work is |left|·(window+1) + |matches|; day-bucket skew splits under
+    AQE like any other equi-join key.
+    """
+    days = F.sequence(
+        F.to_date(F.col(left_ts) - F.expr(f"INTERVAL {window_days} DAYS")),
+        F.to_date(F.col(left_ts)),
+    )
+    lt = left.withColumn("_day", F.explode(days))
+    rt = right.withColumn("_day", F.to_date(F.col(right_ts)))
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {window_days} DAYS")
+    return (
+        lt.join(rt, [*keys, "_day"])
+        .filter(F.col(right_ts).between(lo, F.col(left_ts)))
+        .drop("_day")
+    )

@@ -38,6 +38,7 @@ _PRIORITY = [
     "training_set_select",         # new: dedup+quality+langid composition
     "dedup_boilerplate_chunks",    # new: CCNet-style chunk boilerplate
     "asof_latest_event_value",     # new: as-of join operator
+    "range_join_event_window",     # new: bucketed range join
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,
@@ -50,6 +51,7 @@ _TAIL = [
     "dim_join_enrichment",          # J1 covered by every broadcast join
     "price_quartiles",              # percentile covered by exact_median_price
     "min_unit_price_per_part",      # min-per-group covered by minmax/top1
+    "distinct_part_counts",         # A14 also covered by operator tests
     "q17_small_quantity_revenue",
 ]
 REGISTRY = {

@@ -273,6 +273,46 @@ FROM o ASOF LEFT JOIN ev
 """
 
 
+
+
+def range_join_event_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: for each PURCHASE event, count + sum of the same
+    user's event values in the 24h window ending at the purchase
+    (operators/windows.range_join_buckets — day-bucket equi-join +
+    residual range filter, never an inequality join; DuckDB's native
+    range join is the oracle)."""
+    from ..operators.windows import range_join_buckets
+    from ..functions.scalars import decimal_sum
+
+    ev = (load(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "ts", "value"))
+    purchases = (load(spark, sf, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id",
+                         F.col("ts").alias("p_ts")))
+    j = range_join_buckets(purchases, ev, ["user_id"], "p_ts", "ts",
+                           window_days=1)
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_events"),
+             dround(decimal_sum(F.col("value")).cast("double"), 4)
+             .alias("window_value"))
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT p.event_id, p.user_id,
+       COUNT(*) AS n_events,
+       {sql_round("CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS window_value
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+WHERE p.event_type = 'purchase' AND e.value IS NOT NULL
+GROUP BY p.event_id, p.user_id
+"""
+
+
 QUERIES = {
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
     "sync_stats": (sync_stats, SYNC_STATS_SQL),
@@ -282,4 +322,5 @@ QUERIES = {
     "running_user_value": (running_user_value, RUNNING_SQL),
     "tumbling_daily_stats": (tumbling_daily_stats, TUMBLING_SQL),
     "asof_latest_event_value": (asof_latest_event_value, ASOF_SQL),
+    "range_join_event_window": (range_join_event_window, RANGE_JOIN_SQL),
 }

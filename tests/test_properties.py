@@ -119,3 +119,23 @@ def test_as_of_join_semantics(spark):
     assert out[101] == (2.5, 20)     # equal timestamp matches (inclusive)
     assert out[102] == (None, None)  # before first event
     assert out[103] == (9.0, 5)      # other key unaffected
+
+
+def test_range_join_buckets_semantics(spark):
+    """Inclusive window bounds, cross-day coverage, key isolation."""
+    from sc_crawler_spark.operators.windows import range_join_buckets
+
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 23:00:00", 1.0),   # previous day, inside 24h
+         (1, "2024-01-02 12:00:00", 2.0),   # same day, inside
+         (1, "2024-01-01 11:59:00", 4.0),   # > 24h before -> out
+         (1, "2024-01-02 12:00:01", 8.0),   # after left ts -> out
+         (2, "2024-01-02 12:00:00", 16.0)], # other key -> out
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 12:00:00", 7)], "k long, ts string, row long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS p_ts", "row")
+    got = range_join_buckets(left, right, ["k"], "p_ts", "ts",
+                             window_days=1).collect()
+    assert sorted(r.v for r in got) == [1.0, 2.0]
