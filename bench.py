@@ -140,6 +140,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # ---- DuckDB oracle at the SAME sf: the 2x grade is self-contained
+    oracle: dict[str, object] = {}
+    try:
+        duck_h = {name: round(_duckdb_time(REGISTRY[name][1], sf_dir, reps=3), 3)
+                  for name in HEADLINE}
+        duck_total = round(sum(duck_h.values()), 3)
+        oracle = {
+            "duckdb_sec": duck_total,
+            "ratio": round(sum(timings.values()) / duck_total, 3),
+            "duckdb": duck_h,
+        }
+    except Exception as exc:
+        oracle = {"error": str(exc)[:200]}
+
     # ---- scale: cold build+exec, Spark vs DuckDB on identical Nx data
     scale: dict[str, object] = {"factor": SCALE_FACTOR}
     try:
@@ -179,6 +193,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_sec": round(build_total, 3),
         "protocol": "prepared-plan best-of-3 (build published separately)",
+        "oracle_sf": oracle,
         "scale": scale,
     }))
     spark.stop()

@@ -122,7 +122,9 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
     src = _read(spark, source, table)
     tgt = _read(spark, target, table)
     pks = [c for c in schemas.PRIMARY_KEYS.get(table, []) if c in src.columns]
-    diff = hash_diff(src, tgt, pks)
+    # diff feeds three consumers (stats, changed, deleted) — cache the
+    # narrow (pks, action) result so the full-outer join runs once
+    diff = hash_diff(src, tgt, pks).cache()
     stats = {r["action"]: r["count"] for r in diff.groupBy("action").count().collect()}
     print(json.dumps({"table": table, **stats}))
 
@@ -146,8 +148,8 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
         out_table = table
         result = merge_upsert(tgt, apply_rows, pks)
     _rewrite(spark, result, _table_path(target, out_table))
-    # hash_diff cached its (pk, sha) projections for the 3-way diff; the
-    # sync is done, so release them (a long-lived service leaks otherwise)
+    # the sync is done — release the cached diff (a long-lived service
+    # leaks otherwise)
     spark.catalog.clearCache()
 
 

@@ -17,6 +17,8 @@ order can't perturb the double sum (oracle parity).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,6 +124,74 @@ def composite_breakdown(best: DataFrame, medians: DataFrame,
             "coverage",
             "components",
         )
+    )
+
+
+def best_per_entry_wide(scores: DataFrame, subject_keys: list[str],
+                        entry_key: str, score_col: str,
+                        entries: list[tuple[str, float, bool]]) -> DataFrame:
+    """A1 fast path for a STATIC entry catalog: one conditional aggregate
+    per entry, pivoted wide — ``best_<entry>`` columns.
+
+    vs ``best_per_entry``: the groupBy key is the subject alone, so the
+    plan is ONE shuffle carrying one row per subject (not one per
+    subject×entry), and downstream composite math needs no second
+    subject shuffle at all. Same W1/A1 contract
+    (workload_profile_scores.py:182-213); orientation flip (min for
+    lower-is-better) is applied per entry at aggregate build time.
+    """
+    known = [e for e, _, _ in entries]
+    filtered = scores.filter(F.col(entry_key).isin(known))
+    aggs = []
+    for name, _w, hib in entries:
+        v = F.when(F.col(entry_key) == name, F.col(score_col))
+        agg = F.max(v) if hib else F.min(v)
+        aggs.append(agg.alias(f"best_{name}"))
+    return filtered.groupBy(*subject_keys).agg(*aggs)
+
+
+def composite_scores_wide(wide: DataFrame, subject_keys: list[str],
+                          entries: list[tuple[str, float, bool]]) -> DataFrame:
+    """A2+A3 over the wide frame: exact fleet medians as ONE single-row
+    global aggregate (broadcast back via crossJoin), then the weighted
+    geomean as pure column expressions — zero additional shuffles on the
+    subject key.
+
+    Numerically identical to ``fleet_median`` + ``composite_scores(…,
+    on_missing='ignore')``: each present term is ``weight·log2(ratio)``
+    individually cast to DECIMAL(28,12) then summed (decimal addition is
+    exact, so term order can't perturb the result), medians ignore
+    absent subjects (percentile skips NULLs), zero medians drop the
+    component, and subjects with no surviving component drop out.
+    """
+    meds = wide.agg(*[
+        F.percentile(F.col(f"best_{n}"), F.lit(0.5)).alias(f"med_{n}")
+        for n, _, _ in entries
+    ])
+    j = wide.crossJoin(F.broadcast(meds))
+    zero = F.lit(0).cast("decimal(28,12)")
+    wlogs, ws, ns = [], [], []
+    for name, weight, hib in entries:
+        b, m = F.col(f"best_{name}"), F.col(f"med_{name}")
+        ratio = (b / m) if hib else (m / b)
+        present = b.isNotNull() & m.isNotNull() & (m != 0)
+        wlogs.append(F.when(present,
+                            (F.lit(weight) * F.log2(ratio))
+                            .cast("decimal(28,12)")).otherwise(zero))
+        ws.append(F.when(present, F.lit(float(weight))).otherwise(F.lit(0.0)))
+        ns.append(F.when(present, F.lit(1)).otherwise(F.lit(0)))
+    def sum_(cols):
+        return reduce(lambda a, b: a + b, cols)
+
+    score = F.pow(F.lit(2.0), sum_(wlogs).cast("double") / sum_(ws))
+    return (
+        j.select(
+            *subject_keys,
+            score.alias("score"),
+            F.lit(1.0).alias("coverage"),
+            sum_(ns).cast("bigint").alias("n_components"),
+        )
+        .filter(F.col("n_components") > 0)
     )
 
 

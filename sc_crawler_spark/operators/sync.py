@@ -32,24 +32,36 @@ def with_row_hash(df: DataFrame, pks: list[str],
 def hash_diff(source: DataFrame, target: DataFrame, pks: list[str],
               ignored: tuple[str, ...] = ("observed_at",)) -> DataFrame:
     """Return source/target rows classified with an ``action`` column
-    (new | update | deleted). Projection keeps (pks, action)."""
-    # Each side feeds two joins (anti + inner or anti); cache the narrow
-    # (pks, hash) projection so the scan+hash map stage runs once per side.
-    # The projection is ~50 B/row regardless of table width — it spills
-    # cleanly at scale and beats re-reading the wide table.
-    s = with_row_hash(source, pks, ignored).select(*pks, "row_sha").cache()
-    t = with_row_hash(target, pks, ignored).select(*pks, "row_sha").cache()
+    (new | update | deleted). Projection keeps (pks, action).
 
-    new = s.join(t, pks, "left_anti").select(*pks).withColumn("action", F.lit("new"))
-    updated = (
-        s.alias("s")
-        .join(t.alias("t"), pks, "inner")
-        .filter(F.col("s.row_sha") != F.col("t.row_sha"))
-        .select(*pks)
-        .withColumn("action", F.lit("update"))
+    ONE full-outer join on the PK classifies all three actions: a side
+    missing its hash is new/deleted, differing hashes are an update,
+    equal hashes drop out. Each side is scanned and hashed exactly once
+    and shuffled exactly once — vs the naive anti+inner+anti formulation
+    that reads both sides three times. At 100 TB with both tables
+    bucketed on the PK the single join is shuffle-free.
+    """
+    # Cache the narrow (pks, hash) projections: ~50 B/row regardless of
+    # table width, spills cleanly at scale, and repeated consumers (sync
+    # stats + changed/deleted re-fetch) skip the scan+hash map stage.
+    s = with_row_hash(source, pks, ignored).select(
+        *pks, F.col("row_sha").alias("_s_sha")).cache()
+    t = with_row_hash(target, pks, ignored).select(
+        *pks, F.col("row_sha").alias("_t_sha")).cache()
+    # full-outer can't broadcast; hint the hash variant so neither side
+    # pays a sort — per-partition hash build on the (pks, sha) projection
+    # is small and spill-safe at any shuffle-partition count
+    j = s.hint("SHUFFLE_HASH").join(t, pks, "full_outer")
+    action = (
+        F.when(F.col("_t_sha").isNull(), F.lit("new"))
+        .when(F.col("_s_sha").isNull(), F.lit("deleted"))
+        .when(F.col("_s_sha") != F.col("_t_sha"), F.lit("update"))
     )
-    deleted = t.join(s, pks, "left_anti").select(*pks).withColumn("action", F.lit("deleted"))
-    return new.unionByName(updated).unionByName(deleted)
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(*pks, "action")
+    )
 
 
 def sync_stats(diff: DataFrame) -> DataFrame:

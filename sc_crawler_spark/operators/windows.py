@@ -26,6 +26,29 @@ def top1_per_group(df: DataFrame, keys: list[str], order: list[Column]) -> DataF
     )
 
 
+def argmax_per_group(df: DataFrame, keys: list[str], order: list[Column],
+                     payload: list[str]) -> DataFrame:
+    """Top-1 per group as a ``max_by`` AGGREGATE, not a window.
+
+    Same semantics as ``top1_per_group`` restricted to n=1, but the plan
+    is a hash aggregate with map-side partial combine: each input
+    partition reduces to one candidate row per group before the shuffle,
+    and nothing is sorted. At 100 TB this is the difference between
+    shuffling the whole fact table (window + row_number) and shuffling
+    one row per (partition, group).
+
+    ``order`` columns are max-combined lexicographically, so express
+    "ascending tiebreak" as a negated column (e.g. ``-col`` for numeric
+    ids). Returns keys + the payload columns of the winning row.
+
+    Reference: inspector.py:599-602 (same W1 contract as top1_per_group).
+    """
+    ordk = F.struct(*[c.alias(f"_o{i}") for i, c in enumerate(order)])
+    row = F.struct(*[F.col(c).alias(c) for c in payload])
+    agg = df.groupBy(*keys).agg(F.max_by(row, ordk).alias("_best"))
+    return agg.select(*keys, *[F.col(f"_best.{c}").alias(c) for c in payload])
+
+
 def keep_last_dedup(df: DataFrame, pks: list[str], position: str) -> DataFrame:
     """PK dedup keeping the LAST arrival (insert.py:24-72, A4).
 

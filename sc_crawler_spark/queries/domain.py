@@ -31,28 +31,19 @@ WORKLOAD_WEIGHTS = [
 
 
 def workload_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide (pivoted) composite path: the entry catalog is static, so
+    best-per-entry compiles to conditional aggregates in ONE shuffle on
+    user_id; medians are a single-row global agg crossJoined back, and
+    the geomean is column math — no second subject shuffle, no cache
+    needed (the wide frame is one row per user). Long path with dynamic
+    catalogs: workload_profiles_catalog (operators/scores.py)."""
+    from ..operators.scores import best_per_entry_wide, composite_scores_wide
+
     ev = load(spark, sf, "events")
-    # literal VALUES -> LocalRelation; createDataFrame would round-trip
-    # through a Python RDD job (~2 s of pure overhead per invocation)
-    values = ", ".join(
-        f"('{e}', CAST({w} AS DOUBLE), {str(h).lower()})"
-        for e, w, h in WORKLOAD_WEIGHTS
-    )
-    weights = spark.sql(
-        f"SELECT * FROM VALUES {values} AS t(event_type, weight, higher_is_better)"
-    )
-    scored = ev.join(F.broadcast(weights), "event_type")
-    # best feeds BOTH the fleet-median aggregate and the composite join;
-    # without a cache the whole scan+shuffle lineage runs twice (at 100 TB
-    # that's a second full pass over the fact table).
-    best = best_per_entry(
-        scored, ["user_id"], "event_type",
-        score_col="value", higher_is_better_col="higher_is_better",
+    wide = best_per_entry_wide(
+        ev, ["user_id"], "event_type", "value", WORKLOAD_WEIGHTS
     ).cache()
-    medians = fleet_median(best, "event_type")
-    comp = composite_scores(
-        best, medians, weights, ["user_id"], "event_type", on_missing="ignore"
-    )
+    comp = composite_scores_wide(wide, ["user_id"], WORKLOAD_WEIGHTS)
     return comp.select(
         "user_id",
         dround(F.col("score"), 4).alias("score"),

@@ -28,17 +28,34 @@ from ..tables import load
 
 
 def _docs_with_clones(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus + deterministic clones in ONE scan.
+
+    A 3-branch union would re-scan the (large, text-heavy) documents
+    table per branch; instead each row emits an array of applicable
+    variants and explodes it — one parquet pass regardless of how many
+    clone tiers are injected. Non-matching tiers contribute a NULL
+    element, dropped after the explode.
+    """
     docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
-    exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
     toks = F.split(F.col("text"), " ")
-    near = (
-        docs.filter(F.col("doc_id") % 10 == 5)
-        .withColumn("doc_id", F.col("doc_id") + 200000)
-        .withColumn("text", F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)))
+    near_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1))
+
+    def variant(doc_id, text):
+        return F.struct(doc_id.alias("doc_id"), text.alias("text"),
+                        F.col("lang").alias("lang"))
+
+    variants = F.array(
+        variant(F.col("doc_id"), F.col("text")),
+        F.when(F.col("doc_id") % 10 == 0,
+               variant(F.col("doc_id") + 100000, F.col("text"))),
+        F.when(F.col("doc_id") % 10 == 5,
+               variant(F.col("doc_id") + 200000, near_text)),
     )
-    return docs.unionByName(exact).unionByName(near)
+    return (
+        docs.select(F.explode(variants).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("v.*")
+    )
 
 
 _CORPUS_SQL = """

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import decimal_sum, dround, extract_last_number, sql_round
+from ..operators.windows import argmax_per_group
 from ..tables import load
 
 # ---------------------------------------------------------------- q1: A-aggs
@@ -181,17 +182,22 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def top1_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-1 per group under total order (W1 — inspector.py:599-602)."""
+    """Top-1 per group under total order (W1 — inspector.py:599-602).
+
+    max_by aggregate, not a row_number window: partial (map-side)
+    aggregation reduces each scan partition to one candidate per
+    customer before the shuffle — no sort, and the shuffle carries one
+    row per (partition, group) instead of the whole fact table.
+    Ascending o_orderkey tiebreak = max on its negation.
+    """
     orders = load(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    best = argmax_per_group(
+        orders, ["o_custkey"],
+        [F.col("o_totalprice"), -F.col("o_orderkey")],
+        ["o_orderkey", "o_totalprice"],
     )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey",
-                dround(F.col("o_totalprice"), 4).alias("best_price"))
-    )
+    return best.select("o_custkey", "o_orderkey",
+                       dround(F.col("o_totalprice"), 4).alias("best_price"))
 
 
 TOP1_SQL = f"""
@@ -313,15 +319,14 @@ FROM part GROUP BY p_type
 
 def argmax_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     """max_by extraction (A13 — best1/bestn, inspector.py:562-574) with a
-    total-order tiebreak."""
+    total-order tiebreak, as a partial-agg-friendly aggregate (no window
+    sort; ascending c_custkey tiebreak = max on its negation)."""
     cust = load(spark, sf, "customer")
     nation = load(spark, sf, "nation")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    top = (
-        cust.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    top = argmax_per_group(
+        cust, ["c_nationkey"],
+        [F.col("c_acctbal"), -F.col("c_custkey")],
+        ["c_name", "c_acctbal"],
     )
     return top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey).select(
         "n_name", F.col("c_name").alias("top_customer"),
