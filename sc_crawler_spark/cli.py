@@ -59,15 +59,24 @@ def _rewrite(spark: SparkSession, df: DataFrame, path: str) -> None:
 
 
 def cmd_pull(spark: SparkSession, lake: str) -> None:
-    """Seed/refresh static dimensions (T5): inactivate + merge canon."""
+    """Seed/refresh the full static dimension catalog (T5, S12):
+    inactivate + merge canon for every in-code dim the reference ships
+    (lookup.py, vendors/vendors.py, _aws.py region facts)."""
     os.makedirs(lake, exist_ok=True)
     dims = {
         "country": (lookup.countries(spark), ["country_id"]),
         "compliance_framework": (
             lookup.compliance_frameworks(spark), ["compliance_framework_id"]),
         "benchmark": (lookup.benchmarks(spark), ["benchmark_id"]),
+        "vendor": (lookup.vendors(spark), ["vendor_id"]),
+        "vendor_compliance_framework": (
+            lookup.vendor_compliance(spark),
+            ["vendor_id", "compliance_framework_id"]),
+        "region": (lookup.aws_regions(spark), ["region_id"]),
     }
     for table, (canon, pks) in dims.items():
+        canon = (canon.withColumn("status", F.lit("active"))
+                 .withColumn("observed_at", F.current_timestamp()))
         path = _table_path(lake, table)
         try:
             current = read_snapshot(spark, path)

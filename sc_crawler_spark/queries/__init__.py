@@ -16,10 +16,10 @@ Cross-engine determinism conventions used throughout (see SURVEY.md §7.4):
 
 from __future__ import annotations
 
-from . import domain, extra, lifecycle, pipeline, tpch
+from . import dims, domain, extra, lifecycle, pipeline, tpch
 
 REGISTRY: dict[str, tuple] = {}
-for mod in (tpch, lifecycle, pipeline, domain, extra):
+for mod in (tpch, lifecycle, pipeline, domain, extra, dims):
     overlap = REGISTRY.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -39,6 +39,9 @@ _PRIORITY = [
     "dedup_boilerplate_chunks",    # new: CCNet-style chunk boilerplate
     "asof_latest_event_value",     # new: as-of join operator
     "range_join_event_window",     # new: bucketed range join
+    "region_dims_rollup",          # r3: S12 full region+country catalogs
+    "vendor_compliance_matrix",    # r3: S12 vendor/compliance catalogs
+    "benchmark_catalog_stats",     # r3: S12 full benchmark catalog
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,
