@@ -58,3 +58,55 @@ def sku_rate_from_pricing_info(units_col: str = "units",
                                nanos_col: str = "nanos") -> F.Column:
     """Billing-SKU unit price: units + nanos/1e9 (_gcp.py tiered_rates)."""
     return F.col(units_col).cast("double") + F.col(nanos_col) / F.lit(1e9)
+
+
+def stack_premium_rates(rates: DataFrame, base_family: str = "m1",
+                        premium_family: str = "m2") -> DataFrame:
+    """m2 SKU prices are PREMIUMS on top of m1 (_gcp.py:274-284): for the
+    CPU and RAM resource groups, the effective m2 rate per (region,
+    allocation) is ``m1_rate + m2_premium``. INSTANCE rows and every
+    other family pass through unchanged.
+
+    One broadcast join of the (tiny) premium slice against the (tiny)
+    base slice — the rate dimension never exceeds families × regions ×
+    allocations rows, so this is driver-free constant-folding territory
+    at any fact scale. Where the base family has no rate for a premium
+    row's (region, allocation) the stacked rate is NULL (the reference
+    raises; here the row is dropped downstream by the price NULL gate
+    in :func:`derive_server_prices`).
+    """
+    keys = ["region_id", "allocation", "resource_group"]
+    component = F.col("resource_group").isin("CPU", "RAM")
+    prem = rates.filter((F.col("family") == premium_family) & component)
+    base = (
+        rates.filter((F.col("family") == base_family) & component)
+        .select(*keys, F.col("rate").alias("_base_rate"))
+    )
+    stacked = (
+        prem.join(F.broadcast(base), keys, "left")
+        .withColumn("rate", F.col("rate") + F.col("_base_rate"))
+        .select(*rates.columns)
+    )
+    passthrough = rates.filter(
+        (F.col("family") != premium_family) | ~component
+    )
+    return passthrough.unionByName(stacked)
+
+
+def explode_zone_prices(region_prices: DataFrame, zones: DataFrame,
+                        zone_inventory: DataFrame) -> DataFrame:
+    """Region-level price rows -> per-zone rows, gated on actual
+    machine-type availability in each zone (_gcp.py:82-85, 420-422).
+
+    The reference loops ``for zone in region.zones: if _server_in_zone``;
+    here it's one broadcast join against the (region_id, zone_id) dim to
+    fan out, then a LEFT SEMI join against the (zone_id, server_id)
+    inventory to keep only real placements (J5 existence gate). At scale
+    the semi-join shuffles on (zone_id, server_id) once; the zone dim is
+    always broadcastable.
+    """
+    per_zone = region_prices.join(F.broadcast(zones), "region_id")
+    return per_zone.join(
+        zone_inventory.select("zone_id", "server_id").distinct(),
+        ["zone_id", "server_id"], "left_semi",
+    )

@@ -72,6 +72,62 @@ def test_gcp_instance_rate_fallback(spark):
     assert row.price == pytest.approx(0.0076)
 
 
+def test_gcp_m2_premium_stacking(spark):
+    # _gcp.py:274-284: m2 CPU/RAM rates are premiums ON TOP of m1 rates,
+    # per (region, allocation); other families pass through untouched.
+    rates = spark.createDataFrame(
+        [("m1", "us-east4", "ondemand", "CPU", 0.0413),
+         ("m1", "us-east4", "ondemand", "RAM", 0.007),
+         ("m2", "us-east4", "ondemand", "CPU", 0.01),
+         ("m2", "us-east4", "ondemand", "RAM", 0.002),
+         ("n2d", "us-east4", "ondemand", "CPU", 0.030)],
+        ["family", "region_id", "allocation", "resource_group", "rate"],
+    )
+    stacked = {(r.family, r.resource_group): r.rate
+               for r in gcp.stack_premium_rates(rates).collect()}
+    assert stacked[("m2", "CPU")] == pytest.approx(0.0413 + 0.01)
+    assert stacked[("m2", "RAM")] == pytest.approx(0.007 + 0.002)
+    assert stacked[("m1", "CPU")] == pytest.approx(0.0413)   # untouched
+    assert stacked[("n2d", "CPU")] == pytest.approx(0.030)   # untouched
+
+    # end-to-end: an m2 server priced with the stacked component rates
+    servers = spark.createDataFrame(
+        [("gcp", "m2-ultramem-4", "m2", 4, 15 * 1024, "us-east4")],
+        ["vendor_id", "server_id", "family", "vcpus", "memory_amount",
+         "region_id"],
+    )
+    row = gcp.derive_server_prices(
+        servers, gcp.stack_premium_rates(rates)).collect()[0]
+    assert row.price == pytest.approx((0.0413 + 0.01) * 4 + 0.009 * 15)
+
+
+def test_gcp_zone_existence_gate(spark):
+    # _gcp.py:82-85, 420-422: price rows fan out to zones, but only where
+    # the machine type is actually offered in the zone (LEFT SEMI gate).
+    region_prices = spark.createDataFrame(
+        [("gcp", "us-east4", "n2d-highmem-4", "ondemand", 0.2702),
+         ("gcp", "us-east4", "m2-ultramem-4", "ondemand", 0.3402)],
+        ["vendor_id", "region_id", "server_id", "allocation", "price"],
+    )
+    zones = spark.createDataFrame(
+        [("us-east4", "us-east4-a"), ("us-east4", "us-east4-b")],
+        ["region_id", "zone_id"],
+    )
+    inventory = spark.createDataFrame(
+        [("us-east4-a", "n2d-highmem-4"),
+         ("us-east4-b", "n2d-highmem-4"),
+         ("us-east4-b", "m2-ultramem-4")],
+        ["zone_id", "server_id"],
+    )
+    rows = gcp.explode_zone_prices(region_prices, zones, inventory).collect()
+    placements = {(r.server_id, r.zone_id) for r in rows}
+    assert placements == {
+        ("n2d-highmem-4", "us-east4-a"),
+        ("n2d-highmem-4", "us-east4-b"),
+        ("m2-ultramem-4", "us-east4-b"),  # m2 NOT in zone a
+    }
+
+
 AWS_FIXTURE = {
     "InstanceType": "g4dn.12xlarge",
     "BurstablePerformanceSupported": False,
