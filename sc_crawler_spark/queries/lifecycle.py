@@ -200,7 +200,7 @@ def tumbling_daily_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TUMBLING_SQL = f"""
-SELECT date_trunc('day', ts) AS wstart, event_type, COUNT(*) AS n_events,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, event_type, COUNT(*) AS n_events,
   {sql_round("SUM(CAST(value AS DECIMAL(28,6)))")} AS sum_value
 FROM events GROUP BY 1, 2
 """
@@ -313,7 +313,61 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+def spot_price_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """T4: spot-price feed with source-reported ``observed_at`` override
+    (_aws.py:1102-1104 — the row's timestamp is the API's reported
+    Timestamp, NOT the fetch time) + keep-last per (server, zone) PK.
+
+    The events table plays the spot feed: server = user_id % 50, zone =
+    event_type, reported timestamp = ts. The winner per (server, zone)
+    is the row with the LATEST reported timestamp (event_id tiebreak for
+    a total order) — computed as a max_by aggregate (map-side partial
+    combine; the 100 TB-safe formulation of keep-last, no window sort).
+    """
+    from ..operators.windows import argmax_per_group
+
+    feed = (
+        load(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 50).alias("server_id"),
+            F.col("event_type").alias("zone_id"),
+            F.col("value").alias("spot_price"),
+            F.col("ts").alias("observed_at"),
+            "event_id",
+        )
+    )
+    best = argmax_per_group(
+        feed, ["server_id", "zone_id"],
+        [F.col("observed_at"), F.col("event_id")],
+        ["spot_price", "observed_at"],
+    )
+    return best.select(
+        "server_id", "zone_id",
+        dround(F.col("spot_price"), 6).alias("spot_price"),
+        "observed_at",
+    )
+
+
+SPOT_ASOF_SQL = f"""
+WITH feed AS (
+  SELECT user_id % 50 AS server_id, event_type AS zone_id,
+         value AS spot_price, ts AS observed_at, event_id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY server_id, zone_id
+    ORDER BY observed_at DESC, event_id DESC) AS rn
+  FROM feed
+)
+SELECT server_id, zone_id, {sql_round('spot_price', 6)} AS spot_price,
+       observed_at
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "spot_price_asof": (spot_price_asof, SPOT_ASOF_SQL),
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
     "sync_stats": (sync_stats, SYNC_STATS_SQL),
     "merge_upsert_lifecycle": (merge_upsert_lifecycle, MERGE_UPSERT_SQL),

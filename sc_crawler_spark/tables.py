@@ -38,9 +38,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass  # read-only conf store (shouldn't happen) — fall through to read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: `/` would promote the ~1.7e18 nanos long to
+        # DOUBLE (53-bit mantissa, +-256 ns error) and can flip the
+        # truncated microsecond vs DuckDB's exact TIMESTAMP_NS cast
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
