@@ -2,12 +2,14 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The codec libraries (Pillow,
-ffmpeg, torchaudio) are NOT in this container, so the decode kernels are
-STUBBED behind ``_decode_image_stub`` (deterministic fake) and raise
-``NotImplementedError`` when a real decode is requested — the Spark-side
-plumbing (schema, batching, partition sizing, UDF signatures) is real and
-tested.
+Arrow-batched ``mapInPandas`` stages.
+
+METADATA decode is REAL: container headers (PNG / JPEG / GIF / WAV) are
+parsed in pure Python — no codec library needed for dimensions, pixel
+format, sample rate or duration. Full PIXEL/SAMPLE decode (needed by
+resize and frame extraction) still requires a codec (Pillow / ffmpeg)
+that is not in this container, so those kernels fall back to a
+deterministic stub and ``real_decode=True`` raises.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -18,6 +20,8 @@ the IO entirely in parquet).
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +30,112 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
+
+# ------------------------------------------------------------------
+# real container-header codecs (pure Python, no external libraries)
+# ------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(data: bytes) -> tuple[int | None, int | None, str | None]:
+    """(width, height, format) from real image container headers.
+
+    PNG: IHDR is always the first chunk — big-endian W/H at offset 16.
+    GIF: little-endian W/H in the logical screen descriptor at offset 6.
+    JPEG: walk the marker stream to the first SOF0/1/2 frame header.
+    Unknown containers return (None, None, None).
+    """
+    if len(data) >= 24 and data[:8] == _PNG_SIG:
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h, "png"
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, "gif"
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return w, h, "jpeg"
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+            else:
+                (seg_len,) = struct.unpack(">H", data[i + 2:i + 4])
+                i += 2 + seg_len
+        return None, None, "jpeg"
+    return None, None, None
+
+
+def parse_wav_header(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """(sample_rate, n_channels, duration_ms) from a RIFF/WAVE header.
+
+    Walks the chunk list for ``fmt `` (rate/channels/width) and ``data``
+    (payload size -> sample count). Non-WAV input returns Nones.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None, None, None
+    rate = channels = bits = data_size = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4:i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            channels, rate = struct.unpack("<HI", data[i + 10:i + 16])
+            (bits,) = struct.unpack("<H", data[i + 22:i + 24])
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None:
+        return None, None, None
+    duration_ms = None
+    if data_size is not None and channels and bits:
+        n_samples = data_size // (channels * (bits // 8))
+        duration_ms = n_samples * 1000 // rate
+    return rate, channels, duration_ms
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal REAL PNG writer (8-bit RGB, deterministic pixels from
+    ``seed``): signature + IHDR + one zlib IDAT + IEND. Used to build
+    test/media payloads without a codec library; any standards-compliant
+    reader decodes the output."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        data = tag + payload
+        return struct.pack(">I", len(payload)) + data + struct.pack(
+            ">I", zlib.crc32(data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter byte: None
+        for x in range(width):
+            v = (x * 31 + y * 17 + seed) & 0xFF
+            raw += bytes((v, (v * 3) & 0xFF, (v * 7) & 0xFF))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def encode_wav(sample_rate: int, n_samples: int, channels: int = 1,
+               seed: int = 0) -> bytes:
+    """Minimal REAL PCM-16 WAV writer with deterministic samples."""
+    frames = bytearray()
+    for i in range(n_samples * channels):
+        frames += struct.pack("<h", ((i * 2654435761 + seed) & 0xFFFF) - 0x8000)
+    data = bytes(frames)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
@@ -46,10 +156,10 @@ IMAGE_FEATURES_SCHEMA = StructType([
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic fake decoder: derives (width, height, format) from
-    the payload digest. Replace with a real codec (PIL/cv2) in an
-    environment that ships one — the call site and batch shape stay
-    identical."""
+    """Deterministic fallback for UNKNOWN containers: derives
+    (width, height, format) from the payload digest so downstream stages
+    always see plausible dims. Real containers never reach this —
+    :func:`parse_image_header` handles PNG/JPEG/GIF headers for real."""
     import hashlib
 
     h = hashlib.sha1(payload).digest()  # noqa: S324 - fingerprint, not auth
@@ -58,11 +168,16 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
 
 def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode/feature-extract stage over the binary column via
-    ``mapInPandas`` (Arrow batches; one python worker per partition)."""
+    ``mapInPandas`` (Arrow batches; one python worker per partition).
+
+    Dimensions and format come from REAL header parsing
+    (:func:`parse_image_header`); unknown containers fall back to the
+    deterministic stub. ``real_decode=True`` asks for full pixel decode,
+    which still needs an external codec."""
     if real_decode:
         raise NotImplementedError(
-            "real image decode needs a codec library (PIL/cv2) not present "
-            "in this environment; plumbing is exercised via the stub"
+            "full pixel decode needs a codec library (PIL/cv2) not present "
+            "in this environment; header metadata IS decoded for real"
         )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -72,7 +187,9 @@ def extract_image_features(media: DataFrame, real_decode: bool = False) -> DataF
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, fmt = _decode_image_stub(data)
+                w, h, fmt = parse_image_header(data)
+                if fmt is None:
+                    w, h, fmt = _decode_image_stub(data)
                 rows.append((
                     media_id, len(data),
                     hashlib.sha1(data).hexdigest(),  # noqa: S324
@@ -130,29 +247,66 @@ def resize_images(media: DataFrame, max_side: int = 256,
 AUDIO_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("n_bytes", LongType()),
-    StructField("duration_s", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("duration_ms", LongType()),
     StructField("sample_rate", IntegerType()),
 ])
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Audio feature stage (duration/sample-rate): stub model derives
-    both from payload size deterministically (16 kHz mono 16-bit —
-    duration = bytes / 32000). Real decoders slot into the same
-    mapInPandas signature."""
+    """Audio feature stage: REAL RIFF/WAVE header parse
+    (:func:`parse_wav_header`) for sample rate / channels / duration;
+    non-WAV payloads fall back to the 16 kHz mono 16-bit size model."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                n = len(bytes(payload)) if payload is not None else 0
-                rows.append((media_id, n, max(0, n // 32000), 16000))
+                data = bytes(payload) if payload is not None else b""
+                rate, channels, duration_ms = parse_wav_header(data)
+                if rate is None:
+                    rate, channels = 16000, 1
+                    duration_ms = len(data) * 1000 // 32000
+                rows.append((media_id, len(data), channels, duration_ms, rate))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
 
     auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
     return auds.mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixture builder: every document becomes a REAL
+    encoded payload — even doc_ids a PNG (dims derived from doc_id), odd
+    doc_ids a PCM WAV (rate/length derived from doc_id). Encoding runs
+    distributed in ``mapInPandas`` next to the data; the derivation rules
+    are pure integer functions of doc_id so an oracle can predict the
+    header metadata without parsing bytes:
+
+    - image: width = 8 + id % 64, height = 8 + (id // 2) % 48
+    - audio: rate = (8000|16000|22050|44100)[(id // 2) % 4],
+      n_samples = 500 + id % 1500, mono 16-bit
+    """
+    rates = (8000, 16000, 22050, 44100)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    payload = encode_png(8 + i % 64, 8 + (i // 2) % 48, seed=i)
+                    rows.append((i, "image", payload, "image/png", None))
+                else:
+                    payload = encode_wav(rates[(i // 2) % 4], 500 + i % 1500,
+                                         seed=i)
+                    rows.append((i, "audio", payload, "audio/wav", None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

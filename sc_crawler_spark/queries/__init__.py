@@ -43,6 +43,7 @@ _PRIORITY = [
     "vendor_compliance_matrix",    # r3: S12 vendor/compliance catalogs
     "benchmark_catalog_stats",     # r3: S12 full benchmark catalog
     "spot_price_asof",             # r3: T4 reported-timestamp keep-last
+    "media_metadata_extract",      # r3: real PNG/WAV header decode loop
 ]
 # Redundant coverage — their operator IDs have other green oracle rows
 # (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,

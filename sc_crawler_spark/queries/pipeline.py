@@ -608,7 +608,61 @@ FROM totals t LEFT JOIN reassembled r USING (doc_id)
 """
 
 
+def media_metadata_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal metadata round-trip: documents -> REAL encoded payloads
+    (PNG / PCM-WAV built in a distributed mapInPandas stage) -> REAL
+    header parsing (multimodal.parse_image_header / parse_wav_header)
+    back to typed metadata. The oracle predicts the same metadata from
+    doc_id arithmetic alone, so a hash match proves the encode -> binary
+    column -> Arrow batch -> header-decode loop end to end.
+    """
+    from ..multimodal import (
+        extract_audio_features, extract_image_features, synthesize_media,
+    )
+
+    docs = load(spark, sf, "documents")
+    media = synthesize_media(docs)
+    imgs = extract_image_features(media).select(
+        "media_id", F.lit("image").alias("kind"),
+        "width", "height", F.col("format"),
+        F.lit(None).cast("int").alias("n_channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+    )
+    auds = extract_audio_features(media).select(
+        "media_id", F.lit("audio").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("format"),
+        "n_channels", "sample_rate", "duration_ms",
+    )
+    return imgs.unionByName(auds)
+
+
+MEDIA_METADATA_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(8 + doc_id % 64 AS INT) AS width,
+       CAST(8 + (doc_id // 2) % 48 AS INT) AS height,
+       'png' AS format,
+       CAST(NULL AS INT) AS n_channels,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'audio', NULL, NULL, NULL, CAST(1 AS INT),
+       CAST(rate AS INT),
+       CAST((500 + doc_id % 1500) * 1000 // rate AS BIGINT)
+FROM (
+  SELECT doc_id,
+         CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS rate
+  FROM documents WHERE doc_id % 2 = 1
+)
+"""
+
+
 QUERIES = {
+    "media_metadata_extract": (media_metadata_extract, MEDIA_METADATA_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),

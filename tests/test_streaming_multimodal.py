@@ -182,8 +182,10 @@ def test_resize_and_audio_stubs(spark):
     audio = extract_audio_features(media).collect()
     assert len(audio) == 1
     assert audio[0]["media_id"] == 2
-    assert audio[0]["duration_s"] == 2          # 64004 bytes // 32000
+    # not a real WAVE header -> size-model fallback (16 kHz mono 16-bit)
+    assert audio[0]["duration_ms"] == 2000      # 64004 bytes // 32 per ms
     assert audio[0]["sample_rate"] == 16000
+    assert audio[0]["n_channels"] == 1
 
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
