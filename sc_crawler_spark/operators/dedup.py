@@ -176,9 +176,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
     sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    # candidate set is sparse by construction — broadcast it through both
-    # shingle-array joins rather than shuffling the arrays
-    paired = F.broadcast(cand).join(sh_a, "id_a").join(sh_b, "id_b")
+    # The candidate set is usually sparse, but its size is data-dependent
+    # (an adversarial corpus where everything collides into one band
+    # bucket makes it quadratic) — so no forced broadcast hint here. AQE
+    # sees cand's true size at the shuffle boundary and upgrades the join
+    # to broadcast when it is genuinely small, without OOM risk when not.
+    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (

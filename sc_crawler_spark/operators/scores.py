@@ -230,14 +230,21 @@ def composite_scores(best: DataFrame, medians: DataFrame, weights: DataFrame,
     if n_components is not None and on_missing == "require":
         agg = agg.filter(F.col("_n_present") == n_components)
     if n_components is not None and on_missing == "penalize":
-        total_w = weights.agg(F.sum("weight")).collect()[0][0]
-        missing_w = F.lit(float(total_w)) - F.col("_sum_w").cast("double")
+        # Total weight as a lazy broadcast of the 1-row aggregate — no
+        # driver-side collect mid-plan-build; the cross join against a
+        # single broadcast row is a free BroadcastNestedLoopJoin.
+        total = weights.agg(
+            F.sum(F.col("weight").cast("double")).alias("_total_w")
+        )
+        agg = agg.crossJoin(F.broadcast(total))
+        total_w = F.col("_total_w")
+        missing_w = total_w - F.col("_sum_w").cast("double")
         penal = missing_w * F.lit(float(__import__("math").log2(PENALTY_DEFAULT)))
         score = F.pow(
             F.lit(2.0),
-            (F.col("_sum_wlog").cast("double") + penal) / F.lit(float(total_w)),
+            (F.col("_sum_wlog").cast("double") + penal) / total_w,
         )
-        coverage = F.col("_sum_w").cast("double") / F.lit(float(total_w))
+        coverage = F.col("_sum_w").cast("double") / total_w
     else:
         score = F.pow(
             F.lit(2.0), F.col("_sum_wlog").cast("double") / F.col("_sum_w").cast("double")

@@ -25,39 +25,48 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims):
         raise ValueError(f"duplicate query names: {overlap}")
     REGISTRY.update(mod.QUERIES)
 
-# The round driver checks queries in registry order and may cap how many
-# it runs (round 1 stopped at 50 of 52). Keep queries that are the SOLE
-# oracle evidence for an operator ID at the front; queries whose operator
-# IDs have redundant green coverage elsewhere go last.
+# The round driver checks queries in registry order and caps at 50; the
+# registry holds more, so the window ROTATES each round: queries without
+# fresh driver evidence go to the front, queries that went green in the
+# PREVIOUS round's CORRECTNESS file rotate to the tail (they keep pass†
+# status — tests/test_queries_oracle.py re-runs the identical oracle
+# check for every registry entry on every round).
 _PRIORITY = [
-    "config_tolerance_filter",     # P6 — skipped in round 1 (position 51)
-    "standardize_part_names",      # P9 — skipped in round 1 (position 52)
-    "workload_profiles_catalog",   # new: real catalog end-to-end
-    "workload_catalog_breakdown",  # new: per-component breakdown
-    "dedup_embed_cosine",          # new: embedding-cosine near-dup tier
-    "training_set_select",         # new: dedup+quality+langid composition
-    "dedup_boilerplate_chunks",    # new: CCNet-style chunk boilerplate
-    "asof_latest_event_value",     # new: as-of join operator
-    "range_join_event_window",     # new: bucketed range join
+    # --- new this round (never driver-checked) ---
     "region_dims_rollup",          # r3: S12 full region+country catalogs
     "vendor_compliance_matrix",    # r3: S12 vendor/compliance catalogs
     "benchmark_catalog_stats",     # r3: S12 full benchmark catalog
     "spot_price_asof",             # r3: T4 reported-timestamp keep-last
     "media_metadata_extract",      # r3: real PNG/WAV header decode loop
-]
-# Redundant coverage — their operator IDs have other green oracle rows
-# (J5/J6 anti: hash_diff_sync; W2/A4 keep-last: scd2_latest_event,
-# first_version_orders; E1-E4: sync unions; scan-agg: q1/q3/q5).
-_TAIL = [
+    # --- tail of r2 (outside the cap that round; r1-green + pytest) ---
     "anti_join_no_orders",
     "keep_last_dedup_lineitem",
     "except_building_buyers",
-    "argmax_customer_per_nation",   # W1 covered by top1_order_per_customer
-    "dim_join_enrichment",          # J1 covered by every broadcast join
-    "price_quartiles",              # percentile covered by exact_median_price
-    "min_unit_price_per_part",      # min-per-group covered by minmax/top1
-    "distinct_part_counts",         # A14 also covered by operator tests
+    "argmax_customer_per_nation",
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
     "q17_small_quantity_revenue",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r02.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    "ecpus_scalability",
+    "shuffled_sample_orders",
+    "sku_prefix_join",
+    "first_version_orders",
+    "heavy_hitter_users",
+    "config_tolerance_filter",
+    "standardize_part_names",
+    "workload_profiles_catalog",
+    "workload_catalog_breakdown",
+    "dedup_embed_cosine",
+    "training_set_select",
+    "dedup_boilerplate_chunks",
+    "asof_latest_event_value",
+    "range_join_event_window",
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -53,8 +53,17 @@ def merge_upsert_partitioned(spark: SparkSession, root: str,
         )
     stage = root.rstrip("/") + "_stage"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Dynamic overwrite scoped to THIS write via the DataFrameWriter
+    # option (takes precedence over the session conf and leaks nothing
+    # into later writes). NOTE: the final commit is per-partition, not
+    # table-atomic — a crash mid-write can leave a touched partition
+    # half-rewritten; the staged copy above makes that recoverable by
+    # re-running the same merge. Table-atomic semantics are what
+    # sinks/snapshot.py provides (at whole-table rewrite cost) and what
+    # MERGE INTO on Delta/Iceberg provides at partition granularity.
     (spark.read.parquet(stage)
-     .write.mode("overwrite").partitionBy(partition_col).parquet(root))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col).parquet(root))
     import shutil
     shutil.rmtree(stage, ignore_errors=True)

@@ -42,7 +42,22 @@ def current_path(root: str) -> str:
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(current_path(root))
+    path = current_path(root)
+    if path == root and os.path.isdir(root):
+        # Legacy flat layout. A crash during the FIRST versioned commit
+        # can leave an uncommitted v-* directory (data written, pointer
+        # never landed) next to the flat part-files; reading the root
+        # recursively would then mix both (or fail on conflicting
+        # directory structures). The pointer is the commit point, so an
+        # unpointed v-* dir is garbage: read only root-level files.
+        entries = os.listdir(root)
+        if any(e.startswith("v-") for e in entries):
+            files = [os.path.join(root, e) for e in entries
+                     if e.endswith(".parquet") and
+                     os.path.isfile(os.path.join(root, e))]
+            if files:
+                return spark.read.parquet(*files)
+    return spark.read.parquet(path)
 
 
 def _next_version(root: str) -> str:

@@ -182,6 +182,19 @@ def _canon(cfg: dict) -> str:
     return json.dumps(cfg, sort_keys=True, separators=(",", ":"))
 
 
+def _benchmark_hib() -> dict[str, bool]:
+    """higher_is_better per benchmark_id from the static benchmark
+    catalog (reference loads it from Benchmark metadata,
+    workload_profile_scores.py:127-133) — NOT a hardcoded constant, so a
+    future lower-is-better entry (redis:latency, compression_text:ratio)
+    flips orientation in BOTH engines automatically."""
+    from .sources.lookup import BENCHMARKS
+
+    return {b[0]: b[6] for b in BENCHMARKS}
+
+
+_HIB = _benchmark_hib()
+
 # Flat entry list; index order IS the global entry index the reference
 # uses for per-benchmark median keying (workload_profile_scores.py:113-124).
 ENTRIES: list[dict] = []
@@ -193,6 +206,7 @@ for _wk, _w in WORKLOADS.items():
             "flt": _canon(_flt) if _flt else None, "on_missing": _policy,
             "penalty": (_pen if _pen is not None else PENALTY_DEFAULT)
             if _policy == "penalize" else None,
+            "hib": _HIB[_bid],
         })
 
 
@@ -227,12 +241,23 @@ def _build_variants() -> list[tuple[int, str, str]]:
 VARIANTS = _build_variants()
 N_VARIANTS = len(VARIANTS)
 
-# P6 subset-match with float tolerance, identical semantics both engines
-# (reference _config_matches, workload_profile_scores.py:79-99).
+# P6 subset-match, identical semantics both engines (reference
+# _config_matches, workload_profile_scores.py:79-99). Three value
+# branches, in reference order: INT-typed filter value (canonical JSON
+# renders ints without a decimal point) compares int(actual) == expected
+# — truncation toward zero, so actual 16384.9 MATCHES expected 16384;
+# other numerics use the 1e-6 tolerance; everything else is string
+# equality. Truncation is spelled sign(a)*floor(abs(a)) because CAST
+# double->bigint truncates in Spark but ROUNDS in DuckDB.
 _MATCH_SPARK = """
 flt IS NULL OR forall(map_keys(from_json(flt, 'map<string,string>')), k ->
   element_at(from_json(config, 'map<string,string>'), k) IS NOT NULL AND
-  CASE WHEN try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
+  CASE WHEN element_at(from_json(flt, 'map<string,string>'), k) RLIKE '^-?[0-9]+$'
+            AND try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
+       THEN sign(try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE))
+            * floor(abs(try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE)))
+            = try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE)
+       WHEN try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
             AND try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
        THEN abs(try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE)
                 - try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE)) <= 1e-6
@@ -243,7 +268,12 @@ flt IS NULL OR forall(map_keys(from_json(flt, 'map<string,string>')), k ->
 _MATCH_DUCK = """
 (en.flt IS NULL OR list_aggregate(
   [ json_extract_string(sv.config, '$.' || k) IS NOT NULL AND
-    CASE WHEN try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE) IS NOT NULL
+    CASE WHEN regexp_matches(json_extract_string(en.flt, '$.' || k), '^-?[0-9]+$')
+              AND try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE) IS NOT NULL
+         THEN sign(try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE))
+              * floor(abs(try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE)))
+              = try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE)
+         WHEN try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE) IS NOT NULL
               AND try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE) IS NOT NULL
          THEN abs(try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE)
                   - try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE)) <= 1e-6
@@ -267,7 +297,7 @@ def _entries_values() -> str:
             f"({e['entry_idx']}, '{e['workload_key']}', "
             f"'{e['benchmark_id']}', CAST({e['weight']} AS DECIMAL(10,4)), "
             f"{_sql_str(e['label'])}, {_sql_str(e['flt'])}, "
-            f"'{e['on_missing']}', {pen}, true)"
+            f"'{e['on_missing']}', {pen}, {'true' if e['hib'] else 'false'})"
         )
     return ", ".join(rows)
 
@@ -310,6 +340,18 @@ def benchmark_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Cached `best` frames handed out by _scored_frame, released via
+# release_scored_caches() (long-lived sessions would otherwise hold
+# executor storage until sparkContext teardown / clearCache).
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def release_scored_caches() -> None:
+    """Unpersist every `best` frame cached by :func:`_scored_frame`."""
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
+
+
 def _scored_frame(spark: SparkSession, sf: str) -> DataFrame:
     """(servers × entries) left-joined with best scores and fleet
     medians; ``norm`` is the log2 median-ratio or NULL when missing or
@@ -323,11 +365,14 @@ def _scored_frame(spark: SparkSession, sf: str) -> DataFrame:
     # best feeds THREE consumers (frame join, medians, server list); the
     # cache keeps the fact-table scan+match+aggregate to ONE pass — at
     # 100 TB the uncached plan re-reads the whole benchmark_score table
-    # twice more for two tiny derived dims.
+    # twice more for two tiny derived dims. Spark's CacheManager dedups
+    # identical plans, so repeated calls at the same sf reuse one entry;
+    # distinct sf dirs accumulate until release_scored_caches().
     best = matched.groupBy("vendor_id", "server_id", "entry_idx").agg(
         F.when(F.first("hib"), F.max("score"))
         .otherwise(F.min("score")).alias("best_score")
     ).cache()
+    _CACHED_FRAMES.append(best)
     medians = best.groupBy("entry_idx").agg(
         F.percentile(F.col("best_score"), F.lit(0.5)).alias("median_score")
     )

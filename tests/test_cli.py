@@ -88,6 +88,26 @@ def test_snapshot_atomic_swap_survives_garbage(spark, tmp_path):
     assert read_snapshot(spark, root).count() == 5
 
 
+def test_legacy_migration_crash_keeps_flat_root_readable(spark, tmp_path):
+    """ADVICE r2 (snapshot.py): a crash during the FIRST versioned commit
+    over a legacy flat-parquet root leaves a v-* dir with data but no
+    pointer. The flat root must stay readable (only root-level files),
+    and the next commit must complete the migration."""
+    root = str(tmp_path / "legacy")
+    df = spark.range(7).withColumnRenamed("id", "k")
+    df.coalesce(1).write.mode("overwrite").parquet(root)   # legacy layout
+    assert read_snapshot(spark, root).count() == 7
+
+    # crash simulation: version dir fully written, pointer never landed
+    crashed = spark.range(3).withColumnRenamed("id", "k")
+    crashed.coalesce(1).write.parquet(os.path.join(root, "v-00000001"))
+    assert read_snapshot(spark, root).count() == 7  # still the old data
+
+    # re-running the commit migrates cleanly
+    write_snapshot(spark, df.filter("k < 4"), root)
+    assert read_snapshot(spark, root).count() == 4
+
+
 def test_metadata_get_set_roundtrip(tmp_path, capsys, monkeypatch):
     db = str(tmp_path / "sc.db")
     monkeypatch.setenv("GITHUB_SERVER_URL", "https://github.example")

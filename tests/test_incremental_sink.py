@@ -64,3 +64,26 @@ def test_inactivation_stays_inside_touched_partition(spark, tmp_path):
               for r in spark.read.parquet(root).collect()}
     assert status == {("aws", "m5"): "active", ("aws", "c5"): "inactive",
                       ("gcp", "n2"): "active"}
+
+
+def test_dynamic_overwrite_mode_does_not_leak_into_session(spark, tmp_path):
+    """ADVICE r2: the dynamic partitionOverwriteMode is a per-write
+    DataFrameWriter option, not a session conf mutation — a later plain
+    overwrite in the same session must still replace the WHOLE table."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    root = str(tmp_path / "t")
+    merge_upsert_partitioned(
+        spark, root,
+        _mk(spark, [("aws", "m5", 1.0, "active"), ("gcp", "n2", 2.0, "active")]),
+        pks=["vendor_id", "server_id"])
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None) == before
+
+    # a plain partitioned overwrite elsewhere still behaves statically:
+    # writing only aws rows wipes the gcp partition too
+    other = str(tmp_path / "other")
+    _mk(spark, [("aws", "m5", 1.0, "a"), ("gcp", "n2", 2.0, "a")]) \
+        .write.partitionBy("vendor_id").parquet(other)
+    _mk(spark, [("aws", "m5", 9.0, "a")]) \
+        .write.mode("overwrite").partitionBy("vendor_id").parquet(other)
+    assert spark.read.parquet(other).select("vendor_id").distinct().count() == 1

@@ -87,12 +87,51 @@ def test_config_subset_match_tolerance(spark):
         ('{"size":"1k"}',  # missing filter key
          '{"connections_per_vcpus":8.0,"size":"1k"}', False),
         ('{"anything":1}', None, True),  # no filter matches all
+        # INT-typed filter values use the reference's int(actual) ==
+        # expected truncation branch (workload_profile_scores.py:79-99):
+        ('{"block_size":16384.9}', '{"block_size":16384}', True),
+        ('{"block_size":16384}', '{"block_size":16384}', True),
+        ('{"block_size":16385.1}', '{"block_size":16384}', False),
+        ('{"block_size":"16k"}', '{"block_size":16384}', False),
+        # float-typed filter values keep the 1e-6 tolerance (8.9 is NOT
+        # truncated against 8.0):
+        ('{"connections_per_vcpus":8.9}',
+         '{"connections_per_vcpus":8.0}', False),
     ]
     df = spark.createDataFrame(
         [(c, f, e) for c, f, e in cases], ["config", "flt", "expect"])
     got = df.withColumn("ok", F.expr(_MATCH_SPARK)).collect()
     for r in got:
         assert r.ok == r.expect, (r.config, r.flt)
+
+    # identical verdicts from the DuckDB side of the oracle
+    import duckdb
+
+    from sc_crawler_spark.workloads import _MATCH_DUCK
+    con = duckdb.connect()
+    for cfg, flt, expect in cases:
+        fv = "NULL" if flt is None else "'" + flt.replace("'", "''") + "'"
+        (got_d,) = con.execute(
+            f"SELECT {_MATCH_DUCK} FROM (SELECT {fv} AS flt) en, "
+            f"(SELECT '{cfg}' AS config) sv"
+        ).fetchone()
+        assert bool(got_d) == expect, ("duckdb", cfg, flt)
+
+
+def test_hib_derived_from_benchmark_catalog():
+    """higher_is_better comes from the static benchmark catalog, not a
+    hardcoded literal (ADVICE r2): the catalog carries real
+    lower-is-better rows, and every entry's flag equals its benchmark's
+    catalog flag."""
+    from sc_crawler_spark.sources.lookup import BENCHMARKS
+    from sc_crawler_spark.workloads import ENTRIES, _HIB
+
+    assert _HIB["redis:latency"] is False
+    assert _HIB["compression_text:ratio"] is False
+    assert _HIB["passmark:memory_latency"] is False
+    catalog = {b[0]: b[6] for b in BENCHMARKS}
+    for e in ENTRIES:
+        assert e["hib"] == catalog[e["benchmark_id"]], e["benchmark_id"]
 
 
 def test_llm_require_suppresses(spark):
