@@ -24,36 +24,9 @@ from itertools import islice
 
 from pyspark.sql import DataFrame
 
+from .dialect import SQLITE, Dialect, create_table_sql, upsert_sql
+
 CHUNK = 100  # reference insert.py:150 — "too many SQL variables" guard
-
-_TYPE_MAP = {
-    "string": "TEXT", "int": "INTEGER", "bigint": "INTEGER",
-    "smallint": "INTEGER", "tinyint": "INTEGER", "boolean": "INTEGER",
-    "double": "REAL", "float": "REAL", "date": "TEXT",
-    "timestamp": "TEXT", "timestamp_ntz": "TEXT", "binary": "BLOB",
-}
-
-
-def _q(ident: str) -> str:
-    """Quote an identifier — keyword-named or oddly-charactered columns
-    must not break the generated DDL/DML."""
-    return '"' + ident.replace('"', '""') + '"'
-
-
-def _sqlite_type(dt: str) -> str:
-    # nested/array/map/json columns publish as canonical JSON TEXT,
-    # matching the reference's JSON columns in SQLite
-    return _TYPE_MAP.get(dt, "TEXT")
-
-
-def _create_table(con: sqlite3.Connection, name: str, df: DataFrame,
-                  pks: list[str]) -> None:
-    cols = ", ".join(
-        f"{_q(c)} {_sqlite_type(t)}" for c, t in df.dtypes
-    )
-    pk = (f', PRIMARY KEY ({", ".join(_q(c) for c in pks)})'
-          if pks else "")
-    con.execute(f'CREATE TABLE IF NOT EXISTS "{name}" ({cols}{pk})')
 
 
 def _chunks(it, n):
@@ -61,35 +34,25 @@ def _chunks(it, n):
         yield chunk
 
 
-def publish_table(con: sqlite3.Connection, df: DataFrame, name: str,
-                  pks: list[str]) -> int:
-    """K1 — chunked bulk upsert: INSERT .. ON CONFLICT(pks) DO UPDATE of
-    every non-PK column (insert.py:151-156), 100 rows per statement.
+def stream_upsert(con, df: DataFrame, name: str, pks: list[str],
+                  dialect: Dialect = SQLITE,
+                  iso_temporals: bool = True) -> int:
+    """K1 core — chunked bulk upsert over any DB-API connection:
+    INSERT .. ON CONFLICT(pks) DO UPDATE of every non-PK column
+    (insert.py:151-161), ``CHUNK`` rows per executemany.
 
     Arrays/structs are serialized to JSON strings upstream (the caller
     projects them with ``to_json``); this writer handles scalars.
     """
-    _create_table(con, name, df, pks)
+    con.execute(create_table_sql(dialect, name, df, pks))
     cols = [c for c, _ in df.dtypes]
-    attrs = [c for c in cols if c not in pks]
-    placeholders = ", ".join("?" for _ in cols)
-    if pks and attrs:
-        conflict = (
-            f' ON CONFLICT ({", ".join(_q(c) for c in pks)}) DO UPDATE SET '
-            + ", ".join(f"{_q(c)}=excluded.{_q(c)}" for c in attrs)
-        )
-    elif pks:
-        conflict = f' ON CONFLICT ({", ".join(_q(c) for c in pks)}) DO NOTHING'
-    else:
-        conflict = ""
-    sql = (
-        f'INSERT INTO {_q(name)} ({", ".join(_q(c) for c in cols)}) '
-        f"VALUES ({placeholders})" + conflict
-    )
+    sql = upsert_sql(dialect, name, cols, pks)
     # datetime/date objects go through sqlite3's default adapters, which
     # are deprecated since Python 3.12 — publish ISO-8601 text instead.
+    # (PostgreSQL drivers adapt datetime natively: iso_temporals=False.)
     temporal = [i for i, (_, t) in enumerate(df.dtypes)
-                if t in ("date", "timestamp", "timestamp_ntz")]
+                if t in ("date", "timestamp", "timestamp_ntz")] \
+        if iso_temporals else []
 
     def _vals(row):
         vals = list(row)
@@ -105,6 +68,12 @@ def publish_table(con: sqlite3.Connection, df: DataFrame, name: str,
         n += len(chunk)
     con.commit()
     return n
+
+
+def publish_table(con: sqlite3.Connection, df: DataFrame, name: str,
+                  pks: list[str]) -> int:
+    """K1 — the SQLite face of :func:`stream_upsert`."""
+    return stream_upsert(con, df, name, pks, dialect=SQLITE)
 
 
 def publish_lake(tables: dict[str, tuple[DataFrame, list[str]]],
