@@ -155,9 +155,11 @@ def benchmark_catalog_stats_sql() -> str:
     return f"""
 SELECT category,
        COUNT(*) AS n_benchmarks,
-       SUM(CASE WHEN higher_is_better THEN 0 ELSE 1 END) AS n_lower_is_better,
-       SUM(CASE WHEN config_fields IS NULL THEN 0
-                ELSE len(string_split(config_fields, ',')) END) AS total_config_fields,
+       CAST(SUM(CASE WHEN higher_is_better THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_lower_is_better,
+       CAST(SUM(CASE WHEN config_fields IS NULL THEN 0
+                ELSE len(string_split(config_fields, ',')) END) AS BIGINT)
+           AS total_config_fields,
        COUNT(DISTINCT framework) AS n_frameworks
 FROM {rows} b
 GROUP BY category

@@ -50,13 +50,22 @@ def read_event_stream(spark: SparkSession, source_dir: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    # Streams need a declared schema, so sniff the lake's physical ts type
+    # once from the footer (batch read plans lazily — no data scan): files
+    # written as TIMESTAMP_NS surface as bigint under nanosAsLong, plain
+    # TIMESTAMP_MICROS surfaces as timestamp. Same dual-convention as
+    # tables.load so batch and stream stay bit-identical.
+    ns_long = dict(spark.read.parquet(source_dir).dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(EVENT_SCHEMA if ns_long
+                                     else EVENT_SCHEMA_TS)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if ns_long:
+        # integer division, same as tables.load: `/` promotes the ~1.7e18
+        # nanos long to DOUBLE (+-256 ns error) and diverges from batch
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_stats(events: DataFrame, window: str = "1 day",
