@@ -65,13 +65,27 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         k: int = 3, threshold: float = 0.8,
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | None = None,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
     Self-join on the shingle value — only documents sharing at least one
     shingle ever pair up, and an optional block column (e.g. language)
     bounds the join further. Output jaccard rounded to 6 for stability.
+
+    ``max_df`` is the scale guard: shingles appearing in more than
+    ``max_df`` distinct documents are excluded from candidate GENERATION
+    (one boilerplate shingle shared by k docs otherwise makes a k² join
+    bucket — the standard exact-Jaccard document-frequency blocking
+    trick). Verification still uses the FULL shingle sets, so reported
+    jaccard values are exact; only pairs whose every common shingle is
+    hotter than ``max_df`` are missed, and such pairs are boilerplate
+    overlap by definition. With ``max_df=None`` the join is unblocked
+    (exact recall, quadratic risk on hot shingles).
     """
+    if max_df is not None:
+        return _ngram_jaccard_capped(df, text_col, id_col, k, threshold,
+                                     block_col, max_df)
     sh = shingle_table(df, text_col, id_col, k)
     cols_a = [F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"),
               F.col("shingle")]
@@ -95,6 +109,62 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.withColumn("jaccard", dround(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def rare_shingle_candidates(sh: DataFrame, id_col: str,
+                            block_col: str | None, max_df: int) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from an exploded (id[, block], shingle)
+    table, pairing only on shingles with document frequency <= max_df.
+
+    The hot-shingle list is a heavy-hitter aggregate (tiny by
+    construction — at most |corpus|/max_df entries can exceed the cap),
+    so the anti-join broadcasts under AQE; the self-join's per-shingle
+    bucket size is bounded by max_df, keeping the candidate count
+    <= n_shingles * max_df² instead of worst-case |docs|².
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti")
+    cols_a = [F.col(id_col).alias("id_a"), F.col("shingle")]
+    cols_b = [F.col(id_col).alias("id_b"), F.col("shingle")]
+    if block_col:
+        cols_a.append(F.col(block_col).alias("block_a"))
+        cols_b.append(F.col(block_col).alias("block_b"))
+    a = rare.select(*cols_a)
+    b = rare.select(*cols_b)
+    on = [a.shingle == b.shingle, F.col("id_a") < F.col("id_b")]
+    if block_col:
+        on.append(F.col("block_a") == F.col("block_b"))
+    return a.join(b, on).select("id_a", "id_b").distinct()
+
+
+def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
+                          k: int, threshold: float,
+                          block_col: str | None, max_df: int) -> DataFrame:
+    """df-capped path: rare-shingle candidate join, then exact Jaccard
+    verification by intersecting the two docs' full DISTINCT shingle
+    arrays (same sparse-candidate verify shape as minhash_lsh_pairs)."""
+    extra = [block_col] if block_col else []
+    shing = doc_shingles(df, text_col, id_col, k, extra_cols=extra).cache()
+    sh = shing.select(F.col(id_col), *extra,
+                      F.explode("shingles").alias("shingle"))
+    cand = rare_shingle_candidates(sh, id_col, block_col, max_df)
+    sh_a = shing.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+    sh_b = shing.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        paired.withColumn("jaccard", dround(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -335,8 +405,10 @@ def chunk_boilerplate_dedup(df: DataFrame, text_col: str, id_col: str,
     Relational end-to-end: positional explode -> chunk aggregate ->
     corpus-wide frequency -> anti-filter -> ordered re-aggregate. Two
     groupBys + one join, all partial-agg friendly; nothing is ever
-    all-pairs, and chunk state is bounded by corpus vocabulary (hash the
-    chunk text for the frequency key at petabyte scale).
+    all-pairs. The corpus-wide frequency join keys on md5(chunk_text),
+    not the raw text — the frequency shuffle then moves 32-byte keys
+    instead of arbitrarily long chunk strings, which is what survives at
+    petabyte scale.
 
     Output: (id, clean_sha = md5 of the reassembled text or NULL when
     every chunk was boilerplate, n_chunks_kept, n_chunks_dropped).
@@ -354,9 +426,10 @@ def chunk_boilerplate_dedup(df: DataFrame, text_col: str, id_col: str,
                 lambda s: s["tok"]),
             " ").alias("chunk_text")
     )
-    freq = chunks.groupBy("chunk_text").agg(
+    chunks = chunks.withColumn("chunk_key", F.md5("chunk_text"))
+    freq = chunks.groupBy("chunk_key").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs"))
-    kept = chunks.join(freq, "chunk_text").filter(
+    kept = chunks.join(freq, "chunk_key").filter(
         F.col("n_docs") < max_doc_freq)
     out = kept.groupBy(id_col).agg(
         F.md5(F.array_join(

@@ -217,20 +217,36 @@ FROM corpus GROUP BY sha256(text)
 """
 
 
+_NGRAM_MAX_DF = 8  # document-frequency cap for candidate generation
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (same-language blocking)."""
+    """Exact n-gram Jaccard near-dup pairs (same-language blocking),
+    with the scale-guard document-frequency cap on candidate generation:
+    shingles in more than max_df docs never seed a pair (boilerplate
+    blocking), but jaccard is verified on the full shingle sets."""
     corpus = _docs_with_clones(spark, sf)
     return dedup.ngram_jaccard_pairs(
-        corpus, "text", "doc_id", k=3, threshold=0.5, block_col="lang"
+        corpus, "text", "doc_id", k=3, threshold=0.5, block_col="lang",
+        max_df=_NGRAM_MAX_DF,
     )
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH {_CORPUS_SQL}, {_SHINGLE_SQL}
+WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+hot AS (SELECT shingle FROM shd GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) > {_NGRAM_MAX_DF}),
+rare AS (SELECT shd.* FROM shd LEFT JOIN hot USING (shingle)
+         WHERE hot.shingle IS NULL),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                          AND a.lang = b.lang
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} AS jaccard
 FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      AND a.lang = b.lang
+JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
 JOIN cnt ca ON ca.doc_id = a.doc_id
 JOIN cnt cb ON cb.doc_id = b.doc_id
 GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
@@ -591,9 +607,9 @@ chunks AS (
          string_agg(tok, ' ' ORDER BY ord) AS chunk_text
   FROM toks GROUP BY 1, 2
 ),
-freq AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs
+freq AS (SELECT md5(chunk_text) AS chunk_key, COUNT(DISTINCT doc_id) AS n_docs
          FROM chunks GROUP BY 1),
-kept AS (SELECT c.* FROM chunks c JOIN freq USING (chunk_text)
+kept AS (SELECT c.* FROM chunks c JOIN freq ON md5(c.chunk_text) = freq.chunk_key
          WHERE n_docs < 2),
 reassembled AS (
   SELECT doc_id, md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS clean_sha,

@@ -139,3 +139,61 @@ def test_range_join_buckets_semantics(spark):
     got = range_join_buckets(left, right, ["k"], "p_ts", "ts",
                              window_days=1).collect()
     assert sorted(r.v for r in got) == [1.0, 2.0]
+
+
+def test_ngram_df_cap_blocks_hot_shingles(spark):
+    """Adversarial boilerplate corpus: every doc shares the same tail, so
+    uncapped pairing is quadratic (n*(n-1)/2 candidates). With the
+    document-frequency cap the hot shingles never seed a candidate —
+    candidate count stays bounded — while genuine near-dup pairs (which
+    share RARE shingles too) are still found with their EXACT jaccard."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs, rare_shingle_candidates, shingle_table,
+    )
+
+    n = 60
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [(i, f"unique{i}a word{i}b token{i}c item{i}d thing{i}e " + boiler)
+            for i in range(n)]
+    # one genuine near-dup pair: doc 1000/1001 share a rare prefix
+    rows += [(1000, "rare shared prefix words here alpha beta " + boiler),
+             (1001, "rare shared prefix words here alpha gamma " + boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_table(df, "text", "doc_id", k=3).select("doc_id", "shingle")
+    uncapped = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            [F.col("a.shingle") == F.col("b.shingle"),
+             F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id"), F.col("b.doc_id")).distinct().count()
+    )
+    assert uncapped > n * (n - 1) / 2  # the quadratic blow-up is real
+
+    capped = rare_shingle_candidates(sh, "doc_id", None, max_df=8).count()
+    assert capped == 1  # only the genuine pair survives candidate gen
+
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5,
+                                max_df=8).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1000, 1001)]
+    # jaccard is verified on the FULL shingle sets (boilerplate included)
+    assert 0.5 <= pairs[0].jaccard < 1.0
+
+
+def test_ngram_capped_matches_uncapped_on_benign_corpus(spark):
+    """With no shingle hotter than the cap, the capped path must return
+    byte-identical pairs to the exact uncapped join."""
+    from sc_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different content with no overlap at all"),
+            (4, "completely different content with no overlap at most")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.3).collect()))
+    capped = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.3, max_df=10).collect()))
+    assert base == capped and len(base) >= 2
