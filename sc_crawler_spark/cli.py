@@ -204,6 +204,16 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     (``skus.json``, _azure.py:453-579) land server shapes through their
     own standardizers; all vendors share the same silver merge path with
     a per-vendor inactivation scope.
+
+    Beyond servers, every OTHER record type the reference inventories
+    (tables.py:165-184) lands when its bronze file is present:
+    ``storage``/``storage_price`` (storage_products.json,
+    _aws.py:1169-1266), ``database``/``database_price``/
+    ``database_storage``/``database_storage_price`` (rds_products.json
+    + rds_orderable_options.json + rds_engine_versions.json,
+    _aws.py:1541-1758), ``traffic_price`` with full price tiers
+    (traffic_products.json, _aws.py:1268-1309) and ``ipv4_price``
+    (ipv4_products.json, _aws.py:1312-1349).
     """
     from .operators.validate import validate_items
     from .operators.windows import keep_last_dedup
@@ -253,12 +263,19 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     )
     prices_valid, prices_invalid = validate_items(prices, "server_price")
 
+    svc_outputs, svc_invalids = _service_inventories(
+        spark, vroot, regions, valid, vendor
+    )
+    all_invalid = invalid.unionByName(prices_invalid, allowMissingColumns=True)
+    for inv in svc_invalids:
+        all_invalid = all_invalid.unionByName(inv, allowMissingColumns=True)
+
     os.makedirs(lake, exist_ok=True)
     outputs = {
         "server": (valid, schemas.PRIMARY_KEYS["server"]),
         "server_price": (prices_valid, schemas.PRIMARY_KEYS["server_price"]),
-        "server_invalid": (invalid.unionByName(prices_invalid,
-                                               allowMissingColumns=True), None),
+        **svc_outputs,
+        "server_invalid": (all_invalid, None),
     }
     for table, (df, pks) in outputs.items():
         path = _table_path(lake, table)
@@ -276,6 +293,72 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
                 pass
         _rewrite(spark, df, path)
         print(f"inventory: {table}: {read_snapshot(spark, path).count()} rows")
+
+
+def _service_inventories(spark: SparkSession, vroot: str, regions: DataFrame,
+                         servers_valid: DataFrame, vendor: str):
+    """Non-server record types, each landing iff its bronze file exists
+    (the reference's 14 per-vendor inventory methods, tables.py:165-184).
+    Returns ({table: (valid_df, pks)}, [invalid_dfs])."""
+    from .operators.validate import validate_items
+    from .sources import aws_services as svc
+
+    outputs: dict = {}
+    invalids: list[DataFrame] = []
+
+    def _path(name: str) -> str | None:
+        p = os.path.join(vroot, name)
+        return p if os.path.exists(p) else None
+
+    def _add(table: str, df: DataFrame) -> DataFrame:
+        valid, invalid = validate_items(df, table)
+        outputs[table] = (valid, schemas.PRIMARY_KEYS[table])
+        invalids.append(invalid)
+        return valid
+
+    storage_path = _path("storage_products.json")
+    if storage_path:
+        raw = spark.read.schema(svc.RAW_STORAGE_PRODUCT).json(storage_path)
+        _add("storage", svc.storage_catalog(raw, vendor))
+        _add("storage_price",
+             svc.assemble_storage_prices(raw, regions, vendor))
+
+    rds_path = _path("rds_products.json")
+    if rds_path:
+        rds = spark.read.schema(svc.RAW_RDS_PRODUCT).json(rds_path)
+        opts_path = _path("rds_orderable_options.json")
+        options = (
+            spark.read.schema(svc.RAW_ORDERABLE_OPTION).json(opts_path)
+            if opts_path
+            else spark.createDataFrame([], svc.RAW_ORDERABLE_OPTION)
+        )
+        vers_path = _path("rds_engine_versions.json")
+        versions = (
+            spark.read.schema("version string").json(vers_path)
+            if vers_path
+            else spark.createDataFrame([], "version string")
+        )
+        _add("database", svc.standardize_databases(
+            rds, servers_valid.select("server_id"), versions, options, vendor))
+        _add("database_price",
+             svc.assemble_database_prices(rds, regions, vendor))
+        db_storage = _add(
+            "database_storage", svc.database_storage_catalog(options, vendor))
+        _add("database_storage_price", svc.assemble_database_storage_prices(
+            rds, regions, db_storage, vendor))
+
+    traffic_path = _path("traffic_products.json")
+    if traffic_path:
+        raw = spark.read.schema(svc.RAW_TRAFFIC_PRODUCT).json(traffic_path)
+        _add("traffic_price",
+             svc.assemble_traffic_prices(raw, regions, vendor))
+
+    ipv4_path = _path("ipv4_products.json")
+    if ipv4_path:
+        raw = spark.read.schema(svc.RAW_IPV4_PRODUCT).json(ipv4_path)
+        _add("ipv4_price", svc.assemble_ipv4_prices(raw, regions, vendor))
+
+    return outputs, invalids
 
 
 _GCP_MACHINE_TYPE_SCHEMA = (

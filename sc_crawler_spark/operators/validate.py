@@ -36,28 +36,36 @@ def _nullable(dtype: DataType) -> DataType:
         return MapType(_nullable(dtype.keyType), _nullable(dtype.valueType), True)
     return dtype
 
-def _defaults():
+def _defaults(table: str | None = None):
     # built lazily — Column constructors need an active session.
     # Zero-defaults mirror the pydantic field defaults the reference
-    # fills before bulk insert (table_bases.py: gpu_count=0,
-    # storage_size=0, inbound/outbound_traffic=0, ipv4=0).
-    return {
+    # fills before bulk insert; the zero block is SERVER-scoped
+    # (ServerFields, table_bases.py:608-865: gpu_count=0, storage_size=0,
+    # inbound/outbound_traffic=0, ipv4=0) — DatabaseFields declares
+    # storage_size default=None (table_bases.py:922-925), so a database
+    # row without bundled storage must stay NULL, not 0.
+    shared = {
         "status": F.lit("active"),
         "observed_at": F.current_timestamp(),
-        "gpu_count": F.lit(0.0),
-        "storage_size": F.lit(0),
-        "inbound_traffic": F.lit(0.0),
-        "outbound_traffic": F.lit(0.0),
-        "ipv4": F.lit(0),
         "price_upfront": F.lit(0.0),
         "currency": F.lit("USD"),
     }
+    if table in (None, "server"):
+        shared.update({
+            "gpu_count": F.lit(0.0),
+            "storage_size": F.lit(0),
+            "inbound_traffic": F.lit(0.0),
+            "outbound_traffic": F.lit(0.0),
+            "ipv4": F.lit(0),
+        })
+    return shared
 
 
-def apply_schema(df: DataFrame, schema: StructType) -> DataFrame:
+def apply_schema(df: DataFrame, schema: StructType,
+                 table: str | None = None) -> DataFrame:
     """Cast/project df onto the declared schema, adding missing columns
     as NULL and filling lifecycle defaults."""
-    defaults = _defaults()
+    defaults = _defaults(table)
     out = []
     for field in schema.fields:
         if field.name in df.columns:
@@ -80,7 +88,7 @@ def validate_items(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
     the full declared schema; ``invalid`` adds ``_errors``.
     """
     schema = schemas.TABLES[table]
-    coerced = apply_schema(df, schema)
+    coerced = apply_schema(df, schema, table)
     checks = [
         F.when(F.col(f.name).isNull(), F.lit(f.name))
         for f in schema.fields

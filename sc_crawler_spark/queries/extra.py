@@ -322,8 +322,127 @@ ORDER BY sample_key LIMIT 100
 """
 
 
+# -------------------------------------------------- tiered-price billing
+
+# A PRICE_TIER_STRUCT-shaped schedule (schemas.py:53-55): upper bound is
+# a STRING so the reference's float('inf') <-> "Infinity" JSON convention
+# (F5) round-trips; the open last tier is the "Infinity" literal.
+_BILLING_TIERS: list[tuple[float, str, float]] = [
+    (0.0, "10.0", 1.0),
+    (10.0, "40.0", 0.8),
+    (40.0, "Infinity", 0.5),
+]
+
+
+def tiered_price_billing(spark: SparkSession, sf: str) -> DataFrame:
+    """P3/F5 end-to-end: graduated (tiered) billing of lineitem
+    quantities against a tier array — each tier charges its rate on the
+    quantity overlapping [lower, upper), the open tier via
+    CAST('Infinity' AS DOUBLE). This is the reference's traffic_price
+    ``price_tiered`` consumption semantics (_aws.py:1268-1309 builds the
+    tiers; table_fields.py:228-257 defines the struct).
+
+    The fold runs INSIDE the row over the tier array (F.aggregate) —
+    no explode, no extra shuffle; the only shuffle is the final groupBy.
+    """
+    li = load(spark, sf, "lineitem")
+    tiers = F.array(*[
+        F.struct(
+            F.lit(lo).alias("lower"), F.lit(up).alias("upper"),
+            F.lit(p).alias("price"),
+        )
+        for lo, up, p in _BILLING_TIERS
+    ])
+    qty = F.col("l_quantity")
+    cost = F.aggregate(
+        tiers,
+        F.lit(0.0),
+        lambda acc, t: acc + F.greatest(
+            F.least(qty, t["upper"].cast("double")) - t["lower"], F.lit(0.0)
+        ) * t["price"],
+    )
+    return (
+        li.withColumn("_cost", cost)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dround(decimal_sum(F.col("_cost")), 4).alias("total_cost"),
+            dround(F.max("_cost"), 4).alias("max_cost"),
+        )
+    )
+
+
+def _tiered_billing_sql() -> str:
+    # the same schedule folded in the same left-to-right order, so the
+    # double accumulation is bit-identical to F.aggregate's fold
+    terms = " + ".join(
+        f"GREATEST(LEAST(l_quantity, CAST('{up}' AS DOUBLE)) - {lo}, 0.0) * {p}"
+        for lo, up, p in _BILLING_TIERS
+    )
+    return f"""
+WITH costed AS (SELECT l_returnflag, (0.0 + {terms}) AS _cost FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS n_items,
+  {sql_round("SUM(CAST(_cost AS DECIMAL(28,6)))")} AS total_cost,
+  {sql_round("MAX(_cost)")} AS max_cost
+FROM costed GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------- config JSON as primary key
+
+
+def benchmark_config_pk(spark: SparkSession, sf: str) -> DataFrame:
+    """BenchmarkScore's JSON-as-PK semantics (reference
+    table_bases.py:1250-1267): the benchmark ``config`` dict is carried
+    as a CANONICAL sorted-key JSON string and participates in the
+    primary key, so grouping/joining on it is exact string equality.
+
+    Synthesizes score observations from lineitem (server = supplier
+    bucket, benchmark = returnflag, config = {datasize, threads}),
+    builds the config PK with ``to_json(struct(...))`` over name-sorted
+    fields (functions/hashing.py:66-71 convention), then aggregates
+    best-score per full PK — the reference's keep-best upsert unit.
+    """
+    li = load(spark, sf, "lineitem")
+    config = F.to_json(F.struct(
+        (F.col("l_quantity").cast("int") % 4 * 16).alias("datasize"),
+        F.col("l_linenumber").alias("threads"),
+    ))
+    return (
+        li.select(
+            F.lit("aws").alias("vendor_id"),
+            F.concat(F.lit("srv-"), (F.col("l_suppkey") % 50).cast("string"))
+            .alias("server_id"),
+            F.concat(F.lit("bench:"), F.col("l_returnflag"))
+            .alias("benchmark_id"),
+            config.alias("config"),
+            (F.col("l_extendedprice") / 1000).alias("score"),
+        )
+        .groupBy("vendor_id", "server_id", "benchmark_id", "config")
+        .agg(
+            F.count("*").alias("n_obs"),
+            dround(F.max("score"), 4).alias("best_score"),
+        )
+    )
+
+
+CONFIG_PK_SQL = f"""
+SELECT 'aws' AS vendor_id,
+       'srv-' || CAST(l_suppkey % 50 AS VARCHAR) AS server_id,
+       'bench:' || l_returnflag AS benchmark_id,
+       '{{"datasize":' || CAST((CAST(l_quantity AS INT) % 4) * 16 AS VARCHAR)
+           || ',"threads":' || CAST(l_linenumber AS VARCHAR) || '}}' AS config,
+       COUNT(*) AS n_obs,
+       {sql_round("MAX(l_extendedprice / 1000)")} AS best_score
+FROM lineitem
+GROUP BY 1, 2, 3, 4
+"""
+
+
 QUERIES = {
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "tiered_price_billing": (tiered_price_billing, _tiered_billing_sql()),
+    "benchmark_config_pk": (benchmark_config_pk, CONFIG_PK_SQL),
     "ecpus_scalability": (ecpus_scalability, ECPUS_SQL),
     "shuffled_sample_orders": (shuffled_sample_orders, SAMPLE_SQL),
     "sku_prefix_join": (sku_prefix_join, SKU_PREFIX_SQL),

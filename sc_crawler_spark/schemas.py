@@ -167,13 +167,17 @@ STORAGE_PRICE = StructType([
 
 DATABASE = StructType([
     _f("vendor_id", S, False), _f("database_id", S, False),
+    _f("name", S, False), _f("api_reference", S, False),
+    _f("display_name", S, False), _f("description", S),
+    _f("server_id", S),            # optional related Server SKU (J7 match)
     _f("engine", S, False), _f("engine_versions", ArrayType(S)),
     _f("family", S), _f("vcpus", I), _f("memory_amount", L),
     _f("storage_size", L), _f("ha_supported", B),
     _f("storage_autoscaling", B), _f("scheduled_backups", B),
     _f("engine_auto_upgrade", B), _f("autotuning", B),
     _f("custom_config", B), _f("custom_extensions", B),
-    _f("continuous_backups", I), _f("sla", D), *STATUS_COLS,
+    _f("continuous_backups", I), _f("support_level", S), _f("sla", D),
+    *STATUS_COLS,
 ])
 
 DATABASE_PRICE = StructType([
@@ -184,6 +188,7 @@ DATABASE_PRICE = StructType([
 
 DATABASE_STORAGE = StructType([
     _f("vendor_id", S, False), _f("database_storage_id", S, False),
+    _f("name", S, False), _f("description", S),
     _f("scope", S, False), _f("redundancy", S), _f("min_size", L),
     _f("max_size", L), _f("max_iops", L), _f("max_throughput", L),
     *STATUS_COLS,

@@ -225,3 +225,233 @@ def test_inventory_vultr_and_invalid_side_table(spark, tmp_path):
     bad = invalid.collect()
     assert len(bad) == 1 and bad[0]["server_id"] == "broken-sku"
     assert "vcpus" in bad[0]["_errors"]
+
+
+def _terms(price):
+    return json.dumps({"t1": {"priceDimensions": {
+        "d1": {"pricePerUnit": {"USD": str(price)},
+               "beginRange": "0", "endRange": "Inf", "unit": "Hrs"}}}})
+
+
+def _tiered_terms(tiers):
+    """tiers: [(begin, end, price)] with end 'Inf' for the last."""
+    dims = {
+        f"d{i}": {"pricePerUnit": {"USD": str(p)},
+                  "beginRange": str(b), "endRange": str(e), "unit": "GB"}
+        for i, (b, e, p) in enumerate(tiers)
+    }
+    return json.dumps({"t1": {"priceDimensions": dims}})
+
+
+def _write_service_bronze(root):
+    d = os.path.join(root, "aws")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "instance_types.json"), "w") as fh:
+        fh.write(_instance("m5.large", 2, 8192))
+    with open(os.path.join(d, "products.json"), "w") as fh:
+        fh.write(_product("m5.large", "US East (N. Virginia)", 0.096))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-east-1",
+                             "name": "US East (N. Virginia)",
+                             "aliases": ["Virginia"]}) + "\n")
+        fh.write(json.dumps({"region_id": "eu-west-1",
+                             "name": "EU (Ireland)", "aliases": []}))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-east-1",
+                             "zones": ["use1-az1"]}))
+    with open(os.path.join(d, "storage_products.json"), "w") as fh:
+        fh.write(json.dumps({
+            "volume_api_name": "gp3", "volume_type": "General Purpose",
+            "storage_media": "SSD-backed", "max_iops_volume": "16000 - 80000",
+            "max_throughput_volume": None, "min_volume_size": "1 GiB",
+            "max_volume_size": "16 TiB", "location": "US East (N. Virginia)",
+            "terms": _terms(0.08)}) + "\n")
+        fh.write(json.dumps({
+            "volume_api_name": "gp3", "volume_type": "General Purpose",
+            "storage_media": "SSD-backed", "max_iops_volume": "16000 - 80000",
+            "max_throughput_volume": None, "min_volume_size": "1 GiB",
+            "max_volume_size": "16 TiB", "location": "EU (Ireland)",
+            "terms": _terms(0.088)}) + "\n")
+        fh.write(json.dumps({
+            "volume_api_name": "st1", "volume_type": "Throughput Optimized HDD",
+            "storage_media": "HDD-backed", "max_iops_volume": "500",
+            "max_throughput_volume": "500 MiB/s", "min_volume_size": "125 GiB",
+            "max_volume_size": "16 TiB", "location": "US East (N. Virginia)",
+            "terms": _terms(0.045)}))
+    with open(os.path.join(d, "rds_products.json"), "w") as fh:
+        fh.write(json.dumps({
+            "product_family": "Database Instance",
+            "deployment_option": "Single-AZ", "region_code": "us-east-1",
+            "instance_type": "db.m5.large",
+            "instance_family": "General purpose", "vcpu": 2,
+            "memory": "8 GiB", "storage": "EBS only",
+            "terms": _terms(0.178)}) + "\n")
+        fh.write(json.dumps({
+            "product_family": "Database Instance",
+            "deployment_option": "Single-AZ", "region_code": "eu-west-1",
+            "instance_type": "db.m5.large",
+            "instance_family": "General purpose", "vcpu": 2,
+            "memory": "8 GiB", "storage": "EBS only",
+            "terms": _terms(0.197)}) + "\n")
+        fh.write(json.dumps({   # Multi-AZ rows must be skipped
+            "product_family": "Database Instance",
+            "deployment_option": "Multi-AZ", "region_code": "us-east-1",
+            "instance_type": "db.m5.large",
+            "instance_family": "General purpose", "vcpu": 2,
+            "memory": "8 GiB", "storage": "EBS only",
+            "terms": _terms(0.356)}) + "\n")
+        fh.write(json.dumps({   # bundled NVMe storage parse
+            "product_family": "Database Instance",
+            "deployment_option": "Single-AZ", "region_code": "us-east-1",
+            "instance_type": "db.r5d.large",
+            "instance_family": "Memory optimized", "vcpu": 2,
+            "memory": "16 GiB", "storage": "1 x 75 NVMe SSD",
+            "terms": _terms(0.251)}) + "\n")
+        fh.write(json.dumps({
+            "product_family": "Database Storage", "region_code": "us-east-1",
+            "volume_type": "General Purpose-GP3",
+            "terms": _terms(0.115)}) + "\n")
+        fh.write(json.dumps({   # volumeType not in the orderable catalog
+            "product_family": "Database Storage", "region_code": "us-east-1",
+            "volume_type": "Magnetic",
+            "terms": _terms(0.1)}))
+    with open(os.path.join(d, "rds_engine_versions.json"), "w") as fh:
+        fh.write(json.dumps({"version": "13"}) + "\n")
+        fh.write(json.dumps({"version": "14"}) + "\n")
+        fh.write(json.dumps({"version": "12"}))
+    with open(os.path.join(d, "rds_orderable_options.json"), "w") as fh:
+        fh.write(json.dumps({
+            "db_instance_class": "db.m5.large", "engine_version": "12",
+            "multi_az_capable": True, "supports_storage_autoscaling": True,
+            "storage_type": "gp3", "min_storage_size": 20,
+            "max_storage_size": 65536, "max_iops_per_db_instance": 64000,
+            "max_storage_throughput_per_db_instance": 4000}) + "\n")
+        fh.write(json.dumps({   # later engine version: W3 drops this row
+            "db_instance_class": "db.m5.large", "engine_version": "13",
+            "multi_az_capable": False, "supports_storage_autoscaling": False,
+            "storage_type": "gp3", "min_storage_size": 100,
+            "max_storage_size": 999999, "max_iops_per_db_instance": 1,
+            "max_storage_throughput_per_db_instance": 1}) + "\n")
+        fh.write(json.dumps({
+            "db_instance_class": "db.r5d.large", "engine_version": "12",
+            "multi_az_capable": False, "supports_storage_autoscaling": True,
+            "storage_type": "gp3", "min_storage_size": 40,
+            "max_storage_size": 32768, "max_iops_per_db_instance": 32000,
+            "max_storage_throughput_per_db_instance": 2000}))
+    with open(os.path.join(d, "traffic_products.json"), "w") as fh:
+        fh.write(json.dumps({
+            "direction": "outbound", "location": "US East (N. Virginia)",
+            "terms": _tiered_terms([
+                (0, 10240, 0.09), (10240, 51200, 0.085),
+                (51200, "Inf", 0.07)])}) + "\n")
+        fh.write(json.dumps({
+            "direction": "inbound", "location": "Virginia",
+            "terms": _tiered_terms([(0, "Inf", 0.0)])}))
+    with open(os.path.join(d, "ipv4_products.json"), "w") as fh:
+        fh.write(json.dumps({"location": "US East (N. Virginia)",
+                             "terms": _terms(0.005)}))
+
+
+def test_inventory_lands_all_service_record_types(spark, tmp_path):
+    """storage/storage_price/database/database_price/database_storage/
+    database_storage_price/traffic_price/ipv4_price all land end-to-end
+    from one bronze tree (_aws.py:1169-1758 semantics)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    _write_service_bronze(bronze)
+    cli.cmd_inventory(spark, bronze, lake)
+
+    # ---- storage catalog (A7-ish bounds + unit conversions)
+    storage = {r["storage_id"]: r for r in
+               read_snapshot(spark, os.path.join(lake, "storage")).collect()}
+    assert set(storage) == {"gp3", "st1"}
+    assert storage["gp3"]["storage_type"] == "ssd"
+    assert storage["st1"]["storage_type"] == "hdd"
+    assert storage["gp3"]["max_iops"] == 80000          # last number in range
+    assert storage["gp3"]["max_throughput"] == 2097     # manual 2000 MiB->MB
+    assert storage["gp3"]["min_size"] == 1
+    assert storage["gp3"]["max_size"] == 17592          # 16 TiB -> GB
+    assert storage["st1"]["max_throughput"] == 524      # 500 MiB/s -> MB/s
+
+    # ---- storage prices: one per (region, volume)
+    sp = {(r["region_id"], r["storage_id"]): r["price"] for r in
+          read_snapshot(spark, os.path.join(lake, "storage_price")).collect()}
+    assert sp == {("us-east-1", "gp3"): 0.08, ("eu-west-1", "gp3"): 0.088,
+                  ("us-east-1", "st1"): 0.045}
+
+    # ---- databases: one row per class from the priority region
+    db = {r["database_id"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "database")).collect()}
+    assert set(db) == {"db.m5.large", "db.r5d.large"}
+    m5 = db["db.m5.large"]
+    assert m5["engine"] == "postgresql"
+    assert m5["engine_versions"] == ["12", "13", "14"]
+    assert m5["memory_amount"] == 8192
+    assert m5["storage_size"] is None                   # EBS only
+    assert m5["server_id"] == "m5.large"                # J7 prefix strip
+    assert m5["ha_supported"] is True                   # first-version opts
+    assert m5["storage_autoscaling"] is True
+    assert m5["description"] == "General purpose (2 vCPU, 8.0 GiB RAM)"
+    r5 = db["db.r5d.large"]
+    assert r5["storage_size"] == 75                     # 1 x 75 NVMe SSD
+    assert r5["server_id"] is None                      # no r5d.large server
+    assert r5["ha_supported"] is False
+    assert "75 GB NVMe SSD" in r5["description"]
+
+    # ---- database prices: per-region, Multi-AZ skipped
+    dbp = {(r["region_id"], r["database_id"]): r["price"] for r in
+           read_snapshot(spark,
+                         os.path.join(lake, "database_price")).collect()}
+    assert dbp == {("us-east-1", "db.m5.large"): 0.178,
+                   ("eu-west-1", "db.m5.large"): 0.197,
+                   ("us-east-1", "db.r5d.large"): 0.251}
+
+    # ---- database storage: bounds folded across classes (A7), W3 filter
+    dbs = {r["database_storage_id"]: r for r in
+           read_snapshot(spark,
+                         os.path.join(lake, "database_storage")).collect()}
+    assert set(dbs) == {"gp3"}
+    assert dbs["gp3"]["name"] == "General Purpose-GP3"
+    assert dbs["gp3"]["min_size"] == 20                 # min over classes
+    assert dbs["gp3"]["max_size"] == 65536              # max (W3 drops 999999)
+    assert dbs["gp3"]["max_iops"] == 64000
+    assert dbs["gp3"]["scope"] == "data"
+
+    # ---- database storage price: Magnetic dropped (not in catalog)
+    dbsp = read_snapshot(
+        spark, os.path.join(lake, "database_storage_price")).collect()
+    assert [(r["region_id"], r["database_storage_id"], r["price"])
+            for r in dbsp] == [("us-east-1", "gp3", 0.115)]
+
+    # ---- traffic prices: fix_1024 bounds, max-tier headline, full array
+    tp = {r["direction"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "traffic_price")).collect()}
+    out_tiers = tp["outbound"]["price_tiered"]
+    assert tp["outbound"]["price"] == 0.09              # max tier price
+    assert [t["lower"] for t in out_tiers] == [0.0, 10000.0, 50000.0]
+    assert out_tiers[-1]["upper"] == "Infinity"
+    assert float(out_tiers[0]["upper"]) == 10000.0      # 10240 GiB -> GB
+    assert tp["inbound"]["price"] == 0.0                # via region alias
+    assert tp["outbound"]["unit"] == "GB"
+
+    # ---- ipv4 price
+    ip = read_snapshot(spark, os.path.join(lake, "ipv4_price")).collect()
+    assert [(r["region_id"], r["price"], r["unit"]) for r in ip] == [
+        ("us-east-1", 0.005, "hour")]
+
+    # ---- re-pull with gp3 storage gone: T1 inactivates, others stay
+    d = os.path.join(bronze, "aws")
+    with open(os.path.join(d, "storage_products.json"), "w") as fh:
+        fh.write(json.dumps({
+            "volume_api_name": "st1", "volume_type": "Throughput Optimized HDD",
+            "storage_media": "HDD-backed", "max_iops_volume": "500",
+            "max_throughput_volume": "500 MiB/s", "min_volume_size": "125 GiB",
+            "max_volume_size": "16 TiB", "location": "US East (N. Virginia)",
+            "terms": _terms(0.045)}))
+    cli.cmd_inventory(spark, bronze, lake)
+    storage = {r["storage_id"]: r["status"] for r in
+               read_snapshot(spark, os.path.join(lake, "storage")).collect()}
+    assert storage == {"gp3": "inactive", "st1": "active"}
+    db_status = {r["database_id"]: r["status"] for r in
+                 read_snapshot(spark, os.path.join(lake, "database")).collect()}
+    assert set(db_status.values()) == {"active"}
