@@ -28,7 +28,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import schemas
+from . import migrate, schemas
 from .operators.sync import hash_diff, with_row_hash
 from .operators.upsert import merge_upsert, scd2_append
 from .session import get_spark
@@ -52,6 +52,16 @@ def _tables_in(lake: str) -> list[str]:
     )
 
 
+def _ensure_lake(lake: str) -> None:
+    """Writers call this before touching a lake: a populated lake must be
+    at the code's schema version (reference pre-flight revision check,
+    cli.py:432-442); an empty/new lake is stamped with it."""
+    if os.path.isdir(lake) and _tables_in(lake):
+        migrate.check_lake(lake, context="write")
+    else:
+        migrate.stamp_lake(lake)
+
+
 def _rewrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Commit ``df`` as the table's next snapshot version (atomic pointer
     swap; the plan may read the current snapshot of ``path`` itself)."""
@@ -63,6 +73,7 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
     inactivate + merge canon for every in-code dim the reference ships
     (lookup.py, vendors/vendors.py, _aws.py region facts)."""
     os.makedirs(lake, exist_ok=True)
+    _ensure_lake(lake)
     dims = {
         "country": (lookup.countries(spark), ["country_id"]),
         "compliance_framework": (
@@ -128,6 +139,11 @@ def cmd_hash(spark: SparkSession, lake: str, table: str | None) -> None:
 
 def cmd_sync(spark: SparkSession, source: str, target: str,
              table: str, scd: bool = False) -> None:
+    # both lakes must be at the code's schema revision — syncing across
+    # mismatched schemas would silently misalign columns (the reference
+    # refuses the same way before update/sync, cli.py:432-442)
+    migrate.check_lake(source, context="sync source")
+    migrate.check_lake(target, context="sync target")
     src = _read(spark, source, table)
     tgt = _read(spark, target, table)
     pks = [c for c in schemas.PRIMARY_KEYS.get(table, []) if c in src.columns]
@@ -182,6 +198,20 @@ def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
     for t in _tables_in(source):
         write_snapshot(spark, _read(spark, source, t), _table_path(target, t))
         print(f"copy: {t}")
+    # the copy carries the source's schema revision verbatim
+    migrate.stamp_lake(target, migrate.lake_version(source))
+
+
+def cmd_schemas(spark: SparkSession, action: str, lake: str) -> None:
+    """``schemas version`` / ``schemas upgrade`` (reference
+    cli.py:124-239): report or reconcile a lake's schema revision."""
+    if action == "version":
+        print(json.dumps({"lake": migrate.lake_version(lake),
+                          "code": migrate.SCHEMA_VERSION}))
+        return
+    added = migrate.upgrade_lake(spark, lake)
+    print(json.dumps({"upgraded_to": migrate.SCHEMA_VERSION,
+                      "added_columns": added}))
 
 
 def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
@@ -271,6 +301,7 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
         all_invalid = all_invalid.unionByName(inv, allowMissingColumns=True)
 
     os.makedirs(lake, exist_ok=True)
+    _ensure_lake(lake)
     outputs = {
         "server": (valid, schemas.PRIMARY_KEYS["server"]),
         "server_price": (prices_valid, schemas.PRIMARY_KEYS["server_price"]),
@@ -401,6 +432,7 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
     valid, invalid = validate_items(servers, "server")
 
     os.makedirs(lake, exist_ok=True)
+    _ensure_lake(lake)
     path = _table_path(lake, "server")
     df = valid
     try:
@@ -516,6 +548,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--version", default="0.1.0")
 
+    p = sub.add_parser("schemas", help="lake schema revision: version/upgrade")
+    p.add_argument("action", choices=["version", "upgrade"])
+    p.add_argument("--lake", required=True)
+
     p = sub.add_parser("metadata", help="get/set the _metadata KV table")
     p.add_argument("action", choices=["get", "set"])
     p.add_argument("--db", required=True)
@@ -543,6 +579,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_inventory(spark, args.bronze, args.lake, args.vendor)
     elif args.cmd == "publish":
         cmd_publish(spark, args.lake, args.out, args.version)
+    elif args.cmd == "schemas":
+        cmd_schemas(spark, args.action, args.lake)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""Lake schema versioning + migrations (reference cli.py:124-239,
+432-442: Alembic revision gates and ``schemas upgrade``).
+
+The reference stamps every database with its Alembic revision and
+refuses to sync/update across mismatched revisions; here the lake root
+carries a ``_SCHEMA_VERSION`` stamp file and ``MIGRATIONS`` is the
+declarative revision history: for each new version, the columns it added
+per table with their backfill defaults. Upgrading a lake folds the
+missing revisions into each table snapshot (pure column-adds — O(scan)
+per table, no shuffle) and re-stamps.
+
+A lake with no stamp predates versioning and reads as version 1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Bump on every change to schemas.py; record the delta in MIGRATIONS.
+SCHEMA_VERSION = 2
+
+STAMP = "_SCHEMA_VERSION"
+
+# version -> table -> [(column, sql_type, default_expr_builder)]
+# default builders are lazy (Column constructors need a live session) and
+# may reference existing columns of the same table.
+MIGRATIONS: dict[int, dict[str, list[tuple[str, str, object]]]] = {
+    # r4: database gains the reference's naming/crosslink columns
+    # (table_bases.py:892-905), database_storage its display columns
+    # (table_bases.py:1005-1008).
+    2: {
+        "database": [
+            ("name", "string", lambda: F.col("database_id")),
+            ("api_reference", "string", lambda: F.col("database_id")),
+            ("display_name", "string", lambda: F.col("database_id")),
+            ("description", "string", lambda: F.lit(None)),
+            ("server_id", "string", lambda: F.lit(None)),
+            ("support_level", "string", lambda: F.lit(None)),
+        ],
+        "database_storage": [
+            ("name", "string", lambda: F.col("database_storage_id")),
+            ("description", "string", lambda: F.lit(None)),
+        ],
+    },
+}
+
+
+class SchemaVersionMismatch(RuntimeError):
+    pass
+
+
+def lake_version(lake: str) -> int:
+    p = os.path.join(lake, STAMP)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(fh.read().strip())
+    return 1  # pre-versioning lake
+
+
+def stamp_lake(lake: str, version: int = SCHEMA_VERSION) -> None:
+    os.makedirs(lake, exist_ok=True)
+    tmp = os.path.join(lake, STAMP + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(lake, STAMP))
+
+
+def check_lake(lake: str, *, context: str) -> None:
+    """Refuse to operate on a lake whose stamp trails the code's schema
+    (the reference's pre-flight revision check, cli.py:432-442)."""
+    v = lake_version(lake)
+    if v != SCHEMA_VERSION:
+        raise SchemaVersionMismatch(
+            f"{context}: lake {lake!r} is at schema version {v}, code is at "
+            f"{SCHEMA_VERSION} — run `schemas upgrade --lake {lake}` first"
+        )
+
+
+def upgrade_table(df: DataFrame, table: str, from_version: int) -> DataFrame:
+    """Fold every missing revision's column-adds into ``df``. Columns
+    already present are left untouched (idempotent)."""
+    for v in range(from_version + 1, SCHEMA_VERSION + 1):
+        for col, sql_type, default in MIGRATIONS.get(v, {}).get(table, []):
+            if col not in df.columns:
+                df = df.withColumn(col, default().cast(sql_type))
+    return df
+
+
+def upgrade_lake(spark: SparkSession, lake: str) -> dict[str, list[str]]:
+    """Apply pending migrations to every table snapshot and re-stamp.
+    Returns {table: [added columns]} for reporting."""
+    from .sinks.snapshot import read_snapshot, write_snapshot
+
+    v = lake_version(lake)
+    added: dict[str, list[str]] = {}
+    if v >= SCHEMA_VERSION:
+        stamp_lake(lake, SCHEMA_VERSION)
+        return added
+    tables = sorted(
+        d for d in os.listdir(lake)
+        if os.path.isdir(os.path.join(lake, d)) and not d.startswith("_")
+    )
+    for t in tables:
+        df = read_snapshot(spark, os.path.join(lake, t))
+        before = set(df.columns)
+        upgraded = upgrade_table(df, t, v)
+        new_cols = [c for c in upgraded.columns if c not in before]
+        if new_cols:
+            write_snapshot(spark, upgraded, os.path.join(lake, t))
+            added[t] = new_cols
+    stamp_lake(lake, SCHEMA_VERSION)
+    return added

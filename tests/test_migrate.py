@@ -1,0 +1,72 @@
+"""Schema-version stamps + migrations (reference cli.py:124-239,
+432-442: revision gates and `schemas upgrade`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sc_crawler_spark import cli, migrate
+from sc_crawler_spark.sinks.snapshot import read_snapshot, write_snapshot
+
+
+def _mini_lake(spark, root, version=None):
+    """A lake with a v1-shaped database table (pre-migration columns)."""
+    df = spark.createDataFrame(
+        [("aws", "db.m5.large", "postgresql", "active")],
+        "vendor_id string, database_id string, engine string, status string",
+    ).withColumn("observed_at", F.current_timestamp())
+    write_snapshot(spark, df, os.path.join(root, "database"))
+    if version is not None:
+        migrate.stamp_lake(root, version)
+
+
+def test_unstamped_lake_reads_as_version_1(tmp_path):
+    assert migrate.lake_version(str(tmp_path)) == 1
+    migrate.stamp_lake(str(tmp_path))
+    assert migrate.lake_version(str(tmp_path)) == migrate.SCHEMA_VERSION
+
+
+def test_sync_refuses_mismatched_schema_versions(spark, tmp_path):
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    _mini_lake(spark, src, version=migrate.SCHEMA_VERSION)
+    _mini_lake(spark, tgt, version=1)   # target lags behind the code
+    with pytest.raises(migrate.SchemaVersionMismatch, match="sync target"):
+        cli.cmd_sync(spark, src, tgt, "database")
+    # an unstamped (legacy) source is version 1 and refused too
+    os.remove(os.path.join(src, migrate.STAMP))
+    with pytest.raises(migrate.SchemaVersionMismatch, match="sync source"):
+        cli.cmd_sync(spark, src, tgt, "database")
+
+
+def test_writers_refuse_stale_populated_lake(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake, version=1)
+    with pytest.raises(migrate.SchemaVersionMismatch, match="write"):
+        cli.cmd_pull(spark, lake)
+
+
+def test_upgrade_adds_columns_with_defaults_and_stamps(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)             # unstamped -> version 1
+    added = migrate.upgrade_lake(spark, lake)
+    assert "name" in added["database"] and "server_id" in added["database"]
+    assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
+
+    db = read_snapshot(spark, os.path.join(lake, "database")).collect()[0]
+    assert db["name"] == "db.m5.large"          # backfill from database_id
+    assert db["display_name"] == "db.m5.large"
+    assert db["server_id"] is None              # nullable default
+    assert db["engine"] == "postgresql"         # untouched
+
+    # idempotent: a second upgrade adds nothing and keeps the stamp
+    assert migrate.upgrade_lake(spark, lake) == {}
+
+    # upgraded lakes sync cleanly again
+    tgt = str(tmp_path / "tgt")
+    _mini_lake(spark, tgt)
+    migrate.upgrade_lake(spark, tgt)
+    cli.cmd_sync(spark, lake, tgt, "database")
+    assert read_snapshot(spark, os.path.join(tgt, "database")).count() == 1
