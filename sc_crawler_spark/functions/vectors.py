@@ -16,10 +16,17 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Index-fold inner product: acc + a[i]*b[i], left to right.
+
+    Same arithmetic sequence as the zip_with form (and DuckDB's
+    list_inner_product), but without materializing the zipped product
+    array per pair — in the brute-force top-k inner loop (|q| x |corpus|
+    pairs) the elementwise array allocation was ~half the query time.
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.sequence(F.lit(0), F.size(a) - 1),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, i: acc + a[i] * b[i],
     )
 
 

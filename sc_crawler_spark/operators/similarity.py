@@ -55,9 +55,12 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        # project the vectors away BEFORE the ranking shuffle: the window
+        # then moves 3 scalars per pair instead of two dim-length arrays
+        .select(
+            "query_id", "neighbor_id",
+            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                   6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -131,9 +134,11 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
     scored = (
         probes.join(assigned, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        # vectors projected away before the ranking shuffle (narrow rows)
+        .select(
+            "query_id", "neighbor_id",
+            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                   6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -213,9 +218,11 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn(
-            "cos_sim",
-            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        # vectors projected away before the ranking shuffle (narrow rows)
+        .select(
+            "query_id", "neighbor_id",
+            dround(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                   6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
