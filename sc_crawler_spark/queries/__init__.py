@@ -31,28 +31,17 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims):
 # PREVIOUS round's CORRECTNESS file rotate to the tail (they keep pass†
 # status — tests/test_queries_oracle.py re-runs the identical oracle
 # check for every registry entry on every round).
+#
+# Evidence ledger entering r4: union of CORRECTNESS_r01-r03 greens covers
+# every registry name EXCEPT benchmark_catalog_stats (red in r3 — oracle
+# HUGEINT rendering, fixed this round) and the two new r4 queries; the 14
+# names whose latest green is r02 rotate forward to refresh it.
 _PRIORITY = [
-    # --- new this round (never driver-checked) ---
-    "region_dims_rollup",          # r3: S12 full region+country catalogs
-    "vendor_compliance_matrix",    # r3: S12 vendor/compliance catalogs
-    "benchmark_catalog_stats",     # r3: S12 full benchmark catalog
-    "spot_price_asof",             # r3: T4 reported-timestamp keep-last
-    "media_metadata_extract",      # r3: real PNG/WAV header decode loop
-    # --- tail of r2 (outside the cap that round; r1-green + pytest) ---
-    "anti_join_no_orders",
-    "keep_last_dedup_lineitem",
-    "except_building_buyers",
-    "argmax_customer_per_nation",
-    "dim_join_enrichment",
-    "price_quartiles",
-    "min_unit_price_per_part",
-    "distinct_part_counts",
-    "q17_small_quantity_revenue",
-]
-# Freshest driver evidence (green rows in CORRECTNESS_r02.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
-_TAIL = [
+    # --- no driver-green evidence yet ---
+    "benchmark_catalog_stats",     # r3 red: oracle cast fixed (dims.py)
+    "tiered_price_billing",        # new r4: P3/F5 graduated billing
+    "benchmark_config_pk",         # new r4: config JSON-as-PK grouping
+    # --- last green in r02: rotate forward to refresh evidence ---
     "ecpus_scalability",
     "shuffled_sample_orders",
     "sku_prefix_join",
@@ -67,6 +56,27 @@ _TAIL = [
     "dedup_boilerplate_chunks",
     "asof_latest_event_value",
     "range_join_event_window",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r03.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    "region_dims_rollup",
+    "vendor_compliance_matrix",
+    "spot_price_asof",
+    "media_metadata_extract",
+    "anti_join_no_orders",
+    "keep_last_dedup_lineitem",
+    "except_building_buyers",
+    "argmax_customer_per_nation",
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 REGISTRY = {
     n: REGISTRY[n]
