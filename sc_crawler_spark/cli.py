@@ -178,20 +178,92 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
     spark.catalog.clearCache()
 
 
+def dump_file_per_row(df: DataFrame, pks: list[str], dest: str,
+                      ignored: tuple[str, ...] = ("observed_at",)) -> int:
+    """The reference's published-artifact layout (cli.py:744-752): ONE
+    pretty-printed JSON file per row at ``<dest>/<pk1>/../<pkN>.json``,
+    PK values sanitized with ``re.sub(r'[^\\w]', '_')``, ``observed_at``
+    excluded by default.
+
+    Executed distributed via Arrow-batched ``mapInPandas`` — each
+    partition writes its own rows (paths are PK-unique, so writers never
+    collide); only the per-partition file COUNT returns to the driver.
+    A file per row is an artifact-export convention, not a lake format:
+    use it for the published dimension/catalog tables (what the
+    reference releases), never for 100 TB facts — the default
+    ``cmd_dump`` path stays partitioned JSON datasets for those.
+    """
+    import pandas as pd
+
+    cols = [c for c in df.columns if c not in ignored]
+    os.makedirs(dest, exist_ok=True)
+
+    def _write(batches):
+        import datetime
+        import json as _json
+        import re as _re
+
+        import numpy as np
+
+        def jsonable(v):
+            if isinstance(v, np.ndarray):
+                return [jsonable(x) for x in v.tolist()]
+            if isinstance(v, (list, tuple)):
+                return [jsonable(x) for x in v]
+            if isinstance(v, dict):
+                return {k: jsonable(x) for k, x in v.items()}
+            if isinstance(v, np.generic):
+                return v.item()
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            if hasattr(v, "asDict"):  # Row-like nested struct
+                return {k: jsonable(x) for k, x in v.asDict().items()}
+            try:
+                if v is None or pd.isna(v):  # NaN/NaT -> JSON null
+                    return None
+            except (TypeError, ValueError):
+                pass
+            return v
+
+        n = 0
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                rec = {k: jsonable(v) for k, v in rec.items()}
+                pkv = [_re.sub(r"[^\w]", "_", str(rec[pk])) for pk in pks]
+                d = os.path.join(dest, *pkv[:-1]) if len(pkv) > 1 else dest
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{pkv[-1]}.json"), "w") as fh:
+                    _json.dump(rec, fh, indent=2)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.select(*cols).mapInPandas(_write, "n long")
+    return counts.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
+
+
 def cmd_dump(spark: SparkSession, lake: str, out: str,
-             table: str | None) -> None:
+             table: str | None, per_row: bool = False) -> None:
+    """JSON export. Default: one partitioned JSON dataset per table (the
+    scalable layout — partition pruning on PK prefixes, part-files sized
+    by Spark). ``--per-row``: the reference's released artifact layout,
+    one file per row keyed by sanitized PK path (see dump_file_per_row).
+    Both write a ``<table>._schema.json`` manifest."""
     tables = [table] if table else _tables_in(lake)
     for t in tables:
         df = _read(spark, lake, t)
         pks = [c for c in schemas.PRIMARY_KEYS.get(t, []) if c in df.columns]
         dest = os.path.join(out, t)
-        writer = df.write.mode("overwrite")
-        if pks[:-1]:
-            writer = writer.partitionBy(*pks[:-1])
-        writer.json(dest)
+        if per_row and pks:
+            n = dump_file_per_row(df, pks, dest)
+            print(f"dump: {t} -> {dest} ({n} files)")
+        else:
+            writer = df.write.mode("overwrite")
+            if pks[:-1]:
+                writer = writer.partitionBy(*pks[:-1])
+            writer.json(dest)
+            print(f"dump: {t} -> {dest}")
         with open(os.path.join(out, f"{t}._schema.json"), "w") as fh:
             fh.write(df.schema.json())
-        print(f"dump: {t} -> {dest}")
 
 
 def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
@@ -533,6 +605,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--lake", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--table")
+    p.add_argument("--per-row", action="store_true",
+                   help="one <pk>.json file per row (published artifact)")
 
     p = sub.add_parser("copy", help="copy lake to a new location")
     p.add_argument("--source", required=True)
@@ -572,7 +646,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "sync":
         cmd_sync(spark, args.source, args.target, args.table, args.scd)
     elif args.cmd == "dump":
-        cmd_dump(spark, args.lake, args.out, args.table)
+        cmd_dump(spark, args.lake, args.out, args.table, args.per_row)
     elif args.cmd == "copy":
         cmd_copy(spark, args.source, args.target)
     elif args.cmd == "inventory":

@@ -129,3 +129,34 @@ def test_metadata_get_set_roundtrip(tmp_path, capsys, monkeypatch):
     cli.cmd_metadata(db, "get")
     meta = json.loads(capsys.readouterr().out)
     assert meta["license"] == "MIT"
+
+
+def test_dump_per_row_artifact_layout(spark, tmp_path):
+    """--per-row writes the reference's released layout (cli.py:744-752):
+    one pretty JSON file per row at <table>/<pk1>/<pkN>.json, sanitized
+    PK path segments, observed_at excluded."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "dump")
+    df = spark.createDataFrame(
+        [("aws", "t3.small", "t3", 2), ("gcp", "e2-micro", "e2", 2)],
+        "vendor_id string, server_id string, family string, vcpus int",
+    ).withColumn("observed_at", F.current_timestamp())
+    from sc_crawler_spark.sinks.snapshot import write_snapshot
+    write_snapshot(spark, df, os.path.join(lake, "server"))
+
+    cli.cmd_dump(spark, lake, out, "server", per_row=True)
+
+    # dots sanitize to underscores; folder per leading PK
+    p = os.path.join(out, "server", "aws", "t3_small.json")
+    assert os.path.exists(p)
+    rec = json.load(open(p))
+    assert rec["server_id"] == "t3.small"      # payload keeps raw values
+    assert rec["vcpus"] == 2
+    assert "observed_at" not in rec            # excluded by default
+    assert os.path.exists(os.path.join(out, "server", "gcp", "e2_micro.json"))
+    assert os.path.exists(os.path.join(out, "server._schema.json"))
