@@ -363,6 +363,15 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     prices = aws.assemble_server_prices(
         products, valid.select("vendor_id", "server_id"), regions, zones
     )
+    spot_path = os.path.join(vroot, "spot_prices.json")
+    if os.path.exists(spot_path):
+        from .sources import aws_services as svc
+
+        raw_spot = spark.read.schema(svc.RAW_SPOT_PRICE).json(spot_path)
+        prices = prices.unionByName(
+            svc.assemble_spot_prices(raw_spot, valid, zones, vendor),
+            allowMissingColumns=True,
+        )
     prices_valid, prices_invalid = validate_items(prices, "server_price")
 
     svc_outputs, svc_invalids = _service_inventories(

@@ -85,6 +85,11 @@ RAW_ORDERABLE_OPTION = (
 
 RAW_TRAFFIC_PRODUCT = "direction string, location string, terms string"
 
+RAW_SPOT_PRICE = (
+    "availability_zone string, instance_type string, spot_price string, "
+    "timestamp string"
+)
+
 RAW_IPV4_PRODUCT = "location string, terms string"
 
 
@@ -406,6 +411,52 @@ def assemble_traffic_prices(raw: DataFrame, regions: DataFrame,
             F.col("price_tiered"),
             F.lit("USD").alias("currency"),
         )
+    )
+
+
+def assemble_spot_prices(raw: DataFrame, servers: DataFrame,
+                         zone_offerings: DataFrame,
+                         vendor_id: str = "aws") -> DataFrame:
+    """Spot price history -> ``server_price`` rows with allocation='spot'
+    (inventory_server_prices_spot, _aws.py:1044-1110).
+
+    Zone resolved through the landed zone offerings (broadcast), server
+    gated on the standardized catalog (unknown SKUs dropped, like the
+    reference's KeyError skip), and ``observed_at`` comes from the
+    REPORTED price timestamp, not ingestion time (T4 semantics). The
+    history contains many reports per (zone, server); keep-last on the
+    reported time (A4) picks the current price so the batch has unique
+    PKs before the merge.
+    """
+    from ..operators.windows import keep_last_dedup
+
+    zone_map = zone_offerings.select(
+        "region_id", F.explode("zones").alias("zone_id")
+    )
+    priced = raw.select(
+        F.col("availability_zone").alias("zone_id"),
+        F.col("instance_type").alias("server_id"),
+        round_price(F.col("spot_price").cast("double")).alias("price"),
+        F.to_timestamp("timestamp").alias("observed_at"),
+    ).filter(F.col("price").isNotNull())
+    rows = (
+        priced.join(F.broadcast(zone_map), "zone_id")
+        .join(F.broadcast(servers.select("server_id")), "server_id", "left_semi")
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "zone_id", "server_id",
+            F.lit("Linux").alias("operating_system"),
+            F.lit("spot").alias("allocation"),
+            F.lit("hour").alias("unit"),
+            "price",
+            F.lit("USD").alias("currency"),
+            "observed_at",
+        )
+    )
+    return keep_last_dedup(
+        rows,
+        ["vendor_id", "region_id", "zone_id", "server_id", "allocation"],
+        "observed_at",
     )
 
 

@@ -455,3 +455,43 @@ def test_inventory_lands_all_service_record_types(spark, tmp_path):
     db_status = {r["database_id"]: r["status"] for r in
                  read_snapshot(spark, os.path.join(lake, "database")).collect()}
     assert set(db_status.values()) == {"active"}
+
+
+def test_inventory_spot_prices_land_with_reported_observed_at(spark, tmp_path):
+    """Spot history lands as allocation='spot' server_price rows: zone
+    resolved via offerings, unknown SKUs dropped, keep-last per PK on the
+    REPORTED timestamp which becomes observed_at (T4), coexisting with
+    ondemand rows under the allocation PK."""
+    import datetime
+
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    _write_bronze(
+        bronze,
+        [_instance("m5.large", 2, 8192)],
+        [_product("m5.large", "US East (N. Virginia)", 0.096)],
+    )
+    with open(os.path.join(bronze, "aws", "spot_prices.json"), "w") as fh:
+        fh.write(json.dumps({             # older report, must lose
+            "availability_zone": "use1-az1", "instance_type": "m5.large",
+            "spot_price": "0.0401", "timestamp": "2024-05-01T10:00:00"}) + "\n")
+        fh.write(json.dumps({             # newest report, must win
+            "availability_zone": "use1-az1", "instance_type": "m5.large",
+            "spot_price": "0.0350", "timestamp": "2024-05-01T12:00:00"}) + "\n")
+        fh.write(json.dumps({
+            "availability_zone": "use1-az2", "instance_type": "m5.large",
+            "spot_price": "0.0380", "timestamp": "2024-05-01T11:00:00"}) + "\n")
+        fh.write(json.dumps({             # unknown SKU -> dropped
+            "availability_zone": "use1-az1", "instance_type": "x9.mega",
+            "spot_price": "9.99", "timestamp": "2024-05-01T11:00:00"}))
+    cli.cmd_inventory(spark, bronze, lake)
+
+    prices = read_snapshot(spark, os.path.join(lake, "server_price")).collect()
+    by_key = {(r["zone_id"], r["allocation"]): r for r in prices}
+    assert set(by_key) == {("use1-az1", "ondemand"), ("use1-az2", "ondemand"),
+                           ("use1-az1", "spot"), ("use1-az2", "spot")}
+    spot1 = by_key[("use1-az1", "spot")]
+    assert spot1["price"] == 0.035                       # keep-last won
+    assert spot1["observed_at"] == datetime.datetime(2024, 5, 1, 12, 0)
+    assert by_key[("use1-az2", "spot")]["price"] == 0.038
+    assert by_key[("use1-az1", "ondemand")]["price"] == 0.096
