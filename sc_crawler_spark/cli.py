@@ -389,6 +389,13 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
         **svc_outputs,
         "server_invalid": (all_invalid, None),
     }
+    _land_tables(spark, lake, outputs, vendor)
+
+
+def _land_tables(spark: SparkSession, lake: str, outputs: dict,
+                 vendor: str) -> None:
+    """Shared silver landing: per table, vendor-scoped merge-upsert with
+    inactivate-missing (K1+T1) into the versioned snapshot."""
     for table, (df, pks) in outputs.items():
         path = _table_path(lake, table)
         if pks:
@@ -514,17 +521,26 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
 
     os.makedirs(lake, exist_ok=True)
     _ensure_lake(lake)
-    path = _table_path(lake, "server")
-    df = valid
-    try:
-        current = read_snapshot(spark, path)
-        df = merge_upsert(
-            current, df.select(*current.columns), ["vendor_id", "server_id"],
-            inactivate_missing=True, scope=F.col("vendor_id") == vendor,
+    outputs = {"server": (valid, schemas.PRIMARY_KEYS["server"])}
+
+    # static service catalogs (storage/traffic/ipv4 documented constants,
+    # reference _hcloud.py:294-386) fan out over the landed region list
+    from .sources.catalog import STATIC_SERVICE_CATALOGS, static_service_tables
+
+    if vendor in STATIC_SERVICE_CATALOGS:
+        regions_path = os.path.join(vroot, "regions.json")
+        regions = (
+            spark.read.schema(
+                "region_id string, name string, aliases array<string>"
+            ).json(regions_path)
+            if os.path.exists(regions_path) else None
         )
-    except Exception:
-        pass
-    _rewrite(spark, df, path)
+        for t, df in static_service_tables(spark, vendor, regions).items():
+            v, inv = validate_items(df, t)
+            outputs[t] = (v, schemas.PRIMARY_KEYS[t])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
+    _land_tables(spark, lake, outputs, vendor)
     if invalid.limit(1).count():
         inv_path = _table_path(lake, "server_invalid")
         try:
@@ -533,7 +549,6 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
         except Exception:
             inv = invalid
         _rewrite(spark, inv, inv_path)
-    print(f"inventory: server: {read_snapshot(spark, path).count()} rows")
 
 
 def cmd_publish(spark: SparkSession, lake: str, out: str,

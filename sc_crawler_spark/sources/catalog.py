@@ -239,3 +239,72 @@ def enrich_hcloud_cpu(servers: DataFrame, cpu_dim: DataFrame) -> DataFrame:
     return servers.withColumn("name_upper", F.upper("name")).join(
         F.broadcast(cpu_dim), "name_upper", "left"
     ).drop("name_upper")
+
+
+# ----------------------------------------------- static service catalogs
+#
+# Long-tail vendors publish storage/traffic/IPv4 pricing as documented
+# constants, not APIs (reference _hcloud.py:294-386: "collected
+# manually"). Each vendor is DATA: catalog rows plus per-region price
+# templates fanned out over the vendor's landed regions — the engine
+# side is one broadcast crossJoin per table, shared by every vendor.
+STATIC_SERVICE_CATALOGS: dict[str, dict] = {
+    # _hcloud.py:294-386 (docs.hetzner.com pricing pages)
+    "hcloud": {
+        "storage": [{
+            "storage_id": "block", "name": "Block storage volume",
+            "description": None, "storage_type": "network",
+            "max_iops": None, "max_throughput": None,
+            "min_size": 10, "max_size": 10000,
+        }],
+        "storage_price": [{
+            "storage_id": "block", "unit": "GB",
+            "price": 0.0440, "currency": "EUR",
+        }],
+        "traffic_price": [
+            {"direction": "inbound", "price": 0.0, "unit": "GB",
+             "currency": "EUR"},
+            {"direction": "outbound", "price": 1 / 1024, "unit": "GB",
+             "currency": "EUR"},
+        ],
+        "ipv4_price": [{
+            "price": 0.50, "unit": "month", "currency": "EUR",
+        }],
+    },
+}
+
+_STATIC_ROW_SCHEMAS = {
+    "storage": ("storage_id string, name string, description string, "
+                "storage_type string, max_iops long, max_throughput long, "
+                "min_size long, max_size long"),
+    "storage_price": "storage_id string, unit string, price double, currency string",
+    "traffic_price": "direction string, price double, unit string, currency string",
+    "ipv4_price": "price double, unit string, currency string",
+}
+
+# catalog tables are region-independent; price tables fan out per region
+_REGION_FANOUT = {"storage_price", "traffic_price", "ipv4_price"}
+
+
+def static_service_tables(spark: SparkSession, vendor_id: str,
+                          regions: DataFrame | None) -> dict[str, DataFrame]:
+    """Build the vendor's static service tables; per-region price rows
+    are the documented template crossJoined with the (broadcast) landed
+    region list — mirrors the reference's `for region in vendor.regions`
+    fan-out without driver loops."""
+    spec = STATIC_SERVICE_CATALOGS.get(vendor_id, {})
+    out: dict[str, DataFrame] = {}
+    for table, rows in spec.items():
+        schema = _STATIC_ROW_SCHEMAS[table]
+        tmpl = spark.createDataFrame(
+            [tuple(r.get(f.split(" ")[0]) for f in schema.split(", "))
+             for r in rows],
+            schema,
+        ).withColumn("vendor_id", F.lit(vendor_id))
+        if table in _REGION_FANOUT:
+            if regions is None:
+                continue  # no landed regions -> nothing to price
+            tmpl = F.broadcast(tmpl).crossJoin(
+                regions.select("region_id").distinct())
+        out[table] = tmpl
+    return out

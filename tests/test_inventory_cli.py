@@ -495,3 +495,41 @@ def test_inventory_spot_prices_land_with_reported_observed_at(spark, tmp_path):
     assert spot1["observed_at"] == datetime.datetime(2024, 5, 1, 12, 0)
     assert by_key[("use1-az2", "spot")]["price"] == 0.038
     assert by_key[("use1-az1", "ondemand")]["price"] == 0.096
+
+
+def test_hcloud_static_service_catalog_lands(spark, tmp_path):
+    """Long-tail vendors' documented-constant service pricing (reference
+    _hcloud.py:294-386) lands data-driven: catalog rows once, price
+    templates fanned over the vendor's landed regions."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "hcloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 22, "name": "cx22", "cores": 2, "memory": 4.0,
+            "disk": 40, "cpu_type": "shared", "architecture": "x86"}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "nbg1", "name": "Nuremberg",
+                             "aliases": []}) + "\n")
+        fh.write(json.dumps({"region_id": "fsn1", "name": "Falkenstein",
+                             "aliases": []}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="hcloud")
+
+    storage = read_snapshot(spark, os.path.join(lake, "storage")).collect()
+    assert [(r["storage_id"], r["storage_type"], r["min_size"], r["max_size"])
+            for r in storage] == [("block", "network", 10, 10000)]
+
+    sp = {r["region_id"]: r for r in read_snapshot(
+        spark, os.path.join(lake, "storage_price")).collect()}
+    assert set(sp) == {"nbg1", "fsn1"}
+    assert sp["nbg1"]["price"] == 0.044 and sp["nbg1"]["currency"] == "EUR"
+
+    tp = {(r["region_id"], r["direction"]): r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "traffic_price")).collect()}
+    assert tp[("nbg1", "inbound")] == 0.0
+    assert abs(tp[("fsn1", "outbound")] - 1 / 1024) < 1e-12
+
+    ip = {r["region_id"]: (r["price"], r["unit"]) for r in read_snapshot(
+        spark, os.path.join(lake, "ipv4_price")).collect()}
+    assert ip == {"nbg1": (0.5, "month"), "fsn1": (0.5, "month")}
