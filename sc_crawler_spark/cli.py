@@ -527,17 +527,47 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
     # reference _hcloud.py:294-386) fan out over the landed region list
     from .sources.catalog import STATIC_SERVICE_CATALOGS, static_service_tables
 
+    regions_path = os.path.join(vroot, "regions.json")
+    regions = (
+        spark.read.schema(
+            "region_id string, name string, aliases array<string>"
+        ).json(regions_path)
+        if os.path.exists(regions_path) else None
+    )
     if vendor in STATIC_SERVICE_CATALOGS:
-        regions_path = os.path.join(vroot, "regions.json")
-        regions = (
-            spark.read.schema(
-                "region_id string, name string, aliases array<string>"
-            ).json(regions_path)
-            if os.path.exists(regions_path) else None
-        )
         for t, df in static_service_tables(spark, vendor, regions).items():
             v, inv = validate_items(df, t)
             outputs[t] = (v, schemas.PRIMARY_KEYS[t])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
+    # GCP billing-catalog service inventories (bronze SKU pages)
+    if vendor == "gcp" and regions is not None:
+        from .sources import gcp as gcp_src
+
+        disks_path = os.path.join(vroot, "disk_types.json")
+        if os.path.exists(disks_path):
+            raw = spark.read.schema(gcp_src.RAW_DISK_TYPE).json(disks_path)
+            storage_valid, inv = validate_items(
+                gcp_src.gcp_storage_catalog(raw), "storage")
+            outputs["storage"] = (storage_valid,
+                                  schemas.PRIMARY_KEYS["storage"])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+            sku_path = os.path.join(vroot, "storage_skus.json")
+            if os.path.exists(sku_path):
+                skus = spark.read.schema(gcp_src.RAW_STORAGE_SKU).json(sku_path)
+                v, inv = validate_items(
+                    gcp_src.gcp_storage_prices(skus, storage_valid, regions),
+                    "storage_price")
+                outputs["storage_price"] = (
+                    v, schemas.PRIMARY_KEYS["storage_price"])
+                invalid = invalid.unionByName(inv, allowMissingColumns=True)
+        net_path = os.path.join(vroot, "network_skus.json")
+        if os.path.exists(net_path):
+            skus = spark.read.schema(gcp_src.RAW_NETWORK_SKU).json(net_path)
+            v, inv = validate_items(
+                gcp_src.gcp_traffic_prices(skus, regions), "traffic_price")
+            outputs["traffic_price"] = (
+                v, schemas.PRIMARY_KEYS["traffic_price"])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
     _land_tables(spark, lake, outputs, vendor)

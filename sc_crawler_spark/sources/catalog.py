@@ -271,6 +271,13 @@ STATIC_SERVICE_CATALOGS: dict[str, dict] = {
             "price": 0.50, "unit": "month", "currency": "EUR",
         }],
     },
+    # _gcp.py:1058-1080: attached-IPv4 price is not in the billing API;
+    # recorded from cloud.google.com/vpc/network-pricing#ipaddress
+    "gcp": {
+        "ipv4_price": [{
+            "price": 0.005, "unit": "hour", "currency": "USD",
+        }],
+    },
 }
 
 _STATIC_ROW_SCHEMAS = {

@@ -10,7 +10,7 @@ dimension + arithmetic projection — rates are tiny, facts are wide.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_price
@@ -109,4 +109,152 @@ def explode_zone_prices(region_prices: DataFrame, zones: DataFrame,
     return per_zone.join(
         zone_inventory.select("zone_id", "server_id").distinct(),
         ["zone_id", "server_id"], "left_semi",
+    )
+
+
+# --------------------------------------------------- service inventories
+#
+# GCP storage/traffic land from bronze SKU rows (billing catalog pages,
+# one JSON line per SKU); IPv4 is a documented constant handled by the
+# static catalog spec (catalog.STATIC_SERVICE_CATALOGS). Reference:
+# _gcp.py:923-1080.
+
+# _gcp.py:161-173 — SKU description fragment -> storage family, plus the
+# allowlist that drops options with extra IOPS/throughput pricing.
+STORAGE_DESCRIPTION_TO_FAMILY = {
+    "Storage PD Capacity": "pd-standard",
+    "SSD backed PD Capacity": "pd-ssd",
+    "SSD backed Local Storage": "local-ssd",
+    "Balanced PD Capacity": "pd-balanced",
+    "Extreme PD Capacity": "pd-extreme",
+    "Hyperdisk Extreme Capacity": "hyperdisk-extreme",
+    "Hyperdisk Throughput Capacity": "hyperdisk-throughput",
+    "Hyperdisk Balanced Capacity": "hyperdisk-balanced",
+}
+STORAGE_ALLOWLIST = ["pd-standard", "pd-ssd", "pd-balanced"]
+
+RAW_DISK_TYPE = (
+    "id long, name string, description string, valid_disk_size string, "
+    "zone string"
+)
+RAW_STORAGE_SKU = (
+    "description string, usage_type string, resource_group string, "
+    "service_regions array<string>, nanos long, currency string"
+)
+RAW_NETWORK_SKU = (
+    "resource_group string, service_regions array<string>, currency string, "
+    "tiered_rates array<struct<start_usage_amount:double, nanos:long>>"
+)
+
+
+def gcp_storage_catalog(raw: DataFrame, vendor_id: str = "gcp") -> DataFrame:
+    """Disk types -> ``storage`` rows (inventory_storages,
+    _gcp.py:923-966): one row per disk NAME across zones (deterministic
+    keep-first by zone), size bounds parsed from '10GB-65536GB',
+    allowlisted to the simple-pricing options."""
+    w = Window.partitionBy("name").orderBy("zone", "id")
+    first = raw.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1)
+    sizes = F.split(F.regexp_replace("valid_disk_size", "GB", ""), "-")
+    return (
+        first.filter(F.col("name").isin(STORAGE_ALLOWLIST))
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            F.col("id").cast("string").alias("storage_id"),
+            F.col("name"),
+            F.col("description"),
+            F.when(F.col("name") == "pd-standard", F.lit("hdd"))
+            .otherwise(F.lit("ssd")).alias("storage_type"),
+            F.lit(None).cast("long").alias("max_iops"),
+            F.lit(None).cast("long").alias("max_throughput"),
+            sizes[0].cast("long").alias("min_size"),
+            sizes[1].cast("long").alias("max_size"),
+        )
+    )
+
+
+def gcp_storage_prices(skus: DataFrame, storages: DataFrame,
+                       regions: DataFrame,
+                       vendor_id: str = "gcp") -> DataFrame:
+    """Storage SKUs -> ``storage_price`` rows (inventory_storage_prices,
+    _gcp.py:969-998 + _skus_dict:263-272): description fragment maps to
+    the storage family, SKU regions explode and gate on the landed
+    region list, price is nanos/1e9 GB/month."""
+    frag = F.coalesce(*[
+        F.when(F.col("description").contains(k), F.lit(v))
+        for k, v in STORAGE_DESCRIPTION_TO_FAMILY.items()
+    ])
+    priced = (
+        skus.filter(F.col("usage_type") == "OnDemand")
+        .filter(F.col("resource_group").isin("HDD", "SSD", "HDBSP", "HDTSP"))
+        .withColumn("name", frag)
+        .filter(F.col("name").isNotNull())
+        .select(
+            "name", "currency",
+            (F.col("nanos") / 1e9).alias("price"),
+            F.explode("service_regions").alias("region_id"),
+        )
+    )
+    dim = storages.select("storage_id", "name")
+    active = regions.select("region_id").distinct()
+    return (
+        priced.join(F.broadcast(dim), "name")
+        .join(F.broadcast(active), "region_id", "left_semi")
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "storage_id",
+            F.lit("GB").alias("unit"),
+            F.round("price", 4).alias("price"),
+            "currency",
+        )
+    )
+
+
+def gcp_traffic_prices(skus: DataFrame, regions: DataFrame,
+                       vendor_id: str = "gcp") -> DataFrame:
+    """Network egress/ingress SKUs -> ``traffic_price`` rows with the
+    FULL tier array (inventory_traffic_prices, _gcp.py:1001-1055).
+
+    Tier upper bound is the NEXT tier's start (open last tier ->
+    'Infinity', F5); headline price is the max tier rate; regions
+    explode from the SKU's service_regions.
+    """
+    n = F.size("tiered_rates")
+    # field aliases inside an indexed transform lambda don't survive
+    # analysis — name the fields with a positional cast instead
+    tiers = F.transform(
+        F.col("tiered_rates"),
+        lambda t, i: F.struct(
+            t["start_usage_amount"],
+            F.when(i == n - 1, F.lit("Infinity"))
+            .otherwise(F.col("tiered_rates")[i + 1]["start_usage_amount"]
+                       .cast("string")),
+            t["nanos"] / 1e9,
+        ),
+    ).cast("array<struct<lower:double,upper:string,price:double>>")
+    priced = (
+        skus.filter(F.col("resource_group").isin(
+            "StandardInternetEgress", "StandardInternetIngress"))
+        .select(
+            F.when(F.col("resource_group") == "StandardInternetEgress",
+                   F.lit("outbound")).otherwise(F.lit("inbound"))
+            .alias("direction"),
+            "currency",
+            tiers.alias("price_tiered"),
+            F.explode("service_regions").alias("region_id"),
+        )
+        .filter(F.size("price_tiered") > 0)
+    )
+    active = regions.select("region_id").distinct()
+    return (
+        priced.join(F.broadcast(active), "region_id", "left_semi")
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "direction",
+            F.lit("GB").alias("unit"),
+            F.round(F.array_max(F.transform(F.col("price_tiered"),
+                                            lambda t: t["price"])), 4)
+            .alias("price"),
+            "price_tiered", "currency",
+        )
     )

@@ -533,3 +533,91 @@ def test_hcloud_static_service_catalog_lands(spark, tmp_path):
     ip = {r["region_id"]: (r["price"], r["unit"]) for r in read_snapshot(
         spark, os.path.join(lake, "ipv4_price")).collect()}
     assert ip == {"nbg1": (0.5, "month"), "fsn1": (0.5, "month")}
+
+
+def test_gcp_service_inventories_land(spark, tmp_path):
+    """GCP disk types + billing-catalog SKUs land storage, storage_price,
+    traffic_price (full tier arrays) and the documented-constant ipv4
+    price (_gcp.py:923-1080)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "gcp")
+    os.makedirs(d)
+    with open(os.path.join(d, "machine_types.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 3001, "name": "n2-standard-4", "description": "4/16",
+            "guest_cpus": 4, "memory_mb": 16384, "is_shared_cpu": False,
+            "deprecated": {"state": ""}}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-central1",
+                             "name": "Iowa", "aliases": []}) + "\n")
+        fh.write(json.dumps({"region_id": "europe-west1",
+                             "name": "Belgium", "aliases": []}))
+    with open(os.path.join(d, "disk_types.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 1, "name": "pd-standard", "description": "Standard PD",
+            "valid_disk_size": "10GB-65536GB",
+            "zone": "us-central1-a"}) + "\n")
+        fh.write(json.dumps({     # same type in another zone: keep-first
+            "id": 7, "name": "pd-standard", "description": "Standard PD",
+            "valid_disk_size": "10GB-65536GB",
+            "zone": "us-central1-b"}) + "\n")
+        fh.write(json.dumps({
+            "id": 2, "name": "pd-ssd", "description": "SSD PD",
+            "valid_disk_size": "10GB-65536GB",
+            "zone": "us-central1-a"}) + "\n")
+        fh.write(json.dumps({     # not allowlisted (complex pricing)
+            "id": 3, "name": "hyperdisk-extreme", "description": "HX",
+            "valid_disk_size": "64GB-65536GB", "zone": "us-central1-a"}))
+    with open(os.path.join(d, "storage_skus.json"), "w") as fh:
+        fh.write(json.dumps({
+            "description": "Storage PD Capacity in Iowa",
+            "usage_type": "OnDemand", "resource_group": "HDD",
+            "service_regions": ["us-central1"],
+            "nanos": 40000000, "currency": "USD"}) + "\n")
+        fh.write(json.dumps({
+            "description": "SSD backed PD Capacity in Iowa",
+            "usage_type": "OnDemand", "resource_group": "SSD",
+            "service_regions": ["us-central1", "nowhere1"],
+            "nanos": 170000000, "currency": "USD"}))
+    with open(os.path.join(d, "network_skus.json"), "w") as fh:
+        fh.write(json.dumps({
+            "resource_group": "StandardInternetEgress",
+            "service_regions": ["us-central1"], "currency": "USD",
+            "tiered_rates": [
+                {"start_usage_amount": 0.0, "nanos": 120000000},
+                {"start_usage_amount": 1024.0, "nanos": 110000000},
+                {"start_usage_amount": 10240.0, "nanos": 80000000}]}) + "\n")
+        fh.write(json.dumps({
+            "resource_group": "StandardInternetIngress",
+            "service_regions": ["us-central1", "europe-west1"],
+            "currency": "USD",
+            "tiered_rates": [{"start_usage_amount": 0.0, "nanos": 0}]}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="gcp")
+
+    storage = {r["name"]: r for r in
+               read_snapshot(spark, os.path.join(lake, "storage")).collect()}
+    assert set(storage) == {"pd-standard", "pd-ssd"}   # allowlist applied
+    assert storage["pd-standard"]["storage_id"] == "1"  # keep-first by zone
+    assert storage["pd-standard"]["storage_type"] == "hdd"
+    assert storage["pd-ssd"]["storage_type"] == "ssd"
+    assert storage["pd-ssd"]["min_size"] == 10
+    assert storage["pd-ssd"]["max_size"] == 65536
+
+    sp = {(r["region_id"], r["storage_id"]): r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "storage_price")).collect()}
+    # unknown region dropped; nanos/1e9 pricing
+    assert sp == {("us-central1", "1"): 0.04, ("us-central1", "2"): 0.17}
+
+    tp = {(r["region_id"], r["direction"]): r for r in read_snapshot(
+        spark, os.path.join(lake, "traffic_price")).collect()}
+    out = tp[("us-central1", "outbound")]
+    assert out["price"] == 0.12                         # max tier
+    assert [t["lower"] for t in out["price_tiered"]] == [0.0, 1024.0, 10240.0]
+    assert [t["upper"] for t in out["price_tiered"]] == [
+        "1024.0", "10240.0", "Infinity"]
+    assert tp[("europe-west1", "inbound")]["price"] == 0.0
+
+    ip = {r["region_id"]: r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "ipv4_price")).collect()}
+    assert ip == {"us-central1": 0.005, "europe-west1": 0.005}
