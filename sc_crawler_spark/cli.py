@@ -530,7 +530,8 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
     regions_path = os.path.join(vroot, "regions.json")
     regions = (
         spark.read.schema(
-            "region_id string, name string, aliases array<string>"
+            "region_id string, name string, aliases array<string>, "
+            "api_reference string"
         ).json(regions_path)
         if os.path.exists(regions_path) else None
     )
@@ -568,6 +569,41 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
                 gcp_src.gcp_traffic_prices(skus, regions), "traffic_price")
             outputs["traffic_price"] = (
                 v, schemas.PRIMARY_KEYS["traffic_price"])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
+    # Azure compute-resource disks + Retail Prices API pages
+    if vendor == "azure" and regions is not None:
+        from .sources import azure as az
+
+        disks_path = os.path.join(vroot, "disks.json")
+        retail_path = os.path.join(vroot, "retail_prices.json")
+        retail = (
+            spark.read.schema(az.RAW_RETAIL_PRICE).json(retail_path)
+            if os.path.exists(retail_path) else None
+        )
+        if os.path.exists(disks_path):
+            disks = spark.read.schema(az.RAW_AZURE_DISK).json(disks_path)
+            storage_valid, inv = validate_items(
+                az.azure_storage_catalog(disks), "storage")
+            outputs["storage"] = (storage_valid,
+                                  schemas.PRIMARY_KEYS["storage"])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+            if retail is not None:
+                v, inv = validate_items(
+                    az.azure_storage_prices(retail, storage_valid, regions),
+                    "storage_price")
+                outputs["storage_price"] = (
+                    v, schemas.PRIMARY_KEYS["storage_price"])
+                invalid = invalid.unionByName(inv, allowMissingColumns=True)
+        if retail is not None:
+            v, inv = validate_items(
+                az.azure_traffic_prices(retail, regions), "traffic_price")
+            outputs["traffic_price"] = (
+                v, schemas.PRIMARY_KEYS["traffic_price"])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+            v, inv = validate_items(
+                az.azure_ipv4_prices(retail, regions), "ipv4_price")
+            outputs["ipv4_price"] = (v, schemas.PRIMARY_KEYS["ipv4_price"])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
     _land_tables(spark, lake, outputs, vendor)

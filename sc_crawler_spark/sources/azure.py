@@ -219,3 +219,262 @@ def standardize_azure_servers(raw: DataFrame) -> DataFrame:
         F.lit(0).alias("ipv4"),
         F.lit("active").alias("status"),
     )
+
+
+# --------------------------------------------------- service inventories
+#
+# Azure storage/traffic/IPv4 land from two bronze files: the compute
+# resource list (disks.json: name/tier/capabilities) and Retail Prices
+# API pages (retail_prices.json). Reference: _azure.py:1256-1520.
+
+_GIB_TO_GB = (1024 ** 3) / (1000 ** 3)
+_HOURS_PER_MONTH = 730.0
+
+# _azure.py:183-263 — Retail-API meter name -> (storage type id, disk
+# size in GiB). The P/E/S series all follow the same doubling ladder
+# (sizes published on the Managed Disks pricing page); provisioned-
+# capacity meters price per GiB directly (divisor 1).
+_DISK_LADDER = [
+    ("1", 4), ("2", 8), ("3", 16), ("4", 32), ("6", 64), ("10", 128),
+    ("15", 256), ("20", 512), ("30", 1024), ("40", 2048), ("50", 4096),
+    ("60", 8192), ("70", 16384), ("80", 32767),
+]
+STORAGE_METER_MAPPING: dict[str, tuple[str, int]] = {
+    **{f"P{t} LRS Disk": ("Premium_LRS", s) for t, s in _DISK_LADDER},
+    **{f"P{t} ZRS Disk": ("Premium_ZRS", s) for t, s in _DISK_LADDER},
+    **{f"E{t} LRS Disk": ("StandardSSD_LRS", s) for t, s in _DISK_LADDER},
+    **{f"E{t} ZRS Disk": ("StandardSSD_ZRS", s) for t, s in _DISK_LADDER},
+    # Standard HDD: per-disk pricing is LRS-only, ladder starts at S4
+    **{f"S{t} LRS Disk": ("Standard_LRS", s)
+       for t, s in _DISK_LADDER if int(t) >= 4},
+    "Ultra LRS Provisioned Capacity": ("UltraSSD_LRS", 1),
+    "Premium LRS Provisioned Capacity": ("PremiumV2_LRS", 1),
+}
+
+# _azure.py:288-295 — capacity unit -> multiplier to $/GB/month
+STORAGE_PRICE_UNIT_MAPPING: dict[str, float] = {
+    "1 GiB/Month": 1 / _GIB_TO_GB,
+    "1 GB/Month": 1.0,
+    "1 GiB/Hour": _HOURS_PER_MONTH / _GIB_TO_GB,
+    "1 GB/Hour": _HOURS_PER_MONTH,
+}
+
+RAW_AZURE_DISK = (
+    "name string, tier string, resource_type string, "
+    "capabilities array<struct<name:string,value:string>>"
+)
+RAW_RETAIL_PRICE = (
+    "service_family string, service_name string, meter_name string, "
+    "product_name string, arm_region_name string, retail_price double, "
+    "tier_minimum_units double, unit_of_measure string, "
+    "currency_code string, type string"
+)
+
+PRICE_TIER_TYPE = "array<struct<lower:double,upper:string,price:double>>"
+
+
+def _meter_dim(spark) -> "DataFrame":
+    rows = [(m, sid, size) for m, (sid, size) in STORAGE_METER_MAPPING.items()]
+    return spark.createDataFrame(
+        rows, "meter_name string, storage_id string, size_gib long")
+
+
+def azure_storage_catalog(disks: DataFrame,
+                          vendor_id: str = "azure") -> DataFrame:
+    """Disk resources -> ``storage`` rows (inventory_storages,
+    _azure.py:1256-1317): HDD iff 'Standard' without 'SSD' in the name,
+    redundancy from the LRS/ZRS suffix, IOPS/throughput from the
+    capability list, size bounds from the meter ladder when the type
+    prices per-disk (else the Min/MaxSizeGiB capabilities), GiB->GB."""
+    spark = disks.sparkSession
+    caps = F.map_from_entries("capabilities")
+    sizes = (
+        _meter_dim(spark).groupBy("storage_id")
+        .agg(F.count("*").alias("_n_meters"),
+             F.min("size_gib").alias("_min_gib"),
+             F.max("size_gib").alias("_max_gib"))
+    )
+    base = (
+        disks.filter(F.col("resource_type") == "disks")
+        .dropDuplicates(["name"])
+        .withColumn("_caps", caps)
+        .withColumn(
+            "storage_type",
+            F.when(F.col("name").contains("Standard")
+                   & ~F.col("name").contains("SSD"), F.lit("hdd"))
+            .otherwise(F.lit("ssd")))
+        .withColumn(
+            "_redundancy",
+            F.when(F.col("name").contains("LRS"),
+                   F.lit("Locally Redundant Storage"))
+            .otherwise(F.lit("Zone-Redundant Storage")))
+        .join(F.broadcast(sizes),
+              F.col("name") == sizes.storage_id, "left")
+    )
+    min_gib = F.when(F.col("_n_meters") > 1, F.col("_min_gib")).otherwise(
+        F.col("_caps")["MinSizeGiB"].cast("long"))
+    max_gib = F.when(F.col("_n_meters") > 1, F.col("_max_gib")).otherwise(
+        F.col("_caps")["MaxSizeGiB"].cast("long"))
+    return base.select(
+        F.lit(vendor_id).alias("vendor_id"),
+        F.col("name").alias("storage_id"),
+        F.col("name").alias("name"),
+        F.format_string(
+            "%s tier %s (%s)", F.col("tier"),
+            F.upper("storage_type"), F.col("_redundancy"),
+        ).alias("description"),
+        "storage_type",
+        F.coalesce(F.col("_caps")["MaxIOpsReadWrite"],
+                   F.col("_caps")["MaxIOps"]).cast("long").alias("max_iops"),
+        F.coalesce(F.col("_caps")["MaxBandwidthMBpsReadWrite"],
+                   F.col("_caps")["MaxBandwidthMBps"]).cast("long")
+        .alias("max_throughput"),
+        F.round(min_gib * F.lit(_GIB_TO_GB)).cast("long").alias("min_size"),
+        F.round(max_gib * F.lit(_GIB_TO_GB)).cast("long").alias("max_size"),
+    )
+
+
+def azure_storage_prices(retail: DataFrame, storages: DataFrame,
+                         regions: DataFrame,
+                         vendor_id: str = "azure") -> DataFrame:
+    """Retail Storage prices -> ``storage_price`` rows
+    (inventory_storage_prices, _azure.py:1320-1410).
+
+    Per-disk ('1/Month') meters become one tier per disk size
+    (price/size/GiB->GB); per-capacity meters one open tier via the unit
+    multiplier. Types with multiple per-disk tiers publish the full
+    ladder in ``price_tiered`` (lowers rebuilt cumulatively after the
+    sort); single-tier types publish a flat price.
+    """
+    spark = retail.sparkSession
+    meters = _meter_dim(spark)
+    known = storages.select("storage_id").distinct()
+    active = regions.select("region_id").distinct()
+    unit_map = F.create_map(*[
+        F.lit(x) for kv in STORAGE_PRICE_UNIT_MAPPING.items() for x in kv
+    ])
+    per_disk = F.col("unit_of_measure") == "1/Month"
+    tier = F.when(per_disk, F.struct(
+        F.lit(0.0).alias("lower"),
+        F.round(F.col("size_gib") * F.lit(_GIB_TO_GB), 4).alias("upper_n"),
+        F.round(F.col("retail_price") / F.col("size_gib") / F.lit(_GIB_TO_GB),
+                4).alias("price"),
+    )).otherwise(F.struct(
+        F.lit(0.0).alias("lower"),
+        F.lit(float("inf")).alias("upper_n"),
+        F.round(F.col("retail_price") * unit_map[F.col("unit_of_measure")],
+                4).alias("price"),
+    ))
+    priced = (
+        retail.filter(F.col("service_name") == "Storage")
+        .join(F.broadcast(meters), "meter_name")
+        .join(F.broadcast(known), "storage_id", "left_semi")
+        .withColumnRenamed("arm_region_name", "region_id")
+        .join(F.broadcast(active), "region_id", "left_semi")
+        .filter(per_disk | unit_map[F.col("unit_of_measure")].isNotNull())
+        .select("region_id", "storage_id", "currency_code", tier.alias("t"))
+    )
+    n = F.size("_tiers")
+    # rebuild lowers cumulatively over the upper-sorted ladder, then
+    # positional-cast to the named tier struct (F5 Infinity upper)
+    rebuilt = F.transform(
+        F.col("_tiers"),
+        lambda t, i: F.struct(
+            F.when(i == 0, 0.0).otherwise(F.col("_tiers")[i - 1]["upper_n"]),
+            F.when(t["upper_n"] == float("inf"), F.lit("Infinity"))
+            .otherwise(t["upper_n"].cast("string")),
+            t["price"],
+        ),
+    ).cast(PRICE_TIER_TYPE)
+    return (
+        priced.groupBy("region_id", "storage_id", "currency_code")
+        .agg(F.array_sort(F.collect_list("t")).alias("_tiers"))
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "storage_id",
+            F.lit("GB").alias("unit"),
+            F.element_at("_tiers", 1)["price"].alias("price"),
+            F.when(n > 1, rebuilt).otherwise(
+                F.array().cast(PRICE_TIER_TYPE)).alias("price_tiered"),
+            F.col("currency_code").alias("currency"),
+        )
+    )
+
+
+def _region_probe_api(regions: DataFrame) -> DataFrame:
+    """(region_id, arm_region_name) — Azure joins by api_reference."""
+    return regions.select(
+        "region_id",
+        F.coalesce(F.col("api_reference"), F.col("region_id"))
+        .alias("arm_region_name"),
+    )
+
+
+def azure_traffic_prices(retail: DataFrame, regions: DataFrame,
+                         vendor_id: str = "azure") -> DataFrame:
+    """Retail bandwidth meters -> ``traffic_price`` rows with the full
+    tier array (inventory_traffic_prices, _azure.py:1412-1478): tiers
+    sort by tierMinimumUnits, upper = next tier's lower (open last tier
+    'Infinity'), headline price = max tier rate."""
+    is_in = F.col("meter_name") == "Standard Data Transfer In"
+    is_out = (
+        (F.col("meter_name") == "Standard Data Transfer Out")
+        & (F.col("product_name") == "Bandwidth - Routing Preference: Internet")
+    )
+    rows = (
+        retail.filter(F.col("service_family") == "Networking")
+        .filter(is_in | is_out)
+        .select(
+            F.when(is_in, F.lit("inbound")).otherwise(F.lit("outbound"))
+            .alias("direction"),
+            "arm_region_name", "currency_code",
+            F.coalesce(F.col("tier_minimum_units"), F.lit(0.0)).alias("lower"),
+            F.col("retail_price").alias("price"),
+        )
+        .join(F.broadcast(_region_probe_api(regions)), "arm_region_name")
+    )
+    n = F.size("_tiers")
+    tiers = F.transform(
+        F.col("_tiers"),
+        lambda t, i: F.struct(
+            t["lower"],
+            F.when(i == n - 1, F.lit("Infinity"))
+            .otherwise(F.col("_tiers")[i + 1]["lower"].cast("string")),
+            t["price"],
+        ),
+    ).cast(PRICE_TIER_TYPE)
+    return (
+        rows.groupBy("region_id", "direction", "currency_code")
+        .agg(F.array_sort(F.collect_list(F.struct("lower", "price")))
+             .alias("_tiers"))
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "direction",
+            F.lit("GB").alias("unit"),
+            F.array_max(F.transform(tiers, lambda t: t["price"]))
+            .alias("price"),
+            tiers.alias("price_tiered"),
+            F.col("currency_code").alias("currency"),
+        )
+    )
+
+
+def azure_ipv4_prices(retail: DataFrame, regions: DataFrame,
+                      vendor_id: str = "azure") -> DataFrame:
+    """Basic dynamic public IPv4 consumption meter -> ``ipv4_price``
+    per region (inventory_ipv4_prices, _azure.py:1481-1520)."""
+    return (
+        retail.filter(
+            (F.col("service_family") == "Networking")
+            & (F.col("meter_name") == "Basic IPv4 Dynamic Public IP")
+            & (F.col("type") == "Consumption"))
+        .join(F.broadcast(_region_probe_api(regions)), "arm_region_name")
+        .dropDuplicates(["region_id"])
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id",
+            F.lit("hour").alias("unit"),
+            F.col("retail_price").alias("price"),
+            F.col("currency_code").alias("currency"),
+        )
+    )

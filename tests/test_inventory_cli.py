@@ -621,3 +621,125 @@ def test_gcp_service_inventories_land(spark, tmp_path):
     ip = {r["region_id"]: r["price"] for r in read_snapshot(
         spark, os.path.join(lake, "ipv4_price")).collect()}
     assert ip == {"us-central1": 0.005, "europe-west1": 0.005}
+
+
+def test_azure_service_inventories_land(spark, tmp_path):
+    """Azure disks + Retail Prices pages land storage (capability
+    bounds vs meter-ladder bounds), storage_price (per-disk tier ladder
+    + per-capacity flat), traffic_price (tier rebuild), ipv4_price
+    (_azure.py:1256-1520)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "azure")
+    os.makedirs(d)
+    with open(os.path.join(d, "skus.json"), "w") as fh:
+        fh.write(json.dumps({
+            "name": "Standard_B2s", "family": "standardBSFamily",
+            "capabilities": [
+                {"name": "vCPUs", "value": "2"},
+                {"name": "vCPUsAvailable", "value": "2"},
+                {"name": "MemoryGB", "value": "4"},
+                {"name": "CpuArchitectureType", "value": "x64"}]}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "eastus", "name": "East US",
+                             "aliases": [], "api_reference": "eastus"}) + "\n")
+        fh.write(json.dumps({"region_id": "westeu", "name": "West Europe",
+                             "aliases": [], "api_reference": "westeurope"}))
+    with open(os.path.join(d, "disks.json"), "w") as fh:
+        fh.write(json.dumps({
+            "name": "Premium_LRS", "tier": "Premium", "resource_type": "disks",
+            "capabilities": [
+                {"name": "MaxIOpsReadWrite", "value": "20000"},
+                {"name": "MaxBandwidthMBpsReadWrite", "value": "900"}]}) + "\n")
+        fh.write(json.dumps({   # per-capacity type: bounds from caps
+            "name": "UltraSSD_LRS", "tier": "Ultra", "resource_type": "disks",
+            "capabilities": [
+                {"name": "MaxIOps", "value": "160000"},
+                {"name": "MaxBandwidthMBps", "value": "4000"},
+                {"name": "MinSizeGiB", "value": "4"},
+                {"name": "MaxSizeGiB", "value": "65536"}]}) + "\n")
+        fh.write(json.dumps({   # HDD naming rule
+            "name": "Standard_LRS", "tier": "Standard", "resource_type": "disks",
+            "capabilities": [{"name": "MaxIOps", "value": "2000"}]}) + "\n")
+        fh.write(json.dumps({   # non-disk resources skipped
+            "name": "snap", "tier": "x", "resource_type": "snapshots",
+            "capabilities": []}))
+    with open(os.path.join(d, "retail_prices.json"), "w") as fh:
+        for meter, price in [("P1 LRS Disk", 0.6), ("P2 LRS Disk", 1.1)]:
+            fh.write(json.dumps({
+                "service_family": "Storage", "service_name": "Storage",
+                "meter_name": meter, "product_name": "Premium SSD Managed Disks",
+                "arm_region_name": "eastus", "retail_price": price,
+                "tier_minimum_units": 0.0, "unit_of_measure": "1/Month",
+                "currency_code": "USD", "type": "Consumption"}) + "\n")
+        fh.write(json.dumps({
+            "service_family": "Storage", "service_name": "Storage",
+            "meter_name": "Ultra LRS Provisioned Capacity",
+            "product_name": "Ultra Disks", "arm_region_name": "eastus",
+            "retail_price": 0.000082, "tier_minimum_units": 0.0,
+            "unit_of_measure": "1 GiB/Hour",
+            "currency_code": "USD", "type": "Consumption"}) + "\n")
+        fh.write(json.dumps({
+            "service_family": "Networking", "service_name": "Bandwidth",
+            "meter_name": "Standard Data Transfer Out",
+            "product_name": "Bandwidth - Routing Preference: Internet",
+            "arm_region_name": "westeurope", "retail_price": 0.087,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 GB",
+            "currency_code": "USD", "type": "Consumption"}) + "\n")
+        fh.write(json.dumps({
+            "service_family": "Networking", "service_name": "Bandwidth",
+            "meter_name": "Standard Data Transfer Out",
+            "product_name": "Bandwidth - Routing Preference: Internet",
+            "arm_region_name": "westeurope", "retail_price": 0.083,
+            "tier_minimum_units": 10240.0, "unit_of_measure": "1 GB",
+            "currency_code": "USD", "type": "Consumption"}) + "\n")
+        fh.write(json.dumps({
+            "service_family": "Networking", "service_name": "Bandwidth",
+            "meter_name": "Standard Data Transfer In", "product_name": "Bandwidth",
+            "arm_region_name": "westeurope", "retail_price": 0.0,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 GB",
+            "currency_code": "USD", "type": "Consumption"}) + "\n")
+        fh.write(json.dumps({
+            "service_family": "Networking", "service_name": "Virtual Network",
+            "meter_name": "Basic IPv4 Dynamic Public IP", "product_name": "IP",
+            "arm_region_name": "eastus", "retail_price": 0.004,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 Hour",
+            "currency_code": "USD", "type": "Consumption"}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="azure")
+
+    storage = {r["storage_id"]: r for r in
+               read_snapshot(spark, os.path.join(lake, "storage")).collect()}
+    assert set(storage) == {"Premium_LRS", "UltraSSD_LRS", "Standard_LRS"}
+    # meter-ladder bounds for per-disk types: 4 GiB -> 4 GB, 32767 -> 35183
+    assert storage["Premium_LRS"]["min_size"] == 4
+    assert storage["Premium_LRS"]["max_size"] == 35183
+    assert storage["Premium_LRS"]["storage_type"] == "ssd"
+    assert storage["Premium_LRS"]["max_iops"] == 20000
+    # capability bounds for per-capacity types
+    assert storage["UltraSSD_LRS"]["min_size"] == 4
+    assert storage["UltraSSD_LRS"]["max_size"] == 70369
+    assert storage["Standard_LRS"]["storage_type"] == "hdd"
+    assert "Premium tier SSD (Locally Redundant Storage)" == \
+        storage["Premium_LRS"]["description"]
+
+    sp = {r["storage_id"]: r for r in read_snapshot(
+        spark, os.path.join(lake, "storage_price")).collect()}
+    prem = sp["Premium_LRS"]
+    assert len(prem["price_tiered"]) == 2            # the per-disk ladder
+    assert prem["price_tiered"][0]["lower"] == 0.0
+    assert float(prem["price_tiered"][1]["lower"]) == \
+        float(prem["price_tiered"][0]["upper"])      # cumulative rebuild
+    assert prem["price"] == prem["price_tiered"][0]["price"]
+    ultra = sp["UltraSSD_LRS"]
+    assert ultra["price_tiered"] == []               # single flat tier
+    assert abs(ultra["price"] - round(0.000082 * 730 / 1.073741824, 4)) < 1e-9
+
+    tp = {(r["region_id"], r["direction"]): r for r in read_snapshot(
+        spark, os.path.join(lake, "traffic_price")).collect()}
+    out = tp[("westeu", "outbound")]                 # api_reference join
+    assert out["price"] == 0.087                     # max tier
+    assert [t["upper"] for t in out["price_tiered"]] == ["10240.0", "Infinity"]
+    assert tp[("westeu", "inbound")]["price"] == 0.0
+
+    ip = read_snapshot(spark, os.path.join(lake, "ipv4_price")).collect()
+    assert [(r["region_id"], r["price"]) for r in ip] == [("eastus", 0.004)]
