@@ -571,6 +571,38 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
                 v, schemas.PRIMARY_KEYS["traffic_price"])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
+        # Cloud SQL (PostgreSQL) databases + storage
+        sql_skus_path = os.path.join(vroot, "cloudsql_skus.json")
+        tiers_path = os.path.join(vroot, "sql_tiers.json")
+        if os.path.exists(sql_skus_path) and os.path.exists(tiers_path):
+            from .sources import gcp_sql
+
+            sql_skus = spark.read.schema(
+                gcp_sql.RAW_CLOUDSQL_SKU).json(sql_skus_path)
+            tiers = spark.read.schema(gcp_sql.RAW_SQL_TIER).json(tiers_path)
+            meta_path = os.path.join(vroot, "sql_metadata.json")
+            meta = (
+                spark.read.schema(gcp_sql.RAW_SQL_METADATA).json(meta_path)
+                if os.path.exists(meta_path)
+                else spark.createDataFrame(
+                    [([], None, None)], gcp_sql.RAW_SQL_METADATA)
+            )
+            srv = valid if "api_reference" in valid.columns else None
+            for table, df in {
+                "database": gcp_sql.gcp_sql_databases(
+                    tiers, meta, sql_skus, srv),
+                "database_price": gcp_sql.gcp_sql_database_prices(
+                    tiers, sql_skus, regions),
+                "database_storage": gcp_sql.gcp_sql_database_storages(
+                    sql_skus),
+                "database_storage_price":
+                    gcp_sql.gcp_sql_database_storage_prices(
+                        sql_skus, regions),
+            }.items():
+                v, inv = validate_items(df, table)
+                outputs[table] = (v, schemas.PRIMARY_KEYS[table])
+                invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
     # Azure compute-resource disks + Retail Prices API pages
     if vendor == "azure" and regions is not None:
         from .sources import azure as az

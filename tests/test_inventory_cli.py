@@ -743,3 +743,106 @@ def test_azure_service_inventories_land(spark, tmp_path):
 
     ip = read_snapshot(spark, os.path.join(lake, "ipv4_price")).collect()
     assert [(r["region_id"], r["price"]) for r in ip] == [("eastus", 0.004)]
+
+
+def test_gcp_cloudsql_database_inventories_land(spark, tmp_path):
+    """Cloud SQL tiers + raw billing SKUs land database, database_price
+    (vcpu*n + ram*GiB composition; shared tiers from their instance
+    SKU), database_storage and its prices (_gcp.py:1122-1607)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "gcp")
+    os.makedirs(d)
+    with open(os.path.join(d, "machine_types.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 3001, "name": "n1-standard-4", "description": "4/15",
+            "guest_cpus": 4, "memory_mb": 15360, "is_shared_cpu": False,
+            "deprecated": {"state": ""}}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "us-central1", "name": "Iowa",
+                             "aliases": []}))
+    with open(os.path.join(d, "sql_tiers.json"), "w") as fh:
+        fh.write(json.dumps({"tier": "db-n1-standard-4",
+                             "ram": 15 * 1024 ** 3,
+                             "regions": ["us-central1"]}) + "\n")
+        fh.write(json.dumps({"tier": "db-custom-2-7680",
+                             "ram": 7680 * 1024 ** 2,
+                             "regions": []}) + "\n")
+        fh.write(json.dumps({"tier": "db-f1-micro", "ram": 614989824,
+                             "regions": ["us-central1"]}) + "\n")
+        fh.write(json.dumps({"tier": "db-perf-optimized-N-2",
+                             "ram": 16 * 1024 ** 3,
+                             "regions": ["us-central1"]}))
+    with open(os.path.join(d, "sql_metadata.json"), "w") as fh:
+        fh.write(json.dumps({"engine_versions": ["14", "15", "16"],
+                             "custom_config": True,
+                             "custom_extensions": True}))
+    def sku(desc, nanos, regions=("us-central1",), units=0, unit="h"):
+        return json.dumps({
+            "description": desc, "service_regions": list(regions),
+            "units": units, "nanos": nanos, "currency": "USD",
+            "usage_unit": unit})
+    with open(os.path.join(d, "cloudsql_skus.json"), "w") as fh:
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - vCPU in Americas",
+                     41238000) + "\n")
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - RAM in Americas",
+                     7005000) + "\n")
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - Extended support "
+                     "vCPU in Americas", 99999000) + "\n")     # must NOT win
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - Enterprise N4 vCPU "
+                     "in Americas", 38000000) + "\n")
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - Enterprise N4 RAM "
+                     "in Americas", 6400000) + "\n")
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - f1-micro in Americas",
+                     10500000) + "\n")
+        fh.write(sku("Cloud SQL for PostgreSQL: Regional - vCPU in Americas",
+                     82476000) + "\n")                         # HA marker
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - Standard storage "
+                     "in Americas", 170000000, unit="GiBy.mo") + "\n")
+        fh.write(sku("Cloud SQL for PostgreSQL: Zonal - Low cost storage "
+                     "in Americas", 90000000, unit="GiBy.mo"))
+    cli.cmd_inventory(spark, bronze, lake, vendor="gcp")
+
+    db = {r["database_id"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "database")).collect()}
+    assert set(db) == {"db-n1-standard-4", "db-custom-2-7680",
+                       "db-f1-micro", "db-perf-optimized-N-2"}
+    n1 = db["db-n1-standard-4"]
+    assert n1["vcpus"] == 4 and n1["memory_amount"] == 15360
+    assert n1["family"] == "n1-standard"
+    # matched BY api_reference (db- strip), stores the server's id —
+    # GCP server ids are numeric (reference _gcp.py:1344-1353)
+    assert n1["server_id"] == "3001"
+    assert n1["ha_supported"] is True              # Regional vCPU present
+    assert n1["engine_versions"] == ["14", "15", "16"]
+    assert n1["description"] == \
+        "PostgreSQL Cloud SQL N1 Standard (4 vCPUs, 15 GB RAM)"
+    cust = db["db-custom-2-7680"]
+    assert cust["vcpus"] == 2 and cust["family"] == "custom"
+    assert cust["ha_supported"] is None            # no region list
+    assert cust["description"] == \
+        "PostgreSQL Cloud SQL Custom (2 vCPUs, 7.5 GB RAM)"
+    assert db["db-f1-micro"]["ha_supported"] is False
+
+    dbp = {r["database_id"]: r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "database_price")).collect()}
+    # dedicated: vcpu*4 + ram*15 (NOT the Extended-support rate)
+    assert abs(dbp["db-n1-standard-4"]
+               - round(0.041238 * 4 + 0.007005 * 15, 4)) < 1e-9
+    # custom tier with empty region list prices in every landed region
+    assert abs(dbp["db-custom-2-7680"]
+               - round(0.041238 * 2 + 0.007005 * 7.5, 4)) < 1e-9
+    # N4 marker tier uses the Enterprise N4 rates
+    assert abs(dbp["db-perf-optimized-N-2"]
+               - round(0.038 * 2 + 0.0064 * 16, 4)) < 1e-9
+    assert abs(dbp["db-f1-micro"] - 0.0105) < 1e-9  # shared instance SKU
+
+    dbs = {r["database_storage_id"]: r for r in read_snapshot(
+        spark, os.path.join(lake, "database_storage")).collect()}
+    assert set(dbs) == {"cloudsql-ssd-standard", "cloudsql-hdd"}
+    assert dbs["cloudsql-hdd"]["name"] == "Low-cost HDD"
+    assert dbs["cloudsql-ssd-standard"]["max_iops"] == 100000
+
+    dbsp = {r["database_storage_id"]: r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "database_storage_price")).collect()}
+    assert dbsp == {"cloudsql-ssd-standard": 0.17, "cloudsql-hdd": 0.09}
