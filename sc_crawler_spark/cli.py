@@ -638,6 +638,27 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
             outputs["ipv4_price"] = (v, schemas.PRIMARY_KEYS["ipv4_price"])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
+        # PostgreSQL Flexible Server databases + storage
+        caps_path = os.path.join(vroot, "pg_capabilities.json")
+        if os.path.exists(caps_path):
+            from .sources import azure_sql
+
+            caps = spark.read.schema(
+                azure_sql.RAW_PG_CAPABILITY).json(caps_path)
+            svc = {"database": azure_sql.azure_pg_databases(caps),
+                   "database_storage":
+                       azure_sql.azure_pg_database_storages(caps)}
+            if retail is not None:
+                svc["database_price"] = azure_sql.azure_pg_database_prices(
+                    caps, retail, regions)
+                svc["database_storage_price"] = (
+                    azure_sql.azure_pg_database_storage_prices(
+                        retail, svc["database_storage"], regions))
+            for table, df in svc.items():
+                v, inv = validate_items(df, table)
+                outputs[table] = (v, schemas.PRIMARY_KEYS[table])
+                invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
     _land_tables(spark, lake, outputs, vendor)
     if invalid.limit(1).count():
         inv_path = _table_path(lake, "server_invalid")

@@ -267,7 +267,8 @@ RAW_RETAIL_PRICE = (
     "service_family string, service_name string, meter_name string, "
     "product_name string, arm_region_name string, retail_price double, "
     "tier_minimum_units double, unit_of_measure string, "
-    "currency_code string, type string"
+    "currency_code string, type string, "
+    "arm_sku_name string, sku_name string"
 )
 
 PRICE_TIER_TYPE = "array<struct<lower:double,upper:string,price:double>>"

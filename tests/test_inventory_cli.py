@@ -846,3 +846,127 @@ def test_gcp_cloudsql_database_inventories_land(spark, tmp_path):
     dbsp = {r["database_storage_id"]: r["price"] for r in read_snapshot(
         spark, os.path.join(lake, "database_storage_price")).collect()}
     assert dbsp == {"cloudsql-ssd-standard": 0.17, "cloudsql-hdd": 0.09}
+
+
+def test_azure_pg_flexible_server_inventories_land(spark, tmp_path):
+    """Flexible Server capabilities + Retail rows land database (A6
+    version union, Burstable HA rule), database_price (per-vCore meter
+    multiplication, flat burstable meters), database_storage (A7 bounds
+    + backup row) and storage prices (_azure.py:1527-2046)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "azure")
+    os.makedirs(d)
+    with open(os.path.join(d, "skus.json"), "w") as fh:
+        fh.write(json.dumps({
+            "name": "Standard_D2s_v3", "family": "standardDSv3Family",
+            "capabilities": [
+                {"name": "vCPUs", "value": "2"},
+                {"name": "vCPUsAvailable", "value": "2"},
+                {"name": "MemoryGB", "value": "8"},
+                {"name": "CpuArchitectureType", "value": "x64"}]}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "eastus", "name": "East US",
+                             "aliases": ["East US"],
+                             "api_reference": "eastus"}))
+    with open(os.path.join(d, "pg_capabilities.json"), "w") as fh:
+        fh.write(json.dumps({
+            "location": "eastus", "edition": "GeneralPurpose",
+            "sku_name": "Standard_D2s_v3", "v_cores": 2,
+            "memory_per_vcore_mb": 4096,
+            "engine_versions": ["14", "15"],
+            "storage_editions": [
+                {"name": "ManagedDisk", "reason": None, "min_mb": 32768,
+                 "max_mb": 33554432, "max_iops": 18000,
+                 "max_throughput": 900}]}) + "\n")
+        fh.write(json.dumps({      # same SKU elsewhere: versions union
+            "location": "eastus", "edition": "GeneralPurpose",
+            "sku_name": "Standard_D2s_v3", "v_cores": 2,
+            "memory_per_vcore_mb": 4096,
+            "engine_versions": ["16"],
+            "storage_editions": [
+                {"name": "ManagedDisk", "reason": None, "min_mb": 32768,
+                 "max_mb": 67108864, "max_iops": 20000,
+                 "max_throughput": 1200},
+                {"name": "UltraDisk",
+                 "reason": "Specified Storage Edition not supported in this region.",
+                 "min_mb": None, "max_mb": None, "max_iops": None,
+                 "max_throughput": None}]}) + "\n")
+        fh.write(json.dumps({
+            "location": "eastus", "edition": "Burstable",
+            "sku_name": "Standard_B1ms", "v_cores": 1,
+            "memory_per_vcore_mb": 2048,
+            "engine_versions": ["14", "15", "16"],
+            "storage_editions": []}))
+    with open(os.path.join(d, "retail_prices.json"), "w") as fh:
+        fh.write(json.dumps({    # per-vCore compute meter: price x cores
+            "service_family": "Databases",
+            "service_name": "Azure Database for PostgreSQL",
+            "meter_name": "D2s v3 vCore",
+            "product_name": "Az DB for PostgreSQL Flexible Server General Purpose Compute",
+            "arm_region_name": "eastus", "retail_price": 0.063,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 Hour",
+            "currency_code": "USD", "type": "Consumption",
+            "arm_sku_name": "Standard_D2s_v3", "sku_name": "2 vCore"}) + "\n")
+        fh.write(json.dumps({    # flat burstable meter: price as-is
+            "service_family": "Databases",
+            "service_name": "Azure Database for PostgreSQL",
+            "meter_name": "B1MS",
+            "product_name": "Az DB for PostgreSQL Flexible Server Burstable Compute",
+            "arm_region_name": "eastus", "retail_price": 0.021,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 Hour",
+            "currency_code": "USD", "type": "Consumption",
+            "arm_sku_name": "Standard_B1ms", "sku_name": "B1MS"}) + "\n")
+        fh.write(json.dumps({    # flex storage data meter
+            "service_family": "Databases",
+            "service_name": "Azure Database for PostgreSQL",
+            "meter_name": "Storage Data Stored",
+            "product_name": "Az DB for PostgreSQL Flexible Server Storage",
+            "arm_region_name": "eastus", "retail_price": 0.115,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 GiB/Month",
+            "currency_code": "USD", "type": "Consumption",
+            "arm_sku_name": "", "sku_name": "Storage"}) + "\n")
+        fh.write(json.dumps({    # backup storage meter
+            "service_family": "Databases",
+            "service_name": "Azure Database for PostgreSQL",
+            "meter_name": "Backup Storage LRS Data Stored",
+            "product_name": "Azure Database for PostgreSQL Flexible Server Backup Storage",
+            "arm_region_name": "eastus", "retail_price": 0.095,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 GiB/Month",
+            "currency_code": "USD", "type": "Consumption",
+            "arm_sku_name": "", "sku_name": "Backup"}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="azure")
+
+    db = {r["database_id"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "database")).collect()}
+    assert set(db) == {"Standard_D2s_v3", "Standard_B1ms"}
+    d2 = db["Standard_D2s_v3"]
+    assert d2["name"] == "D2s_v3"                  # Standard_ stripped
+    assert d2["vcpus"] == 2 and d2["memory_amount"] == 8192
+    assert d2["engine_versions"] == ["14", "15", "16"]   # A6 union
+    assert d2["ha_supported"] is True
+    assert d2["server_id"] == "Standard_D2s_v3"
+    assert d2["description"] == "PostgreSQL GeneralPurpose (2 vCPUs, 8 GB RAM)"
+    assert db["Standard_B1ms"]["ha_supported"] is False   # Burstable
+
+    dbp = {r["database_id"]: r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "database_price")).collect()}
+    assert dbp["Standard_D2s_v3"] == round(0.063 * 2, 4)  # x vCores
+    assert dbp["Standard_B1ms"] == 0.021                  # flat meter
+
+    dbs = {r["database_storage_id"]: r for r in read_snapshot(
+        spark, os.path.join(lake, "database_storage")).collect()}
+    # unsupported UltraDisk edition dropped; backup row appended
+    assert set(dbs) == {"ManagedDisk", "BackupStorageLRS"}
+    md = dbs["ManagedDisk"]
+    assert md["min_size"] == 32 and md["max_size"] == 65536  # A7 fold, MB->GB
+    assert md["max_iops"] == 20000
+    assert md["scope"] == "data"
+    assert dbs["BackupStorageLRS"]["scope"] == "backup"
+    assert dbs["BackupStorageLRS"]["redundancy"] == "LRS"
+
+    dbsp = {r["database_storage_id"]: r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "database_storage_price")).collect()}
+    gib = (1024 ** 3) / (1000 ** 3)
+    assert abs(dbsp["ManagedDisk"] - round(0.115 / gib, 6)) < 1e-9
+    assert abs(dbsp["BackupStorageLRS"] - round(0.095 / gib, 6)) < 1e-9
