@@ -501,6 +501,7 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
     from .sources.catalog import standardize_catalog
 
     vroot = os.path.join(bronze, vendor)
+    generic_raw = None
     if vendor == "gcp":
         raw = spark.read.schema(_GCP_MACHINE_TYPE_SCHEMA).json(
             os.path.join(vroot, "machine_types.json"))
@@ -514,6 +515,7 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
         # every other vendor landing in this tree
         raw = spark.read.json(os.path.join(vroot, "servers.json"))
         servers = standardize_catalog(raw, vendor)
+        generic_raw = raw
     if "display_name" not in servers.columns:
         # ScModel default: display_name falls back to the plan name
         servers = servers.withColumn("display_name", F.col("name"))
@@ -540,6 +542,17 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
             v, inv = validate_items(df, t)
             outputs[t] = (v, schemas.PRIMARY_KEYS[t])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
+    # embedded per-location price lists (hcloud-style monthly-cap tiers)
+    if (generic_raw is not None and regions is not None
+            and "prices" in generic_raw.columns):
+        from .sources.catalog import catalog_server_prices
+
+        v, inv = validate_items(
+            catalog_server_prices(generic_raw, regions, vendor),
+            "server_price")
+        outputs["server_price"] = (v, schemas.PRIMARY_KEYS["server_price"])
+        invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
     # GCP billing-catalog service inventories (bronze SKU pages)
     if vendor == "gcp" and regions is not None:

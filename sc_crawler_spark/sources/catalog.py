@@ -315,3 +315,63 @@ def static_service_tables(spark: SparkSession, vendor_id: str,
                 regions.select("region_id").distinct())
         out[table] = tmpl
     return out
+
+
+_PRICE_TIER_TYPE = "array<struct<lower:double,upper:string,price:double>>"
+
+
+def catalog_server_prices(raw: DataFrame, regions: DataFrame,
+                          vendor_id: str) -> DataFrame:
+    """hcloud-style embedded per-location price lists -> ``server_price``
+    rows (reference _hcloud.py:255-288).
+
+    Expects the raw servers payload to carry
+    ``prices: array<struct<location, hourly, monthly>>``. Hetzner bills
+    hourly with a monthly cap, which the reference proxies as TIERED
+    hourly pricing: [0, cap] at the hourly rate, (cap, Infinity) free,
+    where cap = floor(monthly/hourly) discounted hours. Regions resolve
+    through the landed name/alias probe; zone_id mirrors region_id
+    (no zones at these vendors).
+    """
+    probe = regions.select(
+        "region_id",
+        F.explode(F.array_union(
+            F.array(F.col("name")),
+            F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
+        )).alias("location"),
+    )
+    p = raw.select(
+        F.col("id").cast("string").alias("server_id"),
+        F.explode("prices").alias("p"),
+    ).select(
+        "server_id",
+        F.col("p.location").alias("location"),
+        F.col("p.hourly").cast("double").alias("hourly"),
+        F.col("p.monthly").cast("double").alias("monthly"),
+    ).filter(F.col("hourly").isNotNull() & (F.col("hourly") > 0))
+    cap = F.floor(F.col("monthly") / F.col("hourly"))
+    tiers = F.array(
+        F.struct(F.lit(0.0).alias("lower"),
+                 cap.cast("double").cast("string").alias("upper"),
+                 F.col("hourly").alias("price")),
+        F.struct((cap + 1).cast("double").alias("lower"),
+                 F.lit("Infinity").alias("upper"),
+                 F.lit(0.0).alias("price")),
+    ).cast(_PRICE_TIER_TYPE)
+    return (
+        p.join(F.broadcast(probe), "location")
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id",
+            F.col("region_id").alias("zone_id"),
+            "server_id",
+            F.lit("Linux").alias("operating_system"),
+            F.lit("ondemand").alias("allocation"),
+            F.lit("hour").alias("unit"),
+            F.round("hourly", 4).alias("price"),
+            F.when(F.col("monthly").isNotNull(), tiers)
+            .otherwise(F.lit(None).cast(_PRICE_TIER_TYPE))
+            .alias("price_tiered"),
+            F.lit("EUR").alias("currency"),
+        )
+    )

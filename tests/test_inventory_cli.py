@@ -970,3 +970,44 @@ def test_azure_pg_flexible_server_inventories_land(spark, tmp_path):
     gib = (1024 ** 3) / (1000 ** 3)
     assert abs(dbsp["ManagedDisk"] - round(0.115 / gib, 6)) < 1e-9
     assert abs(dbsp["BackupStorageLRS"] - round(0.095 / gib, 6)) < 1e-9
+
+
+def test_hcloud_embedded_server_prices_land(spark, tmp_path):
+    """servers.json rows carrying per-location price lists land
+    server_price rows with the monthly cap proxied as a two-tier hourly
+    schedule (_hcloud.py:255-288): [0, cap] at the hourly rate, then
+    free to Infinity, cap = floor(monthly/hourly) hours."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "hcloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({
+            "id": 22, "name": "cx22", "cores": 2, "memory": 4.0,
+            "disk": 40, "cpu_type": "shared", "architecture": "x86",
+            "prices": [
+                {"location": "Nuremberg", "hourly": 0.0074,
+                 "monthly": 4.35},
+                {"location": "Ashburn", "hourly": 0.0079,
+                 "monthly": 4.59}]}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "nbg1", "name": "Nuremberg",
+                             "aliases": []}) + "\n")
+        fh.write(json.dumps({"region_id": "ash", "name": "Ashburn",
+                             "aliases": []}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="hcloud")
+
+    prices = {r["region_id"]: r for r in read_snapshot(
+        spark, os.path.join(lake, "server_price")).collect()}
+    assert set(prices) == {"nbg1", "ash"}
+    nbg = prices["nbg1"]
+    assert nbg["server_id"] == "22"
+    assert nbg["zone_id"] == "nbg1"            # zone mirrors region
+    assert nbg["price"] == 0.0074
+    assert nbg["allocation"] == "ondemand"
+    tiers = nbg["price_tiered"]
+    cap = int(4.35 / 0.0074)                   # 587 discounted hours
+    assert [t["lower"] for t in tiers] == [0.0, float(cap + 1)]
+    assert float(tiers[0]["upper"]) == float(cap)
+    assert tiers[1]["upper"] == "Infinity"
+    assert tiers[0]["price"] == 0.0074 and tiers[1]["price"] == 0.0
