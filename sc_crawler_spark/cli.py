@@ -651,6 +651,20 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
             outputs["ipv4_price"] = (v, schemas.PRIMARY_KEYS["ipv4_price"])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
+        # VM server prices (ondemand + spot) fanned per zone
+        zones_path = os.path.join(vroot, "zones.json")
+        if retail is not None and os.path.exists(zones_path):
+            zone_off = spark.read.schema(
+                "region_id string, zones array<string>").json(zones_path)
+            sp = az.azure_server_prices(
+                retail, valid, regions, zone_off, "ondemand"
+            ).unionByName(az.azure_server_prices(
+                retail, valid, regions, zone_off, "spot"))
+            v, inv = validate_items(sp, "server_price")
+            outputs["server_price"] = (
+                v, schemas.PRIMARY_KEYS["server_price"])
+            invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
         # PostgreSQL Flexible Server databases + storage
         caps_path = os.path.join(vroot, "pg_capabilities.json")
         if os.path.exists(caps_path):

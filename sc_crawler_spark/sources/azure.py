@@ -479,3 +479,55 @@ def azure_ipv4_prices(retail: DataFrame, regions: DataFrame,
             F.col("currency_code").alias("currency"),
         )
     )
+
+
+def azure_server_prices(retail: DataFrame, servers: DataFrame,
+                        regions: DataFrame, zone_offerings: DataFrame,
+                        allocation: str = "ondemand",
+                        vendor_id: str = "azure") -> DataFrame:
+    """Retail VM consumption rows -> ``server_price`` rows fanned out
+    per zone (_inventory_server_prices, _azure.py:581-652).
+
+    Client-side residual filters exactly as the reference (the Retail
+    API can't combine not() with contains()): Low-Priority meters out,
+    Windows / Cloud Services products out, unknown SKUs/regions out,
+    zero prices out; spot rows are the ones whose skuName contains
+    'Spot' (P5). One scan, broadcast gates, one explode.
+    """
+    meter = F.coalesce(F.col("meter_name"), F.lit(""))
+    product = F.coalesce(F.col("product_name"), F.lit(""))
+    sku = F.coalesce(F.col("sku_name"), F.lit(""))
+    is_spot = sku.contains("Spot")
+    want_spot = F.lit(allocation == "spot")
+    rows = retail.filter(
+        (F.coalesce(F.col("service_name"), F.lit("")) == "Virtual Machines")
+        & (F.coalesce(F.col("type"), F.lit("Consumption")) == "Consumption")
+        & ~meter.contains("Low Priority")
+        & ~product.endswith("Windows")
+        & ~product.endswith("CloudServices")
+        & ~product.endswith("Cloud Services")
+        & (F.col("retail_price") > 0)
+        & (is_spot == want_spot)
+    )
+    dim = servers.select(
+        F.col("server_id").alias("arm_sku_name")).distinct()
+    probe = _region_probe_api(regions)
+    zones = zone_offerings.select(
+        "region_id", F.explode("zones").alias("zone_id"))
+    return (
+        rows.join(F.broadcast(dim), "arm_sku_name", "left_semi")
+        .join(F.broadcast(probe), "arm_region_name")
+        .join(F.broadcast(zones), "region_id")
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "zone_id",
+            F.col("arm_sku_name").alias("server_id"),
+            F.lit("Linux").alias("operating_system"),
+            F.lit(allocation).alias("allocation"),
+            F.lit("hour").alias("unit"),
+            F.col("retail_price").alias("price"),
+            F.lit(0.0).alias("price_upfront"),
+            F.coalesce(F.col("currency_code"), F.lit("USD")).alias("currency"),
+        )
+        .dropDuplicates(["region_id", "zone_id", "server_id", "allocation"])
+    )

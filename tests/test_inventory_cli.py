@@ -1011,3 +1011,63 @@ def test_hcloud_embedded_server_prices_land(spark, tmp_path):
     assert float(tiers[0]["upper"]) == float(cap)
     assert tiers[1]["upper"] == "Infinity"
     assert tiers[0]["price"] == 0.0074 and tiers[1]["price"] == 0.0
+
+
+def test_azure_vm_server_prices_land(spark, tmp_path):
+    """Retail VM consumption rows land ondemand + spot server_price rows
+    fanned per zone, with the reference's client-side residual filters
+    (_azure.py:581-652): Low Priority out, Windows/Cloud Services out,
+    unknown SKUs out, zero prices out."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    d = os.path.join(bronze, "azure")
+    os.makedirs(d)
+    with open(os.path.join(d, "skus.json"), "w") as fh:
+        fh.write(json.dumps({
+            "name": "Standard_B2s", "family": "standardBSFamily",
+            "capabilities": [
+                {"name": "vCPUs", "value": "2"},
+                {"name": "vCPUsAvailable", "value": "2"},
+                {"name": "MemoryGB", "value": "4"},
+                {"name": "CpuArchitectureType", "value": "x64"}]}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "eastus", "name": "East US",
+                             "aliases": ["East US"],
+                             "api_reference": "eastus"}))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "eastus",
+                             "zones": ["eastus-1", "eastus-2"]}))
+
+    def row(meter, product, sku, price, arm="Standard_B2s",
+            region="eastus"):
+        return json.dumps({
+            "service_family": "Compute", "service_name": "Virtual Machines",
+            "meter_name": meter, "product_name": product,
+            "arm_region_name": region, "retail_price": price,
+            "tier_minimum_units": 0.0, "unit_of_measure": "1 Hour",
+            "currency_code": "USD", "type": "Consumption",
+            "arm_sku_name": arm, "sku_name": sku})
+    with open(os.path.join(d, "retail_prices.json"), "w") as fh:
+        fh.write(row("B2s", "Virtual Machines BS Series", "B2s",
+                     0.0416) + "\n")
+        fh.write(row("B2s Spot", "Virtual Machines BS Series", "B2s Spot",
+                     0.0091) + "\n")
+        fh.write(row("B2s Low Priority", "Virtual Machines BS Series",
+                     "B2s Low Priority", 0.008) + "\n")         # dropped
+        fh.write(row("B2s", "Virtual Machines BS Series Windows", "B2s",
+                     0.084) + "\n")                             # dropped
+        fh.write(row("B2s", "BS Series Cloud Services", "B2s",
+                     0.05) + "\n")                              # dropped
+        fh.write(row("D4s", "Virtual Machines DS Series", "D4s",
+                     0.19, arm="Standard_D4s_v9") + "\n")       # unknown SKU
+        fh.write(row("B2s", "Virtual Machines BS Series", "B2s",
+                     0.0, arm="Standard_B2s"))                  # zero price
+    cli.cmd_inventory(spark, bronze, lake, vendor="azure")
+
+    prices = read_snapshot(spark, os.path.join(lake, "server_price")).collect()
+    got = {(r["zone_id"], r["allocation"]): r["price"] for r in prices}
+    assert got == {("eastus-1", "ondemand"): 0.0416,
+                   ("eastus-2", "ondemand"): 0.0416,
+                   ("eastus-1", "spot"): 0.0091,
+                   ("eastus-2", "spot"): 0.0091}
+    assert all(r["operating_system"] == "Linux" for r in prices)
