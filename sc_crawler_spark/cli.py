@@ -533,7 +533,7 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
     regions = (
         spark.read.schema(
             "region_id string, name string, aliases array<string>, "
-            "api_reference string"
+            "api_reference string, options array<string>"
         ).json(regions_path)
         if os.path.exists(regions_path) else None
     )

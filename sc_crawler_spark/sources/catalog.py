@@ -278,6 +278,58 @@ STATIC_SERVICE_CATALOGS: dict[str, dict] = {
             "price": 0.005, "unit": "hour", "currency": "USD",
         }],
     },
+    # _vultr.py:204-225, 630-725 (docs.vultr.com published rates); the
+    # block-storage price rows carry the region-availability gate: they
+    # fan out only to regions whose landed `options` list the product.
+    "vultr": {
+        "storage": [
+            {"storage_id": "block_storage_high_perf",
+             "name": "NVMe Block Storage",
+             "description": "VBS high_perf (CSI vultr-block-storage).",
+             "storage_type": "nvme ssd", "max_iops": 10_000,
+             "max_throughput": 400, "min_size": 10, "max_size": 10_000},
+            {"storage_id": "block_storage_storage_opt",
+             "name": "HDD Block Storage",
+             "description": "VBS storage_opt (CSI vultr-block-storage-hdd).",
+             "storage_type": "hdd", "max_iops": 500,
+             "max_throughput": 100, "min_size": 40, "max_size": 40_000},
+        ],
+        "storage_price": [
+            {"storage_id": "block_storage_high_perf", "unit": "GB",
+             "price": 0.10, "currency": "USD",
+             "requires_option": "block_storage_high_perf"},
+            {"storage_id": "block_storage_storage_opt", "unit": "GB",
+             "price": 0.025, "currency": "USD",
+             "requires_option": "block_storage_storage_opt"},
+        ],
+        "traffic_price": [
+            {"direction": "inbound", "price": 0.0, "unit": "GB",
+             "currency": "USD"},
+            {"direction": "outbound", "price": 0.01, "unit": "GB",
+             "currency": "USD"},
+        ],
+        "ipv4_price": [{
+            "price": 3.0, "unit": "month", "currency": "USD",
+        }],
+    },
+    # _upcloud.py:60-88: the storage catalog is a published constant
+    # (prices come from the zone price API, not landed statically)
+    "upcloud": {
+        "storage": [
+            {"storage_id": "hdd", "name": "Archive",
+             "description": "High-capacity data storage",
+             "storage_type": "hdd", "max_iops": 600,
+             "max_throughput": None, "min_size": 1, "max_size": 4096},
+            {"storage_id": "standard", "name": "Standard",
+             "description": "General purpose data storage",
+             "storage_type": "ssd", "max_iops": 10_000,
+             "max_throughput": None, "min_size": 1, "max_size": 4096},
+            {"storage_id": "maxiops", "name": "MaxIOPS",
+             "description": "High-performance web servers and applications",
+             "storage_type": "ssd", "max_iops": 100_000,
+             "max_throughput": None, "min_size": 1, "max_size": 4096},
+        ],
+    },
 }
 
 _STATIC_ROW_SCHEMAS = {
@@ -302,7 +354,7 @@ def static_service_tables(spark: SparkSession, vendor_id: str,
     spec = STATIC_SERVICE_CATALOGS.get(vendor_id, {})
     out: dict[str, DataFrame] = {}
     for table, rows in spec.items():
-        schema = _STATIC_ROW_SCHEMAS[table]
+        schema = _STATIC_ROW_SCHEMAS[table] + ", requires_option string"
         tmpl = spark.createDataFrame(
             [tuple(r.get(f.split(" ")[0]) for f in schema.split(", "))
              for r in rows],
@@ -311,9 +363,23 @@ def static_service_tables(spark: SparkSession, vendor_id: str,
         if table in _REGION_FANOUT:
             if regions is None:
                 continue  # no landed regions -> nothing to price
+            reg_cols = ["region_id"] + (
+                ["options"] if "options" in regions.columns else [])
             tmpl = F.broadcast(tmpl).crossJoin(
-                regions.select("region_id").distinct())
-        out[table] = tmpl
+                regions.select(*reg_cols).distinct())
+            # region-availability gate (vultr _get_regions "options"):
+            # a row with requires_option lands only where offered
+            if "options" in regions.columns:
+                tmpl = tmpl.filter(
+                    F.col("requires_option").isNull()
+                    | F.array_contains(
+                        F.coalesce(F.col("options"),
+                                   F.array().cast("array<string>")),
+                        F.col("requires_option"))
+                ).drop("options")
+            else:
+                tmpl = tmpl.filter(F.col("requires_option").isNull())
+        out[table] = tmpl.drop("requires_option")
     return out
 
 

@@ -1071,3 +1071,59 @@ def test_azure_vm_server_prices_land(spark, tmp_path):
                    ("eastus-1", "spot"): 0.0091,
                    ("eastus-2", "spot"): 0.0091}
     assert all(r["operating_system"] == "Linux" for r in prices)
+
+
+def test_vultr_upcloud_static_services_land(spark, tmp_path):
+    """Vultr's published storage/traffic/ipv4 rates land with the
+    region-availability gate on block storage (_vultr.py:630-725);
+    UpCloud's storage catalog lands as a published constant
+    (_upcloud.py:60-88, prices are API-driven and not static)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    for vendor, server in [
+        ("vultr", {"id": "vc2-1c-1gb", "vcpu_count": 1, "cpu_count": None,
+                   "cpu_threads": None, "cpu_mhz": 2400, "ram": 1024,
+                   "disk": 25, "cpu_family": None}),
+        ("upcloud", {"name": "DEV-1xCPU-1GB", "core_number": 1,
+                     "memory_amount": 1024, "storage_size": 10}),
+    ]:
+        d = os.path.join(bronze, vendor)
+        os.makedirs(d)
+        with open(os.path.join(d, "servers.json"), "w") as fh:
+            fh.write(json.dumps(server))
+    with open(os.path.join(bronze, "vultr", "regions.json"), "w") as fh:
+        fh.write(json.dumps({
+            "region_id": "ewr", "name": "New Jersey", "aliases": [],
+            "options": ["block_storage_high_perf"]}) + "\n")
+        fh.write(json.dumps({
+            "region_id": "ord", "name": "Chicago", "aliases": [],
+            "options": ["block_storage_high_perf",
+                        "block_storage_storage_opt"]}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="vultr")
+    cli.cmd_inventory(spark, bronze, lake, vendor="upcloud")
+
+    storage = {(r["vendor_id"], r["storage_id"]): r for r in
+               read_snapshot(spark, os.path.join(lake, "storage")).collect()}
+    assert ("vultr", "block_storage_high_perf") in storage
+    assert ("upcloud", "maxiops") in storage
+    assert storage[("vultr", "block_storage_high_perf")]["storage_type"] \
+        == "nvme ssd"
+    assert storage[("upcloud", "maxiops")]["max_iops"] == 100000
+
+    sp = {(r["region_id"], r["storage_id"]): r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "storage_price")).collect()
+        if r["vendor_id"] == "vultr"}
+    # availability gate: storage_opt only offered in ord
+    assert sp == {("ewr", "block_storage_high_perf"): 0.10,
+                  ("ord", "block_storage_high_perf"): 0.10,
+                  ("ord", "block_storage_storage_opt"): 0.025}
+
+    tp = {(r["region_id"], r["direction"]): r["price"] for r in read_snapshot(
+        spark, os.path.join(lake, "traffic_price")).collect()
+        if r["vendor_id"] == "vultr"}
+    assert tp[("ewr", "outbound")] == 0.01 and tp[("ord", "inbound")] == 0.0
+
+    ip = {r["region_id"]: (r["price"], r["unit"]) for r in read_snapshot(
+        spark, os.path.join(lake, "ipv4_price")).collect()
+        if r["vendor_id"] == "vultr"}
+    assert ip == {"ewr": (3.0, "month"), "ord": (3.0, "month")}
