@@ -62,3 +62,18 @@ def test_no_cartesian_or_smj_in_headline_plans(spark, name):
     # every parquet scan carries pushdown metadata (column pruning active)
     scans = re.findall(r"ReadSchema: \S+", plan)
     assert scans, f"{name}: no parquet scans found in plan"
+
+
+@pytest.mark.parametrize("name", ["tiered_price_billing",
+                                  "benchmark_config_pk"])
+def test_new_r4_queries_plan_shape(spark, name):
+    """Round-4 queries: the tiered-billing fold must stay INSIDE the row
+    (no Generate/explode of the tier array -> no row blow-up), and both
+    plans are scan -> project -> one hash aggregate, no join at all."""
+    plan = REGISTRY[name][0](spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Generate" not in plan, f"{name} explodes the tier array"
+    assert "Join" not in plan, f"{name} plans a join"
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2, f"{name}: more than one shuffle"
