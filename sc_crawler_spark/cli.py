@@ -554,6 +554,66 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
         outputs["server_price"] = (v, schemas.PRIMARY_KEYS["server_price"])
         invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
+    # long-tail vendor server prices: vultr embedded costs + location
+    # overrides (_vultr.py:546-627), upcloud zone price list + GPU gate
+    # (_upcloud.py:446-521), ovh addon-catalog join (_ovh.py:751-800),
+    # alicloud SKU prices + availability gate (_alicloud.py:1030-1124)
+    from .sources import catalog as cat
+
+    zones_path = os.path.join(vroot, "zones.json")
+    zone_off = (
+        spark.read.schema("region_id string, zones array<string>")
+        .json(zones_path) if os.path.exists(zones_path) else None
+    )
+    price_frames = []
+    if vendor == "vultr" and generic_raw is not None:
+        raw_p = spark.read.schema(cat.RAW_VULTR_PRICE).json(
+            os.path.join(vroot, "servers.json"))
+        price_frames += [cat.vultr_server_prices(raw_p, "ondemand"),
+                         cat.vultr_server_prices(raw_p, "spot")]
+    elif vendor == "upcloud":
+        zp_path = os.path.join(vroot, "zone_prices.json")
+        if os.path.exists(zp_path):
+            zp = cat.upcloud_zone_prices(spark, zp_path)
+            ga_schema = "region_id string, plan string, amount int"
+            ga_path = os.path.join(vroot, "gpu_availability.json")
+            ga = (spark.read.schema(ga_schema).json(ga_path)
+                  if os.path.exists(ga_path)
+                  else spark.createDataFrame([], ga_schema))
+            price_frames += [cat.upcloud_server_prices(zp, ga, "ondemand"),
+                             cat.upcloud_server_prices(zp, ga, "spot")]
+    elif vendor == "ovh" and generic_raw is not None and regions is not None:
+        fl_path = os.path.join(vroot, "flavors.json")
+        if os.path.exists(fl_path):
+            flavors = spark.read.schema(cat.RAW_OVH_FLAVOR).json(fl_path)
+            currency = "USD"  # catalog locale currency (_ovh.py:793)
+            meta_path = os.path.join(vroot, "catalog_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    currency = json.loads(
+                        fh.readline()).get("currencyCode", "USD")
+            price_frames.append(cat.ovh_server_prices(
+                generic_raw, flavors, regions, zone_off, currency))
+    elif vendor == "alicloud" and regions is not None:
+        sku_path = os.path.join(vroot, "sku_prices.json")
+        if os.path.exists(sku_path):
+            skus = spark.read.schema(cat.RAW_ALICLOUD_SKU).json(sku_path)
+            av_path = os.path.join(vroot, "availability.json")
+            av = (spark.read.schema(cat.RAW_ALICLOUD_AVAIL).json(av_path)
+                  if os.path.exists(av_path)
+                  else spark.createDataFrame([], cat.RAW_ALICLOUD_AVAIL))
+            price_frames.append(cat.alicloud_server_prices(
+                skus, av, regions, zone_off))
+    if price_frames:
+        sp = price_frames[0]
+        for f in price_frames[1:]:
+            sp = sp.unionByName(f, allowMissingColumns=True)
+        v, inv = validate_items(sp, "server_price")
+        if "server_price" in outputs:  # embedded + assembled both present
+            v = outputs["server_price"][0].unionByName(v)
+        outputs["server_price"] = (v, schemas.PRIMARY_KEYS["server_price"])
+        invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
     # GCP billing-catalog service inventories (bronze SKU pages)
     if vendor == "gcp" and regions is not None:
         from .sources import gcp as gcp_src

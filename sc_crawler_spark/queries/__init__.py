@@ -32,35 +32,15 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims):
 # status — tests/test_queries_oracle.py re-runs the identical oracle
 # check for every registry entry on every round).
 #
-# Evidence ledger entering r4: union of CORRECTNESS_r01-r03 greens covers
-# every registry name EXCEPT benchmark_catalog_stats (red in r3 — oracle
-# HUGEINT rendering, fixed this round) and the two new r4 queries; the 14
-# names whose latest green is r02 rotate forward to refresh it.
+# Evidence ledger entering r5: CORRECTNESS_r04 went 50/50 green, so the
+# union of r1-r4 covers EVERY pre-r5 registry name. Rotation: the new r5
+# query first (no evidence yet), then the 16 names whose latest driver
+# green is r03 (stalest evidence — last round's tail); the freshest r4
+# greens rotate to the tail, 17 of them past the 50-query cap.
 _PRIORITY = [
     # --- no driver-green evidence yet ---
-    "benchmark_catalog_stats",     # r3 red: oracle cast fixed (dims.py)
-    "tiered_price_billing",        # new r4: P3/F5 graduated billing
-    "benchmark_config_pk",         # new r4: config JSON-as-PK grouping
-    # --- last green in r02: rotate forward to refresh evidence ---
-    "ecpus_scalability",
-    "shuffled_sample_orders",
-    "sku_prefix_join",
-    "first_version_orders",
-    "heavy_hitter_users",
-    "config_tolerance_filter",
-    "standardize_part_names",
-    "workload_profiles_catalog",
-    "workload_catalog_breakdown",
-    "dedup_embed_cosine",
-    "training_set_select",
-    "dedup_boilerplate_chunks",
-    "asof_latest_event_value",
-    "range_join_event_window",
-]
-# Freshest driver evidence (green rows in CORRECTNESS_r03.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
-_TAIL = [
+    "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
+    # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",
     "spot_price_asof",
@@ -77,6 +57,28 @@ _TAIL = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r04.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    "benchmark_catalog_stats",
+    "tiered_price_billing",
+    "benchmark_config_pk",
+    "ecpus_scalability",
+    "shuffled_sample_orders",
+    "sku_prefix_join",
+    "first_version_orders",
+    "heavy_hitter_users",
+    "config_tolerance_filter",
+    "standardize_part_names",
+    "workload_profiles_catalog",
+    "workload_catalog_breakdown",
+    "dedup_embed_cosine",
+    "training_set_select",
+    "dedup_boilerplate_chunks",
+    "asof_latest_event_value",
+    "range_join_event_window",
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -386,6 +386,27 @@ def static_service_tables(spark: SparkSession, vendor_id: str,
 _PRICE_TIER_TYPE = "array<struct<lower:double,upper:string,price:double>>"
 
 
+def _monthly_cap_tiers(hourly: F.Column, monthly: F.Column) -> F.Column:
+    """Hourly-billed-with-monthly-cap proxied as graduated tiers
+    (reference _vultr.py:556-566, _hcloud.py:255-288): [0, cap] at the
+    hourly rate, (cap, Infinity) free, cap = int(monthly/hourly).
+    A zero hourly rate yields an EMPTY tier list (_vultr.py:560-561)."""
+    cap = F.floor(monthly / hourly)
+    tiers = F.array(
+        F.struct(F.lit(0.0).alias("lower"),
+                 cap.cast("double").cast("string").alias("upper"),
+                 hourly.alias("price")),
+        F.struct((cap + 1).cast("double").alias("lower"),
+                 F.lit("Infinity").alias("upper"),
+                 F.lit(0.0).alias("price")),
+    ).cast(_PRICE_TIER_TYPE)
+    return (
+        F.when(hourly == 0, F.array().cast(_PRICE_TIER_TYPE))
+        .when(hourly.isNotNull() & monthly.isNotNull(), tiers)
+        .otherwise(F.lit(None).cast(_PRICE_TIER_TYPE))
+    )
+
+
 def catalog_server_prices(raw: DataFrame, regions: DataFrame,
                           vendor_id: str) -> DataFrame:
     """hcloud-style embedded per-location price lists -> ``server_price``
@@ -415,15 +436,6 @@ def catalog_server_prices(raw: DataFrame, regions: DataFrame,
         F.col("p.hourly").cast("double").alias("hourly"),
         F.col("p.monthly").cast("double").alias("monthly"),
     ).filter(F.col("hourly").isNotNull() & (F.col("hourly") > 0))
-    cap = F.floor(F.col("monthly") / F.col("hourly"))
-    tiers = F.array(
-        F.struct(F.lit(0.0).alias("lower"),
-                 cap.cast("double").cast("string").alias("upper"),
-                 F.col("hourly").alias("price")),
-        F.struct((cap + 1).cast("double").alias("lower"),
-                 F.lit("Infinity").alias("upper"),
-                 F.lit(0.0).alias("price")),
-    ).cast(_PRICE_TIER_TYPE)
     return (
         p.join(F.broadcast(probe), "location")
         .select(
@@ -435,9 +447,260 @@ def catalog_server_prices(raw: DataFrame, regions: DataFrame,
             F.lit("ondemand").alias("allocation"),
             F.lit("hour").alias("unit"),
             F.round("hourly", 4).alias("price"),
-            F.when(F.col("monthly").isNotNull(), tiers)
-            .otherwise(F.lit(None).cast(_PRICE_TIER_TYPE))
+            _monthly_cap_tiers(F.col("hourly"), F.col("monthly"))
             .alias("price_tiered"),
             F.lit("EUR").alias("currency"),
         )
+    )
+
+
+# ------------------------------------- long-tail vendor server prices
+#
+# Each vendor's price payload has a different shape; each assembly is a
+# pure projection + explode + (broadcast) dim join — never a wide
+# shuffle, so all four scale linearly with the catalog size.
+
+# _vultr.py:306-326 plans payload, price fields per :546-575 (ondemand)
+# and :585-627 (spot/preemptible)
+RAW_VULTR_PRICE = (
+    "id string, locations array<string>, "
+    "deploy_ondemand boolean, deploy_preemptible boolean, "
+    "hourly_cost double, monthly_cost double, "
+    "hourly_cost_preemptible double, monthly_cost_preemptible double, "
+    "location_cost map<string,struct<"
+    "hourly_cost:double,monthly_cost:double,"
+    "hourly_cost_preemptible:double,monthly_cost_preemptible:double>>"
+)
+
+
+def vultr_server_prices(raw: DataFrame, allocation: str = "ondemand",
+                        vendor_id: str = "vultr") -> DataFrame:
+    """Vultr per-server costs with per-location overrides -> price rows
+    (reference _vultr.py:546-575 ondemand, :585-627 spot).
+
+    Semantics mirrored exactly: a plan prices in every listed location;
+    when ``location_cost`` carries the region, its (possibly NULL)
+    fields REPLACE the plan-level costs (the reference uses ``.get`` on
+    the override dict, so a missing field means no price — such rows
+    land with a NULL price rather than silently inheriting the
+    plan-level rate). Zero hourly cost -> empty tier list.
+    """
+    gate, hfield, mfield = {
+        "ondemand": ("deploy_ondemand", "hourly_cost", "monthly_cost"),
+        "spot": ("deploy_preemptible", "hourly_cost_preemptible",
+                 "monthly_cost_preemptible"),
+    }[allocation]
+    p = raw.filter(F.col(gate)).select(
+        F.col("id").alias("server_id"),
+        F.explode("locations").alias("region_id"),
+        F.col(hfield).alias("_h"), F.col(mfield).alias("_m"),
+        "location_cost",
+    )
+    ov = F.col("location_cost")[F.col("region_id")]
+    hourly = F.when(ov.isNotNull(), ov[hfield]).otherwise(F.col("_h"))
+    monthly = F.when(ov.isNotNull(), ov[mfield]).otherwise(F.col("_m"))
+    return p.select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id",
+        F.col("region_id").alias("zone_id"),
+        "server_id",
+        F.lit("Linux").alias("operating_system"),
+        F.lit(allocation).alias("allocation"),
+        F.lit("hour").alias("unit"),
+        F.round(hourly, 4).alias("price"),
+        F.lit(0.0).alias("price_upfront"),
+        _monthly_cap_tiers(hourly, monthly).alias("price_tiered"),
+        F.lit("USD").alias("currency"),
+    )
+
+
+def upcloud_zone_prices(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the UpCloud zone price list (one raw zone object per line,
+    dynamic ``server_plan_<PLAN>`` keys) into long
+    ``(region_id, plan_key, price)`` rows. Dynamic keys have no fixed
+    schema, so the object parses as ``map<string,string>`` (nested
+    objects stay JSON text) and explodes — native expressions, no UDF."""
+    raw = spark.read.text(path)
+    m = raw.select(
+        F.from_json("value", "map<string,string>").alias("m")
+    ).select(
+        F.col("m")["name"].alias("region_id"),
+        F.explode("m").alias("key", "val"),
+    )
+    return m.filter(F.col("key").startswith("server_plan_")).select(
+        "region_id",
+        F.expr("substring(key, length('server_plan_') + 1)").alias("plan_key"),
+        F.get_json_object("val", "$.price").cast("double").alias("raw_price"),
+    )
+
+
+def upcloud_server_prices(zone_prices: DataFrame, gpu_avail: DataFrame,
+                          allocation: str = "ondemand",
+                          vendor_id: str = "upcloud") -> DataFrame:
+    """UpCloud zone price list -> price rows (reference _upcloud.py:
+    446-486 ondemand, :488-521 spot).
+
+    - plan keys containing ``SPOT`` route to the spot path, which strips
+      the ``SPOT-`` marker from the server id (:497-499);
+    - ``GPU*`` plans land only where the device-availability API reports
+      a non-zero amount (:458-461) — a broadcast left-join gate on the
+      PRE-strip key, as the reference probes before stripping;
+    - prices are cents -> EUR/hour (:469); ondemand rows carry the
+      published 672-hour monthly cap as tiers (:474-483), spot rows have
+      no tier list.
+    """
+    is_spot = F.col("plan_key").contains("SPOT")
+    p = zone_prices.filter(~is_spot if allocation == "ondemand" else is_spot)
+    avail = gpu_avail.select(
+        "region_id", F.col("plan").alias("plan_key"),
+        F.col("amount").cast("int").alias("_amount"),
+    )
+    p = p.join(F.broadcast(avail), ["region_id", "plan_key"], "left").filter(
+        ~F.col("plan_key").startswith("GPU")
+        | (F.coalesce(F.col("_amount"), F.lit(0)) > 0)
+    )
+    price = F.col("raw_price") / 100
+    tiers = (
+        F.array(
+            F.struct(F.lit(0.0).alias("lower"), F.lit("672.0").alias("upper"),
+                     price.alias("price")),
+            F.struct(F.lit(673.0).alias("lower"),
+                     F.lit("Infinity").alias("upper"),
+                     F.lit(0.0).alias("price")),
+        ).cast(_PRICE_TIER_TYPE)
+        if allocation == "ondemand"
+        else F.array().cast(_PRICE_TIER_TYPE)
+    )
+    return p.select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id",
+        F.col("region_id").alias("zone_id"),
+        F.regexp_replace("plan_key", "SPOT-", "").alias("server_id"),
+        F.lit("Linux").alias("operating_system"),
+        F.lit(allocation).alias("allocation"),
+        F.lit("hour").alias("unit"),
+        F.round(price, 4).alias("price"),
+        F.lit(0.0).alias("price_upfront"),
+        tiers.alias("price_tiered"),
+        F.lit("EUR").alias("currency"),
+    )
+
+
+# _ovh.py:104-113 flavor offers; addons come from the same order-catalog
+# payload the server spec reads (VENDOR_SERVER_SPECS['ovh'])
+RAW_OVH_FLAVOR = (
+    "region string, osType string, "
+    "planCodes struct<hourly:string,monthly:string>"
+)
+_MICROCENTS_PER_CURRENCY_UNIT = 100_000_000  # reference utils.py:25
+
+
+def ovh_server_prices(addons: DataFrame, flavors: DataFrame,
+                      regions: DataFrame, zones: DataFrame | None,
+                      currency: str = "USD",
+                      vendor_id: str = "ovh") -> DataFrame:
+    """OVH flavor offers joined to order-catalog addons -> price rows
+    (reference _ovh.py:751-800): linux offers only, addon looked up by
+    the offer's HOURLY plan code, region resolved by ``api_reference``,
+    fanned out over the region's zones, price in microcents.
+
+    Both addon catalog and offer list are catalog-sized -> broadcast
+    joins; offers from unknown regions are dropped (:760-764 logs and
+    skips them)."""
+    a = addons.select(
+        F.col("planCode").alias("_plan"),
+        F.col("invoiceName").alias("server_id"),
+        F.col("blobs.technical.os.family").alias("operating_system"),
+        (F.try_element_at("pricings", F.lit(1))["price"]
+         / _MICROCENTS_PER_CURRENCY_UNIT).alias("_price"),
+    )
+    off = flavors.filter(F.col("osType") == "linux").select(
+        F.col("region").alias("api_reference"),
+        F.col("planCodes.hourly").alias("_plan"),
+    )
+    reg = regions.select("region_id", "api_reference")
+    out = (
+        off.join(F.broadcast(a), "_plan")
+        .join(F.broadcast(reg), "api_reference")
+    )
+    if zones is not None:
+        zdim = zones.select(
+            "region_id", F.explode("zones").alias("zone_id"))
+        out = out.join(F.broadcast(zdim), "region_id")
+    else:
+        out = out.withColumn("zone_id", F.col("region_id"))
+    return out.select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id", "zone_id", "server_id", "operating_system",
+        F.lit("ondemand").alias("allocation"),
+        F.lit("hour").alias("unit"),
+        F.round("_price", 4).alias("price"),
+        F.lit(0.0).alias("price_upfront"),
+        F.array().cast(_PRICE_TIER_TYPE).alias("price_tiered"),
+        F.lit(currency).alias("currency"),
+    )
+
+
+# _alicloud.py:1030-1055 QuerySkuPriceList rows; availability is the
+# landed DescribeAvailableResource walk (:252-315) pre-flattened to
+# (region, zone, server, status_category) rows in bronze
+RAW_ALICLOUD_SKU = (
+    "SkuFactorMap struct<vm_region_no:string,instance_type:string,"
+    "vm_os_kind:string>, "
+    "CskuPriceList array<struct<Price:string,Currency:string>>"
+)
+RAW_ALICLOUD_AVAIL = (
+    "region_id string, zone_id string, server_id string, "
+    "status_category string"
+)
+
+
+def alicloud_server_prices(skus: DataFrame, avail: DataFrame,
+                           regions: DataFrame, zones: DataFrame | None,
+                           vendor_id: str = "alicloud") -> DataFrame:
+    """Alicloud SKU price list -> price rows (reference
+    _alicloud.py:1030-1124): region resolved by id OR alias
+    (vendor_helpers.get_region_by_id probes api_reference + aliases),
+    unknown regions dropped, rows fanned out over the region's zones,
+    status ACTIVE only where DescribeAvailableResource reports
+    ``WithStock`` for (region, zone, server) (:252-315) — INACTIVE
+    otherwise (the reference keeps the row, flagging availability)."""
+    probe = regions.select(
+        "region_id",
+        F.explode(F.array_union(
+            F.array(F.coalesce(F.col("api_reference"), F.col("region_id"))),
+            F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
+        )).alias("vm_region_no"),
+    )
+    s = skus.select(
+        F.col("SkuFactorMap.vm_region_no").alias("vm_region_no"),
+        F.col("SkuFactorMap.instance_type").alias("server_id"),
+        F.col("SkuFactorMap.vm_os_kind").alias("operating_system"),
+        F.try_element_at("CskuPriceList", F.lit(1))["Price"].cast("double")
+        .alias("_price"),
+        F.try_element_at("CskuPriceList", F.lit(1))["Currency"]
+        .alias("currency"),
+    )
+    out = s.join(F.broadcast(probe), "vm_region_no")
+    if zones is not None:
+        zdim = zones.select("region_id", F.explode("zones").alias("zone_id"))
+        out = out.join(F.broadcast(zdim), "region_id")
+    else:
+        out = out.withColumn("zone_id", F.col("region_id"))
+    stock = avail.filter(F.col("status_category") == "WithStock").select(
+        "region_id", "zone_id", "server_id", F.lit(True).alias("_avail")
+    ).distinct()
+    out = out.join(
+        F.broadcast(stock), ["region_id", "zone_id", "server_id"], "left")
+    return out.select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id", "zone_id", "server_id", "operating_system",
+        F.lit("ondemand").alias("allocation"),
+        F.lit("hour").alias("unit"),
+        F.round("_price", 4).alias("price"),
+        F.lit(0.0).alias("price_upfront"),
+        F.array().cast(_PRICE_TIER_TYPE).alias("price_tiered"),
+        "currency",
+        F.when(F.col("_avail"), F.lit("active"))
+        .otherwise(F.lit("inactive")).alias("status"),
     )

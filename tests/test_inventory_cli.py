@@ -1127,3 +1127,195 @@ def test_vultr_upcloud_static_services_land(spark, tmp_path):
         spark, os.path.join(lake, "ipv4_price")).collect()
         if r["vendor_id"] == "vultr"}
     assert ip == {"ewr": (3.0, "month"), "ord": (3.0, "month")}
+
+
+# ----------------------- long-tail vendor server_price assemblies (r5)
+
+
+def test_vultr_price_inventory(spark, tmp_path):
+    """Vultr embedded costs + location_cost overrides -> ondemand AND
+    spot price rows with monthly-cap tiers (_vultr.py:546-627)."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "vultr")
+    os.makedirs(d)
+    plans = [
+        {"id": "vc2-1c-1gb", "vcpu_count": 1, "ram": 1024, "disk": 25,
+         "locations": ["ewr", "ams"],
+         "deploy_ondemand": True, "deploy_preemptible": True,
+         "hourly_cost": 0.018, "monthly_cost": 12.0,
+         "hourly_cost_preemptible": 0.01, "monthly_cost_preemptible": 5.0,
+         # override WITHOUT preemptible fields: the reference's .get()
+         # yields None there -> our invalid-side row
+         "location_cost": {"ams": {"hourly_cost": 0.02,
+                                   "monthly_cost": 14.0}}},
+        {"id": "vbm-8c-132gb", "cpu_count": 8, "cpu_threads": 16,
+         "cpu_mhz": 3000, "cpu_family": "Cascade Lake",
+         "ram": 135168, "disk": 960,
+         "locations": ["ewr"],
+         "deploy_ondemand": True, "deploy_preemptible": False,
+         "hourly_cost": 0.5, "monthly_cost": 300.0},
+        {"id": "vc2-free", "vcpu_count": 1, "ram": 512, "disk": 10,
+         "locations": ["ewr"], "deploy_ondemand": True,
+         "deploy_preemptible": False,
+         "hourly_cost": 0.0, "monthly_cost": 0.0},
+    ]
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(p) for p in plans))
+    cli.cmd_inventory(spark, bronze, lake, vendor="vultr")
+
+    prices = read_snapshot(spark, os.path.join(lake, "server_price"))
+    rows = {(r["server_id"], r["region_id"], r["allocation"]): r
+            for r in prices.collect()}
+    # ondemand: base rate in ewr, override in ams
+    assert rows[("vc2-1c-1gb", "ewr", "ondemand")]["price"] == 0.018
+    assert rows[("vc2-1c-1gb", "ams", "ondemand")]["price"] == 0.02
+    t = rows[("vc2-1c-1gb", "ams", "ondemand")]["price_tiered"]
+    assert [int(float(x)) for x in (t[0]["upper"], t[1]["lower"])] == [700, 701]
+    assert t[1]["upper"] == "Infinity" and t[1]["price"] == 0.0
+    # zero hourly rate -> price 0, EMPTY tier list (_vultr.py:560-561)
+    free = rows[("vc2-free", "ewr", "ondemand")]
+    assert free["price"] == 0.0 and free["price_tiered"] == []
+    # spot: only where deploy_preemptible; ams override lacks the
+    # preemptible fields -> NULL price (the reference's .get() -> None),
+    # never silently inherits the plan-level 0.01 rate
+    assert rows[("vc2-1c-1gb", "ewr", "spot")]["price"] == 0.01
+    assert rows[("vc2-1c-1gb", "ams", "spot")]["price"] is None
+    assert ("vbm-8c-132gb", "ewr", "spot") not in rows
+
+
+def test_upcloud_price_inventory(spark, tmp_path):
+    """UpCloud zone price list: dynamic plan keys, GPU availability
+    gate, SPOT split, cents -> EUR (_upcloud.py:446-521)."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "upcloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({"name": "2xCPU-4GB", "core_number": 2,
+                             "memory_amount": 4096, "storage_size": 80}))
+    zones = [
+        {"name": "de-fra1",
+         "server_plan_2xCPU-4GB": {"price": 3.0},
+         "server_plan_SPOT-2xCPU-4GB": {"price": 1.2},
+         "server_plan_GPU-8xCPU-64GB": {"price": 200.0},
+         "storage_ssd": {"price": 0.01}},
+        {"name": "fi-hel1",
+         "server_plan_2xCPU-4GB": {"price": 3.0},
+         "server_plan_GPU-8xCPU-64GB": {"price": 200.0}},
+    ]
+    with open(os.path.join(d, "zone_prices.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(z) for z in zones))
+    with open(os.path.join(d, "gpu_availability.json"), "w") as fh:
+        # GPU plan only stocked in de-fra1
+        fh.write(json.dumps({"region_id": "de-fra1",
+                             "plan": "GPU-8xCPU-64GB", "amount": 2}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="upcloud")
+
+    prices = read_snapshot(spark, os.path.join(lake, "server_price"))
+    rows = {(r["server_id"], r["region_id"], r["allocation"]): r
+            for r in prices.collect()}
+    assert rows[("2xCPU-4GB", "de-fra1", "ondemand")]["price"] == 0.03
+    assert rows[("2xCPU-4GB", "de-fra1", "ondemand")]["currency"] == "EUR"
+    t = rows[("2xCPU-4GB", "fi-hel1", "ondemand")]["price_tiered"]
+    assert (float(t[0]["upper"]), t[1]["lower"], t[1]["upper"]) == \
+        (672.0, 673.0, "Infinity")
+    # spot key stripped to the base plan id; no tier list on spot
+    assert rows[("2xCPU-4GB", "de-fra1", "spot")]["price"] == 0.012
+    assert rows[("2xCPU-4GB", "de-fra1", "spot")]["price_tiered"] == []
+    # GPU gate: amount>0 only in de-fra1
+    assert ("GPU-8xCPU-64GB", "de-fra1", "ondemand") in rows
+    assert ("GPU-8xCPU-64GB", "fi-hel1", "ondemand") not in rows
+
+
+def test_ovh_price_inventory(spark, tmp_path):
+    """OVH flavor offers joined to catalog addons: linux gate, unknown
+    region dropped, zone fan-out, microcents (_ovh.py:751-800)."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "ovh")
+    os.makedirs(d)
+    addon = {
+        "planCode": "b2-7.consumption", "invoiceName": "b2-7",
+        "product": "publiccloud-instance",
+        "pricings": [{"price": 1170000000}],
+        "blobs": {"commercial": {"name": "B2-7", "brickSubtype": None},
+                  "technical": {"cpu": {"cores": 2, "frequency": 2.3},
+                                "memory": {"size": 7},
+                                "gpu": {"number": 1,
+                                        "memory": {"size": 16}},
+                                "os": {"family": "linux"}}},
+    }
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps(addon))
+    offers = [
+        {"region": "GRA7", "osType": "linux",
+         "planCodes": {"hourly": "b2-7.consumption"}},
+        {"region": "GRA7", "osType": "windows",          # os gate
+         "planCodes": {"hourly": "b2-7.consumption"}},
+        {"region": "XDC1", "osType": "linux",            # unknown region
+         "planCodes": {"hourly": "b2-7.consumption"}},
+    ]
+    with open(os.path.join(d, "flavors.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(o) for o in offers))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "gra", "name": "Gravelines",
+                             "aliases": [], "api_reference": "GRA7"}))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "gra", "zones": ["gra-a", "gra-b"]}))
+    with open(os.path.join(d, "catalog_meta.json"), "w") as fh:
+        fh.write(json.dumps({"currencyCode": "EUR"}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="ovh")
+
+    prices = read_snapshot(spark, os.path.join(lake, "server_price"))
+    rows = prices.collect()
+    assert {(r["zone_id"]) for r in rows} == {"gra-a", "gra-b"}
+    assert all(r["price"] == 11.7 and r["currency"] == "EUR"
+               and r["server_id"] == "b2-7"
+               and r["operating_system"] == "linux" for r in rows)
+
+
+def test_alicloud_price_inventory(spark, tmp_path):
+    """Alicloud SKU prices: region alias probe, zone fan-out, WithStock
+    availability -> status (_alicloud.py:1030-1124)."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "alicloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({
+            "InstanceTypeId": "ecs.g6.large", "InstanceTypeFamily": "g6",
+            "CpuCoreCount": 2, "MemorySize": 8.0, "CpuArchitecture": "X86",
+            "CpuSpeedFrequency": 2.5,
+            "InstanceCategory": "General-purpose", "BaselineCredit": 0,
+            "GPUAmount": 0, "GPUMemorySize": 0.0,
+            "LocalStorageAmount": 0, "LocalStorageCapacity": 0.0}))
+    skus = [
+        {"SkuFactorMap": {"vm_region_no": "cn-hangzhou",
+                          "instance_type": "ecs.g6.large",
+                          "vm_os_kind": "linux"},
+         "CskuPriceList": [{"Price": "0.123", "Currency": "USD"}]},
+        {"SkuFactorMap": {"vm_region_no": "cn-nowhere",   # unknown region
+                          "instance_type": "ecs.g6.large",
+                          "vm_os_kind": "linux"},
+         "CskuPriceList": [{"Price": "9.0", "Currency": "USD"}]},
+    ]
+    with open(os.path.join(d, "sku_prices.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(s) for s in skus))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "cn-hangzhou", "name": "Hangzhou",
+                             "aliases": ["hangzhou"],
+                             "api_reference": "cn-hangzhou"}))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "cn-hangzhou",
+                             "zones": ["cn-hangzhou-h", "cn-hangzhou-i"]}))
+    with open(os.path.join(d, "availability.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "cn-hangzhou",
+                             "zone_id": "cn-hangzhou-h",
+                             "server_id": "ecs.g6.large",
+                             "status_category": "WithStock"}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="alicloud")
+
+    prices = read_snapshot(spark, os.path.join(lake, "server_price"))
+    rows = {r["zone_id"]: r for r in prices.collect()}
+    assert set(rows) == {"cn-hangzhou-h", "cn-hangzhou-i"}
+    assert rows["cn-hangzhou-h"]["status"] == "active"    # WithStock
+    assert rows["cn-hangzhou-i"]["status"] == "inactive"  # no stock row
+    assert rows["cn-hangzhou-h"]["price"] == 0.123
+    assert rows["cn-hangzhou-h"]["operating_system"] == "linux"
