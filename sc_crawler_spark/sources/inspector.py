@@ -539,6 +539,181 @@ def read_lstopo_xml(spark: SparkSession, glob: str) -> DataFrame:
     return raw.mapInPandas(_parse, out_schema)
 
 
+MEMBENCH_SCHEMA = StructType([
+    StructField("operation", StringType()),
+    StructField("size_kb", DoubleType()),
+    StructField("latency_ns", DoubleType()),
+    StructField("bandwidth_mb_s", DoubleType()),
+])
+
+
+def read_membench_csv(spark: SparkSession, glob: str) -> DataFrame:
+    """S7 — membench CSV (reference inspector.py:642-657): one row per
+    (operation, working-set size). ``_pos`` stamps file order — the
+    RAM-scope emission needs the FIRST qualifying row per operation,
+    and CSV row order is the only order the file carries."""
+    return (
+        spark.read.schema(MEMBENCH_SCHEMA).option("header", "true")
+        .csv(glob)
+        .withColumn("server_id", _server_from_path())
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
+
+
+def membench_benchmarks(df: DataFrame,
+                        cache: DataFrame | None = None) -> DataFrame:
+    """membench rows -> benchmark_score-shaped rows (reference
+    inspector.py:642-719):
+
+    - ``latency`` -> ``membench:latency`` scoring ``latency_ns``;
+      ``read``/``write``/``copy`` -> ``membench:bandwidth_<op>``
+      scoring ``bandwidth_mb_s``; zero scores dropped BEFORE anything
+      else (the reference ``continue``s before the RAM bookkeeping);
+    - config is the canonical sorted-JSON ``{"size_kb": N}`` (int);
+    - per (server, operation), the FIRST non-zero row in file order
+      whose size exceeds the server's total CPU cache additionally
+      emits a ``{"scope": "RAM"}`` row with the same score — the
+      cache bound is ``coalesce(l3, l2, l1d)`` total KiB
+      (inspector.py:652-656); servers without cache facts emit no
+      RAM rows.
+
+    One narrow window over per-server file rows; ``cache`` is a
+    broadcast dim — nothing here shuffles the wide corpus.
+    """
+    score = F.when(F.col("operation") == "latency", F.col("latency_ns")) \
+             .otherwise(F.col("bandwidth_mb_s"))
+    bid = F.when(F.col("operation") == "latency", F.lit("membench:latency")) \
+           .otherwise(F.concat(F.lit("membench:bandwidth_"),
+                               F.col("operation")))
+    base = (
+        df.filter(F.col("operation").isin(
+            "latency", "read", "write", "copy"))
+        .withColumn("_score", score)
+        .filter(F.col("_score").isNotNull() & (F.col("_score") != 0))
+        .withColumn("benchmark_id", bid)
+    )
+    sized = base.select(
+        "server_id", "benchmark_id",
+        F.to_json(F.struct(
+            F.col("size_kb").cast("long").alias("size_kb"))).alias("config"),
+        F.col("_score").alias("score"),
+    )
+    if cache is None:
+        return sized
+    bound = cache.select(
+        "server_id",
+        F.coalesce("cpu_l3_cache_total", "cpu_l2_cache_total",
+                   "cpu_l1d_cache_total").alias("_cache_kib"),
+    ).filter(F.col("_cache_kib").isNotNull())
+    w = Window.partitionBy("server_id", "operation").orderBy("_pos")
+    ram = (
+        base.join(F.broadcast(bound), "server_id")
+        .filter(F.col("size_kb") > F.col("_cache_kib"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "server_id", "benchmark_id",
+            F.lit('{"scope":"RAM"}').alias("config"),
+            F.col("_score").alias("score"),
+        )
+    )
+    return sized.unionByName(ram)
+
+
+# compression_text stdout JSON: {algo: {level: [measurement...]}} — the
+# dynamic algo/level keys parse natively as nested maps, no UDF
+_COMPRESSION_SCHEMA = (
+    "map<string,map<string,array<struct<"
+    "threads:int,ratio:double,compress:double,decompress:double,"
+    "extra_args:struct<block_size:int>>>>>"
+)
+
+
+def read_compression_text_json(spark: SparkSession, glob: str) -> DataFrame:
+    """S6 — compression_text stdout JSON -> benchmark_score-shaped rows
+    (reference inspector.py:373-402): one row per (algo, level, run,
+    measurement) for measurement in ratio/compress/decompress, skipping
+    falsy values. Config carries algo, compression_level (NULL when the
+    level key is the string 'null'), cores = multi when threads > 1
+    (:381-388), plus block_size only when present — canonical
+    sorted-key JSON, null level KEPT, absent block_size OMITTED
+    (matching python ``json.dumps`` of the reference's dict)."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+    )
+    runs = (
+        raw.select("server_id",
+                   F.explode(F.from_json("value", _COMPRESSION_SCHEMA))
+                   .alias("algo", "levels"))
+        .select("server_id", "algo",
+                F.explode("levels").alias("level", "datas"))
+        .select("server_id", "algo", "level",
+                F.explode("datas").alias("d"))
+    )
+    lvl = F.when(F.col("level") != "null",
+                 F.col("level").cast("int")).otherwise(F.lit(None))
+    cores = F.when(F.col("d.threads") > 1, "multi").otherwise("single")
+    with_bs = F.to_json(F.struct(
+        F.col("algo").alias("algo"),
+        F.col("d.extra_args.block_size").alias("block_size"),
+        lvl.alias("compression_level"),
+        cores.alias("cores"),
+    ), {"ignoreNullFields": "false"})
+    without_bs = F.to_json(F.struct(
+        F.col("algo").alias("algo"),
+        lvl.alias("compression_level"),
+        cores.alias("cores"),
+    ), {"ignoreNullFields": "false"})
+    cfg = F.when(F.col("d.extra_args.block_size").isNotNull(), with_bs) \
+           .otherwise(without_bs)
+    measures = F.array(*[
+        F.struct(F.lit(m).alias("m"), F.col(f"d.{m}").alias("v"))
+        for m in ("ratio", "compress", "decompress")
+    ])
+    return (
+        runs.withColumn("config", cfg)
+        .select("server_id", "config", F.explode(measures).alias("mv"))
+        .filter(F.col("mv.v").isNotNull() & (F.col("mv.v") != 0))
+        .select(
+            "server_id",
+            F.concat(F.lit("compression_text:"), F.col("mv.m"))
+            .alias("benchmark_id"),
+            "config",
+            F.col("mv.v").alias("score"),
+        )
+    )
+
+
+def inspector_benchmarks(openssl: DataFrame | None = None,
+                         membench: DataFrame | None = None,
+                         compression: DataFrame | None = None,
+                         cache: DataFrame | None = None) -> DataFrame:
+    """Union the per-framework readers into ONE benchmark_score-shaped
+    frame ``(server_id, benchmark_id, config, score)`` — the relational
+    form of the reference's ``inspect_server_benchmarks`` accumulator
+    (inspector.py:339-757). Fleet scoring (operators/scores.py) and the
+    workload catalog consume this shape directly."""
+    frames = []
+    if openssl is not None:
+        frames.append(openssl.select(
+            "server_id", "benchmark_id",
+            F.to_json(F.struct(
+                F.col("algo").alias("algo"),
+                F.col("block_size").alias("block_size"))).alias("config"),
+            "score"))
+    if membench is not None:
+        frames.append(membench_benchmarks(membench, cache))
+    if compression is not None:
+        frames.append(compression)
+    if not frames:
+        raise ValueError("no benchmark frames supplied")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def memory_amount_actual(lstopo: DataFrame | None,
                          lshw: DataFrame | None) -> DataFrame:
     """The reference's fallback chain lstopo -> lshw

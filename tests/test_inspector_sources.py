@@ -302,3 +302,149 @@ def test_lshw_lstopo_memory_chain(spark, hw_corpus):
     assert t["n_cores"] == 2
     chain = insp.memory_amount_actual(topo, lshw).collect()[0]
     assert chain["memory_amount_actual"] == 32768.0
+
+
+def test_membench_reader_and_ram_scope(spark, tmp_path):
+    """membench emission (reference inspector.py:642-719): sized rows
+    per non-zero measurement, plus ONE RAM-scope row per operation at
+    the first above-cache size in file order; zero scores are dropped
+    before the RAM bookkeeping; servers without cache facts emit no
+    RAM rows."""
+    rows = {
+        "m1.small": [
+            ("latency", 64, 1.2, 0.0),
+            ("latency", 102400, 98.5, 0.0),
+            ("latency", 204800, 99.0, 0.0),
+            ("read", 64, 0.0, 50000.0),
+            ("read", 102400, 0.0, 12000.0),
+            # zero-score above-cache row must NOT claim the RAM slot
+            ("write", 102400, 0.0, 0.0),
+            ("write", 204800, 0.0, 9000.0),
+            ("copy", 64, 0.0, 30000.0),
+        ],
+        "m1.large": [("latency", 64, 1.0, 0.0)],
+    }
+    for server, rs in rows.items():
+        d = tmp_path / "aws" / server
+        d.mkdir(parents=True)
+        lines = ["operation,size_kb,latency_ns,bandwidth_mb_s"] + [
+            f"{o},{s},{l},{b}" for o, s, l, b in rs]
+        (d / "membench.csv").write_text("\n".join(lines) + "\n")
+    cache = spark.createDataFrame(
+        [("m1.small", 32768, None, None), ("m1.large", None, None, None)],
+        "server_id string, cpu_l3_cache_total long, "
+        "cpu_l2_cache_total long, cpu_l1d_cache_total long")
+    df = insp.read_membench_csv(spark, str(tmp_path / "*" / "*" / "membench.csv"))
+    out = insp.membench_benchmarks(df, cache).collect()
+
+    sized = {(r["server_id"], r["benchmark_id"], r["config"]): r["score"]
+             for r in out if r["config"] != '{"scope":"RAM"}'}
+    # zero rows dropped entirely (write@64 absent, write@102400 absent)
+    assert ("m1.small", "membench:bandwidth_write",
+            '{"size_kb":102400}') not in sized
+    assert sized[("m1.small", "membench:latency", '{"size_kb":64}')] == 1.2
+    assert sized[("m1.small", "membench:bandwidth_read",
+                  '{"size_kb":102400}')] == 12000.0
+
+    ram = {(r["server_id"], r["benchmark_id"]): r["score"]
+           for r in out if r["config"] == '{"scope":"RAM"}'}
+    assert ram == {
+        # first above-cache (32768 KiB) non-zero row per operation
+        ("m1.small", "membench:latency"): 98.5,
+        ("m1.small", "membench:bandwidth_read"): 12000.0,
+        ("m1.small", "membench:bandwidth_write"): 9000.0,
+        # copy never exceeds cache; m1.large has no cache facts
+    }
+
+
+def test_compression_text_reader(spark, tmp_path):
+    """compression_text emission (reference inspector.py:373-402):
+    one row per truthy ratio/compress/decompress, canonical config with
+    NULL compression_level kept and absent block_size omitted."""
+    import json as _json
+
+    doc = {
+        "gzip": {"5": [
+            {"threads": 1, "ratio": 3.1, "compress": 1.2e8,
+             "decompress": 2.4e8, "extra_args": {}},
+            {"threads": 16, "ratio": 3.1, "compress": 9.6e8,
+             "decompress": 1.9e9, "extra_args": {}},
+        ]},
+        "brotli": {"null": [
+            {"threads": 1, "ratio": 0.0, "compress": 5e7,
+             "decompress": None, "extra_args": {"block_size": 65536}},
+        ]},
+    }
+    d = tmp_path / "aws" / "m1.small"
+    d.mkdir(parents=True)
+    (d / "compression_text.json").write_text(_json.dumps(doc))
+    out = insp.read_compression_text_json(
+        spark, str(tmp_path / "*" / "*" / "compression_text.json")).collect()
+
+    cfg_single = _json.dumps(
+        {"algo": "gzip", "compression_level": 5, "cores": "single"},
+        sort_keys=True, separators=(",", ":"))
+    cfg_multi = _json.dumps(
+        {"algo": "gzip", "compression_level": 5, "cores": "multi"},
+        sort_keys=True, separators=(",", ":"))
+    cfg_brotli = _json.dumps(
+        {"algo": "brotli", "block_size": 65536, "compression_level": None,
+         "cores": "single"}, sort_keys=True, separators=(",", ":"))
+    got = {(r["benchmark_id"], r["config"]): r["score"] for r in out}
+    assert got == {
+        ("compression_text:ratio", cfg_single): 3.1,
+        ("compression_text:compress", cfg_single): 1.2e8,
+        ("compression_text:decompress", cfg_single): 2.4e8,
+        ("compression_text:ratio", cfg_multi): 3.1,
+        ("compression_text:compress", cfg_multi): 9.6e8,
+        ("compression_text:decompress", cfg_multi): 1.9e9,
+        # brotli: zero ratio and null decompress dropped
+        ("compression_text:compress", cfg_brotli): 5e7,
+    }
+
+
+def test_inspector_benchmarks_union(spark, tmp_path):
+    """The combined benchmark_score-shaped frame carries all three
+    frameworks with consistent (server_id, benchmark_id, config, score)
+    columns."""
+    d = tmp_path / "aws" / "m1.small"
+    d.mkdir(parents=True)
+    (d / "membench.csv").write_text(
+        "operation,size_kb,latency_ns,bandwidth_mb_s\nread,64,0,50000\n")
+    (d / "parsed.json").write_text(
+        '{"algo": "AES-256-CBC", "block_size": 16384, "speed": 1.1e9}')
+    mem = insp.read_membench_csv(spark, str(d / "membench.csv"))
+    ossl = insp.read_openssl_json(spark, str(d / "parsed.json"))
+    out = insp.inspector_benchmarks(openssl=ossl, membench=mem)
+    assert out.columns == ["server_id", "benchmark_id", "config", "score"]
+    got = {(r["benchmark_id"], r["config"]) for r in out.collect()}
+    assert ("openssl", '{"algo":"AES-256-CBC","block_size":16384}') in got
+    assert ("membench:bandwidth_read", '{"size_kb":64}') in got
+
+
+def test_membench_scores_through_fleet_pipeline(spark, tmp_path):
+    """The membench rows consume directly in the A1 fleet scoring path:
+    joined to the benchmark catalog dim, latency picks MIN (the catalog
+    marks membench:latency lower-is-better), bandwidth picks MAX."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.scores import best_per_entry
+    from sc_crawler_spark.sources import lookup
+
+    d = tmp_path / "aws" / "m1.small"
+    d.mkdir(parents=True)
+    (d / "membench.csv").write_text(
+        "operation,size_kb,latency_ns,bandwidth_mb_s\n"
+        "latency,64,1.2,0\nlatency,1024,45.0,0\n"
+        "read,64,0,50000\nread,1024,0,12000\n")
+    mem = insp.read_membench_csv(spark, str(d / "membench.csv"))
+    rows = insp.membench_benchmarks(mem)
+    scored = rows.join(
+        F.broadcast(lookup.benchmarks(spark).select(
+            "benchmark_id", "higher_is_better")), "benchmark_id")
+    best = best_per_entry(
+        scored, ["server_id"], "benchmark_id",
+        score_col="score", higher_is_better_col="higher_is_better")
+    got = {r["benchmark_id"]: r["best_score"] for r in best.collect()}
+    assert got["membench:latency"] == 1.2          # min (lower is better)
+    assert got["membench:bandwidth_read"] == 50000.0  # max
