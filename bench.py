@@ -41,6 +41,10 @@ from sc_crawler_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family — scan-agg, join-agg, windows,
 # sync, sessionization, dedup (LSH), similarity, composite scoring.
+# Similarity benches BOTH paths: embed_cosine_topk is the brute-force
+# correctness baseline (deliberate linear scan), embed_ann_lsh is the
+# bucketed plan you'd actually run at 100x — the number that matters
+# at scale.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -53,6 +57,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "embed_cosine_topk",
+    "embed_ann_lsh",
     "workload_scores",
 ]
 
