@@ -17,7 +17,6 @@ order can't perturb the double sum (oracle parity).
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -140,13 +139,17 @@ def best_per_entry_wide(scores: DataFrame, subject_keys: list[str],
     (workload_profile_scores.py:182-213); orientation flip (min for
     lower-is-better) is applied per entry at aggregate build time.
     """
-    known = [e for e, _, _ in entries]
-    filtered = scores.filter(F.col(entry_key).isin(known))
-    aggs = []
-    for name, _w, hib in entries:
-        v = F.when(F.col(entry_key) == name, F.col(score_col))
-        agg = F.max(v) if hib else F.min(v)
-        aggs.append(agg.alias(f"best_{name}"))
+    known = ", ".join(f"'{e}'" for e, _, _ in entries)
+    filtered = scores.filter(F.expr(f"{entry_key} IN ({known})"))
+    # One F.expr per aggregate: a single JVM-side parse beats building
+    # the when/max Column tree through ~6 py4j roundtrips each — plan
+    # construction is on every cold query's critical path.
+    aggs = [
+        F.expr(f"{'max' if hib else 'min'}"
+               f"(CASE WHEN {entry_key} = '{name}' THEN {score_col} END)")
+        .alias(f"best_{name}")
+        for name, _w, hib in entries
+    ]
     return filtered.groupBy(*subject_keys).agg(*aggs)
 
 
@@ -164,32 +167,36 @@ def composite_scores_wide(wide: DataFrame, subject_keys: list[str],
     absent subjects (percentile skips NULLs), zero medians drop the
     component, and subjects with no surviving component drop out.
     """
+    # Single-parse SQL strings instead of per-entry Column trees: the
+    # expressions below are identical to the F.when/F.lit construction
+    # they replace (same CASE/CAST/log2 operators, double literals via
+    # the D suffix), but the whole projection costs ONE py4j roundtrip.
     meds = wide.agg(*[
-        F.percentile(F.col(f"best_{n}"), F.lit(0.5)).alias(f"med_{n}")
+        F.expr(f"percentile(best_{n}, 0.5)").alias(f"med_{n}")
         for n, _, _ in entries
     ])
     j = wide.crossJoin(F.broadcast(meds))
-    zero = F.lit(0).cast("decimal(28,12)")
+    zero = "CAST(0 AS DECIMAL(28,12))"
     wlogs, ws, ns = [], [], []
     for name, weight, hib in entries:
-        b, m = F.col(f"best_{name}"), F.col(f"med_{name}")
-        ratio = (b / m) if hib else (m / b)
-        present = b.isNotNull() & m.isNotNull() & (m != 0)
-        wlogs.append(F.when(present,
-                            (F.lit(weight) * F.log2(ratio))
-                            .cast("decimal(28,12)")).otherwise(zero))
-        ws.append(F.when(present, F.lit(float(weight))).otherwise(F.lit(0.0)))
-        ns.append(F.when(present, F.lit(1)).otherwise(F.lit(0)))
-    def sum_(cols):
-        return reduce(lambda a, b: a + b, cols)
+        b, m = f"best_{name}", f"med_{name}"
+        ratio = f"({b} / {m})" if hib else f"({m} / {b})"
+        present = f"{b} IS NOT NULL AND {m} IS NOT NULL AND {m} != 0"
+        wlogs.append(
+            f"CASE WHEN {present} THEN CAST({weight!r}D * log2({ratio}) "
+            f"AS DECIMAL(28,12)) ELSE {zero} END")
+        ws.append(f"CASE WHEN {present} THEN {float(weight)!r}D ELSE 0.0D END")
+        ns.append(f"CASE WHEN {present} THEN 1 ELSE 0 END")
+    def sum_(exprs):
+        return "(" + " + ".join(exprs) + ")"
 
-    score = F.pow(F.lit(2.0), sum_(wlogs).cast("double") / sum_(ws))
+    score = f"power(2.0D, CAST({sum_(wlogs)} AS DOUBLE) / {sum_(ws)})"
     return (
-        j.select(
+        j.selectExpr(
             *subject_keys,
-            score.alias("score"),
-            F.lit(1.0).alias("coverage"),
-            sum_(ns).cast("bigint").alias("n_components"),
+            f"{score} AS score",
+            "1.0D AS coverage",
+            f"CAST({sum_(ns)} AS BIGINT) AS n_components",
         )
         .filter(F.col("n_components") > 0)
     )

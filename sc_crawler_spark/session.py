@@ -53,5 +53,12 @@ def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps every DataFrame/Column API call with a
+        # call-site capture that costs ~4 extra py4j roundtrips per call
+        # (errors/utils.py _with_origin). Plan *construction* is part of
+        # every cold query, so turn the debug niceties off: builds get
+        # 2-4x cheaper and error messages lose only the Python call-site
+        # line, not the error itself.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()

@@ -17,6 +17,21 @@ TABLE_NAMES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Catalog-style schema memo: `spark.read.parquet` re-reads footers and
+# re-infers the schema on EVERY call (~100 ms of py4j + file IO), which
+# lands in every cold query's build time. A metastore would hold the
+# table schema once; this dict is that metastore for the lake dirs. The
+# lake tables are immutable inputs (TESTDATA.md), so the cached file
+# index can never go stale; anything mutable must go through
+# `spark.read` directly, not `load()`. Keyed on the session object so a
+# restarted session re-resolves.
+_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
+def clear_load_memo() -> None:
+    """Drop memoized table frames (tests that synthesize lake dirs)."""
+    _MEMO.clear()
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Plain parquet scan — pushdown-friendly.
@@ -26,6 +41,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp — the same truncation DuckDB's TIMESTAMP_NS -> pandas path
     applies, so oracle values align.
     """
+    key = (spark, sf_dir, name)
+    cached = _MEMO.get(key)
+    if cached is not None:
+        return cached
     # events.parquet carries INT64 TIMESTAMP(NANOS); a vanilla SparkSession
     # (e.g. the correctness harness) throws PARQUET_TYPE_ILLEGAL unless the
     # nanosAsLong legacy conf is on.  It is runtime-settable, so load() is
@@ -42,6 +61,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DOUBLE (53-bit mantissa, +-256 ns error) and can flip the
         # truncated microsecond vs DuckDB's exact TIMESTAMP_NS cast
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _MEMO[key] = df
     return df
 
 
