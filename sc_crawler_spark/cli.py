@@ -758,12 +758,16 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
 
 
 def cmd_publish(spark: SparkSession, lake: str, out: str,
-                version: str = "0.1.0") -> None:
-    """Publish the lake as one SQLite artifact (K1/K5; the reference's
-    released ``sc-data-all.db``). Nested columns serialize to JSON text;
-    ``_metadata`` is written last."""
+                version: str = "0.1.0", dialect: str = "sqlite") -> None:
+    """Publish the lake as one artifact (K1/K5; the reference's released
+    ``sc-data-all.db``, or a PostgreSQL/CockroachDB target via the same
+    bulk-upsert cycle — reference utils.py:151-155 treats both as the
+    PG family). ``out`` is a file path for sqlite, a DSN otherwise.
+    Nested columns serialize to JSON text; ``_metadata`` is last."""
+    from .sinks.dialect import dialect_for
     from .sinks.sqlite import publish_lake
 
+    d = dialect_for(dialect)
     tables = {}
     for t in _tables_in(lake):
         df = _read(spark, lake, t)
@@ -772,8 +776,15 @@ def cmd_publish(spark: SparkSession, lake: str, out: str,
                 df = df.withColumn(c, F.to_json(F.col(c)))
         pks = [c for c in schemas.PRIMARY_KEYS.get(t, []) if c in df.columns]
         tables[t] = (df, pks or [df.columns[0]])
-    counts = publish_lake(tables, out, version=version)
-    print(json.dumps({"published": counts, "path": out}))
+    if d.name == "sqlite":
+        counts = publish_lake(tables, out, version=version)
+    else:
+        from .sinks import postgres as pg_sink
+
+        con = pg_sink.connect(out)
+        counts = pg_sink.publish_lake_pg(tables, con, version=version,
+                                         dialect=d)
+    print(json.dumps({"published": counts, "dialect": d.name, "path": out}))
 
 
 def cmd_metadata(db: str, action: str, entries: list[str] | None = None,
@@ -847,10 +858,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--lake", required=True)
     p.add_argument("--vendor", default="aws")
 
-    p = sub.add_parser("publish", help="publish lake to one SQLite artifact")
+    p = sub.add_parser("publish",
+                       help="publish lake to sqlite/postgres/cockroachdb")
     p.add_argument("--lake", required=True)
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", required=True,
+                   help="sqlite file path, or DSN for postgres/cockroachdb")
     p.add_argument("--version", default="0.1.0")
+    p.add_argument("--dialect", default="sqlite",
+                   help="sqlite | postgres | cockroachdb (reference "
+                        "utils.py:151-155 PG-family aliases accepted)")
 
     p = sub.add_parser("schemas", help="lake schema revision: version/upgrade")
     p.add_argument("action", choices=["version", "upgrade"])
@@ -882,7 +898,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "inventory":
         cmd_inventory(spark, args.bronze, args.lake, args.vendor)
     elif args.cmd == "publish":
-        cmd_publish(spark, args.lake, args.out, args.version)
+        cmd_publish(spark, args.lake, args.out, args.version, args.dialect)
     elif args.cmd == "schemas":
         cmd_schemas(spark, args.action, args.lake)
 

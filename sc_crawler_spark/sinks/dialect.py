@@ -28,6 +28,7 @@ class Dialect:
     placeholder: str                      # DB-API paramstyle token
     type_map: dict[str, str] = field(default_factory=dict)
     default_type: str = "TEXT"            # nested/array/map -> JSON text
+    native_upsert: bool = False           # UPSERT INTO (CockroachDB)
 
     def sql_type(self, spark_dtype: str) -> str:
         return self.type_map.get(spark_dtype, self.default_type)
@@ -57,6 +58,42 @@ POSTGRES = Dialect(
     default_type="JSONB",
 )
 
+# The reference folds CockroachDB into the PostgreSQL path
+# (utils.py:155 `dialect.name in ["postgresql", "cockroachdb"]`) — wire
+# protocol and ON CONFLICT syntax are PG-compatible. First-class here so
+# the delta is explicit: INTs are 64-bit (INT8) regardless of declared
+# width, and CRDB's native `UPSERT INTO` replaces INSERT..ON CONFLICT —
+# same semantics when the conflict target is the primary key (ours
+# always is), but skips the conflict-arbiter read in CRDB's KV layer.
+COCKROACH = Dialect(
+    name="cockroachdb",
+    placeholder="%s",
+    type_map={
+        "string": "TEXT", "int": "INT8", "bigint": "INT8",
+        "smallint": "INT8", "tinyint": "INT8",
+        "boolean": "BOOL", "double": "DOUBLE PRECISION",
+        "float": "REAL", "date": "DATE", "timestamp": "TIMESTAMPTZ",
+        "timestamp_ntz": "TIMESTAMP", "binary": "BYTES",
+    },
+    default_type="JSONB",
+    native_upsert=True,
+)
+
+DIALECTS = {d.name: d for d in (SQLITE, POSTGRES, COCKROACH)}
+
+
+def dialect_for(name: str) -> Dialect:
+    """Resolve an engine/dialect name; PG-family aliases map like the
+    reference's ``is_postgresql`` (utils.py:151-155)."""
+    aliases = {"postgresql": "postgres", "pg": "postgres",
+               "cockroach": "cockroachdb", "crdb": "cockroachdb",
+               "sqlite3": "sqlite"}
+    key = aliases.get(name.lower(), name.lower())
+    if key not in DIALECTS:
+        raise ValueError(f"unknown sink dialect: {name!r} "
+                         f"(known: {sorted(DIALECTS)})")
+    return DIALECTS[key]
+
 
 def create_table_sql(dialect: Dialect, name: str, df: DataFrame,
                      pks: list[str]) -> str:
@@ -71,9 +108,17 @@ def create_table_sql(dialect: Dialect, name: str, df: DataFrame,
 def upsert_sql(dialect: Dialect, name: str, cols: list[str],
                pks: list[str]) -> str:
     """K1 statement shape (insert.py:151-161): INSERT .. ON CONFLICT(pks)
-    DO UPDATE SET every non-PK column from ``excluded``."""
+    DO UPDATE SET every non-PK column from ``excluded`` — or the
+    dialect's native blind upsert (CockroachDB ``UPSERT INTO``) when the
+    conflict target is the primary key, which is exactly this shape."""
     attrs = [c for c in cols if c not in pks]
     placeholders = ", ".join(dialect.placeholder for _ in cols)
+    if dialect.native_upsert and pks:
+        return (
+            f'UPSERT INTO {quote_ident(name)} '
+            f'({", ".join(quote_ident(c) for c in cols)}) '
+            f"VALUES ({placeholders})"
+        )
     if pks and attrs:
         conflict = (
             f' ON CONFLICT ({", ".join(quote_ident(c) for c in pks)})'

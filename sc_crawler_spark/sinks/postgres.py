@@ -22,7 +22,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 
-from .dialect import POSTGRES
+from .dialect import COCKROACH, POSTGRES, Dialect
 from .sqlite import stream_upsert
 
 
@@ -56,25 +56,34 @@ def connect(dsn: str):
         return psycopg2.connect(dsn)
 
 
-def publish_table_pg(con, df: DataFrame, name: str, pks: list[str]) -> int:
-    """K1 (PostgreSQL) — chunked ON CONFLICT upsert; ``con`` is any
-    DB-API connection (cursor-style adapted automatically)."""
+def publish_table_pg(con, df: DataFrame, name: str, pks: list[str],
+                     dialect: Dialect = POSTGRES) -> int:
+    """K1 (PostgreSQL family) — chunked ON CONFLICT upsert; ``con`` is
+    any DB-API connection (cursor-style adapted automatically)."""
     target = con if hasattr(con, "executemany") else _CursorConn(con)
-    return stream_upsert(target, df, name, pks, dialect=POSTGRES,
+    return stream_upsert(target, df, name, pks, dialect=dialect,
                          iso_temporals=False)
+
+
+def publish_table_cockroach(con, df: DataFrame, name: str,
+                            pks: list[str]) -> int:
+    """K1 (CockroachDB — reference folds it into the PG path,
+    utils.py:155): same streamed chunk cycle over the PG wire protocol,
+    but the statement is CRDB's native ``UPSERT INTO``."""
+    return publish_table_pg(con, df, name, pks, dialect=COCKROACH)
 
 
 def publish_lake_pg(tables: dict[str, tuple[DataFrame, list[str]]],
                     con, version: str = "0.1.0",
-                    extra_metadata: dict[str, str] | None = None
-                    ) -> dict[str, int]:
-    """Publish ``name -> (df, pks)`` into PostgreSQL, ``_metadata`` KV
-    written LAST (K5 ordering, cli.py:242-279)."""
+                    extra_metadata: dict[str, str] | None = None,
+                    dialect: Dialect = POSTGRES) -> dict[str, int]:
+    """Publish ``name -> (df, pks)`` into PostgreSQL/CockroachDB,
+    ``_metadata`` KV written LAST (K5 ordering, cli.py:242-279)."""
     target = con if hasattr(con, "executemany") else _CursorConn(con)
     counts = {}
     for name, (df, pks) in tables.items():
         counts[name] = stream_upsert(target, df, name, pks,
-                                     dialect=POSTGRES, iso_temporals=False)
+                                     dialect=dialect, iso_temporals=False)
     target.execute(
         'CREATE TABLE IF NOT EXISTS "_metadata" '
         "(key TEXT PRIMARY KEY, value TEXT)"
