@@ -685,10 +685,57 @@ def read_compression_text_json(spark: SparkSession, glob: str) -> DataFrame:
     )
 
 
+def read_llm_speed_json(spark: SparkSession, glob: str) -> DataFrame:
+    """S6 — llm inference speed JSONL -> benchmark_score-shaped rows
+    (reference inspector.py:728-753): one stdout line per run with
+    ``model_filename``, ``n_prompt``, ``n_gen``, ``avg_ts``. The
+    benchmark splits on the run shape — ``llm_speed:prompt_processing``
+    when n_prompt != 0, else ``llm_speed:text_generation`` — config is
+    {model: basename(model_filename) or 'unknown',
+    tokens: n_prompt + n_gen}, score = avg_ts. JSONL parses natively
+    (one JSON document per line); rows without avg_ts are dropped like
+    the reference's KeyError skip."""
+    df = (
+        spark.read.json(glob)
+        .withColumn("server_id", _server_from_path())
+    )
+    model = F.coalesce(
+        F.regexp_extract(F.col("model_filename"), r"([^/]+)$", 1),
+        F.lit("unknown"))
+    model = F.when(model == "", "unknown").otherwise(model)
+    bid = F.when(F.col("n_prompt") != 0, "llm_speed:prompt_processing") \
+           .otherwise(F.lit("llm_speed:text_generation"))
+    return (
+        df.filter(F.col("avg_ts").isNotNull())
+        .select(
+            "server_id",
+            bid.alias("benchmark_id"),
+            F.to_json(F.struct(
+                model.alias("model"),
+                (F.col("n_prompt") + F.col("n_gen")).cast("long")
+                .alias("tokens"))).alias("config"),
+            F.col("avg_ts").cast("double").alias("score"),
+        )
+    )
+
+
+def bogomips_benchmark(lscpu: DataFrame) -> DataFrame:
+    """The reference's first benchmark row (inspector.py:343-354):
+    ``bogomips`` scored as the rounded lscpu BogoMIPS field, no config."""
+    return lscpu.filter(F.col("bogomips").isNotNull()).select(
+        "server_id",
+        F.lit("bogomips").alias("benchmark_id"),
+        F.lit(None).cast("string").alias("config"),
+        F.col("bogomips").cast("double").alias("score"),
+    )
+
+
 def inspector_benchmarks(openssl: DataFrame | None = None,
                          membench: DataFrame | None = None,
                          compression: DataFrame | None = None,
-                         cache: DataFrame | None = None) -> DataFrame:
+                         cache: DataFrame | None = None,
+                         llm: DataFrame | None = None,
+                         lscpu: DataFrame | None = None) -> DataFrame:
     """Union the per-framework readers into ONE benchmark_score-shaped
     frame ``(server_id, benchmark_id, config, score)`` — the relational
     form of the reference's ``inspect_server_benchmarks`` accumulator
@@ -706,6 +753,10 @@ def inspector_benchmarks(openssl: DataFrame | None = None,
         frames.append(membench_benchmarks(membench, cache))
     if compression is not None:
         frames.append(compression)
+    if llm is not None:
+        frames.append(llm)
+    if lscpu is not None:
+        frames.append(bogomips_benchmark(lscpu))
     if not frames:
         raise ValueError("no benchmark frames supplied")
     out = frames[0]

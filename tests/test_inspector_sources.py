@@ -403,6 +403,35 @@ def test_compression_text_reader(spark, tmp_path):
     }
 
 
+def test_llm_speed_reader(spark, tmp_path):
+    """llm_speed emission (reference inspector.py:728-753): JSONL runs
+    split into prompt_processing (n_prompt != 0) vs text_generation,
+    config = {model: basename, tokens: n_prompt + n_gen}, score =
+    avg_ts; rows without avg_ts dropped."""
+    d = tmp_path / "aws" / "m1.small"
+    d.mkdir(parents=True)
+    lines = [
+        {"model_filename": "/models/llama-7b.Q4.gguf", "n_prompt": 0,
+         "n_gen": 128, "avg_ts": 42.5},
+        {"model_filename": "/models/llama-7b.Q4.gguf", "n_prompt": 512,
+         "n_gen": 0, "avg_ts": 900.25},
+        {"model_filename": "/models/phi-2.gguf", "n_prompt": 0,
+         "n_gen": 64, "avg_ts": None},  # failed run: no score
+    ]
+    (d / "llm.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in lines) + "\n")
+    out = insp.read_llm_speed_json(
+        spark, str(tmp_path / "*" / "*" / "llm.jsonl")).collect()
+    got = {(r["benchmark_id"], r["config"]): r["score"] for r in out}
+    assert got == {
+        ("llm_speed:text_generation",
+         '{"model":"llama-7b.Q4.gguf","tokens":128}'): 42.5,
+        ("llm_speed:prompt_processing",
+         '{"model":"llama-7b.Q4.gguf","tokens":512}'): 900.25,
+    }
+    assert all(r["server_id"] == "m1.small" for r in out)
+
+
 def test_inspector_benchmarks_union(spark, tmp_path):
     """The combined benchmark_score-shaped frame carries all three
     frameworks with consistent (server_id, benchmark_id, config, score)
@@ -413,13 +442,20 @@ def test_inspector_benchmarks_union(spark, tmp_path):
         "operation,size_kb,latency_ns,bandwidth_mb_s\nread,64,0,50000\n")
     (d / "parsed.json").write_text(
         '{"algo": "AES-256-CBC", "block_size": 16384, "speed": 1.1e9}')
+    (d / "lscpu.json").write_text(json.dumps({"lscpu": [
+        {"field": "CPU(s):", "data": "4", "children": None},
+        {"field": "BogoMIPS:", "data": "4400.03", "children": None},
+    ]}))
     mem = insp.read_membench_csv(spark, str(d / "membench.csv"))
     ossl = insp.read_openssl_json(spark, str(d / "parsed.json"))
-    out = insp.inspector_benchmarks(openssl=ossl, membench=mem)
+    lscpu = insp.read_lscpu_json(spark, str(d / "lscpu.json"))
+    out = insp.inspector_benchmarks(openssl=ossl, membench=mem, lscpu=lscpu)
     assert out.columns == ["server_id", "benchmark_id", "config", "score"]
     got = {(r["benchmark_id"], r["config"]) for r in out.collect()}
     assert ("openssl", '{"algo":"AES-256-CBC","block_size":16384}') in got
     assert ("membench:bandwidth_read", '{"size_kb":64}') in got
+    # bogomips rides along: rounded lscpu field, config-less
+    assert ("bogomips", None) in got
 
 
 def test_membench_scores_through_fleet_pipeline(spark, tmp_path):
