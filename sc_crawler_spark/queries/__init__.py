@@ -16,10 +16,10 @@ Cross-engine determinism conventions used throughout (see SURVEY.md §7.4):
 
 from __future__ import annotations
 
-from . import dims, domain, extra, lifecycle, pipeline, tpch
+from . import curation, dims, domain, extra, lifecycle, pipeline, tpch
 
 REGISTRY: dict[str, tuple] = {}
-for mod in (tpch, lifecycle, pipeline, domain, extra, dims):
+for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
     overlap = REGISTRY.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
@@ -40,6 +40,10 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims):
 _PRIORITY = [
     # --- no driver-green evidence yet ---
     "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
+    "doc_repetition",              # new r5: curation operators
+    "doc_pii_scrub",
+    "decontaminate_docs",
+    "lang_balanced_sample",
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

@@ -1,0 +1,272 @@
+"""Corpus-curation operators for the training-data pipeline — the
+filters a large-scale pretraining pipeline runs between raw crawl and
+tokenizer (no reference analog; these extend SURVEY.md §6's LLM-data
+component set alongside dedup/quality/langid):
+
+- ``doc_repetition``       — Gopher-style repetition metrics (distinct
+  token ratio, top token/bigram share, duplicate 5-gram ratio).
+- ``doc_pii_scrub``        — PII detection + redaction (emails, phone
+  numbers) with deterministic fixture injection.
+- ``decontaminate_docs``   — benchmark decontamination: flag training
+  docs sharing any 5-gram with an eval-prompt set (semi-join on gram
+  hashes, the standard 13-gram-overlap shape at small-doc scale).
+- ``lang_balanced_sample`` — deterministic per-language quota sampling
+  (domain/language mixture control).
+
+Scale notes: every candidate generator is an equi-join on grams or a
+partial-aggregable groupBy; repetition counts shuffle (doc_id, gram)
+pairs with map-side combine; quota sampling's rank-filter compiles to
+WindowGroupLimit (per-partition top-N before the shuffle), so few-group
+skew does not serialize the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround, sql_round
+from ..functions.text import tokens
+from ..tables import load
+
+# ------------------------------------------------------- repetition metrics
+
+
+def _grams(toks, k: int):
+    """Positional (NON-distinct) k-word grams: zip the token array with
+    its own shifted slices (O(k) passes — see shingles_from_tokens), then
+    trim the null-padded tail."""
+    big = F.lit(1 << 30)
+    zipped = toks
+    for j in range(2, k + 1):
+        zipped = F.zip_with(zipped, F.slice(toks, j, big),
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    n = F.size(toks)
+    return F.slice(zipped, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
+
+
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.3 adapted to token grams): distinct-token ratio, share of tokens
+    claimed by the most frequent token and bigram, and the fraction of
+    5-gram instances that are repeats. High values mark boilerplate-y /
+    looped documents that repetition filters drop before training."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    base = toked.select(
+        "doc_id", "n",
+        dround(F.size(F.array_distinct("toks")) / F.col("n"), 6)
+        .alias("distinct_ratio"),
+        dround(
+            F.lit(1.0)
+            - F.size(F.array_distinct(_grams(F.col("toks"), 5)))
+            / F.size(_grams(F.col("toks"), 5)), 6)
+        .alias("dup_5gram_ratio"),
+    )
+    uni = (
+        toked.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("_top_uni"))
+    )
+    bi = (
+        toked.select("doc_id", F.explode(_grams(F.col("toks"), 2)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("_top_bi"))
+    )
+    return (
+        base.join(uni, "doc_id").join(bi, "doc_id")
+        .select(
+            "doc_id", "n",
+            "distinct_ratio",
+            dround(F.col("_top_uni") / F.col("n"), 6).alias("top_token_share"),
+            dround(F.col("_top_bi") * 2 / F.col("n"), 6)
+            .alias("top_bigram_share"),
+            "dup_5gram_ratio",
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+g5 AS (
+  SELECT doc_id,
+         [array_to_string(words[i:i+4], ' ')
+          FOR i IN generate_series(1, greatest(len(words)-4, 1))] AS grams
+  FROM toks),
+uni AS (
+  SELECT doc_id, MAX(c) AS top_uni FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(words) AS tok FROM toks)
+    GROUP BY doc_id, tok) GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, MAX(c) AS top_bi FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+      FROM toks, unnest(generate_series(1, greatest(len(words)-1, 1))) AS t(i))
+    GROUP BY doc_id, g) GROUP BY doc_id)
+SELECT t.doc_id, len(t.words) AS n,
+  {sql_round('len(list_distinct(t.words)) / CAST(len(t.words) AS DOUBLE)', 6)}
+    AS distinct_ratio,
+  {sql_round('uni.top_uni / CAST(len(t.words) AS DOUBLE)', 6)}
+    AS top_token_share,
+  {sql_round('bi.top_bi * 2 / CAST(len(t.words) AS DOUBLE)', 6)}
+    AS top_bigram_share,
+  {sql_round('1.0 - len(list_distinct(g5.grams)) / CAST(len(g5.grams) AS DOUBLE)', 6)}
+    AS dup_5gram_ratio
+FROM toks t JOIN uni USING (doc_id) JOIN bi USING (doc_id)
+            JOIN g5 USING (doc_id)
+"""
+
+# ------------------------------------------------------------- PII scrubbing
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + redact. The synthetic corpus is PII-free, so the
+    query injects deterministic fixtures first (the same
+    inject-then-operate pattern as _docs_with_clones): docs with
+    doc_id%7==0 gain an email, doc_id%11==0 a phone number — %77 rows
+    carry both. Detection counts regex matches; redaction substitutes
+    typed placeholders; the md5 of the redacted text is the
+    cross-engine witness that the rewrite is byte-identical."""
+    docs = load(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call 555-0142 today")).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PII_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 today' ELSE '' END
+    AS itext
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(itext, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(itext, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(itext, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM injected
+"""
+
+# -------------------------------------------------------- decontamination
+
+
+def decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination report: eval prompts are the first 8
+    tokens of every doc_id%13==0 document (simulating benchmark items
+    leaked from the crawl); a training doc (everything else) is
+    contaminated when it shares ANY 3-gram with any prompt (real
+    pipelines use 13-grams; the synthetic corpus is short-doc, so the
+    gram order scales down with it). Output is (doc_id, n_shared_grams)
+    per contaminated training doc.
+
+    Both sides reduce to DISTINCT (id, gram) sets joined on the gram —
+    an equi-join candidates-only shape (never doc x doc); at 100 TB the
+    eval-gram side is dictionary-sized and broadcasts."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks"))
+    eval_grams = (
+        toked.filter(F.col("doc_id") % 13 == 0)
+        .select(F.explode(
+            F.array_distinct(_grams(F.slice("toks", 1, 8), 3))).alias("gram"))
+        .distinct()
+    )
+    train_grams = (
+        toked.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id",
+                F.explode(F.array_distinct(_grams(F.col("toks"), 3)))
+                .alias("gram"))
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+eval_grams AS (
+  SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, words[1:8] AS words FROM toks WHERE doc_id % 13 = 0),
+       unnest(generate_series(1, greatest(len(words)-2, 1))) AS t(i)),
+train_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(words)-2, 1))) AS t(i)
+  WHERE doc_id % 13 != 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM train_grams JOIN eval_grams USING (gram)
+GROUP BY doc_id
+"""
+
+# ------------------------------------------------------- mixture sampling
+
+_LANG_QUOTA = 40
+
+
+def lang_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-mixture control: a deterministic per-language quota
+    sample (first ``_LANG_QUOTA`` docs per lang ordered by
+    md5(doc_id) — a seeded shuffle both engines reproduce exactly).
+    The rank<=N filter compiles to WindowGroupLimit: every input
+    partition keeps only its local top-N before the lang shuffle, so
+    5-language skew cannot serialize the scan."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _LANG_QUOTA)
+        .select("lang", "doc_id", F.col("sample_rank").cast("long")
+                .alias("sample_rank"))
+    )
+
+
+LANG_SAMPLE_SQL = f"""
+SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {_LANG_QUOTA}
+"""
+
+
+QUERIES = {
+    "doc_repetition": (doc_repetition, REPETITION_SQL),
+    "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
+}

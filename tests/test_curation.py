@@ -1,0 +1,62 @@
+"""Behavioral checks for the corpus-curation operators (the registry
+oracle test already proves cross-engine parity; these pin the
+semantics a user cares about)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sc_crawler_spark.queries import curation
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_repetition_flags_looped_docs(spark):
+    """A doc that is one phrase looped must score near-zero distinct
+    ratio and a dominant top bigram; a diverse doc must not."""
+    df = spark.createDataFrame(
+        [(1, "buy now " * 50), (2, " ".join(f"w{i}" for i in range(100)))],
+        "doc_id long, text string")
+    toked = df.select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+    # reuse the gram helper directly on a synthetic frame
+    out = toked.select(
+        "doc_id",
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("dr"),
+        (F.lit(1.0)
+         - F.size(F.array_distinct(curation._grams(F.col("toks"), 5)))
+         / F.size(curation._grams(F.col("toks"), 5))).alias("dup5"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["dr"] < 0.05 and by_id[1]["dup5"] > 0.9
+    assert by_id[2]["dr"] == 1.0 and by_id[2]["dup5"] == 0.0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    out = curation.doc_pii_scrub(spark, SF)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1  # 0%7=0%11=0
+    assert rows[7]["n_emails"] == 1 and rows[7]["n_phones"] == 0
+    assert rows[11]["n_emails"] == 0 and rows[11]["n_phones"] == 1
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 0
+    # redaction changes the text iff something was found
+    assert rows[0]["redacted_md5"] != rows[1]["redacted_md5"]
+
+
+def test_decontaminate_flags_every_prompt_source(spark):
+    """Each eval prompt is lifted from a %13==0 doc; every OTHER doc
+    sharing one of those 5-grams must be flagged, and no doc in the
+    eval split may appear (it is not part of the training set)."""
+    out = curation.decontaminate_docs(spark, SF).collect()
+    assert out, "prompt grams must hit at least accidental overlaps"
+    assert all(r["doc_id"] % 13 != 0 for r in out)
+    assert all(r["n_shared_grams"] >= 1 for r in out)
+
+
+def test_lang_balanced_sample_quota_and_determinism(spark):
+    a = curation.lang_balanced_sample(spark, SF)
+    counts = {r["lang"]: r["n"] for r in
+              a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"en", "de", "fr", "es", "zh"}
+    assert all(n == curation._LANG_QUOTA for n in counts.values())
+    b = curation.lang_balanced_sample(spark, SF)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
