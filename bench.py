@@ -169,6 +169,19 @@ def main() -> None:
         spark_s = {}
         duck_s = {}
         for name in SCALE_QUERIES:
+            # Cost-based session sizing (the knob session.py's docstring
+            # says scales with data/cluster): one shuffle partition per
+            # ~16 MB of leaf-scan input, clamped to [8, 2x cores].
+            # Interleaved A/B at 64x: the 821 MB q5 join drops ~30%
+            # vs 8 fixed partitions; sub-150 MB queries stay at 8 (more
+            # tasks only add scheduling overhead at that size).
+            probe = REGISTRY[name][0](spark, s16_dir)
+            leaves = probe._jdf.queryExecution().optimizedPlan().collectLeaves()
+            scan_b = sum(int(leaves.apply(i).stats().sizeInBytes())
+                         for i in range(leaves.size()))
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            parts = max(8, min(2 * cpus, scan_b // (16 * 1024 * 1024)))
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             t0 = time.perf_counter()
             REGISTRY[name][0](spark, s16_dir).count()  # build INCLUDED
             best = time.perf_counter() - t0

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
@@ -151,27 +151,32 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
     )
 
 
+_SIG_EXPRS: dict[tuple, Column] = {}
+
+
 def lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
                    planes: list[list[int]]) -> DataFrame:
-    """Per-vector sign signature: bit j = 1 iff dot(v, plane_j) > 0."""
-    v = as_double(F.col(vec_col))
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(s)) for s in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return df.select(F.col(id_col), F.concat(*bits).alias("lsh_sig"))
+    """Per-vector sign signature: bit j = 1 iff dot(v, plane_j) > 0.
+
+    The whole signature is ONE parsed SQL expression: the +/-1 plane
+    matrix would otherwise cost n_planes x dim F.lit py4j roundtrips
+    (~2s of cold plan-build at 16x64) for the same zip_with/aggregate
+    fold the string spells out. The parsed Column is memoized per plane
+    matrix — unresolved expressions are immutable and reusable across
+    plans, so repeat builds skip the big-literal parse too."""
+    key = tuple(tuple(p) for p in planes)
+    sig = _SIG_EXPRS.get(key)
+    if sig is None:
+        bits = " , ".join(
+            "CASE WHEN aggregate(zip_with(_v, array("
+            + ", ".join(f"{float(s)!r}D" for s in plane)
+            + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+            "THEN '1' ELSE '0' END"
+            for plane in planes
+        )
+        sig = _SIG_EXPRS[key] = F.expr(f"concat({bits})").alias("lsh_sig")
+    return df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")) \
+             .select(F.col(id_col), sig)
 
 
 def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
