@@ -44,6 +44,7 @@ _PRIORITY = [
     "doc_pii_scrub",
     "decontaminate_docs",
     "lang_balanced_sample",
+    "pack_sequences_docs",         # applyInPandas op — rows-only check
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

@@ -264,9 +264,29 @@ WHERE sample_rank <= {_LANG_QUOTA}
 """
 
 
+# ------------------------------------------------------- sequence packing
+
+_PACK_BUDGET = 256
+
+
+def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy token packing of the corpus into 256-token training
+    sequences (operators/packing.py — applyInPandas: bin assignment is
+    a prefix-scan with resets, beyond window functions, hence no DuckDB
+    oracle; the driver records the rows-only check and
+    tests/test_packing.py proves the invariants against a local
+    re-implementation)."""
+    from ..operators.packing import pack_sequences
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+
+
 QUERIES = {
     "doc_repetition": (doc_repetition, REPETITION_SQL),
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
+    "pack_sequences_docs": (pack_sequences_docs, None),
 }
