@@ -86,6 +86,29 @@ def tumbling_stats(events: DataFrame, window: str = "1 day",
     )
 
 
+def stream_exact_dedup(events: DataFrame, key_cols: list[str] | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators/dedup.exact_dedup``: dedup at
+    ingest via ``dropDuplicatesWithinWatermark`` on a content digest —
+    the first arrival of each digest passes, repeats within the
+    watermark horizon are dropped, and expired digests age out of state
+    (bounded state, unlike plain dropDuplicates on a stream).
+
+    ``key_cols`` defaults to the payload columns (everything except the
+    event id), so replayed/duplicated observations collapse while
+    distinct ones pass. The digest is the same native sha2-over-concat
+    construction as the batch path — JVM-side, no UDF."""
+    payload = key_cols or [c for c in events.columns if c != "event_id"]
+    digest = F.sha2(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in payload]), 256)
+    return (
+        events.withColumn("content_sha", digest)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
 def stateful_best_scores(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running best score per (user_id,
     event_type) — the streaming form of A1 ``best_per_entry``

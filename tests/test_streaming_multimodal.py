@@ -53,6 +53,41 @@ def test_stream_tumbling_matches_batch(spark, tmpdir):
     assert got == want
 
 
+def test_stream_exact_dedup_drops_replays(spark, tmpdir):
+    """dropDuplicatesWithinWatermark twin of exact_dedup: a doubled
+    input stream must emit each distinct payload digest exactly once
+    (kept KEYS equal the batch distinct set; arrival choice within a
+    digest is unordered, so the assertion is on digests)."""
+    from sc_crawler_spark.streaming import stream_exact_dedup
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    # write the events twice under different names — a full replay
+    shutil.copy(f"{SF}/events.parquet", os.path.join(src, "a.parquet"))
+    shutil.copy(f"{SF}/events.parquet", os.path.join(src, "b.parquet"))
+
+    stream = stream_exact_dedup(read_event_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.content_sha for r in
+           spark.sql("SELECT content_sha FROM dedup_test").collect()]
+    assert len(got) == len(set(got)), "every digest emitted exactly once"
+
+    from sc_crawler_spark.tables import load
+
+    n_batch = (load(spark, SF, "events")
+               .dropDuplicates([c for c in stream.columns
+                                if c not in ("event_id", "content_sha")])
+               .count())
+    assert len(got) == n_batch
+
+
 def test_stream_keep_last_upsert(spark, tmpdir):
     from sc_crawler_spark.streaming import stream_keep_last_upsert
 
