@@ -274,12 +274,21 @@ def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
     migrate.stamp_lake(target, migrate.lake_version(source))
 
 
-def cmd_schemas(spark: SparkSession, action: str, lake: str) -> None:
-    """``schemas version`` / ``schemas upgrade`` (reference
-    cli.py:124-239): report or reconcile a lake's schema revision."""
+def cmd_schemas(spark: SparkSession, action: str, lake: str,
+                revision: int | None = None) -> None:
+    """``schemas version`` / ``schemas upgrade`` / ``schemas stamp``
+    (reference cli.py:124-239 alembic surface: current / upgrade /
+    stamp): report, reconcile, or force-set a lake's schema revision.
+    ``stamp`` writes the revision WITHOUT migrating — the alembic
+    escape hatch for lakes whose files were fixed out-of-band."""
     if action == "version":
         print(json.dumps({"lake": migrate.lake_version(lake),
                           "code": migrate.SCHEMA_VERSION}))
+        return
+    if action == "stamp":
+        v = migrate.SCHEMA_VERSION if revision is None else revision
+        migrate.stamp_lake(lake, v)
+        print(json.dumps({"stamped": v}))
         return
     added = migrate.upgrade_lake(spark, lake)
     print(json.dumps({"upgraded_to": migrate.SCHEMA_VERSION,
@@ -287,7 +296,8 @@ def cmd_schemas(spark: SparkSession, action: str, lake: str) -> None:
 
 
 def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
-                  vendor: str = "aws") -> None:
+                  vendor: str = "aws",
+                  records: list[str] | None = None) -> None:
     """The reference's per-vendor `pull` (cli.py:868-906, §3.1) over a
     landed bronze tree:
 
@@ -324,7 +334,7 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     from .sources.catalog import VENDOR_SERVER_SPECS
 
     if vendor == "azure" or vendor in VENDOR_SERVER_SPECS:
-        _inventory_catalog_vendor(spark, bronze, lake, vendor)
+        _inventory_catalog_vendor(spark, bronze, lake, vendor, records)
         return
     vroot = os.path.join(bronze, vendor)
     raw = spark.read.schema(aws.RAW_INSTANCE_TYPE).json(
@@ -389,13 +399,22 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
         **svc_outputs,
         "server_invalid": (all_invalid, None),
     }
-    _land_tables(spark, lake, outputs, vendor)
+    _land_tables(spark, lake, outputs, vendor, records)
 
 
 def _land_tables(spark: SparkSession, lake: str, outputs: dict,
-                 vendor: str) -> None:
+                 vendor: str, records: list[str] | None = None) -> None:
     """Shared silver landing: per table, vendor-scoped merge-upsert with
-    inactivate-missing (K1+T1) into the versioned snapshot."""
+    inactivate-missing (K1+T1) into the versioned snapshot.
+
+    ``records`` mirrors the reference pull's ``--include-records``
+    (cli.py:774-782): when given, only the named record families land —
+    frames are lazy, so a skipped family never computes. The error-side
+    table always lands (it is the run's audit trail)."""
+    if records is not None:
+        keep = set(records)
+        outputs = {t: v for t, v in outputs.items()
+                   if t in keep or t.endswith("_invalid")}
     for table, (df, pks) in outputs.items():
         path = _table_path(lake, table)
         if pks:
@@ -493,7 +512,8 @@ _AZURE_SKU_SCHEMA = (
 
 
 def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
-                              vendor: str) -> None:
+                              vendor: str,
+                              records: list[str] | None = None) -> None:
     """GCP/Azure server inventory: bronze JSON -> standardize (P1) ->
     validate (P8) -> vendor-scoped merge into the shared server table."""
     from .operators.validate import validate_items
@@ -746,7 +766,7 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
                 outputs[table] = (v, schemas.PRIMARY_KEYS[table])
                 invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
-    _land_tables(spark, lake, outputs, vendor)
+    _land_tables(spark, lake, outputs, vendor, records)
     if invalid.limit(1).count():
         inv_path = _table_path(lake, "server_invalid")
         try:
@@ -790,11 +810,12 @@ def cmd_publish(spark: SparkSession, lake: str, out: str,
 def cmd_metadata(db: str, action: str, entries: list[str] | None = None,
                  version: str = "0.1.0") -> None:
     """The reference's standalone ``metadata`` command surface
-    (cli.py:242-279): ``get`` prints the ``_metadata`` KV table;
+    (cli.py:242-320): ``get`` prints the ``_metadata`` KV table;
     ``set`` upserts key=value pairs, always stamping
     ``sc_crawler_version`` and ``published_at`` (plus ``published_by``
-    from GitHub Actions env when present). Driver-side sqlite — the
-    metadata table is KV-sized, never cluster work."""
+    from GitHub Actions env when present); ``delete`` removes keys
+    (cli.py:305-320). Driver-side sqlite — the metadata table is
+    KV-sized, never cluster work."""
     import sqlite3
     from datetime import datetime, timezone
 
@@ -806,6 +827,13 @@ def cmd_metadata(db: str, action: str, entries: list[str] | None = None,
             print(json.dumps(dict(
                 con.execute('SELECT key, value FROM "_metadata" ORDER BY key')
             ), indent=2))
+            return
+        if action == "delete":
+            n = con.executemany(
+                'DELETE FROM "_metadata" WHERE key = ?',
+                [(k,) for k in (entries or [])]).rowcount
+            con.commit()
+            print(json.dumps({"deleted": n}))
             return
         rows = [("sc_crawler_version", version),
                 ("published_at", str(datetime.now(timezone.utc)))]
@@ -857,6 +885,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bronze", required=True)
     p.add_argument("--lake", required=True)
     p.add_argument("--vendor", default="aws")
+    p.add_argument("--records", action="append",
+                   help="record family to land (repeatable; default all) — "
+                        "the reference pull's --include-records")
 
     p = sub.add_parser("publish",
                        help="publish lake to sqlite/postgres/cockroachdb")
@@ -868,16 +899,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="sqlite | postgres | cockroachdb (reference "
                         "utils.py:151-155 PG-family aliases accepted)")
 
-    p = sub.add_parser("schemas", help="lake schema revision: version/upgrade")
-    p.add_argument("action", choices=["version", "upgrade"])
+    p = sub.add_parser("schemas",
+                       help="lake schema revision: version/upgrade/stamp")
+    p.add_argument("action", choices=["version", "upgrade", "stamp"])
     p.add_argument("--lake", required=True)
+    p.add_argument("--revision", type=int,
+                   help="stamp: force this revision (default: code version)")
 
-    p = sub.add_parser("metadata", help="get/set the _metadata KV table")
-    p.add_argument("action", choices=["get", "set"])
+    p = sub.add_parser("metadata", help="get/set/delete the _metadata KV table")
+    p.add_argument("action", choices=["get", "set", "delete"])
     p.add_argument("--db", required=True)
     p.add_argument("--version", default="0.1.0")
     p.add_argument("entries", nargs="*",
-                   help="key=value pairs for `set`")
+                   help="key=value pairs for `set`; bare keys for `delete`")
 
     args = ap.parse_args(argv)
     if args.cmd == "metadata":  # pure sqlite — no SparkSession spin-up
@@ -896,11 +930,12 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "copy":
         cmd_copy(spark, args.source, args.target)
     elif args.cmd == "inventory":
-        cmd_inventory(spark, args.bronze, args.lake, args.vendor)
+        cmd_inventory(spark, args.bronze, args.lake, args.vendor,
+                      args.records)
     elif args.cmd == "publish":
         cmd_publish(spark, args.lake, args.out, args.version, args.dialect)
     elif args.cmd == "schemas":
-        cmd_schemas(spark, args.action, args.lake)
+        cmd_schemas(spark, args.action, args.lake, args.revision)
 
 
 if __name__ == "__main__":

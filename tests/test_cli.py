@@ -129,6 +129,30 @@ def test_metadata_get_set_roundtrip(tmp_path, capsys, monkeypatch):
     cli.cmd_metadata(db, "get")
     meta = json.loads(capsys.readouterr().out)
     assert meta["license"] == "MIT"
+    # delete removes named keys, leaves the rest (reference cli.py:305-320)
+    cli.cmd_metadata(db, "delete", ["license", "publisher", "no_such_key"])
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"deleted": 2}
+    cli.cmd_metadata(db, "get")
+    meta = json.loads(capsys.readouterr().out)
+    assert "license" not in meta and "publisher" not in meta
+    assert meta["sc_crawler_version"] == "9.9.9"
+
+
+def test_schemas_stamp_forces_revision(spark, tmp_path, capsys):
+    """`schemas stamp` writes the revision without migrating — the
+    alembic escape hatch (reference cli.py:209-223)."""
+    from sc_crawler_spark import migrate
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    cli.cmd_schemas(spark, "stamp", lake, revision=1)
+    assert json.loads(capsys.readouterr().out) == {"stamped": 1}
+    assert migrate.lake_version(lake) == 1
+    cli.cmd_schemas(spark, "stamp", lake)   # default: code version
+    assert json.loads(capsys.readouterr().out) == {
+        "stamped": migrate.SCHEMA_VERSION}
+    assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
 
 
 def test_dump_per_row_artifact_layout(spark, tmp_path):

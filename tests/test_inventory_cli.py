@@ -1319,3 +1319,25 @@ def test_alicloud_price_inventory(spark, tmp_path):
     assert rows["cn-hangzhou-i"]["status"] == "inactive"  # no stock row
     assert rows["cn-hangzhou-h"]["price"] == 0.123
     assert rows["cn-hangzhou-h"]["operating_system"] == "linux"
+
+
+def test_inventory_records_filter_lands_only_named_families(spark, tmp_path):
+    """--records mirrors the reference pull's --include-records
+    (cli.py:774-782): only the named families land; the invalid
+    side-table still lands as the audit trail."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    _write_bronze(
+        bronze,
+        [_instance("m5.large", 2, 8192)],
+        [_product("m5.large", "US East (N. Virginia)", 0.096)],
+    )
+    cli.cmd_inventory(spark, bronze, lake, records=["server"])
+    assert os.path.isdir(os.path.join(lake, "server"))
+    assert os.path.isdir(os.path.join(lake, "server_invalid"))
+    assert not os.path.isdir(os.path.join(lake, "server_price"))
+
+    # widening the filter on a later pull lands the rest
+    cli.cmd_inventory(spark, bronze, lake,
+                      records=["server", "server_price"])
+    assert read_snapshot(spark, os.path.join(lake, "server_price")).count() == 2
