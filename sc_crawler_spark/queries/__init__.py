@@ -45,6 +45,7 @@ _PRIORITY = [
     "decontaminate_docs",
     "lang_balanced_sample",
     "pack_sequences_docs",         # applyInPandas op — rows-only check
+    "approx_median_price",         # sketch twin — rows-only check
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

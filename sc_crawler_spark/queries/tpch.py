@@ -252,6 +252,24 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def approx_median_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based scale twin of :func:`exact_median_price`:
+    ``approx_percentile`` (Greenwald-Khanna, mergeable fixed-size
+    summaries) instead of the exact ``percentile`` whose aggregation
+    buffer holds every distinct value. At 100 TB the exact form's
+    per-group state is unbounded; the sketch is O(1/accuracy) per group
+    regardless of row count. DuckDB's approx_quantile is a different
+    sketch (t-digest), so there is no hash oracle — the driver records
+    the rows-only check and tests/test_approx_sketch.py gates the
+    sketch error against the exact median (<0.5% at accuracy=10000)."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        dround(F.percentile_approx(F.col("o_totalprice"), F.lit(0.5),
+                                   F.lit(10000)), 4).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def mode_brand_per_type(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic mode (A8 — most-frequent GPU model, inspector.py:
     1066-1067): count + row_number with lexicographic tiebreak."""
@@ -491,6 +509,7 @@ QUERIES = {
     "top1_order_per_customer": (top1_order_per_customer, TOP1_SQL),
     "keep_last_dedup_lineitem": (keep_last_dedup_lineitem, KEEP_LAST_SQL),
     "exact_median_price": (exact_median_price, MEDIAN_SQL),
+    "approx_median_price": (approx_median_price, None),
     "mode_brand_per_type": (mode_brand_per_type, MODE_SQL),
     "group_merge_nations": (group_merge_nations, GROUP_MERGE_SQL),
     "minmax_bounds_part": (minmax_bounds_part, MINMAX_SQL),
