@@ -67,7 +67,7 @@ HEADLINE = [
 # (l_orderkey = o_orderkey) offset consistently and stay joinable.
 SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  "q5_local_supplier_volume", "top1_order_per_customer",
-                 "workload_scores"]
+                 "workload_scores", "hash_diff_sync"]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
     "lineitem": ["l_orderkey"],
