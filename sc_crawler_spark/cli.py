@@ -881,10 +881,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--source", required=True)
     p.add_argument("--target", required=True)
 
-    p = sub.add_parser("inventory", help="pull a vendor from bronze into the lake")
+    p = sub.add_parser("inventory", help="pull vendors from bronze into the lake")
     p.add_argument("--bronze", required=True)
     p.add_argument("--lake", required=True)
-    p.add_argument("--vendor", default="aws")
+    p.add_argument("--vendor", action="append",
+                   help="vendor to pull (repeatable; default aws) — the "
+                        "reference pull's --include-vendor")
+    p.add_argument("--exclude-vendor", action="append", default=[],
+                   help="vendor to skip (repeatable) — the reference "
+                        "pull's --exclude-vendor")
     p.add_argument("--records", action="append",
                    help="record family to land (repeatable; default all) — "
                         "the reference pull's --include-records")
@@ -930,8 +935,12 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "copy":
         cmd_copy(spark, args.source, args.target)
     elif args.cmd == "inventory":
-        cmd_inventory(spark, args.bronze, args.lake, args.vendor,
-                      args.records)
+        # reference pull semantics (cli.py:763-773): the include list
+        # minus the exclude list, one vendor-scoped merge per vendor
+        vendors = [v for v in (args.vendor or ["aws"])
+                   if v not in set(args.exclude_vendor)]
+        for v in vendors:
+            cmd_inventory(spark, args.bronze, args.lake, v, args.records)
     elif args.cmd == "publish":
         cmd_publish(spark, args.lake, args.out, args.version, args.dialect)
     elif args.cmd == "schemas":

@@ -1341,3 +1341,22 @@ def test_inventory_records_filter_lands_only_named_families(spark, tmp_path):
     cli.cmd_inventory(spark, bronze, lake,
                       records=["server", "server_price"])
     assert read_snapshot(spark, os.path.join(lake, "server_price")).count() == 2
+
+
+def test_inventory_main_vendor_include_exclude(spark, tmp_path, capsys):
+    """argv surface: repeatable --vendor minus --exclude-vendor, each
+    pulled with the shared --records filter (reference pull
+    cli.py:763-782)."""
+    bronze = str(tmp_path / "bronze")
+    lake = str(tmp_path / "lake")
+    _write_bronze(
+        bronze,
+        [_instance("m5.large", 2, 8192)],
+        [_product("m5.large", "US East (N. Virginia)", 0.096)],
+    )
+    cli.main(["inventory", "--bronze", bronze, "--lake", lake,
+              "--vendor", "aws", "--vendor", "hcloud",
+              "--exclude-vendor", "hcloud", "--records", "server"])
+    assert read_snapshot(spark, os.path.join(lake, "server")).count() == 1
+    # hcloud excluded: nothing tried to read its (absent) bronze tree
+    assert not os.path.isdir(os.path.join(lake, "server_price"))
