@@ -624,6 +624,12 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
                   else spark.createDataFrame([], cat.RAW_ALICLOUD_AVAIL))
             price_frames.append(cat.alicloud_server_prices(
                 skus, av, regions, zone_off))
+        # time-budget-sampled spot responses (_alicloud.py:1118-1206);
+        # the probe plan itself is cat.alicloud_spot_probe_list
+        spot_path = os.path.join(vroot, "spot_prices.json")
+        if os.path.exists(spot_path):
+            resp = spark.read.schema(cat.RAW_ALICLOUD_SPOT).json(spot_path)
+            price_frames.append(cat.alicloud_spot_prices(resp))
     if price_frames:
         sp = price_frames[0]
         for f in price_frames[1:]:

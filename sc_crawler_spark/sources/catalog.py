@@ -15,7 +15,7 @@ standardized rows (J1), not Python branches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # target column -> SQL expression over the raw payload columns
@@ -703,4 +703,71 @@ def alicloud_server_prices(skus: DataFrame, avail: DataFrame,
         "currency",
         F.when(F.col("_avail"), F.lit("active"))
         .otherwise(F.lit("inactive")).alias("status"),
+    )
+
+
+def alicloud_spot_probe_list(prices: DataFrame, per_region_cap: int,
+                             seed: str = "alicloud-spot") -> DataFrame:
+    """The probe plan for alicloud spot sampling (reference
+    _alicloud.py:1118-1156): the reference shuffles each region's
+    active ondemand (zone, server) pairs and probes as many as fit a
+    120 s wall budget. Re-expressed declaratively: the time budget
+    becomes an explicit per-region row cap, and ``random.shuffle``
+    becomes a seeded-hash order — both runs and engines reproduce the
+    same sample, and the rank filter compiles to WindowGroupLimit (each
+    input partition keeps its local top-N before the region shuffle)."""
+    act = (
+        prices.filter((F.col("allocation") == "ondemand")
+                      & (F.col("status") == "active"))
+        .select("region_id", "zone_id", "server_id").distinct()
+    )
+    w = Window.partitionBy("region_id").orderBy(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col("zone_id"),
+                          F.col("server_id"))),
+        "zone_id", "server_id",
+    )
+    return (
+        act.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= per_region_cap)
+    )
+
+
+# DescribePrice response essentials, one JSONL row per probed
+# (region, zone, instance): the preemptible rule list and the per-
+# resource trade prices (_alicloud.py:1160-1206)
+RAW_ALICLOUD_SPOT = (
+    "region_id string, zone_id string, instance_type string, "
+    "currency string, rules array<struct<description:string>>, "
+    "detail_infos array<struct<resource:string,trade_price:double>>"
+)
+
+
+def alicloud_spot_prices(responses: DataFrame,
+                         vendor_id: str = "alicloud") -> DataFrame:
+    """Sampled DescribePrice responses -> spot price rows (reference
+    _alicloud.py:1170-1206): a row lands only when the response carries
+    the 'Preemptible Instance discount' rule AND a non-zero
+    instanceType trade price; Linux, hourly, ACTIVE, no tier list."""
+    has_rule = F.exists(
+        "rules", lambda r: r["description"] == "Preemptible Instance discount")
+    trade = F.try_element_at(
+        F.filter("detail_infos", lambda d: d["resource"] == "instanceType"),
+        F.lit(1))["trade_price"]
+    return (
+        responses.filter(has_rule)
+        .withColumn("_price", trade)
+        .filter(F.col("_price").isNotNull() & (F.col("_price") != 0))
+        .select(
+            F.lit(vendor_id).alias("vendor_id"),
+            "region_id", "zone_id",
+            F.col("instance_type").alias("server_id"),
+            F.lit("linux").alias("operating_system"),
+            F.lit("spot").alias("allocation"),
+            F.lit("hour").alias("unit"),
+            F.round("_price", 4).alias("price"),
+            F.lit(0.0).alias("price_upfront"),
+            F.array().cast(_PRICE_TIER_TYPE).alias("price_tiered"),
+            "currency",
+            F.lit("active").alias("status"),
+        )
     )

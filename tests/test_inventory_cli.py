@@ -1310,15 +1310,65 @@ def test_alicloud_price_inventory(spark, tmp_path):
                              "zone_id": "cn-hangzhou-h",
                              "server_id": "ecs.g6.large",
                              "status_category": "WithStock"}))
+    spot = [
+        {"region_id": "cn-hangzhou", "zone_id": "cn-hangzhou-h",
+         "instance_type": "ecs.g6.large", "currency": "USD",
+         "rules": [{"description": "Preemptible Instance discount"}],
+         "detail_infos": [{"resource": "instanceType",
+                           "trade_price": 0.0387}]},
+        # no preemptible rule -> dropped (_alicloud.py:1170-1178)
+        {"region_id": "cn-hangzhou", "zone_id": "cn-hangzhou-i",
+         "instance_type": "ecs.g6.large", "currency": "USD",
+         "rules": [{"description": "Something else"}],
+         "detail_infos": [{"resource": "instanceType",
+                           "trade_price": 0.02}]},
+        # rule but zero trade price -> dropped (:1188-1190)
+        {"region_id": "cn-hangzhou", "zone_id": "cn-hangzhou-i",
+         "instance_type": "ecs.g6.xlarge", "currency": "USD",
+         "rules": [{"description": "Preemptible Instance discount"}],
+         "detail_infos": [{"resource": "instanceType", "trade_price": 0.0}]},
+    ]
+    with open(os.path.join(d, "spot_prices.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(s) for s in spot))
     cli.cmd_inventory(spark, bronze, lake, vendor="alicloud")
 
     prices = read_snapshot(spark, os.path.join(lake, "server_price"))
-    rows = {r["zone_id"]: r for r in prices.collect()}
-    assert set(rows) == {"cn-hangzhou-h", "cn-hangzhou-i"}
-    assert rows["cn-hangzhou-h"]["status"] == "active"    # WithStock
-    assert rows["cn-hangzhou-i"]["status"] == "inactive"  # no stock row
-    assert rows["cn-hangzhou-h"]["price"] == 0.123
-    assert rows["cn-hangzhou-h"]["operating_system"] == "linux"
+    rows = {(r["zone_id"], r["allocation"]): r for r in prices.collect()}
+    assert set(rows) == {("cn-hangzhou-h", "ondemand"),
+                         ("cn-hangzhou-i", "ondemand"),
+                         ("cn-hangzhou-h", "spot")}
+    assert rows[("cn-hangzhou-h", "ondemand")]["status"] == "active"
+    assert rows[("cn-hangzhou-i", "ondemand")]["status"] == "inactive"
+    assert rows[("cn-hangzhou-h", "ondemand")]["price"] == 0.123
+    assert rows[("cn-hangzhou-h", "ondemand")]["operating_system"] == "linux"
+    assert rows[("cn-hangzhou-h", "spot")]["price"] == 0.0387
+
+
+def test_alicloud_spot_probe_list_is_capped_and_seeded(spark):
+    """The declarative probe plan (_alicloud.py:1118-1156): only active
+    ondemand pairs, at most N per region, in a deterministic
+    seeded-hash order."""
+    from sc_crawler_spark.sources import catalog as cat
+
+    prices = spark.createDataFrame(
+        [("r1", f"z{i % 3}", f"s{i}", "ondemand",
+          "active" if i % 5 else "inactive") for i in range(20)]
+        + [("r2", "z0", "s0", "ondemand", "active"),
+           ("r1", "z0", "spot-only", "spot", "active")],
+        "region_id string, zone_id string, server_id string, "
+        "allocation string, status string")
+    probe = cat.alicloud_spot_probe_list(prices, per_region_cap=5)
+    rows = probe.collect()
+    per_region = {}
+    for r in rows:
+        per_region.setdefault(r["region_id"], []).append(r)
+    assert len(per_region["r1"]) == 5 and len(per_region["r2"]) == 1
+    assert all(r["server_id"] != "spot-only" for r in rows)
+    inactive = {"s0", "s5", "s10", "s15"}  # i % 5 == 0 rows above
+    assert all(r["server_id"] not in inactive for r in per_region["r1"])
+    again = sorted(map(tuple, cat.alicloud_spot_probe_list(
+        prices, per_region_cap=5).collect()))
+    assert sorted(map(tuple, rows)) == again
 
 
 def test_inventory_records_filter_lands_only_named_families(spark, tmp_path):
