@@ -197,3 +197,68 @@ def test_ngram_capped_matches_uncapped_on_benign_corpus(spark):
     capped = sorted(map(tuple, ngram_jaccard_pairs(
         df, "text", "doc_id", k=3, threshold=0.3, max_df=10).collect()))
     assert base == capped and len(base) >= 2
+
+
+# ---------------------------------------------------------------- curation
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.integers(0, 50),
+              st.integers(0, 40)),   # (doc_id-ish, n_tokens)
+    min_size=1, max_size=25),
+    budget=st.integers(1, 30))
+def test_pack_sequences_matches_greedy_reference(spark, docs, budget):
+    """Distributed packing == the local greedy rule for ANY token
+    profile and budget, including nt == budget (own truncated bin) and
+    acc + nt == budget (exact fit) boundaries."""
+    from sc_crawler_spark.operators.packing import pack_sequences
+
+    rows = [(i, nt) for i, (_, nt) in enumerate(docs)]  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=budget,
+                         n_shards=2)
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == len(rows)
+    for shard, srows in by_shard.items():
+        seq, acc = 0, 0
+        expect = {}
+        for did, nt in sorted((r["doc_id"], r["n_tokens"]) for r in srows):
+            if nt >= budget:
+                if acc > 0:
+                    seq += 1
+                expect[did] = (seq, True)
+                seq, acc = seq + 1, 0
+            else:
+                if acc + nt > budget:
+                    seq, acc = seq + 1, 0
+                expect[did] = (seq, False)
+                acc += nt
+        for r in srows:
+            assert (r["seq_idx"], r["truncated"]) == expect[r["doc_id"]]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=st.lists(st.text(alphabet="ab", min_size=1, max_size=2),
+                     min_size=1, max_size=12),
+       k=st.integers(2, 5))
+def test_grams_match_python_reference(spark, toks, k):
+    """_grams (zip-with chain + trim) == the naive positional k-gram
+    list, including the n < k single-element edge."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.curation import _grams
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(_grams(F.col("toks"), k).alias("g")).collect()[0]["g"]
+    n = len(toks)
+    if n < k:
+        # trimmed to one element; zip padding makes it NULL-joined
+        assert len(got) == 1
+    else:
+        want = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
+        assert got == want
