@@ -46,6 +46,8 @@ _PRIORITY = [
     "lang_balanced_sample",
     "pack_sequences_docs",         # applyInPandas op — rows-only check
     "approx_median_price",         # sketch twin — rows-only check
+    "q2_min_price_order",          # correlated scalar subquery
+    "q4_order_priority",           # correlated EXISTS
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

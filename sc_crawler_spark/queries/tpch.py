@@ -50,6 +50,65 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# -------------------------------------- correlated subqueries (SQL planner)
+
+
+def q2_min_price_order(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2's operator shape on the lake tables: a correlated
+    SCALAR subquery — each customer's cheapest order(s). Expressed in
+    SQL on purpose: Spark's planner DECORRELATES the subquery into an
+    aggregate + join (RewriteCorrelatedScalarSubquery), which is the
+    scale-safe plan; the DataFrame API has no subquery surface."""
+    load(spark, sf, "orders").createOrReplaceTempView("_t_orders")
+    return spark.sql("""
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice AS min_price
+        FROM _t_orders o
+        WHERE o.o_totalprice = (
+            SELECT MIN(o2.o_totalprice) FROM _t_orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+Q2_SQL = """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice AS min_price
+FROM orders o
+WHERE o.o_totalprice = (
+    SELECT MIN(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4's operator shape (correlated EXISTS -> left-semi join):
+    orders in 1996H1 with at least one returned line item, counted per
+    priority (l_commitdate/receiptdate are not in the lake; the
+    returned-flag predicate keeps the EXISTS correlated + filtered)."""
+    load(spark, sf, "orders").createOrReplaceTempView("_t_orders")
+    load(spark, sf, "lineitem").createOrReplaceTempView("_t_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM _t_orders o
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM _t_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------------- q3: join+agg+limit
 
 
@@ -510,6 +569,8 @@ QUERIES = {
     "keep_last_dedup_lineitem": (keep_last_dedup_lineitem, KEEP_LAST_SQL),
     "exact_median_price": (exact_median_price, MEDIAN_SQL),
     "approx_median_price": (approx_median_price, None),
+    "q2_min_price_order": (q2_min_price_order, Q2_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
     "mode_brand_per_type": (mode_brand_per_type, MODE_SQL),
     "group_merge_nations": (group_merge_nations, GROUP_MERGE_SQL),
     "minmax_bounds_part": (minmax_bounds_part, MINMAX_SQL),
