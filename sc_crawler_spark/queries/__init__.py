@@ -48,6 +48,9 @@ _PRIORITY = [
     "approx_median_price",         # sketch twin — rows-only check
     "q2_min_price_order",          # correlated scalar subquery
     "q4_order_priority",           # correlated EXISTS
+    "cube_revenue",                # CUBE + GROUPING flags
+    "pivot_status_counts",         # PIVOT with explicit values
+    "moving_range_avg",            # RANGE-frame trailing window
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

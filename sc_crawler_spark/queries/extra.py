@@ -8,7 +8,7 @@ them for free, so they're exposed as engine capabilities beyond parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import decimal_sum, dround, sql_round
@@ -33,6 +33,90 @@ SELECT l_returnflag, l_linestatus,
   {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue,
   COUNT(*) AS n_items
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING() flags: all four
+    grouping sets from one pass (Expand + single shuffle); the grouping
+    markers disambiguate real NULLs from subtotal rows — the convention
+    every BI layer expects."""
+    li = load(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dround(decimal_sum(disc), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue,
+  COUNT(*) AS n_items,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts per priority x status, statuses as columns.
+    The value list is EXPLICIT ('O','F','P') — with it Spark pivots in
+    one pass without the extra distinct-values job, and the output
+    schema is stable for the oracle."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+  COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS n_open,
+  COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS n_filled,
+  COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def moving_range_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window: per-user mean event value over the TRAILING
+    24 HOURS of event time (rangeBetween on epoch seconds — a
+    value-based frame, not a row count; late/dense bursts weight
+    correctly). Decimal-accumulated for oracle parity."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        dround(
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+            .cast("double") / F.count("*").over(w), 4)
+        .alias("avg_24h"),
+    )
+
+
+MOVING_RANGE_SQL = f"""
+SELECT event_id, user_id,
+  {sql_round(
+      "CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)"
+      " / COUNT(*) OVER w", 4)} AS avg_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -441,6 +525,9 @@ GROUP BY 1, 2, 3, 4
 
 QUERIES = {
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "cube_revenue": (cube_revenue, CUBE_SQL),
+    "pivot_status_counts": (pivot_status_counts, PIVOT_SQL),
+    "moving_range_avg": (moving_range_avg, MOVING_RANGE_SQL),
     "tiered_price_billing": (tiered_price_billing, _tiered_billing_sql()),
     "benchmark_config_pk": (benchmark_config_pk, CONFIG_PK_SQL),
     "ecpus_scalability": (ecpus_scalability, ECPUS_SQL),
