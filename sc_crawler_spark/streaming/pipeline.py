@@ -86,6 +86,23 @@ def tumbling_stats(events: DataFrame, window: str = "1 day",
     )
 
 
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows per user — the streaming twin of the
+    batch ``sessionize`` operator (gap-based, 30-minute inactivity):
+    ``session_window`` merges events closer than the gap and closes a
+    session once the watermark passes its end, so state is bounded by
+    (watermark + gap), not stream length. Emits one row per closed
+    session: (user_id, session start/end, n_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
 def stream_exact_dedup(events: DataFrame, key_cols: list[str] | None = None,
                        watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of ``operators/dedup.exact_dedup``: dedup at

@@ -53,6 +53,39 @@ def test_stream_tumbling_matches_batch(spark, tmpdir):
     assert got == want
 
 
+def test_streaming_sessions_match_batch_sessionize(spark, tmpdir):
+    """session_window over availableNow == the batch gap-based
+    sessionize: same per-session event counts for every user."""
+    from sc_crawler_spark.operators.windows import sessionize
+    from sc_crawler_spark.streaming import streaming_sessions
+    from sc_crawler_spark.tables import load
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", src)
+
+    q = (
+        streaming_sessions(read_event_stream(spark, src))
+        .writeStream.format("memory").queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_test").collect())
+
+    batch = sessionize(load(spark, SF, "events"), "user_id", "ts",
+                       gap_seconds=1800, tiebreak="event_id")
+    want = sorted(
+        (r.user_id, r.n)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n")).collect())
+    assert got == want
+
+
 def test_stream_exact_dedup_drops_replays(spark, tmpdir):
     """dropDuplicatesWithinWatermark twin of exact_dedup: a doubled
     input stream must emit each distinct payload digest exactly once
