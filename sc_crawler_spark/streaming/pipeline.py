@@ -103,6 +103,42 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_attribution_join(events: DataFrame,
+                            trigger_type: str = "purchase",
+                            touch_type: str = "click",
+                            lookback_seconds: int = 3600,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream attribution join: every ``trigger_type`` event
+    pairs with the same user's ``touch_type`` events from the trailing
+    ``lookback_seconds`` of event time (click->purchase attribution).
+
+    The inner join carries watermarks on BOTH sides plus the time-range
+    condition, which is exactly what lets Spark bound the join state:
+    a buffered click can be evicted once the watermark guarantees no
+    future purchase can reach back to it. Output: one row per
+    (purchase, attributed click) pair."""
+    trig = (events.filter(F.col("event_type") == trigger_type)
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id"),
+                    F.col("ts").alias("purchase_ts"),
+                    F.col("value").alias("purchase_value"))
+            .withWatermark("purchase_ts", watermark))
+    touch = (events.filter(F.col("event_type") == touch_type)
+             .select(F.col("event_id").alias("click_id"),
+                     F.col("user_id").alias("t_user_id"),
+                     F.col("ts").alias("click_ts"))
+             .withWatermark("click_ts", watermark))
+    cond = (
+        (trig["user_id"] == touch["t_user_id"])
+        & (touch["click_ts"] <= trig["purchase_ts"])
+        & (touch["click_ts"]
+           >= trig["purchase_ts"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+    )
+    return (trig.join(touch, cond, "inner")
+            .select("purchase_id", "user_id", "purchase_ts",
+                    "purchase_value", "click_id", "click_ts"))
+
+
 def stream_exact_dedup(events: DataFrame, key_cols: list[str] | None = None,
                        watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of ``operators/dedup.exact_dedup``: dedup at

@@ -86,6 +86,45 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmpdir):
     assert got == want
 
 
+def test_stream_attribution_join_matches_batch(spark, tmpdir):
+    """Stream-stream time-bounded inner join over availableNow == the
+    equivalent batch join (click->purchase, 1h lookback)."""
+    from sc_crawler_spark.streaming import stream_attribution_join
+    from sc_crawler_spark.tables import load
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", src)
+
+    joined = stream_attribution_join(read_event_stream(spark, src))
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory").queryName("attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.purchase_id, r.click_id) for r in
+                 spark.sql("SELECT * FROM attr_test").collect())
+
+    ev = load(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    want = sorted(
+        (r.purchase_id, r.click_id)
+        for r in p.join(c, (p.user_id == c.c_user)
+                        & (c.c_ts <= p.p_ts)
+                        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 3600 SECONDS"))
+                        ).collect())
+    assert got == want and len(got) > 0
+
+
 def test_stream_exact_dedup_drops_replays(spark, tmpdir):
     """dropDuplicatesWithinWatermark twin of exact_dedup: a doubled
     input stream must emit each distinct payload digest exactly once
