@@ -34,9 +34,11 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 #
 # Evidence ledger entering r5: CORRECTNESS_r04 went 50/50 green, so the
 # union of r1-r4 covers EVERY pre-r5 registry name. Rotation: the new r5
-# query first (no evidence yet), then the 16 names whose latest driver
-# green is r03 (stalest evidence — last round's tail); the freshest r4
-# greens rotate to the tail, 17 of them past the 50-query cap.
+# queries first (no driver evidence yet — longtail prices, the curation
+# set, packing/sketch rows-only entries, correlated subqueries,
+# cube/pivot/range-frame/intersect), then the 16 names whose latest
+# driver green is r03 (stalest evidence — last round's tail); the
+# freshest r4 greens rotate to the tail, past the 50-query cap.
 _PRIORITY = [
     # --- no driver-green evidence yet ---
     "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
@@ -51,6 +53,7 @@ _PRIORITY = [
     "cube_revenue",                # CUBE + GROUPING flags
     "pivot_status_counts",         # PIVOT with explicit values
     "moving_range_avg",            # RANGE-frame trailing window
+    "intersect_repeat_buyers",     # INTERSECT set op
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

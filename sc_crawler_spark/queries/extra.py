@@ -230,6 +230,25 @@ EXCEPT
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 """
 
+
+def intersect_repeat_buyers(spark: SparkSession, sf: str) -> DataFrame:
+    """E3 sibling via INTERSECT (distinct set semantics): customers who
+    ordered in BOTH 1996 and 1997 — compiles to a left-semi join over
+    deduped sides, never a full materialized distinct union."""
+    orders = load(spark, sf, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey"))
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y97)
+
+
+INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
 # ------------------------------------------- P6 float-tolerance filter, P9
 
 
@@ -539,6 +558,7 @@ QUERIES = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "heavy_hitter_users": (heavy_hitter_users, HEAVY_SQL),
     "except_building_buyers": (except_building_buyers, EXCEPT_SQL),
+    "intersect_repeat_buyers": (intersect_repeat_buyers, INTERSECT_SQL),
     "config_tolerance_filter": (config_tolerance_filter, TOLERANCE_SQL),
     "standardize_part_names": (standardize_part_names, STANDARDIZE_SQL),
 }
