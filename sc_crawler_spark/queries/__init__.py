@@ -54,6 +54,8 @@ _PRIORITY = [
     "pivot_status_counts",         # PIVOT with explicit values
     "moving_range_avg",            # RANGE-frame trailing window
     "intersect_repeat_buyers",     # INTERSECT set op
+    "temperature_mix_sample",      # GPT-3-style source mixing
+    "profile_orders",              # ANALYZE-style stats pass
     # --- last green in r03: rotate forward to refresh evidence ---
     "region_dims_rollup",
     "vendor_compliance_matrix",

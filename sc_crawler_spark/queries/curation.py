@@ -264,6 +264,56 @@ WHERE sample_rank <= {_LANG_QUOTA}
 """
 
 
+# -------------------------------------------------- temperature mixing
+
+_MIX_ALPHA = 0.7     # source weight ∝ n^alpha — upweights small sources
+_MIX_TARGET = 300    # expected sample size across the corpus
+
+
+def temperature_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (the GPT-3-style sampler):
+    source s gets weight n_s^alpha / Σ n^alpha — alpha < 1 upweights
+    small sources — and each doc keeps with probability
+    p_s = target·w_s / n_s, decided by a DETERMINISTIC md5-derived
+    uniform so the sample is reproducible in both engines (no rand()).
+    Output: kept docs with their source's keep probability.
+
+    One tiny groupBy for source counts (broadcast back) + a stateless
+    per-row filter — nothing here shuffles the corpus itself."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_s").cast("double"), _MIX_ALPHA)).alias("z"))
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.lit(_MIX_TARGET)
+         * F.pow(F.col("n_s").cast("double"), _MIX_ALPHA) / F.col("z")
+         / F.col("n_s").cast("double")).alias("p_keep"),
+    )
+    # uniform in [0,1): first 6 hex digits of md5(doc_id) / 16^6
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                16, 10).cast("double") / F.lit(float(16 ** 6)))
+    return (
+        docs.join(F.broadcast(probs), "source")
+        .filter(u < F.col("p_keep"))
+        .select("source", "doc_id", dround(F.col("p_keep"), 6)
+                .alias("p_keep"))
+    )
+
+
+MIX_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+z AS (SELECT SUM(POW(n_s, {_MIX_ALPHA})) AS z FROM counts),
+probs AS (
+  SELECT source,
+         {_MIX_TARGET} * POW(n_s, {_MIX_ALPHA}) / z / n_s AS p_keep
+  FROM counts, z)
+SELECT d.source, d.doc_id, {sql_round('p.p_keep', 6)} AS p_keep
+FROM documents d JOIN probs p USING (source)
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      / CAST({16 ** 6} AS DOUBLE) < p.p_keep
+"""
+
 # ------------------------------------------------------- sequence packing
 
 _PACK_BUDGET = 256
@@ -288,5 +338,6 @@ QUERIES = {
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
+    "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
     "pack_sequences_docs": (pack_sequences_docs, None),
 }

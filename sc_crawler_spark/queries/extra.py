@@ -231,6 +231,31 @@ SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 """
 
 
+def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style stats pass over ``orders`` (operators/profile.py):
+    one scan, per-column null/exact-distinct counts, numeric min/max."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load(spark, sf, "orders"))
+
+
+def _profile_orders_sql() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    parts = []
+    for c in cols:
+        mn = (sql_round(f"CAST(MIN({c}) AS DOUBLE)", 4) if c in numeric
+              else "CAST(NULL AS DOUBLE)")
+        mx = (sql_round(f"CAST(MAX({c}) AS DOUBLE)", 4) if c in numeric
+              else "CAST(NULL AS DOUBLE)")
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_num, "
+            f"{mx} AS max_num FROM orders")
+    return "\nUNION ALL\n".join(parts)
+
+
 def intersect_repeat_buyers(spark: SparkSession, sf: str) -> DataFrame:
     """E3 sibling via INTERSECT (distinct set semantics): customers who
     ordered in BOTH 1996 and 1997 — compiles to a left-semi join over
@@ -559,6 +584,7 @@ QUERIES = {
     "heavy_hitter_users": (heavy_hitter_users, HEAVY_SQL),
     "except_building_buyers": (except_building_buyers, EXCEPT_SQL),
     "intersect_repeat_buyers": (intersect_repeat_buyers, INTERSECT_SQL),
+    "profile_orders": (profile_orders, _profile_orders_sql()),
     "config_tolerance_filter": (config_tolerance_filter, TOLERANCE_SQL),
     "standardize_part_names": (standardize_part_names, STANDARDIZE_SQL),
 }
