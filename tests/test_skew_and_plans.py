@@ -64,6 +64,52 @@ def test_no_cartesian_or_smj_in_headline_plans(spark, name):
     assert scans, f"{name}: no parquet scans found in plan"
 
 
+def _plan(spark, name):
+    return REGISTRY[name][0](spark, SF_ORACLE)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+
+
+def test_r5_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram dim must broadcast (the side that stays dictionary-
+    sized at 100 TB); the corpus side never sort-merges."""
+    plan = _plan(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_r5_lang_sample_uses_window_group_limit(spark):
+    """The quota rank filter must push into WindowGroupLimit (partial
+    per-partition top-N before the lang shuffle) — without it, 5-language
+    skew serializes the scan."""
+    plan = _plan(spark, "lang_balanced_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_r5_correlated_subqueries_decorrelate(spark):
+    """The SQL planner must rewrite both correlated shapes to hash
+    joins: scalar subquery -> aggregate + join, EXISTS -> left-semi.
+    A surviving correlated subquery re-executes per outer row."""
+    q2 = _plan(spark, "q2_min_price_order")
+    assert "Join" in q2 and "Subquery" not in q2
+    q4 = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in q4 and "Subquery" not in q4
+    for p in (q2, q4):
+        assert "CartesianProduct" not in p
+
+
+def test_r5_mix_sample_never_shuffles_the_corpus(spark):
+    """temperature_mix_sample: only the tiny source-count aggregate may
+    shuffle; the corpus side joins the broadcast probability dim and
+    filters in place."""
+    plan = _plan(spark, "temperature_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # shuffles: the counts aggregate (+ AQE reads); the corpus-side scan
+    # must feed the broadcast join directly, with no Exchange between
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 @pytest.mark.parametrize("name", ["tiered_price_billing",
                                   "benchmark_config_pk"])
 def test_new_r4_queries_plan_shape(spark, name):
