@@ -243,6 +243,59 @@ def stream_keep_last_upsert(events: DataFrame, state_dir: str,
     )
 
 
+def incremental_daily_rollup(events: DataFrame, state_dir: str,
+                             checkpoint_dir: str):
+    """Continuous aggregate (hypertable-rollup style): a (day,
+    event_type) rollup maintained INCREMENTALLY — each micro-batch
+    contributes partial sums that MERGE-ADD into the stored snapshot,
+    so the rollup never rescans history and a day's row converges as
+    late batches arrive.
+
+    Additive decomposition is what makes this exact: SUM/COUNT are
+    commutative monoids, so per-batch partials folded in any arrival
+    order equal the one-shot batch aggregate (decimal accumulation —
+    the fold order cannot perturb the total). Returns the streaming
+    query (caller awaits)."""
+    from ..sinks.snapshot import read_snapshot, write_snapshot
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = batch.groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("wstart"),
+            F.col("event_type"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        )
+        try:
+            cur = read_snapshot(spark, state_dir)
+            merged = (
+                cur.join(delta.withColumnRenamed("n_events", "_n")
+                         .withColumnRenamed("sum_value", "_s"),
+                         ["wstart", "event_type"], "full_outer")
+                .select(
+                    "wstart", "event_type",
+                    (F.coalesce("n_events", F.lit(0))
+                     + F.coalesce("_n", F.lit(0))).alias("n_events"),
+                    (F.coalesce(F.col("sum_value"),
+                                F.lit(0).cast("decimal(28,6)"))
+                     + F.coalesce(F.col("_s"),
+                                  F.lit(0).cast("decimal(28,6)")))
+                    .alias("sum_value"),
+                )
+            )
+        except Exception:  # first batch: the delta IS the rollup
+            merged = delta
+        write_snapshot(spark, merged, state_dir)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_best_scores_tws(events: DataFrame) -> DataFrame:
     """§2.11 — the same running-best operator on Spark 4's
     ``transformWithStateInPandas`` (the successor of

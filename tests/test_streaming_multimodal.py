@@ -86,6 +86,43 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmpdir):
     assert got == want
 
 
+def test_incremental_rollup_accumulates_across_batches(spark, tmpdir):
+    """Continuous-aggregate maintenance: two micro-batches of partial
+    sums merge-added into the snapshot must equal the one-shot batch
+    rollup (additive monoid fold, any arrival order)."""
+    from sc_crawler_spark.queries.lifecycle import tumbling_daily_stats
+    from sc_crawler_spark.sinks.snapshot import read_snapshot
+    from sc_crawler_spark.streaming import incremental_daily_rollup
+    from sc_crawler_spark.tables import load
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    # split the table into two files -> maxFilesPerTrigger=1 gives two
+    # micro-batches, so the merge-add path (not first-batch) executes
+    ev = load(spark, SF, "events")
+    import glob as _glob
+    for name, half in (("a", ev.filter(F.col("event_id") % 2 == 0)),
+                       ("b", ev.filter(F.col("event_id") % 2 == 1))):
+        stage = os.path.join(tmpdir, f"_stage_{name}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    state = os.path.join(tmpdir, "rollup")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = incremental_daily_rollup(stream, state,
+                                 os.path.join(tmpdir, "ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.wstart, r.event_type, r.n_events, round(float(r.sum_value), 4))
+        for r in read_snapshot(spark, state).collect())
+    want = sorted(
+        (r.wstart, r.event_type, r.n_events, r.sum_value)
+        for r in tumbling_daily_stats(spark, SF).collect())
+    assert got == want
+
+
 def test_stream_attribution_join_matches_batch(spark, tmpdir):
     """Stream-stream time-bounded inner join over availableNow == the
     equivalent batch join (click->purchase, 1h lookback)."""
