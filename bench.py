@@ -68,6 +68,20 @@ HEADLINE = [
 SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  "q5_local_supplier_volume", "top1_order_per_customer",
                  "workload_scores", "hash_diff_sync"]
+# Tables each scale query SCANS (with multiplicity — hash_diff reads
+# orders three times), for cost-based partition sizing from file bytes
+# alone: sizing must not touch Spark, or the probe would warm the very
+# plan/schema caches the "cold build INCLUDED" protocol measures.
+SCALE_SCANS = {
+    "q1_pricing_summary": ["lineitem"],
+    "session_counts": ["events"],
+    "dedup_exact_docs": ["documents"],
+    "q5_local_supplier_volume": ["lineitem", "orders", "customer",
+                                 "supplier", "nation", "region"],
+    "top1_order_per_customer": ["orders"],
+    "workload_scores": ["events"],
+    "hash_diff_sync": ["orders", "orders", "orders"],
+}
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
     "lineitem": ["l_orderkey"],
@@ -171,14 +185,21 @@ def main() -> None:
         for name in SCALE_QUERIES:
             # Cost-based session sizing (the knob session.py's docstring
             # says scales with data/cluster): one shuffle partition per
-            # ~16 MB of leaf-scan input, clamped to [8, 2x cores].
-            # Interleaved A/B at 64x: the 821 MB q5 join drops ~30%
-            # vs 8 fixed partitions; sub-150 MB queries stay at 8 (more
-            # tasks only add scheduling overhead at that size).
-            probe = REGISTRY[name][0](spark, s16_dir)
-            leaves = probe._jdf.queryExecution().optimizedPlan().collectLeaves()
-            scan_b = sum(int(leaves.apply(i).stats().sizeInBytes())
-                         for i in range(leaves.size()))
+            # ~16 MB of scanned input, clamped to [8, 2x cores], from
+            # FILE BYTES ONLY — no Spark probe, so the timed run's
+            # "cold build INCLUDED" claim stays true (a plan probe
+            # would pre-warm schema/file-index caches). Interleaved A/B
+            # at 64x: the ~800 MB q5 join drops ~30% vs 8 fixed
+            # partitions; sub-150 MB queries stay at 8.
+            scan_b = 0
+            for t in SCALE_SCANS.get(name, []):
+                p = os.path.join(s16_dir, f"{t}.parquet")
+                if os.path.isdir(p):
+                    scan_b += sum(
+                        os.path.getsize(os.path.join(p, f))
+                        for f in os.listdir(p) if f.endswith(".parquet"))
+                elif os.path.exists(p):
+                    scan_b += os.path.getsize(p)
             cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             parts = max(8, min(2 * cpus, scan_b // (16 * 1024 * 1024)))
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))

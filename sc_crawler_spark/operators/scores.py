@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 PENALTY_DEFAULT = 1e-4  # workload_profile_scores.py penalize default
 
 
+def _bq(ident: str) -> str:
+    """Backtick-quote an identifier for F.expr strings (entry names like
+    'membench:latency' are not bare-identifier-safe)."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    """Single-quote a string literal for F.expr strings."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def best_per_entry(scores: DataFrame, subject_keys: list[str], entry_key: str,
                    score_col: str = "score",
                    higher_is_better_col: str | None = None) -> DataFrame:
@@ -139,14 +150,19 @@ def best_per_entry_wide(scores: DataFrame, subject_keys: list[str],
     (workload_profile_scores.py:182-213); orientation flip (min for
     lower-is-better) is applied per entry at aggregate build time.
     """
-    known = ", ".join(f"'{e}'" for e, _, _ in entries)
-    filtered = scores.filter(F.expr(f"{entry_key} IN ({known})"))
+    if not entries:
+        raise ValueError("best_per_entry_wide needs at least one entry")
+    known = ", ".join(_sq(e) for e, _, _ in entries)
+    ek, sc = _bq(entry_key), _bq(score_col)
+    filtered = scores.filter(F.expr(f"{ek} IN ({known})"))
     # One F.expr per aggregate: a single JVM-side parse beats building
     # the when/max Column tree through ~6 py4j roundtrips each — plan
-    # construction is on every cold query's critical path.
+    # construction is on every cold query's critical path. Entry names
+    # reach SQL only as escaped string literals; the output alias goes
+    # through Column.alias, which quotes anything.
     aggs = [
         F.expr(f"{'max' if hib else 'min'}"
-               f"(CASE WHEN {entry_key} = '{name}' THEN {score_col} END)")
+               f"(CASE WHEN {ek} = {_sq(name)} THEN {sc} END)")
         .alias(f"best_{name}")
         for name, _w, hib in entries
     ]
@@ -172,14 +188,14 @@ def composite_scores_wide(wide: DataFrame, subject_keys: list[str],
     # they replace (same CASE/CAST/log2 operators, double literals via
     # the D suffix), but the whole projection costs ONE py4j roundtrip.
     meds = wide.agg(*[
-        F.expr(f"percentile(best_{n}, 0.5)").alias(f"med_{n}")
+        F.expr(f"percentile({_bq(f'best_{n}')}, 0.5)").alias(f"med_{n}")
         for n, _, _ in entries
     ])
     j = wide.crossJoin(F.broadcast(meds))
     zero = "CAST(0 AS DECIMAL(28,12))"
     wlogs, ws, ns = [], [], []
     for name, weight, hib in entries:
-        b, m = f"best_{name}", f"med_{name}"
+        b, m = _bq(f"best_{name}"), _bq(f"med_{name}")
         ratio = f"({b} / {m})" if hib else f"({m} / {b})"
         present = f"{b} IS NOT NULL AND {m} IS NOT NULL AND {m} != 0"
         wlogs.append(

@@ -91,14 +91,20 @@ FROM orders GROUP BY o_orderpriority
 
 def moving_range_avg(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE-frame window: per-user mean event value over the TRAILING
-    24 HOURS of event time (rangeBetween on epoch seconds — a
+    24 HOURS of event time (rangeBetween on epoch MICROSECONDS — a
     value-based frame, not a row count; late/dense bursts weight
-    correctly). Decimal-accumulated for oracle parity."""
+    correctly). Microseconds, not unix_timestamp: second truncation
+    would admit pairs up to 86400.999s apart and merge same-second
+    events into one RANGE peer group, diverging from the oracle's
+    fractional epoch. Decimal-accumulated for parity."""
     ev = load(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-86400, 0)
+        # NTZ-tolerant: some lake files carry TIMESTAMP_NTZ; the cast
+        # interprets it in the UTC session zone, matching the oracle's
+        # naive-UTC convention
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-86400 * 10**6, 0)
     )
     return ev.select(
         "event_id", "user_id",
@@ -115,8 +121,8 @@ SELECT event_id, user_id,
       "CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)"
       " / COUNT(*) OVER w", 4)} AS avg_24h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {86400 * 10**6} PRECEDING AND CURRENT ROW)
 """
 
 

@@ -27,6 +27,35 @@ from ..tables import load
 # ------------------------------------------------------------ corpus helpers
 
 
+# Clone-tier spec — the SINGLE source of truth for the injected corpus
+# used by every dedup query AND its oracle SQL (_CORPUS_SQL) AND the
+# digest-early fast path in dedup_exact_docs. (residue, offset): a doc
+# with doc_id % _CLONE_MOD == residue emits a clone at doc_id + offset;
+# the EXACT tier copies text verbatim, the NEAR tier drops the last
+# token.
+_CLONE_MOD = 10
+_CLONE_EXACT = (0, 100000)
+_CLONE_NEAR = (5, 200000)
+
+
+def _near_text(toks):
+    return F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1))
+
+
+def _clone_variants(base_payload, near_payload):
+    """The 3-element variant array (original, exact clone, near clone)
+    over struct-builder callables taking the clone's doc_id column."""
+    ex_res, ex_off = _CLONE_EXACT
+    nr_res, nr_off = _CLONE_NEAR
+    return F.array(
+        base_payload(F.col("doc_id")),
+        F.when(F.col("doc_id") % _CLONE_MOD == ex_res,
+               base_payload(F.col("doc_id") + ex_off)),
+        F.when(F.col("doc_id") % _CLONE_MOD == nr_res,
+               near_payload(F.col("doc_id") + nr_off)),
+    )
+
+
 def _docs_with_clones(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus + deterministic clones in ONE scan.
 
@@ -38,19 +67,15 @@ def _docs_with_clones(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
     toks = F.split(F.col("text"), " ")
-    near_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1))
 
-    def variant(doc_id, text):
-        return F.struct(doc_id.alias("doc_id"), text.alias("text"),
-                        F.col("lang").alias("lang"))
+    def with_text(text):
+        def build(doc_id):
+            return F.struct(doc_id.alias("doc_id"), text.alias("text"),
+                            F.col("lang").alias("lang"))
+        return build
 
-    variants = F.array(
-        variant(F.col("doc_id"), F.col("text")),
-        F.when(F.col("doc_id") % 10 == 0,
-               variant(F.col("doc_id") + 100000, F.col("text"))),
-        F.when(F.col("doc_id") % 10 == 5,
-               variant(F.col("doc_id") + 200000, near_text)),
-    )
+    variants = _clone_variants(with_text(F.col("text")),
+                               with_text(_near_text(toks)))
     return (
         docs.select(F.explode(variants).alias("v"))
         .filter(F.col("v").isNotNull())
@@ -58,16 +83,17 @@ def _docs_with_clones(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_CORPUS_SQL = """
+_CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + {_CLONE_EXACT[1]}, text, lang FROM documents
+  WHERE doc_id % {_CLONE_MOD} = {_CLONE_EXACT[0]}
   UNION ALL
-  SELECT doc_id + 200000,
+  SELECT doc_id + {_CLONE_NEAR[1]},
          array_to_string(string_split(text, ' ')[1:len(string_split(text, ' '))-1], ' '),
          lang
-  FROM documents WHERE doc_id % 10 = 5
+  FROM documents WHERE doc_id % {_CLONE_MOD} = {_CLONE_NEAR[0]}
 )"""
 
 # Distinct 3-word shingles + per-doc counts, over `corpus`.
@@ -211,24 +237,22 @@ def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
     the row-multiplying operator carries (id, 64-byte digest) instead of
     full documents — the identical-text clone reuses the base digest
     rather than re-hashing, and no text ever crosses the explode or the
-    shuffle. Equivalent to exact_dedup(_docs_with_clones(...)) (the
-    oracle SQL hashes per corpus row) but ~40% faster at the 64x scale
-    block."""
+    shuffle. Equivalent to exact_dedup(_docs_with_clones(...)): both
+    sides (and the oracle's _CORPUS_SQL) derive from the one
+    _clone_variants tier spec, but this path is ~40% faster at the 64x
+    scale block."""
     docs = load(spark, sf, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
-    near_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1))
-    base_sha = F.sha2(F.col("text"), 256)
 
-    def v(doc_id, sha):
-        return F.struct(doc_id.alias("doc_id"), sha.alias("content_sha"))
+    def with_sha(sha):
+        def build(doc_id):
+            return F.struct(doc_id.alias("doc_id"),
+                            sha.alias("content_sha"))
+        return build
 
-    variants = F.array(
-        v(F.col("doc_id"), base_sha),
-        F.when(F.col("doc_id") % 10 == 0,
-               v(F.col("doc_id") + 100000, base_sha)),
-        F.when(F.col("doc_id") % 10 == 5,
-               v(F.col("doc_id") + 200000, F.sha2(near_text, 256))),
-    )
+    variants = _clone_variants(
+        with_sha(F.sha2(F.col("text"), 256)),
+        with_sha(F.sha2(_near_text(toks), 256)))
     h = (docs.select(F.explode(variants).alias("v"))
              .filter(F.col("v").isNotNull()).select("v.*"))
     return h.groupBy("content_sha").agg(

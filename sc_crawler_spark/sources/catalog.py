@@ -544,7 +544,11 @@ def upcloud_server_prices(zone_prices: DataFrame, gpu_avail: DataFrame,
       the ``SPOT-`` marker from the server id (:497-499);
     - ``GPU*`` plans land only where the device-availability API reports
       a non-zero amount (:458-461) — a broadcast left-join gate on the
-      PRE-strip key, as the reference probes before stripping;
+      PRE-strip key, as the reference probes before stripping. Note the
+      reference applies the same pre-strip ``startswith("GPU")`` test on
+      its spot path (:501-504), so a hypothetical ``SPOT-GPU-*`` key
+      bypasses the gate in BOTH engines — parity preserved rather than
+      second-guessing the vendor's key grammar;
     - prices are cents -> EUR/hour (:469); ondemand rows carry the
       published 672-hour monthly cap as tiers (:474-483), spot rows have
       no tier list.

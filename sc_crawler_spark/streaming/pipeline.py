@@ -254,9 +254,19 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
     Additive decomposition is what makes this exact: SUM/COUNT are
     commutative monoids, so per-batch partials folded in any arrival
     order equal the one-shot batch aggregate (decimal accumulation —
-    the fold order cannot perturb the total). Returns the streaming
-    query (caller awaits)."""
-    from ..sinks.snapshot import read_snapshot, write_snapshot
+    the fold order cannot perturb the total).
+
+    Replay-safe: foreachBatch is at-least-once and merge-ADD is not
+    idempotent, so every snapshot row carries the id of the last batch
+    folded in; a replayed batch (crash after the snapshot's atomic
+    commit but before the checkpoint recorded it) is detected by
+    ``batch_id <= stored`` and skipped. The marker rides IN the
+    snapshot, so state and marker commit in one pointer swap — there is
+    no window where one is updated without the other. Returns the
+    streaming query (caller awaits)."""
+    import os
+
+    from ..sinks.snapshot import POINTER, read_snapshot, write_snapshot
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -267,8 +277,14 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
         )
-        try:
+        # existence check, not try/except: a transient read failure on
+        # batch N>1 must surface (and be retried by the stream), never
+        # be mistaken for "first batch" and truncate the rollup
+        if os.path.exists(os.path.join(state_dir, POINTER)):
             cur = read_snapshot(spark, state_dir)
+            applied = cur.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already folded in
             merged = (
                 cur.join(delta.withColumnRenamed("n_events", "_n")
                          .withColumnRenamed("sum_value", "_s"),
@@ -284,9 +300,11 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
                     .alias("sum_value"),
                 )
             )
-        except Exception:  # first batch: the delta IS the rollup
+        else:  # first batch: the delta IS the rollup
             merged = delta
-        write_snapshot(spark, merged, state_dir)
+        write_snapshot(
+            spark, merged.withColumn("_last_batch_id", F.lit(batch_id)),
+            state_dir)
 
     return (
         events.writeStream.foreachBatch(_apply)

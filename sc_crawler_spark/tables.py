@@ -8,6 +8,7 @@ predicate pushdown for free, so loading is cheap and declarative.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,13 +24,17 @@ TABLE_NAMES = [
 # table schema once; this dict is that metastore for the lake dirs. The
 # lake tables are immutable inputs (TESTDATA.md), so the cached file
 # index can never go stale; anything mutable must go through
-# `spark.read` directly, not `load()`. Keyed on the session object so a
-# restarted session re-resolves.
-_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+# `spark.read` directly, not `load()`. WeakKey on the session: a
+# stopped/collected SparkSession's frames evict with it instead of
+# pinning py4j references forever.
+_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
 
 
 def clear_load_memo() -> None:
-    """Drop memoized table frames (tests that synthesize lake dirs)."""
+    """Drop memoized table frames — call after overwriting a lake dir
+    that was previously read through load() (the memo assumes lake dirs
+    are immutable)."""
     _MEMO.clear()
 
 
@@ -41,8 +46,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp — the same truncation DuckDB's TIMESTAMP_NS -> pandas path
     applies, so oracle values align.
     """
-    key = (spark, sf_dir, name)
-    cached = _MEMO.get(key)
+    per_session = _MEMO.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
     # events.parquet carries INT64 TIMESTAMP(NANOS); a vanilla SparkSession
@@ -61,7 +66,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DOUBLE (53-bit mantissa, +-256 ns error) and can flip the
         # truncated microsecond vs DuckDB's exact TIMESTAMP_NS cast
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _MEMO[key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 

@@ -114,13 +114,26 @@ def test_incremental_rollup_accumulates_across_batches(spark, tmpdir):
                                  os.path.join(tmpdir, "ckpt"))
     q.awaitTermination(120)
 
-    got = sorted(
-        (r.wstart, r.event_type, r.n_events, round(float(r.sum_value), 4))
-        for r in read_snapshot(spark, state).collect())
+    def _snap():
+        return sorted(
+            (r.wstart, r.event_type, r.n_events,
+             round(float(r.sum_value), 4))
+            for r in read_snapshot(spark, state).collect())
+
+    got = _snap()
     want = sorted(
         (r.wstart, r.event_type, r.n_events, r.sum_value)
         for r in tumbling_daily_stats(spark, SF).collect())
     assert got == want
+
+    # replay protection: re-running the same batches against the same
+    # snapshot (fresh checkpoint -> batch ids restart at 0) must be a
+    # no-op — merge-ADD is guarded by the in-snapshot batch marker
+    q2 = incremental_daily_rollup(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        state, os.path.join(tmpdir, "ckpt2"))
+    q2.awaitTermination(120)
+    assert _snap() == want
 
 
 def test_stream_attribution_join_matches_batch(spark, tmpdir):
