@@ -1,0 +1,111 @@
+"""Distributed connected components — the cluster-resolution step that
+turns near-duplicate PAIRS (minhash/simhash/ngram candidates, see
+operators/dedup.py) into duplicate CLUSTERS with one canonical survivor.
+
+The reference has no graph operator (its dedup is PK keep-last); this is
+part of the training-data-pipeline extension: every real dedup pipeline
+must resolve the pair graph into components before it can drop rows,
+otherwise A~B and B~C can both survive via different comparisons.
+
+Algorithm: min-label propagation with POINTER JUMPING. Each round every
+node takes the min label over {itself} ∪ neighbors (one join + one
+partial-agg groupBy), then jumps through its own label's label
+(a self-join), which doubles the effective propagation distance per
+round — O(log d) rounds for diameter d instead of O(d) for plain
+propagation. Labels are monotonically non-increasing, so the fixpoint is
+exact: at convergence adjacent nodes share a label and the shared label
+is the component minimum.
+
+Scale notes (the 100 TB story):
+- state per round is one (node, label) row per node — narrow, hashed on
+  node; the edge list is cached once, symmetrized.
+- each round is a fixed number of shuffles (neighbor join, min groupBy,
+  jump self-join); `localCheckpoint` truncates the lineage so the plan
+  does not grow with the iteration count (the classic iterative-Spark
+  trap).
+- duplicate graphs are overwhelmingly tiny stars/chains, so rounds ≈ 2-3
+  in practice; pointer jumping bounds the adversarial chain at log2(n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """(node, component) for every node in `edges`; component = min node
+    id reachable through the undirected pair graph.
+
+    Works for any orderable node type (long doc ids, string PKs).
+    Raises if `max_iter` rounds do not converge — with pointer jumping
+    that needs a component of diameter > 2^max_iter.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Neighbor round: min label over the closed neighborhood. The
+        # union feeds ONE partial-aggregated groupBy — map-side combine
+        # collapses the per-neighbor rows before the shuffle.
+        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+            F.col("u").alias("node"), "label"
+        )
+        merged = labels.union(nbr).groupBy("node").agg(
+            F.min("label").alias("label")
+        )
+        # Pointer jump: node -> label -> label(label). Doubles the hop
+        # distance covered per round (union-find path halving, but as a
+        # pure self-join so it stays a declarative plan).
+        lab2 = merged.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        jumped = (
+            merged.join(lab2, merged["label"] == lab2["jnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Labels only ever decrease, so "no row changed" is the exact
+        # fixpoint test; both sides are already hashed on node.
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("p"), "node")
+            .filter(F.col("n.label") != F.col("p.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            sym.unpersist()
+            return labels.select("node", F.col("label").alias("component"))
+
+    sym.unpersist()
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def duplicate_clusters(pairs: DataFrame, src: str = "id_a",
+                       dst: str = "id_b") -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc_id, canonical_id,
+    cluster_size). canonical_id = min doc id in the component (the
+    survivor everything else deduplicates onto)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )

@@ -41,6 +41,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # freshest r4 greens rotate to the tail, past the 50-query cap.
 _PRIORITY = [
     # --- no driver-green evidence yet ---
+    "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
     "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
     "doc_repetition",              # new r5: curation operators
     "doc_pii_scrub",

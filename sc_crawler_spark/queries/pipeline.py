@@ -21,7 +21,7 @@ from ..functions.scalars import dround, sql_round
 from ..functions.text import (
     LANG_MARKERS, punct_ratio, quality_score, rolling_fingerprint, tokens,
 )
-from ..operators import dedup, similarity
+from ..operators import dedup, graph, similarity
 from ..tables import load
 
 # ------------------------------------------------------------ corpus helpers
@@ -311,7 +311,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(n_hashes: int = 8, band_rows: int = 2,
+                       threshold: float = 0.5) -> str:
+    """The minhash pair derivation as a CTE chain ending in `pairs`, so
+    both the pair query and the cluster-resolution oracle share it."""
     mh_cols = ", ".join(
         f"MIN(substr(md5('{i // 4}|' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh_{i}"
         for i in range(n_hashes)
@@ -321,23 +324,69 @@ def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) 
         f"SELECT doc_id, {b} AS band, mh_{b * band_rows} || mh_{b * band_rows + 1} AS sig FROM sig"
         for b in range(n_bands)
     )
-    return f"""
-WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    return f"""{_CORPUS_SQL}, {_SHINGLE_SQL},
 sig AS (SELECT doc_id, {mh_cols} FROM shd GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
                             AND a.doc_id < b.doc_id
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} AS jaccard
-FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
-JOIN cnt ca ON ca.doc_id = a.doc_id
-JOIN cnt cb ON cb.doc_id = b.doc_id
-GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
-HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= {threshold}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} AS jaccard
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+  JOIN cnt ca ON ca.doc_id = a.doc_id
+  JOIN cnt cb ON cb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+  HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= {threshold}
+)"""
+
+
+def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) -> str:
+    return (f"WITH {_minhash_pair_ctes(n_hashes, band_rows, threshold)}\n"
+            "SELECT id_a, id_b, jaccard FROM pairs")
+
+
+def dedup_cluster_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components over
+    the MinHash-LSH pair graph (pointer-jumping label propagation,
+    operators/graph.py), one canonical survivor per component.
+
+    This is the step every pair-emitting dedup needs before it can drop
+    rows: A~B and B~C must collapse into ONE cluster {A,B,C} even when
+    (A,C) was never compared directly.
+    """
+    corpus = _docs_with_clones(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2, threshold=0.5
+    )
+    return graph.duplicate_clusters(pairs)
+
+
+# Oracle: same pair CTEs, then min-label reachability as a recursive CTE.
+# The `r.label < e.v` prune keeps only downward label propagation — the
+# component minimum is smaller than every other member, so each node
+# still receives it, and the working set stays near-linear.
+CLUSTER_RESOLVE_SQL = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.label < e.v
+),
+cc AS (SELECT node, MIN(label) AS canonical_id FROM reach GROUP BY node),
+sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM cc GROUP BY canonical_id)
+SELECT cc.node AS doc_id, cc.canonical_id, sizes.cluster_size
+FROM cc JOIN sizes USING (canonical_id)
 """
 
 
@@ -737,6 +786,7 @@ QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embed_cosine": (dedup_embed_cosine, _embed_near_dup_sql()),
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),

@@ -1,0 +1,95 @@
+"""connected_components / duplicate_clusters (operators/graph.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sc_crawler_spark.operators.graph import (
+    connected_components, duplicate_clusters,
+)
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df, **kw).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_two_components_and_transitivity(spark):
+    # A~B, B~C must collapse into one cluster even though (A,C) was
+    # never compared; (10,11) is a separate component.
+    got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_with_pointer_jumping(spark):
+    # A 64-node chain has diameter 63: plain propagation needs 63
+    # rounds, pointer jumping must land well inside 12.
+    edges = [(i, i + 1) for i in range(63)]
+    got = _components(spark, edges, max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_self_loops_and_reversed_edges(spark):
+    got = _components(spark, [(5, 5), (7, 6), (6, 7), (8, 7)])
+    assert got == {6: 6, 7: 6, 8: 6}
+
+
+def test_string_nodes(spark):
+    df = spark.createDataFrame(
+        [("srv-b", "srv-a"), ("srv-b", "srv-c")], "id_a string, id_b string"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {"srv-a": "srv-a", "srv-b": "srv-a", "srv-c": "srv-a"}
+
+
+def _python_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _python_components(n, edges)
+    got = _components(spark, edges)
+    touched = {x for e in edges for x in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_duplicate_clusters_canonical_and_size(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+            for r in duplicate_clusters(pairs).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3),
+                    10: (10, 2), 11: (10, 2)}
+
+
+def test_empty_edge_set(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
