@@ -80,3 +80,41 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
         (F.least(F.sum("n_tokens"), F.lit(budget)) / F.lit(float(budget)))
         .alias("fill_ratio"),
     )
+
+
+def shard_assignment(df: DataFrame, id_col: str, n_shards: int,
+                     seed: int = 0) -> DataFrame:
+    """Seeded GLOBAL SHUFFLE for training-shard writes: adds ``shard``
+    (which output shard a row lands in) and ``sort_key`` (its order
+    within the shard).
+
+    shard = first 8 md5 hex digits of ``"<seed>|<id>"`` mod n_shards;
+    sort_key = the full digest. md5 on a string is engine-portable, so
+    the assignment is reproducible anywhere (and DuckDB-oracle-checkable)
+    — unlike ``rand(seed)``, which is partitioning-dependent, or
+    ``hash()``, which is Spark-private. Changing the seed reshuffles
+    every epoch deterministically.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    return df.withColumn("shard", shard.cast("int")).withColumn("sort_key", h)
+
+
+def write_training_shards(df: DataFrame, out: str, id_col: str,
+                          n_shards: int, seed: int = 0) -> None:
+    """Materialize a training corpus as ``out/shard=K/`` parquet dirs:
+    seeded global shuffle, one file per shard, rows ordered by sort_key.
+
+    One shuffle total: ``repartition(n_shards, shard)`` routes every row
+    of a shard to one task (shards may share a task — partitionBy still
+    splits them into their own directories), and the within-task sort
+    gives each shard file the seeded order. At 100 TB you raise
+    n_shards, never the per-task volume.
+    """
+    (
+        shard_assignment(df, id_col, n_shards, seed)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard").mode("overwrite").parquet(out)
+    )

@@ -48,6 +48,7 @@ _PRIORITY = [
     "decontaminate_docs",
     "lang_balanced_sample",
     "pack_sequences_docs",         # applyInPandas op — rows-only check
+    "training_shard_stats",        # new r5: seeded global-shuffle shards
     "approx_median_price",         # sketch twin — rows-only check
     "q2_min_price_order",          # correlated scalar subquery
     "q4_order_priority",           # correlated EXISTS

@@ -333,6 +333,41 @@ def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
 
 
+# ----------------------------------------------------- training shards
+
+_N_SHARDS = 16
+_SHARD_SEED = 7
+
+
+def training_shard_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Balance profile of the seeded global-shuffle shard assignment
+    (operators/packing.py shard_assignment — the routing used by
+    write_training_shards): per-shard doc count + token sum. The oracle
+    mirrors the md5 arithmetic digit-for-digit, so this checks the
+    actual epoch-shuffle placement, not just the aggregates."""
+    from ..operators.packing import shard_assignment
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return shard_assignment(docs, "doc_id", _N_SHARDS, seed=_SHARD_SEED).groupBy(
+        "shard"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+SHARD_STATS_SQL = f"""
+WITH a AS (
+  SELECT CAST(CAST('0x' || substring(md5('{_SHARD_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_N_SHARDS} AS INTEGER) AS shard,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM a GROUP BY shard
+"""
+
+
 QUERIES = {
     "doc_repetition": (doc_repetition, REPETITION_SQL),
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
@@ -340,4 +375,5 @@ QUERIES = {
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
     "pack_sequences_docs": (pack_sequences_docs, None),
+    "training_shard_stats": (training_shard_stats, SHARD_STATS_SQL),
 }
