@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 from ..functions.scalars import dround
@@ -205,7 +205,9 @@ def read_nvidia_smi_xml(spark: SparkSession, glob: str) -> DataFrame:
 def enrich_servers(servers: DataFrame,
                    lscpu: DataFrame | None = None,
                    stressng: DataFrame | None = None,
-                   timings: DataFrame | None = None) -> DataFrame:
+                   timings: DataFrame | None = None,
+                   cache_cols: DataFrame | None = None,
+                   dmidecode: DataFrame | None = None) -> DataFrame:
     """§2.12 — the relational form of ``inspect_update_server_dict``
     (inspector.py:1222-1453): HW-inspection measurements override
     vendor-declared columns when present (the reference's
@@ -218,6 +220,11 @@ def enrich_servers(servers: DataFrame,
       ecpus = round(bestn/best1, 1), scalability =
       round(ecpus/cpu_cores*100, 2) (inspector.py:1329-1342, 1372-1376).
     - ``timings(server_id, api_start, machine_start)`` — A10 mean.
+    - ``cache_cols`` — the eight cpu_l*_cache columns from
+      ``cpu_cache_columns`` (inspector.py:1362-1369).
+    - ``dmidecode`` — ``dmidecode_facts``: cpu_model fallback below
+      lscpu (inspector.py:1285-1326) + memory_generation/memory_speed
+      (inspector.py:1379-1381).
 
     One server row in, one enriched row out; the many-rows-out benchmark
     extraction lives in the reader+derivation functions above (the
@@ -226,6 +233,26 @@ def enrich_servers(servers: DataFrame,
     from ..functions.standardize import standardize_cpu_model
 
     out = servers
+    if dmidecode is not None:
+        # dmidecode sits BELOW lscpu in the fallback order
+        # (inspector.py:1285-1326: "fall back to dmidecode") but above
+        # vendor-declared data — joined FIRST so the later lscpu
+        # coalesce stacks lscpu -> dmidecode -> vendor;
+        # memory_generation/memory_speed are dmidecode-only facts
+        # (inspector.py:1379-1381).
+        dmi = dmidecode.select(
+            "server_id",
+            standardize_cpu_model(F.col("cpu_model_dmi")).alias("_d_model"),
+            F.col("memory_generation").alias("_d_gen"),
+            F.col("memory_speed").alias("_d_speed"),
+        )
+        out = out.join(F.broadcast(dmi), "server_id", "left")
+        for tgt, src in [("cpu_model", "_d_model"),
+                         ("memory_generation", "_d_gen"),
+                         ("memory_speed", "_d_speed")]:
+            base = F.col(tgt) if tgt in out.columns else F.lit(None)
+            out = out.withColumn(tgt, F.coalesce(F.col(src), base))
+        out = out.drop("_d_model", "_d_gen", "_d_speed")
     if lscpu is not None:
         insp = lscpu.select(
             "server_id",
@@ -239,6 +266,22 @@ def enrich_servers(servers: DataFrame,
             base = F.col(tgt) if tgt in out.columns else F.lit(None)
             out = out.withColumn(tgt, F.coalesce(F.col(src), base))
         out = out.drop("_i_vcpus", "_i_cores", "_i_model")
+    if cache_cols is not None:
+        # the eight cache columns (inspector.py:1362-1369): inspector
+        # facts override vendor-declared values when present
+        cc = cache_cols.select(
+            "server_id",
+            *[F.col(c).alias(f"_c_{c}") for c in cache_cols.columns
+              if c != "server_id"],
+        )
+        out = out.join(F.broadcast(cc), "server_id", "left")
+        for c in cache_cols.columns:
+            if c == "server_id":
+                continue
+            base = F.col(c) if c in out.columns else F.lit(None)
+            out = out.withColumn(c, F.coalesce(F.col(f"_c_{c}"), base))
+        out = out.drop(*[f"_c_{c}" for c in cache_cols.columns
+                         if c != "server_id"])
     if stressng is not None:
         curve = stressng.groupBy("server_id").agg(
             (F.max("score") / F.min_by("score", "cores")).alias("_ratio")
@@ -539,6 +582,195 @@ def read_lstopo_xml(spark: SparkSession, glob: str) -> DataFrame:
     return raw.mapInPandas(_parse, out_schema)
 
 
+# --------------------------------------- CPU cache hierarchy + dmidecode
+
+# lscpu field -> cache level (inspector_helpers.py:8-13); data strings
+# look like "262144 (4 instances)" / "67108864 (1 instance)" / "262144"
+# with the byte total first (inspector_helpers.py:66-83).
+LSCPU_CACHE_FIELDS = {
+    "L1d cache:": "L1d", "L1i cache:": "L1i",
+    "L2 cache:": "L2", "L3 cache:": "L3",
+}
+# cache level -> hwloc lstopo XML object type (inspector_helpers.py:16-21)
+LSTOPO_CACHE_TYPES = {
+    "L1d": "L1Cache", "L1i": "L1iCache", "L2": "L2Cache", "L3": "L3Cache",
+}
+
+
+def read_lscpu_caches(spark: SparkSession, glob: str) -> DataFrame:
+    """lscpu cache facts -> (server_id, level, total_bytes, instances)
+    (inspector_helpers.py:293-318 `_extract_cache_info` +
+    :66-83 `_parse_cache_data_string`; instances defaults to 1)."""
+    raw = (
+        spark.read.schema(LSCPU_SCHEMA).json(glob)
+        .withColumn("server_id", _server_from_path())
+    )
+    fields = raw.select(
+        "server_id",
+        F.explode("lscpu").alias("kv"),
+    ).select("server_id", F.col("kv.field").alias("field"),
+             F.col("kv.data").alias("data"))
+    level = F.col("field")
+    for fld, lvl in LSCPU_CACHE_FIELDS.items():
+        level = F.when(F.col("field") == fld, lvl).otherwise(level)
+    return (
+        fields.filter(F.col("field").isin(list(LSCPU_CACHE_FIELDS))
+                      & F.col("data").isNotNull())
+        .select(
+            "server_id",
+            level.alias("level"),
+            F.regexp_extract("data", r"^\s*(\d+)", 1)
+            .cast("long").alias("total_bytes"),
+            F.coalesce(
+                F.nullif(F.regexp_extract("data", r"\((\d+)\s+instance", 1),
+                         F.lit("")).cast("int"),
+                F.lit(1),
+            ).alias("instances"),
+        )
+        .filter(F.col("total_bytes").isNotNull())
+    )
+
+
+def read_lstopo_caches(spark: SparkSession, glob: str) -> DataFrame:
+    """lstopo XML cache objects -> (server_id, level, total_bytes,
+    instances): per level, total = sum of `cache_size`, instances =
+    object count (inspector_helpers.py:183-216 `_parse_lstopo_caches` +
+    :219-244 aggregation). Used to OVERRIDE lscpu when the hypervisor
+    misreports topology (e.g. one L3 per vCPU instead of shared)."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+    )
+    out_schema = StructType([
+        StructField("server_id", StringType()),
+        StructField("level", StringType()),
+        StructField("total_bytes", LongType()),
+        StructField("instances", IntegerType()),
+    ])
+
+    def _parse(it):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        type_to_level = {v: k for k, v in LSTOPO_CACHE_TYPES.items()}
+        for pdf in it:
+            rows = []
+            for server_id, text in zip(pdf["server_id"], pdf["value"]):
+                try:
+                    root = ET.fromstring(text)
+                except ET.ParseError:
+                    continue
+                per_level: dict[str, list[int]] = {}
+                for elem in root.iter():
+                    lvl = type_to_level.get(elem.get("type"))
+                    if lvl is None:
+                        continue
+                    try:
+                        size = int(elem.get("cache_size") or "")
+                    except ValueError:
+                        continue
+                    per_level.setdefault(lvl, []).append(size)
+                for lvl, sizes in per_level.items():
+                    rows.append((server_id, lvl, sum(sizes), len(sizes)))
+            yield pd.DataFrame(
+                rows,
+                columns=["server_id", "level", "total_bytes", "instances"])
+
+    return raw.mapInPandas(_parse, out_schema)
+
+
+def cpu_cache_columns(lscpu_caches: DataFrame,
+                      lstopo_caches: DataFrame | None = None) -> DataFrame:
+    """Merge lscpu + lstopo cache facts into the server table's eight
+    cache columns (inspector.py:1362-1369): per-instance and total KiB
+    per level, lstopo winning per (server, level) when present
+    (inspector_helpers.py:219-244). KiB = floor(bytes/1024) after the
+    floor-divide per-instance split (CpuCacheInfo.as_dict)."""
+    merged = lscpu_caches
+    if lstopo_caches is not None:
+        topo = lstopo_caches.select(
+            "server_id", "level",
+            F.col("total_bytes").alias("_t_bytes"),
+            F.col("instances").alias("_t_inst"),
+        )
+        merged = (
+            lscpu_caches.join(topo, ["server_id", "level"], "full")
+            .select(
+                "server_id", "level",
+                F.coalesce("_t_bytes", "total_bytes").alias("total_bytes"),
+                F.coalesce("_t_inst", "instances").alias("instances"),
+            )
+        )
+    per_kib = F.floor(
+        F.floor(F.col("total_bytes") / F.col("instances")) / 1024
+    ).cast("int")
+    total_kib = F.floor(F.col("total_bytes") / 1024).cast("int")
+    longf = merged.select("server_id", "level", per_kib.alias("_per"),
+                          total_kib.alias("_tot"))
+
+    def pick(lvl, col):
+        return F.first(F.when(F.col("level") == lvl, F.col(col)),
+                       ignorenulls=True)
+
+    return longf.groupBy("server_id").agg(*[
+        pick(lvl, c).alias(f"cpu_{lvl.lower()}_cache{suffix}")
+        for lvl in ("L1d", "L1i", "L2", "L3")
+        for c, suffix in (("_per", ""), ("_tot", "_total"))
+    ])
+
+
+DMIDECODE_SCHEMA = "name string, props map<string,string>"
+
+
+def read_dmidecode_json(spark: SparkSession, glob: str) -> DataFrame:
+    """dmidecode parsed.json (top-level array of {name, props} sections,
+    reference inspector.py:165-175) -> one row per section with file
+    order stamped (`_pos`): `_server_dmidecode_section` takes the FIRST
+    matching section, so order is part of the contract."""
+    return (
+        spark.read.schema(DMIDECODE_SCHEMA).option("multiLine", "true")
+        .json(glob)
+        .withColumn("server_id", _server_from_path())
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
+
+
+def dmidecode_facts(sections: DataFrame) -> DataFrame:
+    """Per-server dmidecode-derived facts (reference inspector.py
+    mappings):
+
+    - memory_amount_mib — sum of Memory Device Size bytes // 1024^2
+      (inspector_helpers.py:164-171), the LAST hop of the
+      memory_amount_actual chain (inspector.py:1345-1351);
+    - memory_generation / memory_speed — Type / Speed of the FIRST
+      Memory Device (inspector.py:1379-1381; Speed Hz -> MHz via 1e6);
+    - cpu fallbacks — Manufacturer / Family / Version / Max Speed (GHz)
+      of the first Processor Information section, used when lscpu is
+      missing (inspector.py:1285-1326).
+    """
+    mem = F.col("name") == "Memory Device"
+    cpu = F.col("name") == "Processor Information"
+
+    def first_prop(cond, key):
+        return F.min_by(F.when(cond, F.col("props")[key]), F.when(cond, F.col("_pos")))
+
+    return sections.groupBy("server_id").agg(
+        F.floor(
+            F.sum(F.when(mem, F.col("props")["Size"].cast("long")))
+            / F.lit(1024 ** 2)
+        ).cast("long").alias("memory_amount_mib"),
+        first_prop(mem, "Type").alias("memory_generation"),
+        dround(first_prop(mem, "Speed").cast("long") / 1e6, 6)
+        .alias("memory_speed"),
+        first_prop(cpu, "Manufacturer").alias("cpu_manufacturer_dmi"),
+        first_prop(cpu, "Family").alias("cpu_family_dmi"),
+        first_prop(cpu, "Version").alias("cpu_model_dmi"),
+        dround(first_prop(cpu, "Max Speed").cast("double") / 1e9, 6)
+        .alias("cpu_speed_dmi"),
+    )
+
+
 MEMBENCH_SCHEMA = StructType([
     StructField("operation", StringType()),
     StructField("size_kb", DoubleType()),
@@ -766,18 +998,22 @@ def inspector_benchmarks(openssl: DataFrame | None = None,
 
 
 def memory_amount_actual(lstopo: DataFrame | None,
-                         lshw: DataFrame | None) -> DataFrame:
-    """The reference's fallback chain lstopo -> lshw
-    (inspector.py:1344-1351) as a coalesced outer join."""
-    if lstopo is None:
-        return lshw.select("server_id", F.col("memory_amount_mib")
-                           .alias("memory_amount_actual"))
-    if lshw is None:
-        return lstopo.select("server_id", F.col("memory_amount_mib")
-                             .alias("memory_amount_actual"))
-    a = lstopo.select("server_id",
-                      F.col("memory_amount_mib").alias("_topo"))
-    b = lshw.select("server_id", F.col("memory_amount_mib").alias("_lshw"))
-    return a.join(b, "server_id", "full_outer").select(
+                         lshw: DataFrame | None,
+                         dmidecode: DataFrame | None = None) -> DataFrame:
+    """The reference's fallback chain lstopo -> lshw -> dmidecode
+    (inspector.py:1344-1351) as coalesced outer joins; `dmidecode` is
+    the `dmidecode_facts` frame (its memory_amount_mib is the
+    Memory-Device byte sum, inspector_helpers.py:164-171)."""
+    frames = [
+        (df, alias) for df, alias in
+        ((lstopo, "_topo"), (lshw, "_lshw"), (dmidecode, "_dmi"))
+        if df is not None
+    ]
+    out = None
+    for df, alias in frames:
+        nxt = df.select("server_id",
+                        F.col("memory_amount_mib").cast("double").alias(alias))
+        out = nxt if out is None else out.join(nxt, "server_id", "full_outer")
+    return out.select(
         "server_id",
-        F.coalesce("_topo", "_lshw").alias("memory_amount_actual"))
+        F.coalesce(*[a for _, a in frames]).alias("memory_amount_actual"))

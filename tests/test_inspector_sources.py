@@ -217,7 +217,24 @@ def hw_corpus(tmp_path_factory):
         {"field": "Flags:", "data": "fpu vme sse avx512f"},
         {"field": "Caches (sum of all):", "data": None, "children": [
             {"field": "L1d:", "data": "192 KiB (4 instances)"}]},
+        {"field": "L1d cache:", "data": "131072 (4 instances)"},
+        {"field": "L1i cache:", "data": "131072 (4 instances)"},
+        {"field": "L2 cache:", "data": "4194304 (4 instances)"},
+        {"field": "L3 cache:", "data": "16777216"},
     ]}))
+    (d / "dmidecode.json").write_text(json.dumps([
+        {"name": "BIOS Information", "props": {"Vendor": "Amazon EC2"}},
+        {"name": "Processor Information",
+         "props": {"Manufacturer": "Advanced Micro Devices",
+                   "Family": "Zen", "Version": "AMD EPYC 7R13 Processor",
+                   "Max Speed": 3600000000}},
+        {"name": "Memory Device",
+         "props": {"Size": 17179869184, "Type": "DDR4",
+                   "Speed": 3200000000}},
+        {"name": "Memory Device",
+         "props": {"Size": 17179869184, "Type": "DDR4",
+                   "Speed": 3200000000}},
+    ]))
     (d / "lsblk.json").write_text(json.dumps({"blockdevices": [
         {"name": "nvme0n1", "size": 512110190592, "rota": False,
          "type": "disk", "tran": "nvme", "model": "Amazon EC2 NVMe"},
@@ -254,6 +271,9 @@ def hw_corpus(tmp_path_factory):
         <object type="Misc" subtype="MemoryModule">
           <info name="Type" value="Flash"/><info name="Size" value="999999"/>
         </object>
+        <object type="L3Cache" cache_size="33554432"/>
+        <object type="L2Cache" cache_size="1048576"/>
+        <object type="L2Cache" cache_size="1048576"/>
       </object>
     </topology>""")
     return str(root)
@@ -302,6 +322,73 @@ def test_lshw_lstopo_memory_chain(spark, hw_corpus):
     assert t["n_cores"] == 2
     chain = insp.memory_amount_actual(topo, lshw).collect()[0]
     assert chain["memory_amount_actual"] == 32768.0
+
+
+def test_cpu_cache_hierarchy(spark, hw_corpus):
+    """lscpu cache parse + lstopo override (inspector_helpers.py:66-83,
+    183-244; inspector.py:1362-1369): L1d/L1i keep lscpu facts, L2/L3
+    take lstopo's domain count + totals."""
+    lscpu = insp.read_lscpu_caches(spark, f"{hw_corpus}/*/*/lscpu.json")
+    got = {r["level"]: (r["total_bytes"], r["instances"])
+           for r in lscpu.collect()}
+    assert got == {"L1d": (131072, 4), "L1i": (131072, 4),
+                   "L2": (4194304, 4), "L3": (16777216, 1)}
+
+    topo = insp.read_lstopo_caches(spark, f"{hw_corpus}/*/*/lstopo.xml")
+    tgot = {r["level"]: (r["total_bytes"], r["instances"])
+            for r in topo.collect()}
+    assert tgot == {"L2": (2097152, 2), "L3": (33554432, 1)}
+
+    wide = insp.cpu_cache_columns(lscpu, topo).collect()[0]
+    assert wide["cpu_l1d_cache"] == 32          # 131072/4/1024 KiB
+    assert wide["cpu_l1d_cache_total"] == 128
+    assert wide["cpu_l1i_cache"] == 32
+    assert wide["cpu_l1i_cache_total"] == 128
+    assert wide["cpu_l2_cache"] == 1024         # lstopo override: 2x1MiB
+    assert wide["cpu_l2_cache_total"] == 2048
+    assert wide["cpu_l3_cache"] == 32768        # lstopo override: 32MiB
+    assert wide["cpu_l3_cache_total"] == 32768
+
+
+def test_dmidecode_reader_and_facts(spark, hw_corpus):
+    sections = insp.read_dmidecode_json(
+        spark, f"{hw_corpus}/*/*/dmidecode.json")
+    assert sections.count() == 4
+    facts = insp.dmidecode_facts(sections).collect()[0]
+    assert facts["memory_amount_mib"] == 32768      # 2 x 16 GiB banks
+    assert facts["memory_generation"] == "DDR4"
+    assert facts["memory_speed"] == 3200.0          # Hz -> MHz
+    assert facts["cpu_manufacturer_dmi"] == "Advanced Micro Devices"
+    assert facts["cpu_model_dmi"] == "AMD EPYC 7R13 Processor"
+    assert facts["cpu_speed_dmi"] == 3.6            # Hz -> GHz
+
+    # dmidecode is the LAST hop of the memory chain
+    chain = insp.memory_amount_actual(
+        None, None, insp.dmidecode_facts(sections)).collect()[0]
+    assert chain["memory_amount_actual"] == 32768.0
+
+
+def test_enrich_servers_cache_and_dmidecode(spark, hw_corpus):
+    servers = spark.createDataFrame(
+        [("m1.small", "vendor-model", None)],
+        "server_id string, cpu_model string, cpu_l3_cache int")
+    lscpu_caches = insp.read_lscpu_caches(
+        spark, f"{hw_corpus}/*/*/lscpu.json")
+    topo = insp.read_lstopo_caches(spark, f"{hw_corpus}/*/*/lstopo.xml")
+    dmi = insp.dmidecode_facts(
+        insp.read_dmidecode_json(spark, f"{hw_corpus}/*/*/dmidecode.json"))
+    out = insp.enrich_servers(
+        servers,
+        cache_cols=insp.cpu_cache_columns(lscpu_caches, topo),
+        dmidecode=dmi,
+    ).collect()[0]
+    # no lscpu frame -> dmidecode model beats vendor (inspector
+    # fallback order lscpu -> dmidecode -> vendor)
+    assert out["cpu_model"] == "7R13"
+    assert out["memory_generation"] == "DDR4"
+    assert out["memory_speed"] == 3200.0
+    assert out["cpu_l3_cache"] == 32768
+    assert out["cpu_l1d_cache_total"] == 128
 
 
 def test_membench_reader_and_ram_scope(spark, tmp_path):
