@@ -162,21 +162,42 @@ def redis_derivations(df: DataFrame) -> DataFrame:
 def read_nvidia_smi_xml(spark: SparkSession, glob: str) -> DataFrame:
     """S9 — nvidia-smi XML output -> one row per GPU (inspector.py:193-198
     parses with ElementTree; same here, Arrow-batched per FILE not per
-    row — stdlib xml, no spark-xml dependency)."""
+    row — stdlib xml, no spark-xml dependency). Columns mirror
+    `_gpu_details` (inspector.py:1043-1060): brand/architecture/model,
+    fb memory MiB, firmware + vbios ("N/A" -> null), four max clocks."""
     raw = (
         spark.read.text(glob, wholetext=True)
         .withColumn("server_id", _server_from_path())
     )
-    out_schema = StructType([
-        StructField("server_id", StringType()),
-        StructField("product_name", StringType()),
-        StructField("memory_total_mib", DoubleType()),
-    ])
+    cols = ["server_id", "product_name", "memory_total_mib",
+            "product_brand", "architecture", "firmware_version",
+            "vbios_version", "graphics_clock_mhz", "sm_clock_mhz",
+            "mem_clock_mhz", "video_clock_mhz"]
+    out_schema = StructType(
+        [StructField("server_id", StringType()),
+         StructField("product_name", StringType()),
+         StructField("memory_total_mib", DoubleType()),
+         StructField("product_brand", StringType()),
+         StructField("architecture", StringType()),
+         StructField("firmware_version", StringType()),
+         StructField("vbios_version", StringType())]
+        + [StructField(c, IntegerType()) for c in cols[7:]]
+    )
 
     def _parse(it):
         import xml.etree.ElementTree as ET
 
         import pandas as pd
+
+        def dropna(text):  # inspector.py:1037-1040
+            return None if text in (None, "N/A") else text
+
+        def clock(gpu, name):  # "1710 MHz" -> 1710 (inspector.py:1053-1055)
+            s = gpu.findtext(f"max_clocks/{name}", default="")
+            try:
+                return int(s[:-4])
+            except ValueError:
+                return None
 
         for pdf in it:
             rows = []
@@ -186,7 +207,6 @@ def read_nvidia_smi_xml(spark: SparkSession, glob: str) -> DataFrame:
                 except ET.ParseError:
                     continue
                 for gpu in root.findall("gpu"):
-                    name = gpu.findtext("product_name")
                     mem = gpu.findtext("fb_memory_usage/total", default="")
                     mib = None
                     if mem.endswith(" MiB"):
@@ -194,12 +214,62 @@ def read_nvidia_smi_xml(spark: SparkSession, glob: str) -> DataFrame:
                             mib = float(mem[:-4])
                         except ValueError:
                             pass
-                    rows.append((server_id, name, mib))
-            yield pd.DataFrame(
-                rows, columns=["server_id", "product_name", "memory_total_mib"]
-            )
+                    rows.append((
+                        server_id,
+                        gpu.findtext("product_name"),
+                        mib,
+                        gpu.findtext("product_brand"),
+                        gpu.findtext("product_architecture"),
+                        dropna(gpu.findtext("gsp_firmware_version")),
+                        dropna(gpu.findtext("vbios_version")),
+                        clock(gpu, "graphics_clock"),
+                        clock(gpu, "sm_clock"),
+                        clock(gpu, "mem_clock"),
+                        clock(gpu, "video_clock"),
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(_parse, out_schema)
+
+
+def gpu_facts(gpus: DataFrame) -> DataFrame:
+    """Per-server GPU aggregates from the nvidia-smi rows
+    (inspector.py:1382-1390): mode()-based manufacturer/family/model
+    (A8), count, min/total fb memory, plus the detail array. The
+    "Quadro RTX" hypervisor misreport maps to NVIDIA before the mode
+    (inspector.py:1057-1059)."""
+    from ..functions.standardize import standardize_manufacturer
+
+    manu = standardize_manufacturer(
+        F.when(F.col("product_brand") == "Quadro RTX", "NVIDIA")
+        .otherwise(F.col("product_brand"))
+    )
+    detail = F.struct(
+        manu.alias("manufacturer"),
+        F.col("architecture").alias("family"),
+        F.col("product_name").alias("model"),
+        F.col("memory_total_mib").alias("memory"),
+    )
+    return gpus.groupBy("server_id").agg(
+        F.mode(manu).alias("gpu_manufacturer"),
+        F.mode("architecture").alias("gpu_family"),
+        F.mode("product_name").alias("gpu_model"),
+        F.count("*").cast("int").alias("gpu_count"),
+        F.min("memory_total_mib").alias("gpu_memory_min"),
+        F.sum("memory_total_mib").alias("gpu_memory_total"),
+        F.array_sort(F.collect_list(detail)).alias("gpus"),
+    )
+
+
+def read_virtualization_json(spark: SparkSession, glob: str) -> DataFrame:
+    """virtualization stdout JSON ({"kvm": bool, ...},
+    inspector.py:211-213) -> (server_id, hw_virt): the reference's
+    hw_virt mapping reads the "kvm" key (inspector.py:1377)."""
+    return (
+        spark.read.schema("kvm boolean").json(glob)
+        .withColumn("server_id", _server_from_path())
+        .select("server_id", F.col("kvm").alias("hw_virt"))
+    )
 
 
 def enrich_servers(servers: DataFrame,
@@ -207,7 +277,9 @@ def enrich_servers(servers: DataFrame,
                    stressng: DataFrame | None = None,
                    timings: DataFrame | None = None,
                    cache_cols: DataFrame | None = None,
-                   dmidecode: DataFrame | None = None) -> DataFrame:
+                   dmidecode: DataFrame | None = None,
+                   gpu: DataFrame | None = None,
+                   virtualization: DataFrame | None = None) -> DataFrame:
     """§2.12 — the relational form of ``inspect_update_server_dict``
     (inspector.py:1222-1453): HW-inspection measurements override
     vendor-declared columns when present (the reference's
@@ -282,6 +354,26 @@ def enrich_servers(servers: DataFrame,
             out = out.withColumn(c, F.coalesce(F.col(f"_c_{c}"), base))
         out = out.drop(*[f"_c_{c}" for c in cache_cols.columns
                          if c != "server_id"])
+    if gpu is not None:
+        # HW-inspected GPU facts override vendor-declared ones; servers
+        # with no nvidia-smi rows keep vendor data (the reference's
+        # "skip update if there is no HW-inspected GPU info",
+        # inspector.py:1386-1390)
+        gcols = [c for c in gpu.columns if c != "server_id"]
+        g = gpu.select("server_id",
+                       *[F.col(c).alias(f"_g_{c}") for c in gcols])
+        out = out.join(F.broadcast(g), "server_id", "left")
+        for c in gcols:
+            base = F.col(c) if c in out.columns else F.lit(None)
+            out = out.withColumn(c, F.coalesce(F.col(f"_g_{c}"), base))
+        out = out.drop(*[f"_g_{c}" for c in gcols])
+    if virtualization is not None:
+        v = virtualization.select("server_id",
+                                  F.col("hw_virt").alias("_v_hw"))
+        out = out.join(F.broadcast(v), "server_id", "left")
+        base = F.col("hw_virt") if "hw_virt" in out.columns else F.lit(None)
+        out = out.withColumn("hw_virt", F.coalesce(F.col("_v_hw"), base))
+        out = out.drop("_v_hw")
     if stressng is not None:
         curve = stressng.groupBy("server_id").agg(
             (F.max("score") / F.min_by("score", "cores")).alias("_ratio")

@@ -178,26 +178,70 @@ def test_enrich_servers_override_semantics(spark):
 
 
 def test_nvidia_smi_xml(spark, tmp_path):
-    xml = """<?xml version="1.0" ?>
-<nvidia_smi_log>
-  <gpu id="0"><product_name>NVIDIA A10G</product_name>
-    <fb_memory_usage><total>22888 MiB</total></fb_memory_usage></gpu>
-  <gpu id="1"><product_name>NVIDIA A10G</product_name>
-    <fb_memory_usage><total>22888 MiB</total></fb_memory_usage></gpu>
-</nvidia_smi_log>"""
+    gpu_block = """<gpu id="{i}"><product_name>NVIDIA A10G</product_name>
+    <product_brand>Tesla</product_brand>
+    <product_architecture>Ampere</product_architecture>
+    <gsp_firmware_version>N/A</gsp_firmware_version>
+    <vbios_version>94.02.75.00.01</vbios_version>
+    <fb_memory_usage><total>22888 MiB</total></fb_memory_usage>
+    <max_clocks><graphics_clock>1710 MHz</graphics_clock>
+      <sm_clock>1710 MHz</sm_clock><mem_clock>6251 MHz</mem_clock>
+      <video_clock>1512 MHz</video_clock></max_clocks></gpu>"""
+    xml = ('<?xml version="1.0" ?>\n<nvidia_smi_log>'
+           + gpu_block.format(i=0) + gpu_block.format(i=1)
+           + "</nvidia_smi_log>")
     d = tmp_path / "aws" / "g5.xlarge"
     d.mkdir(parents=True)
     (d / "nvidia_smi.xml").write_text(xml)
     (tmp_path / "aws" / "bad").mkdir()
     (tmp_path / "aws" / "bad" / "nvidia_smi.xml").write_text("<broken")
 
-    rows = insp.read_nvidia_smi_xml(
-        spark, f"{tmp_path}/*/*/nvidia_smi.xml"
-    ).collect()
+    gpus = insp.read_nvidia_smi_xml(spark, f"{tmp_path}/*/*/nvidia_smi.xml")
+    rows = gpus.collect()
     assert len(rows) == 2  # malformed file skipped, 2 GPUs parsed
     assert all(r["server_id"] == "g5.xlarge" for r in rows)
     assert all(r["product_name"] == "NVIDIA A10G" for r in rows)
     assert all(r["memory_total_mib"] == 22888.0 for r in rows)
+    assert all(r["firmware_version"] is None for r in rows)  # N/A -> null
+    assert all(r["vbios_version"] == "94.02.75.00.01" for r in rows)
+    assert all(r["graphics_clock_mhz"] == 1710 for r in rows)
+    assert all(r["mem_clock_mhz"] == 6251 for r in rows)
+
+    facts = insp.gpu_facts(gpus).collect()[0]
+    assert facts["gpu_manufacturer"] == "NVIDIA"  # Tesla standardized
+    assert facts["gpu_family"] == "Ampere"
+    assert facts["gpu_model"] == "NVIDIA A10G"
+    assert facts["gpu_count"] == 2
+    assert facts["gpu_memory_min"] == 22888.0
+    assert facts["gpu_memory_total"] == 45776.0
+    assert [g["model"] for g in facts["gpus"]] == ["NVIDIA A10G"] * 2
+
+
+def test_virtualization_and_enrich_gpu(spark, tmp_path):
+    d = tmp_path / "aws" / "g5.xlarge"
+    d.mkdir(parents=True)
+    (d / "virtualization.json").write_text(json.dumps({"kvm": True}))
+    virt = insp.read_virtualization_json(
+        spark, f"{tmp_path}/*/*/virtualization.json")
+    assert virt.collect()[0]["hw_virt"] is True
+
+    servers = spark.createDataFrame(
+        [("g5.xlarge", 1, "vendor-gpu"), ("cpu.only", None, None)],
+        "server_id string, gpu_count int, gpu_model string")
+    gpu = spark.createDataFrame(
+        [("g5.xlarge", "NVIDIA", "Ampere", "NVIDIA A10G", 4, 22888.0,
+          91552.0)],
+        "server_id string, gpu_manufacturer string, gpu_family string, "
+        "gpu_model string, gpu_count int, gpu_memory_min double, "
+        "gpu_memory_total double")
+    out = {r["server_id"]: r for r in insp.enrich_servers(
+        servers, gpu=gpu, virtualization=virt).collect()}
+    # inspected GPU facts override vendor; uninspected server keeps vendor
+    assert out["g5.xlarge"]["gpu_count"] == 4
+    assert out["g5.xlarge"]["gpu_model"] == "NVIDIA A10G"
+    assert out["g5.xlarge"]["hw_virt"] is True
+    assert out["cpu.only"]["gpu_count"] is None
+    assert out["cpu.only"]["hw_virt"] is None
 
 
 # ------------------------- S6/S9 remainder: lscpu/lsblk/openssl/lshw/lstopo
