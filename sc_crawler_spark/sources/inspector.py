@@ -543,6 +543,187 @@ def storage_summary(disks: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------- vendor-aware storage-disk discovery
+
+# Whether the vendor boots from an attached network drive — the first
+# nvme device is then the boot drive and NOT a bundled local disk
+# (inspector.py:1086-1095, "Info from sc_runner/resources").
+_BOOT_FROM_NETWORK = {
+    "alicloud": True, "aws": True, "azure": True, "gcp": True,
+    "hcloud": False, "ovh": False, "upcloud": True, "vultr": False,
+}
+
+LSBLK_RAW_SCHEMA = (
+    "blockdevices array<struct<name:string,size:long,subsystems:string>>"
+)
+
+
+def storage_disks_lsblk(spark: SparkSession, glob: str) -> DataFrame:
+    """`_find_storage_disks_from_lsblk` (inspector.py:1070-1129): local
+    nvmeN devices past the vendor's boot-drive offset land as nvme ssd
+    (description = the nvme index, used only for ordering), and the
+    Hetzner/OVH virtio-scsi `sda` lands as a network drive. Sizes are
+    decimal GB (bytes // 1000^3)."""
+    raw = (
+        spark.read.schema(LSBLK_RAW_SCHEMA).json(glob)
+        .withColumn("server_id", _server_from_path())
+        .withColumn("vendor_id", _server_from_path(3))
+    )
+    d = raw.select("vendor_id", "server_id",
+                   F.explode("blockdevices").alias("d"))
+    boot_net = F.col("vendor_id").isin(
+        [v for v, b in _BOOT_FROM_NETWORK.items() if b])
+    nvme_idx = F.nullif(
+        F.regexp_extract(F.col("d.name"), r"^nvme(\d+)", 1), F.lit("")
+    ).cast("int")
+    size_gb = F.floor(F.col("d.size") / F.lit(1000 ** 3)).cast("long")
+    is_nvme = nvme_idx >= F.when(boot_net, 1).otherwise(0)
+    is_virtio = (
+        ~boot_net & (F.col("d.name") == "sda")
+        & (F.col("d.subsystems") == "block:scsi:virtio:pci")
+    )
+    return (
+        d.filter(F.coalesce(is_nvme, F.lit(False)) | is_virtio)
+        .select(
+            "vendor_id", "server_id",
+            size_gb.alias("size"),
+            F.when(F.coalesce(is_nvme, F.lit(False)), "nvme ssd")
+            .otherwise("network").alias("storage_type"),
+            F.when(F.coalesce(is_nvme, F.lit(False)),
+                   nvme_idx.cast("string")).alias("description"),
+        )
+    )
+
+
+def storage_disks_lshw(spark: SparkSession, glob: str) -> DataFrame:
+    """`_find_storage_disks_from_lshw` + `_determine_storage_type`
+    (inspector.py:1132-1179): disks under class=storage controllers,
+    typed by vendor-specific controller/product rules; GCP network
+    disks are skipped (added manually, not bundled). Arbitrary-depth
+    recursion -> per-FILE Arrow-batched parse like read_lshw_json."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+        .withColumn("vendor_id", _server_from_path(3))
+    )
+    out_schema = StructType([
+        StructField("vendor_id", StringType()),
+        StructField("server_id", StringType()),
+        StructField("size", LongType()),
+        StructField("storage_type", StringType()),
+        StructField("description", StringType()),
+    ])
+
+    def _storage_type(vendor, product, desc):
+        if vendor == "gcp" and "-pd" in product:
+            return "network"
+        if vendor == "aws" and "amazon elastic block store" in product:
+            return "network"
+        if vendor == "upcloud" and "virtio block device" in product:
+            return "network"
+        if "nvme" in desc:
+            return "nvme ssd"
+        return "ssd"
+
+    def _walk(node, vendor, acc):
+        if not isinstance(node, dict):
+            return
+        if node.get("class", "") == "storage":
+            product = node.get("product", "").lower()
+            for child in node.get("children", []) or []:
+                if not isinstance(child, dict):
+                    continue
+                if child.get("class") == "disk" and "size" in child:
+                    stype = _storage_type(
+                        vendor, product,
+                        child.get("description", "").lower())
+                    if vendor == "gcp" and stype == "network":
+                        continue
+                    acc.append((child.get("size", 0) // 1000 ** 3,
+                                stype, product))
+        for child in node.get("children", []) or []:
+            _walk(child, vendor, acc)
+
+    def _parse(it):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for vendor, server_id, text in zip(
+                    pdf["vendor_id"], pdf["server_id"], pdf["value"]):
+                try:
+                    obj = _json.loads(text)
+                except ValueError:
+                    continue
+                acc: list = []
+                for node in obj if isinstance(obj, list) else [obj]:
+                    _walk(node, vendor, acc)
+                rows.extend((vendor, server_id, s, t, d) for s, t, d in acc)
+            yield pd.DataFrame(
+                rows, columns=["vendor_id", "server_id", "size",
+                               "storage_type", "description"])
+
+    return raw.mapInPandas(_parse, out_schema)
+
+
+def storage_info(lsblk_disks: DataFrame,
+                 lshw_disks: DataFrame | None = None) -> DataFrame:
+    """`_parse_storage_info` (inspector.py:1182-1219): per server,
+    lsblk-discovered disks win outright; lshw only fills servers where
+    lsblk found nothing. Disks sort by the product-name key (first
+    number in the description, description length, size), descriptions
+    are then dropped; storage_type = the LARGEST disk's type (first
+    max in sort order), storage_size = size sum.
+
+    Output: (server_id, storage_type, storage_size,
+    storages: array<struct<size,storage_type>>).
+    """
+    src = lsblk_disks
+    if lshw_disks is not None:
+        only_lshw = lshw_disks.join(
+            lsblk_disks.select("server_id").distinct(), "server_id",
+            "left_anti")
+        src = lsblk_disks.unionByName(only_lshw)
+
+    num = F.nullif(
+        F.regexp_extract(F.coalesce("description", F.lit("")),
+                         r"(\d+)", 1), F.lit("")).cast("int")
+    keyed = src.select(
+        "server_id",
+        F.struct(
+            F.when(num.isNull(), 1).otherwise(0).alias("no_number"),
+            F.coalesce(num, F.lit(0)).alias("number"),
+            F.length(F.coalesce("description", F.lit("")))
+            .alias("desc_len"),
+            F.col("size").alias("size"),
+            F.col("storage_type").alias("storage_type"),
+        ).alias("d"),
+    )
+    arr = F.array_sort(F.collect_list("d"))
+    largest = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).cast("long").alias("size"),
+                 F.lit(None).cast("string").alias("storage_type")),
+        lambda acc, d: F.when(
+            d["size"] > acc["size"],
+            F.struct(d["size"].alias("size"),
+                     d["storage_type"].alias("storage_type")),
+        ).otherwise(acc),
+    )
+    return keyed.groupBy("server_id").agg(
+        largest["storage_type"].alias("storage_type"),
+        F.aggregate(arr, F.lit(0).cast("long"),
+                    lambda acc, d: acc + d["size"]).alias("storage_size"),
+        F.transform(
+            arr,
+            lambda d: F.struct(d["size"].alias("size"),
+                               d["storage_type"].alias("storage_type")),
+        ).alias("storages"),
+    )
+
+
 OPENSSL_SCHEMA = "algo string, block_size long, speed double"
 
 

@@ -615,3 +615,73 @@ def test_membench_scores_through_fleet_pipeline(spark, tmp_path):
     got = {r["benchmark_id"]: r["best_score"] for r in best.collect()}
     assert got["membench:latency"] == 1.2          # min (lower is better)
     assert got["membench:bandwidth_read"] == 50000.0  # max
+
+
+def test_storage_disk_discovery_and_info(spark, tmp_path):
+    """Vendor-aware disk discovery (_find_storage_disks_from_lsblk /
+    _from_lshw, inspector.py:1070-1219): boot-drive offset per vendor,
+    virtio-scsi network rule, lshw controller typing, lsblk-wins
+    preference, largest-disk type + size sum."""
+    # aws boots from network: nvme0 is the boot drive, nvme1/nvme2 local
+    aws = tmp_path / "aws" / "i3.large"
+    aws.mkdir(parents=True)
+    (aws / "lsblk.json").write_text(json.dumps({"blockdevices": [
+        {"name": "nvme0n1", "size": 100 * 1000**3,
+         "subsystems": "block:nvme:pci"},
+        {"name": "nvme1n1", "size": 475 * 1000**3,
+         "subsystems": "block:nvme:pci"},
+        {"name": "nvme2n1", "size": 475 * 1000**3,
+         "subsystems": "block:nvme:pci"},
+    ]}))
+    # hcloud boots locally: virtio-scsi sda is a network volume
+    hc = tmp_path / "hcloud" / "cx22"
+    hc.mkdir(parents=True)
+    (hc / "lsblk.json").write_text(json.dumps({"blockdevices": [
+        {"name": "sda", "size": 40 * 1000**3,
+         "subsystems": "block:scsi:virtio:pci"},
+    ]}))
+    disks = insp.storage_disks_lsblk(spark, f"{tmp_path}/*/*/lsblk.json")
+    got = {(r["vendor_id"], r["size"], r["storage_type"], r["description"])
+           for r in disks.collect()}
+    assert got == {("aws", 475, "nvme ssd", "1"),
+                   ("aws", 475, "nvme ssd", "2"),
+                   ("hcloud", 40, "network", None)}
+
+    # lshw fallback server (no lsblk finds): AWS EBS controller skipped
+    # as network=kept (only gcp skips), nvme disk typed by description
+    ls = tmp_path / "aws" / "m7i.large"
+    ls.mkdir(parents=True)
+    (ls / "lshw.json").write_text(json.dumps({
+        "id": "server", "class": "system", "children": [
+            {"id": "storage", "class": "storage",
+             "product": "Amazon Elastic Block Store", "children": [
+                 {"id": "disk", "class": "disk", "size": 64 * 1000**3,
+                  "description": "NVMe disk"}]},
+            {"id": "storage2", "class": "storage", "product": "Ctrl",
+             "children": [
+                 {"id": "disk", "class": "disk", "size": 200 * 1000**3,
+                  "description": "NVMe disk"}]},
+        ]}))
+    # gcp network disks are dropped entirely
+    gc = tmp_path / "gcp" / "n2-standard-4"
+    gc.mkdir(parents=True)
+    (gc / "lshw.json").write_text(json.dumps({
+        "id": "server", "class": "system", "children": [
+            {"id": "storage", "class": "storage",
+             "product": "nvme-pd controller", "children": [
+                 {"id": "disk", "class": "disk",
+                  "size": 10 * 1000**3, "description": "disk"}]}]}))
+    lshw_disks = insp.storage_disks_lshw(spark, f"{tmp_path}/*/*/lshw.json")
+    lrows = {(r["vendor_id"], r["size"], r["storage_type"])
+             for r in lshw_disks.collect()}
+    assert lrows == {("aws", 64, "network"), ("aws", 200, "nvme ssd")}
+
+    info = {r["server_id"]: r for r in
+            insp.storage_info(disks, lshw_disks).collect()}
+    assert set(info) == {"i3.large", "cx22", "m7i.large"}
+    assert info["i3.large"]["storage_type"] == "nvme ssd"
+    assert info["i3.large"]["storage_size"] == 950
+    assert [d["size"] for d in info["i3.large"]["storages"]] == [475, 475]
+    assert info["cx22"]["storage_type"] == "network"
+    assert info["m7i.large"]["storage_size"] == 264
+    assert info["m7i.large"]["storage_type"] == "nvme ssd"  # largest=200
