@@ -1235,12 +1235,185 @@ def bogomips_benchmark(lscpu: DataFrame) -> DataFrame:
     )
 
 
+# passmark Results key -> published benchmark name (inspector.py:53-70);
+# benchmark_id = "passmark:" + the name slugged to snake-ish lowercase
+_PASSMARK_MAPS = {
+    "SUMM_CPU": "CPU Mark",
+    "CPU_INTEGER_MATH": "CPU Integer Maths Test",
+    "CPU_FLOATINGPOINT_MATH": "CPU Floating Point Maths Test",
+    "CPU_PRIME": "CPU Prime Numbers Test",
+    "CPU_SORTING": "CPU String Sorting Test",
+    "CPU_ENCRYPTION": "CPU Encryption Test",
+    "CPU_COMPRESSION": "CPU Compression Test",
+    "CPU_SINGLETHREAD": "CPU Single Threaded Test",
+    "CPU_PHYSICS": "CPU Physics Test",
+    "CPU_MATRIX_MULT_SSE": "CPU Extended Instructions Test",
+    "SUMM_ME": "Memory Mark",
+    "ME_ALLOC_S": "Database Operations",
+    "ME_READ_S": "Memory Read Cached",
+    "ME_READ_L": "Memory Read Uncached",
+    "ME_WRITE": "Memory Write",
+    "ME_LATENCY": "Memory Latency",
+}
+
+# server-client framework emission policies (inspector.py:36-51)
+_SERVER_CLIENT_MAPS = {
+    "static_web": {
+        "keys": ["size", "connections_per_vcpus"],
+        "measurements": ["rps", "rps-extrapolated", "throughput",
+                         "throughput-extrapolated", "latency"],
+    },
+    "redis": {
+        "keys": ["operation", "pipeline"],
+        "measurements": ["rps", "rps-extrapolated", "latency"],
+    },
+}
+
+
+def bw_mem_benchmarks(bw: DataFrame) -> DataFrame:
+    """bw_mem rows -> benchmark rows (inspector.py:356-371):
+    benchmark_id "bw_mem", config {operation, size}, score MB/s."""
+    return bw.select(
+        "server_id",
+        F.lit("bw_mem").alias("benchmark_id"),
+        F.to_json(F.struct(
+            F.col("operation").alias("operation"),
+            F.col("size_mb").alias("size"))).alias("config"),
+        F.col("mb_per_s").alias("score"),
+    )
+
+
+def geekbench_benchmarks(gb: DataFrame) -> DataFrame:
+    """geekbench workload rows -> benchmark rows (inspector.py:404-444):
+    benchmark_id "geekbench:<workload slug>", config {"cores":
+    single|multi} from the section name."""
+    slug = F.regexp_replace(F.lower("workload"), r"\W+", "_")
+    cores = F.when(F.col("section") == "Single-Core Performance",
+                   "single").otherwise("multi")
+    return gb.select(
+        "server_id",
+        F.concat(F.lit("geekbench:"), slug).alias("benchmark_id"),
+        F.to_json(F.struct(cores.alias("cores"))).alias("config"),
+        "score",
+    )
+
+
+def passmark_benchmarks(pm: DataFrame) -> DataFrame:
+    """passmark metrics -> benchmark rows (inspector.py:446-474): only
+    the published PASSMARK_MAPS keys, id = "passmark:<name slug>",
+    no config."""
+    import re as _re
+
+    bid = F.col("metric")
+    for key, name in _PASSMARK_MAPS.items():
+        bid = F.when(F.col("metric") == key,
+                     "passmark:" + _re.sub(r"\W+", "_", name.lower())
+                     ).otherwise(bid)
+    return (
+        pm.filter(F.col("metric").isin(list(_PASSMARK_MAPS)))
+        .select("server_id", bid.alias("benchmark_id"),
+                F.lit(None).cast("string").alias("config"),
+                F.col("value").alias("score"))
+    )
+
+
+def stressng_benchmarks(sn: DataFrame) -> DataFrame:
+    """stressngfull curve -> the stress_ng benchmark family
+    (inspector.py:496-576): cpu_all at the fewest/most cores,
+    div16 for every row (config {"cores": n}), and the config-less
+    best1 (fewest-cores score) / bestn (max score) pair."""
+    cfg = F.to_json(F.struct(F.col("cores").alias("cores")))
+    div16 = sn.select(
+        "server_id", F.lit("stress_ng:div16").alias("benchmark_id"),
+        cfg.alias("config"), "score")
+    bounds = sn.groupBy("server_id").agg(
+        F.min("cores").alias("_min_c"), F.max("cores").alias("_max_c"),
+        F.min_by("score", "cores").alias("best1"),
+        F.max("score").alias("bestn"),
+    )
+    cpu_all = sn.join(bounds, "server_id").filter(
+        (F.col("cores") == F.col("_min_c"))
+        | (F.col("cores") == F.col("_max_c"))
+    ).select(
+        "server_id", F.lit("stress_ng:cpu_all").alias("benchmark_id"),
+        cfg.alias("config"), "score")
+    bests = bounds.selectExpr(
+        "server_id",
+        "stack(2, 'stress_ng:best1', best1, 'stress_ng:bestn', bestn) "
+        "AS (benchmark_id, score)",
+    ).select("server_id", "benchmark_id",
+             F.lit(None).cast("string").alias("config"), "score")
+    return div16.unionByName(cpu_all).unionByName(bests)
+
+
+def server_client_benchmarks(df: DataFrame, framework: str,
+                             vcpus: DataFrame | None = None) -> DataFrame:
+    """redis / static_web CSV rows -> benchmark rows
+    (inspector.py:578-630): per framework key set, keep the row with
+    the highest rps (threads/connections collapse), then emit each
+    measurement — extrapolated scores scale rps by the client's CPU
+    share, throughput multiplies by the parsed size suffix."""
+    policy = _SERVER_CLIENT_MAPS[framework]
+    keys = policy["keys"]
+    if "connections_per_vcpus" in keys:
+        if vcpus is None:
+            raise ValueError(f"{framework} needs vcpus for "
+                             "connections_per_vcpus")
+        df = df.join(vcpus.select("server_id", "vcpus"), "server_id")
+        df = df.withColumn("connections_per_vcpus",
+                           F.col("connections") / F.col("vcpus"))
+
+    best = df.groupBy("server_id", *keys).agg(
+        F.max_by(
+            F.struct("rps", "latency", "size",
+                     "server_usr", "server_sys",
+                     "client_usr", "client_sys"),
+            F.struct(F.col("rps")),
+        ).alias("r")
+    ).select("server_id", *keys, "r.*")
+
+    susr = F.col("server_usr") + F.col("server_sys")
+    cusr = F.col("client_usr") + F.col("client_sys")
+    extrapolated = F.round(F.col("rps") / susr * (susr + cusr), 2)
+    size_bytes = (
+        F.regexp_extract("size", r"^([0-9]+)", 1).cast("double")
+        * F.when(F.lower(F.col("size")).endswith("k"), 1024)
+        .when(F.lower(F.col("size")).endswith("m"), 1024 * 1024)
+        .otherwise(1)
+    )
+    scores = {
+        "rps": F.col("rps"),
+        "rps-extrapolated": extrapolated,
+        "throughput": F.col("rps") * size_bytes,
+        "throughput-extrapolated": extrapolated * size_bytes,
+        "latency": F.col("latency"),
+    }
+    cfg = F.to_json(F.struct(*[F.col(k).alias(k) for k in keys]))
+    out = None
+    for m in policy["measurements"]:
+        part = best.select(
+            "server_id",
+            F.lit(f"{framework}:{m}").alias("benchmark_id"),
+            cfg.alias("config"),
+            scores[m].alias("score"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def inspector_benchmarks(openssl: DataFrame | None = None,
                          membench: DataFrame | None = None,
                          compression: DataFrame | None = None,
                          cache: DataFrame | None = None,
                          llm: DataFrame | None = None,
-                         lscpu: DataFrame | None = None) -> DataFrame:
+                         lscpu: DataFrame | None = None,
+                         bw_mem: DataFrame | None = None,
+                         geekbench: DataFrame | None = None,
+                         passmark: DataFrame | None = None,
+                         stressng: DataFrame | None = None,
+                         redis: DataFrame | None = None,
+                         static_web: DataFrame | None = None,
+                         vcpus: DataFrame | None = None) -> DataFrame:
     """Union the per-framework readers into ONE benchmark_score-shaped
     frame ``(server_id, benchmark_id, config, score)`` — the relational
     form of the reference's ``inspect_server_benchmarks`` accumulator
@@ -1262,6 +1435,19 @@ def inspector_benchmarks(openssl: DataFrame | None = None,
         frames.append(llm)
     if lscpu is not None:
         frames.append(bogomips_benchmark(lscpu))
+    if bw_mem is not None:
+        frames.append(bw_mem_benchmarks(bw_mem))
+    if geekbench is not None:
+        frames.append(geekbench_benchmarks(geekbench))
+    if passmark is not None:
+        frames.append(passmark_benchmarks(passmark))
+    if stressng is not None:
+        frames.append(stressng_benchmarks(stressng))
+    if redis is not None:
+        frames.append(server_client_benchmarks(redis, "redis"))
+    if static_web is not None:
+        frames.append(server_client_benchmarks(static_web, "static_web",
+                                               vcpus=vcpus))
     if not frames:
         raise ValueError("no benchmark frames supplied")
     out = frames[0]

@@ -685,3 +685,70 @@ def test_storage_disk_discovery_and_info(spark, tmp_path):
     assert info["cx22"]["storage_type"] == "network"
     assert info["m7i.large"]["storage_size"] == 264
     assert info["m7i.large"]["storage_type"] == "nvme ssd"  # largest=200
+
+
+def test_benchmark_family_emission(spark, corpus):
+    """The remaining inspect_server_benchmarks families land as
+    benchmark rows (inspector.py:356-630): bw_mem, geekbench slugs +
+    parallelism config, passmark published keys, the stress_ng
+    cpu_all/div16/best1/bestn set, and redis measurements."""
+    bw = insp.bw_mem_benchmarks(
+        insp.read_bw_mem_lines(spark, f"{corpus}/*/*/bw_mem.txt"))
+    rows = bw.filter("server_id = 'm1.small'").collect()
+    assert {r["benchmark_id"] for r in rows} == {"bw_mem"}
+    rd = [r for r in rows if '"operation":"rd"' in r["config"]][0]
+    assert rd["score"] == 57232.0 and '"size":64.0' in rd["config"]
+
+    gb = insp.geekbench_benchmarks(
+        insp.read_geekbench_results(spark, f"{corpus}/*/*/results.json"))
+    got = {(r["benchmark_id"], r["config"]): r["score"]
+           for r in gb.filter("server_id = 'm1.small'").collect()}
+    assert got[("geekbench:aes_xts", '{"cores":"multi"}')] == 2900.0
+    assert got[("geekbench:html5", '{"cores":"single"}')] == 1100.0
+
+    try:
+        import yaml  # noqa: F401
+        pm = insp.passmark_benchmarks(
+            insp.parse_passmark_yaml(spark, f"{corpus}/*/*/passmark.yml"))
+        prow = {r["benchmark_id"]: r["score"]
+                for r in pm.filter("server_id = 'm1.small'").collect()}
+        # CPU_MARK is not a published PASSMARK_MAPS key -> dropped;
+        # fixture has no published keys, so expect empty
+        assert prow == {}
+    except ImportError:
+        pass
+
+    sn = insp.stressng_benchmarks(
+        insp.read_stressng_csv(spark, f"{corpus}/*/*/stressngfull.csv"))
+    srow = [(r["benchmark_id"], r["config"], r["score"])
+            for r in sn.filter("server_id = 'm1.small'").collect()]
+    ids = [b for b, _, _ in srow]
+    assert ids.count("stress_ng:div16") == 3        # every curve row
+    assert ids.count("stress_ng:cpu_all") == 2      # fewest + most cores
+    assert ("stress_ng:best1", None, 100.0) in srow
+    assert ("stress_ng:bestn", None, 260.0) in srow
+
+    redis = insp.server_client_benchmarks(
+        insp.read_redis_csv(spark, f"{corpus}/*/*/redis.csv"), "redis")
+    rrows = {(r["benchmark_id"], r["config"]): r["score"]
+             for r in redis.filter("server_id = 'm1.small'").collect()}
+    # GET pipeline=1: top rps over connections = 1400
+    assert rrows[("redis:rps",
+                  '{"operation":"GET","pipeline":1.0}')] == 1400.0
+    # extrapolated = 1400/3*(3+1) rounded 2
+    assert rrows[("redis:rps-extrapolated",
+                  '{"operation":"GET","pipeline":1.0}')] == round(
+        1400.0 / 3.0 * 4.0, 2)
+    assert rrows[("redis:latency",
+                  '{"operation":"SET","pipeline":4.0}')] == 0.9
+
+    allf = insp.inspector_benchmarks(
+        bw_mem=insp.read_bw_mem_lines(spark, f"{corpus}/*/*/bw_mem.txt"),
+        geekbench=insp.read_geekbench_results(
+            spark, f"{corpus}/*/*/results.json"),
+        stressng=insp.read_stressng_csv(
+            spark, f"{corpus}/*/*/stressngfull.csv"),
+        redis=insp.read_redis_csv(spark, f"{corpus}/*/*/redis.csv"),
+    )
+    assert allf.columns == ["server_id", "benchmark_id", "config", "score"]
+    assert allf.count() > 20
