@@ -783,6 +783,131 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
         _rewrite(spark, inv, inv_path)
 
 
+def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
+                vendor: str = "aws") -> None:
+    """The reference's HW-inspection ingest (inspector.py:339-757 +
+    1222-1453) over a landed bronze tree
+    ``<bronze>/inspector/<vendor>/<server>/<file>`` (the inspector-data
+    repo's <vendor>/<server>/<framework>/ tree flattened to
+    per-framework filenames at landing):
+
+    - every present benchmark framework lands as vendor-scoped
+      ``benchmark_score`` rows through validate -> merge-upsert
+      (config PK defaults to '{}' like the reference's HashableDict);
+    - when the lake already has a ``server`` table, the inspected
+      hardware facts (lscpu, cache hierarchy, dmidecode, GPU,
+      virtualization, storage, memory chain) enrich it with the
+      inspector-overrides-vendor semantics of
+      ``inspect_update_server_dict``.
+    """
+    import glob as globmod
+
+    from .operators.validate import validate_items
+    from .sources import inspector as insp
+
+    root = os.path.join(bronze, "inspector", vendor)
+
+    def maybe(fname, reader):
+        if globmod.glob(os.path.join(root, "*", fname)):
+            return reader(spark, os.path.join(root, "*", fname))
+        return None
+
+    lscpu = maybe("lscpu.json", insp.read_lscpu_json)
+    lscpu_caches = maybe("lscpu.json", insp.read_lscpu_caches)
+    lstopo_caches = maybe("lstopo.xml", insp.read_lstopo_caches)
+    cache_cols = (insp.cpu_cache_columns(lscpu_caches, lstopo_caches)
+                  if lscpu_caches is not None else None)
+    kw = dict(
+        openssl=maybe("openssl.json", insp.read_openssl_json),
+        membench=maybe("membench.csv", insp.read_membench_csv),
+        compression=maybe("compression_text.json",
+                          insp.read_compression_text_json),
+        cache=cache_cols,
+        llm=maybe("llm_speed.jsonl", insp.read_llm_speed_json),
+        lscpu=lscpu,
+        bw_mem=maybe("bw_mem.txt", insp.read_bw_mem_lines),
+        geekbench=maybe("results.json", insp.read_geekbench_results),
+        passmark=maybe("passmark.yml", insp.parse_passmark_yaml),
+        stressng=maybe("stressngfull.csv", insp.read_stressng_csv),
+        redis=maybe("redis.csv", insp.read_redis_csv),
+        static_web=maybe("static_web.csv", insp.read_redis_csv),
+        vcpus=lscpu,
+    )
+    outputs: dict = {}
+    if any(v is not None for k, v in kw.items()
+           if k not in ("cache", "vcpus")):
+        scores = insp.inspector_benchmarks(**kw).select(
+            F.lit(vendor).alias("vendor_id"),
+            "server_id", "benchmark_id",
+            # config is a PK component; the reference's HashableDict
+            # defaults to {} (table_bases.py:1262-1267)
+            F.coalesce("config", F.lit("{}")).alias("config"),
+            "score",
+        )
+        valid, invalid = validate_items(scores, "benchmark_score")
+        outputs["benchmark_score"] = (
+            valid, schemas.PRIMARY_KEYS["benchmark_score"])
+        outputs["benchmark_score_invalid"] = (invalid, None)
+
+    try:
+        all_servers = _read(spark, lake, "server")
+    except Exception:
+        all_servers = None
+    if all_servers is not None:
+        from .operators.validate import apply_schema
+
+        # widen to the full declared schema up front: enrichment adds
+        # columns (hw_virt, cache KiBs, memory facts) the lake snapshot
+        # may not carry yet. server_id is only unique per vendor, so
+        # enrichment is scoped to THIS vendor's rows.
+        all_servers = apply_schema(all_servers, schemas.TABLES["server"],
+                                   "server")
+        servers = all_servers.filter(F.col("vendor_id") == vendor)
+        others = all_servers.filter(F.col("vendor_id") != vendor)
+        dmi_sections = maybe("dmidecode.json", insp.read_dmidecode_json)
+        dmi = (insp.dmidecode_facts(dmi_sections)
+               if dmi_sections is not None else None)
+        gpus_raw = maybe("nvidia_smi.xml", insp.read_nvidia_smi_xml)
+        gpu = (insp.gpu_facts(gpus_raw).drop("gpus")
+               if gpus_raw is not None else None)
+        stress = maybe("stressngfull.csv", insp.read_stressng_csv)
+        enriched = insp.enrich_servers(
+            servers, lscpu=lscpu, stressng=stress,
+            cache_cols=cache_cols, dmidecode=dmi, gpu=gpu,
+            virtualization=maybe("virtualization.json",
+                                 insp.read_virtualization_json),
+        )
+        lshw = maybe("lshw.json", insp.read_lshw_json)
+        lstopo = maybe("lstopo.xml", insp.read_lstopo_xml)
+        if lshw is not None or lstopo is not None or dmi is not None:
+            mem = insp.memory_amount_actual(lstopo, lshw, dmi)
+            enriched = enriched.join(
+                F.broadcast(mem.withColumnRenamed(
+                    "memory_amount_actual", "_mem")), "server_id", "left")
+            base = (F.col("memory_amount_actual")
+                    if "memory_amount_actual" in enriched.columns
+                    else F.lit(None))
+            enriched = enriched.withColumn(
+                "memory_amount_actual", F.coalesce(F.col("_mem"), base)
+            ).drop("_mem")
+        valid_srv, _invalid_srv = validate_items(enriched, "server")
+        # a row the enrichment made invalid keeps its pre-inspection
+        # form — inspection must never lose a server
+        pks = schemas.PRIMARY_KEYS["server"]
+        kept = servers.join(valid_srv.select(*pks), pks, "left_anti")
+        out = others.unionByName(valid_srv.select(*all_servers.columns)
+                                 ).unionByName(kept)
+        _rewrite(spark, out, _table_path(lake, "server"))
+        print(f"inspect: server: enriched "
+              f"{read_snapshot(spark, _table_path(lake, 'server')).count()}"
+              " rows")
+
+    if not outputs:
+        print("inspect: nothing to land (no framework files found)")
+        return
+    _land_tables(spark, lake, outputs, vendor)
+
+
 def cmd_publish(spark: SparkSession, lake: str, out: str,
                 version: str = "0.1.0", dialect: str = "sqlite") -> None:
     """Publish the lake as one artifact (K1/K5; the reference's released
@@ -900,6 +1025,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="record family to land (repeatable; default all) — "
                         "the reference pull's --include-records")
 
+    p = sub.add_parser("inspect",
+                       help="land HW-inspection benchmarks + server "
+                            "enrichment from a bronze inspector tree")
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--vendor", action="append",
+                   help="vendor subtree to ingest (repeatable; "
+                        "default aws)")
+
     p = sub.add_parser("publish",
                        help="publish lake to sqlite/postgres/cockroachdb")
     p.add_argument("--lake", required=True)
@@ -947,6 +1081,9 @@ def main(argv: list[str] | None = None) -> None:
                    if v not in set(args.exclude_vendor)]
         for v in vendors:
             cmd_inventory(spark, args.bronze, args.lake, v, args.records)
+    elif args.cmd == "inspect":
+        for v in (args.vendor or ["aws"]):
+            cmd_inspect(spark, args.bronze, args.lake, v)
     elif args.cmd == "publish":
         cmd_publish(spark, args.lake, args.out, args.version, args.dialect)
     elif args.cmd == "schemas":

@@ -377,16 +377,24 @@ def enrich_servers(servers: DataFrame,
     if stressng is not None:
         curve = stressng.groupBy("server_id").agg(
             (F.max("score") / F.min_by("score", "cores")).alias("_ratio")
-        ).select("server_id", F.round("_ratio", 1).alias("ecpus"))
+        ).select("server_id", F.round("_ratio", 1).alias("_i_ecpus"))
         out = out.join(F.broadcast(curve), "server_id", "left")
+        base = F.col("ecpus") if "ecpus" in out.columns else F.lit(None)
+        out = out.withColumn("ecpus", F.coalesce(F.col("_i_ecpus"), base))
         out = out.withColumn(
             "scalability",
             F.round(F.col("ecpus") / F.col("cpu_cores") * 100, 2),
-        )
+        ).drop("_i_ecpus")
     if timings is not None:
-        out = out.join(
-            F.broadcast(average_time_to_start(timings)), "server_id", "left"
-        )
+        atts = average_time_to_start(timings).withColumnRenamed(
+            "average_time_to_start", "_i_atts")
+        out = out.join(F.broadcast(atts), "server_id", "left")
+        base = (F.col("average_time_to_start")
+                if "average_time_to_start" in out.columns
+                else F.lit(None))
+        out = out.withColumn("average_time_to_start",
+                             F.coalesce(F.col("_i_atts"), base)
+                             ).drop("_i_atts")
     return out
 
 
@@ -1388,7 +1396,9 @@ def server_client_benchmarks(df: DataFrame, framework: str,
         "throughput-extrapolated": extrapolated * size_bytes,
         "latency": F.col("latency"),
     }
-    cfg = F.to_json(F.struct(*[F.col(k).alias(k) for k in keys]))
+    # sorted keys: config JSON is a PK component and the reference sorts
+    # dict keys so JSON compares as text (table_bases.py:1253-1256)
+    cfg = F.to_json(F.struct(*[F.col(k).alias(k) for k in sorted(keys)]))
     out = None
     for m in policy["measurements"]:
         part = best.select(
