@@ -151,6 +151,86 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
     )
 
 
+def quantize_vec(vec: Column, scale: Column) -> Column:
+    """Symmetric int8 scalar quantization: code_i = floor(x_i/scale +
+    0.5). With scale = max|x|/127 over the corpus, codes stay within
+    [-127, 127] without clamping; floor(x + 0.5) rounds identically in
+    Spark and DuckDB (no banker's-rounding divergence)."""
+    return F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("int"))
+
+
+def cosine_topk_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
+                   id_col: str, k: int = 5, refine: int = 3) -> DataFrame:
+    """Scalar-quantized two-stage top-k: rank ALL pairs on int8 codes,
+    keep ``k * refine`` candidates per query, then re-rank those few
+    exactly on the float vectors.
+
+    The 100 TB story: the first stage moves 4x less data than float32
+    (int8 codes) and its integer dot products are exact in both engines;
+    the expensive float pass touches only k*refine candidates per query
+    — at a billion vectors that is the difference between shuffling the
+    corpus and shuffling a few rows per query. Quantization error only
+    costs recall when a true neighbor falls below the candidate cut;
+    ``refine`` buys it back (tests gate recall@5).
+    """
+    scale_df = corpus.select(
+        F.explode(as_double(F.col(vec_col))).alias("x")
+    ).agg((F.max(F.abs(F.col("x"))) / 127.0).alias("scale"))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    c = c.crossJoin(F.broadcast(scale_df)).withColumn(
+        "cq", quantize_vec(F.col("cv"), F.col("scale"))).withColumn(
+        "cqn", norm(F.transform("cq", lambda x: x.cast("double"))))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    q = q.crossJoin(F.broadcast(scale_df)).withColumn(
+        "qq", quantize_vec(F.col("qv"), F.col("scale"))).withColumn(
+        "qqn", norm(F.transform("qq", lambda x: x.cast("double"))))
+
+    # stage 1: approximate ranking on codes only — qv/cv never cross
+    approx = (
+        F.broadcast(q.select("query_id", "qq", "qqn"))
+        .crossJoin(c.select("neighbor_id", "cq", "cqn"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            # rounded BEFORE ranking so the candidate cut is identical
+            # across engines (ties fall to the neighbor_id tiebreak)
+            dround(
+                F.aggregate(
+                    F.zip_with("qq", "cq",
+                               lambda a, b: (a * b).cast("long")),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+                / (F.col("qqn") * F.col("cqn")), 6).alias("approx_sim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id"))
+    cand = (approx.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") <= k * refine)
+            .select("query_id", "neighbor_id"))
+
+    # stage 2: exact re-rank of the sparse candidate set
+    qv = q.select("query_id", "qv").withColumn("qn", norm(F.col("qv")))
+    cvv = c.select("neighbor_id", "cv").withColumn("cn", norm(F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id").join(cvv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            dround(dot(F.col("qv"), F.col("cv"))
+                   / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 _SIG_EXPRS: dict[tuple, Column] = {}
 
 

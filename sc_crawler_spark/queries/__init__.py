@@ -42,6 +42,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 _PRIORITY = [
     # --- no driver-green evidence yet ---
     "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
+    "embed_ann_sq",                # new r5: int8 two-stage ANN
     "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
     "doc_repetition",              # new r5: curation operators
     "doc_pii_scrub",

@@ -528,6 +528,60 @@ WHERE rank <= {k}
 """
 
 
+def embed_ann_sq(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized two-stage ANN: int8 codes rank all pairs (4x
+    less data than float32), top-15 candidates per query re-rank
+    exactly, top-5 kept (operators/similarity.py:cosine_topk_sq;
+    recall gated in tests/test_ann_recall.py)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_sq(
+        queries, emb, "embedding", "vec_id", k=5, refine=3)
+
+
+def _ann_sq_sql(k: int = 5, refine: int = 3) -> str:
+    cos = sql_round(
+        "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
+        " * sqrt(list_inner_product(cv, cv)))", 6,
+    )
+    approx = sql_round(
+        "list_inner_product(CAST(qc AS DOUBLE[]), CAST(cc.cc AS DOUBLE[]))"
+        " / (sqrt(list_inner_product(CAST(qc AS DOUBLE[]), CAST(qc AS DOUBLE[])))"
+        " * sqrt(list_inner_product(CAST(cc.cc AS DOUBLE[]), CAST(cc.cc AS DOUBLE[]))))",
+        6,
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scale AS (SELECT max(abs(x)) / 127.0 AS s FROM
+          (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)),
+qq AS (SELECT query_id, qv,
+              [CAST(floor(x / s + 0.5) AS INT) FOR x IN qv] AS qc
+       FROM q, scale),
+cc AS (SELECT neighbor_id, cv,
+              [CAST(floor(x / s + 0.5) AS INT) FOR x IN cv] AS cc
+       FROM c, scale),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY {approx} DESC, neighbor_id) AS rn
+    FROM qq, cc WHERE query_id != neighbor_id)
+  WHERE rn <= {k * refine}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos_sim
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _ann_lsh_sql(n_planes: int = 24, n_bands: int = 8, dim: int = 64, k: int = 5) -> str:
     planes = similarity.hyperplane_signs(n_planes, dim)
     bit_exprs = " || ".join(
@@ -792,4 +846,5 @@ QUERIES = {
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),
+    "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
 }
