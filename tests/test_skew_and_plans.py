@@ -123,3 +123,22 @@ def test_new_r4_queries_plan_shape(spark, name):
     assert "Join" not in plan, f"{name} plans a join"
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2, f"{name}: more than one shuffle"
+
+
+def test_r5_shard_stats_single_agg_no_join(spark):
+    """Shard assignment is pure column math: the plan must be
+    scan -> project -> one hash aggregate, no join of any kind."""
+    plan = _plan(spark, "training_shard_stats")
+    for op in ("Join", "CartesianProduct", "Exchange RangePartitioning"):
+        assert op not in plan, f"training_shard_stats plans a {op}"
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_r5_embed_ann_sq_broadcasts_queries(spark):
+    """Both ANN stages keep the 10-row query side broadcast; the
+    candidate re-rank must not sort-merge or go cartesian (the stage-1
+    crossJoin is the labeled broadcast-nested-loop scan)."""
+    plan = _plan(spark, "embed_ann_sq")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # stage 1: broadcast q x corpus
