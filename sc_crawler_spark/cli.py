@@ -602,6 +602,12 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
                   else spark.createDataFrame([], ga_schema))
             price_frames += [cat.upcloud_server_prices(zp, ga, "ondemand"),
                              cat.upcloud_server_prices(zp, ga, "spot")]
+            # storage/traffic/ipv4 prices ride the SAME zone price list
+            # (_upcloud.py:524-583)
+            for t, df in cat.upcloud_service_prices(spark, zp_path).items():
+                v, inv = validate_items(df, t)
+                outputs[t] = (v, schemas.PRIMARY_KEYS[t])
+                invalid = invalid.unionByName(inv, allowMissingColumns=True)
     elif vendor == "ovh" and generic_raw is not None and regions is not None:
         fl_path = os.path.join(vroot, "flavors.json")
         if os.path.exists(fl_path):
@@ -630,6 +636,19 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
         if os.path.exists(spot_path):
             resp = spark.read.schema(cat.RAW_ALICLOUD_SPOT).json(spot_path)
             price_frames.append(cat.alicloud_spot_prices(resp))
+        # storage/traffic SKU pages (_alicloud.py:1355-1438)
+        for fname, fn, table in [
+            ("storage_sku_prices.json", cat.alicloud_storage_prices,
+             "storage_price"),
+            ("traffic_sku_prices.json", cat.alicloud_traffic_prices,
+             "traffic_price"),
+        ]:
+            p = os.path.join(vroot, fname)
+            if os.path.exists(p):
+                sk = spark.read.schema(cat.RAW_ALICLOUD_SERVICE_SKU).json(p)
+                v, inv = validate_items(fn(sk, regions), table)
+                outputs[table] = (v, schemas.PRIMARY_KEYS[table])
+                invalid = invalid.unionByName(inv, allowMissingColumns=True)
     if price_frames:
         sp = price_frames[0]
         for f in price_frames[1:]:

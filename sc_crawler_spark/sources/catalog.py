@@ -330,6 +330,44 @@ STATIC_SERVICE_CATALOGS: dict[str, dict] = {
              "max_throughput": None, "min_size": 1, "max_size": 4096},
         ],
     },
+    # _alicloud.py:1305-1343 (documented ESSD/SSD/HDD constants; GiB
+    # bounds converted to GB with round(n * 1.073741824) at source) and
+    # :1440-1457 (static IPs are free — you pay for bandwidth only)
+    "alicloud": {
+        "storage": [
+            {"storage_id": "cloud_essd-pl0", "name": "cloud_essd-pl0",
+             "description": "Enterprise SSD with performance level 0.",
+             "storage_type": "ssd", "max_iops": 10_000,
+             "max_throughput": 180, "min_size": 1, "max_size": 70369},
+            {"storage_id": "cloud_essd-pl1", "name": "cloud_essd-pl1",
+             "description": "Enterprise SSD with performance level 1.",
+             "storage_type": "ssd", "max_iops": 50_000,
+             "max_throughput": 350, "min_size": 21, "max_size": 70369},
+            {"storage_id": "cloud_essd-pl2", "name": "cloud_essd-pl2",
+             "description": "Enterprise SSD with performance level 2.",
+             "storage_type": "ssd", "max_iops": 100_000,
+             "max_throughput": 750, "min_size": 495, "max_size": 70369},
+            {"storage_id": "cloud_essd-pl3", "name": "cloud_essd-pl3",
+             "description": "Enterprise SSD with performance level 3.",
+             "storage_type": "ssd", "max_iops": 1_000_000,
+             "max_throughput": 4000, "min_size": 1354, "max_size": 70369},
+            {"storage_id": "cloud_ssd", "name": "cloud_ssd",
+             "description": "Standard SSD.", "storage_type": "ssd",
+             "max_iops": 25_000, "max_throughput": 300,
+             "min_size": 21, "max_size": 35184},
+            {"storage_id": "cloud_efficiency", "name": "cloud_efficiency",
+             "description": "Ultra Disk, older generation.",
+             "storage_type": "ssd", "max_iops": 5_000,
+             "max_throughput": 140, "min_size": 21, "max_size": 35184},
+            {"storage_id": "cloud", "name": "cloud",
+             "description": "Lowest cost HDD.", "storage_type": "hdd",
+             "max_iops": 300, "max_throughput": 40,
+             "min_size": 5, "max_size": 2147},
+        ],
+        "ipv4_price": [{
+            "price": 0.0, "unit": "month", "currency": "USD",
+        }],
+    },
 }
 
 _STATIC_ROW_SCHEMAS = {
@@ -534,6 +572,61 @@ def upcloud_zone_prices(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def upcloud_service_prices(spark: SparkSession, path: str,
+                           vendor_id: str = "upcloud"
+                           ) -> dict[str, DataFrame]:
+    """The non-server prices embedded in the SAME zone price list
+    (reference _upcloud.py:524-583): ``storage_<id>`` keys ->
+    storage_price (cents/h -> EUR per GB/month via x/100*24*30),
+    ``public_ipv4_bandwidth_out`` -> traffic_price (outbound cents/GB,
+    inbound free), ``ipv4_address`` -> ipv4_price (cents/h -> EUR/h).
+    One scan, dynamic-key map parse like upcloud_zone_prices."""
+    raw = spark.read.text(path)
+    kv = raw.select(
+        F.from_json("value", "map<string,string>").alias("m")
+    ).select(
+        F.col("m")["name"].alias("region_id"),
+        F.explode("m").alias("key", "val"),
+    ).withColumn(
+        "raw_price", F.get_json_object("val", "$.price").cast("double"))
+
+    storage_ids = [r["storage_id"]
+                   for r in STATIC_SERVICE_CATALOGS["upcloud"]["storage"]]
+    storage = kv.filter(
+        F.col("key").isin([f"storage_{s}" for s in storage_ids])
+    ).select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id",
+        F.expr("substring(key, length('storage_') + 1)").alias("storage_id"),
+        F.lit("GB/month").alias("unit"),
+        F.round(F.col("raw_price") / 100 * 24 * 30, 4).alias("price"),
+        F.lit("EUR").alias("currency"),
+    )
+    traffic = kv.filter(F.col("key") == "public_ipv4_bandwidth_out").select(
+        "region_id", "raw_price",
+        F.explode(F.array(F.lit("outbound"), F.lit("inbound")))
+        .alias("direction"),
+    ).select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id", "direction",
+        F.when(F.col("direction") == "outbound",
+               F.round(F.col("raw_price") / 100, 4)).otherwise(F.lit(0.0))
+        .alias("price"),
+        F.array().cast(_PRICE_TIER_TYPE).alias("price_tiered"),
+        F.lit("EUR").alias("currency"),
+        F.lit("GB/month").alias("unit"),
+    )
+    ipv4 = kv.filter(F.col("key") == "ipv4_address").select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id",
+        F.round(F.col("raw_price") / 100, 4).alias("price"),
+        F.lit("EUR").alias("currency"),
+        F.lit("hour").alias("unit"),
+    )
+    return {"storage_price": storage, "traffic_price": traffic,
+            "ipv4_price": ipv4}
+
+
 def upcloud_server_prices(zone_prices: DataFrame, gpu_avail: DataFrame,
                           allocation: str = "ondemand",
                           vendor_id: str = "upcloud") -> DataFrame:
@@ -653,10 +746,100 @@ RAW_ALICLOUD_SKU = (
     "vm_os_kind:string>, "
     "CskuPriceList array<struct<Price:string,Currency:string>>"
 )
+# storage/traffic SKU pages (QuerySkuPriceList with datadisk /
+# vm_flow_out price entities, _alicloud.py:1355-1438)
+RAW_ALICLOUD_SERVICE_SKU = (
+    "SkuFactorMap struct<vm_region_no:string,datadisk_category:string,"
+    "datadisk_performance_level:string>, "
+    "CskuPriceList array<struct<Price:string,Currency:string,"
+    "PriceType:string>>"
+)
 RAW_ALICLOUD_AVAIL = (
     "region_id string, zone_id string, server_id string, "
     "status_category string"
 )
+
+
+def _alicloud_region_probe(regions: DataFrame) -> DataFrame:
+    """(region_id, vm_region_no) rows probing api_reference + every
+    alias (vendor_helpers.get_region_by_id) — unknown SKU regions drop
+    at the join like the reference's unsupported_regions warn-and-skip."""
+    return regions.select(
+        "region_id",
+        F.explode(F.array_union(
+            F.array(F.coalesce(F.col("api_reference"), F.col("region_id"))),
+            F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
+        )).alias("vm_region_no"),
+    )
+
+
+def alicloud_storage_prices(skus: DataFrame, regions: DataFrame,
+                            vendor_id: str = "alicloud") -> DataFrame:
+    """Alicloud datadisk SKU prices -> storage_price rows (reference
+    _alicloud.py:1355-1400): essd keeps its four performance levels as
+    ``cloud_essd-plN`` ids; plain categories keep only the PL1 SKU (the
+    levels do not differ); hourly SKUs scale by 730 h/month."""
+    s = skus.select(
+        F.col("SkuFactorMap.vm_region_no").alias("vm_region_no"),
+        F.col("SkuFactorMap.datadisk_category").alias("_cat"),
+        F.col("SkuFactorMap.datadisk_performance_level").alias("_pl"),
+        F.try_element_at("CskuPriceList", F.lit(1))["Price"].cast("double")
+        .alias("_price"),
+        F.try_element_at("CskuPriceList", F.lit(1))["PriceType"]
+        .alias("_ptype"),
+        F.try_element_at("CskuPriceList", F.lit(1))["Currency"]
+        .alias("currency"),
+    )
+    plain = F.col("_cat").isin("cloud", "cloud_ssd", "cloud_efficiency")
+    s = s.filter(
+        (plain & (F.col("_pl") == "PL1"))
+        | (~plain & F.col("_pl").isin("PL0", "PL1", "PL2", "PL3"))
+    ).withColumn(
+        "storage_id",
+        F.when(plain, F.col("_cat"))
+        .otherwise(F.concat("_cat", F.lit("-"), F.lower("_pl"))),
+    )
+    monthly = F.when(F.col("_ptype") == "hourPrice",
+                     F.col("_price") * 730).otherwise(F.col("_price"))
+    return s.join(F.broadcast(_alicloud_region_probe(regions)),
+                  "vm_region_no").select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id", "storage_id",
+        F.lit("GB/month").alias("unit"),
+        F.round(monthly, 4).alias("price"),
+        "currency",
+    )
+
+
+def alicloud_traffic_prices(skus: DataFrame, regions: DataFrame,
+                            vendor_id: str = "alicloud") -> DataFrame:
+    """Alicloud vm_flow_out SKU prices -> traffic_price rows (reference
+    _alicloud.py:1402-1438): outbound = the first non-zero price in the
+    SKU's price list, inbound free per the public-bandwidth docs."""
+    first_pos = F.try_element_at(
+        F.filter("CskuPriceList",
+                 lambda p: p["Price"].cast("double") > 0), F.lit(1))
+    s = skus.select(
+        F.col("SkuFactorMap.vm_region_no").alias("vm_region_no"),
+        first_pos["Price"].cast("double").alias("_out_price"),
+        first_pos["Currency"].alias("currency"),
+    ).filter(F.col("_out_price").isNotNull())
+    both = s.join(F.broadcast(_alicloud_region_probe(regions)),
+                  "vm_region_no").select(
+        "region_id", "_out_price", "currency",
+        F.explode(F.array(F.lit("outbound"), F.lit("inbound")))
+        .alias("direction"),
+    )
+    return both.select(
+        F.lit(vendor_id).alias("vendor_id"),
+        "region_id", "direction",
+        F.when(F.col("direction") == "outbound",
+               F.round("_out_price", 4)).otherwise(F.lit(0.0))
+        .alias("price"),
+        F.array().cast(_PRICE_TIER_TYPE).alias("price_tiered"),
+        "currency",
+        F.lit("GB/month").alias("unit"),
+    )
 
 
 def alicloud_server_prices(skus: DataFrame, avail: DataFrame,

@@ -1410,3 +1410,119 @@ def test_inventory_main_vendor_include_exclude(spark, tmp_path, capsys):
     assert read_snapshot(spark, os.path.join(lake, "server")).count() == 1
     # hcloud excluded: nothing tried to read its (absent) bronze tree
     assert not os.path.isdir(os.path.join(lake, "server_price"))
+
+
+def test_upcloud_service_prices_land(spark, tmp_path):
+    """storage/traffic/ipv4 prices ride the same zone price list
+    (_upcloud.py:524-583): cents/h -> EUR GB/month for storage,
+    outbound-only traffic, hourly ipv4."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "upcloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({"name": "2xCPU-4GB", "core_number": 2,
+                             "memory_amount": 4096, "storage_size": 80}))
+    zones = [
+        {"name": "de-fra1",
+         "server_plan_2xCPU-4GB": {"price": 3.0},
+         "storage_maxiops": {"price": 0.031},
+         "storage_hdd": {"price": 0.0078},
+         "public_ipv4_bandwidth_out": {"price": 0.5},
+         "ipv4_address": {"price": 0.7}},
+    ]
+    with open(os.path.join(d, "zone_prices.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(z) for z in zones))
+    cli.cmd_inventory(spark, bronze, lake, vendor="upcloud")
+
+    sp = {(r["region_id"], r["storage_id"]): r for r in
+          read_snapshot(spark, os.path.join(lake, "storage_price")).collect()}
+    # 0.031 cents/h -> 0.031/100*24*30 EUR per GB/month
+    assert sp[("de-fra1", "maxiops")]["price"] == round(0.031 / 100 * 720, 4)
+    assert sp[("de-fra1", "hdd")]["unit"] == "GB/month"
+    tp = {r["direction"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "traffic_price")).collect()}
+    assert tp["outbound"]["price"] == 0.005
+    assert tp["inbound"]["price"] == 0.0
+    ip = read_snapshot(spark, os.path.join(lake, "ipv4_price")).collect()
+    assert len(ip) == 1 and ip[0]["price"] == 0.007 and ip[0]["unit"] == "hour"
+
+
+def test_alicloud_service_inventories_land(spark, tmp_path):
+    """Alicloud statics (7 documented disks, free static IPv4 per
+    region, _alicloud.py:1305-1343, 1440-1457) + SKU-page storage and
+    traffic prices (PL filter + essd suffixing, hourPrice x 730,
+    first-nonzero outbound, _alicloud.py:1355-1438)."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "alicloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({
+            "InstanceTypeId": "ecs.g7.large", "InstanceTypeFamily": "g7",
+            "CpuCoreCount": 2, "MemorySize": 8.0, "CpuArchitecture": "X86",
+            "CpuSpeedFrequency": 2.7,
+            "InstanceCategory": "General-purpose", "BaselineCredit": 0,
+            "GPUAmount": 0, "GPUMemorySize": 0.0,
+            "LocalStorageAmount": 0, "LocalStorageCapacity": 0.0}))
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write(json.dumps({
+            "region_id": "cn-hangzhou", "name": "Hangzhou",
+            "aliases": ["hangzhou-alias"], "api_reference": "cn-hangzhou"}))
+    storage_skus = [
+        # essd keeps 4 PLs, suffixed
+        {"SkuFactorMap": {"vm_region_no": "cn-hangzhou",
+                          "datadisk_category": "cloud_essd",
+                          "datadisk_performance_level": "PL2"},
+         "CskuPriceList": [{"Price": "0.002", "Currency": "USD",
+                            "PriceType": "hourPrice"}]},
+        # plain category: only the PL1 SKU survives
+        {"SkuFactorMap": {"vm_region_no": "cn-hangzhou",
+                          "datadisk_category": "cloud_ssd",
+                          "datadisk_performance_level": "PL0"},
+         "CskuPriceList": [{"Price": "9.9", "Currency": "USD",
+                            "PriceType": "monthPrice"}]},
+        {"SkuFactorMap": {"vm_region_no": "hangzhou-alias",
+                          "datadisk_category": "cloud_ssd",
+                          "datadisk_performance_level": "PL1"},
+         "CskuPriceList": [{"Price": "0.08", "Currency": "USD",
+                            "PriceType": "monthPrice"}]},
+        # unknown region dropped
+        {"SkuFactorMap": {"vm_region_no": "mars-1",
+                          "datadisk_category": "cloud",
+                          "datadisk_performance_level": "PL1"},
+         "CskuPriceList": [{"Price": "1.0", "Currency": "USD",
+                            "PriceType": "monthPrice"}]},
+    ]
+    with open(os.path.join(d, "storage_sku_prices.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(s) for s in storage_skus))
+    traffic_skus = [
+        {"SkuFactorMap": {"vm_region_no": "cn-hangzhou"},
+         "CskuPriceList": [{"Price": "0", "Currency": "USD",
+                            "PriceType": "hourPrice"},
+                           {"Price": "0.076", "Currency": "USD",
+                            "PriceType": "hourPrice"}]},
+    ]
+    with open(os.path.join(d, "traffic_sku_prices.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(s) for s in traffic_skus))
+    cli.cmd_inventory(spark, bronze, lake, vendor="alicloud")
+
+    storage = {r["storage_id"]: r for r in
+               read_snapshot(spark, os.path.join(lake, "storage")).collect()}
+    assert len(storage) == 7
+    assert storage["cloud_essd-pl3"]["max_size"] == 70369  # GiB -> GB
+    assert storage["cloud"]["storage_type"] == "hdd"
+
+    sp = {r["storage_id"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "storage_price")).collect()}
+    assert set(sp) == {"cloud_essd-pl2", "cloud_ssd"}  # PL filter + region
+    assert sp["cloud_essd-pl2"]["price"] == round(0.002 * 730, 4)  # hourly
+    assert sp["cloud_ssd"]["price"] == 0.08
+    assert sp["cloud_ssd"]["region_id"] == "cn-hangzhou"  # via alias
+
+    tp = {r["direction"]: r for r in
+          read_snapshot(spark, os.path.join(lake, "traffic_price")).collect()}
+    assert tp["outbound"]["price"] == 0.076  # first NON-ZERO price
+    assert tp["inbound"]["price"] == 0.0
+
+    ip = read_snapshot(spark, os.path.join(lake, "ipv4_price")).collect()
+    assert len(ip) == 1 and ip[0]["price"] == 0.0  # static IPs free
+    assert ip[0]["region_id"] == "cn-hangzhou"
