@@ -391,15 +391,73 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     for inv in svc_invalids:
         all_invalid = all_invalid.unionByName(inv, allowMissingColumns=True)
 
+    rz_outputs, rz_invalids = _region_zone_tables(spark, vroot, vendor)
+    for inv in rz_invalids:
+        all_invalid = all_invalid.unionByName(inv, allowMissingColumns=True)
+
     os.makedirs(lake, exist_ok=True)
     _ensure_lake(lake)
     outputs = {
         "server": (valid, schemas.PRIMARY_KEYS["server"]),
         "server_price": (prices_valid, schemas.PRIMARY_KEYS["server_price"]),
         **svc_outputs,
+        **rz_outputs,
         "server_invalid": (all_invalid, None),
     }
     _land_tables(spark, lake, outputs, vendor, records)
+
+
+_REGION_BRONZE_SCHEMA = (
+    "region_id string, name string, aliases array<string>, "
+    "api_reference string, options array<string>, country_id string, "
+    "state string, city string, lon double, lat double, "
+    "founding_year int, green_energy boolean"
+)
+
+
+def _region_zone_tables(spark: SparkSession, vroot: str, vendor: str):
+    """region / zone dim rows from the bronze fan-out files — the
+    reference's per-vendor `inventory_regions` / `inventory_zones`
+    (tables.py:165-168) land as tables, not just price fan-out inputs.
+    Rows missing required facts (e.g. country_id) quarantine to the
+    invalid side like every other record type."""
+    from .operators.validate import validate_items
+
+    out: dict = {}
+    invalids = []
+    rp = os.path.join(vroot, "regions.json")
+    if os.path.exists(rp):
+        r = spark.read.schema(_REGION_BRONZE_SCHEMA).json(rp)
+        reg = r.select(
+            F.lit(vendor).alias("vendor_id"), "region_id",
+            F.coalesce("name", "region_id").alias("name"),
+            F.coalesce("api_reference", "region_id").alias("api_reference"),
+            F.coalesce("name", "region_id").alias("display_name"),
+            "aliases", "country_id", "state", "city",
+            "lon", "lat", "founding_year", "green_energy",
+        )
+        v, inv = validate_items(reg, "region")
+        # an all-invalid file (e.g. fan-out-only bronze without
+        # country facts) must not sweep the vendor's landed regions
+        # inactive — land only when something validated
+        if v.take(1):
+            out["region"] = (v, schemas.PRIMARY_KEYS["region"])
+        invalids.append(inv)
+    zp = os.path.join(vroot, "zones.json")
+    if os.path.exists(zp):
+        z = spark.read.schema(
+            "region_id string, zones array<string>").json(zp)
+        zz = z.select("region_id",
+                      F.explode("zones").alias("zone_id")).select(
+            F.lit(vendor).alias("vendor_id"), "region_id", "zone_id",
+            F.col("zone_id").alias("name"),
+            F.col("zone_id").alias("api_reference"),
+            F.col("zone_id").alias("display_name"),
+        )
+        v, inv = validate_items(zz, "zone")
+        out["zone"] = (v, schemas.PRIMARY_KEYS["zone"])
+        invalids.append(inv)
+    return out, invalids
 
 
 def _land_tables(spark: SparkSession, lake: str, outputs: dict,
@@ -562,6 +620,11 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
             v, inv = validate_items(df, t)
             outputs[t] = (v, schemas.PRIMARY_KEYS[t])
             invalid = invalid.unionByName(inv, allowMissingColumns=True)
+
+    rz_outputs, rz_invalids = _region_zone_tables(spark, vroot, vendor)
+    outputs.update(rz_outputs)
+    for inv in rz_invalids:
+        invalid = invalid.unionByName(inv, allowMissingColumns=True)
 
     # embedded per-location price lists (hcloud-style monthly-cap tiers)
     if (generic_raw is not None and regions is not None

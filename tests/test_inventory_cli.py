@@ -1526,3 +1526,39 @@ def test_alicloud_service_inventories_land(spark, tmp_path):
     ip = read_snapshot(spark, os.path.join(lake, "ipv4_price")).collect()
     assert len(ip) == 1 and ip[0]["price"] == 0.0  # static IPs free
     assert ip[0]["region_id"] == "cn-hangzhou"
+
+
+def test_region_zone_dims_land_from_bronze(spark, tmp_path):
+    """Per-vendor inventory_regions/inventory_zones land as region/zone
+    TABLES (tables.py:165-168), with country-less fan-out-only rows
+    quarantined instead of sweeping the dim."""
+    bronze, lake = str(tmp_path / "bronze"), str(tmp_path / "lake")
+    d = os.path.join(bronze, "upcloud")
+    os.makedirs(d)
+    with open(os.path.join(d, "servers.json"), "w") as fh:
+        fh.write(json.dumps({"name": "2xCPU-4GB", "core_number": 2,
+                             "memory_amount": 4096, "storage_size": 80}))
+    regions = [
+        {"region_id": "de-fra1", "name": "Frankfurt #1",
+         "api_reference": "de-fra1", "aliases": [],
+         "country_id": "DE", "city": "Frankfurt",
+         "green_energy": True},
+        {"region_id": "xx-bad1", "name": "No country"},  # -> invalid
+    ]
+    with open(os.path.join(d, "regions.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in regions))
+    with open(os.path.join(d, "zones.json"), "w") as fh:
+        fh.write(json.dumps({"region_id": "de-fra1", "zones": ["de-fra1-a"]}))
+    cli.cmd_inventory(spark, bronze, lake, vendor="upcloud")
+
+    reg = {r["region_id"]: r for r in
+           read_snapshot(spark, os.path.join(lake, "region")).collect()}
+    assert set(reg) == {"de-fra1"}           # country-less row quarantined
+    assert reg["de-fra1"]["country_id"] == "DE"
+    assert reg["de-fra1"]["green_energy"] is True
+    assert reg["de-fra1"]["vendor_id"] == "upcloud"
+    zones = read_snapshot(spark, os.path.join(lake, "zone")).collect()
+    assert [(z["region_id"], z["zone_id"]) for z in zones] == \
+        [("de-fra1", "de-fra1-a")]
+    inv = read_snapshot(spark, os.path.join(lake, "server_invalid"))
+    assert inv.filter("region_id = 'xx-bad1'").count() == 1
