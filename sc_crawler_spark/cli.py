@@ -32,7 +32,7 @@ from . import migrate, schemas
 from .operators.sync import hash_diff, with_row_hash
 from .operators.upsert import merge_upsert, scd2_append
 from .session import get_spark
-from .sinks.snapshot import read_snapshot, write_snapshot
+from .sinks.snapshot import current_path, read_snapshot, write_snapshot
 from .sources import lookup
 
 
@@ -865,6 +865,71 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
         _rewrite(spark, inv, inv_path)
 
 
+def cmd_sql(spark: SparkSession, lake: str, query: str,
+            out: str | None = None) -> None:
+    """Ad-hoc SQL over the lake: every table directory registers as a
+    temp view (current committed snapshot), then the query runs through
+    Spark SQL — the engine's interactive surface (the reference has no
+    query language; this is where a Spark-native engine naturally
+    exceeds it). Results print as TSV to stdout, or land as parquet
+    with ``--out``."""
+    for t in sorted(os.listdir(lake)):
+        root = _table_path(lake, t)
+        if not os.path.isdir(root) or t.startswith("_"):
+            continue
+        try:
+            read_snapshot(spark, root).createOrReplaceTempView(t)
+        except Exception:
+            continue
+    df = spark.sql(query)
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        print(f"sql: wrote {read_snapshot(spark, out).count()} rows to {out}")
+        return
+    cols = df.columns
+    print("\t".join(cols))
+    for row in df.toLocalIterator():
+        print("\t".join("" if row[c] is None else str(row[c]) for c in cols))
+
+
+def cmd_compact(spark: SparkSession, lake: str, table: str | None = None,
+                target_mb: int = 128) -> None:
+    """Lake maintenance: rewrite each table as a new snapshot version
+    with right-sized files, PK-sorted within files.
+
+    Merge-upsert churn leaves many small files per version; compaction
+    sizes partitions from the table's actual bytes (one file per
+    ``target_mb``) and sorts rows by the logical PK inside each file so
+    min/max parquet stats prune PK lookups. This is the OPTIMIZE /
+    bin-packing step every table format needs at 100 TB — expressed
+    against the snapshot log, so readers never see a half-compacted
+    table."""
+    tables = [table] if table else sorted(
+        t for t in os.listdir(lake)
+        if os.path.isdir(_table_path(lake, t)) and not t.startswith("_"))
+    for t in tables:
+        root = _table_path(lake, t)
+        try:
+            df = read_snapshot(spark, root)
+        except Exception:
+            continue
+        data_dir = current_path(root)
+        raw_bytes = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir) if f.endswith(".parquet")
+        ) if os.path.isdir(data_dir) else 0
+        n_files = max(1, raw_bytes // (target_mb * 1024 * 1024))
+        pks = schemas.PRIMARY_KEYS.get(t)
+        if pks and all(c in df.columns for c in pks):
+            df = df.repartitionByRange(n_files, *pks) \
+                   .sortWithinPartitions(*pks)
+        else:
+            df = df.coalesce(n_files)
+        write_snapshot(spark, df, root)
+        print(f"compact: {t}: {n_files} file(s), "
+              f"{read_snapshot(spark, root).count()} rows")
+
+
 def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
                 vendor: str = "aws") -> None:
     """The reference's HW-inspection ingest (inspector.py:339-757 +
@@ -1107,6 +1172,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="record family to land (repeatable; default all) — "
                         "the reference pull's --include-records")
 
+    p = sub.add_parser("sql", help="run ad-hoc SQL over the lake tables")
+    p.add_argument("--lake", required=True)
+    p.add_argument("query")
+    p.add_argument("--out", help="write results as parquet instead of stdout")
+
+    p = sub.add_parser("compact",
+                       help="rewrite tables with right-sized, PK-sorted files")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--table", help="single table (default: all)")
+    p.add_argument("--target-mb", type=int, default=128)
+
     p = sub.add_parser("inspect",
                        help="land HW-inspection benchmarks + server "
                             "enrichment from a bronze inspector tree")
@@ -1163,6 +1239,10 @@ def main(argv: list[str] | None = None) -> None:
                    if v not in set(args.exclude_vendor)]
         for v in vendors:
             cmd_inventory(spark, args.bronze, args.lake, v, args.records)
+    elif args.cmd == "sql":
+        cmd_sql(spark, args.lake, args.query, args.out)
+    elif args.cmd == "compact":
+        cmd_compact(spark, args.lake, args.table, args.target_mb)
     elif args.cmd == "inspect":
         for v in (args.vendor or ["aws"]):
             cmd_inspect(spark, args.bronze, args.lake, v)

@@ -184,3 +184,59 @@ def test_dump_per_row_artifact_layout(spark, tmp_path):
     assert "observed_at" not in rec            # excluded by default
     assert os.path.exists(os.path.join(out, "server", "gcp", "e2_micro.json"))
     assert os.path.exists(os.path.join(out, "server._schema.json"))
+
+
+def test_sql_command_runs_joins_over_lake(spark, tmp_path, capsys):
+    """`sql` registers every table's committed snapshot as a view and
+    runs arbitrary Spark SQL over them."""
+    lake = str(tmp_path / "lake")
+    cli.cmd_pull(spark, lake)
+    capsys.readouterr()                      # drop pull output
+    cli.cmd_sql(spark, lake, """
+        SELECT c.continent, COUNT(*) AS n
+        FROM region r JOIN country c ON r.country_id = c.country_id
+        GROUP BY c.continent ORDER BY n DESC
+    """)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "continent\tn"
+    assert len(out) > 2                      # several continents
+    assert int(out[1].split("\t")[1]) >= int(out[2].split("\t")[1])
+
+    # --out writes parquet instead of printing
+    dest = str(tmp_path / "res")
+    cli.cmd_sql(spark, lake,
+                "SELECT COUNT(*) AS n FROM country", out=dest)
+    assert spark.read.parquet(dest).collect()[0]["n"] > 30
+
+
+def test_compact_rightsizes_and_sorts(spark, tmp_path):
+    """`compact` rewrites a fragmented table as a new snapshot version:
+    fewer files, PK-sorted rows, content unchanged."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    cli._ensure_lake(lake)
+    root = os.path.join(lake, "orders_like")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    # fragment: 64 small files
+    write_snapshot(spark, df.repartition(64), root)
+    from sc_crawler_spark.sinks.snapshot import current_path
+    before = len([f for f in os.listdir(current_path(root))
+                  if f.endswith(".parquet")])
+    assert before >= 32
+
+    cli.cmd_compact(spark, lake, "orders_like")
+    after_dir = current_path(root)
+    files = [f for f in os.listdir(after_dir) if f.endswith(".parquet")]
+    assert len(files) == 1                   # tiny table -> one file
+    back = read_snapshot(spark, root)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).collect()[0][0] == \
+        df.agg(F.sum("v")).collect()[0][0]
+
+    # a table with a declared PK sorts by it within files
+    cli.cmd_pull(spark, lake)
+    cli.cmd_compact(spark, lake, "country")
+    c = read_snapshot(spark, os.path.join(lake, "country")).collect()
+    ids = [r["country_id"] for r in c]
+    assert ids == sorted(ids)
