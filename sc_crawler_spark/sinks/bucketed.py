@@ -1,0 +1,44 @@
+"""Bucketed table writes — co-located joins without a shuffle.
+
+The lake's snapshot directories are plain parquet: every big fact-fact
+join (orders x lineitem, price x price across pulls) re-shuffles both
+sides on the join key. Spark's bucketing fixes the partitioning AT
+WRITE TIME: ``bucketBy(n, key)`` hash-routes rows into a fixed bucket
+count recorded in the catalog, so two tables bucketed the same way
+join with ZERO Exchange — at 100 TB that is the single biggest shuffle
+you can delete from a recurring pipeline.
+
+Catalog note: bucket metadata lives in the session catalog
+(``saveAsTable``), not in the parquet files — this container runs the
+in-memory catalog, so tests register tables per session; on a real
+cluster the same calls write through the shared metastore and the
+layout survives across jobs. ``option("path", ...)`` keeps the data
+external (under the caller's directory, not a hidden warehouse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   path: str | None = None) -> None:
+    """Materialize ``df`` as a bucketed (and optionally sort-ordered)
+    parquet table. Matching ``n_buckets`` + ``bucket_cols`` across
+    tables makes their equi-join shuffle-free; ``sort_cols`` additionally
+    removes the per-task sort from sort-merge joins."""
+    w = (df.write.format("parquet").mode("overwrite")
+         .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket spec (plain
+    ``spark.read.parquet`` on the files would lose it — the spec lives
+    in the catalog entry, so reads must go through ``spark.table``)."""
+    return spark.table(table)
