@@ -455,7 +455,8 @@ def _region_zone_tables(spark: SparkSession, vroot: str, vendor: str):
             F.col("zone_id").alias("display_name"),
         )
         v, inv = validate_items(zz, "zone")
-        out["zone"] = (v, schemas.PRIMARY_KEYS["zone"])
+        if v.take(1):  # same sweep guard as regions above
+            out["zone"] = (v, schemas.PRIMARY_KEYS["zone"])
         invalids.append(inv)
     return out, invalids
 
@@ -918,7 +919,7 @@ def cmd_compact(spark: SparkSession, lake: str, table: str | None = None,
             os.path.getsize(os.path.join(data_dir, f))
             for f in os.listdir(data_dir) if f.endswith(".parquet")
         ) if os.path.isdir(data_dir) else 0
-        n_files = max(1, raw_bytes // (target_mb * 1024 * 1024))
+        n_files = max(1, -(-raw_bytes // (target_mb * 1024 * 1024)))
         pks = schemas.PRIMARY_KEYS.get(t)
         if pks and all(c in df.columns for c in pks):
             df = df.repartitionByRange(n_files, *pks) \
@@ -1017,13 +1018,40 @@ def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
         gpus_raw = maybe("nvidia_smi.xml", insp.read_nvidia_smi_xml)
         gpu = (insp.gpu_facts(gpus_raw).drop("gpus")
                if gpus_raw is not None else None)
-        stress = maybe("stressngfull.csv", insp.read_stressng_csv)
         enriched = insp.enrich_servers(
-            servers, lscpu=lscpu, stressng=stress,
+            servers, lscpu=lscpu, stressng=kw["stressng"],
             cache_cols=cache_cols, dmidecode=dmi, gpu=gpu,
             virtualization=maybe("virtualization.json",
                                  insp.read_virtualization_json),
         )
+        # vendor-aware storage discovery (lsblk-wins-else-lshw,
+        # inspector.py:1182-1219) overrides the vendor-declared
+        # storage_type/storage_size/storages columns
+        lsblk_disks = maybe("lsblk.json", insp.storage_disks_lsblk)
+        lshw_disks = maybe("lshw.json", insp.storage_disks_lshw)
+        if lsblk_disks is not None or lshw_disks is not None:
+            empty = "server_id string, size long, storage_type string, " \
+                    "description string"
+            sinfo = insp.storage_info(
+                lsblk_disks.drop("vendor_id") if lsblk_disks is not None
+                else spark.createDataFrame([], empty),
+                lshw_disks.drop("vendor_id") if lshw_disks is not None
+                else None,
+            ).select(
+                "server_id",
+                F.col("storage_type").alias("_s_type"),
+                F.col("storage_size").alias("_s_size"),
+                F.col("storages").alias("_s_disks"),
+            )
+            enriched = enriched.join(F.broadcast(sinfo), "server_id", "left")
+            for tgt, src in [("storage_type", "_s_type"),
+                             ("storage_size", "_s_size"),
+                             ("storages", "_s_disks")]:
+                base = (F.col(tgt) if tgt in enriched.columns
+                        else F.lit(None))
+                enriched = enriched.withColumn(
+                    tgt, F.coalesce(F.col(src), base))
+            enriched = enriched.drop("_s_type", "_s_size", "_s_disks")
         lshw = maybe("lshw.json", insp.read_lshw_json)
         lstopo = maybe("lstopo.xml", insp.read_lstopo_xml)
         if lshw is not None or lstopo is not None or dmi is not None:

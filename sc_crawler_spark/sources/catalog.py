@@ -258,13 +258,13 @@ STATIC_SERVICE_CATALOGS: dict[str, dict] = {
             "min_size": 10, "max_size": 10000,
         }],
         "storage_price": [{
-            "storage_id": "block", "unit": "GB",
+            "storage_id": "block", "unit": "GB/month",
             "price": 0.0440, "currency": "EUR",
         }],
         "traffic_price": [
-            {"direction": "inbound", "price": 0.0, "unit": "GB",
+            {"direction": "inbound", "price": 0.0, "unit": "GB/month",
              "currency": "EUR"},
-            {"direction": "outbound", "price": 1 / 1024, "unit": "GB",
+            {"direction": "outbound", "price": 1 / 1024, "unit": "GB/month",
              "currency": "EUR"},
         ],
         "ipv4_price": [{
@@ -295,17 +295,17 @@ STATIC_SERVICE_CATALOGS: dict[str, dict] = {
              "max_throughput": 100, "min_size": 40, "max_size": 40_000},
         ],
         "storage_price": [
-            {"storage_id": "block_storage_high_perf", "unit": "GB",
+            {"storage_id": "block_storage_high_perf", "unit": "GB/month",
              "price": 0.10, "currency": "USD",
              "requires_option": "block_storage_high_perf"},
-            {"storage_id": "block_storage_storage_opt", "unit": "GB",
+            {"storage_id": "block_storage_storage_opt", "unit": "GB/month",
              "price": 0.025, "currency": "USD",
              "requires_option": "block_storage_storage_opt"},
         ],
         "traffic_price": [
-            {"direction": "inbound", "price": 0.0, "unit": "GB",
+            {"direction": "inbound", "price": 0.0, "unit": "GB/month",
              "currency": "USD"},
-            {"direction": "outbound", "price": 0.01, "unit": "GB",
+            {"direction": "outbound", "price": 0.01, "unit": "GB/month",
              "currency": "USD"},
         ],
         "ipv4_price": [{
@@ -852,13 +852,7 @@ def alicloud_server_prices(skus: DataFrame, avail: DataFrame,
     status ACTIVE only where DescribeAvailableResource reports
     ``WithStock`` for (region, zone, server) (:252-315) — INACTIVE
     otherwise (the reference keeps the row, flagging availability)."""
-    probe = regions.select(
-        "region_id",
-        F.explode(F.array_union(
-            F.array(F.coalesce(F.col("api_reference"), F.col("region_id"))),
-            F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
-        )).alias("vm_region_no"),
-    )
+    probe = _alicloud_region_probe(regions)
     s = skus.select(
         F.col("SkuFactorMap.vm_region_no").alias("vm_region_no"),
         F.col("SkuFactorMap.instance_type").alias("server_id"),

@@ -724,10 +724,15 @@ def storage_info(lsblk_disks: DataFrame,
         largest["storage_type"].alias("storage_type"),
         F.aggregate(arr, F.lit(0).cast("long"),
                     lambda acc, d: acc + d["size"]).alias("storage_size"),
+        # descriptions are cleared after the sort (inspector.py:1212-1214
+        # "not informative enough"); the null field keeps the struct
+        # shape DISK_STRUCT-compatible for server-table updates
         F.transform(
             arr,
             lambda d: F.struct(d["size"].alias("size"),
-                               d["storage_type"].alias("storage_type")),
+                               d["storage_type"].alias("storage_type"),
+                               F.lit(None).cast("string")
+                               .alias("description")),
         ).alias("storages"),
     )
 
@@ -1021,9 +1026,10 @@ def dmidecode_facts(sections: DataFrame) -> DataFrame:
     """Per-server dmidecode-derived facts (reference inspector.py
     mappings):
 
-    - memory_amount_mib — sum of Memory Device Size bytes // 1024^2
-      (inspector_helpers.py:164-171), the LAST hop of the
-      memory_amount_actual chain (inspector.py:1345-1351);
+    - memory_amount_mib — the Memory Device Size bytes are SUMMED
+      first, then floor-divided by 1024^2, exactly like the reference
+      (inspector_helpers.py:168-170: ``sum(...) // 1024**2``); the LAST
+      hop of the memory_amount_actual chain (inspector.py:1345-1351);
     - memory_generation / memory_speed — Type / Speed of the FIRST
       Memory Device (inspector.py:1379-1381; Speed Hz -> MHz via 1e6);
     - cpu fallbacks — Manufacturer / Family / Version / Max Speed (GHz)
@@ -1371,11 +1377,14 @@ def server_client_benchmarks(df: DataFrame, framework: str,
         df = df.withColumn("connections_per_vcpus",
                            F.col("connections") / F.col("vcpus"))
 
+    # measures exclude any column already serving as a group key
+    # (static_web keys on `size`) so the unpack never duplicates names
+    measures = [c for c in ("rps", "latency", "size", "server_usr",
+                            "server_sys", "client_usr", "client_sys")
+                if c not in keys]
     best = df.groupBy("server_id", *keys).agg(
         F.max_by(
-            F.struct("rps", "latency", "size",
-                     "server_usr", "server_sys",
-                     "client_usr", "client_sys"),
+            F.struct(*[F.col(c).alias(c) for c in measures]),
             F.struct(F.col("rps")),
         ).alias("r")
     ).select("server_id", *keys, "r.*")
@@ -1456,8 +1465,15 @@ def inspector_benchmarks(openssl: DataFrame | None = None,
     if redis is not None:
         frames.append(server_client_benchmarks(redis, "redis"))
     if static_web is not None:
-        frames.append(server_client_benchmarks(static_web, "static_web",
-                                               vcpus=vcpus))
+        if vcpus is None:
+            # the reference logs-and-continues per framework
+            # (_log_cannot_load_benchmarks) — a missing lscpu must not
+            # abort every OTHER framework's rows
+            print("inspector_benchmarks: skipping static_web "
+                  "(no vcpus frame for connections_per_vcpus)")
+        else:
+            frames.append(server_client_benchmarks(
+                static_web, "static_web", vcpus=vcpus))
     if not frames:
         raise ValueError("no benchmark frames supplied")
     out = frames[0]

@@ -40,6 +40,14 @@ def _write_inspector_bronze(root: str) -> None:
              "props": {"Size": 8589934592, "Type": "DDR5",
                        "Speed": 4800000000}},
         ], fh)
+    with open(os.path.join(d, "lsblk.json"), "w") as fh:
+        # aws boots from network -> nvme0 skipped, nvme1 local
+        json.dump({"blockdevices": [
+            {"name": "nvme0n1", "size": 100 * 1000**3,
+             "subsystems": "block:nvme:pci"},
+            {"name": "nvme1n1", "size": 475 * 1000**3,
+             "subsystems": "block:nvme:pci"},
+        ]}, fh)
 
 
 def test_inspect_lands_scores_and_enriches_servers(spark, tmp_path):
@@ -70,6 +78,10 @@ def test_inspect_lands_scores_and_enriches_servers(spark, tmp_path):
     assert srv["memory_generation"] == "DDR5"
     assert srv["memory_amount_actual"] == 8192   # dmidecode byte sum
     assert srv["memory_amount"] == 7000          # vendor value kept
+    # vendor-aware lsblk discovery: boot nvme0 skipped, nvme1 lands
+    assert srv["storage_type"] == "nvme ssd"
+    assert srv["storage_size"] == 475
+    assert [d["size"] for d in srv["storages"]] == [475]
 
     bs = read_snapshot(spark, os.path.join(lake, "benchmark_score"))
     rows = {(r["benchmark_id"], r["config"]): r for r in bs.collect()}

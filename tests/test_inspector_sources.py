@@ -752,3 +752,28 @@ def test_benchmark_family_emission(spark, corpus):
     )
     assert allf.columns == ["server_id", "benchmark_id", "config", "score"]
     assert allf.count() > 20
+
+
+def test_static_web_benchmarks_with_vcpus_keying(spark, corpus):
+    """static_web keys on (size, connections_per_vcpus) — `size` is
+    both a group key and a record field, and the vcpus join derives the
+    per-core key (inspector.py:36-46, 592-595)."""
+    df = insp.read_redis_csv(spark, f"{corpus}/*/*/redis.csv")
+    vcpus = spark.createDataFrame(
+        [("m1.small", 2), ("m1.large", 2)], "server_id string, vcpus int")
+    out = insp.server_client_benchmarks(df, "static_web", vcpus=vcpus)
+    rows = {(r["benchmark_id"], r["config"]): r["score"]
+            for r in out.filter("server_id = 'm1.small'").collect()}
+    # keys (size=64k, conn/vcpus=10) vs (64k, 5): distinct groups stay
+    cfg10 = '{"connections_per_vcpus":10.0,"size":"64k"}'
+    cfg5 = '{"connections_per_vcpus":5.0,"size":"64k"}'
+    assert rows[("static_web:rps", cfg10)] == 1400.0
+    assert rows[("static_web:rps", cfg5)] == 1000.0
+    # throughput scales rps by the parsed size suffix (64k -> 65536)
+    assert rows[("static_web:throughput", cfg10)] == 1400.0 * 65536
+    # missing vcpus skips static_web but keeps other frameworks
+    union = insp.inspector_benchmarks(
+        redis=df, static_web=df, vcpus=None)
+    assert union.filter(
+        "benchmark_id LIKE 'static_web%'").count() == 0
+    assert union.filter("benchmark_id LIKE 'redis%'").count() > 0
