@@ -931,6 +931,24 @@ def cmd_compact(spark: SparkSession, lake: str, table: str | None = None,
               f"{read_snapshot(spark, root).count()} rows")
 
 
+def cmd_versions(spark: SparkSession, lake: str,
+                 table: str | None = None) -> None:
+    """Time-travel surface: list each table's retained snapshot
+    versions with row counts (the committed one starred). Reading an
+    old version: ``read_snapshot(spark, root, version="v-...")``."""
+    from .sinks.snapshot import list_versions
+
+    tables = [table] if table else sorted(
+        t for t in os.listdir(lake)
+        if os.path.isdir(_table_path(lake, t)) and not t.startswith("_"))
+    for t in tables:
+        root = _table_path(lake, t)
+        for v, is_current in list_versions(root):
+            n = read_snapshot(spark, root, version=v).count()
+            star = " *" if is_current else ""
+            print(f"versions: {t}: {v} rows={n}{star}")
+
+
 def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
                 vendor: str = "aws") -> None:
     """The reference's HW-inspection ingest (inspector.py:339-757 +
@@ -1200,6 +1218,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="record family to land (repeatable; default all) — "
                         "the reference pull's --include-records")
 
+    p = sub.add_parser("versions",
+                       help="list retained snapshot versions per table")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--table")
+
     p = sub.add_parser("sql", help="run ad-hoc SQL over the lake tables")
     p.add_argument("--lake", required=True)
     p.add_argument("query")
@@ -1267,6 +1290,8 @@ def main(argv: list[str] | None = None) -> None:
                    if v not in set(args.exclude_vendor)]
         for v in vendors:
             cmd_inventory(spark, args.bronze, args.lake, v, args.records)
+    elif args.cmd == "versions":
+        cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":
         cmd_sql(spark, args.lake, args.query, args.out)
     elif args.cmd == "compact":

@@ -41,7 +41,31 @@ def current_path(root: str) -> str:
     return root  # plain parquet dir (legacy layout)
 
 
-def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+def list_versions(root: str) -> list[tuple[str, bool]]:
+    """Retained versions of a table root, oldest first, with the
+    committed one flagged — the time-travel surface (write_snapshot
+    keeps the last ``keep`` versions precisely so a bad merge can be
+    diffed against its predecessor)."""
+    if not os.path.isdir(root):
+        return []
+    cur = os.path.basename(current_path(root))
+    return [(v, v == cur)
+            for v in sorted(d for d in os.listdir(root)
+                            if d.startswith("v-")
+                            and os.path.isdir(os.path.join(root, d)))]
+
+
+def read_snapshot(spark: SparkSession, root: str,
+                  version: str | None = None) -> DataFrame:
+    """Read the committed snapshot, or a specific retained ``version``
+    (e.g. ``"v-00000003"``) for time travel."""
+    if version is not None:
+        vdir = os.path.join(root, version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"snapshot version {version} not retained under {root}; "
+                f"have {[v for v, _ in list_versions(root)]}")
+        return spark.read.parquet(vdir)
     path = current_path(root)
     if path == root and os.path.isdir(root):
         # Legacy flat layout. A crash during the FIRST versioned commit

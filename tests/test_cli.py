@@ -240,3 +240,31 @@ def test_compact_rightsizes_and_sorts(spark, tmp_path):
     c = read_snapshot(spark, os.path.join(lake, "country")).collect()
     ids = [r["country_id"] for r in c]
     assert ids == sorted(ids)
+
+
+def test_snapshot_time_travel_and_versions(spark, tmp_path, capsys):
+    """Retained versions stay readable (time travel), the pointer marks
+    the committed one, and `versions` reports both."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    cli._ensure_lake(lake)
+    root = os.path.join(lake, "t")
+    from sc_crawler_spark.sinks.snapshot import list_versions
+    write_snapshot(spark, spark.range(0, 5).toDF("k"), root)
+    write_snapshot(spark, spark.range(0, 9).toDF("k"), root)
+
+    vs = list_versions(root)
+    assert [flag for _, flag in vs] == [False, True]
+    old, new = vs[0][0], vs[1][0]
+    assert read_snapshot(spark, root, version=old).count() == 5
+    assert read_snapshot(spark, root, version=new).count() == 9
+    assert read_snapshot(spark, root).count() == 9     # committed
+
+    cli.cmd_versions(spark, lake, "t")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [f"versions: t: {old} rows=5",
+                   f"versions: t: {new} rows=9 *"]
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version="v-99999999")
