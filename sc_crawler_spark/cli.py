@@ -931,6 +931,38 @@ def cmd_compact(spark: SparkSession, lake: str, table: str | None = None,
               f"{read_snapshot(spark, root).count()} rows")
 
 
+def cmd_score(spark: SparkSession, lake: str) -> None:
+    """Recompute workload-profile scores over the lake's landed
+    benchmark_score rows and persist them as synthetic rows — the
+    reference's `recompute_workload_profiles` step of pull
+    (workload_profile_scores.py:403-443): existing workload_profile:*
+    rows not re-emitted flip inactive, fresh rows upsert; raw scores
+    (and prior workload rows, avoiding circularity) are the input."""
+    from .operators.upsert import merge_upsert
+    from .operators.validate import validate_items
+    from .workloads import workload_score_rows
+
+    path = _table_path(lake, "benchmark_score")
+    current = read_snapshot(spark, path)
+    raw = current.filter(
+        (F.col("status") == "active")
+        & ~F.col("benchmark_id").startswith("workload_profile:")
+    ).select("vendor_id", "server_id", "benchmark_id", "config", "score")
+    rows = workload_score_rows(spark, raw)
+    valid, _invalid = validate_items(rows, "benchmark_score")
+    merged = merge_upsert(
+        current, valid.select(*current.columns),
+        schemas.PRIMARY_KEYS["benchmark_score"],
+        inactivate_missing=True,
+        scope=F.col("benchmark_id").startswith("workload_profile:"),
+    )
+    _rewrite(spark, merged, path)
+    n = read_snapshot(spark, path).filter(
+        F.col("benchmark_id").startswith("workload_profile:")
+        & (F.col("status") == "active")).count()
+    print(f"score: {n} active workload_profile rows")
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1218,6 +1250,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="record family to land (repeatable; default all) — "
                         "the reference pull's --include-records")
 
+    p = sub.add_parser("score",
+                       help="recompute workload-profile scores from "
+                            "landed benchmark_score rows")
+    p.add_argument("--lake", required=True)
+
     p = sub.add_parser("versions",
                        help="list retained snapshot versions per table")
     p.add_argument("--lake", required=True)
@@ -1290,6 +1327,8 @@ def main(argv: list[str] | None = None) -> None:
                    if v not in set(args.exclude_vendor)]
         for v in vendors:
             cmd_inventory(spark, args.bronze, args.lake, v, args.records)
+    elif args.cmd == "score":
+        cmd_score(spark, args.lake)
     elif args.cmd == "versions":
         cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.scalars import round_sig_figs, round_sig_figs_pure
@@ -352,11 +352,17 @@ def release_scored_caches() -> None:
         _CACHED_FRAMES.pop().unpersist()
 
 
-def _scored_frame(spark: SparkSession, sf: str) -> DataFrame:
+def _scored_frame(spark: SparkSession, sf: str | None,
+                  scores: DataFrame | None = None) -> DataFrame:
     """(servers × entries) left-joined with best scores and fleet
     medians; ``norm`` is the log2 median-ratio or NULL when missing or
-    invalid (raw/median <= 0)."""
-    scores = benchmark_scores(spark, sf)
+    invalid (raw/median <= 0).
+
+    ``scores`` overrides the events-derived fixture with any
+    benchmark_score-shaped frame (vendor_id, server_id, benchmark_id,
+    config, score) — the path `cmd_score` uses against a real lake."""
+    if scores is None:
+        scores = benchmark_scores(spark, sf)
     entries = entries_df(spark).withColumnRenamed("benchmark_id", "bid_e")
     matched = scores.join(
         F.broadcast(entries),
@@ -492,6 +498,101 @@ def workload_catalog_breakdown(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("impact"),
         F.when(F.col("norm").isNull(),
                F.lit("penalized: no usable measurement")).alias("note"),
+    )
+
+
+def workload_score_rows(spark: SparkSession,
+                        scores: DataFrame) -> DataFrame:
+    """Complete synthetic BenchmarkScore rows from any
+    benchmark_score-shaped frame — the relational form of
+    ``recompute_workload_profiles`` (workload_profile_scores.py:248-400):
+    per (vendor, server, workload) the 3-sig-fig weighted-geomean score,
+    a partial-coverage note listing the ignored-missing labels, and the
+    full ``score_breakdown`` JSON with scored AND penalized AND ignored
+    components in entry order."""
+    normed = _scored_frame(spark, None, scores=scores)
+    grp = Window.partitionBy("vendor_id", "server_id", "workload_key")
+    scored_or_pen = F.col("norm").isNotNull() | (
+        F.col("on_missing") == "penalize")
+    w = F.when(scored_or_pen, F.col("weight")) \
+         .otherwise(F.lit(0).cast("decimal(10,4)"))
+    wlog = F.when(F.col("norm").isNotNull(),
+                  F.col("norm") * F.col("weight").cast("double")) \
+            .when(F.col("on_missing") == "penalize",
+                  F.log2(F.col("penalty"))
+                  * F.col("weight").cast("double")) \
+            .otherwise(F.lit(0.0))
+    df = (
+        normed.withColumn("_w", w)
+        .withColumn("_wlog", wlog.cast("decimal(28,12)"))
+        .withColumn("total_w", F.sum("_w").over(grp))
+        .withColumn(
+            "suppressed",
+            F.max((F.col("on_missing") == "require")
+                  & F.col("norm").isNull()).over(grp),
+        )
+        .filter(~F.col("suppressed") & (F.col("total_w") > 0))
+    )
+    norm2 = F.when(F.col("norm").isNotNull(),
+                   F.pow(F.lit(2.0), F.col("norm"))) \
+             .when(F.col("on_missing") == "penalize", F.col("penalty"))
+    norm3 = round_sig_figs_pure(norm2, 3)
+    share3 = F.when(
+        scored_or_pen,
+        round_sig_figs_pure(F.col("weight").cast("double")
+                            / F.col("total_w").cast("double"), 3),
+    ).otherwise(F.lit(0.0))  # ignored components publish 0.0 (:347)
+    component = F.struct(
+        F.col("label").alias("label"),
+        F.col("weight").cast("double").alias("weight"),
+        share3.alias("weight_share"),
+        round_sig_figs(F.col("best_score"), 4).alias("raw"),
+        round_sig_figs(F.col("median_score"), 4).alias("reference"),
+        norm3.alias("normalized"),
+        F.col("hib").alias("higher_is_better"),
+        F.when(F.col("norm").isNull()
+               & (F.col("on_missing") == "penalize"),
+               "penalized: no usable measurement").alias("note"),
+        F.when(scored_or_pen,
+               round_sig_figs_pure(
+                   (F.pow(norm3, share3) - 1) * 100, 3)).alias("impact"),
+    )
+    missing = F.when(F.col("norm").isNull() & (F.col("on_missing") == "ignore"),
+                     F.col("label"))
+    agg = df.groupBy("vendor_id", "server_id", "workload_key").agg(
+        F.first("total_w").alias("total_w"),
+        F.sum("_wlog").alias("sum_wlog"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("entry_idx").alias("i"),
+                                    component.alias("c")))
+        ).alias("_comps"),
+        F.array_sort(F.collect_list(missing)).alias("_missing"),
+    )
+    version_map = F.create_map(
+        *[F.lit(x) for kv in WORKLOADS.items()
+          for x in (kv[0], kv[1]["version"])])
+    breakdown = F.to_json(F.struct(
+        F.lit("weighted_geometric_mean").alias("aggregation"),
+        F.lit("median_ratio").alias("normalization"),
+        F.col("total_w").cast("double").alias("coverage"),
+        F.transform("_comps", lambda s: s["c"]).alias("components"),
+    ))
+    return agg.select(
+        "vendor_id", "server_id",
+        F.concat(F.lit("workload_profile:"), F.col("workload_key"))
+        .alias("benchmark_id"),
+        F.lit("{}").alias("config"),
+        version_map[F.col("workload_key")].alias("framework_version"),
+        round_sig_figs_pure(
+            F.pow(F.lit(2.0), F.col("sum_wlog").cast("double")
+                  / F.col("total_w").cast("double")), 3).alias("score"),
+        F.when(
+            F.size("_missing") > 0,
+            F.concat(F.lit("Partial coverage: missing component "
+                           "benchmark(s): "),
+                     F.array_join("_missing", ", "), F.lit(".")),
+        ).alias("note"),
+        breakdown.alias("score_breakdown"),
     )
 
 

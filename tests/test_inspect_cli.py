@@ -99,3 +99,24 @@ def test_inspect_lands_scores_and_enriches_servers(spark, tmp_path):
     cli.cmd_inspect(spark, bronze, lake, "aws")
     assert read_snapshot(
         spark, os.path.join(lake, "benchmark_score")).count() == n
+
+    # score: synthetic workload_profile rows from the landed scores
+    # (single server -> it IS the fleet median; stress_ng components
+    # score 1.0, the rest are ignored-missing)
+    cli.cmd_score(spark, lake)
+    wp = {r["benchmark_id"]: r for r in read_snapshot(
+        spark, os.path.join(lake, "benchmark_score")).filter(
+        "benchmark_id LIKE 'workload_profile:%'").collect()}
+    comp = wp["workload_profile:compute"]
+    assert comp["status"] == "active"
+    assert comp["score"] == 1.0
+    assert "Partial coverage" in comp["note"]
+    assert '"aggregation":"weighted_geometric_mean"' in \
+        comp["score_breakdown"]
+    # re-score: idempotent, previous rows replaced not duplicated
+    n_wp = len(wp)
+    cli.cmd_score(spark, lake)
+    again = read_snapshot(
+        spark, os.path.join(lake, "benchmark_score")).filter(
+        "benchmark_id LIKE 'workload_profile:%' AND status = 'active'")
+    assert again.count() == n_wp

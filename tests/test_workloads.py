@@ -141,3 +141,51 @@ def test_llm_require_suppresses(spark):
               for r in cat.groupBy("benchmark_id").agg(
                   F.count("*").alias("cnt")).collect()}
     assert per_wk["workload_profile:llm"] < per_wk["workload_profile:web"]
+
+
+def test_workload_score_rows_from_custom_scores(spark):
+    """workload_score_rows over an arbitrary benchmark_score frame
+    (recompute_workload_profiles, workload_profile_scores.py:248-400):
+    median-ratio geomean, partial-coverage note, full breakdown JSON
+    with ignored components at weight_share 0."""
+    import json as _json
+    import math
+
+    from sc_crawler_spark.workloads import workload_score_rows
+
+    scores = spark.createDataFrame(
+        [("aws", "a", "stress_ng:best1", "{}", 100.0),
+         ("aws", "a", "stress_ng:bestn", "{}", 1000.0),
+         ("aws", "b", "stress_ng:best1", "{}", 200.0),
+         ("aws", "b", "stress_ng:bestn", "{}", 4000.0)],
+        "vendor_id string, server_id string, benchmark_id string, "
+        "config string, score double")
+    rows = {(r["server_id"], r["benchmark_id"]): r
+            for r in workload_score_rows(spark, scores).collect()}
+
+    a = rows[("a", "workload_profile:compute")]
+    wsum = 0.10 * math.log2(100 / 150) + 0.15 * math.log2(1000 / 2500)
+    expect = 2 ** (wsum / 0.25)
+    assert abs(a["score"] - expect) / expect < 1e-3
+    assert a["config"] == "{}"
+    assert a["framework_version"] == "2.0"
+    assert "Partial coverage: missing component benchmark(s): " in a["note"]
+    assert "PassMark CPU Mark (composite)" in a["note"]
+
+    bd = _json.loads(a["score_breakdown"])
+    assert bd["aggregation"] == "weighted_geometric_mean"
+    assert bd["normalization"] == "median_ratio"
+    assert abs(bd["coverage"] - 0.25) < 1e-9
+    comps = {c["label"]: c for c in bd["components"]}
+    assert len(comps) == 8                       # scored + ignored all listed
+    scored = comps["stress-ng div16 single core"]
+    assert scored["raw"] == 100.0 and scored["reference"] == 150.0
+    assert abs(scored["weight_share"] - 0.4) < 1e-9
+    assert scored["higher_is_better"] is True
+    ignored = comps["PassMark CPU Mark (composite)"]
+    assert ignored["weight_share"] == 0.0
+    assert ignored.get("normalized") is None and ignored.get("raw") is None
+
+    # the fleet midpoint server scores ~1.0 on the symmetric entries
+    b = rows[("b", "workload_profile:compute")]
+    assert b["score"] > a["score"]
