@@ -1042,6 +1042,16 @@ def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
             F.coalesce("config", F.lit("{}")).alias("config"),
             "score",
         )
+        # the reference collapses PK duplicates before bulk insert
+        # (insert.py dedupe_items, last occurrence wins) — e.g. a
+        # single-row stressng curve emits cpu_all for both the first
+        # and last record
+        from .operators.windows import keep_last_dedup
+
+        scores = keep_last_dedup(
+            scores.withColumn("_pos", F.monotonically_increasing_id()),
+            schemas.PRIMARY_KEYS["benchmark_score"], "_pos",
+        ).drop("_pos")
         valid, invalid = validate_items(scores, "benchmark_score")
         outputs["benchmark_score"] = (
             valid, schemas.PRIMARY_KEYS["benchmark_score"])
