@@ -943,7 +943,12 @@ def cmd_score(spark: SparkSession, lake: str) -> None:
     from .workloads import workload_score_rows
 
     path = _table_path(lake, "benchmark_score")
-    current = read_snapshot(spark, path)
+    try:
+        current = read_snapshot(spark, path)
+    except Exception:
+        print("score: no benchmark_score table in the lake "
+              "(run inventory/inspect first)")
+        return
     raw = current.filter(
         (F.col("status") == "active")
         & ~F.col("benchmark_id").startswith("workload_profile:")
