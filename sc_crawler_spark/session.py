@@ -40,6 +40,12 @@ def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for any pandas-UDF path (vectorized Python boundary).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Push bare MIN/MAX/COUNT into the parquet footer stats (off by
+        # default). Narrow applicability (no filter/groupBy), but it
+        # turns the engine's frequent bare .count() probes — snapshot
+        # row counts, version listings, rows-only checks — into
+        # footer-metadata reads instead of full scans.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Oracle parity: DuckDB reads parquet timestamps as naive/UTC.
         .config("spark.sql.session.timeZone", "UTC")
         # The reference tolerates permissive coercions (pydantic fills
