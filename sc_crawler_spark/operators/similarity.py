@@ -266,12 +266,16 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
     verified and ranked by exact cosine."""
     planes = hyperplane_signs(n_planes, dim)
     chunk = n_planes // n_bands
-    qs = lsh_signatures(queries, vec_col, id_col, planes).withColumnRenamed(
-        id_col, "query_id"
-    )
-    cs = lsh_signatures(corpus, vec_col, id_col, planes).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    # each side feeds TWO consumers (band signatures + the cosine
+    # verify): cache the narrow (id, double-vector) projection so the
+    # parquet scan and the element-wise cast run once per side, not
+    # twice — same multi-consumer pattern as minhash_lsh_pairs
+    q0 = queries.select(F.col(id_col).alias("query_id"),
+                        as_double(F.col(vec_col)).alias("v")).cache()
+    c0 = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       as_double(F.col(vec_col)).alias("v")).cache()
+    qs = lsh_signatures(q0, "v", "query_id", planes)
+    cs = lsh_signatures(c0, "v", "neighbor_id", planes)
 
     def bands(df: DataFrame, idc: str) -> DataFrame:
         return df.select(
@@ -294,12 +298,10 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cn", norm(F.col("cv")))
+    q = q0.select("query_id", F.col("v").alias("qv")).withColumn(
+        "qn", norm(F.col("qv")))
+    c = c0.select("neighbor_id", F.col("v").alias("cv")).withColumn(
+        "cn", norm(F.col("cv")))
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
