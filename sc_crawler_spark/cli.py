@@ -968,6 +968,20 @@ def cmd_score(spark: SparkSession, lake: str) -> None:
     print(f"score: {n} active workload_profile rows")
 
 
+def cmd_shards(spark: SparkSession, lake: str, table: str, out: str,
+               id_col: str, n_shards: int = 16, seed: int = 0) -> None:
+    """Materialize a table as seeded training shards
+    (operators/packing.py write_training_shards): shard=K parquet
+    directories, one file per shard, rows in the seeded global-shuffle
+    order. Changing --seed re-shuffles every epoch deterministically."""
+    from .operators.packing import write_training_shards
+
+    df = _read(spark, lake, table)
+    write_training_shards(df, out, id_col, n_shards, seed)
+    n = spark.read.parquet(out).count()
+    print(f"shards: {table}: {n} rows into {n_shards} shards at {out}")
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1265,6 +1279,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="record family to land (repeatable; default all) — "
                         "the reference pull's --include-records")
 
+    p = sub.add_parser("shards",
+                       help="write a table as seeded training shards")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", required=True)
+    p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("score",
                        help="recompute workload-profile scores from "
                             "landed benchmark_score rows")
@@ -1342,6 +1365,9 @@ def main(argv: list[str] | None = None) -> None:
                    if v not in set(args.exclude_vendor)]
         for v in vendors:
             cmd_inventory(spark, args.bronze, args.lake, v, args.records)
+    elif args.cmd == "shards":
+        cmd_shards(spark, args.lake, args.table, args.out,
+                   args.id_col, args.n_shards, args.seed)
     elif args.cmd == "score":
         cmd_score(spark, args.lake)
     elif args.cmd == "versions":

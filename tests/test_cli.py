@@ -268,3 +268,17 @@ def test_snapshot_time_travel_and_versions(spark, tmp_path, capsys):
     import pytest
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, root, version="v-99999999")
+
+
+def test_shards_command(spark, tmp_path, capsys):
+    """`shards` materializes a lake table as seeded training shards."""
+    lake = str(tmp_path / "lake")
+    cli.cmd_pull(spark, lake)
+    out = str(tmp_path / "shards")
+    cli.cmd_shards(spark, lake, "country", out, "country_id",
+                   n_shards=4, seed=1)
+    back = spark.read.parquet(out)
+    n = read_snapshot(spark, os.path.join(lake, "country")).count()
+    assert back.count() == n
+    assert back.select("country_id").distinct().count() == n
+    assert back.select("shard").distinct().count() == 4
