@@ -262,3 +262,46 @@ def test_grams_match_python_reference(spark, toks, k):
     else:
         want = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
         assert got == want
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=EDGES)
+def test_connected_components_matches_union_find(spark, edges):
+    """Law: pointer-jumping label propagation equals classic union-find
+    with min-id canonical labels, on any edge multiset (self-loops,
+    duplicates, both orientations)."""
+    from sc_crawler_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        touched |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for x in touched:
+        comp.setdefault(find(x), []).append(x)
+    want = {x: min(m) for m in comp.values() for x in m}
+    assert got == want
