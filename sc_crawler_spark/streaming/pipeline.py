@@ -373,3 +373,57 @@ def stateful_best_scores_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_server_inventory(spark: SparkSession, bronze_dir: str,
+                            state_dir: str, checkpoint_dir: str,
+                            vendor: str = "aws"):
+    """Continuous-crawler ingest: the batch `inventory` path as a
+    Structured Streaming query over a bronze DROP DIRECTORY.
+
+    The file source tracks processed files in the checkpoint, so each
+    newly landed describe-instance-types dump is standardized (P1),
+    keep-last deduped (A4), validated (P8) and vendor-scoped
+    merge-upserted (K1+T1) exactly once per file — the full transform
+    runs INSIDE foreachBatch where the batch frame has the complete
+    static API. availableNow drains the backlog then stops
+    (cron-friendly); without it the same query tails the directory
+    24/7 on a cluster.
+    """
+    from ..operators.upsert import merge_upsert
+    from ..operators.validate import validate_items
+    from ..operators.windows import keep_last_dedup
+    from ..sinks.snapshot import read_snapshot, write_snapshot
+    from ..sources import aws
+
+    raw = spark.readStream.schema(aws.RAW_INSTANCE_TYPE).json(bronze_dir)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        payload = batch.select(
+            F.struct(*[F.col(f.name) for f in aws.RAW_INSTANCE_TYPE.fields])
+            .alias("payload"))
+        servers = aws.standardize_instance_types(payload, vendor) \
+            .withColumn("_pos", F.monotonically_increasing_id())
+        servers = keep_last_dedup(
+            servers, ["vendor_id", "server_id"], "_pos").drop("_pos")
+        valid, _invalid = validate_items(servers, "server")
+        try:
+            current = read_snapshot(bspark, state_dir)
+            merged = merge_upsert(
+                current, valid.select(*current.columns),
+                ["vendor_id", "server_id"],
+                inactivate_missing=False,  # a drop file is incremental,
+                # not a full catalog — no sweep (the batch `inventory`
+                # command owns full-pull inactivation)
+            )
+        except Exception:  # first batch: no snapshot yet
+            merged = valid
+        write_snapshot(bspark, merged, state_dir)
+
+    return (
+        raw.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -397,3 +397,47 @@ def test_transform_with_state_best_scores(spark, tmpdir):
                 "spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_server_inventory_incremental_files(spark, tmpdir):
+    """Continuous-crawler ingest: each new bronze drop file is
+    standardized + merged exactly once (checkpointed file source); a
+    later drop updates changed servers without sweeping the rest."""
+    import json
+
+    from sc_crawler_spark.sinks.snapshot import read_snapshot
+    from sc_crawler_spark.streaming import stream_server_inventory
+
+    def inst(name, vcpus, mib):
+        return json.dumps({
+            "InstanceType": name,
+            "BurstablePerformanceSupported": False,
+            "VCpuInfo": {"DefaultVCpus": vcpus, "DefaultCores": vcpus // 2},
+            "ProcessorInfo": {"SupportedArchitectures": ["x86_64"],
+                              "SustainedClockSpeedInGhz": 3.0,
+                              "Manufacturer": "Intel"},
+            "MemoryInfo": {"SizeInMiB": mib},
+            "Hypervisor": "nitro",
+        })
+
+    src = os.path.join(tmpdir, "drops")
+    os.makedirs(src)
+    state = os.path.join(tmpdir, "srv")
+    ckpt = os.path.join(tmpdir, "ckpt-inv")
+    with open(os.path.join(src, "drop1.json"), "w") as fh:
+        fh.write(inst("m1.small", 2, 4096) + "\n" + inst("m1.large", 8, 16384))
+    q = stream_server_inventory(spark, src, state, ckpt)
+    q.awaitTermination(120)
+    rows = {r["server_id"]: r for r in read_snapshot(spark, state).collect()}
+    assert set(rows) == {"m1.small", "m1.large"}
+    assert rows["m1.small"]["vcpus"] == 2
+
+    # drop 2: one update + one new server; only the NEW file processes
+    with open(os.path.join(src, "drop2.json"), "w") as fh:
+        fh.write(inst("m1.small", 4, 8192) + "\n" + inst("m1.xlarge", 16, 32768))
+    q2 = stream_server_inventory(spark, src, state, ckpt)
+    q2.awaitTermination(120)
+    rows = {r["server_id"]: r for r in read_snapshot(spark, state).collect()}
+    assert set(rows) == {"m1.small", "m1.large", "m1.xlarge"}
+    assert rows["m1.small"]["vcpus"] == 4          # updated
+    assert rows["m1.large"]["status"] == "active"  # incremental: no sweep
