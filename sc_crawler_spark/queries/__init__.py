@@ -43,6 +43,8 @@ _PRIORITY = [
     # --- no driver-green evidence yet ---
     "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
     "embed_ann_sq",                # new r5: int8 two-stage ANN
+    "q10_returned_items",          # new r5: 4-table join + top-20
+    "q18_large_orders",            # new r5: HAVING-gated IN-subquery
     "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
     "doc_repetition",              # new r5: curation operators
     "doc_pii_scrub",

@@ -558,8 +558,89 @@ GROUP BY p_partkey, p_name
 """
 
 
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter — 4-table join (nation broadcast), decimal revenue agg,
+    top-20 via TakeOrderedAndProject with a total order."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation),
+              cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dround(decimal_sum(revenue), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with any single order above a
+    quantity threshold — HAVING-gated aggregate as the IN-subquery
+    (semi join on the aggregated key), then re-aggregation."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(decimal_sum(F.col("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        dround(decimal_sum(F.col("l_quantity")), 4).alias("total_qty"))
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"],
+                    "left_semi")
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(qty, orders["o_orderkey"] == qty["l_orderkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+  {sql_round("q.total_qty")} AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey) q
+  ON o_orderkey = q.l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "dim_join_enrichment": (dim_join_enrichment, DIM_JOIN_SQL),
