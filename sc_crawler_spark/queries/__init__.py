@@ -44,6 +44,7 @@ _PRIORITY = [
     "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
     "embed_ann_sq",                # new r5: int8 two-stage ANN
     "q10_returned_items",          # new r5: 4-table join + top-20
+    "q7_volume_shipping",          # new r5: dual-nation dim join + year
     "q18_large_orders",            # new r5: HAVING-gated IN-subquery
     "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
     "doc_repetition",              # new r5: curation operators

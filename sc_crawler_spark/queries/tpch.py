@@ -637,8 +637,61 @@ WHERE o_orderkey IN (
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — the nation dim joins TWICE (supplier side and customer
+    side, both broadcast), with the symmetric pair predicate and a
+    year-extraction group key."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    a, b = "NATION_3", "NATION_7"
+    pair = (
+        ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+        | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(dround(decimal_sum(revenue), 4).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  {sql_round("SUM(CAST(volume AS DECIMAL(28,6)))")} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
