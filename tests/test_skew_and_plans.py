@@ -46,6 +46,9 @@ PLAN_GUARDED = [
     # BroadcastNestedLoopJoin over the 35-row dim, never a cartesian)
     "workload_profiles_catalog", "workload_catalog_breakdown",
     "dedup_embed_cosine",
+    # round 5: classic TPC-H shapes — dims must broadcast, the q18
+    # HAVING-subquery semi join must not degrade to sort-merge
+    "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
 ]
 
 
