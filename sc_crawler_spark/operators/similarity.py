@@ -91,9 +91,50 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_train_centroids(corpus: DataFrame, vec_col: str, id_col: str,
+                        n_cells: int = 8, iters: int = 2) -> DataFrame:
+    """Lloyd-iteration centroid training for the IVF index, expressed
+    as DataFrame ops: assign (inner-product argmax against broadcast
+    centroids) then re-center (element-wise mean per cell via
+    posexplode -> (cell, dim) partial-aggregated avg -> array
+    reassembly). Seeded from the first ``n_cells`` vectors by id, so
+    training is deterministic.
+
+    Scale notes: each iteration shuffles (cell, dim, value) triples
+    with map-side combine — |corpus| x dim rows of three scalars, never
+    whole vectors; centroids stay a broadcast dim. Cells that lose all
+    members keep their previous centroid (no silent index shrink).
+    """
+    c = corpus.select(F.col(id_col).alias("_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    cents = (
+        c.filter(F.col("_id") < n_cells)
+        .select(F.col("_id").alias("cell_id"), F.col("cv").alias("centv"))
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(c, cents, "cv", "centv")
+        means = (
+            assigned.select("cell_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("cell_id",
+                    F.transform("_pm", lambda s: s["m"]).alias("_new"))
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select("cell_id",
+                    F.coalesce("_new", "centv").alias("centv"))
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+    return cents
+
+
 def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
                     id_col: str, k: int = 5, n_cells: int = 8,
-                    n_probe: int = 2) -> DataFrame:
+                    n_probe: int = 2,
+                    centroids: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are bucketed into
     ``n_cells`` inverted lists (cell = argmax inner product against a
     deterministic centroid set — the first ``n_cells`` corpus vectors by
@@ -106,7 +147,7 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
     cell id — shuffle-partitionable, never all-pairs. Recall/latency
     trades via n_probe (n_probe = n_cells degrades to brute force).
     """
-    cents = (
+    cents = centroids if centroids is not None else (
         corpus.select(F.col(id_col).alias("cell_id"),
                       as_double(F.col(vec_col)).alias("centv"))
         .filter(F.col("cell_id") < n_cells)

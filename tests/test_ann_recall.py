@@ -68,3 +68,32 @@ def test_embed_near_dup_pair_recall(spark):
              .filter(F.col("cos") >= 0.45).collect()}
     assert exact, "fixture has near-dup pairs at the test threshold"
     assert approx == exact  # full pair recall at fixture scale
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Lloyd-trained centroids must not regress recall vs the seeded
+    first-N centroids (and typically improve it): same probe budget,
+    better-balanced cells."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.similarity import (
+        cosine_topk_ivf, ivf_train_centroids,
+    )
+    from sc_crawler_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _neighbors(embed_cosine_topk(spark, SF))
+
+    cents = ivf_train_centroids(emb, "embedding", "vec_id",
+                                n_cells=8, iters=2)
+    assert cents.count() == 8               # no silent cell shrink
+    r_seeded = _recall(_neighbors(cosine_topk_ivf(
+        queries, emb, "embedding", "vec_id", k=5, n_cells=8,
+        n_probe=3)), exact)
+    r_trained = _recall(_neighbors(cosine_topk_ivf(
+        queries, emb, "embedding", "vec_id", k=5, n_cells=8,
+        n_probe=3, centroids=cents)), exact)
+    print(f"ivf recall seeded={r_seeded:.3f} trained={r_trained:.3f}")
+    assert r_trained >= r_seeded - 0.05     # never materially worse
+    assert r_trained >= 0.8
