@@ -36,9 +36,15 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # union of r1-r4 covers EVERY pre-r5 registry name. Rotation: the new r5
 # queries first (no driver evidence yet — longtail prices, the curation
 # set, packing/sketch rows-only entries, correlated subqueries,
-# cube/pivot/range-frame/intersect), then the 16 names whose latest
-# driver green is r03 (stalest evidence — last round's tail); the
-# freshest r4 greens rotate to the tail, past the 50-query cap.
+# cube/pivot/range-frame/intersect, and the second-session additions:
+# duplicate-cluster resolution, int8 two-stage ANN, training shards,
+# TPC-H q7/q10/q18), then the 16 names whose latest driver green is r03
+# (stalest evidence — last round's tail); the freshest r4 greens rotate
+# to the tail, past the 50-query cap.
+#
+# For r6: rotate per the same protocol — any new queries first, then
+# whichever names CORRECTNESS_r05's 50-query window did NOT cover
+# (they will be the stalest), with r5's fresh greens moving tailward.
 _PRIORITY = [
     # --- no driver-green evidence yet ---
     "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
