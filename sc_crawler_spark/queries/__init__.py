@@ -49,6 +49,7 @@ _PRIORITY = [
     # --- no driver-green evidence yet ---
     "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
     "embed_ann_sq",                # new r5: int8 two-stage ANN
+    "embed_kmeans_clusters",       # new r5: oracle-checked Lloyd k-means
     "q10_returned_items",          # new r5: 4-table join + top-20
     "q7_volume_shipping",          # new r5: dual-nation dim join + year
     "q18_large_orders",            # new r5: HAVING-gated IN-subquery

@@ -582,6 +582,98 @@ WHERE rank <= {k}
 """
 
 
+_KM_CELLS = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def embed_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-means, ORACLE-CHECKED: two unrolled Lloyd
+    iterations over the embeddings (seeded from the first 8 vectors),
+    then the final assignment with cluster sizes.
+
+    Cross-engine determinism is the point: re-centering averages go
+    through DECIMAL sums (order-independent) and round to 6 before the
+    next assignment, so both engines iterate on bit-identical
+    centroids; the argmax assignment tie-breaks on cell_id. The
+    element-wise mean shuffles (cell, dim, value) scalar triples with
+    map-side combine — whole vectors never move during training."""
+    from ..operators.similarity import ivf_assign
+
+    emb = load(spark, sf, "embeddings")
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("cv"))
+    cents = v.filter(F.col("vec_id") < _KM_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("cv").alias("centv"))
+    mean6 = dround(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+        / F.count("*"), 6)
+    for _ in range(_KM_ITERS):
+        assigned = ivf_assign(v.select(F.col("vec_id"), "cv"), cents,
+                              "cv", "centv")
+        means = (
+            assigned.select("cell_id",
+                            F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell_id", "pos").agg(mean6.alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("cell_id",
+                    F.transform("_pm", lambda s: s["m"]).alias("_new"))
+        )
+        cents = cents.join(means, "cell_id", "left").select(
+            "cell_id", F.coalesce("_new", "centv").alias("centv"))
+    final = ivf_assign(v.select(F.col("vec_id"), "cv"), cents,
+                       "cv", "centv").select(
+        "vec_id", F.col("cell_id").alias("cluster_id"))
+    sizes = final.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return final.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size")
+
+
+def _kmeans_sql() -> str:
+    def assign(cent_cte, out):
+        return f"""{out} AS (
+  SELECT vec_id, cv, cell_id FROM (
+    SELECT v.vec_id, v.cv, {cent_cte}.cell_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_inner_product(v.cv, {cent_cte}.centv) DESC,
+                 {cent_cte}.cell_id) AS rn
+    FROM v, {cent_cte}) WHERE rn = 1)"""
+
+    def recenter(assign_cte, prev_cent, out):
+        return f"""{out}_m AS (
+  SELECT cell_id, i AS pos,
+         {sql_round("CAST(SUM(CAST(cv[i] AS DECIMAL(28,12))) AS DOUBLE)"
+                    " / COUNT(*)", 6)} AS m
+  FROM {assign_cte}, unnest(generate_series(1, {_KM_DIM})) t(i)
+  GROUP BY cell_id, i),
+{out} AS (
+  SELECT p.cell_id,
+         coalesce(n.centv, p.centv) AS centv
+  FROM {prev_cent} p LEFT JOIN (
+    SELECT cell_id, list(m ORDER BY pos) AS centv
+    FROM {out}_m GROUP BY cell_id) n USING (cell_id))"""
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cell_id, cv AS centv FROM v
+       WHERE vec_id < {_KM_CELLS}),
+{assign("c0", "a1")},
+{recenter("a1", "c0", "c1")},
+{assign("c1", "a2")},
+{recenter("a2", "c1", "c2")},
+{assign("c2", "af")},
+sizes AS (SELECT cell_id, COUNT(*) AS cluster_size FROM af
+          GROUP BY cell_id)
+SELECT af.vec_id, af.cell_id AS cluster_id, sizes.cluster_size
+FROM af JOIN sizes USING (cell_id)
+"""
+
+
 def _ann_lsh_sql(n_planes: int = 24, n_bands: int = 8, dim: int = 64, k: int = 5) -> str:
     planes = similarity.hyperplane_signs(n_planes, dim)
     bit_exprs = " || ".join(
@@ -847,4 +939,5 @@ QUERIES = {
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),
     "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
+    "embed_kmeans_clusters": (embed_kmeans_clusters, _kmeans_sql()),
 }
