@@ -64,6 +64,7 @@ _PRIORITY = [
     "q2_min_price_order",          # correlated scalar subquery
     "q4_order_priority",           # correlated EXISTS
     "cube_revenue",                # CUBE + GROUPING flags
+    "rollup_revenue",              # new r5: hierarchical ROLLUP subtotals
     "pivot_status_counts",         # PIVOT with explicit values
     "moving_range_avg",            # RANGE-frame trailing window
     "intersect_repeat_buyers",     # INTERSECT set op

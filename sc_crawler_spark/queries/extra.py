@@ -61,6 +61,30 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): the hierarchical subset of
+    CUBE — detail, per-flag subtotal, grand total — from one Expand
+    pass; GROUPING() flags mark subtotal rows."""
+    li = load(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dround(decimal_sum(disc), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue,
+  COUNT(*) AS n_items,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def pivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT: order counts per priority x status, statuses as columns.
     The value list is EXPLICIT ('O','F','P') — with it Spark pivots in
@@ -574,8 +598,8 @@ GROUP BY 1, 2, 3, 4
 
 
 QUERIES = {
-    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
     "cube_revenue": (cube_revenue, CUBE_SQL),
+    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
     "pivot_status_counts": (pivot_status_counts, PIVOT_SQL),
     "moving_range_avg": (moving_range_avg, MOVING_RANGE_SQL),
     "tiered_price_billing": (tiered_price_billing, _tiered_billing_sql()),
