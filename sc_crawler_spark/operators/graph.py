@@ -42,15 +42,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Raises if `max_iter` rounds do not converge — with pointer jumping
     that needs a component of diameter > 2^max_iter.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e0.filter(F.col("u") != F.col("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
 
+    # node set from ALL endpoints (self-loops included) so a node that
+    # appears only as (x, x) still lands as the singleton (x, x) —
+    # dropping self-loops before collecting nodes would silently erase
+    # such a doc from the cluster listing
     labels = (
-        sym.select(F.col("u").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
+        e0.select("u").union(e0.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
         .localCheckpoint(eager=True)
     )
 

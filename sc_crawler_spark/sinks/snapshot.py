@@ -41,6 +41,20 @@ def current_path(root: str) -> str:
     return root  # plain parquet dir (legacy layout)
 
 
+def snapshot_exists(root: str) -> bool:
+    """True iff ``root`` holds readable snapshot data: either a
+    committed version (pointer file present) or a legacy flat parquet
+    directory with part files. Callers that want "merge into the
+    existing state, else start fresh" should branch on THIS rather than
+    catching the read exception — a blanket except would also swallow
+    genuine IO/schema failures and silently reset the state table."""
+    if os.path.exists(os.path.join(root, POINTER)):
+        return True
+    if not os.path.isdir(root):
+        return False
+    return any(e.endswith(".parquet") for e in os.listdir(root))
+
+
 def list_versions(root: str) -> list[tuple[str, bool]]:
     """Retained versions of a table root, oldest first, with the
     committed one flagged — the time-travel surface (write_snapshot

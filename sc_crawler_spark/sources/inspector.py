@@ -127,11 +127,21 @@ REDIS_SCHEMA = StructType([
 
 
 def read_redis_csv(spark: SparkSession, glob: str) -> DataFrame:
-    """S7 — redis/static_web DictReader-style CSV (inspector.py:585-593)."""
-    return (
-        spark.read.schema(REDIS_SCHEMA).option("header", "true").csv(glob)
-        .withColumn("server_id", _server_from_path())
-    )
+    """S7 — redis/static_web DictReader-style CSV (inspector.py:585-593).
+
+    BY FIELD NAME, like the reference's csv.DictReader: Spark CSV with
+    an explicit schema maps columns positionally (header ignored), so a
+    static_web dump whose header order differs from redis.csv — or
+    lacks pipeline/operation entirely — would silently land rps in the
+    wrong field. Read header-first as strings, then select/cast each
+    REDIS_SCHEMA field by name (absent columns -> typed NULL)."""
+    raw = spark.read.option("header", "true").csv(glob)
+    have = set(raw.columns)
+    return raw.select(*[
+        (F.col(f.name) if f.name in have else F.lit(None))
+        .cast(f.dataType).alias(f.name)
+        for f in REDIS_SCHEMA.fields
+    ]).withColumn("server_id", _server_from_path())
 
 
 def redis_derivations(df: DataFrame) -> DataFrame:
@@ -579,6 +589,12 @@ def storage_disks_lsblk(spark: SparkSession, glob: str) -> DataFrame:
     )
     d = raw.select("vendor_id", "server_id",
                    F.explode("blockdevices").alias("d"))
+    # the reference raises KeyError for vendors absent from its
+    # boot-from-network table (skipping the framework); mirroring the
+    # fallthrough as "boots locally" would hand an UNKNOWN vendor a
+    # phantom local nvme data disk out of its boot drive — drop those
+    # rows instead of guessing an offset
+    d = d.filter(F.col("vendor_id").isin(list(_BOOT_FROM_NETWORK)))
     boot_net = F.col("vendor_id").isin(
         [v for v, b in _BOOT_FROM_NETWORK.items() if b])
     nvme_idx = F.nullif(

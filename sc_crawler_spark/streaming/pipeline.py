@@ -393,7 +393,7 @@ def stream_server_inventory(spark: SparkSession, bronze_dir: str,
     from ..operators.upsert import merge_upsert
     from ..operators.validate import validate_items
     from ..operators.windows import keep_last_dedup
-    from ..sinks.snapshot import read_snapshot, write_snapshot
+    from ..sinks.snapshot import read_snapshot, snapshot_exists, write_snapshot
     from ..sources import aws
 
     raw = spark.readStream.schema(aws.RAW_INSTANCE_TYPE).json(bronze_dir)
@@ -408,7 +408,10 @@ def stream_server_inventory(spark: SparkSession, bronze_dir: str,
         servers = keep_last_dedup(
             servers, ["vendor_id", "server_id"], "_pos").drop("_pos")
         valid, _invalid = validate_items(servers, "server")
-        try:
+        if snapshot_exists(state_dir):
+            # genuine read/merge failures must PROPAGATE so the batch
+            # retries — a broad except here would silently reset the
+            # accumulated state table to just the current batch
             current = read_snapshot(bspark, state_dir)
             merged = merge_upsert(
                 current, valid.select(*current.columns),
@@ -417,7 +420,7 @@ def stream_server_inventory(spark: SparkSession, bronze_dir: str,
                 # not a full catalog — no sweep (the batch `inventory`
                 # command owns full-pull inactivation)
             )
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no snapshot yet
             merged = valid
         write_snapshot(bspark, merged, state_dir)
 

@@ -557,8 +557,14 @@ def workload_score_rows(spark: SparkSession,
                round_sig_figs_pure(
                    (F.pow(norm3, share3) - 1) * 100, 3)).alias("impact"),
     )
+    # missing labels keep ENTRY order (reference appends them as it
+    # walks the component list — _compute_workload_score_rows), so sort
+    # (entry_idx, label) structs and strip the index, same trick as
+    # _comps above; a bare array_sort(label) would publish them
+    # alphabetically.
     missing = F.when(F.col("norm").isNull() & (F.col("on_missing") == "ignore"),
-                     F.col("label"))
+                     F.struct(F.col("entry_idx").alias("i"),
+                              F.col("label").alias("l")))
     agg = df.groupBy("vendor_id", "server_id", "workload_key").agg(
         F.first("total_w").alias("total_w"),
         F.sum("_wlog").alias("sum_wlog"),
@@ -566,7 +572,8 @@ def workload_score_rows(spark: SparkSession,
             F.collect_list(F.struct(F.col("entry_idx").alias("i"),
                                     component.alias("c")))
         ).alias("_comps"),
-        F.array_sort(F.collect_list(missing)).alias("_missing"),
+        F.transform(F.array_sort(F.collect_list(missing)),
+                    lambda s: s["l"]).alias("_missing"),
     )
     version_map = F.create_map(
         *[F.lit(x) for kv in WORKLOADS.items()

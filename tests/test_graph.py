@@ -35,8 +35,10 @@ def test_chain_converges_with_pointer_jumping(spark):
 
 
 def test_self_loops_and_reversed_edges(spark):
+    # a node appearing ONLY in self-loop pairs must still show up, as a
+    # singleton component — the docstring promises every node in edges
     got = _components(spark, [(5, 5), (7, 6), (6, 7), (8, 7)])
-    assert got == {6: 6, 7: 6, 8: 6}
+    assert got == {5: 5, 6: 6, 7: 6, 8: 6}
 
 
 def test_string_nodes(spark):
