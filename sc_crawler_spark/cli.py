@@ -276,11 +276,13 @@ def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
 
 def cmd_schemas(spark: SparkSession, action: str, lake: str,
                 revision: int | None = None) -> None:
-    """``schemas version`` / ``schemas upgrade`` / ``schemas stamp``
-    (reference cli.py:124-239 alembic surface: current / upgrade /
-    stamp): report, reconcile, or force-set a lake's schema revision.
-    ``stamp`` writes the revision WITHOUT migrating — the alembic
-    escape hatch for lakes whose files were fixed out-of-band."""
+    """``schemas version`` / ``schemas upgrade`` / ``schemas downgrade``
+    / ``schemas stamp`` (reference cli.py:124-239 alembic surface:
+    current / upgrade / downgrade / stamp): report, reconcile, roll
+    back, or force-set a lake's schema revision. ``stamp`` writes the
+    revision WITHOUT migrating — the alembic escape hatch for lakes
+    whose files were fixed out-of-band; ``downgrade`` reverses the
+    column-add migrations down to ``--revision`` (default: one step)."""
     if action == "version":
         print(json.dumps({"lake": migrate.lake_version(lake),
                           "code": migrate.SCHEMA_VERSION}))
@@ -289,6 +291,12 @@ def cmd_schemas(spark: SparkSession, action: str, lake: str,
         v = migrate.SCHEMA_VERSION if revision is None else revision
         migrate.stamp_lake(lake, v)
         print(json.dumps({"stamped": v}))
+        return
+    if action == "downgrade":
+        to = (migrate.lake_version(lake) - 1) if revision is None else revision
+        dropped = migrate.downgrade_lake(spark, lake, to)
+        print(json.dumps({"downgraded_to": migrate.lake_version(lake),
+                          "dropped_columns": dropped}))
         return
     added = migrate.upgrade_lake(spark, lake)
     print(json.dumps({"upgraded_to": migrate.SCHEMA_VERSION,
@@ -1328,12 +1336,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="sqlite | postgres | cockroachdb (reference "
                         "utils.py:151-155 PG-family aliases accepted)")
 
-    p = sub.add_parser("schemas",
-                       help="lake schema revision: version/upgrade/stamp")
-    p.add_argument("action", choices=["version", "upgrade", "stamp"])
+    p = sub.add_parser(
+        "schemas",
+        help="lake schema revision: version/upgrade/downgrade/stamp")
+    p.add_argument("action",
+                   choices=["version", "upgrade", "downgrade", "stamp"])
     p.add_argument("--lake", required=True)
     p.add_argument("--revision", type=int,
-                   help="stamp: force this revision (default: code version)")
+                   help="stamp: force this revision (default: code "
+                        "version); downgrade: target revision "
+                        "(default: one step back)")
 
     p = sub.add_parser("metadata", help="get/set/delete the _metadata KV table")
     p.add_argument("action", choices=["get", "set", "delete"])

@@ -91,6 +91,51 @@ def upgrade_table(df: DataFrame, table: str, from_version: int) -> DataFrame:
     return df
 
 
+def downgrade_table(df: DataFrame, table: str, from_version: int,
+                    to_version: int) -> DataFrame:
+    """Drop every column added by revisions (``to_version``,
+    ``from_version``] — the inverse of :func:`upgrade_table`. Column
+    adds are the only migration kind, so dropping them is a complete
+    reversal (upgrade -> downgrade -> upgrade round-trips)."""
+    for v in range(from_version, to_version, -1):
+        drop = [col for col, _t, _d in MIGRATIONS.get(v, {}).get(table, [])
+                if col in df.columns]
+        if drop:
+            df = df.drop(*drop)
+    return df
+
+
+def downgrade_lake(spark: SparkSession, lake: str,
+                   to_version: int) -> dict[str, list[str]]:
+    """``schemas downgrade`` (reference cli.py:195-206: alembic
+    downgrade to a target revision): strip each table snapshot of the
+    columns its post-``to_version`` migrations added and re-stamp.
+    Returns {table: [dropped columns]} for reporting."""
+    from .sinks.snapshot import read_snapshot, write_snapshot
+
+    v = lake_version(lake)
+    if to_version < 1:
+        raise ValueError(f"cannot downgrade below version 1 (got {to_version})")
+    dropped: dict[str, list[str]] = {}
+    if to_version >= v:
+        stamp_lake(lake, min(to_version, v))
+        return dropped
+    tables = sorted(
+        d for d in os.listdir(lake)
+        if os.path.isdir(os.path.join(lake, d)) and not d.startswith("_")
+    )
+    for t in tables:
+        df = read_snapshot(spark, os.path.join(lake, t))
+        before = set(df.columns)
+        downgraded = downgrade_table(df, t, v, to_version)
+        gone = sorted(before - set(downgraded.columns))
+        if gone:
+            write_snapshot(spark, downgraded, os.path.join(lake, t))
+            dropped[t] = gone
+    stamp_lake(lake, to_version)
+    return dropped
+
+
 def upgrade_lake(spark: SparkSession, lake: str) -> dict[str, list[str]]:
     """Apply pending migrations to every table snapshot and re-stamp.
     Returns {table: [added columns]} for reporting."""

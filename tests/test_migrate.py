@@ -70,3 +70,43 @@ def test_upgrade_adds_columns_with_defaults_and_stamps(spark, tmp_path):
     migrate.upgrade_lake(spark, tgt)
     cli.cmd_sync(spark, lake, tgt, "database")
     assert read_snapshot(spark, os.path.join(tgt, "database")).count() == 1
+
+
+def _table_digest(spark, lake, table):
+    df = read_snapshot(spark, os.path.join(lake, table))
+    cols = sorted(c for c in df.columns if c != "observed_at")
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    ), cols
+
+
+def test_downgrade_reverses_upgrade_round_trip(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)             # unstamped -> version 1
+    before, before_cols = _table_digest(spark, lake, "database")
+
+    migrate.upgrade_lake(spark, lake)
+    assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
+
+    # downgrade strips exactly the migration's column-adds and re-stamps
+    dropped = migrate.downgrade_lake(spark, lake, 1)
+    assert migrate.lake_version(lake) == 1
+    assert set(dropped["database"]) == {
+        c for c, _t, _d in migrate.MIGRATIONS[2]["database"]}
+    after, after_cols = _table_digest(spark, lake, "database")
+    assert (after, after_cols) == (before, before_cols)
+
+    # a second downgrade is a no-op; upgrade works again afterwards
+    assert migrate.downgrade_lake(spark, lake, 1) == {}
+    assert "name" in migrate.upgrade_lake(spark, lake)["database"]
+    assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
+
+
+def test_downgrade_rejects_bad_target(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake, version=migrate.SCHEMA_VERSION)
+    with pytest.raises(ValueError, match="below version 1"):
+        migrate.downgrade_lake(spark, lake, 0)
+    # downgrading to the current (or higher) version changes nothing
+    assert migrate.downgrade_lake(spark, lake, migrate.SCHEMA_VERSION) == {}
+    assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
