@@ -272,6 +272,110 @@ def cosine_topk_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
     )
 
 
+def cosine_topk_ivf_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
+                       id_col: str, k: int = 5, n_cells: int = 8,
+                       n_probe: int = 3, refine: int = 3,
+                       centroids: DataFrame | None = None) -> DataFrame:
+    """IVF x SQ composed ANN — the production-shaped index: corpus
+    vectors land in ``n_cells`` inverted lists (argmax inner product
+    against deterministic centroids, same as :func:`cosine_topk_ivf`),
+    int8 scalar-quantized codes rank candidates ONLY within each
+    query's ``n_probe`` probed cells, and the top ``k * refine``
+    survivors re-rank exactly on the float vectors.
+
+    This closes :func:`cosine_topk_sq`'s scale gap: its stage 1 is an
+    all-pairs O(|Q| x |corpus|) scan over the codes (the int8 constant
+    cuts bytes 4x but not comparisons). Here stage 1 is an EQUI-JOIN on
+    cell_id — per-query work ~ |corpus| * n_probe / n_cells int8 dot
+    products, shuffle-partitionable by cell, never a cross join over
+    the corpus — and the float vectors are touched only for the
+    k*refine finalists per query. Recall trades via n_probe (cell
+    misses) and refine (quantization misses); both gated in
+    tests/test_ann_recall.py.
+
+    Cross-engine determinism: assignment and probe ordering use raw
+    float inner products (identical arithmetic both engines, cell_id
+    tiebreak); the stage-1 cut ranks on the int8 cosine ROUNDED to 6
+    with a neighbor_id tiebreak, so both engines pick the same
+    candidate set; integer dot products are exact everywhere.
+    """
+    cents = centroids if centroids is not None else (
+        corpus.select(F.col(id_col).alias("cell_id"),
+                      as_double(F.col(vec_col)).alias("centv"))
+        .filter(F.col("cell_id") < n_cells)
+    )
+    scale_df = corpus.select(
+        F.explode(as_double(F.col(vec_col))).alias("x")
+    ).agg((F.max(F.abs(F.col("x"))) / 127.0).alias("scale"))
+
+    # corpus: cell assignment on floats, then narrow to int8 codes —
+    # the float vectors do NOT travel through stage 1
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    assigned = ivf_assign(c, cents, "cv", "centv")
+    coded = (
+        assigned.crossJoin(F.broadcast(scale_df))
+        .withColumn("cq", quantize_vec(F.col("cv"), F.col("scale")))
+        .withColumn("cqn", norm(F.transform("cq", lambda x: x.cast("double"))))
+        .select("neighbor_id", "cell_id", "cq", "cqn")
+    )
+
+    # queries: probe the n_probe closest cells, carry int8 codes only
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dotp", dot(F.col("qv"), F.col("centv")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dotp").desc(), F.col("cell_id"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .crossJoin(F.broadcast(scale_df))
+        .withColumn("qq", quantize_vec(F.col("qv"), F.col("scale")))
+        .withColumn("qqn", norm(F.transform("qq", lambda x: x.cast("double"))))
+        .select("query_id", "cell_id", "qq", "qqn")
+    )
+
+    # stage 1: int8 ranking WITHIN probed cells — equi-join on cell_id
+    approx = (
+        F.broadcast(probes).join(coded, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            dround(
+                F.aggregate(
+                    F.zip_with("qq", "cq",
+                               lambda a, b: (a * b).cast("long")),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+                / (F.col("qqn") * F.col("cqn")), 6).alias("approx_sim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id"))
+    cand = (approx.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") <= k * refine)
+            .select("query_id", "neighbor_id"))
+
+    # stage 2: exact re-rank of the sparse candidate set on floats
+    qv = q.select("query_id", "qv").withColumn("qn", norm(F.col("qv")))
+    cvv = c.select("neighbor_id", "cv").withColumn("cn", norm(F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id").join(cvv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            dround(dot(F.col("qv"), F.col("cv"))
+                   / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 _SIG_EXPRS: dict[tuple, Column] = {}
 
 

@@ -582,6 +582,121 @@ WHERE rank <= {k}
 """
 
 
+def _km_trained_cents(v: DataFrame, n_cells: int, iters: int) -> DataFrame:
+    """Cross-engine-deterministic Lloyd training (the embed_kmeans
+    recipe): re-centering means go through DECIMAL sums and round to 6
+    before the next assignment, so DuckDB's unrolled CTE chain
+    (_kmeans_sql) reproduces the centroids bit-identically. Plan is
+    declaratively unrolled — iters must stay <= 2 (see the
+    embed_kmeans_clusters docstring / plan-size guard); deeper training
+    routes through the checkpointed ivf_train_centroids."""
+    from ..operators.similarity import ivf_assign
+
+    cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("cv").alias("centv"))
+    mean6 = dround(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+        / F.count("*"), 6)
+    for _ in range(iters):
+        assigned = ivf_assign(v.select(F.col("vec_id"), "cv"), cents,
+                              "cv", "centv")
+        means = (
+            assigned.select("cell_id",
+                            F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell_id", "pos").agg(mean6.alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("cell_id",
+                    F.transform("_pm", lambda s: s["m"]).alias("_new"))
+        )
+        cents = cents.join(means, "cell_id", "left").select(
+            "cell_id", F.coalesce("_new", "centv").alias("centv"))
+    return cents
+
+
+def embed_ann_ivf_sq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF x SQ composed ANN — int8 stage-1 ranking WITHIN probed IVF
+    cells (8 Lloyd-trained lists, 3 probes), exact float re-rank of the
+    top-15, top-5 kept. The scale path that closes embed_ann_sq's
+    all-pairs stage 1: candidate generation is an equi-join on cell_id,
+    never a cross join over the corpus (plan-guarded in
+    test_skew_and_plans). Centroids are DECIMAL-deterministically
+    trained (2 Lloyd iters, the embed_kmeans recipe) — better-balanced
+    cells buy recall@5 = 0.92 vs 0.82 seeded at the same probe budget
+    (gated in test_ann_recall)."""
+    emb = load(spark, sf, "embeddings")
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("cv"))
+    cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf_sq(
+        queries, emb, "embedding", "vec_id",
+        k=5, n_cells=_KM_CELLS, n_probe=3, refine=3, centroids=cents)
+
+
+def _ann_ivf_sq_sql(n_cells: int = 8, n_probe: int = 3, k: int = 5,
+                    refine: int = 3) -> str:
+    cos = sql_round(
+        "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
+        " * sqrt(list_inner_product(cv, cv)))", 6,
+    )
+    approx = sql_round(
+        "list_inner_product(CAST(qc AS DOUBLE[]), CAST(cq AS DOUBLE[]))"
+        " / (sqrt(list_inner_product(CAST(qc AS DOUBLE[]), CAST(qc AS DOUBLE[])))"
+        " * sqrt(list_inner_product(CAST(cq AS DOUBLE[]), CAST(cq AS DOUBLE[]))))",
+        6,
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+{_km_cent_chain_ctes()},
+cent AS (SELECT cell_id, centv FROM c2),
+c AS (SELECT vec_id AS neighbor_id, cv FROM v),
+assign_cells AS (
+  SELECT neighbor_id, cell_id FROM (
+    SELECT neighbor_id, cell_id,
+      row_number() OVER (PARTITION BY neighbor_id
+        ORDER BY list_inner_product(cv, centv) DESC, cell_id) AS rn
+    FROM c, cent) WHERE rn = 1
+),
+scale AS (SELECT max(abs(x)) / 127.0 AS s FROM
+          (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)),
+coded AS (SELECT neighbor_id, cell_id,
+                 [CAST(floor(x / s + 0.5) AS INT) FOR x IN cv] AS cq
+          FROM c JOIN assign_cells USING (neighbor_id), scale),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT query_id, cell_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY list_inner_product(qv, centv) DESC, cell_id) AS rn
+    FROM q, cent) WHERE rn <= {n_probe}
+),
+qq AS (SELECT query_id, [CAST(floor(x / s + 0.5) AS INT) FOR x IN qv] AS qc
+       FROM q, scale),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY {approx} DESC, neighbor_id) AS rn
+    FROM probes JOIN coded USING (cell_id) JOIN qq USING (query_id)
+    WHERE query_id != neighbor_id)
+  WHERE rn <= {k * refine}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos_sim
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 _KM_CELLS = 8
 _KM_ITERS = 2
 _KM_DIM = 64
@@ -597,7 +712,16 @@ def embed_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     next assignment, so both engines iterate on bit-identical
     centroids; the argmax assignment tie-breaks on cell_id. The
     element-wise mean shuffles (cell, dim, value) scalar triples with
-    map-side combine — whole vectors never move during training."""
+    map-side combine — whole vectors never move during training.
+
+    ITERATION BOUND: the Lloyd loop is unrolled DECLARATIVELY (no
+    checkpoint) so the DuckDB oracle can mirror the pure plan; plan
+    size and assignment-subtree recomputation grow geometrically with
+    the iteration count (~205 plan nodes at _KM_ITERS=2, guarded by
+    test_r6_unrolled_lloyd_plan_size_bounded). Keep _KM_ITERS <= 2;
+    deeper training must route through the checkpointed
+    ivf_train_centroids (operators/similarity.py), which truncates
+    lineage per iteration."""
     from ..operators.similarity import ivf_assign
 
     emb = load(spark, sf, "embeddings")
@@ -633,9 +757,8 @@ def embed_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "cluster_id", "cluster_size")
 
 
-def _kmeans_sql() -> str:
-    def assign(cent_cte, out):
-        return f"""{out} AS (
+def _km_assign_cte(cent_cte: str, out: str) -> str:
+    return f"""{out} AS (
   SELECT vec_id, cv, cell_id FROM (
     SELECT v.vec_id, v.cv, {cent_cte}.cell_id,
       row_number() OVER (PARTITION BY v.vec_id
@@ -643,8 +766,9 @@ def _kmeans_sql() -> str:
                  {cent_cte}.cell_id) AS rn
     FROM v, {cent_cte}) WHERE rn = 1)"""
 
-    def recenter(assign_cte, prev_cent, out):
-        return f"""{out}_m AS (
+
+def _km_recenter_cte(assign_cte: str, prev_cent: str, out: str) -> str:
+    return f"""{out}_m AS (
   SELECT cell_id, i AS pos,
          {sql_round("CAST(SUM(CAST(cv[i] AS DECIMAL(28,12))) AS DOUBLE)"
                     " / COUNT(*)", 6)} AS m
@@ -657,16 +781,25 @@ def _kmeans_sql() -> str:
     SELECT cell_id, list(m ORDER BY pos) AS centv
     FROM {out}_m GROUP BY cell_id) n USING (cell_id))"""
 
+
+def _km_cent_chain_ctes() -> str:
+    """The 2-iteration Lloyd centroid chain c0 -> c2 over CTE ``v``
+    (vec_id, cv) — shared by the k-means oracle and the trained-IVF
+    ANN oracle so both engines iterate on bit-identical centroids."""
+    return f"""c0 AS (SELECT vec_id AS cell_id, cv AS centv FROM v
+       WHERE vec_id < {_KM_CELLS}),
+{_km_assign_cte("c0", "a1")},
+{_km_recenter_cte("a1", "c0", "c1")},
+{_km_assign_cte("c1", "a2")},
+{_km_recenter_cte("a2", "c1", "c2")}"""
+
+
+def _kmeans_sql() -> str:
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
            FROM embeddings),
-c0 AS (SELECT vec_id AS cell_id, cv AS centv FROM v
-       WHERE vec_id < {_KM_CELLS}),
-{assign("c0", "a1")},
-{recenter("a1", "c0", "c1")},
-{assign("c1", "a2")},
-{recenter("a2", "c1", "c2")},
-{assign("c2", "af")},
+{_km_cent_chain_ctes()},
+{_km_assign_cte("c2", "af")},
 sizes AS (SELECT cell_id, COUNT(*) AS cluster_size FROM af
           GROUP BY cell_id)
 SELECT af.vec_id, af.cell_id AS cluster_id, sizes.cluster_size
@@ -939,5 +1072,6 @@ QUERIES = {
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),
     "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
+    "embed_ann_ivf_sq": (embed_ann_ivf_sq, _ann_ivf_sq_sql()),
     "embed_kmeans_clusters": (embed_kmeans_clusters, _kmeans_sql()),
 }

@@ -689,8 +689,97 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) for
+    parts matching a name filter — the multi-fact star join (lineitem
+    x orders plus three broadcast dims) with a LIKE-filtered dim and an
+    extract(year) group key the registry didn't cover yet.
+
+    The lake has no partsupp table, so supply cost is proxied as
+    ``p_retailprice * l_quantity * 0.1`` (same join shape, documented
+    adaptation): amount = l_extendedprice*(1-l_discount) - cost.
+    The p_name filter prunes part BEFORE its broadcast; the only
+    shuffle joins the two facts on orderkey."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    supp = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    nation = load(spark, sf, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(dround(decimal_sum(amount), 4).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT nation, o_year,
+  {sql_round("SUM(CAST(amount AS DECIMAL(28,6)))")} AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - p_retailprice * l_quantity * 0.1 AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%')
+GROUP BY nation, o_year
+"""
+
+
+def q16_parts_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    triple with a NOT-IN supplier exclusion — Spark plans the NOT IN
+    as a (broadcast) anti join and the count(distinct) as a two-phase
+    expand/agg; both shapes were missing from the registry.
+
+    partsupp is proxied by the (l_partkey, l_suppkey) pairs observed
+    in lineitem; "complaint" suppliers are those with negative account
+    balance (the lake has no s_comment column)."""
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    ps = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"],
+                "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
+    "q16_parts_supplier": (q16_parts_supplier, Q16_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),

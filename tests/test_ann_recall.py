@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from sc_crawler_spark.queries.pipeline import (
     embed_ann_ivf,
+    embed_ann_ivf_sq,
     embed_ann_lsh,
     embed_ann_sq,
     embed_cosine_topk,
@@ -34,12 +35,17 @@ def test_ann_recall_at_5(spark):
     r_lsh = _recall(_neighbors(embed_ann_lsh(spark, SF)), exact)
     r_ivf = _recall(_neighbors(embed_ann_ivf(spark, SF)), exact)
     r_sq = _recall(_neighbors(embed_ann_sq(spark, SF)), exact)
+    r_ivfsq = _recall(_neighbors(embed_ann_ivf_sq(spark, SF)), exact)
     # floors chosen below the measured values (documented in README) so
     # the gate catches regressions without flaking on fixture noise
     assert r_lsh >= 0.8, f"LSH recall@5 regressed: {r_lsh:.3f}"  # measured 0.88
     assert r_ivf >= 0.8, f"IVF recall@5 regressed: {r_ivf:.3f}"  # measured 0.82
     assert r_sq >= 0.9, f"SQ recall@5 regressed: {r_sq:.3f}"
-    print(f"recall@5 lsh={r_lsh:.3f} ivf={r_ivf:.3f} sq={r_sq:.3f}")
+    # composed IVF x SQ with Lloyd-trained cells: the scale path must
+    # match trained-IVF recall at the same probe budget (measured 0.92)
+    assert r_ivfsq >= 0.9, f"IVF-SQ recall@5 regressed: {r_ivfsq:.3f}"
+    print(f"recall@5 lsh={r_lsh:.3f} ivf={r_ivf:.3f} sq={r_sq:.3f} "
+          f"ivf_sq={r_ivfsq:.3f}")
 
 
 def test_embed_near_dup_pair_recall(spark):

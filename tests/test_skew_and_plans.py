@@ -137,6 +137,45 @@ def test_r5_shard_stats_single_agg_no_join(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_r6_embed_ann_ivf_sq_stage1_is_cell_equijoin(spark):
+    """IVF x SQ composed ANN: stage-1 candidate generation must be the
+    cell_id HASH join (probes x cell-assigned int8 codes) with the
+    self-pair filter as its residual — never a broadcast-nested-loop
+    or cartesian over the full corpus (embed_ann_sq's all-pairs
+    stage-1 shape, which this query exists to close)."""
+    plan = _plan(spark, "embed_ann_ivf_sq")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"BroadcastHashJoin[^\n]*\nLeft keys \[1\]: \[cell_id[^\n]*\n"
+        r"Right keys \[1\]: \[cell_id[^\n]*\nJoin type: Inner[^\n]*\n"
+        r"Join condition: NOT \(query_id", plan
+    ), "stage-1 candidate join is not an equi-join on cell_id"
+    # the all-pairs marker: a nested-loop join carrying the self-pair
+    # filter would mean stage 1 degraded to query x corpus
+    assert not re.search(
+        r"BroadcastNestedLoopJoin[^\n]*\nJoin condition: NOT \(query_id",
+        plan), "stage-1 degraded to an all-pairs nested-loop join"
+
+
+@pytest.mark.parametrize("name,ceiling", [
+    # Both queries unroll 2 Lloyd iterations DECLARATIVELY (the oracle
+    # mirrors the pure plan); plan size grows geometrically with the
+    # iteration count, so _KM_ITERS is pinned at 2 and these ceilings
+    # catch anyone unrolling deeper. iters > 2 training must route
+    # through the checkpointed ivf_train_centroids instead (measured
+    # nodes: kmeans 205, ivf_sq 412).
+    ("embed_kmeans_clusters", 260),
+    ("embed_ann_ivf_sq", 470),
+])
+def test_r6_unrolled_lloyd_plan_size_bounded(spark, name, ceiling):
+    plan = _plan(spark, name)
+    nodes = plan.count("\n(")
+    assert nodes <= ceiling, (
+        f"{name} plan grew to {nodes} nodes (ceiling {ceiling}) — "
+        "did the unrolled Lloyd iteration count increase? Route deeper "
+        "training through the checkpointed ivf_train_centroids.")
+
+
 def test_r5_embed_ann_sq_broadcasts_queries(spark):
     """Both ANN stages keep the 10-row query side broadcast; the
     candidate re-rank must not sort-merge or go cartesian (the stage-1
