@@ -322,15 +322,57 @@ _PACK_BUDGET = 256
 def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy token packing of the corpus into 256-token training
     sequences (operators/packing.py — applyInPandas: bin assignment is
-    a prefix-scan with resets, beyond window functions, hence no DuckDB
-    oracle; the driver records the rows-only check and
-    tests/test_packing.py proves the invariants against a local
-    re-implementation)."""
+    a prefix-scan with resets, beyond window functions). ORACLE-CHECKED
+    since r6: the per-shard scan is sequential-by-construction, so a
+    DuckDB recursive CTE replays it row-by-row (rn-indexed state
+    machine carrying the open bin and its fill — same trick that made
+    dedup_cluster_resolve and the k-means mirror hash-checkable);
+    tests/test_packing.py additionally pins the invariants against a
+    local re-implementation."""
     from ..operators.packing import pack_sequences
 
     docs = load(spark, sf, "documents").select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
     return pack_sequences(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+
+
+# The recursive CTE replays pack_sequences' per-shard greedy scan as an
+# explicit state machine: state BEFORE doc rn is (nxt_seq, nxt_acc);
+# an oversize doc closes any open bin and takes its own; an overflow
+# opens the next bin. One recursion step per doc per shard — all
+# shards advance in the same iteration, so depth = max shard length.
+PACK_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_idx,
+         n_tokens >= {_PACK_BUDGET} AS truncated,
+         CAST(CASE WHEN n_tokens >= {_PACK_BUDGET} THEN 1 ELSE 0 END
+              AS BIGINT) AS nxt_seq,
+         CAST(CASE WHEN n_tokens >= {_PACK_BUDGET} THEN 0 ELSE n_tokens END
+              AS BIGINT) AS nxt_acc
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN d.n_tokens >= {_PACK_BUDGET}
+              THEN r.nxt_seq + (CASE WHEN r.nxt_acc > 0 THEN 1 ELSE 0 END)
+              WHEN r.nxt_acc + d.n_tokens > {_PACK_BUDGET} THEN r.nxt_seq + 1
+              ELSE r.nxt_seq END AS seq_idx,
+         d.n_tokens >= {_PACK_BUDGET} AS truncated,
+         CASE WHEN d.n_tokens >= {_PACK_BUDGET}
+              THEN r.nxt_seq + (CASE WHEN r.nxt_acc > 0 THEN 1 ELSE 0 END) + 1
+              WHEN r.nxt_acc + d.n_tokens > {_PACK_BUDGET} THEN r.nxt_seq + 1
+              ELSE r.nxt_seq END AS nxt_seq,
+         CASE WHEN d.n_tokens >= {_PACK_BUDGET} THEN 0
+              WHEN r.nxt_acc + d.n_tokens > {_PACK_BUDGET} THEN d.n_tokens
+              ELSE r.nxt_acc + d.n_tokens END AS nxt_acc
+  FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1)
+SELECT shard, seq_idx, doc_id, n_tokens, truncated FROM rec
+"""
 
 
 # ----------------------------------------------------- training shards
@@ -374,6 +416,6 @@ QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
-    "pack_sequences_docs": (pack_sequences_docs, None),
+    "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "training_shard_stats": (training_shard_stats, SHARD_STATS_SQL),
 }
