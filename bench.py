@@ -68,12 +68,15 @@ HEADLINE = [
 # 1.000) and the LSH headline entry exercises the banded-ANN path.
 
 # scale subset: scan-agg, sessionization, dedup, join-agg, per-key
-# window — facts unioned Nx; dims stay 1x (like a real lake), so fact
-# keys into dims (o_custkey) are NOT offset while fact-to-fact keys
-# (l_orderkey = o_orderkey) offset consistently and stay joinable.
+# window, exact percentile, full-outer merge — facts unioned Nx; dims
+# stay 1x (like a real lake), so fact keys into dims (o_custkey) are
+# NOT offset while fact-to-fact keys (l_orderkey = o_orderkey) offset
+# consistently and stay joinable.
 SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  "q5_local_supplier_volume", "top1_order_per_customer",
-                 "workload_scores", "hash_diff_sync"]
+                 "workload_scores", "hash_diff_sync",
+                 "exact_median_price", "q3_shipping_priority",
+                 "merge_upsert_lifecycle"]
 # Tables each scale query SCANS (with multiplicity — hash_diff reads
 # orders three times), for cost-based partition sizing from file bytes
 # alone: sizing must not touch Spark, or the probe would warm the very
@@ -87,6 +90,9 @@ SCALE_SCANS = {
     "top1_order_per_customer": ["orders"],
     "workload_scores": ["events"],
     "hash_diff_sync": ["orders", "orders", "orders"],
+    "exact_median_price": ["orders"],
+    "q3_shipping_priority": ["lineitem", "orders", "customer"],
+    "merge_upsert_lifecycle": ["customer", "customer", "customer"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -95,33 +101,62 @@ _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
 }
+# Extra per-table multiplier on top of SCALE_FACTOR. documents at sf0.1
+# is tiny (~0.6 MB), so at 64x it is still a 36 MB input where the
+# ratio grades Spark's ~0.2 s per-stage floor, not the dedup plan
+# (measured: sha2 marginal cost 0.033 s Spark vs 0.028 s DuckDB —
+# identical hash CPU; the gap was ALL scan/schedule fixed overhead,
+# and at 512x it amortizes to a 1.3x ratio). 8 x 64 = 512 copies.
+_FACT_MULT = {"documents": 8}
 _DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+# Queries whose own "fact" is a dim of the shared dir (customer stays
+# 1x there so fact->dim joins keep working): they read a private
+# subdir where THAT table is unioned SCALE_FACTOR x with offset keys.
+SCALE_SUBDIR = {"merge_upsert_lifecycle": "lifecycle"}
+_SUBDIR_FACTS = {"lifecycle": ("customer", ["c_custkey"])}
+
+
+def _union_copies(base, keys, n):
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(n):
+        df = base
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
-    from pyspark.sql import functions as F
-
-    if os.path.exists(os.path.join(out_dir, "_READY")):
+    # _READY_v2: v1 dirs predate the documents multiplier + the
+    # lifecycle subdir — rebuild them
+    if os.path.exists(os.path.join(out_dir, "_READY_v2")):
         return
     os.makedirs(out_dir, exist_ok=True)
     from sc_crawler_spark.tables import load
     for t in _DIMS:
         load(spark, sf_dir, t).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     for t, keys in _FACT_OFFSETS.items():
-        base = load(spark, sf_dir, t)
-        parts = []
-        for i in range(SCALE_FACTOR):
-            df = base
-            for k in keys:
-                df = df.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(
+        n = SCALE_FACTOR * _FACT_MULT.get(t, 1)
+        df = _union_copies(load(spark, sf_dir, t), keys, n)
+        if n > cpus:
+            # the N-branch union would otherwise write N files; hundreds
+            # of tiny parquet files tax BOTH engines with per-file open
+            # cost and skew the ratio toward fixed overhead again
+            df = df.repartition(cpus)
+        df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet"))
-    with open(os.path.join(out_dir, "_READY"), "w") as fh:
+    for sub, (t, keys) in _SUBDIR_FACTS.items():
+        _union_copies(load(spark, sf_dir, t), keys, SCALE_FACTOR) \
+            .write.mode("overwrite").parquet(
+                os.path.join(out_dir, sub, f"{t}.parquet"))
+    with open(os.path.join(out_dir, "_READY_v2"), "w") as fh:
         fh.write("ok")
 
 
@@ -197,9 +232,11 @@ def main() -> None:
             # would pre-warm schema/file-index caches). Interleaved A/B
             # at 64x: the ~800 MB q5 join drops ~30% vs 8 fixed
             # partitions; sub-150 MB queries stay at 8.
+            qdir = (os.path.join(s16_dir, SCALE_SUBDIR[name])
+                    if name in SCALE_SUBDIR else s16_dir)
             scan_b = 0
             for t in SCALE_SCANS.get(name, []):
-                p = os.path.join(s16_dir, f"{t}.parquet")
+                p = os.path.join(qdir, f"{t}.parquet")
                 if os.path.isdir(p):
                     scan_b += sum(
                         os.path.getsize(os.path.join(p, f))
@@ -210,15 +247,15 @@ def main() -> None:
             parts = max(8, min(2 * cpus, scan_b // (16 * 1024 * 1024)))
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             t0 = time.perf_counter()
-            REGISTRY[name][0](spark, s16_dir).count()  # build INCLUDED
+            REGISTRY[name][0](spark, qdir).count()  # build INCLUDED
             best = time.perf_counter() - t0
             if best < 5.0:  # re-run only cheap queries; bound wall time
                 t0 = time.perf_counter()
-                REGISTRY[name][0](spark, s16_dir).count()
+                REGISTRY[name][0](spark, qdir).count()
                 best = min(best, time.perf_counter() - t0)
             spark_s[name] = round(best, 3)
             duck_s[name] = round(_duckdb_time(
-                REGISTRY[name][1], s16_dir,
+                REGISTRY[name][1], qdir,
                 reps=2 if best < 5.0 else 1), 3)
         scale |= {
             "spark_sec": round(sum(spark_s.values()), 3),

@@ -113,14 +113,31 @@ GROUP BY o_orderpriority
 
 
 def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """3-way equi-join + aggregate + deterministic top-10 (J2/J3 + O4)."""
-    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    """3-way equi-join + aggregate + deterministic top-10 (J2/J3 + O4).
+
+    Star-join order: the BUILDING-segment customer dim reduces ORDERS
+    FIRST (broadcast join — no shuffle, ~1/5 survival), so the fact-
+    fact join sees the smallest possible sides; lineitem is projected
+    to 3 columns before it moves. AQE then broadcasts the reduced
+    orders side when it fits, else shuffles 5x less than the old
+    join-facts-first order."""
+    cust = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
     revenue = decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # (measured at 64x: pre-aggregating lineitem per orderkey before
+    # the join LOSES — 2.8 s vs 1.8 s interleaved — the extra hash-agg
+    # over the full fact costs more than the shuffle rows it saves)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dround(revenue, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -143,21 +160,56 @@ LIMIT 10
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
-    """6-table join with broadcast dims + group aggregate (J1/J2/J3)."""
+    """6-table join with broadcast dims + group aggregate (J1/J2/J3).
+
+    Star-join order — the plan that survives 100x: the region gate
+    folds into nation, then into supplier and customer (all broadcast
+    dims), and each FACT is reduced by its broadcast dim BEFORE the
+    fact-fact join (orders x asia-customers, lineitem x
+    asia-suppliers, both shuffle-free, ~1/|regions| survival each).
+    Only then do the two reduced facts join on orderkey (+ the
+    same-nation constraint); AQE broadcasts the reduced orders side
+    when it fits. The old order joined the full 38M-row lineitem to
+    the full orders first — a maximal shuffle whose output the dims
+    then threw away."""
     region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf, "nation")
-    cust = load(spark, sf, "customer")
-    supp = load(spark, sf, "supplier")
-    orders = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem")
+    asia_nations = (
+        nation.join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(asia_nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = (
+        load(spark, sf, "customer")
+        .join(F.broadcast(asia_nations.select("n_nationkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        load(spark, sf, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_extendedprice", "l_discount",
+                "s_nationkey", "n_name")
+    )
     revenue = decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # (measured at 64x: pre-aggregating lineitem per (orderkey, nation)
+    # before this join loses, 2.8 s vs 2.5 s interleaved — same result
+    # as q3: the extra hash-agg over the fact costs more than the
+    # shuffle rows it saves)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(cust, (orders.o_custkey == cust.c_custkey)
-              & (cust.c_nationkey == supp.s_nationkey))
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(orders, (li.l_orderkey == orders.o_orderkey)
+                & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(dround(revenue, 4).alias("revenue"))
     )

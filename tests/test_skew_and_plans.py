@@ -39,7 +39,7 @@ def test_salted_left_join_keeps_unmatched(spark):
 
 
 PLAN_GUARDED = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q1_pricing_summary", "q3_shipping_priority",
     "top1_order_per_customer", "hash_diff_sync", "workload_scores",
     "dedup_minhash_lsh", "sku_prefix_join",
     # round 2: catalog scoring (servers x entries frame must stay a
@@ -65,6 +65,25 @@ def test_no_cartesian_or_smj_in_headline_plans(spark, name):
     # every parquet scan carries pushdown metadata (column pruning active)
     scans = re.findall(r"ReadSchema: \S+", plan)
     assert scans, f"{name}: no parquet scans found in plan"
+
+
+def test_q5_star_join_shape(spark):
+    """q5 (r6 star-join order): every dim reduction must broadcast and
+    the ONE remaining shuffle join is the reduced-fact x reduced-fact
+    join on orderkey. Both of its inputs are join results (static size
+    unknown), so the static plan shows a SortMergeJoin there — the
+    correct 100 TB default; AQE converts it to broadcast at runtime
+    when the reduced orders side turns out small. Guard: exactly one
+    SMJ, >= 4 broadcast hash joins (region->nation->supp/cust->facts),
+    no cartesian."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    # count node headers "(N) <op>" — the formatted tree also repeats
+    # each operator name in its details section
+    smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
+    bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    assert smj == 1, f"only the fact-fact join may sort-merge (got {smj})"
+    assert bhj >= 4, f"dim reductions must broadcast (got {bhj})"
 
 
 def _plan(spark, name):
