@@ -32,45 +32,95 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # status — tests/test_queries_oracle.py re-runs the identical oracle
 # check for every registry entry on every round).
 #
-# Evidence ledger entering r5: CORRECTNESS_r04 went 50/50 green, so the
-# union of r1-r4 covers EVERY pre-r5 registry name. Rotation: the new r5
-# queries first (no driver evidence yet — longtail prices, the curation
-# set, packing/sketch rows-only entries, correlated subqueries,
-# cube/pivot/range-frame/intersect, and the second-session additions:
-# duplicate-cluster resolution, int8 two-stage ANN, training shards,
-# TPC-H q7/q10/q18), then the 16 names whose latest driver green is r03
-# (stalest evidence — last round's tail); the freshest r4 greens rotate
-# to the tail, past the 50-query cap.
+# Evidence ledger entering r6: CORRECTNESS_r05 went 48/50 hash-green
+# (+2 rows-only by then-current design); the union of r1-r5 covers
+# EVERY pre-r6 registry name. Rotation: new r6 queries first (IVF x SQ
+# composed ANN, TPC-H q9/q16), then the queries whose CODE changed this
+# round and therefore need fresh driver evidence (pack_sequences_docs
+# gained a recursive-CTE oracle — no longer rows-only; q3/q5 were
+# rewritten in star-join order), then the 38 names whose latest driver
+# green is r4 (r5's un-windowed middle + tail). The r5 fresh greens
+# rotate tailward past the 50-query cap, still re-verified every round
+# by tests/test_queries_oracle.py.
 #
-# For r6: rotate per the same protocol — any new queries first, then
-# whichever names CORRECTNESS_r05's 50-query window did NOT cover
-# (they will be the stalest), with r5's fresh greens moving tailward.
+# For r7: rotate per the same protocol — any new/changed queries first,
+# then whichever names CORRECTNESS_r06's 50-query window did NOT cover.
 _PRIORITY = [
-    # --- no driver-green evidence yet ---
-    "dedup_cluster_resolve",       # new r5: pair graph -> duplicate clusters
-    "embed_ann_sq",                # new r5: int8 two-stage ANN
-    "embed_kmeans_clusters",       # new r5: oracle-checked Lloyd k-means
-    "q10_returned_items",          # new r5: 4-table join + top-20
-    "q7_volume_shipping",          # new r5: dual-nation dim join + year
-    "q18_large_orders",            # new r5: HAVING-gated IN-subquery
-    "longtail_price_assembly",     # new r5: vultr/upcloud/ovh/alicloud prices
-    "doc_repetition",              # new r5: curation operators
+    # --- new in r6: no driver evidence yet ---
+    "embed_ann_ivf_sq",            # IVF x SQ: int8 stage-1 within probed cells
+    "q9_product_type_profit",      # multi-fact star join + extract(year)
+    "q16_parts_supplier",          # count-distinct + NOT IN anti join
+    # --- changed in r6: evidence stale by construction ---
+    "pack_sequences_docs",         # NOW oracle-checked (recursive CTE replay)
+    "q3_shipping_priority",        # star-join rewrite
+    "q5_local_supplier_volume",    # star-join rewrite
+    # --- last green in r4: the stalest evidence ---
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
+    "benchmark_config_pk",
+    "config_tolerance_filter",
+    "dedup_boilerplate_chunks",
+    "dedup_embed_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_quality",
+    "doc_token_stats",
+    "ecpus_scalability",
+    "embed_ann_ivf",
+    "embed_ann_lsh",
+    "embed_cosine_topk",
+    "first_version_orders",
+    "hash_diff_sync",
+    "heavy_hitter_users",
+    "json_props_extract",
+    "merge_upsert_lifecycle",
+    "range_join_event_window",
+    "running_user_value",
+    "scd2_latest_event",
+    "session_counts",
+    "shuffled_sample_orders",
+    "sku_prefix_join",
+    "standardize_part_names",
+    "sync_stats",
+    "tiered_price_billing",
+    "training_set_select",
+    "tumbling_daily_stats",
+    "workload_breakdown",
+    "workload_catalog_breakdown",  # r6: missing-note order fix (entry order)
+    "workload_profiles_catalog",
+    "workload_scores",
+    # --- r5 greens re-checked opportunistically (fill the 50 window) ---
+    "dedup_cluster_resolve",       # r6: self-loop singleton fix upstream
+    "embed_kmeans_clusters",       # r6: iteration-bound docs + plan guard
+    "embed_ann_sq",
+    "q10_returned_items",
+    "q18_large_orders",
+    "longtail_price_assembly",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r05.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    "q7_volume_shipping",
+    "doc_repetition",
     "doc_pii_scrub",
     "decontaminate_docs",
     "lang_balanced_sample",
-    "pack_sequences_docs",         # applyInPandas op — rows-only check
-    "training_shard_stats",        # new r5: seeded global-shuffle shards
-    "approx_median_price",         # sketch twin — rows-only check
-    "q2_min_price_order",          # correlated scalar subquery
-    "q4_order_priority",           # correlated EXISTS
-    "cube_revenue",                # CUBE + GROUPING flags
-    "rollup_revenue",              # new r5: hierarchical ROLLUP subtotals
-    "pivot_status_counts",         # PIVOT with explicit values
-    "moving_range_avg",            # RANGE-frame trailing window
-    "intersect_repeat_buyers",     # INTERSECT set op
-    "temperature_mix_sample",      # GPT-3-style source mixing
-    "profile_orders",              # ANALYZE-style stats pass
-    # --- last green in r03: rotate forward to refresh evidence ---
+    "training_shard_stats",
+    "approx_median_price",         # sketch twin — rows-only by design
+    "q2_min_price_order",
+    "q4_order_priority",
+    "cube_revenue",
+    "rollup_revenue",
+    "pivot_status_counts",
+    "moving_range_avg",
+    "intersect_repeat_buyers",
+    "temperature_mix_sample",
+    "profile_orders",
     "region_dims_rollup",
     "vendor_compliance_matrix",
     "spot_price_asof",
@@ -85,30 +135,17 @@ _PRIORITY = [
     "distinct_part_counts",
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-]
-# Freshest driver evidence (green rows in CORRECTNESS_r04.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
-_TAIL = [
-    "benchmark_catalog_stats",
-    "tiered_price_billing",
-    "benchmark_config_pk",
-    "ecpus_scalability",
-    "shuffled_sample_orders",
-    "sku_prefix_join",
-    "first_version_orders",
-    "heavy_hitter_users",
-    "config_tolerance_filter",
-    "standardize_part_names",
-    "workload_profiles_catalog",
-    "workload_catalog_breakdown",
-    "dedup_embed_cosine",
-    "training_set_select",
-    "dedup_boilerplate_chunks",
-    "asof_latest_event_value",
-    "range_join_event_window",
+    "semi_join_big_spenders",
+    "top1_order_per_customer",
+    "exact_median_price",
+    "mode_brand_per_type",
+    "group_merge_nations",
+    "minmax_bounds_part",
+    "count_expansion",
+    "weighted_geomean_price",
+    "sig_fig_prices",
+    "unit_conversions",
+    "extract_brand_number",
 ]
 REGISTRY = {
     n: REGISTRY[n]

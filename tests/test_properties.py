@@ -279,7 +279,8 @@ def test_connected_components_matches_union_find(spark, edges):
     duplicates, both orientations)."""
     from sc_crawler_spark.operators.graph import connected_components
 
-    df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    edges = edges or [(0, 0)]  # placeholder row feeds BOTH sides
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["component"]
            for r in connected_components(df).collect()}
 
@@ -294,9 +295,11 @@ def test_connected_components_matches_union_find(spark, edges):
 
     touched = set()
     for a, b in edges:
+        # r6 contract: EVERY endpoint appears, self-loop-only nodes as
+        # singleton components (graph.py connected_components docstring)
+        touched |= {a, b}
         if a == b:
             continue
-        touched |= {a, b}
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
