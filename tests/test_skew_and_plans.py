@@ -79,10 +79,14 @@ def test_q5_star_join_shape(spark):
     plan = _plan(spark, "q5_local_supplier_volume")
     assert "CartesianProduct" not in plan
     # count node headers "(N) <op>" — the formatted tree also repeats
-    # each operator name in its details section
-    smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
+    # each operator name in its details section. The fact-fact join is
+    # a shuffle join either way: SMJ, or SHJ when the session's
+    # preferSortMergeJoin=false size gates admit it.
+    shuffle_joins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
     bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
-    assert smj == 1, f"only the fact-fact join may sort-merge (got {smj})"
+    assert shuffle_joins == 1, (
+        f"exactly one fact-fact shuffle join expected (got {shuffle_joins})")
     assert bhj >= 4, f"dim reductions must broadcast (got {bhj})"
 
 
