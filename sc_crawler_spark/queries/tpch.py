@@ -159,7 +159,8 @@ LIMIT 10
 # ------------------------------------------- q5: multi-join with region gate
 
 
-def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+def q5_local_supplier_volume(spark: SparkSession, sf: str,
+                             _tables: dict | None = None) -> DataFrame:
     """6-table join with broadcast dims + group aggregate (J1/J2/J3).
 
     Star-join order — the plan that survives 100x: the region gate
@@ -172,6 +173,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     when it fits. The old order joined the full 38M-row lineitem to
     the full orders first — a maximal shuffle whose output the dims
     then threw away."""
+    # _tables: optional {name: DataFrame} fact overrides — the bench's
+    # bucketed variant feeds catalog tables whose bucket spec makes the
+    # fact-fact join below exchange-free; identical results either way
+    t = _tables or {}
     region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf, "nation")
     asia_nations = (
@@ -192,12 +197,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "c_nationkey")
     )
     orders = (
-        load(spark, sf, "orders")
+        t.get("orders", load(spark, sf, "orders"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     li = (
-        load(spark, sf, "lineitem")
+        t.get("lineitem", load(spark, sf, "lineitem"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_extendedprice", "l_discount",
                 "s_nationkey", "n_name")

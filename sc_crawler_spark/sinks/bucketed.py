@@ -42,3 +42,26 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` on the files would lose it — the spec lives
     in the catalog entry, so reads must go through ``spark.table``)."""
     return spark.table(table)
+
+
+def mount_bucketed(spark: SparkSession, table: str, path: str,
+                   bucket_cols: list[str], n_buckets: int,
+                   sort_cols: list[str] | None = None) -> DataFrame:
+    """(Re-)register an EXISTING bucketed parquet directory in the
+    session catalog and return it with its bucket spec.
+
+    The in-memory catalog dies with the session while the bucket files
+    don't; a fresh session re-mounts them with external-table DDL
+    (CLUSTERED BY requires the explicit column list) instead of paying
+    the write again. The schema is read from the parquet footers."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    keys = ", ".join(bucket_cols)
+    sort = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) {sort}INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'")
+    return spark.table(table)

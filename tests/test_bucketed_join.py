@@ -60,3 +60,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_mount_bucketed_survives_catalog_loss(spark, tmp_path):
+    """The in-memory catalog dies with the session but the bucket
+    files don't: dropping the table and re-mounting the SAME directory
+    with external DDL must restore the bucket spec — the join still
+    reads co-located buckets with no Exchange below it."""
+    from sc_crawler_spark.sinks.bucketed import mount_bucketed
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+    spark.sql("DROP TABLE IF EXISTS b_remount_a")
+    spark.sql("DROP TABLE IF EXISTS b_remount_b")
+    write_bucketed(df, "b_remount_a", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "a"))
+    write_bucketed(df, "b_remount_b", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "b"))
+    # simulate a fresh session: catalog entries gone, files remain
+    spark.sql("DROP TABLE b_remount_a")
+    spark.sql("DROP TABLE b_remount_b")
+    a = mount_bucketed(spark, "b_remount_a", str(tmp_path / "a"),
+                       ["k"], 4, sort_cols=["k"])
+    b = mount_bucketed(spark, "b_remount_b", str(tmp_path / "b"),
+                       ["k"], 4, sort_cols=["k"])
+    assert a.count() == 10000
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b.select(F.col("k").alias("k2"), "v"),
+                   F.col("k") == F.col("k2"))
+        plan = _plan(j)
+        assert "Bucketed: true" in plan
+        join_part = plan[plan.index("Join"):] if "Join" in plan else plan
+        assert "Exchange" not in join_part
+        assert j.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("b_remount_a", "b_remount_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
