@@ -153,9 +153,11 @@ def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
         df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet"))
     for sub, (t, keys) in _SUBDIR_FACTS.items():
-        _union_copies(load(spark, sf_dir, t), keys, SCALE_FACTOR) \
-            .write.mode("overwrite").parquet(
-                os.path.join(out_dir, sub, f"{t}.parquet"))
+        df = _union_copies(load(spark, sf_dir, t), keys, SCALE_FACTOR)
+        if SCALE_FACTOR > cpus:  # same tiny-files consolidation as above
+            df = df.repartition(cpus)
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, sub, f"{t}.parquet"))
     with open(os.path.join(out_dir, "_READY_v2"), "w") as fh:
         fh.write("ok")
 
@@ -278,23 +280,33 @@ def main() -> None:
             bdir = os.path.join(s16_dir, "bucketed")
             cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             specs = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
-            fresh = not os.path.exists(os.path.join(bdir, "_READY"))
+            ready = os.path.join(bdir, "_READY")
+            fresh = not os.path.exists(ready)
+            # the bucket count is part of the FILE layout: a re-mount
+            # must declare the count the files were written with, not
+            # whatever this run's cpu count happens to be — the _READY
+            # marker records it
+            n_buckets = cpus
+            if not fresh:
+                with open(ready) as fh:
+                    txt = fh.read().strip()
+                n_buckets = int(txt) if txt.isdigit() else cpus
             facts = {}
             for t, key in specs.items():
                 if fresh:
                     write_bucketed(
                         spark.read.parquet(
                             os.path.join(s16_dir, f"{t}.parquet")),
-                        f"b_{t}", [key], cpus, sort_cols=[key],
+                        f"b_{t}", [key], n_buckets, sort_cols=[key],
                         path=os.path.join(bdir, t))
                     facts[t] = spark.table(f"b_{t}")
                 else:  # files persist; the in-memory catalog doesn't
                     facts[t] = mount_bucketed(
                         spark, f"b_{t}", os.path.join(bdir, t),
-                        [key], cpus, sort_cols=[key])
+                        [key], n_buckets, sort_cols=[key])
             if fresh:
-                with open(os.path.join(bdir, "_READY"), "w") as fh:
-                    fh.write("ok")
+                with open(ready, "w") as fh:
+                    fh.write(str(n_buckets))
             # subset-key co-partitioning: the join adds the same-nation
             # equality on top of the bucket key; partitioning on the
             # key subset still clusters correctly

@@ -728,26 +728,10 @@ def embed_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double"))
                    .alias("cv"))
-    cents = v.filter(F.col("vec_id") < _KM_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("cv").alias("centv"))
-    mean6 = dround(
-        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-        / F.count("*"), 6)
-    for _ in range(_KM_ITERS):
-        assigned = ivf_assign(v.select(F.col("vec_id"), "cv"), cents,
-                              "cv", "centv")
-        means = (
-            assigned.select("cell_id",
-                            F.posexplode("cv").alias("pos", "x"))
-            .groupBy("cell_id", "pos").agg(mean6.alias("m"))
-            .groupBy("cell_id")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("pos", "m"))).alias("_pm"))
-            .select("cell_id",
-                    F.transform("_pm", lambda s: s["m"]).alias("_new"))
-        )
-        cents = cents.join(means, "cell_id", "left").select(
-            "cell_id", F.coalesce("_new", "centv").alias("centv"))
+    # the training loop lives in ONE place (_km_trained_cents, shared
+    # with embed_ann_ivf_sq) — the rounding/tie-break recipe is the
+    # cross-engine parity contract and must not fork
+    cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
     final = ivf_assign(v.select(F.col("vec_id"), "cv"), cents,
                        "cv", "centv").select(
         "vec_id", F.col("cell_id").alias("cluster_id"))

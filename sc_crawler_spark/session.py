@@ -62,9 +62,15 @@ def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
         # gates allow (build side must still be the smaller side and
         # fit a per-partition hash map): skips two O(n log n) sorts on
         # every fact-fact join — measured -8% (q3) to -19% (q5) at the
-        # 64x scale block. SMJ remains the fallback whenever the size
-        # conditions fail, and AQE skew-join still splits oversized
-        # partitions, so the spill-safety story at 100 TB is unchanged.
+        # 64x scale block. TRADEOFF, stated honestly: the size gate
+        # runs on STATIC estimates, and SHJ's build-side map does not
+        # spill the way SMJ does — a badly under-estimated build side
+        # can OOM where SMJ would have spilled through. AQE skew-join
+        # only splits skewed partitions, not uniformly-large ones.
+        # Deployments joining two unbounded facts without bucketing
+        # should flip this back to true; the engine's own fact-fact
+        # joins reduce each side by broadcast dims first (see
+        # queries/tpch.py q5), which keeps build sides honest.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         # PySpark 4 wraps every DataFrame/Column API call with a

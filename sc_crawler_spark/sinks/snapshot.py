@@ -42,17 +42,23 @@ def current_path(root: str) -> str:
 
 
 def snapshot_exists(root: str) -> bool:
-    """True iff ``root`` holds readable snapshot data: either a
-    committed version (pointer file present) or a legacy flat parquet
-    directory with part files. Callers that want "merge into the
-    existing state, else start fresh" should branch on THIS rather than
-    catching the read exception — a blanket except would also swallow
-    genuine IO/schema failures and silently reset the state table."""
+    """True iff ``root`` holds readable snapshot data: a committed
+    version (pointer file present) or a legacy parquet directory —
+    flat part files OR a partitioned layout (``key=.../part-*``), so
+    the walk checks nested directories too, matching what
+    ``spark.read.parquet`` would accept. Callers that want "merge into
+    the existing state, else start fresh" should branch on THIS rather
+    than catching the read exception — a blanket except would also
+    swallow genuine IO/schema failures and silently reset the state
+    table."""
     if os.path.exists(os.path.join(root, POINTER)):
         return True
     if not os.path.isdir(root):
         return False
-    return any(e.endswith(".parquet") for e in os.listdir(root))
+    for _dir, _subdirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def list_versions(root: str) -> list[tuple[str, bool]]:

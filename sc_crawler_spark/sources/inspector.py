@@ -129,19 +129,51 @@ REDIS_SCHEMA = StructType([
 def read_redis_csv(spark: SparkSession, glob: str) -> DataFrame:
     """S7 — redis/static_web DictReader-style CSV (inspector.py:585-593).
 
-    BY FIELD NAME, like the reference's csv.DictReader: Spark CSV with
-    an explicit schema maps columns positionally (header ignored), so a
-    static_web dump whose header order differs from redis.csv — or
-    lacks pipeline/operation entirely — would silently land rps in the
-    wrong field. Read header-first as strings, then select/cast each
-    REDIS_SCHEMA field by name (absent columns -> typed NULL)."""
-    raw = spark.read.option("header", "true").csv(glob)
-    have = set(raw.columns)
-    return raw.select(*[
-        (F.col(f.name) if f.name in have else F.lit(None))
-        .cast(f.dataType).alias(f.name)
-        for f in REDIS_SCHEMA.fields
-    ]).withColumn("server_id", _server_from_path())
+    BY FIELD NAME **per file**, like the reference's csv.DictReader:
+    Spark CSV with an explicit schema maps columns positionally, and
+    even header-first `spark.read.csv` over a multi-file glob takes
+    the column names from ONE file and parses the rest positionally —
+    so a server whose static_web.csv header order differs from its
+    neighbors' would silently land rps in the wrong field. Read each
+    file wholetext and parse it with csv.DictReader inside an
+    Arrow-batched mapInPandas (same per-file tier as the YAML/XML
+    sources); absent columns land as typed NULLs."""
+    raw = (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("server_id", _server_from_path())
+    )
+    fields = [(f.name, f.dataType) for f in REDIS_SCHEMA.fields]
+    out_schema = StructType(
+        list(REDIS_SCHEMA.fields) + [StructField("server_id", StringType())])
+
+    def _parse(batches):
+        import csv
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for text, server in zip(pdf["value"], pdf["server_id"]):
+                for rec in csv.DictReader(io.StringIO(text)):
+                    row = {}
+                    for name, dtype in fields:
+                        v = rec.get(name)
+                        if v in (None, ""):
+                            row[name] = None
+                        elif isinstance(dtype, DoubleType):
+                            try:
+                                row[name] = float(v)
+                            except ValueError:
+                                row[name] = None
+                        else:
+                            row[name] = v
+                    row["server_id"] = server
+                    rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[n for n, _ in fields] + ["server_id"])
+
+    return raw.mapInPandas(_parse, out_schema)
 
 
 def redis_derivations(df: DataFrame) -> DataFrame:
