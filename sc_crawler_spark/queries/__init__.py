@@ -50,6 +50,8 @@ _PRIORITY = [
     "embed_ann_ivf_sq",            # IVF x SQ: int8 stage-1 within probed cells
     "q9_product_type_profit",      # multi-fact star join + extract(year)
     "q16_parts_supplier",          # count-distinct + NOT IN anti join
+    "q12_priority_shipmode",       # conditional aggregation (CASE-in-SUM)
+    "q19_discounted_revenue",      # OR-of-ANDs disjunctive pushdown
     # --- changed in r6: evidence stale by construction ---
     "pack_sequences_docs",         # NOW oracle-checked (recursive CTE replay)
     "q3_shipping_priority",        # star-join rewrite
@@ -93,7 +95,8 @@ _PRIORITY = [
     "workload_catalog_breakdown",  # r6: missing-note order fix (entry order)
     "workload_profiles_catalog",
     "workload_scores",
-    # --- r5 greens re-checked opportunistically (fill the 50 window) ---
+    # --- r5 greens re-checked opportunistically (fill the 50 window;
+    # entries past the driver's 50-cap behave as tail) ---
     "dedup_cluster_resolve",       # r6: self-loop singleton fix upstream
     "embed_kmeans_clusters",       # r6: iteration-bound docs + plan guard
     "embed_ann_sq",

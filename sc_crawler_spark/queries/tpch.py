@@ -112,7 +112,8 @@ GROUP BY o_orderpriority
 # ------------------------------------------------------- q3: join+agg+limit
 
 
-def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+def q3_shipping_priority(spark: SparkSession, sf: str,
+                         _tables: dict | None = None) -> DataFrame:
     """3-way equi-join + aggregate + deterministic top-10 (J2/J3 + O4).
 
     Star-join order: the BUILDING-segment customer dim reduces ORDERS
@@ -121,15 +122,16 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     to 3 columns before it moves. AQE then broadcasts the reduced
     orders side when it fits, else shuffles 5x less than the old
     join-facts-first order."""
+    t = _tables or {}  # bench's bucketed twin overrides the facts
     cust = load(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = (
-        load(spark, sf, "orders")
+        t.get("orders", load(spark, sf, "orders"))
         .filter(F.col("o_orderdate") < "1998-01-01")
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    li = load(spark, sf, "lineitem").filter(
+    li = t.get("lineitem", load(spark, sf, "lineitem")).filter(
         F.col("l_shipdate") > "1998-01-01"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     revenue = decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -833,10 +835,90 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q12_priority_shipmode(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: CONDITIONAL aggregation — CASE expressions
+    inside SUM classify joined rows into high/low priority counts per
+    group, a shape (pivot-less conditional counts) the registry didn't
+    cover. lineitem has no shipmode column in this lake, so the group
+    key is l_returnflag (same operator shape); the date filter pushes
+    into the lineitem scan, orders arrives projected to 2 columns."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = load(spark, sf, "orders").select("o_orderkey",
+                                              "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: a DISJUNCTION of per-branch conjunctions over
+    dim and fact columns — the OR-of-ANDs predicate that exercises
+    CNF conversion: Catalyst pushes the common l_quantity bounds and
+    the per-branch p_brand/p_size constraints into the scans while the
+    cross-table residual evaluates post-join."""
+    part = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    branch = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    revenue = decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(branch).agg(
+        dround(revenue, 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = f"""
+SELECT
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
     "q16_parts_supplier": (q16_parts_supplier, Q16_SQL),
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
