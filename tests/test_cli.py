@@ -71,6 +71,34 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
     con.close()
 
 
+def test_snapshot_exists_recognizes_every_readable_layout(spark, tmp_path):
+    """snapshot_exists gates 'merge into existing state vs start
+    fresh' (streaming inventory): it must say True for EVERYTHING
+    spark.read.parquet would read — versioned roots, flat part files,
+    and partitioned legacy layouts with nested part files — else a
+    readable state table gets silently reset to the current batch."""
+    import os
+
+    from sc_crawler_spark.sinks.snapshot import snapshot_exists
+
+    df = spark.range(3).selectExpr("id", "id % 2 AS k")
+    # nothing there yet
+    assert not snapshot_exists(str(tmp_path / "missing"))
+    (tmp_path / "empty").mkdir()
+    assert not snapshot_exists(str(tmp_path / "empty"))
+    # versioned snapshot (pointer file)
+    write_snapshot(spark, df, str(tmp_path / "versioned"))
+    assert snapshot_exists(str(tmp_path / "versioned"))
+    # legacy flat parquet dir
+    df.write.parquet(str(tmp_path / "flat"))
+    assert snapshot_exists(str(tmp_path / "flat"))
+    # legacy PARTITIONED dir: part files only under k=.../ subdirs
+    df.write.partitionBy("k").parquet(str(tmp_path / "parts"))
+    assert not any(f.endswith(".parquet")
+                   for f in os.listdir(tmp_path / "parts"))
+    assert snapshot_exists(str(tmp_path / "parts"))
+
+
 def test_snapshot_atomic_swap_survives_garbage(spark, tmp_path):
     """A crashed half-write (version dir without _SUCCESS, stale .tmp
     pointer) must not affect readers: the committed pointer still

@@ -123,6 +123,30 @@ def test_redis_top1_and_throughput(spark, corpus):
     assert out[("m1.small", "SET")]["rps"] == 900.0
 
 
+def test_redis_csv_per_file_header_order(spark, tmp_path):
+    """DictReader semantics must hold PER FILE: two servers whose CSVs
+    order (or omit) columns differently still land every value in the
+    right field — a single glob-wide spark.read.csv would take names
+    from one file and parse the rest positionally."""
+    a = tmp_path / "vendor" / "srv-a"
+    b = tmp_path / "vendor" / "srv-b"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    (a / "static_web.csv").write_text(
+        "size,connections,rps,latency\n64k,10,1000,2.5\n")
+    # different order, and no latency column at all
+    (b / "static_web.csv").write_text(
+        "rps,size,connections\n2000,1m,20\n")
+    rows = {r["server_id"]: r for r in insp.read_redis_csv(
+        spark, str(tmp_path / "*" / "*" / "static_web.csv")).collect()}
+    assert rows["srv-a"]["rps"] == 1000.0
+    assert rows["srv-a"]["latency"] == 2.5
+    assert rows["srv-b"]["rps"] == 2000.0       # not 1m-as-rps
+    assert rows["srv-b"]["size"] == "1m"
+    assert rows["srv-b"]["latency"] is None     # absent -> typed NULL
+    assert rows["srv-b"]["pipeline"] is None
+
+
 def test_passmark_yaml_gated(spark, corpus):
     df = insp.parse_passmark_yaml(spark, f"{corpus}/*/*/passmark.yml")
     rows = df.collect()
