@@ -15,6 +15,18 @@ Hash parity: engines hash with MD5 over seeded strings; min/compare on the
 fixed-width hex string equals min on the integer value, so the DuckDB
 oracle can mirror every step with identical results (no engine-specific
 hash functions in the contract).
+
+PIPELINE ORDER MATTERS AT SCALE: run :func:`exact_dedup` BEFORE any
+near-dup tier. LSH/SimHash candidate counts are sum(n_b^2) over bucket
+sizes, and identical documents always share every bucket — so a corpus
+with d copies of a doc contributes d^2/2 candidate pairs PER DUPLICATED
+DOC, which is the true-pair lower bound (every identical pair IS a
+near-dup), not an artifact. Measured: a 512x-cloned stress corpus
+(~2.5M docs, each text x512) drives the banded join toward ~6x10^8
+pairs and OOMs an 8 GB local JVM; the same corpus exact-deduped first
+collapses to ~5k distinct docs and the near-dup tiers are trivial.
+This mirrors production practice (CCNet/Gopher dedup exact/hash first,
+then MinHash) and is how `training_set_select` composes the tiers.
 """
 
 from __future__ import annotations
