@@ -275,14 +275,60 @@ def cmd_copy(spark: SparkSession, source: str, target: str) -> None:
 
 
 def cmd_schemas(spark: SparkSession, action: str, lake: str,
-                revision: int | None = None) -> None:
-    """``schemas version`` / ``schemas upgrade`` / ``schemas downgrade``
-    / ``schemas stamp`` (reference cli.py:124-239 alembic surface:
-    current / upgrade / downgrade / stamp): report, reconcile, roll
-    back, or force-set a lake's schema revision. ``stamp`` writes the
-    revision WITHOUT migrating — the alembic escape hatch for lakes
-    whose files were fixed out-of-band; ``downgrade`` reverses the
-    column-add migrations down to ``--revision`` (default: one step)."""
+                revision: int | None = None, dialect: str = "sqlite",
+                scd: bool = False) -> None:
+    """``schemas version|upgrade|downgrade|stamp|create|autogenerate``
+    (reference cli.py:124-239 alembic surface: current / upgrade /
+    downgrade / stamp / create / autogenerate): report, reconcile,
+    roll back, force-set, print, or scaffold a lake's schema.
+    ``stamp`` writes the revision WITHOUT migrating (the alembic
+    escape hatch for lakes fixed out-of-band); ``downgrade`` reverses
+    the column-add migrations down to ``--revision`` (default: one
+    step); ``create`` prints the full CREATE TABLE DDL in a chosen
+    dialect without touching anything (``--scd`` switches the PKs to
+    the SCD Type 2 form, PK + observed_at); ``autogenerate`` diffs a
+    lake's current table columns against the code's schemas and
+    prints the MIGRATIONS scaffold a new revision would need."""
+    if action == "create":
+        from .sinks.dialect import create_table_sql_from_fields, dialect_for
+
+        d = dialect_for(dialect)
+        for name, schema in schemas.TABLES.items():
+            pks = (schemas.scd_primary_keys(name) if scd
+                   else schemas.PRIMARY_KEYS.get(name, []))
+            fields = [(f.name, f.dataType.simpleString())
+                      for f in schema.fields]
+            print(create_table_sql_from_fields(d, name, fields, pks) + ";")
+        return
+    if action == "autogenerate":
+        from .sinks.snapshot import read_snapshot
+
+        pending: dict[str, list[str]] = {}
+        for t in sorted(os.listdir(lake)):
+            if t.startswith("_") or not os.path.isdir(os.path.join(lake, t)):
+                continue
+            target = schemas.TABLES.get(t)
+            if target is None:
+                continue
+            have = set(read_snapshot(spark, os.path.join(lake, t)).columns)
+            missing = [f"('{f.name}', '{f.dataType.simpleString()}', "
+                       "lambda: F.lit(None))"
+                       for f in target.fields if f.name not in have]
+            if missing:
+                pending[t] = missing
+        if not pending:
+            print(json.dumps({"revision_needed": False}))
+            return
+        print(json.dumps({"revision_needed": True,
+                          "next_version": migrate.SCHEMA_VERSION + 1}))
+        print(f"# add to migrate.MIGRATIONS[{migrate.SCHEMA_VERSION + 1}]"
+              " (adjust defaults):")
+        for t, adds in pending.items():
+            print(f'    "{t}": [')
+            for a in adds:
+                print(f"        {a},")
+            print("    ],")
+        return
     if action == "version":
         print(json.dumps({"lake": migrate.lake_version(lake),
                           "code": migrate.SCHEMA_VERSION}))
@@ -1338,14 +1384,22 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser(
         "schemas",
-        help="lake schema revision: version/upgrade/downgrade/stamp")
+        help="lake schema: version/upgrade/downgrade/stamp/create/"
+             "autogenerate")
     p.add_argument("action",
-                   choices=["version", "upgrade", "downgrade", "stamp"])
-    p.add_argument("--lake", required=True)
+                   choices=["version", "upgrade", "downgrade", "stamp",
+                            "create", "autogenerate"])
+    p.add_argument("--lake", default=".",
+                   help="lake root (unused by `create`)")
     p.add_argument("--revision", type=int,
                    help="stamp: force this revision (default: code "
                         "version); downgrade: target revision "
                         "(default: one step back)")
+    p.add_argument("--dialect", default="sqlite",
+                   help="create: SQL dialect for the printed DDL "
+                        "(sqlite | postgres | cockroachdb)")
+    p.add_argument("--scd", action="store_true",
+                   help="create: emit SCD Type 2 PKs (PK + observed_at)")
 
     p = sub.add_parser("metadata", help="get/set/delete the _metadata KV table")
     p.add_argument("action", choices=["get", "set", "delete"])
@@ -1394,7 +1448,8 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "publish":
         cmd_publish(spark, args.lake, args.out, args.version, args.dialect)
     elif args.cmd == "schemas":
-        cmd_schemas(spark, args.action, args.lake, args.revision)
+        cmd_schemas(spark, args.action, args.lake, args.revision,
+                    dialect=args.dialect, scd=args.scd)
 
 
 if __name__ == "__main__":

@@ -95,14 +95,23 @@ def dialect_for(name: str) -> Dialect:
     return DIALECTS[key]
 
 
-def create_table_sql(dialect: Dialect, name: str, df: DataFrame,
-                     pks: list[str]) -> str:
+def create_table_sql_from_fields(dialect: Dialect, name: str,
+                                 fields: list[tuple[str, str]],
+                                 pks: list[str]) -> str:
+    """DDL from (column, spark simpleString type) pairs — usable
+    straight from a StructType without a live DataFrame (the
+    ``schemas create`` dry-run printer, reference cli.py:125-163)."""
     cols = ", ".join(
-        f"{quote_ident(c)} {dialect.sql_type(t)}" for c, t in df.dtypes
+        f"{quote_ident(c)} {dialect.sql_type(t)}" for c, t in fields
     )
     pk = (f', PRIMARY KEY ({", ".join(quote_ident(c) for c in pks)})'
           if pks else "")
     return f"CREATE TABLE IF NOT EXISTS {quote_ident(name)} ({cols}{pk})"
+
+
+def create_table_sql(dialect: Dialect, name: str, df: DataFrame,
+                     pks: list[str]) -> str:
+    return create_table_sql_from_fields(dialect, name, df.dtypes, pks)
 
 
 def upsert_sql(dialect: Dialect, name: str, cols: list[str],

@@ -102,6 +102,43 @@ def test_downgrade_reverses_upgrade_round_trip(spark, tmp_path):
     assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
 
 
+def test_schemas_create_prints_ddl(spark, capsys):
+    """`schemas create` (reference cli.py:125-163): print the full
+    CREATE TABLE surface in a chosen dialect, touching nothing."""
+    from sc_crawler_spark import schemas
+
+    cli.cmd_schemas(spark, "create", ".", dialect="postgres")
+    out = capsys.readouterr().out
+    assert out.count("CREATE TABLE IF NOT EXISTS") == len(schemas.TABLES)
+    assert '"server"' in out
+    assert 'PRIMARY KEY ("vendor_id", "server_id")' in out
+    assert "JSONB" in out          # nested structs -> dialect default
+    # SCD form: PKs gain observed_at (tables_scd.py:45-53)
+    cli.cmd_schemas(spark, "create", ".", dialect="sqlite", scd=True)
+    out2 = capsys.readouterr().out
+    assert 'PRIMARY KEY ("vendor_id", "server_id", "observed_at")' in out2
+
+
+def test_schemas_autogenerate_scaffold(spark, tmp_path, capsys):
+    """`schemas autogenerate` (reference cli.py:225-241): diff a lake
+    against the code's schemas and print the MIGRATIONS scaffold."""
+    from sc_crawler_spark import schemas
+
+    lake = str(tmp_path / "lake")
+    full = spark.createDataFrame([], schemas.TABLES["country"])
+    write_snapshot(spark, full, os.path.join(lake, "country"))
+    cli.cmd_schemas(spark, "autogenerate", lake)
+    assert '"revision_needed": false' in capsys.readouterr().out
+
+    partial = full.drop("continent")
+    write_snapshot(spark, partial, os.path.join(lake, "country"))
+    cli.cmd_schemas(spark, "autogenerate", lake)
+    out = capsys.readouterr().out
+    assert '"revision_needed": true' in out
+    assert f'"next_version": {migrate.SCHEMA_VERSION + 1}' in out
+    assert "'continent'" in out
+
+
 def test_downgrade_rejects_bad_target(spark, tmp_path):
     lake = str(tmp_path / "lake")
     _mini_lake(spark, lake, version=migrate.SCHEMA_VERSION)
