@@ -138,7 +138,7 @@ def cmd_hash(spark: SparkSession, lake: str, table: str | None) -> None:
 
 
 def cmd_sync(spark: SparkSession, source: str, target: str,
-             table: str, scd: bool = False) -> None:
+             table: str, scd: bool = False, dry_run: bool = False) -> None:
     # both lakes must be at the code's schema revision — syncing across
     # mismatched schemas would silently misalign columns (the reference
     # refuses the same way before update/sync, cli.py:432-442)
@@ -151,7 +151,11 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
     # narrow (pks, action) result so the full-outer join runs once
     diff = hash_diff(src, tgt, pks).cache()
     stats = {r["action"]: r["count"] for r in diff.groupBy("action").count().collect()}
-    print(json.dumps({"table": table, **stats}))
+    print(json.dumps({"table": table, **stats,
+                      **({"dry_run": True} if dry_run else {})}))
+    if dry_run:  # reference cli.py:387-390: compare only, insert nothing
+        spark.catalog.clearCache()
+        return
 
     changed = diff.filter(F.col("action").isin("new", "update")).select(*pks)
     changed_rows = src.join(changed, pks, "left_semi")
@@ -163,11 +167,16 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
     )
     apply_rows = changed_rows.unionByName(deleted_rows)
     if scd:
+        from .sinks.snapshot import snapshot_exists
+
         out_table = f"{table}_scd"
-        try:
+        # explicit existence check, not a blanket except: a genuine
+        # read failure must propagate rather than silently replacing
+        # the accumulated SCD history with just this sync's rows
+        if snapshot_exists(_table_path(target, out_table)):
             hist = _read(spark, target, out_table)
             result = scd2_append(hist, apply_rows)
-        except Exception:
+        else:  # first sync: no history yet
             result = apply_rows
     else:
         out_table = table
@@ -1308,6 +1317,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--target", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--scd", action="store_true")
+    p.add_argument("--dry-run", action="store_true",
+                   help="stop after comparing; print stats, write nothing")
 
     p = sub.add_parser("dump", help="JSON export partitioned by PK")
     p.add_argument("--lake", required=True)
@@ -1419,7 +1430,8 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "hash":
         cmd_hash(spark, args.lake, args.table)
     elif args.cmd == "sync":
-        cmd_sync(spark, args.source, args.target, args.table, args.scd)
+        cmd_sync(spark, args.source, args.target, args.table, args.scd,
+                 dry_run=args.dry_run)
     elif args.cmd == "dump":
         cmd_dump(spark, args.lake, args.out, args.table, args.per_row)
     elif args.cmd == "copy":

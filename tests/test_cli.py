@@ -44,6 +44,14 @@ def test_pull_hash_sync_dump_copy_roundtrip(spark, tmp_path, capsys):
     write_snapshot(spark, mutated, path)
     assert cli.table_digest(spark, lake2, "country") != d1
 
+    # --dry-run (reference cli.py:387-390): report the diff, write nothing
+    d_before = cli.table_digest(spark, lake2, "country")
+    cli.cmd_sync(spark, lake, lake2, "country", dry_run=True)
+    out = capsys.readouterr().out
+    dry = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert dry["dry_run"] and dry["new"] == 1 and dry["update"] == 1
+    assert cli.table_digest(spark, lake2, "country") == d_before
+
     cli.cmd_sync(spark, lake, lake2, "country")
     out = capsys.readouterr().out
     report = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
