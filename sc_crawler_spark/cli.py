@@ -32,7 +32,8 @@ from . import migrate, schemas
 from .operators.sync import hash_diff, with_row_hash
 from .operators.upsert import merge_upsert, scd2_append
 from .session import get_spark
-from .sinks.snapshot import current_path, read_snapshot, write_snapshot
+from .sinks.snapshot import (current_path, read_snapshot, snapshot_exists,
+                             write_snapshot)
 from .sources import lookup
 
 
@@ -72,8 +73,17 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
     """Seed/refresh the full static dimension catalog (T5, S12):
     inactivate + merge canon for every in-code dim the reference ships
     (lookup.py, vendors/vendors.py, _aws.py region facts)."""
+    from .operators.validate import apply_schema
+
     os.makedirs(lake, exist_ok=True)
     _ensure_lake(lake)
+    # the seeded region facts are AWS's (reference vendors/_aws.py) —
+    # they land under vendor_id='aws' on the CANONICAL region schema
+    # (PK vendor_id+region_id), so later per-vendor inventory merges
+    # see the same shape instead of a narrower pull-only layout
+    aws_regions = apply_schema(
+        lookup.aws_regions(spark).withColumn("vendor_id", F.lit("aws")),
+        schemas.TABLES["region"], "region")
     dims = {
         "country": (lookup.countries(spark), ["country_id"]),
         "compliance_framework": (
@@ -83,19 +93,23 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
         "vendor_compliance_framework": (
             lookup.vendor_compliance(spark),
             ["vendor_id", "compliance_framework_id"]),
-        "region": (lookup.aws_regions(spark), ["region_id"]),
+        "region": (aws_regions, schemas.PRIMARY_KEYS["region"]),
     }
     for table, (canon, pks) in dims.items():
         canon = (canon.withColumn("status", F.lit("active"))
                  .withColumn("observed_at", F.current_timestamp()))
         path = _table_path(lake, table)
-        try:
+        if snapshot_exists(path):
             current = read_snapshot(spark, path)
             merged = merge_upsert(
                 current, canon.select(*current.columns), pks,
                 inactivate_missing=True,
+                # region canon is aws-only: never sweep regions that
+                # other vendors' inventory runs landed
+                scope=(F.col("vendor_id") == "aws")
+                if table == "region" else None,
             )
-        except Exception:
+        else:  # first pull: nothing to merge into
             merged = canon
         _rewrite(spark, merged, path)
         print(f"pull: {table}: {read_snapshot(spark, path).count()} rows")
@@ -167,8 +181,6 @@ def cmd_sync(spark: SparkSession, source: str, target: str,
     )
     apply_rows = changed_rows.unionByName(deleted_rows)
     if scd:
-        from .sinks.snapshot import snapshot_exists
-
         out_table = f"{table}_scd"
         # explicit existence check, not a blanket except: a genuine
         # read failure must propagate rather than silently replacing
@@ -539,18 +551,19 @@ def _land_tables(spark: SparkSession, lake: str, outputs: dict,
                    if t in keep or t.endswith("_invalid")}
     for table, (df, pks) in outputs.items():
         path = _table_path(lake, table)
-        if pks:
-            try:
-                current = read_snapshot(spark, path)
-                df = merge_upsert(
-                    current, df.select(*current.columns), pks,
-                    inactivate_missing=True,
-                    # per-vendor pull: never sweep other vendors' rows
-                    scope=(F.col("vendor_id") == vendor
-                           if "vendor_id" in current.columns else None),
-                )
-            except Exception:
-                pass
+        # explicit existence gate, never a blanket except: a genuine
+        # read/merge failure must propagate — swallowing it would land
+        # ONLY this vendor's rows and silently wipe every other
+        # vendor's data from the table
+        if pks and snapshot_exists(path):
+            current = read_snapshot(spark, path)
+            df = merge_upsert(
+                current, df.select(*current.columns), pks,
+                inactivate_missing=True,
+                # per-vendor pull: never sweep other vendors' rows
+                scope=(F.col("vendor_id") == vendor
+                       if "vendor_id" in current.columns else None),
+            )
         _rewrite(spark, df, path)
         print(f"inventory: {table}: {read_snapshot(spark, path).count()} rows")
 
@@ -921,10 +934,10 @@ def _inventory_catalog_vendor(spark: SparkSession, bronze: str, lake: str,
     _land_tables(spark, lake, outputs, vendor, records)
     if invalid.limit(1).count():
         inv_path = _table_path(lake, "server_invalid")
-        try:
+        if snapshot_exists(inv_path):
             inv = read_snapshot(spark, inv_path).unionByName(
                 invalid, allowMissingColumns=True)
-        except Exception:
+        else:
             inv = invalid
         _rewrite(spark, inv, inv_path)
 
@@ -1006,12 +1019,11 @@ def cmd_score(spark: SparkSession, lake: str) -> None:
     from .workloads import workload_score_rows
 
     path = _table_path(lake, "benchmark_score")
-    try:
-        current = read_snapshot(spark, path)
-    except Exception:
+    if not snapshot_exists(path):
         print("score: no benchmark_score table in the lake "
               "(run inventory/inspect first)")
         return
+    current = read_snapshot(spark, path)
     raw = current.filter(
         (F.col("status") == "active")
         & ~F.col("benchmark_id").startswith("workload_profile:")
@@ -1139,10 +1151,9 @@ def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
             valid, schemas.PRIMARY_KEYS["benchmark_score"])
         outputs["benchmark_score_invalid"] = (invalid, None)
 
-    try:
-        all_servers = _read(spark, lake, "server")
-    except Exception:
-        all_servers = None
+    all_servers = (_read(spark, lake, "server")
+                   if snapshot_exists(_table_path(lake, "server"))
+                   else None)
     if all_servers is not None:
         from .operators.validate import apply_schema
 

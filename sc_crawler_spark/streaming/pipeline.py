@@ -220,15 +220,17 @@ def stream_keep_last_upsert(events: DataFrame, state_dir: str,
     """
     from ..operators.upsert import merge_upsert
     from ..operators.windows import keep_last_dedup
-    from ..sinks.snapshot import read_snapshot, write_snapshot
+    from ..sinks.snapshot import read_snapshot, snapshot_exists, write_snapshot
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         deduped = keep_last_dedup(batch, pks, order_col)
-        try:
+        if snapshot_exists(state_dir):
+            # real read/merge failures propagate so the batch retries —
+            # a broad except would silently reset the state table
             current = read_snapshot(spark, state_dir)
             merged = merge_upsert(current, deduped.select(*current.columns), pks)
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no snapshot yet
             merged = deduped
         # versioned write + atomic pointer swap: a crash mid-write leaves
         # the previous committed snapshot intact, so the checkpoint's
