@@ -49,6 +49,10 @@ PLAN_GUARDED = [
     # round 5: classic TPC-H shapes — dims must broadcast, the q18
     # HAVING-subquery semi join must not degrade to sort-merge
     "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
+    # round 6: star-join profit, NOT-IN anti join, conditional agg,
+    # disjunctive pushdown
+    "q9_product_type_profit", "q16_parts_supplier",
+    "q12_priority_shipmode", "q19_discounted_revenue",
 ]
 
 
