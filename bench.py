@@ -183,7 +183,10 @@ def _duckdb_time(sql: str, sf_dir: str, reps: int = 2) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("sc-crawler-spark-bench", shuffle_partitions=8)
+    # bench profile opts into shuffled-hash joins (fact-fact build sides
+    # here are dim-reduced and bounded — see session.py docstring)
+    spark = get_spark("sc-crawler-spark-bench", shuffle_partitions=8,
+                      prefer_shuffled_hash=True)
     spark.sparkContext.setLogLevel("ERROR")
 
     warm_dir = sf_dir.replace("sf0.1", "sf0.001") if "sf0.1" in sf_dir else sf_dir

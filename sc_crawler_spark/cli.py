@@ -310,6 +310,11 @@ def cmd_schemas(spark: SparkSession, action: str, lake: str,
     the SCD Type 2 form, PK + observed_at); ``autogenerate`` diffs a
     lake's current table columns against the code's schemas and
     prints the MIGRATIONS scaffold a new revision would need."""
+    if action != "create" and not lake:
+        # every other action reads or stamps a lake; a silent cwd
+        # default would write a _SCHEMA_VERSION file wherever the
+        # command happened to run
+        raise SystemExit(f"schemas {action}: --lake is required")
     if action == "create":
         from .sinks.dialect import create_table_sql_from_fields, dialect_for
 
@@ -1411,8 +1416,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("action",
                    choices=["version", "upgrade", "downgrade", "stamp",
                             "create", "autogenerate"])
-    p.add_argument("--lake", default=".",
-                   help="lake root (unused by `create`)")
+    p.add_argument("--lake",
+                   help="lake root (required for every action except "
+                        "`create`, which only prints DDL)")
     p.add_argument("--revision", type=int,
                    help="stamp: force this revision (default: code "
                         "version); downgrade: target revision "

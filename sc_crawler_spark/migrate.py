@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Bump on every change to schemas.py; record the delta in MIGRATIONS.
-SCHEMA_VERSION = 2
+SCHEMA_VERSION = 3
 
 STAMP = "_SCHEMA_VERSION"
 
@@ -43,6 +43,17 @@ MIGRATIONS: dict[int, dict[str, list[tuple[str, str, object]]]] = {
         "database_storage": [
             ("name", "string", lambda: F.col("database_storage_id")),
             ("description", "string", lambda: F.lit(None)),
+        ],
+    },
+    # r7: cmd_pull moved region to the canonical (vendor_id, region_id)
+    # PK; lakes pulled by the older code hold a narrow region snapshot
+    # (no vendor_id) under the same v2 stamp. Backfill to 'aws' — the
+    # only vendor the old pull ever seeded — so `schemas upgrade`
+    # repairs them instead of merge_upsert failing on a missing join
+    # column.
+    3: {
+        "region": [
+            ("vendor_id", "string", lambda: F.lit("aws")),
         ],
     },
 }

@@ -18,16 +18,34 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              prefer_shuffled_hash: bool | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
     bench harness controls core count.
+
+    ``prefer_shuffled_hash`` opts into shuffled-hash over sort-merge for
+    fact-fact joins (``spark.sql.join.preferSortMergeJoin=false``):
+    skips two O(n log n) sorts — measured -8% (q3) to -19% (q5) at the
+    64x scale block. TRADEOFF, stated honestly: the size gate runs on
+    STATIC estimates, and SHJ's build-side map does not spill the way
+    SMJ does — a badly under-estimated build side can OOM where SMJ
+    would have spilled through; AQE skew-join only splits skewed
+    partitions, not uniformly-large ones. So the LIBRARY default stays
+    Spark's safe default (sort-merge): only the bench/test profile and
+    callers that know their build sides are bounded (this engine's
+    fact-fact joins reduce each side by broadcast dims first, see
+    queries/tpch.py q5) turn it on — via this parameter or
+    ``SPARK_GRAFT_PREFER_SHJ=1``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    if prefer_shuffled_hash is None:
+        prefer_shuffled_hash = (
+            os.environ.get("SPARK_GRAFT_PREFER_SHJ", "0") == "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -58,20 +76,10 @@ def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
         # broadcast; 64 MiB covers every dimension table at any SF.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # Prefer shuffled-hash over sort-merge when the planner's size
-        # gates allow (build side must still be the smaller side and
-        # fit a per-partition hash map): skips two O(n log n) sorts on
-        # every fact-fact join — measured -8% (q3) to -19% (q5) at the
-        # 64x scale block. TRADEOFF, stated honestly: the size gate
-        # runs on STATIC estimates, and SHJ's build-side map does not
-        # spill the way SMJ does — a badly under-estimated build side
-        # can OOM where SMJ would have spilled through. AQE skew-join
-        # only splits skewed partitions, not uniformly-large ones.
-        # Deployments joining two unbounded facts without bucketing
-        # should flip this back to true; the engine's own fact-fact
-        # joins reduce each side by broadcast dims first (see
-        # queries/tpch.py q5), which keeps build sides honest.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash vs sort-merge: opt-in only — see the docstring.
+        # The library default is Spark's safe default (SMJ, spillable).
+        .config("spark.sql.join.preferSortMergeJoin",
+                "false" if prefer_shuffled_hash else "true")
         .config("spark.ui.enabled", "false")
         # PySpark 4 wraps every DataFrame/Column API call with a
         # call-site capture that costs ~4 extra py4j roundtrips per call

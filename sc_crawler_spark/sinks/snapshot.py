@@ -55,7 +55,15 @@ def snapshot_exists(root: str) -> bool:
         return True
     if not os.path.isdir(root):
         return False
-    for _dir, _subdirs, files in os.walk(root):
+    for _dir, subdirs, files in os.walk(root):
+        # No pointer ⇒ any v-* directory is an uncommitted write (crash
+        # before the pointer landed). read_snapshot treats those as
+        # garbage and reads only root-level files, so existence must
+        # apply the same rule: prune v-* from the walk, otherwise a root
+        # holding ONLY an uncommitted version reports True and the
+        # caller's read_snapshot finds nothing (permanent stall) or
+        # ingests the uncommitted data.
+        subdirs[:] = [d for d in subdirs if not d.startswith("v-")]
         if any(f.endswith(".parquet") for f in files):
             return True
     return False

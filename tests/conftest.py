@@ -17,7 +17,10 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("sc-crawler-spark-tests", shuffle_partitions=8)
+    # same profile as bench.py: shuffled-hash opt-in, so the plan-guard
+    # tests exercise the shapes the bench actually runs
+    s = get_spark("sc-crawler-spark-tests", shuffle_partitions=8,
+                  prefer_shuffled_hash=True)
     yield s
     s.stop()
 

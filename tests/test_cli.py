@@ -105,6 +105,17 @@ def test_snapshot_exists_recognizes_every_readable_layout(spark, tmp_path):
     assert not any(f.endswith(".parquet")
                    for f in os.listdir(tmp_path / "parts"))
     assert snapshot_exists(str(tmp_path / "parts"))
+    # crash during the FIRST versioned commit: an uncommitted v-* dir
+    # with data but NO pointer. read_snapshot treats it as garbage
+    # (reads only root-level files, of which there are none), so
+    # snapshot_exists must say False — True would send the caller into
+    # a read that finds nothing (or worse, uncommitted data).
+    (tmp_path / "crashed").mkdir()
+    df.write.parquet(str(tmp_path / "crashed" / "v-00000001"))
+    assert not snapshot_exists(str(tmp_path / "crashed"))
+    # ...but once a pointer commits, the same layout reads fine
+    (tmp_path / "crashed" / "_CURRENT").write_text("v-00000001")
+    assert snapshot_exists(str(tmp_path / "crashed"))
 
 
 def test_snapshot_atomic_swap_survives_garbage(spark, tmp_path):

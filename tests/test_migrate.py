@@ -139,6 +139,41 @@ def test_schemas_autogenerate_scaffold(spark, tmp_path, capsys):
     assert "'continent'" in out
 
 
+def test_upgrade_backfills_legacy_narrow_region(spark, tmp_path):
+    """Lakes pulled before region moved to the canonical (vendor_id,
+    region_id) PK hold a region snapshot WITHOUT vendor_id under a v2
+    stamp; `schemas upgrade` (v3) must backfill vendor_id='aws' (the
+    only vendor the old pull seeded) so cmd_pull's merge on
+    (vendor_id, region_id) works again."""
+    lake = str(tmp_path / "lake")
+    narrow = spark.createDataFrame(
+        [("us-east-1", "Virginia", "active")],
+        "region_id string, name string, status string",
+    ).withColumn("observed_at", F.current_timestamp())
+    write_snapshot(spark, narrow, os.path.join(lake, "region"))
+    migrate.stamp_lake(lake, 2)
+
+    with pytest.raises(migrate.SchemaVersionMismatch, match="write"):
+        cli.cmd_pull(spark, lake)   # refused until upgraded
+
+    added = migrate.upgrade_lake(spark, lake)
+    assert added["region"] == ["vendor_id"]
+    row = read_snapshot(spark, os.path.join(lake, "region")).collect()[0]
+    assert row["vendor_id"] == "aws"
+    # a region written by the NEW pull already has vendor_id: idempotent
+    assert migrate.upgrade_lake(spark, lake) == {}
+
+
+def test_schemas_lake_flag_required_for_lake_actions(spark):
+    """A bare `schemas upgrade`/`stamp` must error, not treat cwd as a
+    lake (the old default='.' silently stamped whatever directory the
+    command ran in). `create` only prints DDL and needs no lake."""
+    for action in ("version", "upgrade", "downgrade", "stamp",
+                   "autogenerate"):
+        with pytest.raises(SystemExit, match="--lake is required"):
+            cli.cmd_schemas(spark, action, None)
+
+
 def test_downgrade_rejects_bad_target(spark, tmp_path):
     lake = str(tmp_path / "lake")
     _mini_lake(spark, lake, version=migrate.SCHEMA_VERSION)
