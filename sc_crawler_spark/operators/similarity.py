@@ -213,6 +213,13 @@ def cosine_topk_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
     corpus and shuffling a few rows per query. Quantization error only
     costs recall when a true neighbor falls below the candidate cut;
     ``refine`` buys it back (tests gate recall@5).
+
+    CAVEAT: stage 1 is still an all-pairs O(|Q| x |corpus|) comparison
+    — quantization cuts bytes, not candidates. This function is the
+    quantization building block / small-corpus path; the production
+    shape is :func:`cosine_topk_ivf_sq`, which composes the same int8
+    codes with IVF cell pruning so stage 1 becomes an equi-join on
+    cell_id (~|corpus| * n_probe / n_cells work per query).
     """
     scale_df = corpus.select(
         F.explode(as_double(F.col(vec_col))).alias("x")
@@ -275,7 +282,8 @@ def cosine_topk_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
 def cosine_topk_ivf_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
                        id_col: str, k: int = 5, n_cells: int = 8,
                        n_probe: int = 3, refine: int = 3,
-                       centroids: DataFrame | None = None) -> DataFrame:
+                       centroids: DataFrame | None = None,
+                       broadcast_queries: bool = False) -> DataFrame:
     """IVF x SQ composed ANN — the production-shaped index: corpus
     vectors land in ``n_cells`` inverted lists (argmax inner product
     against deterministic centroids, same as :func:`cosine_topk_ivf`),
@@ -298,6 +306,16 @@ def cosine_topk_ivf_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
     tiebreak); the stage-1 cut ranks on the int8 cosine ROUNDED to 6
     with a neighbor_id tiebreak, so both engines pick the same
     candidate set; integer dot products are exact everywhere.
+
+    ``broadcast_queries`` pins a broadcast hint on the query-derived
+    sides (stage-1 probes, stage-2 float re-rank). Default OFF — the
+    probe set scales with |Q| * n_probe, and an unconditional hint
+    would die at the broadcast ceiling for a large query batch.
+    Unhinted, the cell_id equi-join plans as a shuffle join and AQE
+    upgrades it to broadcast at runtime when the probe side turns out
+    small — the scale-safe default. Callers that KNOW |Q| is tiny
+    (interactive top-k, the registry's 10-query driver entry) pass
+    True to skip the shuffle statically.
     """
     cents = centroids if centroids is not None else (
         corpus.select(F.col(id_col).alias("cell_id"),
@@ -337,8 +355,9 @@ def cosine_topk_ivf_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
     )
 
     # stage 1: int8 ranking WITHIN probed cells — equi-join on cell_id
+    probes_side = F.broadcast(probes) if broadcast_queries else probes
     approx = (
-        F.broadcast(probes).join(coded, "cell_id")
+        probes_side.join(coded, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
@@ -358,9 +377,10 @@ def cosine_topk_ivf_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
 
     # stage 2: exact re-rank of the sparse candidate set on floats
     qv = q.select("query_id", "qv").withColumn("qn", norm(F.col("qv")))
+    qv_side = F.broadcast(qv) if broadcast_queries else qv
     cvv = c.select("neighbor_id", "cv").withColumn("cn", norm(F.col("cv")))
     scored = (
-        cand.join(F.broadcast(qv), "query_id").join(cvv, "neighbor_id")
+        cand.join(qv_side, "query_id").join(cvv, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             dround(dot(F.col("qv"), F.col("cv"))

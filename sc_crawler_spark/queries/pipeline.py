@@ -532,7 +532,15 @@ def embed_ann_sq(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-quantized two-stage ANN: int8 codes rank all pairs (4x
     less data than float32), top-15 candidates per query re-rank
     exactly, top-5 kept (operators/similarity.py:cosine_topk_sq;
-    recall gated in tests/test_ann_recall.py)."""
+    recall gated in tests/test_ann_recall.py).
+
+    NOTE — SQ alone is NOT the production shape: its stage 1 still
+    compares every query against every corpus vector (the int8 constant
+    cuts bytes 4x but not comparisons). At scale, run the IVF x SQ
+    composition instead (``embed_ann_ivf_sq`` /
+    operators/similarity.py:cosine_topk_ivf_sq), where stage 1 is an
+    equi-join on cell_id and per-query work drops to
+    ~|corpus| * n_probe / n_cells."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_sq(
@@ -633,7 +641,11 @@ def embed_ann_ivf_sq(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_ivf_sq(
         queries, emb, "embedding", "vec_id",
-        k=5, n_cells=_KM_CELLS, n_probe=3, refine=3, centroids=cents)
+        k=5, n_cells=_KM_CELLS, n_probe=3, refine=3, centroids=cents,
+        # 10 known queries: pin the broadcast statically; a large query
+        # batch would omit this and let AQE decide (see the operator
+        # docstring)
+        broadcast_queries=True)
 
 
 def _ann_ivf_sq_sql(n_cells: int = 8, n_probe: int = 3, k: int = 5,

@@ -184,6 +184,34 @@ def test_r6_embed_ann_ivf_sq_stage1_is_cell_equijoin(spark):
         plan), "stage-1 degraded to an all-pairs nested-loop join"
 
 
+def test_r7_ivf_sq_cell_equijoin_without_broadcast_hint(spark):
+    """The UNHINTED regime (broadcast_queries=False, the default for a
+    large query batch): stage 1 must still plan the cell_id join as a
+    proper equi-join — shuffle hash/sort-merge, AQE-upgradable to
+    broadcast at runtime — never a nested-loop or cartesian. This is
+    the broadcast-ceiling escape: a huge probe set degrades to a
+    shuffle instead of dying at the 8 GB broadcast limit."""
+    from sc_crawler_spark.operators import similarity
+    from sc_crawler_spark.tables import load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    out = similarity.cosine_topk_ivf_sq(
+        emb.filter("vec_id < 10"), emb, "embedding", "vec_id",
+        k=5, n_cells=8, n_probe=3, refine=3)   # no broadcast hint
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert not re.search(
+        r"BroadcastNestedLoopJoin[^\n]*\nJoin condition: NOT \(query_id",
+        plan), "unhinted stage-1 degraded to an all-pairs nested-loop"
+    # the stage-1 join keys survive as a cell_id equi-join in SOME
+    # hash-based join (SHJ/SMJ statically; AQE may broadcast at runtime)
+    assert re.search(
+        r"Left keys \[1\]: \[cell_id", plan), (
+        "unhinted stage-1 candidate join is not an equi-join on cell_id")
+
+
 @pytest.mark.parametrize("name,ceiling", [
     # Both queries unroll 2 Lloyd iterations DECLARATIVELY (the oracle
     # mirrors the pure plan); plan size grows geometrically with the
