@@ -283,7 +283,10 @@ def main() -> None:
             bdir = os.path.join(s16_dir, "bucketed")
             cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             specs = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
-            ready = os.path.join(bdir, "_READY")
+            # _READY_v2: v1 dirs predate the one-file-per-bucket write
+            # fix (32 writer partitions x 32 buckets = 1024 tiny files
+            # whose open cost dominated the bucketed scan) — rebuild
+            ready = os.path.join(bdir, "_READY_v2")
             fresh = not os.path.exists(ready)
             # the bucket count is part of the FILE layout: a re-mount
             # must declare the count the files were written with, not

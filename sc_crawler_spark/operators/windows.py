@@ -69,6 +69,30 @@ def latest_snapshot(df: DataFrame, pks: list[str], observed_at: str = "observed_
     return top1_per_group(df, pks, order)
 
 
+def session_flags(df: DataFrame, user_col: str, ts_col: str,
+                  gap_seconds: int = 1800,
+                  tiebreak: str | None = None) -> DataFrame:
+    """Gap-break flags: input plus ``_is_new`` = 1 where the time since
+    the user's previous event exceeds ``gap_seconds`` (or no previous
+    event). ONE window pass (lag); the epoch is computed once per row,
+    not re-derived inside the lag comparison.
+
+    Building block for :func:`sessionize`; aggregations that only need
+    per-user session COUNTS should aggregate these flags directly
+    (``sum(_is_new)``) and skip the running-sum pass entirely —
+    max(cumsum(flags)) == sum(flags).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    df = df.withColumn("_epoch", epoch)
+    prev = F.lag(F.col("_epoch")).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("_epoch") - prev > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("_is_new", is_new).drop("_epoch")
+
+
 def sessionize(df: DataFrame, user_col: str, ts_col: str,
                gap_seconds: int = 1800, tiebreak: str | None = None) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
@@ -76,20 +100,19 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
     per-user ``session_id`` (cumulative count of gap-breaks).
 
     Batch analog of Structured Streaming session windows; one shuffle on
-    the user key, then two in-partition window passes.
+    the user key, then two in-partition window passes over the same
+    (partition, order) — Spark sorts once and both Window operators run
+    in-partition.
     """
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.partitionBy(user_col).orderBy(*order)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
-        F.lit(1),
-    ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn("session_id", F.sum(is_new).over(running))
+    flagged = session_flags(df, user_col, ts_col, gap_seconds, tiebreak)
+    return (
+        flagged.withColumn("session_id", F.sum(F.col("_is_new")).over(running))
+        .drop("_is_new")
+    )
 
 
 def as_of_join(left: DataFrame, right: DataFrame, keys: list[str],

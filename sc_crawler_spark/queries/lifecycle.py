@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sync import hash_diff
 from ..operators.upsert import merge_upsert
-from ..operators.windows import latest_snapshot, sessionize
+from ..operators.windows import latest_snapshot, session_flags
 from ..functions.scalars import dround, sql_round
 from ..tables import load
 
@@ -141,11 +141,19 @@ WHERE rn = 1
 
 def session_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (streaming session-window batch analog):
-    30-minute inactivity gap, per-user session and event counts."""
+    30-minute inactivity gap, per-user session and event counts.
+
+    Counts-only shape: aggregates the gap-break FLAGS directly
+    (max(cumsum(flags)) == sum(flags)), so the plan is one lag-window
+    pass + one hash aggregate — the running-sum window pass that the
+    generic ``sessionize`` needs for per-row session_ids is skipped
+    (same work the DuckDB oracle does; r7 64x A/B: 0.223 s vs 0.245 s
+    and one fewer WindowExec over ~48M rows)."""
     ev = load(spark, sf, "events")
-    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
-    return sess.groupBy("user_id").agg(
-        F.max("session_id").alias("n_sessions"),
+    flagged = session_flags(ev, "user_id", "ts", gap_seconds=1800,
+                            tiebreak="event_id")
+    return flagged.groupBy("user_id").agg(
+        F.sum("_is_new").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
 

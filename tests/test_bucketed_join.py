@@ -99,3 +99,26 @@ def test_mount_bucketed_survives_catalog_loss(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("b_remount_a", "b_remount_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    """The writer must repartition on the bucket key first: without it,
+    each of the N input partitions writes its own sliver of every
+    bucket — N x n_buckets tiny files whose open cost made the bucketed
+    READ slower than the exchange it saves (r7 64x measurement:
+    1024 files scanned 2.2x slower than 32). One file per bucket is
+    the layout contract."""
+    import glob
+
+    df = spark.range(0, 50000).repartition(16).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+    spark.sql("DROP TABLE IF EXISTS b_layout")
+    write_bucketed(df, "b_layout", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "b_layout"))
+    try:
+        files = glob.glob(str(tmp_path / "b_layout" / "*.parquet"))
+        assert len(files) == 8, (
+            f"expected one file per bucket, got {len(files)}")
+        assert bucketed(spark, "b_layout").count() == 50000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_layout")
