@@ -43,71 +43,19 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate tailward past the 50-query cap, still re-verified every round
 # by tests/test_queries_oracle.py.
 #
-# For r7: rotate per the same protocol — any new/changed queries first,
-# then whichever names CORRECTNESS_r06's 50-query window did NOT cover.
+# r7 rotation: CORRECTNESS_r06 went 50/50 hash-green over the first 50
+# registry names, so every OTHER name's latest driver evidence is r5 —
+# those 43 rotate to the front, behind the r7 new/changed queries.
 _PRIORITY = [
-    # --- new in r6: no driver evidence yet ---
-    "embed_ann_ivf_sq",            # IVF x SQ: int8 stage-1 within probed cells
-    "q9_product_type_profit",      # multi-fact star join + extract(year)
-    "q16_parts_supplier",          # count-distinct + NOT IN anti join
-    "q12_priority_shipmode",       # conditional aggregation (CASE-in-SUM)
-    "q19_discounted_revenue",      # OR-of-ANDs disjunctive pushdown
-    # --- changed in r6: evidence stale by construction ---
-    "pack_sequences_docs",         # NOW oracle-checked (recursive CTE replay)
-    "q3_shipping_priority",        # star-join rewrite
-    "q5_local_supplier_volume",    # star-join rewrite
-    # --- last green in r4: the stalest evidence ---
-    "asof_latest_event_value",
-    "benchmark_catalog_stats",
-    "benchmark_config_pk",
-    "config_tolerance_filter",
-    "dedup_boilerplate_chunks",
-    "dedup_embed_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_langid",
-    "doc_quality",
-    "doc_token_stats",
-    "ecpus_scalability",
-    "embed_ann_ivf",
-    "embed_ann_lsh",
-    "embed_cosine_topk",
-    "first_version_orders",
-    "hash_diff_sync",
-    "heavy_hitter_users",
-    "json_props_extract",
-    "merge_upsert_lifecycle",
-    "range_join_event_window",
-    "running_user_value",
-    "scd2_latest_event",
-    "session_counts",
-    "shuffled_sample_orders",
-    "sku_prefix_join",
-    "standardize_part_names",
-    "sync_stats",
-    "tiered_price_billing",
-    "training_set_select",
-    "tumbling_daily_stats",
-    "workload_breakdown",
-    "workload_catalog_breakdown",  # r6: missing-note order fix (entry order)
-    "workload_profiles_catalog",
-    "workload_scores",
-    # --- r5 greens re-checked opportunistically (fill the 50 window;
-    # entries past the driver's 50-cap behave as tail) ---
-    "dedup_cluster_resolve",       # r6: self-loop singleton fix upstream
-    "embed_kmeans_clusters",       # r6: iteration-bound docs + plan guard
-    "embed_ann_sq",
-    "q10_returned_items",
-    "q18_large_orders",
-    "longtail_price_assembly",
-]
-# Freshest driver evidence (green rows in CORRECTNESS_r05.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
-_TAIL = [
+    # --- new in r7: no driver evidence yet ---
+    "q14_promo_effect",            # join + conditional-agg ratio (promo %)
+    "q22_global_sales_opportunity",  # scalar subquery + date-filtered anti join
+    # --- changed in r7: evidence stale by construction ---
+    "session_counts",              # flag-sum formulation (one window pass)
+    "embed_ann_ivf_sq",            # broadcast_queries gate (plan change)
+    "q3_shipping_priority",        # bucketed twin layout fix touches bench path
+    "q5_local_supplier_volume",
+    # --- last green in r5: the stalest evidence ---
     "q7_volume_shipping",
     "doc_repetition",
     "doc_pii_scrub",
@@ -149,6 +97,59 @@ _TAIL = [
     "sig_fig_prices",
     "unit_conversions",
     "extract_brand_number",
+    "q18_large_orders",
+    "longtail_price_assembly",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r06.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    "q9_product_type_profit",
+    "q16_parts_supplier",
+    "q12_priority_shipmode",
+    "q19_discounted_revenue",
+    "pack_sequences_docs",
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
+    "benchmark_config_pk",
+    "config_tolerance_filter",
+    "dedup_boilerplate_chunks",
+    "dedup_embed_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_quality",
+    "doc_token_stats",
+    "ecpus_scalability",
+    "embed_ann_ivf",
+    "embed_ann_lsh",
+    "embed_cosine_topk",
+    "first_version_orders",
+    "hash_diff_sync",
+    "heavy_hitter_users",
+    "json_props_extract",
+    "merge_upsert_lifecycle",
+    "range_join_event_window",
+    "running_user_value",
+    "scd2_latest_event",
+    "shuffled_sample_orders",
+    "sku_prefix_join",
+    "standardize_part_names",
+    "sync_stats",
+    "tiered_price_billing",
+    "training_set_select",
+    "tumbling_daily_stats",
+    "workload_breakdown",
+    "workload_catalog_breakdown",
+    "workload_profiles_catalog",
+    "workload_scores",
+    "dedup_cluster_resolve",
+    "embed_kmeans_clusters",
+    "embed_ann_sq",
+    "q10_returned_items",
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -913,8 +913,111 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: join + RATIO of conditional aggregates over a
+    date-sliced fact — 100 * sum(CASE promo THEN revenue)/sum(revenue)
+    for one month of shipments. The lake's p_type carries class labels
+    (ECONOMY/SMALL/...), so 'ECONOMY' plays the PROMO% marker — the
+    operator shape (broadcast dim join + two CASE-gated decimal sums
+    folded into one scalar) is identical. Both sums go through DECIMAL
+    and the ratio is computed once from the two aggregates, so the
+    single output row is order-independent in both engines."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = decimal_sum(F.when(F.col("p_type") == "ECONOMY", disc)
+                        .otherwise(F.lit(0.0)))
+    total = decimal_sum(disc)
+    return j.agg(
+        dround(promo.cast("double") * 100 / total.cast("double"), 4)
+        .alias("promo_revenue_pct"),
+        dround(total, 4).alias("total_revenue"),
+    )
+
+
+Q14_SQL = f"""
+SELECT
+  {sql_round("CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) * 100 / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)")} AS promo_revenue_pct,
+  {sql_round("SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))")} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated SCALAR subquery (the positive-
+    balance average) gating a filter, then an ANTI join (customers with
+    no RECENT orders — the 'lost customers' date-filtered anti join of
+    the original), then a group aggregate. The lake's customer has no
+    phone country code, so the nation key plays it: customers in 7
+    target nations whose balance beats the average positive balance of
+    those nations, minus anyone who ordered since 2000-01-01, counted
+    per nation (every customer has SOME order at lake density; the
+    date filter keeps the anti join selective, like the original's
+    7-year window).
+
+    Expressed in SQL so Catalyst's subquery planner handles both
+    shapes: the scalar subqueries become one-row broadcasts (computed
+    once, never per-row) and NOT EXISTS becomes a left-anti hash join
+    on custkey — guarded against correlated re-execution in
+    test_skew_and_plans (no Subquery nodes survive).
+
+    Determinism: the canonical form's ``acctbal > AVG(acctbal)``
+    compares against a DOUBLE average whose last-ulp value depends on
+    summation order — a boundary row could flip between engines. The
+    average is multiplied through instead (``bal * count > sum``,
+    count > 0), all in DECIMAL: exact in both engines."""
+    load(spark, sf, "customer").createOrReplaceTempView("_t_customer")
+    load(spark, sf, "orders").createOrReplaceTempView("_t_orders")
+    return spark.sql(f"""
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               {sql_round("CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)")} AS totacctbal
+        FROM _t_customer c
+        WHERE c_nationkey IN (1, 4, 7, 10, 13, 16, 19)
+          AND CAST(c_acctbal AS DECIMAL(28,6)) * (
+            SELECT COUNT(*) FROM _t_customer
+            WHERE c_acctbal > 0.0
+              AND c_nationkey IN (1, 4, 7, 10, 13, 16, 19)) > (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) FROM _t_customer
+            WHERE c_acctbal > 0.0
+              AND c_nationkey IN (1, 4, 7, 10, 13, 16, 19))
+          AND NOT EXISTS (
+            SELECT 1 FROM _t_orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+    """)
+
+
+Q22_SQL = f"""
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       {sql_round("CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)")} AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 4, 7, 10, 13, 16, 19)
+  AND CAST(c_acctbal AS DECIMAL(28,6)) * (
+    SELECT COUNT(*) FROM customer
+    WHERE c_acctbal > 0.0
+      AND c_nationkey IN (1, 4, 7, 10, 13, 16, 19)) > (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) FROM customer
+    WHERE c_acctbal > 0.0
+      AND c_nationkey IN (1, 4, 7, 10, 13, 16, 19))
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
     "q16_parts_supplier": (q16_parts_supplier, Q16_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),

@@ -53,6 +53,8 @@ PLAN_GUARDED = [
     # disjunctive pushdown
     "q9_product_type_profit", "q16_parts_supplier",
     "q12_priority_shipmode", "q19_discounted_revenue",
+    # round 7: join + conditional-agg ratio (part dim must broadcast)
+    "q14_promo_effect",
 ]
 
 
@@ -126,6 +128,19 @@ def test_r5_correlated_subqueries_decorrelate(spark):
     assert "LeftSemi" in q4 and "Subquery" not in q4
     for p in (q2, q4):
         assert "CartesianProduct" not in p
+
+
+def test_r7_q22_anti_join_and_scalar_subquery_shape(spark):
+    """q22: the NOT EXISTS must plan as a left-ANTI hash join (never a
+    per-row correlated probe), and the two uncorrelated scalar
+    subqueries (count/sum of the positive-balance population) must be
+    one-row broadcast results computed once — visible as subquery
+    subtrees, NOT as a cartesian or nested-loop over customer."""
+    plan = _plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, "NOT EXISTS did not become an anti join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_r5_mix_sample_never_shuffles_the_corpus(spark):
