@@ -76,7 +76,13 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  "q5_local_supplier_volume", "top1_order_per_customer",
                  "workload_scores", "hash_diff_sync",
                  "exact_median_price", "q3_shipping_priority",
-                 "merge_upsert_lifecycle"]
+                 "merge_upsert_lifecycle",
+                 # r7: the LLM-pipeline tier at 512x documents — valid
+                 # because scale copies are CIPHERED (see _copy_cipher):
+                 # cloned-identical texts would make LSH candidate
+                 # pairs quadratic in copies (PLANS.md dedup_minhash
+                 # note), which benchmarks the blowup, not the plan
+                 "dedup_minhash_lsh", "training_set_select"]
 # Tables each scale query SCANS (with multiplicity — hash_diff reads
 # orders three times), for cost-based partition sizing from file bytes
 # alone: sizing must not touch Spark, or the probe would warm the very
@@ -93,6 +99,8 @@ SCALE_SCANS = {
     "exact_median_price": ["orders"],
     "q3_shipping_priority": ["lineitem", "orders", "customer"],
     "merge_upsert_lifecycle": ["customer", "customer", "customer"],
+    "dedup_minhash_lsh": ["documents", "documents"],
+    "training_set_select": ["documents", "documents"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -116,7 +124,42 @@ SCALE_SUBDIR = {"merge_upsert_lifecycle": "lifecycle"}
 _SUBDIR_FACTS = {"lifecycle": ("customer", ["c_custkey"])}
 
 
-def _union_copies(base, keys, n):
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGIT = "0123456789"
+
+
+def _copy_cipher(df, i):
+    """Per-copy character substitution over ``text`` (rotate lower /
+    upper / digit alphabets by copy-dependent amounts; whitespace and
+    punctuation untouched).
+
+    Why: identical cloned texts would share EVERY minhash band, making
+    LSH candidate pairs quadratic in the copy count — a 512x clone
+    corpus measures that blowup, not the plan (PLANS.md dedup_minhash
+    note). A bijective per-copy cipher keeps each copy's INTERNAL
+    near-dup structure bit-identical (shingle equality is preserved
+    within a copy) while cross-copy shingles can no longer collide —
+    so the 512x corpus carries 512x the base corpus's duplicate
+    structure and work scales linearly, like a real 100 TB crawl."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    # seeded FULL permutations (not rotations): the corpus text is
+    # almost entirely lowercase, and 26 rotations would leave ~20
+    # identical cross-copy clones per text at 512 copies
+    rng = random.Random(0x5CA1E + i)
+    dst = ""
+    for alpha in (_LOWER, _UPPER, _DIGIT):
+        chars = list(alpha)
+        rng.shuffle(chars)
+        dst += "".join(chars)
+    src = _LOWER + _UPPER + _DIGIT
+    return df.withColumn("text", F.translate(F.col("text"), src, dst))
+
+
+def _union_copies(base, keys, n, transform=None):
     from pyspark.sql import functions as F
 
     parts = []
@@ -124,6 +167,8 @@ def _union_copies(base, keys, n):
         df = base
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+        if transform is not None:
+            df = transform(df, i)
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -132,9 +177,10 @@ def _union_copies(base, keys, n):
 
 
 def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
-    # _READY_v2: v1 dirs predate the documents multiplier + the
-    # lifecycle subdir — rebuild them
-    if os.path.exists(os.path.join(out_dir, "_READY_v2")):
+    # _READY_v3: v2 dirs predate the per-copy document cipher —
+    # rebuild them (v1 additionally predates the documents multiplier
+    # + lifecycle subdir)
+    if os.path.exists(os.path.join(out_dir, "_READY_v3")):
         return
     os.makedirs(out_dir, exist_ok=True)
     from sc_crawler_spark.tables import load
@@ -144,7 +190,9 @@ def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     for t, keys in _FACT_OFFSETS.items():
         n = SCALE_FACTOR * _FACT_MULT.get(t, 1)
-        df = _union_copies(load(spark, sf_dir, t), keys, n)
+        df = _union_copies(load(spark, sf_dir, t), keys, n,
+                           transform=_copy_cipher if t == "documents"
+                           else None)
         if n > cpus:
             # the N-branch union would otherwise write N files; hundreds
             # of tiny parquet files tax BOTH engines with per-file open
@@ -158,14 +206,24 @@ def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
             df = df.repartition(cpus)
         df.write.mode("overwrite").parquet(
             os.path.join(out_dir, sub, f"{t}.parquet"))
-    with open(os.path.join(out_dir, "_READY_v2"), "w") as fh:
+    with open(os.path.join(out_dir, "_READY_v3"), "w") as fh:
         fh.write("ok")
 
 
-def _duckdb_time(sql: str, sf_dir: str, reps: int = 2) -> float:
+def _duckdb_time(sql: str, sf_dir: str, reps: int = 2,
+                 timeout_s: float | None = None) -> float:
+    """Best-of-reps DuckDB wall time. With ``timeout_s``, the query is
+    interrupted after that many seconds and the temp-spill directory is
+    capped — raising instead of hanging the bench (the 512x minhash
+    oracle exhausts tens of GB of spill before dying on its own)."""
+    import threading
+
     import duckdb
 
     con = duckdb.connect()
+    if timeout_s is not None:
+        con.execute("SET temp_directory='/tmp/sc_bench_ducktmp'")
+        con.execute("SET max_temp_directory_size='16GB'")
     for t in [*_DIMS, *_FACT_OFFSETS]:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark writes parquet datasets as dirs
@@ -173,11 +231,21 @@ def _duckdb_time(sql: str, sf_dir: str, reps: int = 2) -> float:
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        best = min(best, time.perf_counter() - t0)
-    con.close()
+    try:
+        for _ in range(reps):
+            timer = (threading.Timer(timeout_s, con.interrupt)
+                     if timeout_s is not None else None)
+            if timer:
+                timer.start()
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            finally:
+                if timer:
+                    timer.cancel()
+    finally:
+        con.close()
     return best
 
 
@@ -259,13 +327,27 @@ def main() -> None:
                 REGISTRY[name][0](spark, qdir).count()
                 best = min(best, time.perf_counter() - t0)
             spark_s[name] = round(best, 3)
-            duck_s[name] = round(_duckdb_time(
-                REGISTRY[name][1], qdir,
-                reps=2 if best < 5.0 else 1), 3)
+            try:
+                # the 512x minhash oracle is a known DuckDB scale
+                # failure (r7: spilled >78 GB of temp then died; 104 s
+                # at 1/8 the data) — interrupt instead of waiting
+                duck_s[name] = round(_duckdb_time(
+                    REGISTRY[name][1], qdir,
+                    reps=2 if best < 5.0 else 1,
+                    timeout_s=60.0 if name == "dedup_minhash_lsh"
+                    else None), 3)
+            except Exception as exc:
+                duck_s[name] = None
+                scale.setdefault("duck_dnf", {})[name] = str(exc)[:120]
+        # aggregate ratio over the queries BOTH engines completed; a
+        # DuckDB DNF is reported separately (excluding it UNDERSTATES
+        # the Spark win — no number exists to credit)
+        both = [n for n in spark_s if duck_s.get(n) is not None]
         scale |= {
-            "spark_sec": round(sum(spark_s.values()), 3),
-            "duckdb_sec": round(sum(duck_s.values()), 3),
-            "ratio": round(sum(spark_s.values()) / sum(duck_s.values()), 3),
+            "spark_sec": round(sum(spark_s[n] for n in both), 3),
+            "duckdb_sec": round(sum(duck_s[n] for n in both), 3),
+            "ratio": round(sum(spark_s[n] for n in both)
+                           / sum(duck_s[n] for n in both), 3),
             "spark": spark_s,
             "duckdb": duck_s,
         }
