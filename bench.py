@@ -327,6 +327,10 @@ def main() -> None:
                 REGISTRY[name][0](spark, qdir).count()
                 best = min(best, time.perf_counter() - t0)
             spark_s[name] = round(best, 3)
+            # the dedup/training queries cache multi-hundred-MB
+            # intermediates (shingles, signatures); left resident they
+            # steal executor memory from every later scale query
+            spark.catalog.clearCache()
             try:
                 # the 512x minhash oracle is a known DuckDB scale
                 # failure (r7: spilled >78 GB of temp then died; 104 s
