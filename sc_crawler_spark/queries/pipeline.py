@@ -136,6 +136,49 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer classes, simplified to the regex subset
+# Java (Spark) and RE2 (DuckDB) match identically: a token is an
+# optionally-space-prefixed letter run, digit run, or punctuation run,
+# or a whitespace run. Alternation order matters (leftmost-first in
+# both engines) and is identical on both sides.
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish tokenization stats: counts under a GPT-2-style
+    pre-tokenizer regex (space-prefixed letter/digit/punct runs),
+    alongside the whitespace token count — the pair a tokenizer-budget
+    planner needs (regex pieces upper-bound merged BPE tokens, so
+    ``n_bpe_pieces`` is the conservative sequence-length estimate;
+    whitespace tokens undercount code/punctuation-heavy text).
+    All counts are native ``regexp_count`` — one scan, no explode,
+    no shuffle except the trivial final collect."""
+    docs = load(spark, sf, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(_BPE_PATTERN)).alias("n_bpe_pieces"),
+        F.regexp_count(low, F.lit(r" ?[a-z]+")).alias("n_word_pieces"),
+        F.regexp_count(low, F.lit(r" ?[0-9]+")).alias("n_digit_pieces"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        dround(F.regexp_count(low, F.lit(_BPE_PATTERN))
+               / F.size(tokens(F.col("text"))), 6).alias("pieces_per_word"),
+    )
+
+
+_BPE_SQL_N = ("len(regexp_extract_all(lower(text),"
+              " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+'))")
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+  {_BPE_SQL_N} AS n_bpe_pieces,
+  len(regexp_extract_all(lower(text), ' ?[a-z]+')) AS n_word_pieces,
+  len(regexp_extract_all(lower(text), ' ?[0-9]+')) AS n_digit_pieces,
+  len(string_split(lower(text), ' ')) AS n_ws_tokens,
+  {sql_round(_BPE_SQL_N + " / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)", 6)} AS pieces_per_word
+FROM documents
+"""
+
+
 def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / word-shape)."""
     docs = load(spark, sf, "documents")
@@ -1080,6 +1123,7 @@ FROM (
 QUERIES = {
     "media_metadata_extract": (media_metadata_extract, MEDIA_METADATA_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
+    "doc_bpe_token_stats": (doc_bpe_token_stats, BPE_TOKEN_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
