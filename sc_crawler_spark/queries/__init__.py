@@ -51,6 +51,8 @@ _PRIORITY = [
     "q14_promo_effect",            # join + conditional-agg ratio (promo %)
     "q22_global_sales_opportunity",  # scalar subquery + date-filtered anti join
     "doc_bpe_token_stats",         # GPT-2-style pre-tokenizer regex counts
+    "q11_important_stock",         # HAVING vs global-total scalar subquery
+    "q21_single_supplier_blame",   # double correlated EXISTS/NOT EXISTS
     # --- changed in r7: evidence stale by construction ---
     "session_counts",              # flag-sum formulation (one window pass)
     "embed_ann_ivf_sq",            # broadcast_queries gate (plan change)

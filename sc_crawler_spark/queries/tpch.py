@@ -913,6 +913,103 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: group aggregate gated by a HAVING clause that
+    compares against a fraction of the GLOBAL total — an uncorrelated
+    scalar subquery in HAVING (here the per-part stock value of one
+    nation's suppliers vs 0.1% of that nation's total). Catalyst
+    computes the global once (one-row broadcast) and filters the
+    aggregate — never per-group re-aggregation.
+
+    Determinism: the fraction is multiplied through
+    (sum_part * 1000 > sum_total, both DECIMAL) — no double threshold
+    to disagree on the last ulp."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("_t_lineitem")
+    load(spark, sf, "supplier").createOrReplaceTempView("_t_supplier")
+    load(spark, sf, "nation").createOrReplaceTempView("_t_nation")
+    return spark.sql(f"""
+        SELECT l_partkey,
+               {sql_round("CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)")} AS stock_value
+        FROM _t_lineitem
+        JOIN _t_supplier ON l_suppkey = s_suppkey
+        JOIN _t_nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) * 1000 > (
+            SELECT SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+            FROM _t_lineitem
+            JOIN _t_supplier ON l_suppkey = s_suppkey
+            JOIN _t_nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7')
+    """)
+
+
+Q11_SQL = f"""
+SELECT l_partkey,
+       {sql_round("CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)")} AS stock_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) * 1000 > (
+    SELECT SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7')
+"""
+
+
+def q21_single_supplier_blame(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: DOUBLE correlated subquery — an EXISTS (another
+    supplier also shipped this order) and a NOT EXISTS (no OTHER
+    supplier had a returned line) against the same fact, both
+    correlated to the outer row. The planner must decorrelate both
+    into semi/anti hash joins; a surviving correlated probe
+    re-executes per outer row. Adapted to the lake's columns: the
+    original's receipt>commit lateness predicate becomes
+    l_returnflag = 'R' (same operator shape, different column).
+    Counts per supplier the multi-supplier orders where THAT supplier
+    alone had returned lines."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("_t_lineitem")
+    load(spark, sf, "supplier").createOrReplaceTempView("_t_supplier")
+    return spark.sql("""
+        SELECT s.s_suppkey, COUNT(*) AS numblame
+        FROM _t_supplier s
+        JOIN _t_lineitem l1
+          ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        WHERE EXISTS (
+            SELECT 1 FROM _t_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM _t_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_suppkey
+    """)
+
+
+Q21_SQL = """
+SELECT s.s_suppkey, COUNT(*) AS numblame
+FROM supplier s
+JOIN lineitem l1
+  ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey
+"""
+
+
 def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape: join + RATIO of conditional aggregates over a
     date-sliced fact — 100 * sum(CASE promo THEN revenue)/sum(revenue)
@@ -1018,6 +1115,8 @@ QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q21_single_supplier_blame": (q21_single_supplier_blame, Q21_SQL),
     "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
     "q16_parts_supplier": (q16_parts_supplier, Q16_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),

@@ -130,6 +130,28 @@ def test_r5_correlated_subqueries_decorrelate(spark):
         assert "CartesianProduct" not in p
 
 
+def test_r7_q21_double_exists_decorrelates(spark):
+    """q21: BOTH correlated subqueries must decorrelate — the EXISTS
+    into a left-semi and the NOT EXISTS into a left-anti hash join on
+    orderkey. A surviving correlated probe re-executes per outer row."""
+    plan = _plan(spark, "q21_single_supplier_blame")
+    assert "LeftSemi" in plan, "EXISTS did not become a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not become an anti join"
+    assert "CartesianProduct" not in plan
+
+
+def test_r7_q11_global_total_computed_once(spark):
+    """q11: the HAVING's global-total scalar subquery must be a
+    one-row broadcast computed once (subquery subtree), never a
+    per-group nested-loop re-aggregation."""
+    plan = _plan(spark, "q11_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dims broadcast; the group aggregate is two-phase
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_r7_q22_anti_join_and_scalar_subquery_shape(spark):
     """q22: the NOT EXISTS must plan as a left-ANTI hash join (never a
     per-row correlated probe), and the two uncorrelated scalar
