@@ -54,10 +54,12 @@ _PRIORITY = [
     "q11_important_stock",         # HAVING vs global-total scalar subquery
     "q21_single_supplier_blame",   # double correlated EXISTS/NOT EXISTS
     # --- changed in r7: evidence stale by construction ---
+    # (q3/q5 query code is UNCHANGED in r7 — only the bench's bucketed
+    # twin layout moved — so their r6 hash-greens stand and they sit in
+    # the tail; training_set_select's single-pass rewrite is already in
+    # the stale list below)
     "session_counts",              # flag-sum formulation (one window pass)
     "embed_ann_ivf_sq",            # broadcast_queries gate (plan change)
-    "q3_shipping_priority",        # bucketed twin layout fix touches bench path
-    "q5_local_supplier_volume",
     # --- last green in r5: the stalest evidence ---
     "q7_volume_shipping",
     "doc_repetition",
@@ -107,6 +109,8 @@ _PRIORITY = [
 # sit out this round's 50-query window and are covered by the pytest
 # oracle re-check until they rotate forward again.
 _TAIL = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q9_product_type_profit",
     "q16_parts_supplier",
     "q12_priority_shipmode",
