@@ -147,7 +147,7 @@ def test_upgrade_backfills_legacy_narrow_region(spark, tmp_path):
     (vendor_id, region_id) works again."""
     lake = str(tmp_path / "lake")
     narrow = spark.createDataFrame(
-        [("us-east-1", "Virginia", "active")],
+        [("legacy-region-1", "Legacy DC", "active")],
         "region_id string, name string, status string",
     ).withColumn("observed_at", F.current_timestamp())
     write_snapshot(spark, narrow, os.path.join(lake, "region"))
@@ -162,6 +162,17 @@ def test_upgrade_backfills_legacy_narrow_region(spark, tmp_path):
     assert row["vendor_id"] == "aws"
     # a region written by the NEW pull already has vendor_id: idempotent
     assert migrate.upgrade_lake(spark, lake) == {}
+
+    # the repaired lake pulls cleanly: the canonical merge joins on
+    # (vendor_id, region_id) against the backfilled snapshot, and the
+    # legacy row (not in the aws canon) flips to inactive instead of
+    # crashing the merge
+    cli.cmd_pull(spark, lake)
+    region = read_snapshot(spark, os.path.join(lake, "region"))
+    legacy = region.filter("region_id = 'legacy-region-1'")
+    assert legacy.count() == 1
+    assert legacy.collect()[0]["status"] == "inactive"
+    assert region.filter("status = 'active'").count() > 0
 
 
 def test_schemas_lake_flag_required_for_lake_actions(spark):

@@ -308,3 +308,74 @@ def test_connected_components_matches_union_find(spark, edges):
         comp.setdefault(find(x), []).append(x)
     want = {x: min(m) for m in comp.values() for x in m}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(
+    st.tuples(st.integers(0, 3),          # user
+              st.integers(0, 40000),      # epoch offset (seconds)
+              st.integers(0, 99)),        # tiebreak id
+    min_size=0, max_size=20))
+def test_session_flag_sum_equals_sessionize_max(spark, events):
+    """The counts-only shape (sum of gap-break flags) must equal the
+    generic sessionize's max(session_id) per user, and both must equal
+    a plain python gap-scan — the r7 single-window-pass rewrite of
+    session_counts is a pure plan change."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.windows import session_flags, sessionize
+
+    rows = [(u, ts, i) for i, (u, ts, _t) in enumerate(events)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id int, epoch long, event_id int") \
+        .withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch")
+    gap = 1800
+
+    flagged = session_flags(df, "user_id", "ts", gap, tiebreak="event_id")
+    by_flags = {r.user_id: r.n for r in
+                flagged.groupBy("user_id")
+                .agg(F.sum("_is_new").alias("n")).collect()}
+    sess = sessionize(df, "user_id", "ts", gap, tiebreak="event_id")
+    by_max = {r.user_id: r.n for r in
+              sess.groupBy("user_id")
+              .agg(F.max("session_id").alias("n")).collect()}
+
+    # python reference: sort by (ts, event_id), count gap breaks
+    import collections
+    ref = collections.defaultdict(int)
+    per_user = collections.defaultdict(list)
+    for u, ts, i in rows:
+        per_user[u].append((ts, i))
+    for u, evs in per_user.items():
+        evs.sort()
+        prev = None
+        for ts, _i in evs:
+            if prev is None or ts - prev > gap:
+                ref[u] += 1
+            prev = ts
+    assert by_flags == by_max == dict(ref)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(text=st.text(
+    alphabet="ab c1.!\t\n", min_size=0, max_size=40))
+def test_bpe_regex_counts_match_python_re(spark, text):
+    """doc_bpe_token_stats' Java-regex piece counts must agree with
+    Python's re module on the same pattern (and, by the oracle test,
+    with DuckDB's RE2) — three engines, one leftmost-first alternation
+    semantics."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.pipeline import _BPE_PATTERN
+
+    low = text.lower()
+    want = len(_re.findall(_BPE_PATTERN, low))
+    got = spark.createDataFrame([(low,)], "t string").select(
+        F.regexp_count(F.col("t"), F.lit(_BPE_PATTERN)).alias("n")
+    ).collect()[0].n
+    assert got == want, (text, got, want)
