@@ -212,27 +212,35 @@ def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
 
 def _duckdb_time(sql: str, sf_dir: str, reps: int = 2,
                  timeout_s: float | None = None) -> float:
-    """Best-of-reps DuckDB wall time. With ``timeout_s``, the query is
+    """Best-of-reps DuckDB wall time. With ``timeout_s``, each rep is
     interrupted after that many seconds and the temp-spill directory is
     capped — raising instead of hanging the bench (the 512x minhash
-    oracle exhausts tens of GB of spill before dying on its own)."""
+    oracle exhausts tens of GB of spill before dying on its own).
+
+    Each rep uses its OWN connection: a timer that fires in the gap
+    between execute() returning and cancel() would otherwise leave a
+    stale interrupt flag that aborts the NEXT rep. And the best of the
+    SUCCESSFUL reps is kept — one interrupted rep does not discard a
+    valid earlier measurement; only all-reps-failed raises."""
     import threading
 
     import duckdb
 
-    con = duckdb.connect()
-    if timeout_s is not None:
-        con.execute("SET temp_directory='/tmp/sc_bench_ducktmp'")
-        con.execute("SET max_temp_directory_size='16GB'")
-    for t in [*_DIMS, *_FACT_OFFSETS]:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(p):  # Spark writes parquet datasets as dirs
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     best = float("inf")
-    try:
-        for _ in range(reps):
+    err: Exception | None = None
+    for _ in range(reps):
+        con = duckdb.connect()
+        try:
+            if timeout_s is not None:
+                con.execute("SET temp_directory='/tmp/sc_bench_ducktmp'")
+                con.execute("SET max_temp_directory_size='16GB'")
+            for t in [*_DIMS, *_FACT_OFFSETS]:
+                p = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.isdir(p):  # Spark writes parquet dirs
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+                elif os.path.exists(p):
+                    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
             timer = (threading.Timer(timeout_s, con.interrupt)
                      if timeout_s is not None else None)
             if timer:
@@ -241,11 +249,15 @@ def _duckdb_time(sql: str, sf_dir: str, reps: int = 2,
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
+            except Exception as exc:
+                err = exc
             finally:
                 if timer:
                     timer.cancel()
-    finally:
-        con.close()
+        finally:
+            con.close()
+    if best == float("inf"):
+        raise err if err is not None else RuntimeError("no reps ran")
     return best
 
 
@@ -296,6 +308,10 @@ def main() -> None:
         _build_scale(spark, sf_dir, s16_dir)
         spark_s = {}
         duck_s = {}
+        # live references: a mid-loop failure still publishes the
+        # measurements taken so far (the outer except only ADDS an
+        # error field, never replaces the dict)
+        scale |= {"spark": spark_s, "duckdb": duck_s}
         for name in SCALE_QUERIES:
             # Cost-based session sizing (the knob session.py's docstring
             # says scales with data/cluster): one shuffle partition per
@@ -345,16 +361,16 @@ def main() -> None:
                 scale.setdefault("duck_dnf", {})[name] = str(exc)[:120]
         # aggregate ratio over the queries BOTH engines completed; a
         # DuckDB DNF is reported separately (excluding it UNDERSTATES
-        # the Spark win — no number exists to credit)
+        # the Spark win — no number exists to credit). Spark's per-query
+        # measurements are published even if every oracle failed.
         both = [n for n in spark_s if duck_s.get(n) is not None]
-        scale |= {
-            "spark_sec": round(sum(spark_s[n] for n in both), 3),
-            "duckdb_sec": round(sum(duck_s[n] for n in both), 3),
-            "ratio": round(sum(spark_s[n] for n in both)
-                           / sum(duck_s[n] for n in both), 3),
-            "spark": spark_s,
-            "duckdb": duck_s,
-        }
+        if both and sum(duck_s[n] for n in both) > 0:
+            scale |= {
+                "spark_sec": round(sum(spark_s[n] for n in both), 3),
+                "duckdb_sec": round(sum(duck_s[n] for n in both), 3),
+                "ratio": round(sum(spark_s[n] for n in both)
+                               / sum(duck_s[n] for n in both), 3),
+            }
         # ---- supplementary: bucketed co-located q5 — the 100 TB
         # answer to the fact-fact exchange measured above. The two
         # facts are bucketed on orderkey at write time, so the join

@@ -131,18 +131,48 @@ def downgrade_lake(spark: SparkSession, lake: str,
     if to_version >= v:
         stamp_lake(lake, min(to_version, v))
         return dropped
+    from .schemas import PRIMARY_KEYS
+
     tables = sorted(
         d for d in os.listdir(lake)
         if os.path.isdir(os.path.join(lake, d)) and not d.startswith("_")
     )
+    # Pass 1 — validate EVERYTHING before writing anything, so a
+    # refused table never leaves the lake half-downgraded under the
+    # old stamp. Dropping a PRIMARY KEY component can collapse distinct
+    # keys (e.g. (aws, us-east-1) and (azure, us-east-1) become
+    # duplicate region rows), after which a re-upgrade would backfill
+    # ONE constant vendor and silently corrupt every later
+    # vendor-scoped merge. Column drops of non-key data are ordinary
+    # lossy alembic downgrades; key collapses are refused.
+    pending: list[tuple[str, DataFrame, list[str]]] = []
     for t in tables:
         df = read_snapshot(spark, os.path.join(lake, t))
         before = set(df.columns)
         downgraded = downgrade_table(df, t, v, to_version)
         gone = sorted(before - set(downgraded.columns))
-        if gone:
-            write_snapshot(spark, downgraded, os.path.join(lake, t))
-            dropped[t] = gone
+        if not gone:
+            continue
+        pk = PRIMARY_KEYS.get(t, [])
+        pk_gone = [c for c in gone if c in pk]
+        if pk_gone:
+            remaining = [c for c in pk if c in downgraded.columns]
+            if remaining:
+                n_rows = downgraded.count()
+                n_keys = downgraded.select(*remaining).distinct().count()
+                if n_keys < n_rows:
+                    raise ValueError(
+                        f"downgrade to v{to_version} would drop primary-"
+                        f"key column(s) {pk_gone} of {t!r} and collapse "
+                        f"{n_rows - n_keys} distinct key(s) into "
+                        f"duplicates — the data holds values a re-"
+                        f"upgrade's constant backfill cannot restore. "
+                        f"Export or delete the non-default rows first.")
+        pending.append((t, downgraded, gone))
+    # Pass 2 — apply
+    for t, downgraded, gone in pending:
+        write_snapshot(spark, downgraded, os.path.join(lake, t))
+        dropped[t] = gone
     stamp_lake(lake, to_version)
     return dropped
 

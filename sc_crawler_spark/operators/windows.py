@@ -81,7 +81,16 @@ def session_flags(df: DataFrame, user_col: str, ts_col: str,
     per-user session COUNTS should aggregate these flags directly
     (``sum(_is_new)``) and skip the running-sum pass entirely —
     max(cumsum(flags)) == sum(flags).
+
+    ``_is_new`` (output) and ``_epoch`` (internal scratch) are reserved
+    names: an input already carrying either is refused loudly rather
+    than silently overwritten-and-dropped.
     """
+    for reserved in ("_epoch", "_is_new"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"session_flags: input already has a {reserved!r} column "
+                "(reserved by this operator) — rename it first")
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     epoch = F.unix_timestamp(F.col(ts_col))

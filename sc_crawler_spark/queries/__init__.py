@@ -56,10 +56,10 @@ _PRIORITY = [
     # --- changed in r7: evidence stale by construction ---
     # (q3/q5 query code is UNCHANGED in r7 — only the bench's bucketed
     # twin layout moved — so their r6 hash-greens stand and they sit in
-    # the tail; training_set_select's single-pass rewrite is already in
-    # the stale list below)
+    # the tail)
     "session_counts",              # flag-sum formulation (one window pass)
     "embed_ann_ivf_sq",            # broadcast_queries gate (plan change)
+    "training_set_select",         # single-pass rewrite (one scan + one agg)
     # --- last green in r5: the stalest evidence ---
     "q7_volume_shipping",
     "doc_repetition",
@@ -101,7 +101,6 @@ _PRIORITY = [
     "weighted_geomean_price",
     "sig_fig_prices",
     "unit_conversions",
-    "extract_brand_number",
     "q18_large_orders",
     "longtail_price_assembly",
 ]
@@ -109,6 +108,7 @@ _PRIORITY = [
 # sit out this round's 50-query window and are covered by the pytest
 # oracle re-check until they rotate forward again.
 _TAIL = [
+    "extract_brand_number",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q9_product_type_profit",
@@ -147,7 +147,6 @@ _TAIL = [
     "standardize_part_names",
     "sync_stats",
     "tiered_price_billing",
-    "training_set_select",
     "tumbling_daily_stats",
     "workload_breakdown",
     "workload_catalog_breakdown",

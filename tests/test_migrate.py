@@ -185,6 +185,35 @@ def test_schemas_lake_flag_required_for_lake_actions(spark):
             cli.cmd_schemas(spark, action, None)
 
 
+def test_downgrade_refuses_pk_collapse(spark, tmp_path):
+    """Downgrading region below v3 drops vendor_id — a PRIMARY KEY
+    component. With rows from two vendors sharing a region_id, the drop
+    would collapse distinct keys (and a later upgrade would backfill
+    them all as 'aws', corrupting vendor-scoped merges) — refused.
+    A single-vendor lake (no collapse) downgrades fine."""
+    lake = str(tmp_path / "multi")
+    multi = spark.createDataFrame(
+        [("aws", "eastus", "E US", "active"),
+         ("azure", "eastus", "East US", "active")],
+        "vendor_id string, region_id string, name string, status string",
+    ).withColumn("observed_at", F.current_timestamp())
+    write_snapshot(spark, multi, os.path.join(lake, "region"))
+    migrate.stamp_lake(lake, migrate.SCHEMA_VERSION)
+    with pytest.raises(ValueError, match="collapse"):
+        migrate.downgrade_lake(spark, lake, 2)
+    # refused BEFORE writing: snapshot + stamp untouched
+    assert migrate.lake_version(lake) == migrate.SCHEMA_VERSION
+    assert "vendor_id" in read_snapshot(
+        spark, os.path.join(lake, "region")).columns
+
+    lake2 = str(tmp_path / "single")
+    write_snapshot(spark, multi.filter("vendor_id = 'aws'"),
+                   os.path.join(lake2, "region"))
+    migrate.stamp_lake(lake2, migrate.SCHEMA_VERSION)
+    dropped = migrate.downgrade_lake(spark, lake2, 2)
+    assert dropped["region"] == ["vendor_id"]
+
+
 def test_downgrade_rejects_bad_target(spark, tmp_path):
     lake = str(tmp_path / "lake")
     _mini_lake(spark, lake, version=migrate.SCHEMA_VERSION)

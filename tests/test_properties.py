@@ -314,8 +314,7 @@ def test_connected_components_matches_union_find(spark, edges):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(events=st.lists(
     st.tuples(st.integers(0, 3),          # user
-              st.integers(0, 40000),      # epoch offset (seconds)
-              st.integers(0, 99)),        # tiebreak id
+              st.integers(0, 40000)),     # epoch offset (seconds)
     min_size=0, max_size=20))
 def test_session_flag_sum_equals_sessionize_max(spark, events):
     """The counts-only shape (sum of gap-break flags) must equal the
@@ -326,7 +325,7 @@ def test_session_flag_sum_equals_sessionize_max(spark, events):
 
     from sc_crawler_spark.operators.windows import session_flags, sessionize
 
-    rows = [(u, ts, i) for i, (u, ts, _t) in enumerate(events)]
+    rows = [(u, ts, i) for i, (u, ts) in enumerate(events)]
     if not rows:
         return
     df = spark.createDataFrame(rows, "user_id int, epoch long, event_id int") \
