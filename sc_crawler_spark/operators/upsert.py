@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
                  inactivate_missing: bool = False,
-                 scope: Column | DataFrame | None = None) -> DataFrame:
+                 scope: Column | DataFrame | None = None,
+                 updates_position: str | None = None) -> DataFrame:
     """Upsert ``updates`` into ``current`` by PK.
 
     - matched PK       -> take the update row (ON CONFLICT DO UPDATE,
@@ -27,6 +28,16 @@ def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
     - unmatched update -> insert
     - unmatched current-> keep; if ``inactivate_missing`` and the row is in
       ``scope``, flip status to 'inactive' (T1)
+
+    PRECONDITION: ``updates`` must be UNIQUE per PK — a duplicated PK
+    fans out through the full-outer join and lands as duplicate rows in
+    the snapshot (the reference's ON CONFLICT collapses them in list
+    order instead). Sources that can emit duplicates (retried pages,
+    overlapping API scans) must dedupe first: stamp an arrival-position
+    column at ingest and either call ``keep_last_dedup`` (the inventory
+    paths do) or pass it as ``updates_position`` and this operator
+    keeps the last arrival per PK — the reference's list-order
+    semantics (insert.py:24-72).
 
     ``scope`` bounds the inactivation sweep the way the reference bounds
     its per-vendor UPDATE (tables.py:224-283): a boolean ``Column`` over
@@ -38,6 +49,10 @@ def merge_upsert(current: DataFrame, updates: DataFrame, pks: list[str],
     Single shuffle on the PK; both inputs should share partitioning on the
     PK at scale (bucketed silver tables) so the join is co-located.
     """
+    if updates_position is not None:
+        from .windows import keep_last_dedup
+
+        updates = keep_last_dedup(updates, pks, updates_position)
     cols = current.columns
     in_scope: Column | None = None
     if inactivate_missing and scope is not None:

@@ -41,6 +41,33 @@ def merge_upsert_partitioned(spark: SparkSession, root: str,
     # the partition list is vendor-count-sized (tens), never row-scale
     touched = [r[0] for r in
                updates.select(partition_col).distinct().collect()]
+    if not touched:
+        # empty fetch (vendor outage): nothing to merge, nothing to
+        # inactivate (the sweep is scoped to touched partitions), and a
+        # zero-row stage write would leave a dataless parquet dir that
+        # the read-back cannot infer a schema from
+        return
+    if None in touched:
+        # NULL never matches isin(): existing null-partition rows would
+        # be EXCLUDED from the merge while the dynamic overwrite
+        # replaces __HIVE_DEFAULT_PARTITION__ with only the new rows —
+        # silent data loss. The scope column is part of the PK; refuse.
+        raise ValueError(
+            f"merge_upsert_partitioned: updates contain NULL "
+            f"{partition_col!r} values — the partition/scope column "
+            f"must be non-null")
+    if os.path.isdir(root) and any(
+            e.endswith(".parquet") and os.path.isfile(os.path.join(root, e))
+            for e in os.listdir(root)):
+        # an existing FLAT table at root: writing vendor_id=... dirs
+        # next to its part files makes the path unreadable
+        # (CONFLICTING_DIRECTORY_STRUCTURES) and the flat rows would be
+        # silently skipped by the merge gate below
+        raise ValueError(
+            f"merge_upsert_partitioned: {root!r} holds a non-partitioned "
+            f"parquet table — migrate it to the {partition_col}= layout "
+            f"first (read + rewrite partitioned), or use merge_upsert + "
+            f"write_snapshot")
     merged = updates
     if os.path.isdir(root) and any(
             e.startswith(f"{partition_col}=") for e in os.listdir(root)):

@@ -70,17 +70,22 @@ def snapshot_exists(root: str) -> bool:
 
 
 def list_versions(root: str) -> list[tuple[str, bool]]:
-    """Retained versions of a table root, oldest first, with the
-    committed one flagged — the time-travel surface (write_snapshot
+    """Retained COMPLETE versions of a table root, oldest first, with
+    the committed one flagged — the time-travel surface (write_snapshot
     keeps the last ``keep`` versions precisely so a bad merge can be
-    diffed against its predecessor)."""
+    diffed against its predecessor). A version directory without
+    Spark's ``_SUCCESS`` marker is a crashed half-write: it is not
+    listed (and ``read_snapshot(version=...)`` refuses it) — partial
+    data must never be advertised as a rollback target."""
     if not os.path.isdir(root):
         return []
     cur = os.path.basename(current_path(root))
     return [(v, v == cur)
             for v in sorted(d for d in os.listdir(root)
                             if d.startswith("v-")
-                            and os.path.isdir(os.path.join(root, d)))]
+                            and os.path.isdir(os.path.join(root, d))
+                            and os.path.exists(
+                                os.path.join(root, d, "_SUCCESS")))]
 
 
 def read_snapshot(spark: SparkSession, root: str,
@@ -93,15 +98,25 @@ def read_snapshot(spark: SparkSession, root: str,
             raise FileNotFoundError(
                 f"snapshot version {version} not retained under {root}; "
                 f"have {[v for v, _ in list_versions(root)]}")
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            # no _SUCCESS = crashed half-write: a partial row set would
+            # read back silently as if it were the full version
+            raise IOError(
+                f"snapshot version {version} under {root} is incomplete "
+                f"(no _SUCCESS marker — crashed write); complete versions: "
+                f"{[v for v, _ in list_versions(root)]}")
         return spark.read.parquet(vdir)
     path = current_path(root)
     if path == root and os.path.isdir(root):
-        # Legacy flat layout. A crash during the FIRST versioned commit
-        # can leave an uncommitted v-* directory (data written, pointer
-        # never landed) next to the flat part-files; reading the root
-        # recursively would then mix both (or fail on conflicting
+        # Legacy layout (no pointer). A crash during the FIRST versioned
+        # commit can leave an uncommitted v-* directory (data written,
+        # pointer never landed) next to the legacy content; reading the
+        # root recursively would then mix both (or fail on conflicting
         # directory structures). The pointer is the commit point, so an
-        # unpointed v-* dir is garbage: read only root-level files.
+        # unpointed v-* dir is garbage: read only the non-v-* content —
+        # root-level part files (flat layout) or key=... partition dirs
+        # (partitioned layout, with basePath so partition columns still
+        # parse).
         entries = os.listdir(root)
         if any(e.startswith("v-") for e in entries):
             files = [os.path.join(root, e) for e in entries
@@ -109,6 +124,16 @@ def read_snapshot(spark: SparkSession, root: str,
                      os.path.isfile(os.path.join(root, e))]
             if files:
                 return spark.read.parquet(*files)
+            part_dirs = [os.path.join(root, e) for e in entries
+                         if not e.startswith("v-")
+                         and os.path.isdir(os.path.join(root, e))]
+            if part_dirs:
+                return (spark.read.option("basePath", root)
+                        .parquet(*part_dirs))
+            raise FileNotFoundError(
+                f"{root} holds only uncommitted v-* data (crashed first "
+                f"versioned commit) and no legacy content — nothing "
+                f"committed to read")
     return spark.read.parquet(path)
 
 
@@ -141,11 +166,20 @@ def write_snapshot(spark: SparkSession, df: DataFrame, root: str,
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, POINTER))  # atomic commit
-    for entry in os.listdir(root):
+    # Retention counts COMMITTED versions only (those with _SUCCESS):
+    # an uncommitted dir from a crashed write is garbage — deleted
+    # outright, never allowed to push a good rollback target out of
+    # the keep window. The listing is computed once (deterministic
+    # single pass, not re-listed per entry).
+    entries = sorted(os.listdir(root))
+    committed = [d for d in entries if d.startswith("v-")
+                 and os.path.isdir(os.path.join(root, d))
+                 and os.path.exists(os.path.join(root, d, "_SUCCESS"))]
+    retain = set(committed[-keep:])
+    for entry in entries:
         full = os.path.join(root, entry)
-        if entry.startswith("v-") and entry < version:
-            vs = sorted(d for d in os.listdir(root) if d.startswith("v-"))
-            if entry in vs[:-keep]:
+        if entry.startswith("v-") and os.path.isdir(full):
+            if entry not in retain and entry <= version:
                 shutil.rmtree(full, ignore_errors=True)
         elif os.path.isfile(full) and entry not in (POINTER,):
             os.remove(full)  # legacy plain-layout part/_SUCCESS files

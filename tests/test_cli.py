@@ -329,3 +329,51 @@ def test_shards_command(spark, tmp_path, capsys):
     assert back.count() == n
     assert back.select("country_id").distinct().count() == n
     assert back.select("shard").distinct().count() == 4
+
+
+def test_retention_counts_committed_versions_only(spark, tmp_path):
+    """A crashed half-write (v-* without _SUCCESS) must not push a good
+    rollback target out of the keep window: garbage is deleted, the
+    last committed predecessor survives, and time travel refuses the
+    incomplete version while it exists."""
+    import pytest
+
+    from sc_crawler_spark.sinks.snapshot import list_versions
+
+    root = str(tmp_path / "t")
+    df = spark.range(6).withColumnRenamed("id", "k")
+    write_snapshot(spark, df, root)                        # v1 committed
+    # crashed v2: data files land, _SUCCESS never written
+    df.coalesce(1).write.parquet(os.path.join(root, "v-00000002"))
+    os.remove(os.path.join(root, "v-00000002", "_SUCCESS"))
+    # the incomplete version is not advertised and not readable
+    assert "v-00000002" not in [v for v, _ in list_versions(root)]
+    with pytest.raises(IOError, match="no _SUCCESS"):
+        read_snapshot(spark, root, version="v-00000002")
+
+    write_snapshot(spark, df.filter("k < 3"), root)        # v3 committed
+    vs = [v for v, cur in list_versions(root)]
+    assert vs == ["v-00000001", "v-00000003"], vs          # keep=2: v1 SURVIVES
+    assert not os.path.isdir(os.path.join(root, "v-00000002"))  # garbage gone
+    # the retained predecessor is the GOOD one
+    assert read_snapshot(spark, root, version="v-00000001").count() == 6
+
+
+def test_partitioned_legacy_with_crashed_commit_reads_clean(spark, tmp_path):
+    """A PARTITIONED legacy root (key=... dirs, no root-level part
+    files) plus an uncommitted v-* dir: read_snapshot must read only
+    the legacy partitions (with partition columns intact), matching
+    what snapshot_exists promises."""
+    from sc_crawler_spark.sinks.snapshot import snapshot_exists
+
+    root = str(tmp_path / "parts")
+    df = spark.range(8).selectExpr("id AS k", "id % 2 AS part")
+    df.write.partitionBy("part").parquet(root)
+    # crashed first versioned commit
+    df.limit(2).coalesce(1).write.parquet(os.path.join(root, "v-00000001"))
+    assert snapshot_exists(root)
+    got = read_snapshot(spark, root)
+    assert got.count() == 8
+    assert "part" in got.columns          # partition column still parses
+    assert sorted(r.part for r in got.select("part").distinct().collect()) \
+        == [0, 1]

@@ -87,3 +87,52 @@ def test_dynamic_overwrite_mode_does_not_leak_into_session(spark, tmp_path):
     _mk(spark, [("aws", "m5", 9.0, "a")]) \
         .write.mode("overwrite").partitionBy("vendor_id").parquet(other)
     assert spark.read.parquet(other).select("vendor_id").distinct().count() == 1
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    """A zero-row fetch (vendor outage) must not crash on the dataless
+    stage read-back, and must leave the table untouched — the
+    inactivation sweep is scoped to touched partitions, of which there
+    are none."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("aws", 1, "a", "active")],
+        "vendor_id string, id int, v string, status string")
+    merge_upsert_partitioned(spark, root, base, ["vendor_id", "id"])
+    before = sorted(map(tuple, spark.read.parquet(root).collect()))
+
+    empty = base.filter("1=0")
+    merge_upsert_partitioned(spark, root, empty, ["vendor_id", "id"])
+    after = sorted(map(tuple, spark.read.parquet(root).collect()))
+    assert after == before
+
+
+def test_null_partition_value_refused(spark, tmp_path):
+    """NULL never matches isin(): existing null-partition rows would be
+    excluded from the merge while the overwrite replaced their
+    partition — refused loudly instead."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    bad = spark.createDataFrame(
+        [(None, 1, "a", "active")],
+        "vendor_id string, id int, v string, status string")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert_partitioned(spark, root, bad, ["vendor_id", "id"])
+
+
+def test_flat_table_at_root_refused(spark, tmp_path):
+    """Writing vendor_id=... partition dirs next to an existing FLAT
+    parquet table would corrupt the path (conflicting directory
+    structures) and silently skip the flat rows in the merge."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    flat = spark.createDataFrame(
+        [("aws", 1, "a", "active")],
+        "vendor_id string, id int, v string, status string")
+    flat.write.parquet(root)  # legacy non-partitioned layout
+    with pytest.raises(ValueError, match="non-partitioned"):
+        merge_upsert_partitioned(spark, root, flat, ["vendor_id", "id"])
+    # untouched: still readable as the flat table it was
+    assert spark.read.parquet(root).count() == 1

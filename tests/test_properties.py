@@ -378,3 +378,18 @@ def test_bpe_regex_counts_match_python_re(spark, text):
         F.regexp_count(F.col("t"), F.lit(_BPE_PATTERN)).alias("n")
     ).collect()[0].n
     assert got == want, (text, got, want)
+
+
+def test_merge_upsert_updates_position_keeps_last(spark):
+    """Duplicate update PKs with an arrival-position column: the LAST
+    arrival wins (the reference's ON CONFLICT list-order semantics,
+    insert.py:24-72) instead of fanning out into duplicate rows."""
+    cur = _df(spark, [(1, "old")])
+    dup = spark.createDataFrame(
+        [(1, "first", 0), (1, "second", 1), (2, "only", 2)],
+        "k int, v string, pos int")
+    out = merge_upsert(cur, dup.drop("pos"), ["k"])  # no dedup: fans out
+    assert sorted(r.k for r in out.collect()) == [1, 1, 2]
+    out2 = merge_upsert(cur, dup, ["k"], updates_position="pos")
+    got = {r.k: r.v for r in out2.collect()}
+    assert got == {1: "second", 2: "only"}
