@@ -90,7 +90,12 @@ def cmd_pull(spark: SparkSession, lake: str) -> None:
             lookup.compliance_frameworks(spark), ["compliance_framework_id"]),
         "benchmark": (lookup.benchmarks(spark), ["benchmark_id"]),
         "vendor": (lookup.vendors(spark), ["vendor_id"]),
-        "vendor_compliance_framework": (
+        # canonical name matches schemas.TABLES/PRIMARY_KEYS
+        # ("vendor_compliance_link", the reference's VendorComplianceLink)
+        # — the old "vendor_compliance_framework" spelling had no schema
+        # entry, so sync found pks=[] and publish fell back to a bogus
+        # single-column PK
+        "vendor_compliance_link": (
             lookup.vendor_compliance(spark),
             ["vendor_id", "compliance_framework_id"]),
         "region": (aws_regions, schemas.PRIMARY_KEYS["region"]),
@@ -203,12 +208,21 @@ def dump_file_per_row(df: DataFrame, pks: list[str], dest: str,
                       ignored: tuple[str, ...] = ("observed_at",)) -> int:
     """The reference's published-artifact layout (cli.py:744-752): ONE
     pretty-printed JSON file per row at ``<dest>/<pk1>/../<pkN>.json``,
-    PK values sanitized with ``re.sub(r'[^\\w]', '_')``, ``observed_at``
-    excluded by default.
+    PK values sanitized with ``re.sub(r'[^\\w]', '_')`` — byte-identical
+    to the reference's released layout (cli.py:745-749:
+    ``sub(r"[^\\w]", "_", ...)``), so `server/aws/t3.small` lands as
+    ``server/aws/t3_small.json``. The sanitization is LOSSY ('c5.xlarge'
+    and 'c5-xlarge' collide), and the reference silently last-wins; here
+    a pre-pass counts distinct sanitized paths vs rows and REFUSES the
+    dump on a collision — concurrent partition writers must never race
+    on one file. ``observed_at`` excluded by default.
 
     Executed distributed via Arrow-batched ``mapInPandas`` — each
     partition writes its own rows (paths are PK-unique, so writers never
     collide); only the per-partition file COUNT returns to the driver.
+    The destination is CLEARED first (overwrite semantics, matching the
+    dataset branch): without that, rows deleted from the lake would
+    survive as stale files in the re-exported artifact.
     A file per row is an artifact-export convention, not a lake format:
     use it for the published dimension/catalog tables (what the
     reference releases), never for 100 TB facts — the default
@@ -216,7 +230,26 @@ def dump_file_per_row(df: DataFrame, pks: list[str], dest: str,
     """
     import pandas as pd
 
+    import shutil
+
     cols = [c for c in df.columns if c not in ignored]
+    # collision pre-pass: the path is derived via LOSSY sanitization, so
+    # distinct PKs can map to one file; refuse rather than let two
+    # executors race on it / silently drop a row (these are
+    # dimension-sized artifact tables — one extra narrow aggregate)
+    sanitized = [F.regexp_replace(F.col(pk).cast("string"), r"[^\w]", "_")
+                 for pk in pks]
+    n_rows = df.count()
+    n_paths = df.select(*[s.alias(f"_p{i}") for i, s in enumerate(sanitized)]
+                        ).distinct().count()
+    if n_paths < n_rows:
+        raise ValueError(
+            f"dump --per-row: {n_rows - n_paths} PK(s) collide after "
+            f"path sanitization (re.sub(r'[^\\w]', '_')) — distinct keys "
+            f"would overwrite each other's files; rename the offending "
+            f"rows or use the dataset dump")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)  # overwrite semantics — no stale row files
     os.makedirs(dest, exist_ok=True)
 
     def _write(batches):
@@ -432,10 +465,21 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
     ).drop("_pos")
     valid, invalid = validate_items(servers, "server")
 
-    prods = spark.read.schema(
+    # every bronze file is existence-gated (a servers-only crawl is a
+    # legal partial tree — stream_server_inventory produces exactly
+    # that); a missing pricing/region file degrades to an empty frame
+    # so the server table still lands instead of the whole run dying
+    # on PATH_NOT_FOUND
+    def _read_or_empty(fname: str, schema: str):
+        p = os.path.join(vroot, fname)
+        if os.path.exists(p):
+            return spark.read.schema(schema).json(p)
+        return spark.createDataFrame([], schema)
+
+    prods = _read_or_empty(
+        "products.json",
         "instance_type string, location string, operating_system string, "
-        "terms string"
-    ).json(os.path.join(vroot, "products.json"))
+        "terms string")
     products = prods.select(
         "instance_type", "location", "operating_system",
         F.round(
@@ -444,12 +488,11 @@ def cmd_inventory(spark: SparkSession, bronze: str, lake: str,
             ), 4,
         ).alias("price"),
     ).filter(F.col("price").isNotNull())
-    regions = spark.read.schema(
-        "region_id string, name string, aliases array<string>"
-    ).json(os.path.join(vroot, "regions.json"))
-    zones = spark.read.schema(
-        "region_id string, zones array<string>"
-    ).json(os.path.join(vroot, "zones.json"))
+    regions = _read_or_empty(
+        "regions.json",
+        "region_id string, name string, aliases array<string>")
+    zones = _read_or_empty(
+        "zones.json", "region_id string, zones array<string>")
     prices = aws.assemble_server_prices(
         products, valid.select("vendor_id", "server_id"), regions, zones
     )
@@ -542,14 +585,21 @@ def _region_zone_tables(spark: SparkSession, vroot: str, vendor: str):
 
 
 def _land_tables(spark: SparkSession, lake: str, outputs: dict,
-                 vendor: str, records: list[str] | None = None) -> None:
+                 vendor: str, records: list[str] | None = None,
+                 scopes: dict | None = None) -> None:
     """Shared silver landing: per table, vendor-scoped merge-upsert with
     inactivate-missing (K1+T1) into the versioned snapshot.
 
     ``records`` mirrors the reference pull's ``--include-records``
     (cli.py:774-782): when given, only the named record families land —
     frames are lazy, so a skipped family never computes. The error-side
-    table always lands (it is the run's audit trail)."""
+    table always lands (it is the run's audit trail).
+
+    ``scopes`` overrides the inactivation sweep per table (a boolean
+    Column over the current snapshot); tables not named keep the
+    default per-vendor scope. PK-less tables (the ``*_invalid`` audit
+    trails) APPEND to the existing snapshot — replacing it would wipe
+    other vendors' quarantined rows."""
     if records is not None:
         keep = set(records)
         outputs = {t: v for t, v in outputs.items()
@@ -562,13 +612,19 @@ def _land_tables(spark: SparkSession, lake: str, outputs: dict,
         # vendor's data from the table
         if pks and snapshot_exists(path):
             current = read_snapshot(spark, path)
+            scope = (scopes or {}).get(
+                table,
+                # per-vendor pull: never sweep other vendors' rows
+                F.col("vendor_id") == vendor
+                if "vendor_id" in current.columns else None,
+            )
             df = merge_upsert(
                 current, df.select(*current.columns), pks,
-                inactivate_missing=True,
-                # per-vendor pull: never sweep other vendors' rows
-                scope=(F.col("vendor_id") == vendor
-                       if "vendor_id" in current.columns else None),
+                inactivate_missing=True, scope=scope,
             )
+        elif not pks and snapshot_exists(path):
+            df = read_snapshot(spark, path).unionByName(
+                df, allowMissingColumns=True)
         _rewrite(spark, df, path)
         print(f"inventory: {table}: {read_snapshot(spark, path).count()} rows")
 
@@ -955,14 +1011,12 @@ def cmd_sql(spark: SparkSession, lake: str, query: str,
     query language; this is where a Spark-native engine naturally
     exceeds it). Results print as TSV to stdout, or land as parquet
     with ``--out``."""
-    for t in sorted(os.listdir(lake)):
-        root = _table_path(lake, t)
-        if not os.path.isdir(root) or t.startswith("_"):
-            continue
-        try:
-            read_snapshot(spark, root).createOrReplaceTempView(t)
-        except Exception:
-            continue
+    # _tables_in excludes _stage recovery dirs; a table that fails to
+    # read (corrupted pointer) must RAISE, not silently vanish from the
+    # registered views — the query would otherwise "succeed" against a
+    # partial lake
+    for t in _tables_in(lake):
+        read_snapshot(spark, _table_path(lake, t)).createOrReplaceTempView(t)
     df = spark.sql(query)
     if out:
         df.write.mode("overwrite").parquet(out)
@@ -986,15 +1040,13 @@ def cmd_compact(spark: SparkSession, lake: str, table: str | None = None,
     bin-packing step every table format needs at 100 TB — expressed
     against the snapshot log, so readers never see a half-compacted
     table."""
-    tables = [table] if table else sorted(
-        t for t in os.listdir(lake)
-        if os.path.isdir(_table_path(lake, t)) and not t.startswith("_"))
+    # _tables_in excludes _stage recovery dirs (compacting one would
+    # write v-*/pointer machinery INTO the staged copy a crashed
+    # incremental merge needs for recovery); unreadable tables raise
+    tables = [table] if table else _tables_in(lake)
     for t in tables:
         root = _table_path(lake, t)
-        try:
-            df = read_snapshot(spark, root)
-        except Exception:
-            continue
+        df = read_snapshot(spark, root)
         data_dir = current_path(root)
         raw_bytes = sum(
             os.path.getsize(os.path.join(data_dir, f))
@@ -1069,9 +1121,7 @@ def cmd_versions(spark: SparkSession, lake: str,
     old version: ``read_snapshot(spark, root, version="v-...")``."""
     from .sinks.snapshot import list_versions
 
-    tables = [table] if table else sorted(
-        t for t in os.listdir(lake)
-        if os.path.isdir(_table_path(lake, t)) and not t.startswith("_"))
+    tables = [table] if table else _tables_in(lake)
     for t in tables:
         root = _table_path(lake, t)
         for v, is_current in list_versions(root):
@@ -1238,7 +1288,18 @@ def cmd_inspect(spark: SparkSession, bronze: str, lake: str,
     if not outputs:
         print("inspect: nothing to land (no framework files found)")
         return
-    _land_tables(spark, lake, outputs, vendor)
+    _land_tables(
+        spark, lake, outputs, vendor,
+        scopes={
+            # inspect re-emits the vendor's MEASURED benchmark rows;
+            # workload_profile:* rows belong to cmd_score (which scopes
+            # its own sweep the mirror way) — a vendor-wide sweep here
+            # would silently flip every composite score inactive on each
+            # re-inspect
+            "benchmark_score": (
+                (F.col("vendor_id") == vendor)
+                & ~F.col("benchmark_id").startswith("workload_profile:")),
+        })
 
 
 def cmd_publish(spark: SparkSession, lake: str, out: str,
@@ -1259,7 +1320,11 @@ def cmd_publish(spark: SparkSession, lake: str, out: str,
             if dt.startswith(("array", "struct", "map")):
                 df = df.withColumn(c, F.to_json(F.col(c)))
         pks = [c for c in schemas.PRIMARY_KEYS.get(t, []) if c in df.columns]
-        tables[t] = (df, pks or [df.columns[0]])
+        # PK-less tables (the *_invalid audit trails) publish as plain
+        # refreshed inserts — a made-up single-column "PK" would make
+        # ON CONFLICT silently collapse thousands of audit rows into
+        # one per distinct first-column value
+        tables[t] = (df, pks)
     if d.name == "sqlite":
         counts = publish_lake(tables, out, version=version)
     else:

@@ -24,7 +24,7 @@ from itertools import islice
 
 from pyspark.sql import DataFrame
 
-from .dialect import SQLITE, Dialect, create_table_sql, upsert_sql
+from .dialect import SQLITE, Dialect, create_table_sql, quote_ident, upsert_sql
 
 CHUNK = 100  # reference insert.py:150 — "too many SQL variables" guard
 
@@ -45,6 +45,10 @@ def stream_upsert(con, df: DataFrame, name: str, pks: list[str],
     projects them with ``to_json``); this writer handles scalars.
     """
     con.execute(create_table_sql(dialect, name, df, pks))
+    if not pks:
+        # no conflict target -> plain INSERTs would duplicate on
+        # re-publish; PK-less tables (audit trails) refresh wholesale
+        con.execute(f"DELETE FROM {quote_ident(name)}")
     cols = [c for c, _ in df.dtypes]
     sql = upsert_sql(dialect, name, cols, pks)
     # datetime/date objects go through sqlite3's default adapters, which

@@ -21,6 +21,8 @@ foreachBatch MERGE maps onto Delta/Iceberg upserts on a cluster.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -55,7 +57,16 @@ def read_event_stream(spark: SparkSession, source_dir: str,
     # written as TIMESTAMP_NS surface as bigint under nanosAsLong, plain
     # TIMESTAMP_MICROS surfaces as timestamp. Same dual-convention as
     # tables.load so batch and stream stay bit-identical.
-    ns_long = dict(spark.read.parquet(source_dir).dtypes).get("ts") == "bigint"
+    # An EMPTY or not-yet-created drop directory (the normal initial
+    # state of a file-source stream) has no footer to sniff — default to
+    # the lake's TIMESTAMP_NS convention; the declared schema is the
+    # whole point of readStream on an empty dir.
+    try:
+        ns_long = (dict(spark.read.parquet(source_dir).dtypes)
+                   .get("ts") == "bigint")
+    except Exception:
+        os.makedirs(source_dir, exist_ok=True)
+        ns_long = True
     reader = spark.readStream.schema(EVENT_SCHEMA if ns_long
                                      else EVENT_SCHEMA_TS)
     if max_files_per_trigger:
@@ -391,6 +402,10 @@ def stream_server_inventory(spark: SparkSession, bronze_dir: str,
     static API. availableNow drains the backlog then stops
     (cron-friendly); without it the same query tails the directory
     24/7 on a cluster.
+
+    Validation-failed rows append to ``<state_dir>_invalid`` — the same
+    audit-trail contract as the batch inventory path; a fully-invalid
+    drop file must not stream through as a silent no-op.
     """
     from ..operators.upsert import merge_upsert
     from ..operators.validate import validate_items
@@ -409,7 +424,13 @@ def stream_server_inventory(spark: SparkSession, bronze_dir: str,
             .withColumn("_pos", F.monotonically_increasing_id())
         servers = keep_last_dedup(
             servers, ["vendor_id", "server_id"], "_pos").drop("_pos")
-        valid, _invalid = validate_items(servers, "server")
+        valid, invalid = validate_items(servers, "server")
+        if invalid.limit(1).count():
+            inv_dir = state_dir.rstrip("/") + "_invalid"
+            if snapshot_exists(inv_dir):
+                invalid = read_snapshot(bspark, inv_dir).unionByName(
+                    invalid, allowMissingColumns=True)
+            write_snapshot(bspark, invalid, inv_dir)
         if snapshot_exists(state_dir):
             # genuine read/merge failures must PROPAGATE so the batch
             # retries — a broad except here would silently reset the

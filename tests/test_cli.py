@@ -377,3 +377,32 @@ def test_partitioned_legacy_with_crashed_commit_reads_clean(spark, tmp_path):
     assert "part" in got.columns          # partition column still parses
     assert sorted(r.part for r in got.select("part").distinct().collect()) \
         == [0, 1]
+
+
+def test_dump_per_row_overwrites_and_refuses_collisions(spark, tmp_path):
+    """Per-row dump has overwrite semantics (stale files for deleted
+    rows must not survive a re-dump), and refuses PKs whose sanitized
+    paths collide instead of letting writers race on one file."""
+    import pytest
+
+    from sc_crawler_spark.cli import dump_file_per_row
+
+    df = spark.createDataFrame(
+        [("aws", "t3.small"), ("aws", "m5.large")],
+        "vendor_id string, server_id string")
+    dest = str(tmp_path / "rows")
+    assert dump_file_per_row(df, ["vendor_id", "server_id"], dest) == 2
+    assert os.path.exists(os.path.join(dest, "aws", "t3_small.json"))
+
+    # re-dump with m5.large gone: its file must not survive
+    assert dump_file_per_row(
+        df.filter("server_id != 'm5.large'"),
+        ["vendor_id", "server_id"], dest) == 1
+    assert not os.path.exists(os.path.join(dest, "aws", "m5_large.json"))
+
+    # 'c5.xlarge' and 'c5-xlarge' both sanitize to c5_xlarge.json
+    clash = spark.createDataFrame(
+        [("aws", "c5.xlarge"), ("aws", "c5-xlarge")],
+        "vendor_id string, server_id string")
+    with pytest.raises(ValueError, match="collide"):
+        dump_file_per_row(clash, ["vendor_id", "server_id"], dest)

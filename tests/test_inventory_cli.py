@@ -1562,3 +1562,24 @@ def test_region_zone_dims_land_from_bronze(spark, tmp_path):
         [("de-fra1", "de-fra1-a")]
     inv = read_snapshot(spark, os.path.join(lake, "server_invalid"))
     assert inv.filter("region_id = 'xx-bad1'").count() == 1
+
+
+def test_invalid_audit_table_accumulates_across_vendors(spark, tmp_path):
+    """_land_tables must APPEND pk-less audit tables: a second vendor's
+    inventory run previously replaced the server_invalid snapshot,
+    silently destroying the first vendor's quarantined rows."""
+    from sc_crawler_spark.cli import _land_tables
+    from sc_crawler_spark.sinks.snapshot import read_snapshot
+
+    lake = str(tmp_path / "lake")
+    inv_a = spark.createDataFrame(
+        [("hcloud", "cx11", "missing vcpus")],
+        "vendor_id string, server_id string, error string")
+    inv_b = spark.createDataFrame(
+        [("aws", "t0.bad", "missing memory")],
+        "vendor_id string, server_id string, error string")
+    _land_tables(spark, lake, {"server_invalid": (inv_a, None)}, "hcloud")
+    _land_tables(spark, lake, {"server_invalid": (inv_b, None)}, "aws")
+    rows = read_snapshot(
+        spark, os.path.join(lake, "server_invalid")).collect()
+    assert sorted(r.vendor_id for r in rows) == ["aws", "hcloud"]

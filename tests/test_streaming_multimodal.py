@@ -441,3 +441,30 @@ def test_stream_server_inventory_incremental_files(spark, tmpdir):
     assert set(rows) == {"m1.small", "m1.large", "m1.xlarge"}
     assert rows["m1.small"]["vcpus"] == 4          # updated
     assert rows["m1.large"]["status"] == "active"  # incremental: no sweep
+
+
+def test_stream_server_inventory_lands_invalid_rows(spark, tmpdir):
+    """A drop file whose rows fail validation must not stream through
+    as a silent no-op: the quarantined rows land in <state>_invalid —
+    the same audit-trail contract as the batch inventory path."""
+    import json
+
+    from sc_crawler_spark.sinks.snapshot import read_snapshot, snapshot_exists
+    from sc_crawler_spark.streaming import stream_server_inventory
+
+    src = os.path.join(tmpdir, "drops-inv")
+    os.makedirs(src)
+    state = os.path.join(tmpdir, "srv-inv")
+    ckpt = os.path.join(tmpdir, "ckpt-inv2")
+    # vcpus missing entirely -> fails the server schema's required field
+    with open(os.path.join(src, "bad.json"), "w") as fh:
+        fh.write(json.dumps({
+            "InstanceType": "broken.micro",
+            "MemoryInfo": {"SizeInMiB": 1024},
+        }))
+    q = stream_server_inventory(spark, src, state, ckpt)
+    q.awaitTermination(120)
+    inv_dir = state + "_invalid"
+    assert snapshot_exists(inv_dir), "invalid rows were dropped silently"
+    inv = read_snapshot(spark, inv_dir)
+    assert inv.filter("server_id = 'broken.micro'").count() == 1
