@@ -53,6 +53,8 @@ _PRIORITY = [
     "doc_bpe_token_stats",         # GPT-2-style pre-tokenizer regex counts
     "q11_important_stock",         # HAVING vs global-total scalar subquery
     "q21_single_supplier_blame",   # double correlated EXISTS/NOT EXISTS
+    "q13_customer_distribution",   # left-outer count-of-counts histogram
+    "q15_top_supplier",            # aggregate-then-select-the-max
     # --- changed in r7: evidence stale by construction ---
     # (q3/q5 query code is UNCHANGED in r7 — only the bench's bucketed
     # twin layout moved — so their r6 hash-greens stand and they sit in
@@ -99,8 +101,6 @@ _PRIORITY = [
     "minmax_bounds_part",
     "count_expansion",
     "weighted_geomean_price",
-    "sig_fig_prices",
-    "unit_conversions",
     "q18_large_orders",
     "longtail_price_assembly",
 ]
@@ -108,6 +108,8 @@ _PRIORITY = [
 # sit out this round's 50-query window and are covered by the pytest
 # oracle re-check until they rotate forward again.
 _TAIL = [
+    "sig_fig_prices",
+    "unit_conversions",
     "extract_brand_number",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

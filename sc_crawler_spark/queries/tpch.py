@@ -1010,6 +1010,75 @@ GROUP BY s.s_suppkey
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — a
+    COUNT-OF-COUNTS histogram. Customers left-join their non-urgent
+    orders (zero-order customers must survive with count 0 — the whole
+    point of the outer join), count per customer, then count customers
+    per order-count. Two shuffles, both with map-side partial combine;
+    all outputs are integers, so cross-engine parity is exact."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-select-the-max — per-supplier
+    revenue over a date window, keeping the supplier(s) whose revenue
+    EQUALS the global max (ties all surface, per spec). The max is an
+    uncorrelated scalar subquery over the same aggregate; Catalyst
+    plans the aggregate once per branch and the max as a one-row
+    broadcast. Revenue compares in DECIMAL (exact), rounds only for
+    output."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    rev = li.groupBy("l_suppkey").agg(
+        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("_rev"))
+    max_rev = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(max_rev), rev["_rev"] == max_rev["_mx"])
+        .select(F.col("l_suppkey").alias("s_suppkey"),
+                dround(F.col("_rev").cast("double"), 4)
+                .alias("total_revenue"))
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey AS s_suppkey,
+       {sql_round("CAST(_rev AS DOUBLE)")} AS total_revenue
+FROM rev WHERE _rev = (SELECT MAX(_rev) FROM rev)
+"""
+
+
 def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape: join + RATIO of conditional aggregates over a
     date-sliced fact — 100 * sum(CASE promo THEN revenue)/sum(revenue)
@@ -1117,6 +1186,8 @@ QUERIES = {
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q21_single_supplier_blame": (q21_single_supplier_blame, Q21_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
     "q16_parts_supplier": (q16_parts_supplier, Q16_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
