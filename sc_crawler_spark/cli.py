@@ -1094,6 +1094,12 @@ def cmd_score(spark: SparkSession, lake: str) -> None:
         scope=F.col("benchmark_id").startswith("workload_profile:"),
     )
     _rewrite(spark, merged, path)
+    # the snapshot is written — release the `best` frame workloads
+    # cached for this scoring pass (otherwise each cmd_score in a
+    # long-lived session pins another executor-storage entry forever)
+    from .workloads import release_scored_caches
+
+    release_scored_caches()
     n = read_snapshot(spark, path).filter(
         F.col("benchmark_id").startswith("workload_profile:")
         & (F.col("status") == "active")).count()

@@ -224,6 +224,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     two id-joins + array_intersect beats re-exploding and self-joining
     every shingle — at sf0.1 this is ~10x less shuffle).
     """
+    if band_rows <= 0 or n_hashes % band_rows != 0:
+        # silent truncation would band only (n_hashes // band_rows) *
+        # band_rows of the signatures (paying for all of them), and
+        # band_rows > n_hashes would yield ZERO bands — an empty result
+        # on a corpus full of duplicates, with no error
+        raise ValueError(
+            f"minhash_lsh_pairs: band_rows={band_rows} must divide "
+            f"n_hashes={n_hashes}")
     n_bands = n_hashes // band_rows
     # Repartition before the per-doc compute: a single-file corpus would
     # otherwise tokenize/hash on 1-2 tasks regardless of cores. Shingles
@@ -313,20 +321,31 @@ def simhash_bits(df: DataFrame, text_col: str, id_col: str,
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   n_bits: int = 32, max_hamming: int = 3,
                   k: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: banded on n_bits/4-bit chunks (pigeonhole:
-    hamming <= 3 implies an identical chunk among 4), verified by exact
-    hamming distance."""
+    """Near-dup pairs by SimHash: banded on ``max_hamming + 1`` chunks
+    (pigeonhole: hamming <= H implies at least one of H+1 chunks is
+    identical — the band count DERIVES from max_hamming, so recall is
+    guaranteed for ANY threshold, not just the default 3), verified by
+    exact hamming distance. Chunk boundaries spread the remainder so
+    every bit belongs to exactly one chunk."""
+    n_chunks = max_hamming + 1
+    if n_chunks > n_bits:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} needs "
+            f"{n_chunks} bands but the signature has only {n_bits} bits")
     sig = simhash_bits(df, text_col, id_col, n_bits, k).cache()
-    chunk = n_bits // 4
+    # chunk i covers [bounds[i], bounds[i+1]) — sizes differ by at most
+    # one bit when n_chunks doesn't divide n_bits
+    bounds = [round(i * n_bits / n_chunks) for i in range(n_chunks + 1)]
     bands = sig.select(
         F.col(id_col), F.col("simhash"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.substring("simhash", i * chunk + 1, chunk).alias("sig"),
+                    F.substring("simhash", bounds[i] + 1,
+                                bounds[i + 1] - bounds[i]).alias("sig"),
                 )
-                for i in range(4)
+                for i in range(n_chunks)
             ])
         ).alias("bs"),
     ).select(id_col, "simhash", F.col("bs.band").alias("band"),
@@ -425,8 +444,6 @@ def chunk_boilerplate_dedup(df: DataFrame, text_col: str, id_col: str,
     Output: (id, clean_sha = md5 of the reassembled text or NULL when
     every chunk was boilerplate, n_chunks_kept, n_chunks_dropped).
     """
-    from ..functions.text import tokens
-
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),

@@ -96,7 +96,12 @@ def composite_breakdown(best: DataFrame, medians: DataFrame,
     ratio = F.when(hib, F.col("best_score") / F.col("median_score")).otherwise(
         F.col("median_score") / F.col("best_score")
     )
-    j = j.filter(F.col("median_score") != 0).withColumn("_norm", ratio)
+    # reference _normalise (workload_profile_scores.py:226-232): a
+    # nonpositive raw OR median invalidates the component — the term
+    # AND its weight drop (not weight-only, which would silently skew
+    # the renormalized composite)
+    j = j.filter((F.col("median_score") > 0)
+                 & (F.col("best_score") > 0)).withColumn("_norm", ratio)
     w = Window.partitionBy(*subject_keys)
     j = j.withColumn("_total_w", F.sum("weight").over(w)).withColumn(
         "_wshare", round_sig_figs_pure(F.col("weight") / F.col("_total_w"), 3)
@@ -197,7 +202,11 @@ def composite_scores_wide(wide: DataFrame, subject_keys: list[str],
     for name, weight, hib in entries:
         b, m = _bq(f"best_{name}"), _bq(f"med_{name}")
         ratio = f"({b} / {m})" if hib else f"({m} / {b})"
-        present = f"{b} IS NOT NULL AND {m} IS NOT NULL AND {m} != 0"
+        # present requires POSITIVE best and median (reference
+        # _normalise): with only `m != 0`, log2 of a nonpositive ratio
+        # yields NULL inside the term and the hand-built (t1 + t2 + ...)
+        # sum would NULL the whole score
+        present = f"{b} > 0 AND {m} > 0"
         wlogs.append(
             f"CASE WHEN {present} THEN CAST({weight!r}D * log2({ratio}) "
             f"AS DECIMAL(28,12)) ELSE {zero} END")
@@ -242,7 +251,11 @@ def composite_scores(best: DataFrame, medians: DataFrame, weights: DataFrame,
     ratio = F.when(hib, F.col("best_score") / F.col("median_score")).otherwise(
         F.col("median_score") / F.col("best_score")
     )
-    j = j.filter(F.col("median_score") != 0).withColumn(
+    # reference _normalise: raw <= 0 or median <= 0 -> the component is
+    # INVALID and behaves as missing (term and weight both drop; under
+    # 'require' the subject suppresses, under 'penalize' it penalizes)
+    j = j.filter((F.col("median_score") > 0)
+                 & (F.col("best_score") > 0)).withColumn(
         "_wlog", (F.col("weight") * F.log2(ratio)).cast("decimal(28,12)")
     )
     agg = j.groupBy(*subject_keys).agg(

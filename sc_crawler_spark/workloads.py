@@ -246,22 +246,38 @@ N_VARIANTS = len(VARIANTS)
 # branches, in reference order: INT-typed filter value (canonical JSON
 # renders ints without a decimal point) compares int(actual) == expected
 # — truncation toward zero, so actual 16384.9 MATCHES expected 16384;
-# other numerics use the 1e-6 tolerance; everything else is string
-# equality. Truncation is spelled sign(a)*floor(abs(a)) because CAST
+# other numerics use the 1e-6 tolerance; everything else is equality.
+# Truncation is spelled sign(a)*floor(abs(a)) because CAST
 # double->bigint truncates in Spark but ROUNDS in DuckDB.
+#
+# JSON VALUE TYPES MATTER (r7): the reference's numeric branches
+# require `isinstance(actual, (int, float))` — a STRING "128" in the
+# row config does NOT match an int filter 128 (they fall to
+# `actual != expected`, int vs str, False). map<string,string>
+# extraction erases that distinction, so each side probes the RAW
+# JSON text for string-typedness: Spark matches the `"key"\s*:\s*"`
+# quote pattern, DuckDB asks json_type() == 'VARCHAR'. The ELSE
+# branch likewise requires the two values' string-typedness to AGREE
+# (a numeric 128 never equals a string "128" in Python).
 _MATCH_SPARK = """
 flt IS NULL OR forall(map_keys(from_json(flt, 'map<string,string>')), k ->
   element_at(from_json(config, 'map<string,string>'), k) IS NOT NULL AND
   CASE WHEN element_at(from_json(flt, 'map<string,string>'), k) RLIKE '^-?[0-9]+$'
+            AND NOT flt RLIKE concat('"', k, '"\\\\s*:\\\\s*"')
+            AND NOT config RLIKE concat('"', k, '"\\\\s*:\\\\s*"')
             AND try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
        THEN sign(try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE))
             * floor(abs(try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE)))
             = try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE)
        WHEN try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
+            AND NOT flt RLIKE concat('"', k, '"\\\\s*:\\\\s*"')
+            AND NOT config RLIKE concat('"', k, '"\\\\s*:\\\\s*"')
             AND try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE) IS NOT NULL
        THEN abs(try_cast(element_at(from_json(config, 'map<string,string>'), k) AS DOUBLE)
                 - try_cast(element_at(from_json(flt, 'map<string,string>'), k) AS DOUBLE)) <= 1e-6
-       ELSE element_at(from_json(config, 'map<string,string>'), k)
+       ELSE (config RLIKE concat('"', k, '"\\\\s*:\\\\s*"'))
+            = (flt RLIKE concat('"', k, '"\\\\s*:\\\\s*"'))
+            AND element_at(from_json(config, 'map<string,string>'), k)
             = element_at(from_json(flt, 'map<string,string>'), k) END)
 """
 
@@ -269,15 +285,21 @@ _MATCH_DUCK = """
 (en.flt IS NULL OR list_aggregate(
   [ json_extract_string(sv.config, '$.' || k) IS NOT NULL AND
     CASE WHEN regexp_matches(json_extract_string(en.flt, '$.' || k), '^-?[0-9]+$')
+              AND json_type(en.flt, '$.' || k) != 'VARCHAR'
+              AND json_type(sv.config, '$.' || k) != 'VARCHAR'
               AND try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE) IS NOT NULL
          THEN sign(try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE))
               * floor(abs(try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE)))
               = try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE)
          WHEN try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE) IS NOT NULL
+              AND json_type(en.flt, '$.' || k) != 'VARCHAR'
+              AND json_type(sv.config, '$.' || k) != 'VARCHAR'
               AND try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE) IS NOT NULL
          THEN abs(try_cast(json_extract_string(sv.config, '$.' || k) AS DOUBLE)
                   - try_cast(json_extract_string(en.flt, '$.' || k) AS DOUBLE)) <= 1e-6
-         ELSE json_extract_string(sv.config, '$.' || k)
+         ELSE (json_type(sv.config, '$.' || k) = 'VARCHAR')
+              = (json_type(en.flt, '$.' || k) = 'VARCHAR')
+              AND json_extract_string(sv.config, '$.' || k)
               = json_extract_string(en.flt, '$.' || k) END
     for k in json_keys(en.flt) ], 'bool_and'))
 """
@@ -550,9 +572,21 @@ def workload_score_rows(spark: SparkSession,
         round_sig_figs(F.col("median_score"), 4).alias("reference"),
         norm3.alias("normalized"),
         F.col("hib").alias("higher_is_better"),
+        # note precedence mirrors the reference branch order
+        # (workload_profile_scores.py:322-352): a PENALIZE component
+        # notes the penalty even when its raw value was present-but-
+        # invalid; an IGNORE component with a present-but-invalid raw
+        # (raw <= 0 or median <= 0 -> norm NULL while best_score is
+        # NOT NULL) notes 'invalid value: {raw}'
+        # (_component_note_for_invalid, :233-236); missing-entirely
+        # IGNORE components carry no note.
         F.when(F.col("norm").isNull()
                & (F.col("on_missing") == "penalize"),
-               "penalized: no usable measurement").alias("note"),
+               F.lit("penalized: no usable measurement"))
+        .when(F.col("norm").isNull() & F.col("best_score").isNotNull(),
+              F.concat(F.lit("invalid value: "),
+                       F.col("best_score").cast("string")))
+        .alias("note"),
         F.when(scored_or_pen,
                round_sig_figs_pure(
                    (F.pow(norm3, share3) - 1) * 100, 3)).alias("impact"),

@@ -189,3 +189,64 @@ def test_workload_score_rows_from_custom_scores(spark):
     # the fleet midpoint server scores ~1.0 on the symmetric entries
     b = rows[("b", "workload_profile:compute")]
     assert b["score"] > a["score"]
+
+
+def test_config_match_respects_json_value_types(spark):
+    """P6 parity pin (r7): the reference's numeric branches require the
+    ACTUAL value be int/float — a string "128" must NOT match filter
+    128, and a string filter must not match a numeric actual. Spark
+    (raw-JSON quote probe), DuckDB (json_type) and the reference
+    algorithm must agree on every case."""
+    import duckdb
+
+    from sc_crawler_spark.workloads import _MATCH_DUCK, _MATCH_SPARK
+
+    cases = [
+        ('{"tokens": 128}', '{"tokens": 128}', True),
+        ('{"tokens": 128}', '{"tokens": "128"}', False),
+        ('{"tokens": 128}', '{"tokens": 128.9}', True),   # int truncation
+        ('{"threads": 0.5}', '{"threads": 0.5000001}', True),
+        ('{"threads": 0.5}', '{"threads": "0.5"}', False),
+        ('{"op": "read"}', '{"op": "read"}', True),
+        ('{"op": "read"}', '{"op": "write"}', False),
+        ('{"op": "128"}', '{"op": 128}', False),
+        ('{"multi": true}', '{"multi": true}', True),
+        ('{"multi": true}', '{"multi": false}', False),
+        (None, '{"anything": 1}', True),
+        ('{"tokens": 128}', '{"other": 1}', False),
+    ]
+
+    def ref_match(flt, cfg):
+        import json as _json
+        if flt is None:
+            return True
+        f, c = _json.loads(flt), _json.loads(cfg)
+        for k, expected in f.items():
+            actual = c.get(k)
+            if actual is None:
+                return False
+            if isinstance(expected, float) and isinstance(actual, (int, float)):
+                if abs(float(actual) - expected) > 1e-6:
+                    return False
+            elif isinstance(expected, int) and isinstance(actual, (int, float)):
+                if int(actual) != expected:
+                    return False
+            elif actual != expected:
+                return False
+        return True
+
+    rows = [(i, flt, cfg) for i, (flt, cfg, _e) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, flt string, config string")
+    got_spark = {r.i: bool(r.m) for r in
+                 df.selectExpr("i", f"({_MATCH_SPARK}) AS m").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, flt VARCHAR, config VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck_expr = _MATCH_DUCK.replace("en.flt", "t.flt").replace(
+        "sv.config", "t.config")
+    got_duck = dict(con.execute(f"SELECT i, {duck_expr} FROM t").fetchall())
+    con.close()
+    for i, (flt, cfg, _e) in enumerate(cases):
+        want = ref_match(flt, cfg)
+        assert got_spark[i] == want, (i, flt, cfg, got_spark[i], want)
+        assert got_duck[i] == want, (i, flt, cfg, got_duck[i], want)
