@@ -64,23 +64,38 @@ def canonical_json_sha1_udf():
 
 
 def canonical_struct_json(cols: list[str]) -> Column:
-    """Deterministic JSON of the named columns, sorted by column name —
-    Spark ``to_json`` preserves struct field order, so sorting the names
-    gives the reference's sorted-key canonical form."""
+    """Deterministic sorted-key JSON of the named columns — a NATIVE
+    canonical form for engine-internal use, NOT reference-parity:
+    Spark's ``to_json`` uses compact separators (no space after ':')
+    where Python's ``json.dumps`` inserts them, so digests of this
+    column never match a reference-produced ``jsoned_hash``. Use
+    :func:`canonical_json_sha1_udf` over a Python-formatted payload
+    where reference parity matters. ``ignoreNullFields`` is disabled so
+    a NULL field and an absent field stay distinguishable."""
     ordered = sorted(cols)
-    return F.to_json(F.struct(*[F.col(c).alias(c) for c in ordered]))
+    return F.to_json(F.struct(*[F.col(c).alias(c) for c in ordered]),
+                     {"ignoreNullFields": "false"})
 
 
 def row_hash(cols: list[str], ignored: tuple[str, ...] = ("observed_at",)) -> Column:
     """Native, codegen-friendly content hash of the given columns.
 
     Column order is canonicalized by name (the reference sorts JSON keys,
-    table_bases.py:199-205); NULLs are disambiguated from empty strings by
-    a type-tagged separator so ('a', NULL) != ('a', '').
+    table_bases.py:199-205). The encoding is INJECTIVE: each column
+    contributes (name, null-flag, value-length, value) — the length
+    field makes the frame unambiguous even when a value contains the
+    ``\\x1f`` separator itself, and the flag distinguishes NULL from
+    empty string. (A separator-only scheme lets crafted values collide:
+    ('x\\x1fb\\x1fy', NULL) vs ('x', 'y\\x1fb\\x1f…') concatenate
+    identically — a silent hash_diff miss.) The DuckDB oracle mirror
+    (queries/lifecycle._HASH_EXPR) uses the identical framing.
     """
     keep = sorted(c for c in cols if c not in ignored)
     parts = []
     for c in keep:
+        s = F.col(c).cast("string")
         parts.append(F.lit(c))
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        parts.append(F.when(s.isNull(), F.lit("n")).otherwise(F.lit("v")))
+        parts.append(F.length(F.coalesce(s, F.lit(""))).cast("string"))
+        parts.append(F.coalesce(s, F.lit("")))
     return F.sha2(F.concat_ws("\x1f", *parts), 256)

@@ -52,10 +52,14 @@ def hash_diff_sync(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # DuckDB mirror of functions/hashing.row_hash: sha256 over
-# name<US>value pairs sorted by column name, <US> = chr(31).
+# (name, null-flag, value-length, value) frames sorted by column name,
+# joined on <US> = chr(31). The length field makes the encoding
+# injective (values containing the separator cannot realign frames).
 _HASH_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus", "price_cents"]
 _HASH_EXPR = "sha256(concat_ws(chr(31), " + ", ".join(
-    f"'{c}', coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in _HASH_COLS
+    f"'{c}', CASE WHEN {c} IS NULL THEN 'n' ELSE 'v' END, "
+    f"CAST(length(coalesce(CAST({c} AS VARCHAR), '')) AS VARCHAR), "
+    f"coalesce(CAST({c} AS VARCHAR), '')" for c in _HASH_COLS
 ) + "))"
 
 HASH_DIFF_SQL = f"""

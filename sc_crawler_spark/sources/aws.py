@@ -73,9 +73,19 @@ RAW_INSTANCE_TYPE = StructType([
 
 def _expand_by_count(arr: Column, count_field: str) -> Column:
     """A11 — `_array_expand_by_count` (_aws.py:292-313): replicate each
-    entry `Count` times, as flatten(transform(x -> array_repeat(x, n)))."""
+    entry `Count` times, as flatten(transform(x -> array_repeat(x, n))).
+
+    A NULL Count degrades to 1 (keep the entry once): array_repeat(x,
+    NULL) yields a NULL element and flatten of an array containing NULL
+    returns NULL — one malformed entry would otherwise erase EVERY gpu/
+    disk of the instance while the sibling totals stayed populated (a
+    self-contradictory record; the reference crashes outright on
+    ``[a] * None``)."""
     return F.flatten(
-        F.transform(arr, lambda x: F.array_repeat(x, x[count_field]))
+        F.transform(
+            arr,
+            lambda x: F.array_repeat(x, F.coalesce(x[count_field], F.lit(1))),
+        )
     )
 
 
@@ -258,11 +268,19 @@ def first_engine_version_options(options: DataFrame,
                                  group_cols: list[str] | None = None) -> DataFrame:
     """W3 — keep option rows matching the first EngineVersion per group
     (_aws.py:1368-1375). 'First' is made deterministic as the minimum
-    version; all rows at that version survive (dense_rank, not
-    row_number — the reference keeps every matching row).
+    version under NUMERIC dotted-segment order — a lexicographic string
+    sort would rank '10.1' before '9.6.25' ('1' < '9') and silently
+    derive catalog flags from the wrong engine version. All rows at the
+    minimum version survive (dense_rank, not row_number — the reference
+    keeps every matching row). Non-numeric segments ('9.6.25-beta')
+    order as 0 within their position, then the raw string tiebreaks.
     """
     group_cols = group_cols or ["engine"]
-    w = Window.partitionBy(*group_cols).orderBy("engine_version")
+    ver_key = F.transform(
+        F.split(F.col("engine_version"), r"\."),
+        lambda s: F.coalesce(s.try_cast("int"), F.lit(0)),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(ver_key, "engine_version")
     return (
         options.withColumn("_rk", F.dense_rank().over(w))
         .filter(F.col("_rk") == 1)

@@ -423,10 +423,17 @@ def enrich_servers(servers: DataFrame,
         out = out.join(F.broadcast(curve), "server_id", "left")
         base = F.col("ecpus") if "ecpus" in out.columns else F.lit(None)
         out = out.withColumn("ecpus", F.coalesce(F.col("_i_ecpus"), base))
-        out = out.withColumn(
-            "scalability",
-            F.round(F.col("ecpus") / F.col("cpu_cores") * 100, 2),
-        ).drop("_i_ecpus")
+        # inspector overrides only where it MEASURED: servers with no
+        # stressng rows keep their vendor-declared scalability (the
+        # coalesce pattern every other branch uses), and the derivation
+        # needs cpu_cores to exist at all
+        if "cpu_cores" in out.columns:
+            derived = F.round(
+                F.col("_i_ecpus") / F.col("cpu_cores") * 100, 2)
+            sbase = (F.col("scalability")
+                     if "scalability" in out.columns else F.lit(None))
+            out = out.withColumn("scalability", F.coalesce(derived, sbase))
+        out = out.drop("_i_ecpus")
     if timings is not None:
         atts = average_time_to_start(timings).withColumnRenamed(
             "average_time_to_start", "_i_atts")
@@ -480,7 +487,12 @@ def parse_passmark_yaml(spark: SparkSession, glob: str) -> DataFrame:
             rows = []
             if yaml is not None:
                 for server_id, text in zip(pdf["server_id"], pdf["value"]):
-                    doc = yaml.safe_load(text) or {}
+                    try:
+                        doc = yaml.safe_load(text) or {}
+                    except yaml.YAMLError:
+                        continue  # garbled file: skip, like the XML readers
+                    if not isinstance(doc, dict):
+                        continue  # e.g. an error message parsed as a str
                     for metric, value in (doc.get("Results") or {}).items():
                         try:
                             rows.append((server_id, metric, float(value)))
@@ -903,7 +915,12 @@ def read_lstopo_xml(spark: SparkSession, glob: str) -> DataFrame:
                         if infos.get("Type") not in (None, "RAM"):
                             continue
                         try:
-                            total_kib += int(infos.get("Size", ""))
+                            # `or ""`: a <info name="Size"/> with no
+                            # value attribute maps to None (the dict
+                            # default only covers ABSENT keys), and
+                            # int(None) is a TypeError the old except
+                            # didn't catch
+                            total_kib += int(infos.get("Size") or "")
                         except ValueError:
                             continue
                 rows.append((server_id,
@@ -1162,7 +1179,8 @@ def membench_benchmarks(df: DataFrame,
     sized = base.select(
         "server_id", "benchmark_id",
         F.to_json(F.struct(
-            F.col("size_kb").cast("long").alias("size_kb"))).alias("config"),
+            F.col("size_kb").cast("long").alias("size_kb")),
+            {"ignoreNullFields": "false"}).alias("config"),
         F.col("_score").alias("score"),
     )
     if cache is None:
@@ -1280,7 +1298,8 @@ def read_llm_speed_json(spark: SparkSession, glob: str) -> DataFrame:
             F.to_json(F.struct(
                 model.alias("model"),
                 (F.col("n_prompt") + F.col("n_gen")).cast("long")
-                .alias("tokens"))).alias("config"),
+                .alias("tokens")),
+                {"ignoreNullFields": "false"}).alias("config"),
             F.col("avg_ts").cast("double").alias("score"),
         )
     )
@@ -1340,7 +1359,8 @@ def bw_mem_benchmarks(bw: DataFrame) -> DataFrame:
         F.lit("bw_mem").alias("benchmark_id"),
         F.to_json(F.struct(
             F.col("operation").alias("operation"),
-            F.col("size_mb").alias("size"))).alias("config"),
+            F.col("size_mb").alias("size")),
+            {"ignoreNullFields": "false"}).alias("config"),
         F.col("mb_per_s").alias("score"),
     )
 
@@ -1355,7 +1375,8 @@ def geekbench_benchmarks(gb: DataFrame) -> DataFrame:
     return gb.select(
         "server_id",
         F.concat(F.lit("geekbench:"), slug).alias("benchmark_id"),
-        F.to_json(F.struct(cores.alias("cores"))).alias("config"),
+        F.to_json(F.struct(cores.alias("cores")),
+                  {"ignoreNullFields": "false"}).alias("config"),
         "score",
     )
 
@@ -1384,7 +1405,8 @@ def stressng_benchmarks(sn: DataFrame) -> DataFrame:
     (inspector.py:496-576): cpu_all at the fewest/most cores,
     div16 for every row (config {"cores": n}), and the config-less
     best1 (fewest-cores score) / bestn (max score) pair."""
-    cfg = F.to_json(F.struct(F.col("cores").alias("cores")))
+    cfg = F.to_json(F.struct(F.col("cores").alias("cores")),
+                    {"ignoreNullFields": "false"})
     div16 = sn.select(
         "server_id", F.lit("stress_ng:div16").alias("benchmark_id"),
         cfg.alias("config"), "score")
@@ -1455,7 +1477,8 @@ def server_client_benchmarks(df: DataFrame, framework: str,
     }
     # sorted keys: config JSON is a PK component and the reference sorts
     # dict keys so JSON compares as text (table_bases.py:1253-1256)
-    cfg = F.to_json(F.struct(*[F.col(k).alias(k) for k in sorted(keys)]))
+    cfg = F.to_json(F.struct(*[F.col(k).alias(k) for k in sorted(keys)]),
+                    {"ignoreNullFields": "false"})
     out = None
     for m in policy["measurements"]:
         part = best.select(
@@ -1492,7 +1515,8 @@ def inspector_benchmarks(openssl: DataFrame | None = None,
             "server_id", "benchmark_id",
             F.to_json(F.struct(
                 F.col("algo").alias("algo"),
-                F.col("block_size").alias("block_size"))).alias("config"),
+                F.col("block_size").alias("block_size")),
+                {"ignoreNullFields": "false"}).alias("config"),
             "score"))
     if membench is not None:
         frames.append(membench_benchmarks(membench, cache))
@@ -1542,6 +1566,12 @@ def memory_amount_actual(lstopo: DataFrame | None,
         ((lstopo, "_topo"), (lshw, "_lshw"), (dmidecode, "_dmi"))
         if df is not None
     ]
+    if not frames:
+        # fail with intent (same pattern as inspector_benchmarks), not
+        # an opaque AttributeError on out.select below
+        raise ValueError(
+            "memory_amount_actual needs at least one of lstopo / lshw / "
+            "dmidecode")
     out = None
     for df, alias in frames:
         nxt = df.select("server_id",

@@ -393,3 +393,25 @@ def test_merge_upsert_updates_position_keeps_last(spark):
     out2 = merge_upsert(cur, dup, ["k"], updates_position="pos")
     got = {r.k: r.v for r in out2.collect()}
     assert got == {1: "second", 2: "only"}
+
+
+def test_row_hash_injective_for_separator_values(spark):
+    """The r7 length-prefixed framing: values containing the \\x1f
+    separator (or the old null tag) must not let distinct rows collide
+    — a collision is a silent hash_diff 'no change' miss."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.functions.hashing import row_hash
+
+    rows = [
+        ("x\x1fb\x1fy", None),
+        ("x", "y\x1fb\x1f\x00null"),
+        ("x", None),
+        ("x", ""),                      # NULL vs empty string
+        ("x\x1f", "b"),
+        ("x", "\x1fb"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    hashes = [r.h for r in
+              df.select(row_hash(["a", "b"]).alias("h")).collect()]
+    assert len(set(hashes)) == len(rows), "distinct rows collided"
