@@ -64,7 +64,20 @@ def _defaults(table: str | None = None):
 def apply_schema(df: DataFrame, schema: StructType,
                  table: str | None = None) -> DataFrame:
     """Cast/project df onto the declared schema, adding missing columns
-    as NULL and filling lifecycle defaults."""
+    as NULL and filling lifecycle defaults.
+
+    Defaults fill absent columns AND per-row NULLs in defaulted
+    columns. The per-row fill is deliberate, not an accident: the
+    reference's pydantic fills a field's default when the field is
+    ABSENT on that row, and a DataFrame cannot represent per-row
+    absence — a branch union (``unionByName(allowMissingColumns)``)
+    turns "this branch never set observed_at" into NULLs on exactly
+    the rows where pydantic would have applied the default. The cost,
+    stated honestly: a source that explicitly emits ``null`` for a
+    defaulted field (where pydantic would ERROR on a non-optional
+    field) is repaired instead of quarantined — indistinguishable
+    cases in the relational encoding; non-defaulted non-nullable
+    fields still quarantine via validate_items."""
     defaults = _defaults(table)
     out = []
     for field in schema.fields:
@@ -94,6 +107,33 @@ def validate_items(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
         for f in schema.fields
         if not f.nullable
     ]
+    # nested non-nullable constraints: the cast strips them (Spark
+    # refuses casts INTO non-null struct fields), so they must be
+    # enforced here too — a price tier with price=null must quarantine,
+    # not pass as 'valid' with a hole where the schema promises a value
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, StructType):
+            for sub in dt.fields:
+                if not sub.nullable:
+                    checks.append(F.when(
+                        F.col(f.name).isNotNull()
+                        & F.col(f.name)[sub.name].isNull(),
+                        F.lit(f"{f.name}.{sub.name}")))
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType,
+                                                      StructType):
+            for sub in dt.elementType.fields:
+                if not sub.nullable:
+                    def _null_sub(field_name):
+                        # single-arg lambda factory: a default-arg
+                        # lambda would be two-parameter and PySpark
+                        # would call it as (element, index)
+                        return lambda x: x[field_name].isNull()
+
+                    checks.append(F.when(
+                        F.col(f.name).isNotNull()
+                        & F.exists(F.col(f.name), _null_sub(sub.name)),
+                        F.lit(f"{f.name}[].{sub.name}")))
     flagged = coerced.withColumn(
         "_errors",
         F.filter(F.array(*checks), lambda c: c.isNotNull())

@@ -48,6 +48,9 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # those 43 rotate to the front, behind the r7 new/changed queries.
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
+    "q6_forecast_revenue",         # pure scan-agg pushdown floor
+    "q8_national_market_share",    # deepest join tree, nation twice
+    "q20_dominant_suppliers",      # window-total threshold gating semi join
     "q14_promo_effect",            # join + conditional-agg ratio (promo %)
     "q22_global_sales_opportunity",  # scalar subquery + date-filtered anti join
     "doc_bpe_token_stats",         # GPT-2-style pre-tokenizer regex counts

@@ -1180,8 +1180,166 @@ GROUP BY c_nationkey
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-aggregate — three range predicates
+    on one fact, no join, one scalar out. The registry's only query
+    whose whole plan is scan -> filter -> partial agg -> final agg;
+    it pins the pushdown contract (all three predicates reach the
+    parquet scan as PushedFilters, ReadSchema is 4 columns of 11) and
+    gives the bench a pure scan-throughput floor that isolates
+    exchange cost from scan cost at the 64x block."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dround(decimal_sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+        .alias("revenue"))
+
+
+Q6_SQL = f"""
+SELECT {sql_round("SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q8_national_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the deepest join tree in
+    the registry (two facts + part/supplier/customer and nation TWICE,
+    once per side of the trade) feeding a ratio of conditional sums per
+    order year. The nation dim joins under two aliases; Catalyst
+    broadcasts every dim, so the only exchanges are the fact-fact join
+    on orderkey and the final 2-row groupBy.
+
+    Adaptation (no p_comment/partsupp in the lake): the target product
+    line is p_type = 'PROMO', the market is region 'AMERICA', and the
+    'nation' whose share is measured is NATION_5. Numerator and
+    denominator accumulate in DECIMAL; the ratio is one double divide
+    per year row — order-independent in both engines."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    part = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf, "supplier")
+    s_nation = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name"))
+    c_nation = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey"))
+    cust = load(spark, sf, "customer")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = decimal_sum(
+        F.when(F.col("sn_name") == "NATION_5", volume).otherwise(F.lit(0.0)))
+    total_vol = decimal_sum(volume)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(s_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(dround(nation_vol.cast("double") / total_vol.cast("double"), 4)
+             .alias("mkt_share"))
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  {sql_round("CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)")} AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: an aggregate-vs-aggregate threshold gating a
+    semi join — suppliers whose 1997 shipped quantity of a 'red%' part
+    exceeds HALF of everyone's shipped quantity of that part, named
+    with their nation. The canonical form's correlated
+    ``ps_availqty > 0.5 * (SELECT SUM(l_quantity) ...)`` becomes a
+    window total over the (part, supplier) rollup: one shuffle for the
+    groupBy, the per-part total via a window on the same rows (no
+    second scan, no correlated re-execution), then a semi join into
+    supplier (partsupp is proxied by observed lineitem pairs, as in
+    q16/q11).
+
+    The 0.5 factor is exact: qty and the window total are DECIMAL, and
+    ``qty * 2 > total`` avoids a double multiply — no engine-boundary
+    row can flip."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    red = load(spark, sf, "part").filter(
+        F.col("p_name").startswith("red")).select("p_partkey")
+    sp = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(decimal_sum(F.col("l_quantity")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    big = (
+        sp.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("part_total"))
+        .select("l_suppkey").distinct()
+    )
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    return (
+        supp.join(big, supp["s_suppkey"] == big["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+big AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+    FROM sp)
+  WHERE qty * 2 > part_total)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q8_national_market_share": (q8_national_market_share, Q8_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),

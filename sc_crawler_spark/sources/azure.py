@@ -36,21 +36,34 @@ def parse_azure_vm_name(name: Column) -> Column:
     )
 
 
-_UPCLOUD_RE = r"^([A-Z]+)-([0-9]+)xCPU-([0-9]+)GB(?:-([0-9]+)x?([A-Z0-9]+))?$"
+# Mirrors the reference's name_pattern (_upcloud.py:96-104): family
+# prefix OPTIONAL (standard plans are bare '1xCPU-1GB'), optional
+# SPOT- marker, optional '<n>x<MODEL>' GPU group, optional trailing
+# '-<n>GB' storage suffix.
+_UPCLOUD_RE = (r"^(?:([A-Z]+)-)?(?:(SPOT)-)?([0-9]+)xCPU-([0-9]+)GB"
+               r"(?:-([0-9]+)x([A-Z][A-Z0-9]*))?(?:-([0-9]+)GB)?$")
 
 
 def parse_upcloud_plan(name: Column) -> Column:
-    """Struct(family, vcpus, memory_mib, extra_count, extra_kind) from an
-    UpCloud plan name like HICPU-8xCPU-16GB."""
+    """Struct(family, spot, vcpus, memory_mib, extra_count, extra_kind,
+    storage_gb) from an UpCloud plan name. The family prefix is
+    OPTIONAL — the most common standard plans ('2xCPU-4GB') have none
+    and map to the reference's 'General Purpose' default downstream
+    (_parse_server_name, _upcloud.py:108-117); a mandatory prefix would
+    parse them to an all-NULL struct. The trailing '-<n>GB' storage
+    suffix of GPU plans is its own group, never mistaken for a GPU
+    model."""
     def grp(i: int) -> Column:
         return F.nullif(F.regexp_extract(name, _UPCLOUD_RE, i), F.lit(""))
 
     return F.struct(
         grp(1).alias("family"),
-        grp(2).cast("int").alias("vcpus"),
-        (grp(3).cast("long") * 1024).alias("memory_mib"),
-        grp(4).cast("int").alias("extra_count"),
-        grp(5).alias("extra_kind"),
+        grp(2).isNotNull().alias("spot"),
+        grp(3).cast("int").alias("vcpus"),
+        (grp(4).cast("long") * 1024).alias("memory_mib"),
+        grp(5).cast("int").alias("extra_count"),
+        grp(6).alias("extra_kind"),
+        grp(7).cast("long").alias("storage_gb"),
     )
 
 
@@ -104,7 +117,19 @@ def standardize_azure_servers(raw: DataFrame) -> DataFrame:
     (_azure.py:347-451) as a flat CASE chain, and the synthesized
     description (family + feature annotations + vCPUs). No UDFs; the
     whole projection stays in whole-stage codegen.
+
+    The reference's pre-standardization exclusions apply first
+    (inventory_servers, _azure.py:1217-1235): 'Basic*' (deprecated
+    Aug 2024), '*Promo' (nonsense pricing), names containing
+    'Internal', and the two flip-flopping M-series SKUs.
     """
+    raw = raw.filter(
+        ~F.col("name").startswith("Basic")
+        & ~F.col("name").endswith("Promo")
+        & ~F.col("name").contains("Internal")
+        & ~F.col("name").isin("Standard_M896ixds_32_v3",
+                              "Standard_M64-32bds_1_v3")
+    )
     p = parse_azure_vm_name(F.col("name"))
     fam_name = p["family"]          # family from the NAME grammar
     vc = p["vcpus"]                 # vcpus from the NAME (GPU mapping key)
@@ -127,7 +152,12 @@ def standardize_azure_servers(raw: DataFrame) -> DataFrame:
     gpu_mem = mem_map[model]  # MiB per GPU, NULL when model unknown
     has_listed_accel = accel.isin("A100", "H100", "MI300X", "V620", "A10")
     gpus = F.when(
-        ~is_gpu_family, F.lit(0.0)
+        # an UNPARSEABLE name (fam_name NULL) must be 0 GPUs: NULL makes
+        # ~is_gpu_family NULL (falsy), and the chain would fall through
+        # every family condition into the final .otherwise(1.0) —
+        # publishing a non-GPU VM the grammar couldn't read as a 1-GPU
+        # server
+        fam_name.isNull() | ~is_gpu_family, F.lit(0.0)
     ).when((fam_name == "NC") & (vc == 24) & ~F.coalesce(has_listed_accel, F.lit(False)), 4.0) \
      .when((fam_name == "NC") & vc.isin(12, 48, 80), 2.0) \
      .when((fam_name == "NC") & vc.isin(64, 96), 4.0) \

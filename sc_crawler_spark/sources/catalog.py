@@ -18,7 +18,107 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# Vultr constants carried as DATA (reference _vultr.py:115-126, 151-164,
+# 168-196): plan-type -> family, gpu_type -> per-GPU VRAM GiB, and the
+# Dedicated Metal GPU plans whose /v2/plans payload omits the GPU block.
+_VULTR_PLAN_TYPES = {
+    "vc2": "Cloud Compute", "vhf": "High Frequency Compute",
+    "vhp": "High Performance", "voc": "Optimized Cloud Compute",
+    "vcg": "Cloud GPU", "vx1": "VX1 Cloud Compute",
+    "vdm": "Dedicated Metal GPU", "vdc": "Dedicated Cloud",
+    "SSD": "Bare Metal SSD", "NVMe": "Bare Metal NVMe",
+}
+_VULTR_GPU_VRAM_GB = {
+    "NVIDIA_A16": 16, "NVIDIA_A40": 48, "NVIDIA_L40S": 48,
+    "NVIDIA_A100": 40, "NVIDIA_A100_PCIE": 80, "NVIDIA_A100_SXM": 80,
+    "NVIDIA_H100": 80, "NVIDIA_B200": 192, "NVIDIA_GH200": 96,
+    "AMD_MI300X": 192, "AMD_MI325X": 256, "AMD_MI355X": 288,
+}
+_VULTR_METAL_GPU_FALLBACK = {  # id -> (gpu_type, count, vram_total_gb)
+    "vcg-a16-96c-878g-256vram": ("NVIDIA_A16", 16, 256),
+    "vcg-a100-96c-896g-320vram": ("NVIDIA_A100", 4, 320),
+}
+
+
+def _sql_case(key_expr: str, mapping: dict, else_expr: str = "NULL") -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN " + (f"'{v}'" if isinstance(v, str) else str(v))
+        for k, v in mapping.items())
+    return f"CASE {key_expr} {whens} ELSE {else_expr} END"
+
+
+# effective GPU inputs after the Dedicated-Metal fallback dim
+_VULTR_GPU_TYPE = ("coalesce(gpu_type, " + _sql_case(
+    "id", {k: v[0] for k, v in _VULTR_METAL_GPU_FALLBACK.items()}) + ")")
+_VULTR_GPU_COUNT_API = ("coalesce(CAST(gpu_count AS STRING), " + _sql_case(
+    "id", {k: str(v[1]) for k, v in _VULTR_METAL_GPU_FALLBACK.items()}) + ")")
+_VULTR_VRAM_TOTAL = ("CASE WHEN coalesce(gpu_vram_gb, 0) > 0 THEN gpu_vram_gb"
+                     " ELSE " + _sql_case(
+                         "id",
+                         {k: v[2] for k, v in _VULTR_METAL_GPU_FALLBACK.items()},
+                         "0") + " END")
+_VULTR_VRAM_PER_GPU = _sql_case(_VULTR_GPU_TYPE, _VULTR_GPU_VRAM_GB, "0")
+# reference gpu_count resolution (_vultr.py:447-460): API count (with
+# 'n/m' fractional strings), else vram_total / per-gpu vram, else 0
+_VULTR_GPU_COUNT = f"""
+CASE WHEN {_VULTR_GPU_COUNT_API} LIKE '%/%'
+     THEN round(CAST(split({_VULTR_GPU_COUNT_API}, '/')[0] AS DOUBLE)
+                / CAST(split({_VULTR_GPU_COUNT_API}, '/')[1] AS DOUBLE), 4)
+     WHEN {_VULTR_GPU_COUNT_API} IS NOT NULL
+     THEN CAST({_VULTR_GPU_COUNT_API} AS DOUBLE)
+     WHEN {_VULTR_VRAM_PER_GPU} > 0 AND {_VULTR_VRAM_TOTAL} > 0
+     THEN round({_VULTR_VRAM_TOTAL} / {_VULTR_VRAM_PER_GPU}, 4)
+     ELSE 0.0 END
+"""
+
+# Alicloud fractional GPU count from GPUSpec suffixes (reference
+# _standardize_gpu_count, inspector.py:907-947: '/N' -> 1/N, '*N' -> N,
+# else the reported GPUAmount).
+_ALICLOUD_GPU_COUNT = """
+CASE WHEN GPUSpec IS NULL OR trim(GPUSpec) = ''
+     THEN CAST(coalesce(GPUAmount, 0) AS DOUBLE)
+     WHEN regexp_extract(trim(GPUSpec), '/([0-9]+)$', 1) != ''
+     THEN round(1.0 / CAST(regexp_extract(trim(GPUSpec),
+                           '/([0-9]+)$', 1) AS DOUBLE), 4)
+     WHEN regexp_extract(trim(GPUSpec), '\\\\*([0-9]+)$', 1) != ''
+     THEN CAST(regexp_extract(trim(GPUSpec),
+                              '\\\\*([0-9]+)$', 1) AS DOUBLE)
+     ELSE CAST(coalesce(GPUAmount, 0) AS DOUBLE) END
+"""
+
 # target column -> SQL expression over the raw payload columns
+def _schema_has(df: DataFrame, dotted: str) -> bool:
+    """True iff the dotted struct path resolves in df's schema."""
+    from pyspark.sql.types import StructType as _ST
+
+    cur = df.schema
+    for part in dotted.split("."):
+        if not isinstance(cur, _ST) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return True
+
+
+def _ovh_storage_size_expr(raw: DataFrame) -> str:
+    terms = []
+    for blk in ("nvme", "storage"):
+        if _schema_has(raw, f"blobs.technical.{blk}"):
+            terms.append(
+                f"coalesce(aggregate(blobs.technical.{blk}.disks, 0L,"
+                f" (a, d) -> a + coalesce(d.capacity, 0)"
+                f" * coalesce(d.number, 1)), 0)")
+    if not terms:
+        return "CAST(0 AS BIGINT)"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _ovh_status_expr(raw: DataFrame) -> str:
+    if not _schema_has(raw, "blobs.tags"):
+        return "'active'"
+    return ("CASE WHEN array_contains(coalesce(blobs.tags, array()),"
+            " 'active') THEN 'active' ELSE 'inactive' END")
+
+
 VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
     # _hcloud.py inventory_servers: cores/memory(GB)/disk(GB), cpu_type
     # shared|dedicated, architecture x86|arm
@@ -57,7 +157,32 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
             " THEN 'arm64' ELSE 'x86_64' END"
         ),
         "memory_amount": "CAST(ram AS BIGINT)",
-        "storage_size": "CAST(disk AS BIGINT)",
+        # per-disk size x disk_count (_vultr.py:473) — a 2-disk metal
+        # plan is 2x the single-disk size, not one disk's
+        "storage_size": "CAST(disk * coalesce(disk_count, 1) AS BIGINT)",
+        "family": _sql_case("type", _VULTR_PLAN_TYPES),
+        # GPU block (_vultr.py:420-466): vcg/vdm plans carry gpu_type /
+        # gpu_vram_gb / sometimes fractional 'n/m' gpu_count; the two
+        # Dedicated Metal GPU plans that omit it fall back to the
+        # constants dim. Without these, every Vultr GPU plan landed as
+        # a 0-GPU server.
+        "gpu_count": f"round({_VULTR_GPU_COUNT}, 4)",
+        "gpu_model": (
+            f"CASE WHEN {_VULTR_GPU_TYPE} IS NULL THEN NULL"
+            f" WHEN size(split({_VULTR_GPU_TYPE}, '_')) > 1"
+            f" THEN split({_VULTR_GPU_TYPE}, '_')[1]"
+            f" ELSE {_VULTR_GPU_TYPE} END"
+        ),
+        "gpu_manufacturer": f"split({_VULTR_GPU_TYPE}, '_')[0]",
+        "gpu_memory_min": (
+            f"CAST(CASE WHEN {_VULTR_VRAM_PER_GPU} > 0"
+            f" AND {_VULTR_VRAM_TOTAL} > 0"
+            f" THEN least({_VULTR_VRAM_PER_GPU}, {_VULTR_VRAM_TOTAL}) * 1024"
+            f" ELSE 0 END AS BIGINT)"
+        ),
+        "gpu_memory_total": (
+            f"CAST(coalesce({_VULTR_VRAM_TOTAL}, 0) * 1024 AS BIGINT)"
+        ),
     },
     # _upcloud.py:94-124: plan fields are already MiB/GB scalars; the
     # HICPU-8xCPU-16GB name grammar is parsed separately (P10,
@@ -93,6 +218,20 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
         "gpu_memory_min": (
             "CAST(coalesce(blobs.technical.gpu.memory.size, 0) * 1024 AS BIGINT)"
         ),
+        # per-GPU memory x count (_ovh.py:630-634) — min without total
+        # was an inconsistent pair for multi-GPU flavors
+        "gpu_memory_total": (
+            "CAST(coalesce(blobs.technical.gpu.memory.size, 0) * 1024"
+            " * coalesce(blobs.technical.gpu.number, 0) AS BIGINT)"
+        ),
+        # nvme + classic disk blobs, capacity x number each
+        # (_ovh.py:638-656). Schema-adaptive: a dump whose technical
+        # blob never mentions nvme/storage still standardizes (the
+        # analyzer rejects struct-field references that don't exist).
+        "storage_size": _ovh_storage_size_expr,
+        # ACTIVE only when the catalog blob is tagged so (_ovh.py:676);
+        # everything else is a retired/unavailable flavor
+        "status": _ovh_status_expr,
     },
     # _alicloud.py:829-1010 DescribeInstanceTypes: MemorySize is GiB
     # (x1024 -> MiB, :920), local storage GiB->GB (:926-932), GPU
@@ -121,11 +260,20 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
             " * coalesce(LocalStorageCapacity, 0)"
             " * pow(1024, 3) / pow(1000, 3) AS BIGINT)"
         ),
-        "gpu_count": "CAST(coalesce(GPUAmount, 0) AS INT)",
+        # fractional vGPU counts from GPUSpec suffixes
+        # ('NVIDIA A10*1/12' -> 0.0833; _standardize_gpu_count,
+        # inspector.py:907-947) — CAST(GPUAmount AS INT) overstated an
+        # ecs.sgn7i 1/12 vGPU as a whole GPU
+        "gpu_count": _ALICLOUD_GPU_COUNT,
+        # GPUMemorySize is per-GPU MiB for whole-GPU types, total for
+        # fractional/single (_alicloud.py:937-941)
+        "gpu_memory_min": (
+            "CAST(coalesce(GPUMemorySize, 0) * 1024 AS BIGINT)"
+        ),
         "gpu_memory_total": (
-            "CAST(CASE WHEN coalesce(GPUAmount, 0) >= 1"
-            " THEN GPUAmount * coalesce(GPUMemorySize, 0) * 1024"
-            " ELSE coalesce(GPUMemorySize, 0) * 1024 END AS BIGINT)"
+            f"CAST(CASE WHEN {_ALICLOUD_GPU_COUNT} >= 1"
+            f" THEN {_ALICLOUD_GPU_COUNT} * coalesce(GPUMemorySize, 0) * 1024"
+            f" ELSE coalesce(GPUMemorySize, 0) * 1024 END AS BIGINT)"
         ),
     },
     # _gcp.py:289-350 machineTypes list: guest_cpus/memory_mb scalars,
@@ -184,19 +332,48 @@ VENDOR_SERVER_FILTERS: dict[str, str] = {
     ),
 }
 
+# OPTIONAL payload columns per vendor, with their types: the reference
+# reads these with dict .get() (absent on many rows/dumps), so the spec
+# compiler adds any that are missing as typed NULLs before projecting —
+# a GPU-less /v2/plans dump must standardize, not fail analysis.
+VENDOR_OPTIONAL_PAYLOAD: dict[str, dict[str, str]] = {
+    "vultr": {"disk_count": "int", "type": "string", "gpu_type": "string",
+              "gpu_vram_gb": "double", "gpu_count": "string",
+              "gpu_brand": "string",
+              # metal-only fields absent from shared-plan dumps (and
+              # vice versa): the reference reads both payload shapes
+              # with .get() (_vultr.py:392-418)
+              "cpu_threads": "int", "cpu_count": "int", "cpu_mhz": "int",
+              "cpu_family": "string", "vcpu_count": "int"},
+    "alicloud": {"GPUSpec": "string", "GPUAmount": "int",
+                 "GPUMemorySize": "double", "BaselineCredit": "double",
+                 "CpuSpeedFrequency": "double", "LocalStorageAmount": "int",
+                 "LocalStorageCapacity": "double"},
+}
+
+
 
 def standardize_catalog(raw: DataFrame, vendor_id: str,
                         spec: dict[str, str] | None = None) -> DataFrame:
     """Compile a vendor spec into one projection (P1). Unknown vendors
     must pass an explicit spec. A vendor's residual filter (P5) is
-    applied before the projection so Catalyst can push it to the scan."""
+    applied before the projection so Catalyst can push it to the scan;
+    declared-optional payload columns absent from this dump are added
+    as typed NULLs first (reference dict-.get() tolerance)."""
     spec = spec or VENDOR_SERVER_SPECS[vendor_id]
+    for col, typ in VENDOR_OPTIONAL_PAYLOAD.get(vendor_id, {}).items():
+        if col not in raw.columns:
+            raw = raw.withColumn(col, F.lit(None).cast(typ))
     gate = VENDOR_SERVER_FILTERS.get(vendor_id)
     if gate is not None:
         raw = raw.filter(gate)
+    # a spec value may be a callable(raw) -> SQL string for expressions
+    # that must adapt to which nested payload fields this dump carries
+    resolved = {col: (expr(raw) if callable(expr) else expr)
+                for col, expr in spec.items()}
     out = raw.selectExpr(
         f"'{vendor_id}' AS vendor_id",
-        *[f"{expr} AS {col}" for col, expr in spec.items()],
+        *[f"{expr} AS {col}" for col, expr in resolved.items()],
     )
     if "status" not in spec:  # vendors with a deprecation flag set their own
         out = out.withColumn("status", F.lit("active"))

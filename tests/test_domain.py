@@ -221,11 +221,26 @@ def test_azure_name_parser(spark):
 
 
 def test_upcloud_name_parser(spark):
-    df = spark.createDataFrame([("HICPU-8xCPU-16GB",)], ["name"]).select(
-        azure.parse_upcloud_plan(F.col("name")).alias("p")
-    )
-    p = df.collect()[0].p
+    names = ["HICPU-8xCPU-16GB",
+             "2xCPU-4GB",                 # standard plan: NO family prefix
+             "DEV-1xCPU-1GB",
+             "GPU-8xCPU-64GB-1xL40S-720GB",  # GPU + storage suffix
+             "HIMEM-SPOT-4xCPU-32GB"]
+    rows = {r.name: r.p for r in spark.createDataFrame(
+        [(n,) for n in names], ["name"]).select(
+        "name", azure.parse_upcloud_plan(F.col("name")).alias("p")
+    ).collect()}
+    p = rows["HICPU-8xCPU-16GB"]
     assert (p.family, p.vcpus, p.memory_mib) == ("HICPU", 8, 16384)
+    # the most common plan shape has no family prefix (reference
+    # _upcloud.py:96-104 makes it optional -> 'General Purpose')
+    std = rows["2xCPU-4GB"]
+    assert (std.family, std.vcpus, std.memory_mib) == (None, 2, 4096)
+    g = rows["GPU-8xCPU-64GB-1xL40S-720GB"]
+    assert (g.family, g.extra_count, g.extra_kind, g.storage_gb) == \
+        ("GPU", 1, "L40S", 720)          # storage suffix != GPU model
+    sp = rows["HIMEM-SPOT-4xCPU-32GB"]
+    assert (sp.family, sp.spot, sp.vcpus) == ("HIMEM", True, 4)
 
 
 def test_azure_residual_filters(spark):

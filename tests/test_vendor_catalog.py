@@ -53,6 +53,52 @@ def test_vultr_shared_vs_metal(spark):
     assert out["vcg-grace-1c"]["cpu_architecture"] == "arm64"
 
 
+def test_vultr_gpu_plans(spark):
+    """Vultr GPU resolution (reference _vultr.py:420-466): fractional
+    'n/m' API counts, vram_total/per-gpu derivation, and the two
+    Dedicated Metal ids whose payload omits the GPU block entirely."""
+    raw = spark.createDataFrame(
+        [
+            # fractional vGPU: API count '1/12' of an A16
+            ("vcg-a16-frac", 1, 2048, 30, "vcg",
+             "NVIDIA_A16", 2.0, "1/12"),
+            # whole-GPU plan with no API count: 160 GB total / 80 per = 2
+            ("vcg-a100-2x", 12, 122880, 1400, "vcg",
+             "NVIDIA_A100_PCIE", 160.0, None),
+            # Dedicated Metal fallback dim: payload has NO gpu block
+            ("vcg-a100-96c-896g-320vram", 96, 917504, 1920, "vdm",
+             None, None, None),
+            # plain plan: everything 0, never NULL
+            ("vc2-1c-1gb", 1, 1024, 25, "vc2", None, None, None),
+        ],
+        "id string, vcpu_count int, ram long, disk int, type string, "
+        "gpu_type string, gpu_vram_gb double, gpu_count string",
+    )
+    out = {r["server_id"]: r for r in
+           standardize_catalog(raw, "vultr").collect()}
+    frac = out["vcg-a16-frac"]
+    assert frac["gpu_count"] == round(1 / 12, 4)
+    assert frac["gpu_model"] == "A16"
+    assert frac["gpu_manufacturer"] == "NVIDIA"
+    assert frac["family"] == "Cloud GPU"
+    # fractional slice: exposed VRAM is the slice total (2 GB), not the
+    # card's 16 — least(per_gpu, total)
+    assert frac["gpu_memory_min"] == 2 * 1024
+    dual = out["vcg-a100-2x"]
+    assert dual["gpu_count"] == 2.0
+    assert dual["gpu_model"] == "A100"
+    assert dual["gpu_memory_total"] == 160 * 1024
+    assert dual["gpu_memory_min"] == 80 * 1024
+    metal = out["vcg-a100-96c-896g-320vram"]
+    assert metal["gpu_count"] == 4.0
+    assert metal["gpu_model"] == "A100"
+    assert metal["gpu_memory_total"] == 320 * 1024
+    assert metal["family"] == "Dedicated Metal GPU"
+    plain = out["vc2-1c-1gb"]
+    assert plain["gpu_count"] == 0.0
+    assert plain["gpu_memory_total"] == 0
+
+
 def test_upcloud_plan_passthrough(spark):
     raw = spark.createDataFrame(
         [("HICPU-8xCPU-16GB", 8, 16384, 200)],
