@@ -48,6 +48,9 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # those 43 rotate to the front, behind the r7 new/changed queries.
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
+    "chunk_documents",             # overlapping context-window chunking
+    "tfidf_keywords",              # per-doc top-3 TF-IDF terms
+    "doc_lm_perplexity",           # corpus unigram-LM bits/token
     "q6_forecast_revenue",         # pure scan-agg pushdown floor
     "q8_national_market_share",    # deepest join tree, nation twice
     "q20_dominant_suppliers",      # window-total threshold gating semi join

@@ -269,6 +269,171 @@ SELECT doc_id, MIN(md5(array_to_string(words[i:i+4], ' '))) AS fingerprint
 FROM sh GROUP BY doc_id
 """
 
+# chunking: context-window prep for training (size/stride in CHARS so
+# the oracle stays engine-exact; a token-budget chunker would just swap
+# length(text) for the BPE piece count)
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the context-window prep step
+    of a training pipeline (chunk size 200 chars, stride 150, so
+    consecutive chunks overlap by 50).
+
+    One scan, no shuffle: each row emits its chunk index range with
+    ``sequence`` + ``explode`` (start positions ``i*stride`` while
+    ``i*stride < length``), and the chunk content leaves the operator
+    as an MD5 (the downstream chunk-dedup key) plus its length — the
+    narrow projection keeps the exploded relation small at 100 TB;
+    callers that need the text re-slice it from the source by
+    (doc_id, chunk_start). Spark plan: Scan -> Generate -> Project,
+    whole-stage codegen end to end.
+    """
+    docs = load(spark, sf, "documents")
+    last_idx = F.greatest(
+        F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int"), F.lit(0))
+    start = (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("long")
+    chunk = F.col("text").substr(start.cast("int"), F.lit(_CHUNK_SIZE))
+    return (
+        docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"))
+        .select(
+            "doc_id", "chunk_idx", start.alias("chunk_start"),
+            F.md5(chunk).alias("chunk_hash"),
+            F.length(chunk).alias("chunk_len"))
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(floor((length(text)-1)/{_CHUNK_STRIDE}) AS BIGINT), 0))) AS i
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  CAST(i*{_CHUNK_STRIDE}+1 AS BIGINT) AS chunk_start,
+  md5(substring(text, CAST(i*{_CHUNK_STRIDE}+1 AS INT), {_CHUNK_SIZE})) AS chunk_hash,
+  length(substring(text, CAST(i*{_CHUNK_STRIDE}+1 AS INT), {_CHUNK_SIZE})) AS chunk_len
+FROM c
+"""
+
+
+def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (smoothed idf =
+    log2((N+1)/(df+1)), score routed through DECIMAL(28,12) like every
+    other log-based aggregate so the 6-decimal oracle hash is
+    engine-exact; rank on the ROUNDED score with a term tiebreak so the
+    kept rows are deterministic).
+
+    Scale shape: three key-partitioned shuffles and nothing else —
+    (doc,term) tf aggregation, a term-partitioned window for document
+    frequency (no self-join, no recomputed scan), and the per-doc top-k
+    window whose ``rn <= 3`` filter Spark pushes down as
+    WindowGroupLimit, so each shuffle partition retains only its top
+    rows. The corpus-size scalar is a 1-row broadcast cross join
+    (compute-once, q11 pattern), never a driver collect."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_w = Window.partitionBy("term")
+    score = (
+        F.col("tf")
+        * F.log2((F.col("n_docs") + F.lit(1.0))
+                 / (F.count("*").over(df_w) + F.lit(1.0)))
+    ).cast("decimal(28,12)")
+    scored = (
+        tf.join(F.broadcast(n_docs))
+        .withColumn("tfidf", dround(score, 6))
+    )
+    topk = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(topk))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT doc_id, term, tf,
+    {sql_round("CAST(tf * log2((n_docs+1.0) / (COUNT(*) OVER (PARTITION BY term)+1.0)) AS DECIMAL(28,12))", 6)} AS tfidf
+  FROM tf, n)
+SELECT doc_id, term, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rn FROM sc)
+WHERE rn <= 3
+"""
+
+
+def doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document (CCNet-style quality
+    signal: a doc full of corpus-rare tokens scores high bits/token,
+    boilerplate scores low). The LM is the corpus itself — token
+    probability c/total — so there is no OOV mass to smooth.
+
+    bits/token = -(1/n) * sum(tf * log2(c/total)); per-term bits are
+    DECIMAL(28,12)-routed (the weighted_geomean convention) so the
+    per-doc sum is order-independent and engine-exact, and perplexity
+    = 2^bits is applied to the ALREADY-ROUNDED exponent.
+
+    Scale shape: same three shuffles as tf-idf — (doc,term) tf, a
+    term-partitioned window for the corpus count c (the LM is never
+    materialized driver-side), per-doc final agg; the total-token
+    scalar is a 1-row broadcast cross join computed map-side from
+    token counts, not an explode."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    total = docs.agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("total"))
+    c_w = Window.partitionBy("term")
+    bits = (
+        -F.col("tf")
+        * F.log2(F.sum("tf").over(c_w).cast("double")
+                 / F.col("total").cast("double"))
+    ).cast("decimal(28,12)")
+    per_doc = (
+        tf.join(F.broadcast(total))
+        .withColumn("bits", bits)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("bits").alias("sbits"))
+    )
+    xent = dround(
+        F.col("sbits").cast("double") / F.col("n_tokens").cast("double"), 6)
+    return per_doc.select(
+        "doc_id", "n_tokens", xent.alias("bits_per_token"),
+        dround(F.pow(F.lit(2.0), xent), 4).alias("perplexity"))
+
+
+LM_PERPLEXITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+tot AS (SELECT SUM(len(string_split(lower(text), ' '))) AS total
+        FROM documents),
+sc AS (
+  SELECT doc_id, tf,
+    CAST(-tf * log2(CAST(SUM(tf) OVER (PARTITION BY term) AS DOUBLE)
+                    / CAST(total AS DOUBLE)) AS DECIMAL(28,12)) AS bits
+  FROM tf, tot),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+    {sql_round("CAST(SUM(bits) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)", 6)} AS bits_per_token
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, n_tokens, bits_per_token,
+  {sql_round("pow(2.0, bits_per_token)")} AS perplexity
+FROM agg
+"""
+
 # ------------------------------------------------------------- deduplication
 
 
@@ -1127,6 +1292,9 @@ QUERIES = {
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_DOCS_SQL),
+    "tfidf_keywords": (tfidf_keywords, TFIDF_SQL),
+    "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
