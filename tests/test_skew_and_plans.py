@@ -276,3 +276,37 @@ def test_r5_embed_ann_sq_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # stage 1: broadcast q x corpus
+
+
+def test_r7_chunk_documents_never_shuffles(spark):
+    """Chunking is per-row: Scan -> Generate(explode) -> Project with
+    ZERO exchanges. An exchange here would mean the chunker re-keys the
+    (huge) exploded relation for no consumer — at 100 TB that's the
+    whole corpus through the shuffle for a map-side-only op."""
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_r7_tfidf_df_via_window_not_self_join(spark):
+    """Document frequency must come from a term-partitioned window over
+    the tf relation, not a tf-to-df self-join — a self-join recomputes
+    the corpus explode twice. Plan: no join except the 1-row corpus-size
+    broadcast, and the per-doc top-3 filter pushes into
+    WindowGroupLimit so each shuffle partition keeps only its top rows."""
+    plan = _plan(spark, "tfidf_keywords")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # exactly one broadcast: the 1-row n_docs scalar
+    assert plan.count("BroadcastExchange (") == 1
+
+
+def test_r7_lm_perplexity_holds_lm_distributed(spark):
+    """The unigram LM (term -> corpus count) must stay a term-
+    partitioned window — never collected, never a second corpus scan
+    joined back per token. Only broadcast: the 1-row total-tokens
+    scalar."""
+    plan = _plan(spark, "doc_lm_perplexity")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange (") == 1
+    assert "Window" in plan
