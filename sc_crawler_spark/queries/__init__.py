@@ -48,6 +48,8 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # those 43 rotate to the front, behind the r7 new/changed queries.
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
+    "funnel_conversion",           # ordered-stage funnel via chained windows
+    "cohort_retention",            # first-touch weekly retention triangle
     "chunk_documents",             # overlapping context-window chunking
     "tfidf_keywords",              # per-doc top-3 TF-IDF terms
     "doc_lm_perplexity",           # corpus unigram-LM bits/token

@@ -378,8 +378,106 @@ FROM r WHERE rn = 1
 """
 
 
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis: view -> click -> purchase, each stage
+    timestamp strictly AFTER the previous stage's — the sequential-
+    pattern shape (a user who purchased before ever clicking does not
+    count as a stage-3 conversion).
+
+    The dependent stage minimums (t_click = first click after t_view)
+    chain through three unordered same-partition windows over user_id
+    — ONE shuffle total, no sort (min-over-partition needs none), no
+    self-joins (the naive form is a 3-way self-join on user_id).
+    A per-user distinct then collapses to one row per user and a single
+    partial-aggregated global count finishes — at 100 TB the only data
+    movement is the one user_id exchange."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("tv", tv)
+    tc = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") > F.col("tv")), F.col("ts"))).over(w)
+    staged = staged.withColumn("tc", tc)
+    tp = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("tc")), F.col("ts"))).over(w)
+    per_user = (staged.withColumn("tp", tp)
+                .select("user_id", "tv", "tc", "tp").distinct())
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("tv").alias("n_viewed"),
+        F.count("tc").alias("n_clicked"),
+        F.count("tp").alias("n_purchased"),
+        dround(F.count("tc") / F.count("tv"), 6).alias("view_to_click"),
+        dround(F.count("tp") / F.count("tc"), 6).alias("click_to_purchase"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS tv
+  FROM events),
+t2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+      OVER (PARTITION BY user_id) AS tc
+  FROM t1),
+t3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+      OVER (PARTITION BY user_id) AS tp
+  FROM t2),
+u AS (SELECT DISTINCT user_id, tv, tc, tp FROM t3)
+SELECT COUNT(*) AS n_users, COUNT(tv) AS n_viewed,
+  COUNT(tc) AS n_clicked, COUNT(tp) AS n_purchased,
+  {sql_round("COUNT(tc) / CAST(COUNT(tv) AS DOUBLE)", 6)} AS view_to_click,
+  {sql_round("COUNT(tp) / CAST(COUNT(tc) AS DOUBLE)", 6)} AS click_to_purchase
+FROM u
+"""
+
+
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-touch ISO week,
+    counted distinct in each later week they were active — the
+    retention-triangle shape.
+
+    Plan: first-touch agg (shuffle on user_id), distinct active
+    (user, week) pairs (one more key-partitioned shuffle), an equi-join
+    back on user_id, and the final small rollup. The join stays a
+    shuffled hash join at scale — both sides are user-keyed and already
+    co-partitioned from their aggregations, so AQE plans it without an
+    extra exchange."""
+    ev = load(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week",
+                 (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+  CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+  COUNT(*) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "spot_price_asof": (spot_price_asof, SPOT_ASOF_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
     "sync_stats": (sync_stats, SYNC_STATS_SQL),
     "merge_upsert_lifecycle": (merge_upsert_lifecycle, MERGE_UPSERT_SQL),

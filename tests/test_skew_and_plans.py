@@ -310,3 +310,24 @@ def test_r7_lm_perplexity_holds_lm_distributed(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange (") == 1
     assert "Window" in plan
+
+
+def test_r7_funnel_single_user_shuffle(spark):
+    """The dependent-stage funnel must chain min-over-partition windows
+    — NOT self-join per stage. Exactly two exchanges: the user_id
+    shuffle feeding the windows (the per-user distinct reuses that
+    subset partitioning) and the trivial single-partition final count.
+    One sort serves all three window passes (same spec)."""
+    plan = _plan(spark, "funnel_conversion")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_r7_cohort_join_reuses_copartitioning(spark):
+    """Both cohort sides aggregate on user_id; the join must consume
+    their co-partitioning rather than add exchanges (3 total: two
+    user-keyed aggs + the final rollup), and never sort-merge."""
+    plan = _plan(spark, "cohort_retention")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
