@@ -49,6 +49,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
     "funnel_conversion",           # ordered-stage funnel via chained windows
+    "approx_distinct_users",       # HLL++ scale twin — rows-only by design
     "cohort_retention",            # first-touch weekly retention triangle
     "chunk_documents",             # overlapping context-window chunking
     "tfidf_keywords",              # per-doc top-3 TF-IDF terms

@@ -378,6 +378,26 @@ FROM r WHERE rn = 1
 """
 
 
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based scale twin of an exact per-type COUNT(DISTINCT
+    user_id): ``approx_count_distinct`` (HyperLogLog++, fixed-size
+    mergeable registers) instead of the exact form whose aggregation
+    state is a per-group hash set of every id. At 100 TB
+    exact-distinct's state is unbounded and its partial aggregation
+    ships entire id sets through the shuffle; the HLL sketch is O(1)
+    per group (2^p registers at rsd=0.5%) and merges
+    register-wise. DuckDB's approx_count_distinct is its own HLL
+    variant with different register hashing, so there is no hash
+    oracle — the driver records the rows-only check and
+    tests/test_approx_sketch.py gates the sketch error against the
+    exact count (<2% per event_type at rsd=0.005)."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel analysis: view -> click -> purchase, each stage
     timestamp strictly AFTER the previous stage's — the sequential-
@@ -477,6 +497,7 @@ GROUP BY 1, 2
 QUERIES = {
     "spot_price_asof": (spot_price_asof, SPOT_ASOF_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "approx_distinct_users": (approx_distinct_users, None),
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
     "sync_stats": (sync_stats, SYNC_STATS_SQL),

@@ -25,3 +25,36 @@ def test_approx_median_counts_match_exact(spark):
     approx = {r["o_orderpriority"]: r["n_orders"]
               for r in approx_median_price(spark, SF).collect()}
     assert exact == approx
+
+
+def test_approx_distinct_within_two_percent_of_exact(spark):
+    """HLL++ twin: per-event-type distinct users within 2% of exact
+    (rsd=0.005 -> expected error well under 1%; the gate is loose
+    enough to be seed-stable)."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.lifecycle import approx_distinct_users
+    from sc_crawler_spark.tables import load
+
+    exact = {r["event_type"]: r["n"]
+             for r in load(spark, SF, "events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r["event_type"]: r["n_users"]
+              for r in approx_distinct_users(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for k, ev in exact.items():
+        assert abs(approx[k] - ev) / ev < 0.02, (k, approx[k], ev)
+
+
+def test_approx_distinct_event_counts_exact(spark):
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.lifecycle import approx_distinct_users
+    from sc_crawler_spark.tables import load
+
+    exact = {r["event_type"]: r["n"]
+             for r in load(spark, SF, "events").groupBy("event_type")
+             .agg(F.count("*").alias("n")).collect()}
+    approx = {r["event_type"]: r["n_events"]
+              for r in approx_distinct_users(spark, SF).collect()}
+    assert exact == approx
