@@ -39,8 +39,11 @@ def parse_azure_vm_name(name: Column) -> Column:
 # Mirrors the reference's name_pattern (_upcloud.py:96-104): family
 # prefix OPTIONAL (standard plans are bare '1xCPU-1GB'), optional
 # SPOT- marker, optional '<n>x<MODEL>' GPU group, optional trailing
-# '-<n>GB' storage suffix.
-_UPCLOUD_RE = (r"^(?:([A-Z]+)-)?(?:(SPOT)-)?([0-9]+)xCPU-([0-9]+)GB"
+# '-<n>GB' storage suffix. The family group negative-lookaheads the
+# SPOT marker: without it, family-LESS spot plans ('SPOT-2xCPU-4GB',
+# the most common spot shape) would greedily parse family='SPOT',
+# spot=false.
+_UPCLOUD_RE = (r"^(?:((?!SPOT-)[A-Z]+)-)?(?:(SPOT)-)?([0-9]+)xCPU-([0-9]+)GB"
                r"(?:-([0-9]+)x([A-Z][A-Z0-9]*))?(?:-([0-9]+)GB)?$")
 
 

@@ -15,6 +15,8 @@ standardized rows (J1), not Python branches.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -36,7 +38,10 @@ _VULTR_GPU_VRAM_GB = {
 }
 _VULTR_METAL_GPU_FALLBACK = {  # id -> (gpu_type, count, vram_total_gb)
     "vcg-a16-96c-878g-256vram": ("NVIDIA_A16", 16, 256),
-    "vcg-a100-96c-896g-320vram": ("NVIDIA_A100", 4, 320),
+    # SXM variant (80 GB/GPU): 4 x 80 = the 320 GB the plan id names —
+    # the plain-A100 40 GB entry would make count x per-GPU contradict
+    # the total
+    "vcg-a100-96c-896g-320vram": ("NVIDIA_A100_SXM", 4, 320),
 }
 
 
@@ -47,7 +52,12 @@ def _sql_case(key_expr: str, mapping: dict, else_expr: str = "NULL") -> str:
     return f"CASE {key_expr} {whens} ELSE {else_expr} END"
 
 
-# effective GPU inputs after the Dedicated-Metal fallback dim
+# Effective GPU inputs after the Dedicated-Metal fallback dim. These
+# compile to DERIVED COLUMNS (VENDOR_DERIVED_COLS below, applied in
+# declaration order so later ones may reference earlier ones) rather
+# than being textually interpolated into every consuming spec string —
+# the inlined form repeated the API-count coalesce+CASE four times per
+# expression and bloated the analyzed tree.
 _VULTR_GPU_TYPE = ("coalesce(gpu_type, " + _sql_case(
     "id", {k: v[0] for k, v in _VULTR_METAL_GPU_FALLBACK.items()}) + ")")
 _VULTR_GPU_COUNT_API = ("coalesce(CAST(gpu_count AS STRING), " + _sql_case(
@@ -57,23 +67,25 @@ _VULTR_VRAM_TOTAL = ("CASE WHEN coalesce(gpu_vram_gb, 0) > 0 THEN gpu_vram_gb"
                          "id",
                          {k: v[2] for k, v in _VULTR_METAL_GPU_FALLBACK.items()},
                          "0") + " END")
-_VULTR_VRAM_PER_GPU = _sql_case(_VULTR_GPU_TYPE, _VULTR_GPU_VRAM_GB, "0")
 # reference gpu_count resolution (_vultr.py:447-460): API count (with
-# 'n/m' fractional strings), else vram_total / per-gpu vram, else 0
-_VULTR_GPU_COUNT = f"""
-CASE WHEN {_VULTR_GPU_COUNT_API} LIKE '%/%'
-     THEN round(CAST(split({_VULTR_GPU_COUNT_API}, '/')[0] AS DOUBLE)
-                / CAST(split({_VULTR_GPU_COUNT_API}, '/')[1] AS DOUBLE), 4)
-     WHEN {_VULTR_GPU_COUNT_API} IS NOT NULL
-     THEN CAST({_VULTR_GPU_COUNT_API} AS DOUBLE)
-     WHEN {_VULTR_VRAM_PER_GPU} > 0 AND {_VULTR_VRAM_TOTAL} > 0
-     THEN round({_VULTR_VRAM_TOTAL} / {_VULTR_VRAM_PER_GPU}, 4)
+# 'n/m' fractional strings), else vram_total / per-gpu vram, else 0.
+# Every fractional branch rounds to 4 itself; the integer branches are
+# exact, so no outer round is needed.
+_VULTR_GPU_COUNT = """
+CASE WHEN _gpu_count_api LIKE '%/%'
+     THEN round(CAST(split(_gpu_count_api, '/')[0] AS DOUBLE)
+                / CAST(split(_gpu_count_api, '/')[1] AS DOUBLE), 4)
+     WHEN _gpu_count_api IS NOT NULL
+     THEN CAST(_gpu_count_api AS DOUBLE)
+     WHEN _vram_per_gpu > 0 AND _vram_total > 0
+     THEN round(_vram_total / _vram_per_gpu, 4)
      ELSE 0.0 END
 """
 
 # Alicloud fractional GPU count from GPUSpec suffixes (reference
 # _standardize_gpu_count, inspector.py:907-947: '/N' -> 1/N, '*N' -> N,
-# else the reported GPUAmount).
+# else the reported GPUAmount). Compiled once as the _gpu_count derived
+# column; specs reference the column.
 _ALICLOUD_GPU_COUNT = """
 CASE WHEN GPUSpec IS NULL OR trim(GPUSpec) = ''
      THEN CAST(coalesce(GPUAmount, 0) AS DOUBLE)
@@ -86,13 +98,19 @@ CASE WHEN GPUSpec IS NULL OR trim(GPUSpec) = ''
      ELSE CAST(coalesce(GPUAmount, 0) AS DOUBLE) END
 """
 
-# target column -> SQL expression over the raw payload columns
+# derived/helper columns the spec compiler materializes before the
+# projection (see VENDOR_DERIVED_COLS below)
 def _schema_has(df: DataFrame, dotted: str) -> bool:
-    """True iff the dotted struct path resolves in df's schema."""
+    """True iff the dotted path resolves in df's schema; array fields
+    are transparently unwrapped so 'a.disks.capacity' checks the disk
+    ELEMENT struct's capacity field."""
+    from pyspark.sql.types import ArrayType as _AT
     from pyspark.sql.types import StructType as _ST
 
     cur = df.schema
     for part in dotted.split("."):
+        while isinstance(cur, _AT):
+            cur = cur.elementType
         if not isinstance(cur, _ST) or part not in cur.fieldNames():
             return False
         cur = cur[part].dataType
@@ -100,13 +118,23 @@ def _schema_has(df: DataFrame, dotted: str) -> bool:
 
 
 def _ovh_storage_size_expr(raw: DataFrame) -> str:
+    """Sum of capacity x number over whichever disk blobs THIS dump
+    carries. Every dereferenced field is guarded — a storage struct
+    without a disks array, or disk elements without capacity, skip the
+    term instead of failing analysis; a missing number falls back to 1
+    without referencing the absent field."""
     terms = []
     for blk in ("nvme", "storage"):
-        if _schema_has(raw, f"blobs.technical.{blk}"):
-            terms.append(
-                f"coalesce(aggregate(blobs.technical.{blk}.disks, 0L,"
-                f" (a, d) -> a + coalesce(d.capacity, 0)"
-                f" * coalesce(d.number, 1)), 0)")
+        base = f"blobs.technical.{blk}.disks"
+        if not (_schema_has(raw, base)
+                and _schema_has(raw, base + ".capacity")):
+            continue
+        num = ("coalesce(d.number, 1)"
+               if _schema_has(raw, base + ".number") else "1")
+        terms.append(
+            f"coalesce(aggregate({base}, 0L,"
+            f" (a, d) -> a + coalesce(d.capacity, 0)"
+            f" * {num}), 0)")
     if not terms:
         return "CAST(0 AS BIGINT)"
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
@@ -119,7 +147,7 @@ def _ovh_status_expr(raw: DataFrame) -> str:
             " 'active') THEN 'active' ELSE 'inactive' END")
 
 
-VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
+VENDOR_SERVER_SPECS: dict[str, dict[str, str | Callable[[DataFrame], str]]] = {
     # _hcloud.py inventory_servers: cores/memory(GB)/disk(GB), cpu_type
     # shared|dedicated, architecture x86|arm
     "hcloud": {
@@ -166,22 +194,21 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
         # Dedicated Metal GPU plans that omit it fall back to the
         # constants dim. Without these, every Vultr GPU plan landed as
         # a 0-GPU server.
-        "gpu_count": f"round({_VULTR_GPU_COUNT}, 4)",
+        "gpu_count": _VULTR_GPU_COUNT,
         "gpu_model": (
-            f"CASE WHEN {_VULTR_GPU_TYPE} IS NULL THEN NULL"
-            f" WHEN size(split({_VULTR_GPU_TYPE}, '_')) > 1"
-            f" THEN split({_VULTR_GPU_TYPE}, '_')[1]"
-            f" ELSE {_VULTR_GPU_TYPE} END"
+            "CASE WHEN _gpu_type IS NULL THEN NULL"
+            " WHEN size(split(_gpu_type, '_')) > 1"
+            " THEN split(_gpu_type, '_')[1]"
+            " ELSE _gpu_type END"
         ),
-        "gpu_manufacturer": f"split({_VULTR_GPU_TYPE}, '_')[0]",
+        "gpu_manufacturer": "split(_gpu_type, '_')[0]",
         "gpu_memory_min": (
-            f"CAST(CASE WHEN {_VULTR_VRAM_PER_GPU} > 0"
-            f" AND {_VULTR_VRAM_TOTAL} > 0"
-            f" THEN least({_VULTR_VRAM_PER_GPU}, {_VULTR_VRAM_TOTAL}) * 1024"
-            f" ELSE 0 END AS BIGINT)"
+            "CAST(CASE WHEN _vram_per_gpu > 0 AND _vram_total > 0"
+            " THEN least(_vram_per_gpu, _vram_total) * 1024"
+            " ELSE 0 END AS BIGINT)"
         ),
         "gpu_memory_total": (
-            f"CAST(coalesce({_VULTR_VRAM_TOTAL}, 0) * 1024 AS BIGINT)"
+            "CAST(coalesce(_vram_total, 0) * 1024 AS BIGINT)"
         ),
     },
     # _upcloud.py:94-124: plan fields are already MiB/GB scalars; the
@@ -264,16 +291,16 @@ VENDOR_SERVER_SPECS: dict[str, dict[str, str]] = {
         # ('NVIDIA A10*1/12' -> 0.0833; _standardize_gpu_count,
         # inspector.py:907-947) — CAST(GPUAmount AS INT) overstated an
         # ecs.sgn7i 1/12 vGPU as a whole GPU
-        "gpu_count": _ALICLOUD_GPU_COUNT,
+        "gpu_count": "_gpu_count",
         # GPUMemorySize is per-GPU MiB for whole-GPU types, total for
         # fractional/single (_alicloud.py:937-941)
         "gpu_memory_min": (
             "CAST(coalesce(GPUMemorySize, 0) * 1024 AS BIGINT)"
         ),
         "gpu_memory_total": (
-            f"CAST(CASE WHEN {_ALICLOUD_GPU_COUNT} >= 1"
-            f" THEN {_ALICLOUD_GPU_COUNT} * coalesce(GPUMemorySize, 0) * 1024"
-            f" ELSE coalesce(GPUMemorySize, 0) * 1024 END AS BIGINT)"
+            "CAST(CASE WHEN _gpu_count >= 1"
+            " THEN _gpu_count * coalesce(GPUMemorySize, 0) * 1024"
+            " ELSE coalesce(GPUMemorySize, 0) * 1024 END AS BIGINT)"
         ),
     },
     # _gcp.py:289-350 machineTypes list: guest_cpus/memory_mb scalars,
@@ -351,15 +378,32 @@ VENDOR_OPTIONAL_PAYLOAD: dict[str, dict[str, str]] = {
                  "LocalStorageCapacity": "double"},
 }
 
+# Helper columns materialized (in declaration order, so later ones may
+# reference earlier ones) between the optional-NULL fill and the spec
+# projection. They exist so multi-consumer sub-expressions compile ONCE
+# instead of being textually inlined into every spec string; the final
+# selectExpr projects only spec columns, so they never leak out.
+VENDOR_DERIVED_COLS: dict[str, dict[str, str]] = {
+    "vultr": {
+        "_gpu_type": _VULTR_GPU_TYPE,
+        "_gpu_count_api": _VULTR_GPU_COUNT_API,
+        "_vram_total": _VULTR_VRAM_TOTAL,
+        "_vram_per_gpu": _sql_case("_gpu_type", _VULTR_GPU_VRAM_GB, "0"),
+    },
+    "alicloud": {"_gpu_count": _ALICLOUD_GPU_COUNT},
+}
 
 
-def standardize_catalog(raw: DataFrame, vendor_id: str,
-                        spec: dict[str, str] | None = None) -> DataFrame:
+def standardize_catalog(
+        raw: DataFrame, vendor_id: str,
+        spec: dict[str, str | Callable[[DataFrame], str]] | None = None,
+) -> DataFrame:
     """Compile a vendor spec into one projection (P1). Unknown vendors
     must pass an explicit spec. A vendor's residual filter (P5) is
     applied before the projection so Catalyst can push it to the scan;
     declared-optional payload columns absent from this dump are added
-    as typed NULLs first (reference dict-.get() tolerance)."""
+    as typed NULLs first (reference dict-.get() tolerance), then the
+    vendor's derived helper columns."""
     spec = spec or VENDOR_SERVER_SPECS[vendor_id]
     for col, typ in VENDOR_OPTIONAL_PAYLOAD.get(vendor_id, {}).items():
         if col not in raw.columns:
@@ -367,6 +411,8 @@ def standardize_catalog(raw: DataFrame, vendor_id: str,
     gate = VENDOR_SERVER_FILTERS.get(vendor_id)
     if gate is not None:
         raw = raw.filter(gate)
+    for col, expr in VENDOR_DERIVED_COLS.get(vendor_id, {}).items():
+        raw = raw.withColumn(col, F.expr(expr))
     # a spec value may be a callable(raw) -> SQL string for expressions
     # that must adapt to which nested payload fields this dump carries
     resolved = {col: (expr(raw) if callable(expr) else expr)

@@ -225,7 +225,8 @@ def test_upcloud_name_parser(spark):
              "2xCPU-4GB",                 # standard plan: NO family prefix
              "DEV-1xCPU-1GB",
              "GPU-8xCPU-64GB-1xL40S-720GB",  # GPU + storage suffix
-             "HIMEM-SPOT-4xCPU-32GB"]
+             "HIMEM-SPOT-4xCPU-32GB",
+             "SPOT-2xCPU-4GB"]            # family-less spot plan
     rows = {r.name: r.p for r in spark.createDataFrame(
         [(n,) for n in names], ["name"]).select(
         "name", azure.parse_upcloud_plan(F.col("name")).alias("p")
@@ -241,6 +242,11 @@ def test_upcloud_name_parser(spark):
         ("GPU", 1, "L40S", 720)          # storage suffix != GPU model
     sp = rows["HIMEM-SPOT-4xCPU-32GB"]
     assert (sp.family, sp.spot, sp.vcpus) == ("HIMEM", True, 4)
+    # the family group must NOT swallow the SPOT marker on the most
+    # common (family-less) spot shape
+    bare_spot = rows["SPOT-2xCPU-4GB"]
+    assert (bare_spot.family, bare_spot.spot, bare_spot.vcpus,
+            bare_spot.memory_mib) == (None, True, 2, 4096)
 
 
 def test_azure_residual_filters(spark):

@@ -93,6 +93,8 @@ def test_vultr_gpu_plans(spark):
     assert metal["gpu_count"] == 4.0
     assert metal["gpu_model"] == "A100"
     assert metal["gpu_memory_total"] == 320 * 1024
+    # SXM 80 GB/GPU: per-GPU x count must equal the 320 GB total
+    assert metal["gpu_memory_min"] == 80 * 1024
     assert metal["family"] == "Dedicated Metal GPU"
     plain = out["vc2-1c-1gb"]
     assert plain["gpu_count"] == 0.0
@@ -308,3 +310,51 @@ def test_azure_vm_standardization(spark):
     assert out["Standard_B2s"]["cpu_allocation"] == "Burstable"
     assert out["Standard_D2ps_v5"]["cpu_architecture"] == "arm64"
     assert "ARM processor" in out["Standard_D2ps_v5"]["description"]
+
+
+def test_ovh_storage_blob_schema_drift(spark):
+    """The storage expr must adapt to exactly the nested fields THIS
+    dump carries: full nvme disks sum capacity x number; a storage
+    struct WITHOUT a disks array (or whose disk elements lack
+    capacity) contributes 0 instead of failing analysis; a disks
+    element without number counts each disk once."""
+    base = "planCode string, invoiceName string, product string, "
+    # dump A: nvme with capacity+number, storage struct with no disks
+    raw_a = spark.createDataFrame(
+        [("a.consumption", "A", "publiccloud-instance",
+          {"commercial": {"name": "A", "brickSubtype": None},
+           "technical": {"cpu": {"cores": 2, "frequency": 2.0},
+                         "memory": {"size": 4},
+                         "gpu": None,
+                         "nvme": {"disks": [{"capacity": 400, "number": 2}]},
+                         "storage": {"raid": "1"},
+                         "os": {"family": "linux"}}})],
+        base + "blobs struct<commercial: struct<name: string, "
+        "brickSubtype: string>, technical: struct<"
+        "cpu: struct<cores: int, frequency: double>, "
+        "memory: struct<size: int>, "
+        "gpu: struct<number: int, memory: struct<size: int>>, "
+        "nvme: struct<disks: array<struct<capacity: int, number: int>>>, "
+        "storage: struct<raid: string>, "
+        "os: struct<family: string>>>")
+    out = standardize_catalog(raw_a, "ovh").collect()[0]
+    assert out["storage_size"] == 800  # 400 x 2; storage blob skipped
+    # dump B: storage disks without a number field -> count once each
+    raw_b = spark.createDataFrame(
+        [("b.consumption", "B", "publiccloud-instance",
+          {"commercial": {"name": "B", "brickSubtype": None},
+           "technical": {"cpu": {"cores": 2, "frequency": 2.0},
+                         "memory": {"size": 4},
+                         "gpu": None,
+                         "storage": {"disks": [{"capacity": 100},
+                                               {"capacity": 50}]},
+                         "os": {"family": "linux"}}})],
+        base + "blobs struct<commercial: struct<name: string, "
+        "brickSubtype: string>, technical: struct<"
+        "cpu: struct<cores: int, frequency: double>, "
+        "memory: struct<size: int>, "
+        "gpu: struct<number: int, memory: struct<size: int>>, "
+        "storage: struct<disks: array<struct<capacity: int>>>, "
+        "os: struct<family: string>>>")
+    out = standardize_catalog(raw_b, "ovh").collect()[0]
+    assert out["storage_size"] == 150
