@@ -324,10 +324,12 @@ def test_r7_funnel_single_user_shuffle(spark):
     assert "Join" not in plan
 
 
-def test_r7_cohort_join_reuses_copartitioning(spark):
-    """Both cohort sides aggregate on user_id; the join must consume
-    their co-partitioning rather than add exchanges (3 total: two
-    user-keyed aggs + the final rollup), and never sort-merge."""
+def test_r7_cohort_single_pass_no_join(spark):
+    """Cohort retention must stay the single-scan collect_set form
+    (cohort_week = min(active week) by date_trunc monotonicity): ONE
+    user-keyed exchange plus the final triangle rollup, no join, no
+    second events scan."""
     plan = _plan(spark, "cohort_retention")
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
