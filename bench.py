@@ -82,7 +82,16 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # cloned-identical texts would make LSH candidate
                  # pairs quadratic in copies (PLANS.md dedup_minhash
                  # note), which benchmarks the blowup, not the plan
-                 "dedup_minhash_lsh", "training_set_select"]
+                 "dedup_minhash_lsh", "training_set_select",
+                 # r7: text-analysis tier at 512x — the term-window
+                 # tf-idf and unigram-LM shapes (2.5M docs explode to
+                 # ~77M (doc,term) rows; Spark's partial aggregation +
+                 # term-partitioned windows beat DuckDB ~2-3x here).
+                 # chunk_documents (Spark 24s vs DuckDB 210s) is NOT
+                 # benched: the oracle's 8.6x loss would sit as an
+                 # every-run 210 s tax or a permanent DNF row — the
+                 # measured win is recorded in PLANS.md instead
+                 "tfidf_keywords", "doc_lm_perplexity"]
 # Tables each scale query SCANS (with multiplicity — hash_diff reads
 # orders three times), for cost-based partition sizing from file bytes
 # alone: sizing must not touch Spark, or the probe would warm the very
@@ -101,6 +110,8 @@ SCALE_SCANS = {
     "merge_upsert_lifecycle": ["customer", "customer", "customer"],
     "dedup_minhash_lsh": ["documents", "documents"],
     "training_set_select": ["documents", "documents"],
+    "tfidf_keywords": ["documents", "documents"],
+    "doc_lm_perplexity": ["documents", "documents"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -351,11 +362,18 @@ def main() -> None:
                 # the 512x minhash oracle is a known DuckDB scale
                 # failure (r7: spilled >78 GB of temp then died; 104 s
                 # at 1/8 the data) — interrupt instead of waiting
+                # per-oracle interrupt guards: minhash is a known hard
+                # DNF (78 GB spill); the two text-window oracles run
+                # ~33-55 s nominally but this box drifts ±50% under
+                # co-tenants — cap them instead of letting one loaded
+                # run stall the whole bench
+                duck_timeout = {"dedup_minhash_lsh": 60.0,
+                                "tfidf_keywords": 150.0,
+                                "doc_lm_perplexity": 150.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
                     REGISTRY[name][1], qdir,
                     reps=2 if best < 5.0 else 1,
-                    timeout_s=60.0 if name == "dedup_minhash_lsh"
-                    else None), 3)
+                    timeout_s=duck_timeout), 3)
             except Exception as exc:
                 duck_s[name] = None
                 scale.setdefault("duck_dnf", {})[name] = str(exc)[:120]
