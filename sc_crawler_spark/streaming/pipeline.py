@@ -43,6 +43,14 @@ EVENT_SCHEMA_TS = StructType(
      for f in EVENT_SCHEMA.fields]
 )
 
+DOCUMENT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
 
 def read_event_stream(spark: SparkSession, source_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
@@ -77,6 +85,32 @@ def read_event_stream(spark: SparkSession, source_dir: str,
         # nanos long to DOUBLE (+-256 ns error) and diverges from batch
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_document_stream(spark: SparkSession, source_dir: str,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    """File-source documents stream (declared DOCUMENT_SCHEMA — no
+    timestamp dual-convention to sniff; an absent drop dir is created
+    empty, the normal initial state)."""
+    os.makedirs(source_dir, exist_ok=True)
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def stream_chunk_documents(docs: DataFrame) -> DataFrame:
+    """Chunk-at-ingest: the EXACT batch transform
+    (operators/chunking.chunk_docs) applied to a document stream. The
+    operator is a stateless per-row explode — no watermark, no state
+    store, append mode — so batch and stream outputs are identical by
+    construction and each micro-batch's cost is proportional to its
+    own files (the 100 TB ingest story: chunks are produced as
+    documents land, never by re-scanning the corpus)."""
+    from ..operators.chunking import chunk_docs
+
+    return chunk_docs(docs)
 
 
 def tumbling_stats(events: DataFrame, window: str = "1 day",

@@ -468,3 +468,35 @@ def test_stream_server_inventory_lands_invalid_rows(spark, tmpdir):
     assert snapshot_exists(inv_dir), "invalid rows were dropped silently"
     inv = read_snapshot(spark, inv_dir)
     assert inv.filter("server_id = 'broken.micro'").count() == 1
+
+
+def test_stream_chunk_documents_matches_batch(spark, tmpdir):
+    """Chunk-at-ingest is the batch transform on a stream (stateless
+    explode, no watermark): two micro-batch files must produce exactly
+    the batch chunking of their union."""
+    from sc_crawler_spark.operators.chunking import chunk_docs
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_chunk_documents,
+    )
+
+    src = os.path.join(tmpdir, "docs")
+    os.makedirs(src)
+    shutil.copy(f"{SF}/documents.parquet", os.path.join(src, "a.parquet"))
+    shutil.copy(f"{SF}/documents.parquet", os.path.join(src, "b.parquet"))
+
+    stream = stream_chunk_documents(
+        read_document_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory").queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM chunk_stream").collect()))
+
+    batch = spark.read.parquet(src)  # the union of both files
+    want = sorted(map(tuple, chunk_docs(batch).collect()))
+    assert got == want
