@@ -415,3 +415,41 @@ def test_row_hash_injective_for_separator_values(spark):
     hashes = [r.h for r in
               df.select(row_hash(["a", "b"]).alias("h")).collect()]
     assert len(set(hashes)) == len(rows), "distinct rows collided"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(codec="ascii",
+                                   exclude_characters="\x00"),
+            min_size=0, max_size=700),
+    min_size=1, max_size=4))
+def test_chunk_docs_reconstruction_invariants(spark, texts):
+    """chunk_docs against a local reimplementation: every chunk hash is
+    the md5 of the text slice at (start, size); stride-aligned starts
+    cover the whole text (last chunk ends at or past len); each doc
+    emits exactly ceil-based floor((len-1)/stride)+1 chunks (one empty
+    chunk for empty text)."""
+    import hashlib
+
+    from sc_crawler_spark.operators.chunking import (
+        CHUNK_SIZE, CHUNK_STRIDE, chunk_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = chunk_docs(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        want_n = max((len(t) - 1), 0) // CHUNK_STRIDE + 1
+        assert len(rows) == want_n, (t, len(rows), want_n)
+        for r in rows:
+            sl = t[r.chunk_start - 1: r.chunk_start - 1 + CHUNK_SIZE]
+            assert r.chunk_hash == hashlib.md5(sl.encode()).hexdigest()
+            assert r.chunk_len == len(sl)
+        # coverage: the last chunk reaches the end of the text
+        last = rows[-1]
+        assert last.chunk_start - 1 + last.chunk_len >= len(t)
