@@ -494,8 +494,118 @@ FROM c GROUP BY 1, 2
 """
 
 
+def twap_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by how long it HELD — the whole-second gap to the
+    user's next event (the open-ended last event carries no weight).
+    The mean-of-samples lies when sampling is bursty; TWAP is the
+    timeseries-correct aggregate.
+
+    One user_id shuffle: a lead() window (ordered by ts with the
+    event_id tiebreak) and the per-user aggregate reuse the same
+    partitioning; weighted sums are DECIMAL-routed. Gaps are
+    whole-second (floor-epoch difference) in BOTH engines —
+    unix_timestamp here, date_diff('second') in the oracle — so the
+    weights are exact integers."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.unix_timestamp(F.lead("ts").over(w))
+           - F.unix_timestamp(F.col("ts")))
+    weighted = ev.withColumn("dur_s", dur).filter(F.col("dur_s").isNotNull())
+    return weighted.groupBy("user_id").agg(
+        dround(F.sum((F.col("value") * F.col("dur_s")).cast("decimal(28,6)"))
+               .cast("double")
+               / F.sum(F.col("dur_s")).cast("double"), 6).alias("twap"),
+        F.sum("dur_s").alias("observed_s"),
+    )
+
+
+TWAP_SQL = f"""
+WITH d AS (
+  SELECT user_id, value,
+    date_diff('second', ts,
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) AS dur_s
+  FROM events)
+SELECT user_id,
+  {sql_round("CAST(SUM(CAST(value * dur_s AS DECIMAL(28,6))) AS DOUBLE) / CAST(SUM(dur_s) AS DOUBLE)", 6)} AS twap,
+  CAST(SUM(dur_s) AS BIGINT) AS observed_s
+FROM d WHERE dur_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def gap_fill_daily_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar resampling with forward fill: one row per (user, day)
+    over each user's observed span — days with no events carry the
+    last observed day-close value (deterministic: the day's close is
+    the row_number-1 event by (ts, event_id) DESC).
+
+    Plan — the scalable gap-fill idiom, NOT grid-then-join: the naive
+    form builds a calendar grid, left-joins the observations back and
+    forward-fills with last(ignorenulls) — two scans of events plus a
+    join. Instead each day-close row explodes across ITS OWN gap
+    (``sequence(day, next_day - 1)`` via a lead window), carrying its
+    value — the fill is the explode. ONE scan, ONE user-keyed shuffle
+    (the (user,day) rollup's WindowGroupLimit and the lead window
+    share it), zero joins."""
+    ev = load(spark, sf, "events")
+    daily_w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("close_value"))
+    )
+    lead_w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        daily.withColumn("next_day", F.lead("day").over(lead_w))
+        .select(
+            "user_id", "close_value", F.col("day").alias("obs_day"),
+            F.explode(F.sequence(
+                "day",
+                F.coalesce(F.date_sub("next_day", 1), F.col("day"))))
+            .alias("day"))
+        .select(
+            "user_id",
+            # TIMESTAMP out, not DATE: Spark dates surface as pandas
+            # objects while DuckDB DATEs become datetime64 — the
+            # cross-engine dtype convention is midnight timestamps
+            # (same as cohort_retention)
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("close_value").alias("filled_value"),
+            (F.col("day") == F.col("obs_day")).alias("is_observed"))
+    )
+
+
+GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, day, value AS close_value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+spans AS (
+  SELECT user_id, close_value, day AS obs_day,
+    coalesce(lead(day) OVER (PARTITION BY user_id ORDER BY day)
+             - INTERVAL 1 DAY, CAST(day AS TIMESTAMP)) AS gap_end
+  FROM daily)
+SELECT user_id,
+  unnest(generate_series(CAST(obs_day AS TIMESTAMP), gap_end,
+                         INTERVAL 1 DAY)) AS day,
+  close_value AS filled_value,
+  unnest(generate_series(CAST(obs_day AS TIMESTAMP), gap_end,
+                         INTERVAL 1 DAY)) = CAST(obs_day AS TIMESTAMP)
+    AS is_observed
+FROM spans
+"""
+
+
 QUERIES = {
     "spot_price_asof": (spot_price_asof, SPOT_ASOF_SQL),
+    "twap_user_value": (twap_user_value, TWAP_SQL),
+    "gap_fill_daily_value": (gap_fill_daily_value, GAP_FILL_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
     "cohort_retention": (cohort_retention, COHORT_SQL),

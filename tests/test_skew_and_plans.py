@@ -333,3 +333,25 @@ def test_r7_cohort_single_pass_no_join(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_r7_twap_single_exchange(spark):
+    """TWAP: the lead window and the per-user aggregate share ONE
+    user_id exchange (the agg's partial/final pair runs on the window's
+    partitioning — no second shuffle, no join)."""
+    plan = _plan(spark, "twap_user_value")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_r7_gap_fill_explodes_spans_not_grid_join(spark):
+    """Gap-fill must be the explode-across-own-gap idiom: ONE events
+    scan, no join (the naive calendar-grid + left-join + ffill form
+    scans events twice), and the day-close rollup's rank filter pushes
+    into WindowGroupLimit BEFORE its exchange so the first shuffle
+    carries ~user-day rows, not raw events."""
+    plan = _plan(spark, "gap_fill_daily_value")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
