@@ -46,9 +46,9 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # r7 rotation: CORRECTNESS_r06 went 50/50 hash-green over the first 50
 # registry names, so every OTHER name's latest driver evidence is r5 —
 # those 43 rotate to the front, behind the r7 new/changed queries. r7
-# added 16 new entries (11 TPC-H completions + chunk/tfidf/perplexity/
-# funnel/cohort/approx-distinct) + 3 changed, so the LAST ~12 r5-stale
-# names fall past the 50-query driver cap this round — they stay
+# added 18 new entries (11 TPC-H completions + the text/analytics/
+# timeseries tier) + 3 changed, so the TAIL of the r5-stale names
+# falls past the 50-query driver cap this round — those stay
 # pytest-oracle-verified and rotate to the front in r8.
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
