@@ -359,11 +359,9 @@ def main() -> None:
             # steal executor memory from every later scale query
             spark.catalog.clearCache()
             try:
-                # the 512x minhash oracle is a known DuckDB scale
-                # failure (r7: spilled >78 GB of temp then died; 104 s
-                # at 1/8 the data) — interrupt instead of waiting
                 # per-oracle interrupt guards: minhash is a known hard
-                # DNF (78 GB spill); the two text-window oracles run
+                # DNF (r7: spilled >78 GB of temp then died; 104 s at
+                # 1/8 the data); the two text-window oracles run
                 # ~33-55 s nominally but this box drifts ±50% under
                 # co-tenants — cap them instead of letting one loaded
                 # run stall the whole bench

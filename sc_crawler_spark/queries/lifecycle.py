@@ -468,8 +468,14 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     partials dedup before the exchange; state is bounded by the
     calendar, not the row count), cohort week as ``array_min``,
     explode, triangle rollup. 64x A/B (interleaved, best-of-3):
-    join form 1.69 s -> window form 0.95 s -> this form 0.79 s."""
-    ev = load(spark, sf, "events")
+    join form 1.69 s -> window form 0.95 s -> this form 0.79 s.
+
+    NULL-timestamp rows are excluded EXPLICITLY (filter + mirrored
+    WHERE): collect_set silently drops NULL elements, so without the
+    filter the Spark form and the DISTINCT-based oracle would diverge
+    on an events dump with NULL ts — stating the exclusion keeps the
+    mirrored pair equivalent on every input, not just the fixtures."""
+    ev = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.collect_set(F.date_trunc("week", F.col("ts"))).alias("wks"))
     return (
@@ -484,7 +490,8 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 COHORT_SQL = """
 WITH active AS (
-  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+  WHERE ts IS NOT NULL),
 c AS (SELECT user_id, wk,
         MIN(wk) OVER (PARTITION BY user_id) AS cohort_week FROM active)
 SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
