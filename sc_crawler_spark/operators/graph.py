@@ -112,3 +112,49 @@ def duplicate_clusters(pairs: DataFrame, src: str = "id_a",
         F.col("component").alias("canonical_id"),
         "cluster_size",
     )
+
+
+def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iters: int = 2, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph —
+    centrality WITHIN duplicate clusters (the highest-rank member of a
+    near-dup cluster is the best canonical survivor when "smallest id"
+    is too arbitrary: hub pages outrank their syndicated copies).
+
+    The pair list is symmetrized, so every node has degree >= 1 and
+    appears on both sides — no dangling-mass correction is needed.
+    Uniform init 1/N; each unrolled iteration is one contribution join
+    (pr/deg shipped along edges, both sides keyed on the source node)
+    + one destination-keyed partial aggregate; mass sums are
+    DECIMAL(28,15)-routed so the result is order-independent and
+    engine-exact, making the unrolled form oracle-mirrorable in plain
+    SQL. Iterations are UNROLLED declaratively — plan size is linear
+    in ``iters``; deep training-style iteration should checkpoint per
+    round like ``connected_components`` instead.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    pr = deg.join(F.broadcast(n)).select(
+        F.col("u").alias("node"), "deg", "n_nodes",
+        (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["u"] == pr["node"])
+            .select("v", (F.col("pr") / F.col("deg"))
+                    .cast("decimal(28,15)").alias("mass"))
+            .groupBy("v").agg(F.sum("mass").alias("mass"))
+        )
+        pr = (
+            contrib.join(pr.select("node", "deg", "n_nodes"),
+                         contrib["v"] == F.col("node"))
+            .select(
+                "node", "deg", "n_nodes",
+                ((1.0 - damping) / F.col("n_nodes")
+                 + damping * F.col("mass").cast("double")).alias("pr"))
+        )
+    return pr.select("node", "pr")

@@ -52,6 +52,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # pytest-oracle-verified and rotate to the front in r8.
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
+    "doc_pagerank",                # 2-iter PageRank over the dup-pair graph
     "twap_user_value",             # duration-weighted timeseries average
     "gap_fill_daily_value",        # calendar resample + forward fill
     "funnel_conversion",           # ordered-stage funnel via chained windows

@@ -588,6 +588,59 @@ FROM cc JOIN sizes USING (canonical_id)
 """
 
 
+def doc_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup pair graph
+    (operators/graph.pagerank): rank-based canonical selection for
+    duplicate clusters — 2 unrolled iterations, damping 0.85,
+    DECIMAL-routed mass sums so the unrolled recurrence is
+    oracle-mirrorable in plain (non-recursive) SQL."""
+    corpus = _docs_with_clones(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2, threshold=0.5
+    )
+    pr = graph.pagerank(pairs, iters=2, damping=0.85)
+    return pr.select(F.col("node").alias("doc_id"),
+                     dround(F.col("pr"), 8).alias("pagerank"))
+
+
+def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """Unrolled-iteration mirror of graph.pagerank over the same pair
+    CTEs. Float literals come from Python ``repr`` of the EXACT doubles
+    the Spark side uses (teleport = 1 - damping computed in Python), so
+    both engines parse bit-identical constants; mass sums mirror the
+    DECIMAL(28,15) routing."""
+    teleport = repr(1.0 - damping)
+    d = repr(damping)
+    prev = "pr0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+pr{i} AS (
+  SELECT e.v AS node, dd.deg,
+    CAST({teleport} AS DOUBLE) / n.n_nodes
+      + CAST({d} AS DOUBLE)
+        * CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(28,15))) AS DOUBLE) AS pr
+  FROM edges e
+  JOIN {prev} p ON p.node = e.u
+  JOIN deg dd ON dd.u = e.v
+  CROSS JOIN n
+  GROUP BY e.v, dd.deg, n.n_nodes)""")
+        prev = f"pr{i}"
+    return f"""
+WITH {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+pr0 AS (SELECT u AS node, deg,
+               CAST(1.0 AS DOUBLE) / n_nodes AS pr FROM deg CROSS JOIN n),
+{",".join(iter_ctes)}
+SELECT node AS doc_id, {sql_round("pr", 8)} AS pagerank FROM {prev}
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash near-dup pairs (banded, hamming <= 3)."""
     corpus = _docs_with_clones(spark, sf)
@@ -1291,6 +1344,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
+    "doc_pagerank": (doc_pagerank, _pagerank_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embed_cosine": (dedup_embed_cosine, _embed_near_dup_sql()),
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),

@@ -95,3 +95,30 @@ def test_duplicate_clusters_canonical_and_size(spark):
 def test_empty_edge_set(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+
+
+def test_pagerank_mass_conserved_and_star_hub_ranks_highest(spark):
+    """Symmetric pair graphs have no dangling mass, so total PageRank
+    stays 1.0 after any number of iterations; on a star the hub must
+    outrank every leaf, and leaves tie exactly."""
+    from sc_crawler_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long")
+    pr = {r.node: r.pr for r in pagerank(star, iters=3).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    hub, leaves = pr[0], [pr[i] for i in range(1, 6)]
+    assert all(hub > lv for lv in leaves)
+    assert len({round(lv, 12) for lv in leaves}) == 1
+
+
+def test_pagerank_two_node_symmetric_is_uniform(spark):
+    """An edge {a,b} is a 2-cycle after symmetrization: PageRank is
+    exactly uniform at every iteration."""
+    from sc_crawler_spark.operators.graph import pagerank
+
+    pr = {r.node: r.pr for r in pagerank(
+        spark.createDataFrame([(7, 9)], "id_a long, id_b long"),
+        iters=4).collect()}
+    assert pr[7] == pytest.approx(0.5, abs=1e-12)
+    assert pr[9] == pytest.approx(0.5, abs=1e-12)
