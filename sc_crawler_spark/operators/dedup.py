@@ -182,6 +182,52 @@ def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
+                      k: int = 3, threshold: float = 0.8,
+                      block_col: str | None = None,
+                      max_df: int | None = None) -> "DataFrame":
+    """Overlap-coefficient (containment) near-dup pairs:
+    |A∩B| / min(|A|,|B|) >= threshold, id_a < id_b.
+
+    The asymmetric complement of Jaccard: a document whose shingle set
+    is a SUBSET of a larger one (truncated copy, quote-with-additions,
+    article-inside-digest) scores containment 1.0 while its Jaccard can
+    be arbitrarily low — Jaccard-only dedup keeps exactly these
+    near-supersets. Same candidate machinery as the Jaccard path
+    (rare-shingle blocking under ``max_df``, full-set verification via
+    array_intersect on sparse candidates), only the denominator
+    changes."""
+    extra = [block_col] if block_col else []
+    shing = doc_shingles(df, text_col, id_col, k, extra_cols=extra).cache()
+    sh = shing.select(F.col(id_col), *extra,
+                      F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        cand = rare_shingle_candidates(sh, id_col, block_col, max_df)
+    else:
+        cols_a = [F.col(id_col).alias("id_a"), F.col("shingle")]
+        cols_b = [F.col(id_col).alias("id_b"), F.col("shingle")]
+        if block_col:
+            cols_a.append(F.col(block_col).alias("block_a"))
+            cols_b.append(F.col(block_col).alias("block_b"))
+        a, b = sh.select(*cols_a), sh.select(*cols_b)
+        on = [a.shingle == b.shingle, F.col("id_a") < F.col("id_b")]
+        if block_col:
+            on.append(F.col("block_a") == F.col("block_b"))
+        cand = a.join(b, on).select("id_a", "id_b").distinct()
+    sh_a = shing.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+    sh_b = shing.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = n_common / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        paired.withColumn("containment", dround(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def _signatures_from_shingles(shingles: DataFrame, id_col: str,
                               n_hashes: int) -> DataFrame:
     """MinHash signature from a (id, shingles array) table: hash function

@@ -53,6 +53,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
     "doc_pagerank",                # 2-iter PageRank over the dup-pair graph
+    "dedup_containment",           # overlap-coefficient near-superset pairs
     "twap_user_value",             # duration-weighted timeseries average
     "gap_fill_daily_value",        # calendar resample + forward fill
     "funnel_conversion",           # ordered-stage funnel via chained windows

@@ -501,6 +501,44 @@ HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= 0.5
 """
 
 
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs — the
+    asymmetric complement of Jaccard: |A∩B| / min(|A|,|B|) flags a
+    truncated copy or quote-inside-digest at 1.0 where Jaccard can be
+    arbitrarily low (the fixture's drop-last-token near-clones are
+    exact shingle SUBSETS of their originals — this operator scores
+    them 1.0; `dedup_ngram_jaccard` scores them ~0.9x). Same
+    df-capped candidate machinery and full-set verification as the
+    Jaccard path; only the denominator changes."""
+    corpus = _docs_with_clones(spark, sf)
+    return dedup.containment_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.8, block_col="lang",
+        max_df=_NGRAM_MAX_DF,
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+hot AS (SELECT shingle FROM shd GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) > {_NGRAM_MAX_DF}),
+rare AS (SELECT shd.* FROM shd LEFT JOIN hot USING (shingle)
+         WHERE hot.shingle IS NULL),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                          AND a.lang = b.lang
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  {sql_round("COUNT(*) / CAST(least(ca.n, cb.n) AS DOUBLE)", 6)} AS containment
+FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+JOIN cnt ca ON ca.doc_id = a.doc_id
+JOIN cnt cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+HAVING {sql_round("COUNT(*) / CAST(least(ca.n, cb.n) AS DOUBLE)", 6)} >= 0.8
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification."""
     corpus = _docs_with_clones(spark, sf)
@@ -1342,6 +1380,7 @@ QUERIES = {
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
     "doc_pagerank": (doc_pagerank, _pagerank_sql()),

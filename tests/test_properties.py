@@ -453,3 +453,22 @@ def test_chunk_docs_reconstruction_invariants(spark, texts):
         # coverage: the last chunk reaches the end of the text
         last = rows[-1]
         assert last.chunk_start - 1 + last.chunk_len >= len(t)
+
+
+def test_containment_flags_subset_where_jaccard_cannot(spark):
+    """The operator's reason to exist: a short doc fully contained in a
+    much longer one scores containment 1.0 while its Jaccard sits far
+    below any dedup threshold."""
+    from sc_crawler_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    digest = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame([(1, quote), (2, digest)],
+                               "doc_id long, text string")
+    cont = containment_pairs(df, "text", "doc_id", k=3, threshold=0.9)
+    rows = cont.collect()
+    assert len(rows) == 1 and rows[0].containment == 1.0
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5)
+    assert jac.count() == 0  # Jaccard ~ 3/62 — invisible to Jaccard dedup
