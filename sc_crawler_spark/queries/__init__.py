@@ -54,6 +54,7 @@ _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
     "doc_pagerank",                # 2-iter PageRank over the dup-pair graph
     "dedup_containment",           # overlap-coefficient near-superset pairs
+    "event_anomaly_zscore",        # two-moment daily outlier detection
     "twap_user_value",             # duration-weighted timeseries average
     "gap_fill_daily_value",        # calendar resample + forward fill
     "funnel_conversion",           # ordered-stage funnel via chained windows

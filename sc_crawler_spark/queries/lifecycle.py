@@ -609,8 +609,73 @@ FROM spans
 """
 
 
+def event_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily anomaly detection: days whose total event value
+    sits >= 2 sample standard deviations from that user's daily mean —
+    the two-moment aggregation shape (sum + sum-of-squares in one
+    pass, never a second scan for the mean).
+
+    Cross-engine determinism: variance derives from DECIMAL-routed
+    Σx and Σx² — ``var = (Σx² - (Σx)²/n) / (n-1)`` — so mean/std are
+    computed from identical digits in both engines rather than relying
+    on each engine's streaming ``stddev`` implementation (whose
+    accumulation order differs). Zero-variance users and single-day
+    users are excluded EXPLICITLY: 0/0 is NaN in Spark but NULL in
+    DuckDB, so the guard is part of the contract. Two shuffles:
+    (user, day) rollup, then the user-level moments as an unordered
+    window reusing nothing but one exchange; the flag filter is a
+    per-row comparison."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("user_id", "day")
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("dsum"))
+        .select("user_id", "day", F.col("dsum").cast("double").alias("dsum"))
+    )
+    w = Window.partitionBy("user_id")
+    n = F.count("*").over(w)
+    sx = F.sum(F.col("dsum").cast("decimal(28,6)")).over(w).cast("double")
+    sx2 = F.sum((F.col("dsum") * F.col("dsum"))
+                .cast("decimal(28,6)")).over(w).cast("double")
+    mean = sx / n
+    var = (sx2 - sx * sx / n) / (n - 1)
+    std = F.sqrt(var)
+    z = (F.col("dsum") - mean) / std
+    return (
+        daily.withColumn("n_days", n).withColumn("std", std)
+        .withColumn("z", z)
+        .filter((F.col("n_days") >= 2) & (F.col("std") > 0)
+                & (F.abs(F.col("z")) >= 2))
+        .select("user_id", "day", dround(F.col("dsum"), 4).alias("daily_sum"),
+                dround(F.col("z"), 6).alias("zscore"))
+    )
+
+
+ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS dsum
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT user_id, day, dsum,
+    COUNT(*) OVER w AS n,
+    CAST(SUM(CAST(dsum AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+    CAST(SUM(CAST(dsum * dsum AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx2
+  FROM daily WINDOW w AS (PARTITION BY user_id)),
+sc AS (
+  SELECT user_id, day, dsum, n,
+    sqrt((sx2 - sx * sx / n) / (n - 1)) AS std,
+    (dsum - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)) AS z
+  FROM m)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+  {sql_round("dsum")} AS daily_sum, {sql_round("z", 6)} AS zscore
+FROM sc WHERE n >= 2 AND std > 0 AND abs(z) >= 2
+"""
+
+
 QUERIES = {
     "spot_price_asof": (spot_price_asof, SPOT_ASOF_SQL),
+    "event_anomaly_zscore": (event_anomaly_zscore, ANOMALY_SQL),
     "twap_user_value": (twap_user_value, TWAP_SQL),
     "gap_fill_daily_value": (gap_fill_daily_value, GAP_FILL_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
