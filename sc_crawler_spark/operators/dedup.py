@@ -127,9 +127,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def rare_shingle_candidates(sh: DataFrame, id_col: str,
-                            block_col: str | None, max_df: int) -> DataFrame:
+                            block_col: str | None,
+                            max_df: int | None) -> DataFrame:
     """Candidate (id_a, id_b) pairs from an exploded (id[, block], shingle)
-    table, pairing only on shingles with document frequency <= max_df.
+    table, pairing only on shingles with document frequency <= max_df
+    (``max_df=None`` skips the cap — exact recall, quadratic risk on
+    hot shingles).
 
     The hot-shingle list is a heavy-hitter aggregate (tiny by
     construction — at most |corpus|/max_df entries can exceed the cap),
@@ -137,13 +140,16 @@ def rare_shingle_candidates(sh: DataFrame, id_col: str,
     bucket size is bounded by max_df, keeping the candidate count
     <= n_shingles * max_df² instead of worst-case |docs|².
     """
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("shingle")
-    )
-    rare = sh.join(hot, "shingle", "left_anti")
+    if max_df is None:
+        rare = sh
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        rare = sh.join(hot, "shingle", "left_anti")
     cols_a = [F.col(id_col).alias("id_a"), F.col("shingle")]
     cols_b = [F.col(id_col).alias("id_b"), F.col("shingle")]
     if block_col:
@@ -157,12 +163,17 @@ def rare_shingle_candidates(sh: DataFrame, id_col: str,
     return a.join(b, on).select("id_a", "id_b").distinct()
 
 
-def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
-                          k: int, threshold: float,
-                          block_col: str | None, max_df: int) -> DataFrame:
-    """df-capped path: rare-shingle candidate join, then exact Jaccard
-    verification by intersecting the two docs' full DISTINCT shingle
-    arrays (same sparse-candidate verify shape as minhash_lsh_pairs)."""
+def _verified_shingle_pairs(df: DataFrame, text_col: str, id_col: str,
+                            k: int, threshold: float,
+                            block_col: str | None, max_df: int | None,
+                            score_name: str, score_fn) -> DataFrame:
+    """Shared scaffold for set-similarity dedup: shingle once (cached —
+    two consumers), candidate pairs from the (optionally df-capped)
+    shingle self-join, then verify each sparse candidate against the
+    two docs' full DISTINCT shingle arrays. ``score_fn(n_common, n_a,
+    n_b) -> Column`` is the only thing that differs between Jaccard
+    and containment (same sparse-candidate verify shape as
+    minhash_lsh_pairs)."""
     extra = [block_col] if block_col else []
     shing = doc_shingles(df, text_col, id_col, k, extra_cols=extra).cache()
     sh = shing.select(F.col(id_col), *extra,
@@ -174,12 +185,22 @@ def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
                         F.col("shingles").alias("sh_b"))
     paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    score = score_fn(n_common, F.size("sh_a"), F.size("sh_b"))
     return (
-        paired.withColumn("jaccard", dround(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        paired.withColumn(score_name, dround(score, 6))
+        .filter(F.col(score_name) >= threshold)
+        .select("id_a", "id_b", score_name)
     )
+
+
+def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
+                          k: int, threshold: float,
+                          block_col: str | None, max_df: int) -> DataFrame:
+    """df-capped path: rare-shingle candidate join, then exact Jaccard
+    verification over the full shingle sets."""
+    return _verified_shingle_pairs(
+        df, text_col, id_col, k, threshold, block_col, max_df,
+        "jaccard", lambda nc, na, nb: nc / (na + nb - nc))
 
 
 def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
@@ -193,39 +214,13 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
     is a SUBSET of a larger one (truncated copy, quote-with-additions,
     article-inside-digest) scores containment 1.0 while its Jaccard can
     be arbitrarily low — Jaccard-only dedup keeps exactly these
-    near-supersets. Same candidate machinery as the Jaccard path
-    (rare-shingle blocking under ``max_df``, full-set verification via
-    array_intersect on sparse candidates), only the denominator
-    changes."""
-    extra = [block_col] if block_col else []
-    shing = doc_shingles(df, text_col, id_col, k, extra_cols=extra).cache()
-    sh = shing.select(F.col(id_col), *extra,
-                      F.explode("shingles").alias("shingle"))
-    if max_df is not None:
-        cand = rare_shingle_candidates(sh, id_col, block_col, max_df)
-    else:
-        cols_a = [F.col(id_col).alias("id_a"), F.col("shingle")]
-        cols_b = [F.col(id_col).alias("id_b"), F.col("shingle")]
-        if block_col:
-            cols_a.append(F.col(block_col).alias("block_a"))
-            cols_b.append(F.col(block_col).alias("block_b"))
-        a, b = sh.select(*cols_a), sh.select(*cols_b)
-        on = [a.shingle == b.shingle, F.col("id_a") < F.col("id_b")]
-        if block_col:
-            on.append(F.col("block_a") == F.col("block_b"))
-        cand = a.join(b, on).select("id_a", "id_b").distinct()
-    sh_a = shing.select(F.col(id_col).alias("id_a"),
-                        F.col("shingles").alias("sh_a"))
-    sh_b = shing.select(F.col(id_col).alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
-    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    cont = n_common / F.least(F.size("sh_a"), F.size("sh_b"))
-    return (
-        paired.withColumn("containment", dround(cont, 6))
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
+    near-supersets. Shares the Jaccard path's scaffold
+    (_verified_shingle_pairs: rare-shingle blocking under ``max_df``,
+    full-set verification via array_intersect on sparse candidates);
+    only the denominator changes."""
+    return _verified_shingle_pairs(
+        df, text_col, id_col, k, threshold, block_col, max_df,
+        "containment", lambda nc, na, nb: nc / F.least(na, nb))
 
 
 def _signatures_from_shingles(shingles: DataFrame, id_col: str,

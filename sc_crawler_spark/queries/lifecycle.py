@@ -619,12 +619,14 @@ def event_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     Σx and Σx² — ``var = (Σx² - (Σx)²/n) / (n-1)`` — so mean/std are
     computed from identical digits in both engines rather than relying
     on each engine's streaming ``stddev`` implementation (whose
-    accumulation order differs). Zero-variance users and single-day
-    users are excluded EXPLICITLY: 0/0 is NaN in Spark but NULL in
-    DuckDB, so the guard is part of the contract. Two shuffles:
-    (user, day) rollup, then the user-level moments as an unordered
-    window reusing nothing but one exchange; the flag filter is a
-    per-row comparison."""
+    accumulation order differs). Degenerate users are excluded on the
+    PRE-sqrt variance (``n >= 2 AND var > 0``) — the guard must run
+    before the sqrt, not on its result: fp cancellation (or the
+    DECIMAL quantization of a tiny dsum²) can drive the computed var
+    a hair NEGATIVE, where DuckDB's sqrt hard-errors and Spark emits
+    NaN that PASSES a ``std > 0`` filter (NaN compares greater in
+    both engines). Two shuffles: (user, day) rollup, then the
+    user-level moments as an unordered window on one exchange."""
     ev = load(spark, sf, "events")
     daily = (
         ev.withColumn("day", F.date_trunc("day", "ts"))
@@ -639,13 +641,13 @@ def event_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("decimal(28,6)")).over(w).cast("double")
     mean = sx / n
     var = (sx2 - sx * sx / n) / (n - 1)
-    std = F.sqrt(var)
-    z = (F.col("dsum") - mean) / std
+    z = (F.col("dsum") - F.col("mean")) / F.sqrt(F.col("var"))
     return (
-        daily.withColumn("n_days", n).withColumn("std", std)
+        daily.withColumn("n_days", n).withColumn("mean", mean)
+        .withColumn("var", var)
+        .filter((F.col("n_days") >= 2) & (F.col("var") > 0))
         .withColumn("z", z)
-        .filter((F.col("n_days") >= 2) & (F.col("std") > 0)
-                & (F.abs(F.col("z")) >= 2))
+        .filter(F.abs(F.col("z")) >= 2)
         .select("user_id", "day", dround(F.col("dsum"), 4).alias("daily_sum"),
                 dround(F.col("z"), 6).alias("zscore"))
     )
@@ -662,14 +664,17 @@ m AS (
     CAST(SUM(CAST(dsum AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
     CAST(SUM(CAST(dsum * dsum AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx2
   FROM daily WINDOW w AS (PARTITION BY user_id)),
+v AS (
+  SELECT user_id, day, dsum, n, sx,
+    (sx2 - sx * sx / n) / (n - 1) AS var
+  FROM m),
 sc AS (
-  SELECT user_id, day, dsum, n,
-    sqrt((sx2 - sx * sx / n) / (n - 1)) AS std,
-    (dsum - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)) AS z
-  FROM m)
+  SELECT user_id, day, dsum,
+    (dsum - sx / n) / sqrt(var) AS z
+  FROM v WHERE n >= 2 AND var > 0)
 SELECT user_id, CAST(day AS TIMESTAMP) AS day,
   {sql_round("dsum")} AS daily_sum, {sql_round("z", 6)} AS zscore
-FROM sc WHERE n >= 2 AND std > 0 AND abs(z) >= 2
+FROM sc WHERE abs(z) >= 2
 """
 
 

@@ -479,7 +479,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_SQL = f"""
+def _capped_pair_sql(score_expr: str, score_name: str,
+                     threshold: float) -> str:
+    """Shared oracle chain for the set-similarity dedup pair (mirrors
+    operators/dedup._verified_shingle_pairs): corpus -> shingles ->
+    df-capped hot/rare blocking -> candidate self-join -> full-set
+    verify. Jaccard and containment differ only in ``score_expr``
+    (over COUNT(*) = |A-int-B| and ca.n/cb.n = |A|/|B|) — the same
+    single-source-of-truth pattern as _minhash_pair_ctes."""
+    return f"""
 WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
 hot AS (SELECT shingle FROM shd GROUP BY shingle
         HAVING COUNT(DISTINCT doc_id) > {_NGRAM_MAX_DF}),
@@ -491,14 +499,18 @@ cand AS (
                           AND a.lang = b.lang
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} AS jaccard
+  {sql_round(score_expr, 6)} AS {score_name}
 FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
 JOIN cnt ca ON ca.doc_id = a.doc_id
 JOIN cnt cb ON cb.doc_id = b.doc_id
 GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
-HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= 0.5
+HAVING {sql_round(score_expr, 6)} >= {threshold}
 """
+
+
+NGRAM_JACCARD_SQL = _capped_pair_sql(
+    "COUNT(*) / (ca.n + cb.n - COUNT(*))", "jaccard", 0.5)
 
 
 def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
@@ -517,26 +529,9 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-CONTAINMENT_SQL = f"""
-WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
-hot AS (SELECT shingle FROM shd GROUP BY shingle
-        HAVING COUNT(DISTINCT doc_id) > {_NGRAM_MAX_DF}),
-rare AS (SELECT shd.* FROM shd LEFT JOIN hot USING (shingle)
-         WHERE hot.shingle IS NULL),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                          AND a.lang = b.lang
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  {sql_round("COUNT(*) / CAST(least(ca.n, cb.n) AS DOUBLE)", 6)} AS containment
-FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
-JOIN cnt ca ON ca.doc_id = a.doc_id
-JOIN cnt cb ON cb.doc_id = b.doc_id
-GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
-HAVING {sql_round("COUNT(*) / CAST(least(ca.n, cb.n) AS DOUBLE)", 6)} >= 0.8
-"""
+CONTAINMENT_SQL = _capped_pair_sql(
+    "COUNT(*) / CAST(least(ca.n, cb.n) AS DOUBLE)",
+    "containment", 0.8)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

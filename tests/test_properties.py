@@ -472,3 +472,43 @@ def test_containment_flags_subset_where_jaccard_cannot(spark):
     assert len(rows) == 1 and rows[0].containment == 1.0
     jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5)
     assert jac.count() == 0  # Jaccard ~ 3/62 — invisible to Jaccard dedup
+
+
+def test_anomaly_zscore_survives_degenerate_variance(spark, tmp_path):
+    """The pre-sqrt variance guard's contract: a user whose tiny
+    constant daily sums quantize to a NEGATIVE computed variance must
+    be excluded — not crash DuckDB's sqrt, not leak NaN rows through
+    Spark (NaN passes a std > 0 filter in both engines)."""
+    import datetime
+
+    import duckdb
+
+    from sc_crawler_spark.queries.lifecycle import (
+        ANOMALY_SQL, event_anomaly_zscore,
+    )
+
+    rows = []
+    eid = 0
+    for day in (1, 2):
+        ts = datetime.datetime(2024, 1, day, 12, 0, 0)
+        # user 1: constant 0.0005/day -> dsum^2 = 2.5e-7 quantizes to 0
+        # under DECIMAL(28,6) while (sum)^2/n stays positive -> var < 0
+        rows.append((eid, ts, 1, "view", 0.0005, None)); eid += 1
+        # user 2: constant large value -> var == 0 exactly
+        rows.append((eid, ts, 2, "view", 100.0, None)); eid += 1
+        # user 3: genuinely varying (kept only if |z| >= 2; n=2 gives
+        # |z| = 0.707 each side, so it is filtered — just must not err)
+        rows.append((eid, ts, 3, "view", float(day * 50), None)); eid += 1
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{lake}/events.parquet")
+
+    got = event_anomaly_zscore(spark, lake).collect()
+    assert got == []  # nothing crashes, nothing NaN-leaks
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{lake}/events.parquet/*.parquet'")
+    assert con.execute(ANOMALY_SQL).fetchall() == []  # sqrt never sees <0
+    con.close()
