@@ -136,6 +136,14 @@ def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # cache: the edge list is consumed 2x per iteration plus the
+        # degree/init aggregates, and `pairs` is typically an EXPENSIVE
+        # upstream (the minhash-LSH candidate pipeline) — without this,
+        # every unrolled iteration recomputes the whole pair generation
+        # concurrently (measured: OOM at the 512x-documents corpus;
+        # cached, the pair gen runs once). Same convention as
+        # connected_components' symmetrized edge cache.
+        .cache()
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
     n = deg.agg(F.count("*").alias("n_nodes"))
