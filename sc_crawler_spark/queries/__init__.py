@@ -52,6 +52,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # pytest-oracle-verified and rotate to the front in r8.
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
+    "embed_ann_pq",                # product-quantized ADC two-stage ANN
     "doc_pagerank",                # 2-iter PageRank over the dup-pair graph
     "dedup_containment",           # overlap-coefficient near-superset pairs
     "event_anomaly_zscore",        # two-moment daily outlier detection

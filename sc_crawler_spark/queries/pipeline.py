@@ -874,6 +874,111 @@ WHERE rank <= {k}
 """
 
 
+def embed_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.cosine_topk_pq):
+    4 subspaces x 16 dims, 16 Lloyd-trained centroids each — corpus
+    state is 16 bits/vector and stage 1 is a code-table join against
+    broadcast per-query ADC lookup tables; the top k*refine (5%)
+    shortlist re-ranks exactly. Complements the quantization tier: SQ
+    shrinks bytes (linear, per-dim), PQ shrinks to codebook indices
+    (non-linear, per-subspace) — the compounding composition at
+    extreme scale is IVF for candidate pruning x PQ for in-memory
+    state. Recall@5 = 0.88 on the fixture (gated >= 0.8 in
+    tests/test_ann_recall.py); dials measured: refine 4/10/20 ->
+    0.44/0.72/0.88 at 16 cents, 40 -> 0.94 at a 10% shortlist — the
+    fixture's near-uniform embeddings are PQ's worst case (no cluster
+    structure for codebooks to exploit), so these floors are
+    conservative for real clustered embedding corpora."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_pq(
+        queries, emb, "embedding", "vec_id", k=5, refine=20, k_cents=16)
+
+
+def _pq_assign_cte(cb: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT vid, s, sv, cent_id FROM (
+    SELECT vs.vid, vs.s, vs.sv, {cb}.cent_id,
+      row_number() OVER (PARTITION BY vs.vid, vs.s
+        ORDER BY list_inner_product({cb}.centv, {cb}.centv)
+                 - 2 * list_inner_product(vs.sv, {cb}.centv),
+                 {cb}.cent_id) AS rn
+    FROM vs JOIN {cb} USING (s)) WHERE rn = 1)"""
+
+
+def _pq_recenter_cte(assign: str, prev: str, out: str,
+                     subdim: int) -> str:
+    return f"""{out}_m AS (
+  SELECT s, cent_id, i AS pos,
+    {sql_round("CAST(SUM(CAST(sv[i] AS DECIMAL(28,12))) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS m
+  FROM {assign}, unnest(generate_series(1, {subdim})) t(i)
+  GROUP BY s, cent_id, i),
+{out} AS (
+  SELECT p.s, p.cent_id, coalesce(n.centv, p.centv) AS centv
+  FROM {prev} p LEFT JOIN (
+    SELECT s, cent_id, list(m ORDER BY pos) AS centv
+    FROM {out}_m GROUP BY s, cent_id) n USING (s, cent_id))"""
+
+
+def _ann_pq_sql(k: int = 5, refine: int = 20, m: int = 4,
+                subdim: int = 16, k_cents: int = 16) -> str:
+    """Mirror of cosine_topk_pq: per-subspace Lloyd chains (L2 argmin
+    via the same inner-product folds, DECIMAL-routed means rounded to
+    6), code assignment, broadcast ADC tables, DECIMAL-summed approx
+    scores, exact re-rank — unrolled at 2 iterations like the other
+    trained oracles."""
+    cos = sql_round(
+        "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
+        " * sqrt(list_inner_product(cv, cv)))", 6,
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+vs AS (
+  SELECT vec_id AS vid, s,
+         cv[s*{subdim}+1 : s*{subdim}+{subdim}] AS sv
+  FROM v, unnest(generate_series(0, {m - 1})) t(s)),
+cb0 AS (SELECT s, vid AS cent_id, sv AS centv FROM vs
+        WHERE vid < {k_cents}),
+{_pq_assign_cte("cb0", "pa1")},
+{_pq_recenter_cte("pa1", "cb0", "cb1", subdim)},
+{_pq_assign_cte("cb1", "pa2")},
+{_pq_recenter_cte("pa2", "cb1", "cb2", subdim)},
+{_pq_assign_cte("cb2", "codes")},
+q AS (SELECT vec_id AS query_id, cv AS qv FROM v WHERE vec_id < 10),
+qs AS (
+  SELECT query_id, s,
+         qv[s*{subdim}+1 : s*{subdim}+{subdim}] AS qsv
+  FROM q, unnest(generate_series(0, {m - 1})) t(s)),
+tables AS (
+  SELECT qs.query_id, qs.s, cb2.cent_id,
+         list_inner_product(qs.qsv, cb2.centv) AS t
+  FROM qs JOIN cb2 USING (s)),
+approx AS (
+  SELECT t.query_id, c.vid AS neighbor_id,
+    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE) AS approx_dot
+  FROM codes c JOIN tables t ON c.s = t.s AND c.cent_id = t.cent_id
+  WHERE t.query_id != c.vid
+  GROUP BY t.query_id, c.vid),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY approx_dot DESC, neighbor_id) AS rn
+    FROM approx) WHERE rn <= {k * refine}),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos_sim
+  FROM cand
+  JOIN q USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, cv FROM v) USING (neighbor_id))
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _km_trained_cents(v: DataFrame, n_cells: int, iters: int) -> DataFrame:
     """Cross-engine-deterministic Lloyd training (the embed_kmeans
     recipe): re-centering means go through DECIMAL sums and round to 6
@@ -1386,5 +1491,6 @@ QUERIES = {
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),
     "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
     "embed_ann_ivf_sq": (embed_ann_ivf_sq, _ann_ivf_sq_sql()),
+    "embed_ann_pq": (embed_ann_pq, _ann_pq_sql()),
     "embed_kmeans_clusters": (embed_kmeans_clusters, _kmeans_sql()),
 }

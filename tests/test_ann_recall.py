@@ -9,6 +9,7 @@ from sc_crawler_spark.queries.pipeline import (
     embed_ann_ivf,
     embed_ann_ivf_sq,
     embed_ann_lsh,
+    embed_ann_pq,
     embed_ann_sq,
     embed_cosine_topk,
 )
@@ -44,8 +45,13 @@ def test_ann_recall_at_5(spark):
     # composed IVF x SQ with Lloyd-trained cells: the scale path must
     # match trained-IVF recall at the same probe budget (measured 0.92)
     assert r_ivfsq >= 0.9, f"IVF-SQ recall@5 regressed: {r_ivfsq:.3f}"
+    # PQ (4x16 subspaces, 16 cents, 5% shortlist re-rank): measured
+    # 0.88 on this fixture — near-uniform embeddings are PQ's worst
+    # case (no cluster structure), so the floor is set at 0.8
+    r_pq = _recall(_neighbors(embed_ann_pq(spark, SF)), exact)
+    assert r_pq >= 0.8, f"PQ recall@5 regressed: {r_pq:.3f}"
     print(f"recall@5 lsh={r_lsh:.3f} ivf={r_ivf:.3f} sq={r_sq:.3f} "
-          f"ivf_sq={r_ivfsq:.3f}")
+          f"ivf_sq={r_ivfsq:.3f} pq={r_pq:.3f}")
 
 
 def test_embed_near_dup_pair_recall(spark):

@@ -355,3 +355,26 @@ def test_r7_gap_fill_explodes_spans_not_grid_join(spark):
     assert "Join" not in plan
     assert "WindowGroupLimit" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_r7_embed_ann_pq_stage1_is_code_table_join(spark):
+    """PQ stage 1 must rank via the code-table join against broadcast
+    ADC tables — never a cartesian or a full-vector nested loop. The
+    ONE allowed shuffle join is the stage-2 re-rank fetch
+    (shortlist x corpus, both statically unknown): forcing a broadcast
+    there would pin the query side exactly the way the r6 verdict
+    flagged on ivf_sq — AQE converts it at runtime instead. The
+    unrolled per-subspace Lloyd chains keep the plan bounded (the
+    kmeans guard convention — deeper training must checkpoint)."""
+    plan = _plan(spark, "embed_ann_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    shuffle_joins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+    assert shuffle_joins <= 1, (
+        f"only the re-rank fetch may shuffle-join (got {shuffle_joins})")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+    nodes = plan.count("\n(")
+    assert nodes <= 220, (
+        f"embed_ann_pq plan grew to {nodes} nodes — did the unrolled "
+        "PQ training iteration count increase?")
