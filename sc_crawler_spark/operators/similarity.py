@@ -638,3 +638,117 @@ def cosine_topk_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_topk_ivf_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
+                       id_col: str, k: int = 5, n_cells: int = 8,
+                       n_probe: int = 3, refine: int = 20, m: int = 4,
+                       subdim: int = 16, k_cents: int = 16,
+                       centroids: DataFrame | None = None,
+                       broadcast_queries: bool = False) -> DataFrame:
+    """IVF x PQ composed ANN — inverted lists prune candidates, PQ
+    codes rank them: each corpus vector lands in a cell AND compresses
+    to m codebook indices; stage 1 joins the (cell-restricted) code
+    table against each query's broadcast ADC lookup tables, so
+    per-query work is ~|corpus| * n_probe / n_cells TABLE LOOKUPS over
+    m-small-int codes — no float vector and no full dot product
+    anywhere before the exact re-rank of the k*refine shortlist.
+
+    Relative to :func:`cosine_topk_ivf_sq`: SQ codes still pay an
+    m*subdim-length integer dot per candidate; PQ pays m lookups and
+    holds 4x less candidate state (16 bits vs 64 int8 bytes here).
+    Recall trades across n_probe (cell misses), k_cents (quantization)
+    and refine (shortlist) — gated in tests/test_ann_recall.py.
+
+    ``broadcast_queries`` mirrors the ivf_sq contract: OFF by default
+    (probe/table sides scale with |Q|; unhinted they shuffle and AQE
+    upgrades small sides at runtime), True for known-tiny interactive
+    query sets like the registry's 10-query driver entry.
+
+    ``centroids`` (cell_id, centv) overrides the seeded first-n_cells
+    default — pass Lloyd-trained cells (the ivf_sq recipe) to cut cell
+    misses without widening n_probe."""
+    cents = centroids if centroids is not None else (
+        corpus.select(F.col(id_col).alias("cell_id"),
+                      as_double(F.col(vec_col)).alias("centv"))
+        .filter(F.col("cell_id") < n_cells)
+    )
+    c0 = corpus.select(F.col(id_col).alias("vid"),
+                       as_double(F.col(vec_col)).alias("_v"))
+    assigned = ivf_assign(
+        c0.select(F.col("vid").alias("neighbor_id"),
+                  F.col("_v").alias("cv")), cents, "cv", "centv")
+    cells = assigned.select("neighbor_id", "cell_id")
+    books = pq_train_codebooks(corpus, vec_col, id_col, m, subdim,
+                               k_cents).cache()
+    v_sub = c0.select(
+        "vid",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("_v", s * subdim + 1, subdim).alias("sv"))
+            for s in range(m)
+        ])).alias("e")
+    ).select("vid", "e.s", "e.sv")
+    codes = (
+        _pq_assign(v_sub, books)
+        .select(F.col("vid").alias("neighbor_id"), "s", "cent_id")
+        .join(cells, "neighbor_id")
+    )
+    q0 = queries.select(F.col(id_col).alias("query_id"),
+                        as_double(F.col(vec_col)).alias("qv")).cache()
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dotp").desc(), F.col("cell_id"))
+    probes = (
+        q0.crossJoin(F.broadcast(cents))
+        .withColumn("dotp", dot(F.col("qv"), F.col("centv")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    q_sub = q0.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("qv", s * subdim + 1, subdim).alias("qs"))
+            for s in range(m)
+        ])).alias("e")
+    ).select("query_id", "e.s", "e.qs")
+    tables = (
+        q_sub.join(F.broadcast(books), "s")
+        .select("query_id", "s", "cent_id",
+                dot(F.col("qs"), F.col("centv")).alias("t"))
+    )
+    probes_side = F.broadcast(probes) if broadcast_queries else probes
+    tables_side = F.broadcast(tables) if broadcast_queries else tables
+    approx = (
+        probes_side.join(codes, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(tables_side, ["query_id", "s", "cent_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
+             .alias("approx_dot"))
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("_rn", F.row_number().over(short_w))
+        .filter(F.col("_rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    c_full = c0.select(F.col("vid").alias("neighbor_id"),
+                       F.col("_v").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q0) if broadcast_queries else q0, "query_id")
+        .join(c_full, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                dround(dot(F.col("qv"), F.col("cv"))
+                       / (norm(F.col("qv")) * norm(F.col("cv"))), 6)
+                .alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

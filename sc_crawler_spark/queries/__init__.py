@@ -53,6 +53,7 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 _PRIORITY = [
     # --- new in r7: no driver evidence yet ---
     "embed_ann_pq",                # product-quantized ADC two-stage ANN
+    "embed_ann_ivf_pq",            # IVF pruning x PQ lookup composition
     "doc_pagerank",                # 2-iter PageRank over the dup-pair graph
     "dedup_containment",           # overlap-coefficient near-superset pairs
     "event_anomaly_zscore",        # two-moment daily outlier detection

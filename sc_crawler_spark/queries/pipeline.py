@@ -895,6 +895,106 @@ def embed_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
         queries, emb, "embedding", "vec_id", k=5, refine=20, k_cents=16)
 
 
+def embed_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF x PQ composed ANN (operators/similarity.cosine_topk_ivf_pq):
+    Lloyd-trained inverted lists prune to n_probe/n_cells of the
+    corpus, PQ codes rank the survivors by ADC table lookup —
+    per-candidate stage-1 cost is m lookups over 16-bit codes (vs
+    ivf_sq's m*subdim int8 dot), the most compressed index in the
+    tier. Trained cells matter: untrained first-8 centroids measured
+    recall 0.78 at n_probe=3 (cell misses compound with quantization),
+    trained cells 0.88 — equal to PQ-alone, i.e. the cell pruning
+    becomes recall-free. broadcast_queries on for the 10-query driver
+    entry (the ivf_sq contract); gated in tests/test_ann_recall.py."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    v = emb.select("vec_id", similarity.as_double(
+        F.col("embedding")).alias("cv"))
+    cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
+    return similarity.cosine_topk_ivf_pq(
+        queries, emb, "embedding", "vec_id", k=5, n_cells=8, n_probe=3,
+        refine=20, k_cents=16, centroids=cents, broadcast_queries=True)
+
+
+def _ann_ivf_pq_sql(k: int = 5, n_cells: int = 8, n_probe: int = 3,
+                    refine: int = 20, m: int = 4, subdim: int = 16,
+                    k_cents: int = 16) -> str:
+    """Mirror of cosine_topk_ivf_pq: the PQ Lloyd chains + code table,
+    the SHARED trained-IVF centroid chain (_km_cent_chain_ctes — same
+    cells as the kmeans/ivf_sq oracles) restricting stage 1 to each
+    query's n_probe cells, DECIMAL-summed ADC scores, exact re-rank."""
+    cos = sql_round(
+        "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
+        " * sqrt(list_inner_product(cv, cv)))", 6,
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+vs AS (
+  SELECT vec_id AS vid, s,
+         cv[s*{subdim}+1 : s*{subdim}+{subdim}] AS sv
+  FROM v, unnest(generate_series(0, {m - 1})) t(s)),
+cb0 AS (SELECT s, vid AS cent_id, sv AS centv FROM vs
+        WHERE vid < {k_cents}),
+{_pq_assign_cte("cb0", "pa1")},
+{_pq_recenter_cte("pa1", "cb0", "cb1", subdim)},
+{_pq_assign_cte("cb1", "pa2")},
+{_pq_recenter_cte("pa2", "cb1", "cb2", subdim)},
+{_pq_assign_cte("cb2", "pqcodes")},
+{_km_cent_chain_ctes()},
+cells AS (
+  SELECT vec_id AS neighbor_id, cell_id FROM (
+    SELECT v.vec_id, c2.cell_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_inner_product(v.cv, c2.centv) DESC,
+                 c2.cell_id) AS rn
+    FROM v, c2) WHERE rn = 1),
+codes AS (
+  SELECT p.vid AS neighbor_id, p.s, p.cent_id, cells.cell_id
+  FROM pqcodes p JOIN cells ON cells.neighbor_id = p.vid),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, c2.cell_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_inner_product(q.qv, c2.centv) DESC,
+                 c2.cell_id) AS rn
+    FROM q, c2) WHERE rn <= {n_probe}),
+qs AS (
+  SELECT query_id, s,
+         qv[s*{subdim}+1 : s*{subdim}+{subdim}] AS qsv
+  FROM q, unnest(generate_series(0, {m - 1})) t(s)),
+tables AS (
+  SELECT qs.query_id, qs.s, cb2.cent_id,
+         list_inner_product(qs.qsv, cb2.centv) AS t
+  FROM qs JOIN cb2 USING (s)),
+approx AS (
+  SELECT t.query_id, c.neighbor_id,
+    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE) AS approx_dot
+  FROM probes pr
+  JOIN codes c ON c.cell_id = pr.cell_id
+  JOIN tables t ON t.query_id = pr.query_id AND t.s = c.s
+                AND t.cent_id = c.cent_id
+  WHERE pr.query_id != c.neighbor_id
+  GROUP BY t.query_id, c.neighbor_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY approx_dot DESC, neighbor_id) AS rn
+    FROM approx) WHERE rn <= {k * refine}),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos_sim
+  FROM cand
+  JOIN q USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, cv FROM v) USING (neighbor_id))
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _pq_assign_cte(cb: str, out: str) -> str:
     return f"""{out} AS (
   SELECT vid, s, sv, cent_id FROM (
@@ -1492,5 +1592,6 @@ QUERIES = {
     "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
     "embed_ann_ivf_sq": (embed_ann_ivf_sq, _ann_ivf_sq_sql()),
     "embed_ann_pq": (embed_ann_pq, _ann_pq_sql()),
+    "embed_ann_ivf_pq": (embed_ann_ivf_pq, _ann_ivf_pq_sql()),
     "embed_kmeans_clusters": (embed_kmeans_clusters, _kmeans_sql()),
 }

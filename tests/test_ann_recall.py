@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from sc_crawler_spark.queries.pipeline import (
     embed_ann_ivf,
+    embed_ann_ivf_pq,
     embed_ann_ivf_sq,
     embed_ann_lsh,
     embed_ann_pq,
@@ -50,8 +51,13 @@ def test_ann_recall_at_5(spark):
     # case (no cluster structure), so the floor is set at 0.8
     r_pq = _recall(_neighbors(embed_ann_pq(spark, SF)), exact)
     assert r_pq >= 0.8, f"PQ recall@5 regressed: {r_pq:.3f}"
+    # IVF x PQ with Lloyd-trained cells: measured 0.88 = PQ-alone, so
+    # the 3/8-cell pruning is recall-free (untrained cells measured
+    # 0.78 — cell misses compound with quantization)
+    r_ivfpq = _recall(_neighbors(embed_ann_ivf_pq(spark, SF)), exact)
+    assert r_ivfpq >= 0.8, f"IVF-PQ recall@5 regressed: {r_ivfpq:.3f}"
     print(f"recall@5 lsh={r_lsh:.3f} ivf={r_ivf:.3f} sq={r_sq:.3f} "
-          f"ivf_sq={r_ivfsq:.3f} pq={r_pq:.3f}")
+          f"ivf_sq={r_ivfsq:.3f} pq={r_pq:.3f} ivf_pq={r_ivfpq:.3f}")
 
 
 def test_embed_near_dup_pair_recall(spark):

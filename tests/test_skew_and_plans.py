@@ -378,3 +378,23 @@ def test_r7_embed_ann_pq_stage1_is_code_table_join(spark):
     assert nodes <= 220, (
         f"embed_ann_pq plan grew to {nodes} nodes — did the unrolled "
         "PQ training iteration count increase?")
+
+
+def test_r7_embed_ann_ivf_pq_stage1_is_cell_equijoin(spark):
+    """IVF x PQ: stage 1 must restrict candidates via the cell_id
+    equi-join (probes x cell-tagged PQ codes) before the ADC table
+    join — never a cartesian or a nested loop over the full corpus;
+    plan bounded (two unrolled Lloyd families: the shared IVF chain +
+    m per-subspace PQ chains)."""
+    plan = _plan(spark, "embed_ann_ivf_pq")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"BroadcastHashJoin[^\n]*\nLeft keys \[1\]: \[cell_id", plan
+    ), "stage-1 candidate join is not an equi-join on cell_id"
+    assert not re.search(
+        r"BroadcastNestedLoopJoin[^\n]*\nJoin condition: NOT \(query_id",
+        plan), "stage-1 degraded to an all-pairs nested-loop join"
+    nodes = plan.count("\n(")
+    assert nodes <= 430, (
+        f"embed_ann_ivf_pq plan grew to {nodes} nodes — did an unrolled "
+        "Lloyd iteration count increase?")
