@@ -46,8 +46,8 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # r7 rotation: CORRECTNESS_r06 went 50/50 hash-green over the first 50
 # registry names, so every OTHER name's latest driver evidence is r5 —
 # those 43 rotate to the front, behind the r7 new/changed queries. r7
-# added 21 new entries (the TPC-H completions + the text/analytics/
-# timeseries/graph tier) + 3 changed, so the TAIL of the r5-stale names
+# added 23 new entries (the TPC-H completions + the text/analytics/
+# timeseries/graph/PQ tier) + 3 changed, so the TAIL of the r5-stale names
 # falls past the 50-query driver cap this round — those stay
 # pytest-oracle-verified and rotate to the front in r8.
 _PRIORITY = [
