@@ -365,7 +365,11 @@ def test_r7_embed_ann_pq_stage1_is_code_table_join(spark):
     there would pin the query side exactly the way the r6 verdict
     flagged on ivf_sq — AQE converts it at runtime instead. The
     unrolled per-subspace Lloyd chains keep the plan bounded (the
-    kmeans guard convention — deeper training must checkpoint)."""
+    kmeans guard convention — deeper training must checkpoint).
+    Cleared cache first: an earlier test's executed run leaves the
+    codebook/query frames cached, and the InMemoryRelation blocks
+    inflate the node count past the unrolled-trainer ceiling."""
+    spark.catalog.clearCache()
     plan = _plan(spark, "embed_ann_pq")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -385,7 +389,9 @@ def test_r7_embed_ann_ivf_pq_stage1_is_cell_equijoin(spark):
     equi-join (probes x cell-tagged PQ codes) before the ADC table
     join — never a cartesian or a nested loop over the full corpus;
     plan bounded (two unrolled Lloyd families: the shared IVF chain +
-    m per-subspace PQ chains)."""
+    m per-subspace PQ chains). Cache cleared first — see the
+    embed_ann_pq guard."""
+    spark.catalog.clearCache()
     plan = _plan(spark, "embed_ann_ivf_pq")
     assert "CartesianProduct" not in plan
     assert re.search(
