@@ -487,8 +487,25 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, vec_col: str,
     )
 
 
+def _pq_subvectors(df: DataFrame, id_out: str, vec_col: str, m: int,
+                   subdim: int, sub_out: str) -> DataFrame:
+    """(id, s, subvector) — each vector exploded into its m contiguous
+    subdim-wide slices. The ONE slicing convention every PQ consumer
+    (training, encoding, query tables) shares; change it here or
+    codebooks silently desynchronize from code assignment."""
+    return df.select(
+        id_out,
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice(vec_col, s * subdim + 1, subdim)
+                     .alias(sub_out))
+            for s in range(m)
+        ])).alias("e")
+    ).select(id_out, "e.s", f"e.{sub_out}")
+
+
 def pq_train_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
-                       m: int = 4, subdim: int = 16, k_cents: int = 8,
+                       m: int = 4, subdim: int = 16, k_cents: int = 16,
                        iters: int = 2) -> DataFrame:
     """Product-quantization codebooks: the vector splits into ``m``
     contiguous ``subdim``-wide subspaces, each trained with its own
@@ -505,17 +522,10 @@ def pq_train_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
     constant per row and drops out of the ordering) so both engines
     compare compositions of the SAME sequential-fold primitive rather
     than introducing a new squared-diff fold."""
-    v_sub = corpus.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("_v")
-    ).select(
-        "vid",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice("_v", s * subdim + 1, subdim).alias("sv"))
-            for s in range(m)
-        ])).alias("e")
-    ).select("vid", "e.s", "e.sv")
+    v_sub = _pq_subvectors(
+        corpus.select(F.col(id_col).alias("vid"),
+                      as_double(F.col(vec_col)).alias("_v")),
+        "vid", "_v", m, subdim, "sv")
     cents = v_sub.filter(F.col("vid") < k_cents).select(
         "s", F.col("vid").alias("cent_id"), F.col("sv").alias("centv"))
     mean6 = dround(
@@ -560,62 +570,60 @@ def _pq_assign(v_sub: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def cosine_topk_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
-                   id_col: str, k: int = 5, refine: int = 4, m: int = 4,
-                   subdim: int = 16, k_cents: int = 8) -> DataFrame:
+                   id_col: str, k: int = 5, refine: int = 20, m: int = 4,
+                   subdim: int = 16, k_cents: int = 16,
+                   broadcast_queries: bool = False) -> DataFrame:
     """Product-quantization ANN: corpus vectors compress to ``m`` small
-    codes (m*log2(k_cents) bits — here 12 bits vs 2048 for the f32
-    vector) and stage 1 ranks candidates by ADC lookup: approx_dot(q,v)
-    = sum over subspaces of dot(q_s, codebook[s][code_s(v)]), a join of
-    the code table against a per-query distance-table dim that is
-    (queries x m x k_cents) rows — dictionary-sized, broadcast. The
-    per-subspace terms are DECIMAL(28,12)-summed so the shortlist
-    ordering is engine-exact; the top k*refine shortlist re-ranks with
-    exact cosine (the SQ/IVF two-stage recipe).
+    codes (m*log2(k_cents) bits — here 16 bits vs 2048 for the f32
+    vector) and stage 1 ranks candidates by APPROXIMATE COSINE from ADC
+    lookups: dot(q, v̂) / ||v̂||, where v̂ is the concatenation of each
+    subspace's chosen centroid — dot(q, v̂) = Σ_s dot(q_s, c_s) and,
+    because the subspaces are orthogonal coordinate blocks,
+    ||v̂||² = Σ_s ||c_s||² EXACTLY. Normalizing by the reconstructed
+    norm matters off this fixture: ranking by raw approximate dot lets
+    large-norm vectors crowd the shortlist regardless of angle (the SQ
+    stage-1 divides by code norms for the same reason). Both sums are
+    DECIMAL(28,12)-routed so the shortlist is engine-exact; the top
+    k*refine survivors re-rank with exact cosine.
 
     At 100 TB the wins compound: the corpus-resident state is the code
     table (vid + m small ints), stage 1 never touches a float vector,
     and only |shortlist| full vectors are fetched for the re-rank.
-    Codebooks retrain like any other model dim; stage-1 cost is one
-    broadcast-join scan of the code table."""
+    ``broadcast_queries`` follows the ivf_sq contract: OFF by default —
+    the ADC tables (|Q| x m x k_cents rows) and the re-rank query side
+    scale with |Q| and a hard-coded hint would die at the broadcast
+    ceiling on a large batch; unhinted they shuffle and AQE upgrades
+    small sides at runtime. True for known-tiny interactive sets like
+    the registry's 10-query driver entry."""
     cents = pq_train_codebooks(corpus, vec_col, id_col, m, subdim,
                                k_cents).cache()
     c0 = corpus.select(F.col(id_col).alias("vid"),
                        as_double(F.col(vec_col)).alias("_v"))
-    v_sub = c0.select(
-        "vid",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice("_v", s * subdim + 1, subdim).alias("sv"))
-            for s in range(m)
-        ])).alias("e")
-    ).select("vid", "e.s", "e.sv")
-    codes = _pq_assign(v_sub, cents).select(
+    codes = _pq_assign(_pq_subvectors(c0, "vid", "_v", m, subdim, "sv"),
+                       cents).select(
         F.col("vid").alias("neighbor_id"), "s", "cent_id")
     q0 = queries.select(F.col(id_col).alias("query_id"),
                         as_double(F.col(vec_col)).alias("qv")).cache()
-    q_sub = q0.select(
-        "query_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice("qv", s * subdim + 1, subdim).alias("qs"))
-            for s in range(m)
-        ])).alias("e")
-    ).select("query_id", "e.s", "e.qs")
-    # ADC tables: (query, subspace, cent) -> dot(q_s, centroid)
+    q_sub = _pq_subvectors(q0, "query_id", "qv", m, subdim, "qs")
+    # ADC tables: (query, subspace, cent) -> dot(q_s, centroid), plus
+    # the centroid's ||c_s||² for the reconstructed-norm denominator
     tables = (
         q_sub.join(F.broadcast(cents), "s")
         .select("query_id", "s", "cent_id",
-                dot(F.col("qs"), F.col("centv")).alias("t"))
+                dot(F.col("qs"), F.col("centv")).alias("t"),
+                dot(F.col("centv"), F.col("centv")).alias("n2"))
     )
+    tables_side = F.broadcast(tables) if broadcast_queries else tables
     approx = (
-        codes.join(F.broadcast(tables), ["s", "cent_id"])
+        codes.join(tables_side, ["s", "cent_id"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
-             .alias("approx_dot"))
+        .agg((F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
+              / F.sqrt(F.sum(F.col("n2").cast("decimal(28,12)"))
+                       .cast("double"))).alias("approx_sim"))
     )
     short_w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dot").desc(), F.col("neighbor_id"))
+        F.col("approx_sim").desc(), F.col("neighbor_id"))
     cand = (
         approx.withColumn("_rn", F.row_number().over(short_w))
         .filter(F.col("_rn") <= k * refine)
@@ -624,7 +632,7 @@ def cosine_topk_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
     c_full = c0.select(F.col("vid").alias("neighbor_id"),
                        F.col("_v").alias("cv"))
     scored = (
-        cand.join(F.broadcast(q0), "query_id")
+        cand.join(F.broadcast(q0) if broadcast_queries else q0, "query_id")
         .join(c_full, "neighbor_id")
         .select("query_id", "neighbor_id",
                 dround(dot(F.col("qv"), F.col("cv"))
@@ -681,16 +689,9 @@ def cosine_topk_ivf_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
     cells = assigned.select("neighbor_id", "cell_id")
     books = pq_train_codebooks(corpus, vec_col, id_col, m, subdim,
                                k_cents).cache()
-    v_sub = c0.select(
-        "vid",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice("_v", s * subdim + 1, subdim).alias("sv"))
-            for s in range(m)
-        ])).alias("e")
-    ).select("vid", "e.s", "e.sv")
     codes = (
-        _pq_assign(v_sub, books)
+        _pq_assign(_pq_subvectors(c0, "vid", "_v", m, subdim, "sv"),
+                   books)
         .select(F.col("vid").alias("neighbor_id"), "s", "cent_id")
         .join(cells, "neighbor_id")
     )
@@ -705,18 +706,12 @@ def cosine_topk_ivf_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
         .filter(F.col("_rn") <= n_probe)
         .select("query_id", "cell_id")
     )
-    q_sub = q0.select(
-        "query_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice("qv", s * subdim + 1, subdim).alias("qs"))
-            for s in range(m)
-        ])).alias("e")
-    ).select("query_id", "e.s", "e.qs")
+    q_sub = _pq_subvectors(q0, "query_id", "qv", m, subdim, "qs")
     tables = (
         q_sub.join(F.broadcast(books), "s")
         .select("query_id", "s", "cent_id",
-                dot(F.col("qs"), F.col("centv")).alias("t"))
+                dot(F.col("qs"), F.col("centv")).alias("t"),
+                dot(F.col("centv"), F.col("centv")).alias("n2"))
     )
     probes_side = F.broadcast(probes) if broadcast_queries else probes
     tables_side = F.broadcast(tables) if broadcast_queries else tables
@@ -725,11 +720,14 @@ def cosine_topk_ivf_pq(queries: DataFrame, corpus: DataFrame, vec_col: str,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(tables_side, ["query_id", "s", "cent_id"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
-             .alias("approx_dot"))
+        # approximate COSINE: dot(q, v̂) / ||v̂|| with the reconstructed
+        # norm exact by subspace orthogonality (see cosine_topk_pq)
+        .agg((F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
+              / F.sqrt(F.sum(F.col("n2").cast("decimal(28,12)"))
+                       .cast("double"))).alias("approx_sim"))
     )
     short_w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dot").desc(), F.col("neighbor_id"))
+        F.col("approx_sim").desc(), F.col("neighbor_id"))
     cand = (
         approx.withColumn("_rn", F.row_number().over(short_w))
         .filter(F.col("_rn") <= k * refine)

@@ -892,7 +892,8 @@ def embed_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_pq(
-        queries, emb, "embedding", "vec_id", k=5, refine=20, k_cents=16)
+        queries, emb, "embedding", "vec_id", k=5, refine=20, k_cents=16,
+        broadcast_queries=True)
 
 
 def embed_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
@@ -912,13 +913,17 @@ def embed_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding")).alias("cv"))
     cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
     return similarity.cosine_topk_ivf_pq(
-        queries, emb, "embedding", "vec_id", k=5, n_cells=8, n_probe=3,
-        refine=20, k_cents=16, centroids=cents, broadcast_queries=True)
+        queries, emb, "embedding", "vec_id", k=5, n_cells=_KM_CELLS,
+        n_probe=3, refine=20, k_cents=16, centroids=cents,
+        broadcast_queries=True)
 
 
-def _ann_ivf_pq_sql(k: int = 5, n_cells: int = 8, n_probe: int = 3,
+def _ann_ivf_pq_sql(k: int = 5, n_probe: int = 3,
                     refine: int = 20, m: int = 4, subdim: int = 16,
                     k_cents: int = 16) -> str:
+    # NOTE: the cell count is pinned by the SHARED centroid chain
+    # (_km_cent_chain_ctes -> _KM_CELLS) — no n_cells parameter here,
+    # so the oracle cannot silently diverge from the Spark twin
     """Mirror of cosine_topk_ivf_pq: the PQ Lloyd chains + code table,
     the SHARED trained-IVF centroid chain (_km_cent_chain_ctes — same
     cells as the kmeans/ivf_sq oracles) restricting stage 1 to each
@@ -966,11 +971,14 @@ qs AS (
   FROM q, unnest(generate_series(0, {m - 1})) t(s)),
 tables AS (
   SELECT qs.query_id, qs.s, cb2.cent_id,
-         list_inner_product(qs.qsv, cb2.centv) AS t
+         list_inner_product(qs.qsv, cb2.centv) AS t,
+         list_inner_product(cb2.centv, cb2.centv) AS n2
   FROM qs JOIN cb2 USING (s)),
 approx AS (
   SELECT t.query_id, c.neighbor_id,
-    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE) AS approx_dot
+    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE)
+      / sqrt(CAST(SUM(CAST(t.n2 AS DECIMAL(28,12))) AS DOUBLE))
+      AS approx_sim
   FROM probes pr
   JOIN codes c ON c.cell_id = pr.cell_id
   JOIN tables t ON t.query_id = pr.query_id AND t.s = c.s
@@ -981,7 +989,7 @@ cand AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
       row_number() OVER (PARTITION BY query_id
-        ORDER BY approx_dot DESC, neighbor_id) AS rn
+        ORDER BY approx_sim DESC, neighbor_id) AS rn
     FROM approx) WHERE rn <= {k * refine}),
 scored AS (
   SELECT query_id, neighbor_id, {cos} AS cos_sim
@@ -1053,11 +1061,14 @@ qs AS (
   FROM q, unnest(generate_series(0, {m - 1})) t(s)),
 tables AS (
   SELECT qs.query_id, qs.s, cb2.cent_id,
-         list_inner_product(qs.qsv, cb2.centv) AS t
+         list_inner_product(qs.qsv, cb2.centv) AS t,
+         list_inner_product(cb2.centv, cb2.centv) AS n2
   FROM qs JOIN cb2 USING (s)),
 approx AS (
   SELECT t.query_id, c.vid AS neighbor_id,
-    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE) AS approx_dot
+    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE)
+      / sqrt(CAST(SUM(CAST(t.n2 AS DECIMAL(28,12))) AS DOUBLE))
+      AS approx_sim
   FROM codes c JOIN tables t ON c.s = t.s AND c.cent_id = t.cent_id
   WHERE t.query_id != c.vid
   GROUP BY t.query_id, c.vid),
@@ -1065,7 +1076,7 @@ cand AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
       row_number() OVER (PARTITION BY query_id
-        ORDER BY approx_dot DESC, neighbor_id) AS rn
+        ORDER BY approx_sim DESC, neighbor_id) AS rn
     FROM approx) WHERE rn <= {k * refine}),
 scored AS (
   SELECT query_id, neighbor_id, {cos} AS cos_sim
