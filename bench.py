@@ -312,7 +312,11 @@ def main() -> None:
         oracle = {"error": str(exc)[:200]}
 
     # ---- scale: cold build+exec, Spark vs DuckDB on identical Nx data
-    scale: dict[str, object] = {"factor": SCALE_FACTOR}
+    # loadavg is recorded so artifact drift is self-documenting: a
+    # loaded box (r7's q5=11 s anomaly) shows up in the JSON itself
+    scale: dict[str, object] = {"factor": SCALE_FACTOR,
+                                "loadavg_start": [round(x, 2) for x in
+                                                  os.getloadavg()]}
     try:
         s16_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR",
                                  f"/tmp/sc_bench_scale{SCALE_FACTOR}")
@@ -346,14 +350,27 @@ def main() -> None:
             cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             parts = max(8, min(2 * cpus, scan_b // (16 * 1024 * 1024)))
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            # best-of-N protocol (r7 verdict item 3): the r7 artifact
+            # was single-run on a loaded box and disagreed ~3x with
+            # the same round's interleaved A/Bs (q5 11.0 s vs 3.0-3.1,
+            # session_counts 0.71 vs 0.22-0.25). Every query now gets
+            # at least TWO runs (cold build-included + one warm) and a
+            # third while cheap (<5 s), so a co-tenant spike on any
+            # single run can't become the published number; the cold
+            # first run is still published separately so the
+            # build-included claim survives.
             t0 = time.perf_counter()
             REGISTRY[name][0](spark, qdir).count()  # build INCLUDED
-            best = time.perf_counter() - t0
-            if best < 5.0:  # re-run only cheap queries; bound wall time
+            cold = time.perf_counter() - t0
+            best = cold
+            for _ in range(2):
                 t0 = time.perf_counter()
                 REGISTRY[name][0](spark, qdir).count()
                 best = min(best, time.perf_counter() - t0)
+                if best >= 5.0:  # expensive: stop at 2 runs total
+                    break
             spark_s[name] = round(best, 3)
+            scale.setdefault("spark_cold", {})[name] = round(cold, 3)
             # the dedup/training queries cache multi-hundred-MB
             # intermediates (shingles, signatures); left resident they
             # steal executor memory from every later scale query
@@ -464,9 +481,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_sec": round(build_total, 3),
-        "protocol": "prepared-plan best-of-3 (build published separately)",
+        "protocol": "prepared-plan best-of-3 (build published separately); "
+                    "scale block best-of-2/3 with cold run published",
         "oracle_sf": oracle,
         "scale": scale,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
     spark.stop()
 

@@ -50,63 +50,17 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # timeseries/graph/PQ tier) + 3 changed, so the TAIL of the r5-stale names
 # falls past the 50-query driver cap this round — those stay
 # pytest-oracle-verified and rotate to the front in r8.
+#
+# r8 rotation: CORRECTNESS_r07 went 48/50 hash-green (+2 rows-only by
+# design) over the first 50 names. Evidence ledger entering r8:
+# 16 names last green in r5 (they fell past r7's cap) -> FRONT, per
+# the r7 verdict; then r8's new/changed entries; then the 50 names
+# last green in r6 (r7's tail), of which the first ~29 make this
+# round's 50-query window. The r7 fresh greens rotate to the tail.
+# After r8 the oldest driver evidence anywhere is r6.
 _PRIORITY = [
-    # --- new in r7: no driver evidence yet ---
-    "embed_ann_pq",                # product-quantized ADC two-stage ANN
-    "embed_ann_ivf_pq",            # IVF pruning x PQ lookup composition
-    "doc_pagerank",                # 2-iter PageRank over the dup-pair graph
-    "dedup_containment",           # overlap-coefficient near-superset pairs
-    "event_anomaly_zscore",        # two-moment daily outlier detection
-    "twap_user_value",             # duration-weighted timeseries average
-    "gap_fill_daily_value",        # calendar resample + forward fill
-    "funnel_conversion",           # ordered-stage funnel via chained windows
-    "approx_distinct_users",       # HLL++ scale twin — rows-only by design
-    "cohort_retention",            # first-touch weekly retention triangle
-    "chunk_documents",             # overlapping context-window chunking
-    "tfidf_keywords",              # per-doc top-3 TF-IDF terms
-    "doc_lm_perplexity",           # corpus unigram-LM bits/token
-    "q6_forecast_revenue",         # pure scan-agg pushdown floor
-    "q8_national_market_share",    # deepest join tree, nation twice
-    "q20_dominant_suppliers",      # window-total threshold gating semi join
-    "q14_promo_effect",            # join + conditional-agg ratio (promo %)
-    "q22_global_sales_opportunity",  # scalar subquery + date-filtered anti join
-    "doc_bpe_token_stats",         # GPT-2-style pre-tokenizer regex counts
-    "q11_important_stock",         # HAVING vs global-total scalar subquery
-    "q21_single_supplier_blame",   # double correlated EXISTS/NOT EXISTS
-    "q13_customer_distribution",   # left-outer count-of-counts histogram
-    "q15_top_supplier",            # aggregate-then-select-the-max
-    # --- changed in r7: evidence stale by construction ---
-    # (q3/q5 query code is UNCHANGED in r7 — only the bench's bucketed
-    # twin layout moved — so their r6 hash-greens stand and they sit in
-    # the tail)
-    "session_counts",              # flag-sum formulation (one window pass)
-    "embed_ann_ivf_sq",            # broadcast_queries gate (plan change)
-    "training_set_select",         # single-pass rewrite (one scan + one agg)
-    # --- last green in r5: the stalest evidence ---
-    "q7_volume_shipping",
-    "doc_repetition",
-    "doc_pii_scrub",
-    "decontaminate_docs",
-    "lang_balanced_sample",
-    "training_shard_stats",
-    "approx_median_price",         # sketch twin — rows-only by design
-    "q2_min_price_order",
-    "q4_order_priority",
-    "cube_revenue",
-    "rollup_revenue",
-    "pivot_status_counts",
-    "moving_range_avg",
-    "intersect_repeat_buyers",
-    "temperature_mix_sample",
-    "profile_orders",
-    "region_dims_rollup",
-    "vendor_compliance_matrix",
-    "spot_price_asof",
-    "media_metadata_extract",
-    "anti_join_no_orders",
-    "keep_last_dedup_lineitem",
-    "except_building_buyers",
-    "argmax_customer_per_nation",
+    # --- r8 rotation (r7 verdict item 1): the 16 names whose latest
+    # driver green is r5 HEAD the window ---
     "dim_join_enrichment",
     "price_quartiles",
     "min_unit_price_per_part",
@@ -123,11 +77,9 @@ _PRIORITY = [
     "weighted_geomean_price",
     "q18_large_orders",
     "longtail_price_assembly",
-]
-# Freshest driver evidence (green rows in CORRECTNESS_r06.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
-_TAIL = [
+    # --- new/changed in r8: no driver evidence yet ---
+    # (names appended here as r8 queries land)
+    # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",
     "extract_brand_number",
@@ -178,6 +130,61 @@ _TAIL = [
     "embed_kmeans_clusters",
     "embed_ann_sq",
     "q10_returned_items",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r06.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    "embed_ann_pq",
+    "embed_ann_ivf_pq",
+    "doc_pagerank",
+    "dedup_containment",
+    "event_anomaly_zscore",
+    "twap_user_value",
+    "gap_fill_daily_value",
+    "funnel_conversion",
+    "approx_distinct_users",
+    "cohort_retention",
+    "chunk_documents",
+    "tfidf_keywords",
+    "doc_lm_perplexity",
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q20_dominant_suppliers",
+    "q14_promo_effect",
+    "q22_global_sales_opportunity",
+    "doc_bpe_token_stats",
+    "q11_important_stock",
+    "q21_single_supplier_blame",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "session_counts",
+    "embed_ann_ivf_sq",
+    "training_set_select",
+    "q7_volume_shipping",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "decontaminate_docs",
+    "lang_balanced_sample",
+    "training_shard_stats",
+    "approx_median_price",
+    "q2_min_price_order",
+    "q4_order_priority",
+    "cube_revenue",
+    "rollup_revenue",
+    "pivot_status_counts",
+    "moving_range_avg",
+    "intersect_repeat_buyers",
+    "temperature_mix_sample",
+    "profile_orders",
+    "region_dims_rollup",
+    "vendor_compliance_matrix",
+    "spot_price_asof",
+    "media_metadata_extract",
+    "anti_join_no_orders",
+    "keep_last_dedup_lineitem",
+    "except_building_buyers",
+    "argmax_customer_per_nation",
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -117,18 +117,22 @@ def q3_shipping_priority(spark: SparkSession, sf: str,
     """3-way equi-join + aggregate + deterministic top-10 (J2/J3 + O4).
 
     Star-join order: the BUILDING-segment customer dim reduces ORDERS
-    FIRST (broadcast join — no shuffle, ~1/5 survival), so the fact-
-    fact join sees the smallest possible sides; lineitem is projected
-    to 3 columns before it moves. AQE then broadcasts the reduced
-    orders side when it fits, else shuffles 5x less than the old
-    join-facts-first order."""
+    FIRST (~1/5 survival), so the fact-fact join sees the smallest
+    possible sides; lineitem is projected to 3 columns before it
+    moves. No hard broadcast hint on customer — it SCALES with sf
+    (tens of GB at the 100 TB target, where a forced broadcast dies at
+    the ceiling instead of degrading to shuffle); AQE auto-broadcasts
+    the 1-column projection at any scale where it fits (plan-guarded:
+    tests/test_skew_and_plans.py test_r8_q3_q5_dims_broadcast_without_hint)
+    and falls back to a shuffle join beyond. AQE likewise broadcasts
+    the reduced orders side when it fits."""
     t = _tables or {}  # bench's bucketed twin overrides the facts
     cust = load(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = (
         t.get("orders", load(spark, sf, "orders"))
         .filter(F.col("o_orderdate") < "1998-01-01")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = t.get("lineitem", load(spark, sf, "lineitem")).filter(
@@ -166,15 +170,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str,
     """6-table join with broadcast dims + group aggregate (J1/J2/J3).
 
     Star-join order — the plan that survives 100x: the region gate
-    folds into nation, then into supplier and customer (all broadcast
-    dims), and each FACT is reduced by its broadcast dim BEFORE the
-    fact-fact join (orders x asia-customers, lineitem x
-    asia-suppliers, both shuffle-free, ~1/|regions| survival each).
-    Only then do the two reduced facts join on orderkey (+ the
-    same-nation constraint); AQE broadcasts the reduced orders side
-    when it fits. The old order joined the full 38M-row lineitem to
-    the full orders first — a maximal shuffle whose output the dims
-    then threw away."""
+    folds into nation (fixed-size: hard broadcast hints stay), then
+    into supplier and customer, and each FACT is reduced by its dim
+    BEFORE the fact-fact join (orders x asia-customers, lineitem x
+    asia-suppliers, ~1/|regions| survival each). Customer and
+    supplier are SCALING tables, so they carry no hard broadcast
+    hint: AQE auto-broadcasts the 2-3-column region-pruned
+    projections at any scale where they fit (plan-guarded:
+    test_r8_q3_q5_dims_broadcast_without_hint) and degrades to a
+    shuffle join past the ceiling instead of dying — the behaviour a
+    forced hint forfeits at the 100 TB target. Only then do the two
+    reduced facts join on orderkey (+ the same-nation constraint);
+    AQE broadcasts the reduced orders side when it fits. The old
+    order joined the full 38M-row lineitem to the full orders first —
+    a maximal shuffle whose output the dims then threw away."""
     # _tables: optional {name: DataFrame} fact overrides — the bench's
     # bucketed variant feeds catalog tables whose bucket spec makes the
     # fact-fact join below exchange-free; identical results either way
@@ -200,12 +209,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str,
     )
     orders = (
         t.get("orders", load(spark, sf, "orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     li = (
         t.get("lineitem", load(spark, sf, "lineitem"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_extendedprice", "l_discount",
                 "s_nationkey", "n_name")
     )
@@ -758,7 +767,10 @@ def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     ``p_retailprice * l_quantity * 0.1`` (same join shape, documented
     adaptation): amount = l_extendedprice*(1-l_discount) - cost.
     The p_name filter prunes part BEFORE its broadcast; the only
-    shuffle joins the two facts on orderkey."""
+    shuffle joins the two facts on orderkey. Supplier is a SCALING
+    table so it carries no hard hint — AQE auto-broadcasts it while
+    it fits and degrades to shuffle past the ceiling (part keeps its
+    hint: the 'red' LIKE filter bounds it at any sf)."""
     li = load(spark, sf, "lineitem")
     part = load(spark, sf, "part").filter(F.col("p_name").contains("red"))
     supp = load(spark, sf, "supplier")
@@ -770,7 +782,7 @@ def q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(nation),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1214,9 +1226,12 @@ def q8_national_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — the deepest join tree in
     the registry (two facts + part/supplier/customer and nation TWICE,
     once per side of the trade) feeding a ratio of conditional sums per
-    order year. The nation dim joins under two aliases; Catalyst
-    broadcasts every dim, so the only exchanges are the fact-fact join
-    on orderkey and the final 2-row groupBy.
+    order year. The nation dim joins under two aliases. Fixed-size
+    dims (nation x2, region, PROMO-filtered part) keep hard broadcast
+    hints; customer and supplier SCALE with sf so they carry none —
+    AQE auto-broadcasts them while they fit and degrades to shuffle
+    past the ceiling, so at bench scale the only exchanges remain the
+    fact-fact join on orderkey and the final 2-row groupBy.
 
     Adaptation (no p_comment/partsupp in the lake): the target product
     line is p_type = 'PROMO', the market is region 'AMERICA', and the
@@ -1242,9 +1257,9 @@ def q8_national_market_share(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(s_nation), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(c_nation), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))

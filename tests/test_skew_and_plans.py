@@ -404,3 +404,42 @@ def test_r7_embed_ann_ivf_pq_stage1_is_cell_equijoin(spark):
     assert nodes <= 430, (
         f"embed_ann_ivf_pq plan grew to {nodes} nodes — did an unrolled "
         "Lloyd iteration count increase?")
+
+
+def test_r8_q3_q5_dims_broadcast_without_hint(spark):
+    """r8 scale-robustness guard (r7 verdict item 2): customer and
+    supplier are SCALING tables, so q3/q5/q8/q9 carry NO hard
+    F.broadcast() hint on them — a forced hint dies at the broadcast
+    ceiling at the 100 TB target instead of degrading to shuffle.
+    This guard proves the hint is genuinely absent (no ResolvedHint
+    on the analyzed plan) AND that the pruned dim projections still
+    plan as BroadcastHashJoin at bench scale from size stats alone,
+    AQE-upgradable either way. nation/region keep their hints
+    (fixed-size); those ResolvedHints are filtered out by key name."""
+    for name, dim_keys in (
+        ("q3_shipping_priority", ["c_custkey"]),
+        ("q5_local_supplier_volume", ["c_custkey", "s_suppkey"]),
+        ("q9_product_type_profit", ["s_suppkey"]),
+        ("q8_national_market_share", ["c_custkey", "s_suppkey"]),
+    ):
+        df = REGISTRY[name][0](spark, SF_ORACLE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        # hints on fixed-size dims are fine; none may target a scaling
+        # dim's key. The analyzed tree prints each ResolvedHint node
+        # directly above the relation subtree it wraps, so a hint on
+        # customer/supplier puts the scan within the next few lines.
+        for m in re.finditer(r"ResolvedHint[^\n]*\n((?:[^\n]*\n){0,6})",
+                             analyzed):
+            block = m.group(1)
+            assert not re.search(r"parquet .*(customer|supplier)", block), (
+                f"{name}: hard broadcast hint on a scaling dim:\n{block}")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        for key in dim_keys:
+            # the dim key may sit on either the left or right keys line
+            assert re.search(
+                rf"BroadcastHashJoin[^\n]*\n(?:[^\n]*\n)?"
+                rf"[^\n]*keys \[1\]: \[{key}#", plan), (
+                f"{name}: {key} dim join no longer broadcasts unhinted "
+                "at bench scale")
