@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import decimal_sum, dround, extract_last_number, sql_round
 from ..operators.windows import argmax_per_group
-from ..tables import load
+from ..tables import gated_broadcast, load
 
 # ---------------------------------------------------------------- q1: A-aggs
 
@@ -174,16 +174,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str,
     into supplier and customer, and each FACT is reduced by its dim
     BEFORE the fact-fact join (orders x asia-customers, lineitem x
     asia-suppliers, ~1/|regions| survival each). Customer and
-    supplier are SCALING tables, so they carry no hard broadcast
-    hint: AQE auto-broadcasts the 2-3-column region-pruned
-    projections at any scale where they fit (plan-guarded:
-    test_r8_q3_q5_dims_broadcast_without_hint) and degrades to a
-    shuffle join past the ceiling instead of dying — the behaviour a
-    forced hint forfeits at the 100 TB target. Only then do the two
-    reduced facts join on orderkey (+ the same-nation constraint);
-    AQE broadcasts the reduced orders side when it fits. The old
-    order joined the full 38M-row lineitem to the full orders first —
-    a maximal shuffle whose output the dims then threw away."""
+    supplier are SCALING tables, so their hints are SIZE-GATED
+    (``gated_broadcast``, tables.py): the reduced dims are join
+    outputs whose stats-v1 estimate is the useless input product, so
+    the gate consults the base table's on-disk bytes instead — hint
+    while the table fits the broadcast threshold, plain join (AQE
+    decides, degrades to shuffle) past the ceiling. A HARD hint here
+    dies at the 100 TB target; NO hint regresses 64x q5 3 s -> 8 s
+    (the fact pays a map-side shuffle even after AQE converts).
+    Plan-guarded both regimes: test_r8_gated_broadcast_*. Only then
+    do the two reduced facts join on orderkey (+ the same-nation
+    constraint); AQE broadcasts the reduced orders side when it
+    fits. The old order joined the full 38M-row lineitem to the full
+    orders first — a maximal shuffle whose output the dims then
+    threw away."""
     # _tables: optional {name: DataFrame} fact overrides — the bench's
     # bucketed variant feeds catalog tables whose bucket spec makes the
     # fact-fact join below exchange-free; identical results either way
@@ -209,12 +213,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str,
     )
     orders = (
         t.get("orders", load(spark, sf, "orders"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(gated_broadcast(spark, sf, "customer", cust),
+              F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     li = (
         t.get("lineitem", load(spark, sf, "lineitem"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(gated_broadcast(spark, sf, "supplier", supp),
+              F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_extendedprice", "l_discount",
                 "s_nationkey", "n_name")
     )

@@ -70,6 +70,65 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_disk_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of one lake table (file or part-file directory).
+
+    Driver-side metadata only — the same listing Spark's file index
+    performs — so it stays cheap at the 100 TB target. Returns ``None``
+    when the path isn't a local filesystem (object stores), so callers
+    degrade to no-hint rather than guessing."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return None
+
+
+def gated_broadcast(spark: SparkSession, sf_dir: str, name: str,
+                    df: DataFrame) -> DataFrame:
+    """Size-GATED broadcast hint for a scaling dim that flows through a
+    join before it meets a fact.
+
+    Why it exists (r7 verdict item 2): a hard ``F.broadcast()`` on a
+    scaling table (customer/supplier) dies at the broadcast ceiling at
+    the 100 TB target instead of degrading to shuffle. But simply
+    dropping the hint regresses dims that are JOIN OUTPUTS: stats-v1
+    estimates a join's size as the product of its inputs, so a
+    kilobyte-sized ``customer x asia_nations`` reduction estimates as
+    huge, the static planner picks a shuffle join on the fact, and
+    AQE's runtime conversion still pays the fact's map-side shuffle
+    write (measured at 64x: q5 3 s -> 8 s).
+
+    The gate uses the BASE table's on-disk bytes — ground truth the
+    planner's estimate chain loses — and hints only when the whole
+    table would fit the session broadcast threshold (the hinted df is
+    a pruned subset, so this is conservative). Past the ceiling, or
+    when the size is unknowable (object store), the df returns
+    unhinted and the plan degrades to shuffle + AQE instead of dying.
+    Plan-guarded both regimes: tests/test_skew_and_plans.py
+    test_r8_gated_broadcast_*."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760"))
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    try:
+        threshold = int(raw)
+    except ValueError:  # "10MB"-style spelling
+        num = raw.rstrip("bBkKmMgG")
+        mult = units.get(raw[len(num):len(num) + 1].lower(), 1)
+        threshold = int(float(num) * mult) if num else 10 * 1024 * 1024
+    if threshold <= 0:  # broadcast disabled for the session (-1)
+        return df
+    size = table_disk_bytes(sf_dir, name)
+    if size is not None and size < threshold:
+        return F.broadcast(df)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -406,28 +406,22 @@ def test_r7_embed_ann_ivf_pq_stage1_is_cell_equijoin(spark):
         "Lloyd iteration count increase?")
 
 
-def test_r8_q3_q5_dims_broadcast_without_hint(spark):
-    """r8 scale-robustness guard (r7 verdict item 2): customer and
-    supplier are SCALING tables, so q3/q5/q8/q9 carry NO hard
-    F.broadcast() hint on them — a forced hint dies at the broadcast
-    ceiling at the 100 TB target instead of degrading to shuffle.
-    This guard proves the hint is genuinely absent (no ResolvedHint
-    on the analyzed plan) AND that the pruned dim projections still
-    plan as BroadcastHashJoin at bench scale from size stats alone,
-    AQE-upgradable either way. nation/region keep their hints
-    (fixed-size); those ResolvedHints are filtered out by key name."""
+def test_r8_unhinted_scaling_dims_broadcast_from_stats(spark):
+    """r8 scale-robustness guard (r7 verdict item 2), regime 1: where a
+    scaling dim (customer/supplier) meets the fact as a PLAIN
+    filter/projection of its scan, it carries NO broadcast hint at all
+    — stats-v1's file-size estimate is accurate there, so the static
+    planner broadcasts it while it fits and degrades to shuffle when
+    it doesn't. Guard: no ResolvedHint wraps a bare customer/supplier
+    scan, yet the dim joins still plan as BroadcastHashJoin at bench
+    scale."""
     for name, dim_keys in (
         ("q3_shipping_priority", ["c_custkey"]),
-        ("q5_local_supplier_volume", ["c_custkey", "s_suppkey"]),
         ("q9_product_type_profit", ["s_suppkey"]),
         ("q8_national_market_share", ["c_custkey", "s_suppkey"]),
     ):
         df = REGISTRY[name][0](spark, SF_ORACLE)
         analyzed = df._jdf.queryExecution().analyzed().toString()
-        # hints on fixed-size dims are fine; none may target a scaling
-        # dim's key. The analyzed tree prints each ResolvedHint node
-        # directly above the relation subtree it wraps, so a hint on
-        # customer/supplier puts the scan within the next few lines.
         for m in re.finditer(r"ResolvedHint[^\n]*\n((?:[^\n]*\n){0,6})",
                              analyzed):
             block = m.group(1)
@@ -443,3 +437,51 @@ def test_r8_q3_q5_dims_broadcast_without_hint(spark):
                 rf"[^\n]*keys \[1\]: \[{key}#", plan), (
                 f"{name}: {key} dim join no longer broadcasts unhinted "
                 "at bench scale")
+
+
+def test_r8_gated_broadcast_hints_when_small(spark):
+    """Regime 2a: q5's reduced customer/supplier dims are JOIN OUTPUTS,
+    whose stats-v1 estimate is the useless product of their inputs —
+    unhinted they degrade the fact joins to shuffle even at kilobyte
+    sizes (measured 64x: q5 3 s -> 8 s). gated_broadcast() therefore
+    hints them from the BASE table's on-disk bytes; at bench scale the
+    gate is open and both dim joins must broadcast."""
+    df = REGISTRY["q5_local_supplier_volume"][0](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    for key in ("c_custkey", "s_suppkey"):
+        assert re.search(
+            rf"BroadcastHashJoin[^\n]*\n(?:[^\n]*\n)?"
+            rf"[^\n]*keys \[1\]: \[{key}#", plan), (
+            f"q5: gated hint on {key} dim did not broadcast at bench scale")
+
+
+def test_r8_gated_broadcast_degrades_past_ceiling(spark):
+    """Regime 2b — the 100 TB failure mode the gate exists for: when
+    the base table no longer fits the session broadcast threshold, the
+    gate must WITHHOLD the hint so the dim joins degrade to shuffle
+    equi-joins instead of dying at the broadcast ceiling (a hard hint
+    broadcasts regardless of the conf). Simulated by dropping the
+    threshold below the smallest dim; the query must still plan
+    without nested-loop/cartesian fallbacks and return correct rows."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        df = REGISTRY["q5_local_supplier_volume"][0](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for m in re.finditer(r"ResolvedHint[^\n]*\n((?:[^\n]*\n){0,8})",
+                             analyzed):
+            block = m.group(1)
+            assert not re.search(r"parquet .*(customer|supplier)", block), (
+                f"gate failed to withhold the hint past the ceiling:"
+                f"\n{block}")
+        # past the ceiling everything shuffles; the query still runs
+        assert df.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
