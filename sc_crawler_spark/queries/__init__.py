@@ -78,7 +78,7 @@ _PRIORITY = [
     "q18_large_orders",
     "longtail_price_assembly",
     # --- new/changed in r8: no driver evidence yet ---
-    # (names appended here as r8 queries land)
+    "dedup_substring_spans",       # cross-doc duplicated spans (suffix-array mode)
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",

@@ -464,6 +464,53 @@ FROM corpus GROUP BY sha256(text)
 """
 
 
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup (r7 verdict item 4): per document,
+    the maximal character spans whose every 40-char window also occurs
+    in another document — the cross-document duplicated-span mode of
+    the public suffix-array dedup method, as a bucketed two-shuffle
+    Spark plan (operators/dedup.py:duplicate_spans; no suffix array,
+    no all-pairs). Runs on the RAW documents table: the synthetic
+    small-vocab corpus shares thousands of 40-char spans naturally.
+
+    Output: (doc_id, n_dup_spans, dup_chars, max_span_chars) for every
+    doc carrying at least one duplicated span."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return dedup.duplicate_spans(docs, "text", "doc_id", width=40)
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH pos AS (
+  SELECT doc_id, u.p AS pos, substr(text, u.p, 40) AS span
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(p)
+  WHERE length(text) >= 40
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(doc_id) OVER (PARTITION BY span)
+             <> MAX(doc_id) OVER (PARTITION BY span) AS is_dup
+    FROM pos) WHERE is_dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS span_start, MAX(pos) + 39 AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id, COUNT(*) AS n_dup_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+       MAX(span_end - span_start + 1) AS max_span_chars
+FROM spans GROUP BY doc_id
+"""
+
+
 _NGRAM_MAX_DF = 8  # document-frequency cap for candidate generation
 
 
@@ -1591,6 +1638,7 @@ QUERIES = {
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),

@@ -1,0 +1,99 @@
+"""Fixture tests for substring-span dedup (operators/dedup.py:
+duplicate_spans) — exact boundary semantics + the two-shuffle plan
+contract. The sf-scale oracle comparison runs in test_queries_oracle
+via the dedup_substring_spans registry entry."""
+
+from __future__ import annotations
+
+import re
+
+from sc_crawler_spark.operators.dedup import duplicate_spans
+
+UNIQ_A = "aaaa bbbb cccc dddd eeee ffff gggg hhhh "   # 40 chars
+UNIQ_B = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss "   # 40 chars
+SHARED = "the quick brown fox jumps over the lazy dog repeatedly at dawn "  # 64
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, UNIQ_A + SHARED + UNIQ_A),      # shared span mid-doc
+            (2, UNIQ_B + SHARED + UNIQ_B),      # same shared span
+            (3, "completely unrelated text with no forty-char overlap anywhere here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_span_boundaries_exact(spark):
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(_docs(spark), "text", "doc_id", width=40).collect()}
+    # doc 3 shares nothing
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        r = out[d]
+        # SHARED (63 chars) occupies 1-based positions 41..103 in both
+        # docs. Duplicated windows start at 41..64 (fully inside) AND
+        # at 40: both UNIQ blocks end with a space, so the window
+        # "<space> + SHARED[:39]" is also identical across docs —
+        # maximal span [40, 103] = 64 chars, exactly the duplicated
+        # character run
+        assert r["n_dup_spans"] == 1
+        assert r["dup_chars"] == 64
+        assert r["max_span_chars"] == 64
+
+
+def test_within_doc_repeat_is_not_cross_doc_dup(spark):
+    # the SAME 40-char block twice in one doc, nowhere else: the
+    # cross-document criterion (min(doc)!=max(doc)) must NOT fire
+    df = _docs(spark).sparkSession.createDataFrame(
+        [(1, UNIQ_A + "filler middle text here " + UNIQ_A),
+         (2, UNIQ_B)],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(df, "text", "doc_id", width=40).count() == 0
+
+
+def test_disjoint_spans_stay_separate(spark):
+    # two shared regions separated by > width chars that are UNIQUE to
+    # each doc (a shared gap would itself be a duplicated span)
+    gap1 = "p q r s t u v w x y z p q r s t u v w x y z p q r s t u v "
+    gap2 = "9 8 7 6 5 4 3 2 1 0 9 8 7 6 5 4 3 2 1 0 9 8 7 6 5 4 3 2 1 "
+    df = _docs(spark).sparkSession.createDataFrame(
+        [(1, SHARED + gap1 + SHARED),
+         (2, SHARED + gap2 + SHARED)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(df, "text", "doc_id", width=40).collect()}
+    # island 1: doc-leading SHARED, starts 1..24 -> [1, 63] = 63 chars;
+    # island 2: both gaps end with a space, so the "<space>+SHARED[:39]"
+    # window at 121 duplicates too -> [121, 184] = 64 chars
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_chars"] == 127
+    assert out[1]["max_span_chars"] == 64
+
+
+def test_stride_coarsens_but_still_detects(spark):
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(_docs(spark), "text", "doc_id",
+                           width=40, stride=20).collect()}
+    # stride 20 samples starts 1,21,41,61,81,...; starts 41 and 61 fall
+    # inside SHARED -> one merged island, coarser right edge
+    assert set(out) == {1, 2}
+    assert out[1]["n_dup_spans"] == 1
+
+
+def test_two_shuffle_plan(spark):
+    """The plan contract from the docstring: ONE exchange for the span
+    window + ONE doc-keyed exchange shared by the island window, the
+    island groupBy and the per-doc rollup (subset-key clustering) —
+    and no join anywhere (the min!=max window replaces the frequency
+    join-back)."""
+    df = duplicate_spans(_docs(spark), "text", "doc_id", width=40)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Join" not in plan, "span marking must not join back"
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert exchanges == 2, f"expected 2 exchanges, got {exchanges}"
