@@ -79,6 +79,7 @@ _PRIORITY = [
     "longtail_price_assembly",
     # --- new/changed in r8: no driver evidence yet ---
     "dedup_substring_spans",       # cross-doc duplicated spans (suffix-array mode)
+    "embed_ann_ivf_pq",            # CHANGED r8: residual (IVFADC) encoding
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",
@@ -136,7 +137,6 @@ _PRIORITY = [
 # oracle re-check until they rotate forward again.
 _TAIL = [
     "embed_ann_pq",
-    "embed_ann_ivf_pq",
     "doc_pagerank",
     "dedup_containment",
     "event_anomaly_zscore",

@@ -944,16 +944,18 @@ def embed_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def embed_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF x PQ composed ANN (operators/similarity.cosine_topk_ivf_pq):
+    """IVF x PQ composed ANN with RESIDUAL encoding (r8, IVFADC from
+    the public PQ literature; operators/similarity.cosine_topk_ivf_pq):
     Lloyd-trained inverted lists prune to n_probe/n_cells of the
-    corpus, PQ codes rank the survivors by ADC table lookup —
-    per-candidate stage-1 cost is m lookups over 16-bit codes (vs
-    ivf_sq's m*subdim int8 dot), the most compressed index in the
-    tier. Trained cells matter: untrained first-8 centroids measured
-    recall 0.78 at n_probe=3 (cell misses compound with quantization),
-    trained cells 0.88 — equal to PQ-alone, i.e. the cell pruning
-    becomes recall-free. broadcast_queries on for the 10-query driver
-    entry (the ivf_sq contract); gated in tests/test_ann_recall.py."""
+    corpus, PQ codebooks trained on ``v - centroid(cell)`` rank the
+    survivors by ADC lookup plus dictionary-sized cell-correction
+    dims. Residuals concentrate near the origin, so the same code
+    budget resolves finer: measured recall@5 0.90 at refine=10 / m=8
+    subspaces (raw encoding needed refine=20 for 0.88 — half the
+    shortlist for more recall). Trained cells matter doubly here: the
+    residual codebooks are only as good as the cells they subtract.
+    broadcast_queries on for the 10-query driver entry (the ivf_sq
+    contract); gated in tests/test_ann_recall.py."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     v = emb.select("vec_id", similarity.as_double(
@@ -961,20 +963,24 @@ def embed_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
     return similarity.cosine_topk_ivf_pq(
         queries, emb, "embedding", "vec_id", k=5, n_cells=_KM_CELLS,
-        n_probe=3, refine=20, k_cents=16, centroids=cents,
-        broadcast_queries=True)
+        n_probe=3, refine=10, m=8, subdim=8, k_cents=16,
+        centroids=cents, broadcast_queries=True, residual=True)
 
 
 def _ann_ivf_pq_sql(k: int = 5, n_probe: int = 3,
-                    refine: int = 20, m: int = 4, subdim: int = 16,
+                    refine: int = 10, m: int = 8, subdim: int = 8,
                     k_cents: int = 16) -> str:
     # NOTE: the cell count is pinned by the SHARED centroid chain
     # (_km_cent_chain_ctes -> _KM_CELLS) — no n_cells parameter here,
     # so the oracle cannot silently diverge from the Spark twin
-    """Mirror of cosine_topk_ivf_pq: the PQ Lloyd chains + code table,
-    the SHARED trained-IVF centroid chain (_km_cent_chain_ctes — same
-    cells as the kmeans/ivf_sq oracles) restricting stage 1 to each
-    query's n_probe cells, DECIMAL-summed ADC scores, exact re-rank."""
+    """Mirror of cosine_topk_ivf_pq with RESIDUAL encoding (r8): the
+    SHARED trained-IVF centroid chain (_km_cent_chain_ctes — same
+    cells as the kmeans/ivf_sq oracles) assigns cells FIRST, the PQ
+    Lloyd chains train on ``v - centroid(cell)`` residuals, and the
+    approximate score reconstructs v̂ = c_cell + r̂: the numerator adds
+    the probe's cell dot, the denominator adds the cell norm plus the
+    per-(cell, subspace, code) cross terms — all DECIMAL-summed,
+    followed by the exact re-rank."""
     cos = sql_round(
         "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
         " * sqrt(list_inner_product(cv, cv)))", 6,
@@ -982,10 +988,23 @@ def _ann_ivf_pq_sql(k: int = 5, n_probe: int = 3,
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
            FROM embeddings),
+{_km_cent_chain_ctes()},
+cells AS (
+  SELECT vec_id, cell_id, centv FROM (
+    SELECT v.vec_id, c2.cell_id, c2.centv,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_inner_product(v.cv, c2.centv) DESC,
+                 c2.cell_id) AS rn
+    FROM v, c2) WHERE rn = 1),
+rv AS (
+  SELECT v.vec_id AS vid,
+         list_transform(generate_series(1, {m * subdim}),
+                        i -> v.cv[i] - cells.centv[i]) AS rvv
+  FROM v JOIN cells USING (vec_id)),
 vs AS (
-  SELECT vec_id AS vid, s,
-         cv[s*{subdim}+1 : s*{subdim}+{subdim}] AS sv
-  FROM v, unnest(generate_series(0, {m - 1})) t(s)),
+  SELECT vid, s,
+         rvv[s*{subdim}+1 : s*{subdim}+{subdim}] AS sv
+  FROM rv, unnest(generate_series(0, {m - 1})) t(s)),
 cb0 AS (SELECT s, vid AS cent_id, sv AS centv FROM vs
         WHERE vid < {k_cents}),
 {_pq_assign_cte("cb0", "pa1")},
@@ -993,21 +1012,14 @@ cb0 AS (SELECT s, vid AS cent_id, sv AS centv FROM vs
 {_pq_assign_cte("cb1", "pa2")},
 {_pq_recenter_cte("pa2", "cb1", "cb2", subdim)},
 {_pq_assign_cte("cb2", "pqcodes")},
-{_km_cent_chain_ctes()},
-cells AS (
-  SELECT vec_id AS neighbor_id, cell_id FROM (
-    SELECT v.vec_id, c2.cell_id,
-      row_number() OVER (PARTITION BY v.vec_id
-        ORDER BY list_inner_product(v.cv, c2.centv) DESC,
-                 c2.cell_id) AS rn
-    FROM v, c2) WHERE rn = 1),
 codes AS (
   SELECT p.vid AS neighbor_id, p.s, p.cent_id, cells.cell_id
-  FROM pqcodes p JOIN cells ON cells.neighbor_id = p.vid),
+  FROM pqcodes p JOIN cells ON cells.vec_id = p.vid),
 q AS (SELECT vec_id AS query_id, cv AS qv FROM v WHERE vec_id < 10),
 probes AS (
-  SELECT query_id, cell_id FROM (
+  SELECT query_id, cell_id, qc FROM (
     SELECT q.query_id, c2.cell_id,
+      list_inner_product(q.qv, c2.centv) AS qc,
       row_number() OVER (PARTITION BY q.query_id
         ORDER BY list_inner_product(q.qv, c2.centv) DESC,
                  c2.cell_id) AS rn
@@ -1018,18 +1030,32 @@ qs AS (
   FROM q, unnest(generate_series(0, {m - 1})) t(s)),
 tables AS (
   SELECT qs.query_id, qs.s, cb2.cent_id,
-         list_inner_product(qs.qsv, cb2.centv) AS t,
-         list_inner_product(cb2.centv, cb2.centv) AS n2
+         list_inner_product(qs.qsv, cb2.centv) AS t
   FROM qs JOIN cb2 USING (s)),
+cellsub AS (
+  SELECT cell_id, s,
+         centv[s*{subdim}+1 : s*{subdim}+{subdim}] AS csv
+  FROM c2, unnest(generate_series(0, {m - 1})) t(s)),
+crossdim AS (
+  SELECT cs.cell_id, cs.s, cb2.cent_id,
+         2 * list_inner_product(cs.csv, cb2.centv)
+           + list_inner_product(cb2.centv, cb2.centv) AS xn
+  FROM cellsub cs JOIN cb2 USING (s)),
+cellnorm AS (
+  SELECT cell_id, list_inner_product(centv, centv) AS cn2 FROM c2),
 approx AS (
   SELECT t.query_id, c.neighbor_id,
-    CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE)
-      / sqrt(CAST(SUM(CAST(t.n2 AS DECIMAL(28,12))) AS DOUBLE))
+    (MAX(pr.qc) + CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE))
+      / sqrt(MAX(cn.cn2)
+             + CAST(SUM(CAST(x.xn AS DECIMAL(28,12))) AS DOUBLE))
       AS approx_sim
   FROM probes pr
   JOIN codes c ON c.cell_id = pr.cell_id
   JOIN tables t ON t.query_id = pr.query_id AND t.s = c.s
                 AND t.cent_id = c.cent_id
+  JOIN crossdim x ON x.cell_id = c.cell_id AND x.s = c.s
+                 AND x.cent_id = c.cent_id
+  JOIN cellnorm cn ON cn.cell_id = c.cell_id
   WHERE pr.query_id != c.neighbor_id
   GROUP BY t.query_id, c.neighbor_id),
 cand AS (

@@ -388,9 +388,10 @@ def test_r7_embed_ann_ivf_pq_stage1_is_cell_equijoin(spark):
     """IVF x PQ: stage 1 must restrict candidates via the cell_id
     equi-join (probes x cell-tagged PQ codes) before the ADC table
     join — never a cartesian or a nested loop over the full corpus;
-    plan bounded (two unrolled Lloyd families: the shared IVF chain +
-    m per-subspace PQ chains). Cache cleared first — see the
-    embed_ann_pq guard."""
+    plan bounded (r8 residual encoding references the centroid dim 5x,
+    so the operator lazily localCheckpoints it — without that the
+    unrolled plan measured 1954 nodes; with it, 328). Cache cleared
+    first — see the embed_ann_pq guard."""
     spark.catalog.clearCache()
     plan = _plan(spark, "embed_ann_ivf_pq")
     assert "CartesianProduct" not in plan
