@@ -114,6 +114,51 @@ def duplicate_clusters(pairs: DataFrame, src: str = "id_a",
     )
 
 
+def canonical_by_rank(pairs: DataFrame, src: str = "id_a",
+                      dst: str = "id_b", iters: int = 2,
+                      damping: float = 0.85) -> DataFrame:
+    """Cluster resolution with RANK-based survivor selection (r8,
+    composing :func:`connected_components` x :func:`pagerank`):
+    (doc_id, canonical_id, cluster_size, canonical_rank), where
+    canonical_id is the component member with the HIGHEST PageRank
+    (min doc id as the deterministic tiebreak).
+
+    Why not min-id (:func:`duplicate_clusters`): the smallest id is an
+    ingestion accident. In a near-dup cluster the highest-centrality
+    member is the hub the copies syndicated FROM — keeping it preserves
+    the version the most other documents agree with. Both selectors
+    share the same component computation; only the argmax changes.
+
+    Ranks and components come from the SAME pair DataFrame — pass a
+    persisted/cached pair source (see queries/pipeline._lsh_pair_graph)
+    or the expensive candidate generation runs once per consumer.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src, dst)
+    pr = pagerank(pairs, src, dst, iters=iters, damping=damping)
+    joined = cc.join(pr, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.col("pr").desc(), F.col("node"))
+    canon = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("component", F.col("node").alias("canonical_id"),
+                F.col("pr").alias("canonical_pr"))
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    # no broadcast hints: canon/sizes scale with the cluster count
+    # (millions of components at 100 TB) — all three sides hash on
+    # `component`, so the joins co-partition, and AQE upgrades small
+    # sides at bench scale (the r8 scaling-dim discipline)
+    return (
+        cc.join(canon, "component")
+        .join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "canonical_id",
+                "cluster_size", F.col("canonical_pr"))
+    )
+
+
 def pagerank(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
              iters: int = 2, damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph —

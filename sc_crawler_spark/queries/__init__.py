@@ -80,6 +80,9 @@ _PRIORITY = [
     # --- new/changed in r8: no driver evidence yet ---
     "dedup_substring_spans",       # cross-doc duplicated spans (suffix-array mode)
     "embed_ann_ivf_pq",            # CHANGED r8: residual (IVFADC) encoding
+    "dedup_canonical_by_rank",     # rank-selected cluster survivor (CC x PR)
+    "dedup_cluster_resolve",       # CHANGED r8: shared persisted pair source
+    "doc_pagerank",                # CHANGED r8: shared persisted pair source
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",
@@ -127,7 +130,6 @@ _PRIORITY = [
     "workload_catalog_breakdown",
     "workload_profiles_catalog",
     "workload_scores",
-    "dedup_cluster_resolve",
     "embed_kmeans_clusters",
     "embed_ann_sq",
     "q10_returned_items",
@@ -137,7 +139,6 @@ _PRIORITY = [
 # oracle re-check until they rotate forward again.
 _TAIL = [
     "embed_ann_pq",
-    "doc_pagerank",
     "dedup_containment",
     "event_anomaly_zscore",
     "twap_user_value",

@@ -627,6 +627,41 @@ def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) 
             "SELECT id_a, id_b, jaccard FROM pairs")
 
 
+import weakref
+
+_PAIR_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
+def _lsh_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """The ONE shared MinHash-LSH pair source for every graph query
+    (r7 verdict item 6): the candidate pipeline (shingles -> signatures
+    -> banded bucket join -> jaccard verify) measured ~87 s at the
+    512x corpus, and three registry queries consume its output
+    (dedup_cluster_resolve, doc_pagerank, dedup_canonical_by_rank) —
+    plus pagerank alone walks the edges once per unrolled iteration.
+
+    Persisted MEMORY_AND_DISK and memoized per (session, sf_dir): the
+    pair pass runs once per session, every consumer reads the
+    materialized pairs. A session-scoped persist (not a bronze parquet
+    write) so a corpus change can never silently reuse stale pairs;
+    the multi-session 100 TB deployment would land this frame bronze
+    with an explicit corpus-digest key instead."""
+    from pyspark.storagelevel import StorageLevel
+
+    per_session = _PAIR_MEMO.setdefault(spark, {})
+    cached = per_session.get(sf)
+    if cached is not None:
+        return cached
+    corpus = _docs_with_clones(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_session[sf] = pairs
+    return pairs
+
+
 def dedup_cluster_resolve(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup PAIRS -> duplicate CLUSTERS: connected components over
     the MinHash-LSH pair graph (pointer-jumping label propagation,
@@ -636,11 +671,7 @@ def dedup_cluster_resolve(spark: SparkSession, sf: str) -> DataFrame:
     rows: A~B and B~C must collapse into ONE cluster {A,B,C} even when
     (A,C) was never compared directly.
     """
-    corpus = _docs_with_clones(spark, sf)
-    pairs = dedup.minhash_lsh_pairs(
-        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2, threshold=0.5
-    )
-    return graph.duplicate_clusters(pairs)
+    return graph.duplicate_clusters(_lsh_pair_graph(spark, sf))
 
 
 # Oracle: same pair CTEs, then min-label reachability as a recursive CTE.
@@ -674,21 +705,35 @@ def doc_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     duplicate clusters — 2 unrolled iterations, damping 0.85,
     DECIMAL-routed mass sums so the unrolled recurrence is
     oracle-mirrorable in plain (non-recursive) SQL."""
-    corpus = _docs_with_clones(spark, sf)
-    pairs = dedup.minhash_lsh_pairs(
-        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2, threshold=0.5
-    )
-    pr = graph.pagerank(pairs, iters=2, damping=0.85)
+    pr = graph.pagerank(_lsh_pair_graph(spark, sf), iters=2, damping=0.85)
     return pr.select(F.col("node").alias("doc_id"),
                      dround(F.col("pr"), 8).alias("pagerank"))
 
 
-def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
-    """Unrolled-iteration mirror of graph.pagerank over the same pair
-    CTEs. Float literals come from Python ``repr`` of the EXACT doubles
-    the Spark side uses (teleport = 1 - damping computed in Python), so
-    both engines parse bit-identical constants; mass sums mirror the
-    DECIMAL(28,15) routing."""
+def dedup_canonical_by_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-selected cluster resolution (r8, verdict item 6;
+    operators/graph.canonical_by_rank): connected components pick the
+    clusters, PageRank picks the SURVIVOR — the highest-centrality
+    member (min-id tiebreak) instead of duplicate_clusters' arbitrary
+    smallest id, because the hub a near-dup cluster syndicated from is
+    the copy worth keeping. Both graph passes read the one persisted
+    pair source (_lsh_pair_graph) — the ~87 s candidate pipeline runs
+    once per session across all three graph queries."""
+    out = graph.canonical_by_rank(_lsh_pair_graph(spark, sf),
+                                  iters=2, damping=0.85)
+    return out.select("doc_id", "canonical_id", "cluster_size",
+                      dround(F.col("canonical_pr"), 8)
+                      .alias("canonical_rank"))
+
+
+def _pagerank_chain_ctes(iters: int = 2, damping: float = 0.85
+                         ) -> tuple[str, str]:
+    """(CTE text, last CTE name) for the unrolled PageRank chain over
+    CTE ``edges`` — shared by the pagerank oracle and the
+    canonical-by-rank oracle. Float literals come from Python ``repr``
+    of the EXACT doubles the Spark side uses (teleport = 1 - damping
+    computed in Python), so both engines parse bit-identical
+    constants; mass sums mirror the DECIMAL(28,15) routing."""
     teleport = repr(1.0 - damping)
     d = repr(damping)
     prev = "pr0"
@@ -706,18 +751,63 @@ pr{i} AS (
   CROSS JOIN n
   GROUP BY e.v, dd.deg, n.n_nodes)""")
         prev = f"pr{i}"
+    ctes = f"""deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+pr0 AS (SELECT u AS node, deg,
+               CAST(1.0 AS DOUBLE) / n_nodes AS pr FROM deg CROSS JOIN n),
+{",".join(iter_ctes)}"""
+    return ctes, prev
+
+
+def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """Unrolled-iteration mirror of graph.pagerank over the same pair
+    CTEs (chain shared with the canonical-by-rank oracle)."""
+    chain, prev = _pagerank_chain_ctes(iters, damping)
     return f"""
 WITH {_minhash_pair_ctes()},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM pairs),
-deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
-n AS (SELECT COUNT(*) AS n_nodes FROM deg),
-pr0 AS (SELECT u AS node, deg,
-               CAST(1.0 AS DOUBLE) / n_nodes AS pr FROM deg CROSS JOIN n),
-{",".join(iter_ctes)}
+{chain}
 SELECT node AS doc_id, {sql_round("pr", 8)} AS pagerank FROM {prev}
+"""
+
+
+def _canonical_by_rank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """Mirror of graph.canonical_by_rank: the recursive min-label
+    reachability (CLUSTER_RESOLVE_SQL's cc) picks components, the
+    shared unrolled PageRank chain scores members, and the canonical
+    is the per-component rank argmax (pr DESC, node ASC) — rank values
+    are engine-exact by the DECIMAL mass routing, so the tiebreak
+    order is identical in both engines."""
+    chain, prev = _pagerank_chain_ctes(iters, damping)
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.label < e.v
+),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+{chain},
+ranked AS (
+  SELECT cc.node, cc.component, p.pr,
+    row_number() OVER (PARTITION BY cc.component
+                       ORDER BY p.pr DESC, cc.node) AS rn
+  FROM cc JOIN {prev} p ON p.node = cc.node),
+canon AS (SELECT component, node AS canonical_id, pr AS canonical_pr
+          FROM ranked WHERE rn = 1),
+sizes AS (SELECT component, COUNT(*) AS cluster_size
+          FROM cc GROUP BY component)
+SELECT cc.node AS doc_id, canon.canonical_id, sizes.cluster_size,
+       {sql_round("canon.canonical_pr", 8)} AS canonical_rank
+FROM cc JOIN canon USING (component) JOIN sizes USING (component)
 """
 
 
@@ -1669,6 +1759,8 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
     "doc_pagerank": (doc_pagerank, _pagerank_sql()),
+    "dedup_canonical_by_rank": (dedup_canonical_by_rank,
+                                _canonical_by_rank_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embed_cosine": (dedup_embed_cosine, _embed_near_dup_sql()),
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),

@@ -122,3 +122,31 @@ def test_pagerank_two_node_symmetric_is_uniform(spark):
         iters=4).collect()}
     assert pr[7] == pytest.approx(0.5, abs=1e-12)
     assert pr[9] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_canonical_by_rank_picks_hub_not_min_id(spark):
+    """r8: rank-based survivor selection must pick the star HUB (the
+    page the copies syndicated from) even when a leaf has the smaller
+    id — exactly the case where duplicate_clusters' min-id heuristic
+    picks an arbitrary copy. Cluster membership and sizes must agree
+    with duplicate_clusters (same components, different survivor)."""
+    from sc_crawler_spark.operators.graph import (
+        canonical_by_rank, duplicate_clusters)
+
+    # hub 5 with leaves 1-4 (min id = 1, highest rank = 5), plus an
+    # unrelated 2-node cluster {8, 9}
+    pairs = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5), (8, 9)], "id_a long, id_b long")
+    by_rank = {r.doc_id: r for r in canonical_by_rank(pairs).collect()}
+    by_min = {r.doc_id: r for r in duplicate_clusters(pairs).collect()}
+    assert set(by_rank) == set(by_min) == {1, 2, 3, 4, 5, 8, 9}
+    for d in (1, 2, 3, 4, 5):
+        assert by_rank[d].canonical_id == 5      # the hub
+        assert by_min[d].canonical_id == 1       # the accident
+        assert by_rank[d].cluster_size == 5
+    # symmetric 2-cycle: ranks tie exactly -> min-id tiebreak
+    for d in (8, 9):
+        assert by_rank[d].canonical_id == 8
+        assert by_rank[d].cluster_size == 2
+    # every member reports the canonical's own rank
+    assert len({by_rank[d].canonical_pr for d in (1, 2, 3, 4, 5)}) == 1
