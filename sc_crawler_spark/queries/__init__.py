@@ -83,6 +83,7 @@ _PRIORITY = [
     "dedup_canonical_by_rank",     # rank-selected cluster survivor (CC x PR)
     "dedup_cluster_resolve",       # CHANGED r8: shared persisted pair source
     "doc_pagerank",                # CHANGED r8: shared persisted pair source
+    "gap_fill_interp_value",       # linear-interpolation gap-fill twin
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",

@@ -609,6 +609,84 @@ FROM spans
 """
 
 
+def gap_fill_interp_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation twin of :func:`gap_fill_daily_value` (r8,
+    verdict item 8): gap days take the value interpolated between the
+    surrounding day-closes, weighted by day offset —
+    ``close + (next_close - close) * offset / gap_days`` — instead of
+    carrying the last close flat. Same explode-across-its-own-gap plan
+    (ONE scan, ONE user-keyed shuffle, zero joins; the lead window just
+    ships one more column); the trailing observation has no right
+    anchor, so it emits only its own day at its own value, exactly like
+    the forward-fill twin. Both engines evaluate the identical
+    double-expression order, rounded to 6."""
+    ev = load(spark, sf, "events")
+    daily_w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("close_value"))
+    )
+    lead_w = Window.partitionBy("user_id").orderBy("day")
+    interp = F.when(
+        F.col("next_close").isNull(), F.col("close_value")
+    ).otherwise(
+        F.col("close_value")
+        + (F.col("next_close") - F.col("close_value"))
+        * F.datediff(F.col("day"), F.col("obs_day"))
+        / F.datediff(F.col("next_day"), F.col("obs_day"))
+    )
+    return (
+        daily.withColumn("next_day", F.lead("day").over(lead_w))
+        .withColumn("next_close", F.lead("close_value").over(lead_w))
+        .select(
+            "user_id", "close_value", "next_close", "next_day",
+            F.col("day").alias("obs_day"),
+            F.explode(F.sequence(
+                "day",
+                F.coalesce(F.date_sub("next_day", 1), F.col("day"))))
+            .alias("day"))
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            dround(interp, 6).alias("interp_value"),
+            (F.col("day") == F.col("obs_day")).alias("is_observed"))
+    )
+
+
+GAP_FILL_INTERP_SQL = f"""
+WITH daily AS (
+  SELECT user_id, day, value AS close_value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+spans AS (
+  SELECT user_id, close_value, day AS obs_day,
+    lead(day) OVER w AS next_day,
+    lead(close_value) OVER w AS next_close
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+expanded AS (
+  SELECT user_id, close_value, next_close, obs_day, next_day,
+    unnest(generate_series(
+      CAST(obs_day AS TIMESTAMP),
+      coalesce(CAST(next_day AS TIMESTAMP) - INTERVAL 1 DAY,
+               CAST(obs_day AS TIMESTAMP)),
+      INTERVAL 1 DAY)) AS day
+  FROM spans)
+SELECT user_id, day,
+  {sql_round(
+      "CASE WHEN next_close IS NULL THEN close_value "
+      "ELSE close_value + (next_close - close_value) "
+      "* datediff('day', obs_day, CAST(day AS DATE)) "
+      "/ datediff('day', obs_day, next_day) END", 6)} AS interp_value,
+  day = CAST(obs_day AS TIMESTAMP) AS is_observed
+FROM expanded
+"""
+
+
 def event_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user daily anomaly detection: days whose total event value
     sits >= 2 sample standard deviations from that user's daily mean —
@@ -683,6 +761,7 @@ QUERIES = {
     "event_anomaly_zscore": (event_anomaly_zscore, ANOMALY_SQL),
     "twap_user_value": (twap_user_value, TWAP_SQL),
     "gap_fill_daily_value": (gap_fill_daily_value, GAP_FILL_SQL),
+    "gap_fill_interp_value": (gap_fill_interp_value, GAP_FILL_INTERP_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
     "cohort_retention": (cohort_retention, COHORT_SQL),
