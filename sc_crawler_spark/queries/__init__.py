@@ -84,6 +84,7 @@ _PRIORITY = [
     "dedup_cluster_resolve",       # CHANGED r8: shared persisted pair source
     "doc_pagerank",                # CHANGED r8: shared persisted pair source
     "gap_fill_interp_value",       # linear-interpolation gap-fill twin
+    "embed_knn_classify",          # kNN majority-vote label eval (IVF-pruned)
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",

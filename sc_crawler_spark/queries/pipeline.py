@@ -910,13 +910,66 @@ def embed_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+def embed_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN majority-vote classification over the embeddings' label
+    column (r8) — the standard embedding-quality eval: each query
+    vector takes the modal label of its 5 IVF-pruned cosine neighbors
+    (count DESC, label ASC tiebreak) and is scored against its own
+    label. Composes the existing IVF candidate machinery, so per-query
+    stage-1 cost stays |corpus| * n_probe / n_cells — at 100 TB the
+    label side is one narrow (id, label) join against the top-k
+    output, never against the corpus."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    nb = similarity.cosine_topk_ivf(
+        queries, emb, "embedding", "vec_id", k=5, n_cells=8, n_probe=3)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("nb_label"))
+    votes = (nb.join(lab, "neighbor_id")
+             .groupBy("query_id", "nb_label")
+             .agg(F.count("*").alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label"))
+    pred = (votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    return pred.join(truth, "query_id").select(
+        "query_id", F.col("nb_label").alias("predicted_label"), "votes",
+        "true_label",
+        (F.col("nb_label") == F.col("true_label")).alias("correct"))
+
+
+def _knn_classify_sql(n_cells: int = 8, n_probe: int = 3,
+                      k: int = 5) -> str:
+    """Mirror of embed_knn_classify on the shared seeded-IVF top-k CTE
+    chain: vote counting, (votes DESC, label ASC) modal pick, self-label
+    comparison."""
+    return f"""
+WITH {_ivf_topk_ctes(n_cells, n_probe, k)},
+votes AS (
+  SELECT t.query_id, l.label AS nb_label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings l ON l.vec_id = t.neighbor_id
+  GROUP BY t.query_id, l.label),
+pred AS (
+  SELECT query_id, nb_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY votes DESC, nb_label) AS rn FROM votes) WHERE rn = 1)
+SELECT p.query_id, p.nb_label AS predicted_label, p.votes,
+       e.label AS true_label, p.nb_label = e.label AS correct
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
+def _ivf_topk_ctes(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    """Seeded-IVF top-k CTE chain ending in ``topk`` (query_id,
+    neighbor_id, cos_sim, rank) — the single source of truth shared by
+    the ann_ivf oracle and the kNN-classify oracle built on top."""
     cos = sql_round(
         "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv))"
         " * sqrt(list_inner_product(cv, cv)))", 6,
     )
-    return f"""
-WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    return f"""c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS centv
          FROM embeddings WHERE vec_id < {n_cells}),
 assign_cells AS (
@@ -941,11 +994,19 @@ scored AS (
   JOIN assign_cells USING (cell_id)
   JOIN c USING (neighbor_id)
   WHERE query_id != neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
-WHERE rank <= {k}
+),
+topk AS (
+  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+  WHERE rank <= {k}
+)"""
+
+
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    return f"""
+WITH {_ivf_topk_ctes(n_cells, n_probe, k)}
+SELECT query_id, neighbor_id, cos_sim, rank FROM topk
 """
 
 
@@ -1766,6 +1827,7 @@ QUERIES = {
     "embed_cosine_topk": (embed_cosine_topk, COSINE_TOPK_SQL),
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),
+    "embed_knn_classify": (embed_knn_classify, _knn_classify_sql()),
     "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
     "embed_ann_ivf_sq": (embed_ann_ivf_sq, _ann_ivf_sq_sql()),
     "embed_ann_pq": (embed_ann_pq, _ann_pq_sql()),
