@@ -550,6 +550,54 @@ def embed_near_dup(df: DataFrame, vec_col: str, id_col: str,
     )
 
 
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   centroids: DataFrame, threshold: float = 0.45
+                   ) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method: k-means
+    cluster the embedding space, compare pairs only WITHIN a cluster,
+    drop all but one of each semantic near-dup set).
+
+    Complements :func:`embed_near_dup`: same exact-cosine verify, but
+    candidates are bucketed by LEARNED cluster (the trained-IVF cells)
+    instead of random hyperplanes — the published trade: clusters track
+    the corpus's actual density, so near-dups co-bucket with fewer
+    misses, at the cost of training; hyperplanes are training-free.
+    Per-pair work is bounded by cluster sizes (|corpus|²/n_cells in
+    expectation, the SemDeDup bound) — never all-pairs. Survivor rule:
+    deterministic keep-min-id (a row drops iff a same-cluster neighbor
+    with a SMALLER id scores >= threshold).
+
+    Returns (id, cell_id, keep) for EVERY input row — the keep=false
+    rows are the semantic duplicates a curation pipeline removes.
+    """
+    from ..functions.vectors import as_double, dot, norm
+    from .similarity import ivf_assign
+
+    v = df.select(F.col(id_col),
+                  as_double(F.col(vec_col)).alias("cv"))
+    assigned = ivf_assign(v, centroids, "cv", "centv")
+    a = assigned.select(F.col(id_col).alias("id_a"), "cell_id",
+                        F.col("cv").alias("va"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "cell_id",
+                        F.col("cv").alias("vb"))
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", dround(
+            dot(F.col("va"), F.col("vb"))
+            / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)),
+                      id_col, "left")
+        .select(id_col, "cell_id",
+                F.col("_drop").isNull().alias("keep"))
+    )
+
+
 def chunk_boilerplate_dedup(df: DataFrame, text_col: str, id_col: str,
                             chunk_tokens: int = 10,
                             max_doc_freq: int = 2) -> DataFrame:

@@ -85,6 +85,7 @@ _PRIORITY = [
     "doc_pagerank",                # CHANGED r8: shared persisted pair source
     "gap_fill_interp_value",       # linear-interpolation gap-fill twin
     "embed_knn_classify",          # kNN majority-vote label eval (IVF-pruned)
+    "dedup_semantic_clusters",     # SemDeDup: trained-cluster-bucketed near-dup
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",

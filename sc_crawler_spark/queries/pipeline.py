@@ -910,6 +910,48 @@ def embed_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (r8; operators/dedup.
+    semantic_dedup): Lloyd-trained k-means cells bucket the embedding
+    space, exact cosine verifies pairs WITHIN a cell only, and each
+    near-dup set keeps its min-id member. The cluster-bucketed
+    complement of dedup_embed_cosine's hyperplane-LSH bucketing — the
+    published SemDeDup trade (learned buckets track corpus density;
+    hyperplanes are training-free). Shares the trained centroid chain
+    with the kmeans/ivf oracles."""
+    emb = load(spark, sf, "embeddings")
+    v = emb.select("vec_id", similarity.as_double(
+        F.col("embedding")).alias("cv"))
+    cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
+    return dedup.semantic_dedup(emb, "embedding", "vec_id",
+                                centroids=cents, threshold=0.45)
+
+
+def _semantic_dedup_sql(threshold: float = 0.45) -> str:
+    cos = sql_round(
+        "list_inner_product(a.cv, b.cv) / (sqrt(list_inner_product(a.cv, a.cv))"
+        " * sqrt(list_inner_product(b.cv, b.cv)))", 6)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+{_km_cent_chain_ctes()},
+cells AS (
+  SELECT vec_id, cell_id, cv FROM (
+    SELECT v.vec_id, c2.cell_id, v.cv,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_inner_product(v.cv, c2.centv) DESC,
+                 c2.cell_id) AS rn
+    FROM v, c2) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold})
+SELECT c.vec_id, c.cell_id, d.vec_id IS NULL AS keep
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+"""
+
+
 def embed_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     """kNN majority-vote classification over the embeddings' label
     column (r8) — the standard embedding-quality eval: each query
@@ -1828,6 +1870,8 @@ QUERIES = {
     "embed_ann_lsh": (embed_ann_lsh, _ann_lsh_sql()),
     "embed_ann_ivf": (embed_ann_ivf, _ann_ivf_sql(n_probe=3)),
     "embed_knn_classify": (embed_knn_classify, _knn_classify_sql()),
+    "dedup_semantic_clusters": (dedup_semantic_clusters,
+                                _semantic_dedup_sql()),
     "embed_ann_sq": (embed_ann_sq, _ann_sq_sql()),
     "embed_ann_ivf_sq": (embed_ann_ivf_sq, _ann_ivf_sq_sql()),
     "embed_ann_pq": (embed_ann_pq, _ann_pq_sql()),
