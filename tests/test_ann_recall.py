@@ -116,3 +116,29 @@ def test_ivf_trained_centroids_recall(spark):
     print(f"ivf recall seeded={r_seeded:.3f} trained={r_trained:.3f}")
     assert r_trained >= r_seeded - 0.05     # never materially worse
     assert r_trained >= 0.8
+
+
+def test_semantic_dedup_keeps_min_id_per_near_dup_set(spark):
+    """r8 SemDeDup operator semantics on a constructed fixture: two
+    identical vectors and one near-identical vector co-bucket (the
+    centroid set contains their shared direction), the min id
+    survives, and the orthogonal vector keeps regardless of bucket."""
+    from sc_crawler_spark.operators.dedup import semantic_dedup
+    from pyspark.sql import functions as F
+
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),      # exact dup of 10
+        (12, [0.99, 0.14, 0.0, 0.0]),    # near dup of 10 (cos ~0.99)
+        (20, [0.0, 0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "cell_id long, centv array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, "embedding", "vec_id", centroids=cents,
+        threshold=0.9).collect()}
+    assert out[10].keep and not out[11].keep and not out[12].keep
+    assert out[20].keep
+    assert out[10].cell_id == 0 and out[20].cell_id == 1
