@@ -486,3 +486,38 @@ def test_r8_gated_broadcast_degrades_past_ceiling(spark):
         assert df.count() == 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_r8_gap_fill_interp_same_plan_shape(spark):
+    """The interpolation twin must keep the forward-fill twin's plan:
+    one events scan, zero joins, WindowGroupLimit before the first
+    exchange — the lead window shipping next_close must not add a
+    shuffle or a self-join."""
+    plan = _plan(spark, "gap_fill_interp_value")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_r8_semantic_dedup_pairs_are_cell_equijoin(spark):
+    """SemDeDup's within-cluster pair generation must be the cell_id
+    equi-join (the published |corpus|^2/n_cells bound) — never a
+    cartesian or an all-pairs nested loop over the corpus."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    assert not re.search(
+        r"BroadcastNestedLoopJoin[^\n]*\nJoin condition: [^\n]*id_a",
+        plan), "pair generation degraded to an all-pairs nested loop"
+    assert re.search(
+        r"keys \[1\]: \[cell_id", plan), (
+        "pair generation is not an equi-join on cell_id")
+
+
+def test_r8_knn_classify_no_cartesian(spark):
+    """kNN classification composes the IVF top-k — the label join must
+    stay an equi-join against the top-k output (k rows per query),
+    never widen back to the corpus."""
+    plan = _plan(spark, "embed_knn_classify")
+    assert "CartesianProduct" not in plan
