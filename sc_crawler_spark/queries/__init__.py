@@ -86,6 +86,7 @@ _PRIORITY = [
     "gap_fill_interp_value",       # linear-interpolation gap-fill twin
     "embed_knn_classify",          # kNN majority-vote label eval (IVF-pruned)
     "dedup_semantic_clusters",     # SemDeDup: trained-cluster-bucketed near-dup
+    "train_split_stats",           # seeded-hash 98/1/1 split assignment
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",

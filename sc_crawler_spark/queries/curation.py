@@ -410,6 +410,45 @@ FROM a GROUP BY shard
 """
 
 
+def train_split_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/validation/test split (98/1/1) with
+    per-split stats (r8) — the assignment every training pipeline
+    needs to be REPRODUCIBLE and leakage-free: the split key is a
+    seeded content-independent hash of the document id
+    (md5('split|' || id) -> bucket 0-99), so membership never depends
+    on scan order, partitioning, or corpus growth (a doc keeps its
+    split when the corpus around it changes — positional splits
+    don't). Same seeded-md5-uniform convention as
+    temperature_mix_sample / training shards. One stateless per-row
+    projection + a 3-row aggregate: nothing shuffles the corpus."""
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("split|"),
+                           F.col("doc_id").cast("string"))), 1, 6),
+               16, 10).cast("bigint") % 100)
+    split = (F.when(bucket < 98, "train")
+             .when(bucket == 98, "validation")
+             .otherwise("test"))
+    return (docs.select(split.alias("split"), "n_chars")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+SPLIT_STATS_SQL = """
+WITH b AS (
+  SELECT CAST('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)),
+              1, 6) AS BIGINT) % 100 AS bucket, n_chars
+  FROM documents)
+SELECT CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket = 98 THEN 'validation'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_repetition": (doc_repetition, REPETITION_SQL),
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
@@ -418,4 +457,5 @@ QUERIES = {
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "training_shard_stats": (training_shard_stats, SHARD_STATS_SQL),
+    "train_split_stats": (train_split_stats, SPLIT_STATS_SQL),
 }
