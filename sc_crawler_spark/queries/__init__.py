@@ -87,6 +87,7 @@ _PRIORITY = [
     "embed_knn_classify",          # kNN majority-vote label eval (IVF-pruned)
     "dedup_semantic_clusters",     # SemDeDup: trained-cluster-bucketed near-dup
     "train_split_stats",           # seeded-hash 98/1/1 split assignment
+    "sku_prefix_join",             # CHANGED r8: scaling-dim hint dropped
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "running_user_value",
     "scd2_latest_event",
     "shuffled_sample_orders",
-    "sku_prefix_join",
     "standardize_part_names",
     "sync_stats",
     "tiered_price_billing",

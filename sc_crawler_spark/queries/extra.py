@@ -387,8 +387,12 @@ def sku_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     """J7 — computed-key equi-join via prefix strip (reference
     _aws.py:1563-1570: ``db.m5.large`` -> ``m5.large``). Analog on the
     lake: customer and supplier rows share the numeric suffix of their
-    ``<Kind>#NNN`` names; join on the stripped key. The supplier side is
-    small -> broadcast, so the computed key costs no extra shuffle.
+    ``<Kind>#NNN`` names; join on the stripped key. The supplier side
+    is a plain projection of its scan, so stats-v1's file-size estimate
+    is accurate and the static planner broadcasts it while it fits —
+    no hard hint (supplier SCALES with sf; the r8 scaling-dim
+    discipline: a forced hint dies at the broadcast ceiling instead of
+    degrading to shuffle).
     """
     cust = load(spark, sf, "customer").select(
         "c_custkey",
@@ -399,7 +403,7 @@ def sku_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_replace("s_name", r"^Supplier#", "").alias("entity_num"),
     )
     return (
-        cust.join(F.broadcast(supp), "entity_num")
+        cust.join(supp, "entity_num")
         .select("entity_num", "c_custkey", "s_suppkey",
                 dround(F.col("s_acctbal"), 2).alias("s_acctbal"))
     )
