@@ -92,6 +92,12 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # every-run 210 s tax or a permanent DNF row — the
                  # measured win is recorded in PLANS.md instead
                  "tfidf_keywords", "doc_lm_perplexity"]
+# r8 additions measured but NOT benched (same doctrine as
+# embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
+# events = 1.7 s vs DuckDB 0.6 s and train_split_stats at 512x docs =
+# 0.54 s vs 0.06 s — sub-2-second absolutes where the ratio grades
+# Spark's per-stage floor, not the plan (both plans are the guarded
+# one-exchange shapes). Recorded in PLANS.md r8 breadth section.
 # Tables each scale query SCANS (with multiplicity — hash_diff reads
 # orders three times), for cost-based partition sizing from file bytes
 # alone: sizing must not touch Spark, or the probe would warm the very
