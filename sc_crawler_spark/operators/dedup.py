@@ -48,7 +48,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
-                    width: int = 40, stride: int = 1) -> DataFrame:
+                    width: int = 40, stride: int = 1,
+                    digest_key: bool = False) -> DataFrame:
     """Substring-level exact dedup: per document, the maximal character
     spans whose every ``width``-char window also appears in ANOTHER
     document (the cross-document duplicated-span semantic of the
@@ -74,12 +75,15 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
        neither re-shuffles.
 
     100 TB config: ``stride=width//2`` cuts the exploded row count 20x
-    at the cost of span-boundary resolution, and step 2's partition key
-    becomes a 128-bit digest (``md5``) of the window instead of its
-    text, shrinking shuffle width from ``width`` bytes to 16 — both
-    knobs, not defaults, because the sf-scale oracle contract wants
-    exact boundaries. Documents beyond ~1 MB should pass through
-    chunk_docs first so the per-row window array stays bounded.
+    at the cost of span-boundary resolution, and ``digest_key=True``
+    makes step 2's partition key a 128-bit ``md5`` digest of the window
+    instead of its text, shrinking the span-shuffle row from ``width``
+    bytes to 32 hex chars (and to 16 raw bytes with unhex, if width
+    grows) — both knobs, not defaults, because the sf-scale oracle
+    contract wants exact text-keyed boundaries (digest results are
+    identical absent md5 collisions). Documents beyond ~1 MB should
+    pass through chunk_docs first so the per-row window array stays
+    bounded.
 
     Returns one row per document that contains at least one duplicated
     span: (id, n_dup_spans, dup_chars, max_span_chars).
@@ -99,6 +103,8 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
         .select(id_col, "pos",
                 F.expr(f"substring({text_col}, pos, {width})").alias("span"))
     )
+    if digest_key:
+        spans = spans.select(id_col, "pos", F.md5("span").alias("span"))
     w_span = Window.partitionBy("span")
     dup = (
         spans.withColumn(

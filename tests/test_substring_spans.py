@@ -97,3 +97,14 @@ def test_two_shuffle_plan(spark):
     assert "Join" not in plan, "span marking must not join back"
     exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert exchanges == 2, f"expected 2 exchanges, got {exchanges}"
+
+
+def test_digest_key_equals_text_key(spark):
+    """The 100 TB shuffle-width knob (md5 digest as the span-window
+    partition key) must produce byte-identical results to the text
+    key — digests only change the shuffled key, not the dup decision."""
+    base = duplicate_spans(_docs(spark), "text", "doc_id",
+                           width=40).collect()
+    hashed = duplicate_spans(_docs(spark), "text", "doc_id",
+                             width=40, digest_key=True).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, hashed))
