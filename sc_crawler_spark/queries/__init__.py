@@ -88,6 +88,7 @@ _PRIORITY = [
     "dedup_semantic_clusters",     # SemDeDup: trained-cluster-bucketed near-dup
     "train_split_stats",           # seeded-hash 98/1/1 split assignment
     "sku_prefix_join",             # CHANGED r8: scaling-dim hint dropped
+    "q8_national_market_share",    # CHANGED r8: scaling-dim hints dropped
     # --- last driver green r6 (old tail, next-stalest) ---
     "sig_fig_prices",
     "unit_conversions",
@@ -154,7 +155,6 @@ _TAIL = [
     "tfidf_keywords",
     "doc_lm_perplexity",
     "q6_forecast_revenue",
-    "q8_national_market_share",
     "q20_dominant_suppliers",
     "q14_promo_effect",
     "q22_global_sales_opportunity",
