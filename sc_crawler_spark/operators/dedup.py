@@ -113,9 +113,22 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("is_dup"))
         .select(id_col, "pos")
     )
+    return _merge_span_islands(dup, id_col, width, "n_dup_spans",
+                               "dup_chars", "max_span_chars")
+
+
+def _merge_span_islands(marked: DataFrame, id_col: str, width: int,
+                        n_alias: str, chars_alias: str,
+                        max_alias: str) -> DataFrame:
+    """Gaps-and-islands merge shared by the span operators: marked
+    window starts (id, pos) -> maximal covered spans -> per-doc stats.
+    One doc-keyed exchange; the island groupBy and the per-doc rollup
+    reuse its hash distribution (subset-key clustering)."""
+    from pyspark.sql import Window
+
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     isl = (
-        dup.withColumn("_prev", F.lag("pos").over(w_doc))
+        marked.withColumn("_prev", F.lag("pos").over(w_doc))
         .withColumn(
             "_brk",
             F.when(F.col("pos") - F.col("_prev") > width, 1).otherwise(0))
@@ -129,11 +142,72 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
         (F.max("pos") + F.lit(width - 1)).alias("span_end"),
     )
     return per_span.groupBy(id_col).agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+        F.count("*").alias(n_alias),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .alias(chars_alias),
         F.max(F.col("span_end") - F.col("span_start") + 1)
-        .alias("max_span_chars"),
+        .alias(max_alias),
     )
+
+
+def contaminated_spans(train: DataFrame, eval_df: DataFrame,
+                       text_col: str, id_col: str, width: int = 40,
+                       stride: int = 1) -> DataFrame:
+    """Substring-level benchmark decontamination (the span-based
+    contamination check from the public dedup literature — the
+    n-gram semi-join's exact-boundary big sibling): per TRAIN document,
+    the maximal character spans whose every ``width``-char window also
+    occurs ANYWHERE in the EVAL corpus.
+
+    Same two-shuffle discipline as :func:`duplicate_spans`: both
+    corpora explode into rolling windows tagged by side, ONE window
+    pass partitioned by the span text marks train windows whose
+    partition also holds an eval window (``max(is_eval)`` — constant
+    memory, no join-back), and the shared gaps-and-islands merge emits
+    per-doc contaminated-span stats. The eval side ships only (span,
+    tag) rows — no ids, no positions — so the span shuffle stays
+    narrow even when the eval corpus is large.
+
+    Returns (id, n_contaminated_spans, contaminated_chars,
+    max_span_chars) for every train doc carrying eval text."""
+    from pyspark.sql import Window
+
+    def windows(df, keep_id: bool):
+        w = (
+            df.filter(F.length(text_col) >= width)
+            .select(
+                *( [F.col(id_col)] if keep_id else [] ),
+                F.explode(
+                    F.sequence(F.lit(1),
+                               F.length(text_col) - F.lit(width - 1),
+                               F.lit(stride))).alias("pos"),
+                F.col(text_col),
+            )
+            .select(
+                *( [id_col, "pos"] if keep_id else [] ),
+                F.expr(f"substring({text_col}, pos, {width})")
+                .alias("span"))
+        )
+        return w
+
+    id_type = train.schema[id_col].dataType.simpleString()
+    tw = windows(train, True).withColumn("is_eval", F.lit(0))
+    ew = (windows(eval_df, False)
+          .select(F.lit(None).cast(id_type).alias(id_col),
+                  F.lit(None).cast("int").alias("pos"), "span",
+                  F.lit(1).alias("is_eval")))
+    w_span = Window.partitionBy("span")
+    marked = (
+        tw.select(id_col, F.col("pos").cast("int").alias("pos"), "span",
+                  "is_eval")
+        .unionByName(ew)
+        .withColumn("_hit", F.max("is_eval").over(w_span))
+        .filter((F.col("is_eval") == 0) & (F.col("_hit") == 1))
+        .select(id_col, "pos")
+    )
+    return _merge_span_islands(marked, id_col, width,
+                               "n_contaminated_spans",
+                               "contaminated_chars", "max_span_chars")
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,

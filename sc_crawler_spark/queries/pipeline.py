@@ -511,6 +511,66 @@ FROM spans GROUP BY doc_id
 """
 
 
+def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level benchmark decontamination (r8; operators/dedup.
+    contaminated_spans): the n-gram semi-join's exact-boundary sibling.
+    Eval items are the full text of every doc_id%13==0 document (the
+    decontaminate_docs split, un-truncated: span matching needs 40
+    contiguous chars, so prefixes leave the check nearly empty on the
+    short-doc synthetic corpus);
+    a training doc is contaminated where a 25-char window of its text
+    also occurs in an eval item (real pipelines use ~50-char/13-gram
+    windows; the synthetic corpus is short-doc, so the width scales
+    down with it — the decontaminate_docs 3-gram convention) —
+    reported as maximal merged spans, so the output says WHERE and HOW
+    MUCH, not just that a gram matched.
+    Two shuffles, no join: a span-keyed window marks hits
+    (max(is_eval)), a doc-keyed gaps-and-islands pass merges them."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    return dedup.contaminated_spans(train, eval_df, "text", "doc_id",
+                                    width=25)
+
+
+DECONTAMINATE_SPANS_SQL = """
+WITH tw AS (
+  SELECT doc_id, u.p AS pos, substr(text, u.p, 25) AS span, 0 AS is_eval
+  FROM documents, unnest(generate_series(1, length(text) - 24)) AS u(p)
+  WHERE doc_id % 13 != 0 AND length(text) >= 25
+),
+ew AS (
+  SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS pos,
+         substr(text, u.p, 25) AS span, 1 AS is_eval
+  FROM documents, unnest(generate_series(1, length(text) - 24)) AS u(p)
+  WHERE doc_id % 13 = 0 AND length(text) >= 25
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, is_eval,
+           MAX(is_eval) OVER (PARTITION BY span) AS hit
+    FROM (SELECT * FROM tw UNION ALL SELECT * FROM ew))
+  WHERE is_eval = 0 AND hit = 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 25 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked)
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS span_start, MAX(pos) + 24 AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id, COUNT(*) AS n_contaminated_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS contaminated_chars,
+       MAX(span_end - span_start + 1) AS max_span_chars
+FROM spans GROUP BY doc_id
+"""
+
+
 _NGRAM_MAX_DF = 8  # document-frequency cap for candidate generation
 
 
@@ -1858,6 +1918,7 @@ QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SQL),
+    "decontaminate_spans": (decontaminate_spans, DECONTAMINATE_SPANS_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
