@@ -108,3 +108,31 @@ def test_digest_key_equals_text_key(spark):
     hashed = duplicate_spans(_docs(spark), "text", "doc_id",
                              width=40, digest_key=True).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, hashed))
+
+
+def test_contaminated_spans_cross_corpus_only(spark):
+    """Decontamination marks train spans found in EVAL text only —
+    train-train duplication must NOT fire, and the span boundary is
+    the eval-covered region exactly."""
+    from sc_crawler_spark.operators.dedup import contaminated_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, UNIQ_A + SHARED + UNIQ_A),   # carries the eval item
+            (2, UNIQ_B + UNIQ_B),            # shares UNIQ_B with doc 3
+            (3, UNIQ_B + "something else entirely different here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, SHARED)], "doc_id long, text string")
+    out = {r.doc_id: r for r in contaminated_spans(
+        train, eval_df, "text", "doc_id", width=40).collect()}
+    # docs 2/3 share text with EACH OTHER but not with eval: clean
+    assert set(out) == {1}
+    # SHARED (63 chars) sits at 41..103 in doc 1; only windows fully
+    # inside the eval text match (no shared boundary chars with eval,
+    # whose window set is exactly SHARED's own 24 starts)
+    assert out[1].n_contaminated_spans == 1
+    assert out[1].contaminated_chars == 63
+    assert out[1].max_span_chars == 63
