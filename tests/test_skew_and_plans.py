@@ -521,3 +521,35 @@ def test_r8_knn_classify_no_cartesian(spark):
     never widen back to the corpus."""
     plan = _plan(spark, "embed_knn_classify")
     assert "CartesianProduct" not in plan
+
+
+def test_r8_gated_broadcast_unit_regimes(spark):
+    """tables.gated_broadcast unit contract: hints under the session
+    threshold, withholds past it, withholds when broadcast is disabled
+    (-1), parses human-readable threshold spellings, and returns the
+    df unhinted for unknown (non-local) table sizes."""
+    from sc_crawler_spark.tables import gated_broadcast, load
+
+    sf = SF_ORACLE
+    df = load(spark, sf, "supplier")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def hinted(out):
+        return "ResolvedHint" in out._jdf.queryExecution().analyzed().toString()
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        assert hinted(gated_broadcast(spark, sf, "supplier", df))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        assert hinted(gated_broadcast(spark, sf, "supplier", df))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        assert not hinted(gated_broadcast(spark, sf, "supplier", df))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not hinted(gated_broadcast(spark, sf, "supplier", df))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        # unknown size (no such table file) -> no hint, no error
+        assert not hinted(gated_broadcast(spark, "/nonexistent", "supplier", df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
