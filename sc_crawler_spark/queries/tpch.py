@@ -123,7 +123,8 @@ def q3_shipping_priority(spark: SparkSession, sf: str,
     (tens of GB at the 100 TB target, where a forced broadcast dies at
     the ceiling instead of degrading to shuffle); AQE auto-broadcasts
     the 1-column projection at any scale where it fits (plan-guarded:
-    tests/test_skew_and_plans.py test_r8_q3_q5_dims_broadcast_without_hint)
+    tests/test_skew_and_plans.py
+    test_r8_unhinted_scaling_dims_broadcast_from_stats)
     and falls back to a shuffle join beyond. AQE likewise broadcasts
     the reduced orders side when it fits."""
     t = _tables or {}  # bench's bucketed twin overrides the facts
