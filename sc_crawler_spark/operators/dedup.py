@@ -436,7 +436,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(
             f"minhash_lsh_pairs: band_rows={band_rows} must divide "
             f"n_hashes={n_hashes}")
-    n_bands = n_hashes // band_rows
     # Repartition before the per-doc compute: a single-file corpus would
     # otherwise tokenize/hash on 1-2 tasks regardless of cores. Shingles
     # feed both sides of the verify join AND the signature derivation;
@@ -444,20 +443,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # narrow intermediates.
     shingles = doc_shingles(df, text_col, id_col, k).cache()
     sig = _signatures_from_shingles(shingles, id_col, n_hashes).cache()
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws("", *[
-                        F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)
-                    ]).alias("sig"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _band_table(sig, id_col, n_hashes, band_rows)
 
     left = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
@@ -482,6 +468,111 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         paired.withColumn("jaccard", dround(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _band_table(sig: DataFrame, id_col: str, n_hashes: int,
+                band_rows: int) -> DataFrame:
+    """(id, band, sig) LSH bucket keys from a minhash signature table —
+    the one banding convention every LSH consumer (batch pairs,
+    incremental pairs, the persisted index) shares."""
+    n_bands = n_hashes // band_rows
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("", *[
+                        F.col(f"mh_{b * band_rows + r}")
+                        for r in range(band_rows)
+                    ]).alias("sig"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
+
+
+def minhash_index(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                  n_hashes: int = 8) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side dedup INDEX: (shingles, signatures) for a corpus
+    that incremental batches will match against. In production this
+    lands bronze ONCE — signatures bucketed by id, the band table by
+    (band, sig) — so each day's batch joins co-located buckets instead
+    of re-shingling 100 TB (the operational mode
+    :func:`incremental_minhash_pairs` exists for)."""
+    shingles = doc_shingles(df, text_col, id_col, k)
+    return shingles, _signatures_from_shingles(shingles, id_col, n_hashes)
+
+
+def incremental_minhash_pairs(new_df: DataFrame,
+                              base_index: tuple[DataFrame, DataFrame],
+                              text_col: str, id_col: str, k: int = 3,
+                              n_hashes: int = 8, band_rows: int = 2,
+                              threshold: float = 0.6) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup — the production mode: match a new
+    batch against a precomputed corpus index (:func:`minhash_index`)
+    plus itself, WITHOUT re-processing the corpus. Per-batch work is
+    O(|batch|) shingling/hashing + band-bucket joins; the corpus
+    contributes only its (precomputed) band and shingle tables, and no
+    base x base pair is ever generated — those were resolved when the
+    corpus was built.
+
+    Semantics equal the full recomputation restricted to pairs with at
+    least one new doc: a doc's signature depends only on its own
+    shingles, so band buckets are identical whether the corpus is
+    processed whole or in arriving batches (the oracle exploits exactly
+    this — verified hash-green against the full-corpus pair CTE
+    filtered to new-involving pairs).
+
+    Returns (id_a, id_b, jaccard, is_cross) with id_a < id_b;
+    ``is_cross`` marks new-vs-corpus matches (False = both docs are in
+    the new batch)."""
+    if band_rows <= 0 or n_hashes % band_rows != 0:
+        raise ValueError(
+            f"incremental_minhash_pairs: band_rows={band_rows} must "
+            f"divide n_hashes={n_hashes}")
+    base_sh, base_sig = base_index
+    new_sh = doc_shingles(new_df, text_col, id_col, k).cache()
+    new_sig = _signatures_from_shingles(new_sh, id_col, n_hashes)
+    new_bands = _band_table(new_sig, id_col, n_hashes, band_rows).cache()
+    base_bands = _band_table(base_sig, id_col, n_hashes, band_rows)
+    probe = new_bands.select(F.col(id_col).alias("id_n"), "band", "sig")
+    build = (
+        base_bands.select(F.col(id_col).alias("id_e"), "band", "sig")
+        .withColumn("is_cross", F.lit(True))
+        .unionByName(
+            new_bands.select(F.col(id_col).alias("id_e"), "band", "sig")
+            .withColumn("is_cross", F.lit(False)))
+    )
+    cand = (
+        probe.join(build, ["band", "sig"])
+        # within-batch pairs orient once (id_n < id_e); cross pairs keep
+        # every (new, existing) hit — sides are disjoint so no self-pair
+        .filter(F.col("is_cross") | (F.col("id_n") < F.col("id_e")))
+        .select("id_n", "id_e", "is_cross")
+        .distinct()
+    )
+    sh_n = new_sh.select(F.col(id_col).alias("id_n"),
+                         F.col("shingles").alias("sh_a"))
+    sh_e = (base_sh.select(F.col(id_col).alias("id_e"),
+                           F.col("shingles").alias("sh_b"))
+            .unionByName(new_sh.select(F.col(id_col).alias("id_e"),
+                                       F.col("shingles").alias("sh_b"))))
+    paired = cand.join(sh_n, "id_n").join(sh_e, "id_e")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        paired.withColumn("jaccard", dround(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.least("id_n", "id_e").alias("id_a"),
+                F.greatest("id_n", "id_e").alias("id_b"),
+                "jaccard", "is_cross")
+        # a new x new pair can ALSO collide as probe-vs-build duplicates
+        # after least/greatest normalization — distinct folds them
+        .distinct()
     )
 
 

@@ -83,6 +83,7 @@ _PRIORITY = [
     # --- new/changed in r8: no driver evidence yet ---
     "dedup_substring_spans",       # cross-doc duplicated spans (suffix-array mode)
     "decontaminate_spans",         # span-level eval decontamination
+    "dedup_incremental_batch",     # batch-vs-index LSH dedup (no base x base)
     "embed_ann_ivf_pq",            # CHANGED r8: residual (IVFADC) encoding
     "dedup_canonical_by_rank",     # rank-selected cluster survivor (CC x PR)
     "dedup_cluster_resolve",       # CHANGED r8: shared persisted pair source

@@ -722,6 +722,35 @@ def _lsh_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
     return pairs
 
 
+def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup (r8; operators/dedup.
+    incremental_minhash_pairs) — the operational mode a 100 TB corpus
+    actually runs: today's batch (doc_id%7==0 of the clone corpus)
+    matches against the precomputed corpus index
+    (operators/dedup.minhash_index over the rest) PLUS itself, with no
+    base x base work and no corpus re-shingling. Semantics equal the
+    full recomputation restricted to new-involving pairs — the oracle
+    IS that restriction over the shared full-corpus pair CTEs, so the
+    equivalence is hash-checked, not asserted. Output: (id_a, id_b,
+    jaccard, is_cross) with is_cross marking new-vs-corpus matches."""
+    corpus = _docs_with_clones(spark, sf)
+    new = corpus.filter(F.col("doc_id") % 7 == 0)
+    base = corpus.filter(F.col("doc_id") % 7 != 0)
+    idx = dedup.minhash_index(base, "text", "doc_id", k=3, n_hashes=8)
+    return dedup.incremental_minhash_pairs(
+        new, idx, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5)
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b, jaccard,
+       (id_a % 7 = 0) != (id_b % 7 = 0) AS is_cross
+FROM pairs
+WHERE id_a % 7 = 0 OR id_b % 7 = 0
+"""
+
+
 def dedup_cluster_resolve(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup PAIRS -> duplicate CLUSTERS: connected components over
     the MinHash-LSH pair graph (pointer-jumping label propagation,
@@ -1922,6 +1951,8 @@ QUERIES = {
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
+    "dedup_incremental_batch": (dedup_incremental_batch,
+                                INCREMENTAL_DEDUP_SQL),
     "doc_pagerank": (doc_pagerank, _pagerank_sql()),
     "dedup_canonical_by_rank": (dedup_canonical_by_rank,
                                 _canonical_by_rank_sql()),

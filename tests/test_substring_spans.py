@@ -136,3 +136,37 @@ def test_contaminated_spans_cross_corpus_only(spark):
     assert out[1].n_contaminated_spans == 1
     assert out[1].contaminated_chars == 63
     assert out[1].max_span_chars == 63
+
+
+def test_incremental_minhash_no_base_x_base(spark):
+    """The incremental contract: near-dup pairs WITHIN the precomputed
+    corpus must not be re-emitted (they were resolved when the corpus
+    was built); new-vs-corpus and new-vs-new pairs must both surface
+    with the right is_cross flag and canonical (min, max) orientation."""
+    from sc_crawler_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_index, minhash_lsh_pairs)
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, txt), (2, txt),                       # base x base dup pair
+         (3, "totally different words entirely unrelated here now")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, txt), (11, txt)],                    # dup of base AND of each other
+        "doc_id long, text string")
+    idx = minhash_index(base, "text", "doc_id", k=3, n_hashes=8)
+    out = {(r.id_a, r.id_b): r for r in incremental_minhash_pairs(
+        new, idx, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5).collect()}
+    assert (1, 2) not in out                       # base x base suppressed
+    assert out[(10, 11)].is_cross is False         # within-batch pair
+    for pair in ((1, 10), (2, 10), (1, 11), (2, 11)):
+        assert out[pair].is_cross is True          # new x corpus pairs
+        assert out[pair].jaccard == 1.0
+    assert set(out) == {(10, 11), (1, 10), (2, 10), (1, 11), (2, 11)}
+    # cross-check against the batch operator restricted to new-involving
+    full = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(
+        base.unionByName(new), "text", "doc_id", k=3, n_hashes=8,
+        band_rows=2, threshold=0.5).collect()}
+    want = {p: j for p, j in full.items() if p[0] >= 10 or p[1] >= 10}
+    assert {p: r.jaccard for p, r in out.items()} == want
