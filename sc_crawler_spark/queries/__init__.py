@@ -54,13 +54,13 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # r8 rotation: CORRECTNESS_r07 went 48/50 hash-green (+2 rows-only by
 # design) over the first 50 names. Evidence ledger entering r8:
 # 16 names last green in r5 (they fell past r7's cap) -> FRONT, per
-# the r7 verdict; then r8's 12 new/changed entries (7 brand-new
+# the r7 verdict; then r8's 13 new/changed entries (8 brand-new
 # queries + 5 whose code changed: residual IVF-PQ, the two
 # shared-pair-source graph queries, and the two scaling-dim hint
 # drops); then the 50 names last green in r6 (r7's tail), of which
-# the first 22 make this round's 50-query window. The r7 fresh greens
+# the first 21 make this round's 50-query window. The r7 fresh greens
 # rotate to the tail. After r8 greens, the oldest driver evidence is
-# the 28 r6 names past the cap -> they head the r9 window.
+# the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
     # --- r8 rotation (r7 verdict item 1): the 16 names whose latest
     # driver green is r5 HEAD the window ---
