@@ -553,3 +553,15 @@ def test_r8_gated_broadcast_unit_regimes(spark):
         assert not hinted(gated_broadcast(spark, "/nonexistent", "supplier", df))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_r8_incremental_dedup_band_equijoin(spark):
+    """Incremental batch-vs-index dedup: the candidate join must be the
+    (band, sig) bucket equi-join — never a cartesian/nested loop — and
+    the verify joins stay id-keyed equi-joins."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys \[2\]: \[band", plan), (
+        "candidate join is not the (band, sig) bucket equi-join")
