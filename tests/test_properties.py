@@ -512,3 +512,49 @@ def test_anomaly_zscore_survives_degenerate_variance(spark, tmp_path):
                 f"'{lake}/events.parquet/*.parquet'")
     assert con.execute(ANOMALY_SQL).fetchall() == []  # sqrt never sees <0
     con.close()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1,
+    max_size=5))
+def test_duplicate_spans_matches_python_reference(spark, texts):
+    """r8 duplicate_spans vs a brute-force Python reference over tiny
+    random corpora: same flagged docs, same merged-coverage totals.
+    Small width (4) so the 30-char texts exercise multi-island cases."""
+    from sc_crawler_spark.operators.dedup import duplicate_spans
+
+    width = 4
+    docs = list(enumerate(texts))
+    # Python reference: positions whose window appears in another doc
+    windows: dict = {}
+    for i, t in docs:
+        for p in range(len(t) - width + 1):
+            windows.setdefault(t[p:p + width], set()).add(i)
+    expect = {}
+    for i, t in docs:
+        marked = [p for p in range(len(t) - width + 1)
+                  if len(windows[t[p:p + width]]) > 1]
+        if not marked:
+            continue
+        covered = set()
+        for p in marked:
+            covered.update(range(p, p + width))
+        # islands = maximal runs of covered positions
+        spans, start, prev = [], None, None
+        for c in sorted(covered):
+            if start is None:
+                start = prev = c
+            elif c == prev + 1:
+                prev = c
+            else:
+                spans.append(prev - start + 1)
+                start = prev = c
+        spans.append(prev - start + 1)
+        expect[i] = (len(spans), sum(spans), max(spans))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_dup_spans, r.dup_chars, r.max_span_chars)
+           for r in duplicate_spans(df, "text", "doc_id",
+                                    width=width).collect()}
+    assert got == expect
