@@ -550,8 +550,13 @@ def incremental_minhash_pairs(new_df: DataFrame,
     cand = (
         probe.join(build, ["band", "sig"])
         # within-batch pairs orient once (id_n < id_e); cross pairs keep
-        # every (new, existing) hit — sides are disjoint so no self-pair
-        .filter(F.col("is_cross") | (F.col("id_n") < F.col("id_e")))
+        # every (new, existing) hit. The explicit id_n != id_e guard
+        # covers RE-INGESTED ids (same doc id on both sides — a replayed
+        # or corrected batch): without it the cross arm passes the
+        # degenerate self-pair through (r8 advice); disjoint corpora are
+        # unaffected since non-cross pairs already require strict <.
+        .filter((F.col("id_n") != F.col("id_e"))
+                & (F.col("is_cross") | (F.col("id_n") < F.col("id_e"))))
         .select("id_n", "id_e", "is_cross")
         .distinct()
     )

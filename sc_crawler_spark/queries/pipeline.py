@@ -701,24 +701,33 @@ def _lsh_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
     (dedup_cluster_resolve, doc_pagerank, dedup_canonical_by_rank) —
     plus pagerank alone walks the edges once per unrolled iteration.
 
-    Persisted MEMORY_AND_DISK and memoized per (session, sf_dir): the
-    pair pass runs once per session, every consumer reads the
-    materialized pairs. A session-scoped persist (not a bronze parquet
-    write) so a corpus change can never silently reuse stale pairs;
-    the multi-session 100 TB deployment would land this frame bronze
-    with an explicit corpus-digest key instead."""
+    Persisted MEMORY_AND_DISK and memoized per (session, sf_dir,
+    corpus fingerprint): the pair pass runs once per session, every
+    consumer reads the materialized pairs. The memo key includes the
+    documents file's (size, mtime) fingerprint, so a corpus
+    REGENERATED at the same path within one session (tests, notebooks)
+    invalidates the memo instead of silently reusing stale pairs (r8
+    advice); a session-scoped persist rather than a bronze parquet
+    write keeps the blast radius of any staleness to one session. The
+    multi-session 100 TB deployment lands this frame bronze with an
+    explicit corpus-digest key instead (cli.py cmd_index)."""
     from pyspark.storagelevel import StorageLevel
 
     per_session = _PAIR_MEMO.setdefault(spark, {})
-    cached = per_session.get(sf)
+    key = (sf, _corpus_fingerprint(sf))
+    cached = per_session.get(key)
     if cached is not None:
         return cached
+    for stale_key, stale in list(per_session.items()):
+        if stale_key[0] == sf:  # same path, different fingerprint
+            stale.unpersist()
+            del per_session[stale_key]
     corpus = _docs_with_clones(spark, sf)
     pairs = dedup.minhash_lsh_pairs(
         corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
         threshold=0.5
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    per_session[sf] = pairs
+    per_session[key] = pairs
     return pairs
 
 

@@ -80,10 +80,19 @@ def table_disk_bytes(sf_dir: str, name: str) -> int | None:
     p = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(p):
-            return sum(
-                os.path.getsize(os.path.join(p, f))
-                for f in os.listdir(p) if not f.startswith(("_", "."))
-            )
+            # os.walk so NESTED layouts (hive-partitioned subdirs) are
+            # summed correctly — summing direct children only would add
+            # a subdirectory's inode size instead of its contents,
+            # UNDERCOUNT the table, and open the broadcast gate on a
+            # table far above the threshold (r8 advice)
+            total = 0
+            for root, dirs, files in os.walk(p):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files if not f.startswith(("_", "."))
+                )
+            return total
         return os.path.getsize(p)
     except OSError:
         return None
