@@ -687,10 +687,40 @@ def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) 
             "SELECT id_a, id_b, jaccard FROM pairs")
 
 
+import os
 import weakref
 
 _PAIR_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
     weakref.WeakKeyDictionary()
+
+
+def _corpus_fingerprint(sf: str):
+    """(total bytes, newest mtime_ns) of the ``documents`` table under
+    ``sf`` — the memo-invalidation key for :func:`_lsh_pair_graph`.
+
+    Driver-side stat only (same listing Spark's file index performs), so
+    it's O(part files), not O(data). Walks part-file directories so
+    nested/hive layouts fingerprint their CONTENTS, mirroring
+    tables.table_disk_bytes. Returns ``None`` on OSError (missing path,
+    object store): missing paths still memoize consistently rather than
+    raising before Spark gets the chance to report the real error."""
+    p = os.path.join(sf, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            total, newest = 0, 0
+            for root, dirs, files in os.walk(p):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    total += st.st_size
+                    newest = max(newest, st.st_mtime_ns)
+            return (total, newest)
+        st = os.stat(p)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
 
 
 def _lsh_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
