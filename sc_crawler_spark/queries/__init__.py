@@ -62,60 +62,11 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r8 rotation (r7 verdict item 1): the 16 names whose latest
-    # driver green is r5 HEAD the window ---
-    "dim_join_enrichment",
-    "price_quartiles",
-    "min_unit_price_per_part",
-    "distinct_part_counts",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "semi_join_big_spenders",
-    "top1_order_per_customer",
-    "exact_median_price",
-    "mode_brand_per_type",
-    "group_merge_nations",
-    "minmax_bounds_part",
-    "count_expansion",
-    "weighted_geomean_price",
-    "q18_large_orders",
-    "longtail_price_assembly",
-    # --- new/changed in r8: no driver evidence yet ---
-    "dedup_substring_spans",       # cross-doc duplicated spans (suffix-array mode)
-    "decontaminate_spans",         # span-level eval decontamination
-    "dedup_incremental_batch",     # batch-vs-index LSH dedup (no base x base)
-    "embed_ann_ivf_pq",            # CHANGED r8: residual (IVFADC) encoding
-    "dedup_canonical_by_rank",     # rank-selected cluster survivor (CC x PR)
-    "dedup_cluster_resolve",       # CHANGED r8: shared persisted pair source
-    "doc_pagerank",                # CHANGED r8: shared persisted pair source
-    "gap_fill_interp_value",       # linear-interpolation gap-fill twin
-    "embed_knn_classify",          # kNN majority-vote label eval (IVF-pruned)
-    "dedup_semantic_clusters",     # SemDeDup: trained-cluster-bucketed near-dup
-    "train_split_stats",           # seeded-hash 98/1/1 split assignment
-    "sku_prefix_join",             # CHANGED r8: scaling-dim hint dropped
-    "q8_national_market_share",    # CHANGED r8: scaling-dim hints dropped
-    # --- last driver green r6 (old tail, next-stalest) ---
-    "sig_fig_prices",
-    "unit_conversions",
-    "extract_brand_number",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q16_parts_supplier",
-    "q12_priority_shipmode",
-    "q19_discounted_revenue",
-    "pack_sequences_docs",
-    "asof_latest_event_value",
-    "benchmark_catalog_stats",
-    "benchmark_config_pk",
-    "config_tolerance_filter",
-    "dedup_boilerplate_chunks",
-    "dedup_embed_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
+    # --- r10 rotation (r9 verdict task 3): the 27 names whose last
+    # driver green is r6 HEAD the window (staged since r8, finally
+    # executed), then the 3 graph queries un-broken this round, the
+    # approx pair (tolerance oracles, r10), and the next-stalest
+    # r6/r7 _TAIL names to fill the 50-slot window ---
     "doc_langid",
     "doc_quality",
     "doc_token_stats",
@@ -143,18 +94,17 @@ _PRIORITY = [
     "embed_kmeans_clusters",
     "embed_ann_sq",
     "q10_returned_items",
-]
-# Freshest driver evidence (green rows in CORRECTNESS_r06.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
-_TAIL = [
+    "dedup_canonical_by_rank",
+    "dedup_cluster_resolve",
+    "doc_pagerank",
+    "approx_median_price",
+    "approx_distinct_users",
     "embed_ann_pq",
     "dedup_containment",
     "event_anomaly_zscore",
     "twap_user_value",
     "gap_fill_daily_value",
     "funnel_conversion",
-    "approx_distinct_users",
     "cohort_retention",
     "chunk_documents",
     "tfidf_keywords",
@@ -167,6 +117,62 @@ _TAIL = [
     "q11_important_stock",
     "q21_single_supplier_blame",
     "q13_customer_distribution",
+]
+# Freshest driver evidence (green rows in CORRECTNESS_r06.json) — these
+# sit out this round's 50-query window and are covered by the pytest
+# oracle re-check until they rotate forward again.
+_TAIL = [
+    # Freshest driver evidence (green in CORRECTNESS_r09.json or
+    # r8) — these sit out this round's 50-query window and are
+    # covered by the pytest oracle re-check until they rotate
+    # forward again.
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "semi_join_big_spenders",
+    "top1_order_per_customer",
+    "exact_median_price",
+    "mode_brand_per_type",
+    "group_merge_nations",
+    "minmax_bounds_part",
+    "count_expansion",
+    "weighted_geomean_price",
+    "q18_large_orders",
+    "longtail_price_assembly",
+    "dedup_substring_spans",
+    "decontaminate_spans",
+    "dedup_incremental_batch",
+    "embed_ann_ivf_pq",
+    "gap_fill_interp_value",
+    "embed_knn_classify",
+    "dedup_semantic_clusters",
+    "train_split_stats",
+    "sku_prefix_join",
+    "q8_national_market_share",
+    "sig_fig_prices",
+    "unit_conversions",
+    "extract_brand_number",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q16_parts_supplier",
+    "q12_priority_shipmode",
+    "q19_discounted_revenue",
+    "pack_sequences_docs",
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
+    "benchmark_config_pk",
+    "config_tolerance_filter",
+    "dedup_boilerplate_chunks",
+    "dedup_embed_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
     "q15_top_supplier",
     "session_counts",
     "embed_ann_ivf_sq",
@@ -177,7 +183,6 @@ _TAIL = [
     "decontaminate_docs",
     "lang_balanced_sample",
     "training_shard_stats",
-    "approx_median_price",
     "q2_min_price_order",
     "q4_order_priority",
     "cube_revenue",

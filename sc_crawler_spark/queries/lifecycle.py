@@ -386,16 +386,36 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     exact-distinct's state is unbounded and its partial aggregation
     ships entire id sets through the shuffle; the HLL sketch is O(1)
     per group (2^p registers at rsd=0.5%) and merges
-    register-wise. DuckDB's approx_count_distinct is its own HLL
-    variant with different register hashing, so there is no hash
-    oracle — the driver records the rows-only check and
-    tests/test_approx_sketch.py gates the sketch error against the
-    exact count (<2% per event_type at rsd=0.005)."""
+    register-wise. The PRODUCTION query is the sketch-only groupBy.
+
+    TOLERANCE ORACLE (r9 verdict task 5): DuckDB's
+    approx_count_distinct is its own HLL variant with different
+    register hashing, so the sketch VALUE can't hash-match. Instead
+    this emits the exact distinct count plus ``within_bound`` = (HLL
+    relative error vs that exact count <= 2%); the oracle emits the
+    same exact count with a literal TRUE. A hash match verifies group
+    keys, event counts, exact distincts across engines AND that the
+    sketch stayed inside tolerance — a drifting sketch flips the flag
+    and reds the row. The exact arm exists only for this verification
+    harness (it's the sf-scale twin, not the 100 TB path)."""
     ev = load(spark, sf, "events")
+    exact = F.count_distinct(F.col("user_id"))
+    approx = F.approx_count_distinct("user_id", rsd=0.005)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.005).alias("n_users"),
+        exact.alias("n_users_exact"),
+        (F.abs(approx - exact) <= exact * F.lit(0.02))
+        .alias("within_bound"),
         F.count("*").alias("n_events"),
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users_exact,
+  TRUE AS within_bound,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
 
 
 def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
@@ -763,7 +783,7 @@ QUERIES = {
     "gap_fill_daily_value": (gap_fill_daily_value, GAP_FILL_SQL),
     "gap_fill_interp_value": (gap_fill_interp_value, GAP_FILL_INTERP_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
-    "approx_distinct_users": (approx_distinct_users, None),
+    "approx_distinct_users": (approx_distinct_users, APPROX_DISTINCT_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "hash_diff_sync": (hash_diff_sync, HASH_DIFF_SQL),
     "sync_stats": (sync_stats, SYNC_STATS_SQL),

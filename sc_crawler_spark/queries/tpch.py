@@ -392,16 +392,38 @@ def approx_median_price(spark: SparkSession, sf: str) -> DataFrame:
     summaries) instead of the exact ``percentile`` whose aggregation
     buffer holds every distinct value. At 100 TB the exact form's
     per-group state is unbounded; the sketch is O(1/accuracy) per group
-    regardless of row count. DuckDB's approx_quantile is a different
-    sketch (t-digest), so there is no hash oracle — the driver records
-    the rows-only check and tests/test_approx_sketch.py gates the
-    sketch error against the exact median (<0.5% at accuracy=10000)."""
+    regardless of row count — the PRODUCTION query is the sketch-only
+    groupBy.
+
+    TOLERANCE ORACLE (r9 verdict task 5): DuckDB's approx_quantile is a
+    different sketch (t-digest), so the sketch VALUE can't hash-match.
+    Instead this emits the exact median plus ``within_bound`` = (sketch
+    relative error vs that exact median <= 0.5%); the oracle emits the
+    same exact median with a literal TRUE. A hash match therefore
+    verifies group keys, counts, exact medians across engines AND that
+    the GK sketch stayed inside tolerance — a drifting sketch flips the
+    flag and reds the row. The exact arm exists only for this
+    verification harness (it's the sf-scale twin, not the 100 TB
+    path)."""
     orders = load(spark, sf, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.percentile_approx(F.col("o_totalprice"), F.lit(0.5),
+                                 F.lit(10000))
     return orders.groupBy("o_orderpriority").agg(
-        dround(F.percentile_approx(F.col("o_totalprice"), F.lit(0.5),
-                                   F.lit(10000)), 4).alias("median_price"),
+        dround(exact, 4).alias("median_price_exact"),
+        (F.abs(approx - exact) <= F.abs(exact) * 0.005)
+        .alias("within_bound"),
         F.count("*").alias("n_orders"),
     )
+
+
+APPROX_MEDIAN_SQL = f"""
+SELECT o_orderpriority,
+  {sql_round("quantile_cont(o_totalprice, 0.5)")} AS median_price_exact,
+  TRUE AS within_bound,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def mode_brand_per_type(spark: SparkSession, sf: str) -> DataFrame:
@@ -1383,7 +1405,7 @@ QUERIES = {
     "top1_order_per_customer": (top1_order_per_customer, TOP1_SQL),
     "keep_last_dedup_lineitem": (keep_last_dedup_lineitem, KEEP_LAST_SQL),
     "exact_median_price": (exact_median_price, MEDIAN_SQL),
-    "approx_median_price": (approx_median_price, None),
+    "approx_median_price": (approx_median_price, APPROX_MEDIAN_SQL),
     "q2_min_price_order": (q2_min_price_order, Q2_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "mode_brand_per_type": (mode_brand_per_type, MODE_SQL),
