@@ -88,6 +88,18 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     Returns one row per document that contains at least one duplicated
     span: (id, n_dup_spans, dup_chars, max_span_chars).
     """
+    dup = _cross_doc_window_marks(df, text_col, id_col, width, stride,
+                                  digest_key)
+    return _merge_span_islands(dup, id_col, width, "n_dup_spans",
+                               "dup_chars", "max_span_chars")
+
+
+def _cross_doc_window_marks(df: DataFrame, text_col: str, id_col: str,
+                            width: int, stride: int,
+                            digest_key: bool) -> DataFrame:
+    """Steps 1-2 of the span pipeline (shared by duplicate_spans and
+    remove_duplicate_spans): rolling windows -> span-keyed window pass
+    marking windows seen in >= 2 distinct docs. Returns (id, pos)."""
     from pyspark.sql import Window
 
     spans = (
@@ -106,24 +118,84 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     if digest_key:
         spans = spans.select(id_col, "pos", F.md5("span").alias("span"))
     w_span = Window.partitionBy("span")
-    dup = (
+    return (
         spans.withColumn(
             "is_dup",
             F.min(id_col).over(w_span) != F.max(id_col).over(w_span))
         .filter(F.col("is_dup"))
         .select(id_col, "pos")
     )
-    return _merge_span_islands(dup, id_col, width, "n_dup_spans",
-                               "dup_chars", "max_span_chars")
 
 
-def _merge_span_islands(marked: DataFrame, id_col: str, width: int,
-                        n_alias: str, chars_alias: str,
-                        max_alias: str) -> DataFrame:
-    """Gaps-and-islands merge shared by the span operators: marked
-    window starts (id, pos) -> maximal covered spans -> per-doc stats.
-    One doc-keyed exchange; the island groupBy and the per-doc rollup
-    reuse its hash distribution (subset-key clustering)."""
+def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                           width: int = 40, stride: int = 1,
+                           digest_key: bool = False) -> DataFrame:
+    """The ACTION form of :func:`duplicate_spans` (r9 verdict task 4):
+    cut every cross-document duplicated span out of each document and
+    return the cleaned corpus — what the suffix-array dedup pipelines
+    exist to produce, not just report.
+
+    Plan = duplicate_spans' two key-hashed shuffles plus one doc-keyed
+    join back to the corpus (same hash distribution as the islands
+    merge, so the join does not add an exchange for the span side) and
+    a JVM-side ``aggregate`` over each doc's sorted span list that
+    stitches the kept segments together — no Python UDF, no per-row
+    driver work. Maximal islands are non-overlapping by construction
+    (adjacent islands are separated by a break of > ``width``), so the
+    segment arithmetic never goes negative; ``greatest(0, ...)`` guards
+    the stride>1 approximation anyway.
+
+    100 TB: the added join ships only (id, spans-array) — O(docs with
+    duplication), not O(windows) — and the reconstruction is linear in
+    document length. The same ``stride``/``digest_key`` knobs apply.
+
+    Returns every input document: (id, clean_text, removed_chars),
+    with removed_chars == duplicate_spans' dup_chars for spanned docs
+    and 0 for untouched ones.
+    """
+    dup = _cross_doc_window_marks(df, text_col, id_col, width, stride,
+                                  digest_key)
+    per_span = _span_islands(dup, id_col, width)
+    spans_per_doc = per_span.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"))
+
+    text = F.col(text_col)
+    joined = df.join(spans_per_doc, id_col, "left")
+
+    def _cut(acc, s):
+        keep_len = F.greatest(F.lit(0),
+                              s.span_start - acc.prev - F.lit(1))
+        return F.struct(
+            F.concat(acc.acc,
+                     F.substr(text, acc.prev + F.lit(1), keep_len))
+            .alias("acc"),
+            s.span_end.alias("prev"))
+
+    rebuilt = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit("").alias("acc"), F.lit(0).alias("prev")),
+        _cut,
+        lambda a: F.concat(
+            a.acc,
+            F.substr(text, a.prev + F.lit(1),
+                     F.greatest(F.lit(0), F.length(text) - a.prev))))
+    clean = F.when(F.col("_spans").isNull(), text).otherwise(rebuilt)
+    return (
+        joined.withColumn("clean_text", clean)
+        .select(
+            id_col, "clean_text",
+            (F.length(text) - F.length("clean_text"))
+            .cast("bigint").alias("removed_chars"))
+    )
+
+
+def _span_islands(marked: DataFrame, id_col: str, width: int) -> DataFrame:
+    """Gaps-and-islands core shared by the span operators: marked
+    window starts (id, pos) -> maximal covered spans (id, span_start,
+    span_end). One doc-keyed exchange; the island groupBy reuses its
+    hash distribution (subset-key clustering)."""
     from pyspark.sql import Window
 
     w_doc = Window.partitionBy(id_col).orderBy("pos")
@@ -137,10 +209,19 @@ def _merge_span_islands(marked: DataFrame, id_col: str, width: int,
             F.sum("_brk").over(
                 w_doc.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    per_span = isl.groupBy(id_col, "island").agg(
+    return isl.groupBy(id_col, "island").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + F.lit(width - 1)).alias("span_end"),
     )
+
+
+def _merge_span_islands(marked: DataFrame, id_col: str, width: int,
+                        n_alias: str, chars_alias: str,
+                        max_alias: str) -> DataFrame:
+    """Per-doc stats rollup over :func:`_span_islands` (the reporting
+    span operators); the final groupBy reuses the islands' doc-keyed
+    hash distribution, so no extra exchange."""
+    per_span = _span_islands(marked, id_col, width)
     return per_span.groupBy(id_col).agg(
         F.count("*").alias(n_alias),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -576,8 +657,16 @@ def incremental_minhash_pairs(new_df: DataFrame,
                 F.greatest("id_n", "id_e").alias("id_b"),
                 "jaccard", "is_cross")
         # a new x new pair can ALSO collide as probe-vs-build duplicates
-        # after least/greatest normalization — distinct folds them
-        .distinct()
+        # after least/greatest normalization, and a pair of two
+        # RE-INGESTED ids passes both the cross arm and the
+        # within-batch arm with CONFLICTING flags — so collapse on the
+        # pair key, not distinct() over is_cross (r9 advice). max():
+        # True wins, "this pair also matched the standing corpus index"
+        # — the flag consumers act on (cross pairs mean the new doc
+        # duplicates already-accepted corpus and is dropped; pure
+        # within-batch pairs resolve among themselves).
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(F.max("is_cross").alias("is_cross"))
     )
 
 

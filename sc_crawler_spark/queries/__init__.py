@@ -97,6 +97,7 @@ _PRIORITY = [
     "dedup_canonical_by_rank",
     "dedup_cluster_resolve",
     "doc_pagerank",
+    "dedup_span_removal",
     "approx_median_price",
     "approx_distinct_users",
     "embed_ann_pq",

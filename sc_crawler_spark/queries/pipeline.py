@@ -511,6 +511,80 @@ FROM spans GROUP BY doc_id
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """The ACTION form of dedup_substring_spans (r9 verdict task 4;
+    operators/dedup.remove_duplicate_spans): cut every maximal
+    cross-document duplicated 40-char-window span out of each document
+    and emit the CLEANED corpus — the deduplicated training set the
+    suffix-array pipelines exist to produce. Every input doc appears;
+    removed_chars equals duplicate_spans' dup_chars (property-tested)
+    and the cleaned text itself is hash-checked via md5 so the oracle
+    verifies the exact reconstructed strings, not just the counts."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    cleaned = dedup.remove_duplicate_spans(docs, "text", "doc_id",
+                                           width=40)
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+        "removed_chars",
+    )
+
+
+# Reuses DEDUP_SUBSTRING_SQL's CTE chain through `spans`, then stitches
+# the kept segments back together: lag(span_end) gives each span's
+# left gap, one extra tail segment per spanned doc, string_agg ordered
+# by position rebuilds the text; unspanned docs pass through whole.
+DEDUP_SPAN_REMOVAL_SQL = """
+WITH pos AS (
+  SELECT doc_id, u.p AS pos, substr(text, u.p, 40) AS span
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(p)
+  WHERE length(text) >= 40
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(doc_id) OVER (PARTITION BY span)
+             <> MAX(doc_id) OVER (PARTITION BY span) AS is_dup
+    FROM pos) WHERE is_dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS span_start, MAX(pos) + 39 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+segs AS (
+  SELECT s.doc_id, s.span_start AS ord,
+         substr(d.text, prev_end + 1,
+                GREATEST(0, s.span_start - prev_end - 1)) AS seg
+  FROM (SELECT *, lag(span_end, 1, 0) OVER (
+          PARTITION BY doc_id ORDER BY span_start) AS prev_end
+        FROM spans) s JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 2147483647 AS ord, substr(d.text, m.max_end + 1) AS seg
+  FROM (SELECT doc_id, MAX(span_end) AS max_end
+        FROM spans GROUP BY doc_id) m JOIN documents d USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+  FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(c.clean_text, d.text)) AS clean_md5,
+       CAST(length(coalesce(c.clean_text, d.text)) AS BIGINT) AS clean_chars,
+       CAST(length(d.text) - length(coalesce(c.clean_text, d.text))
+            AS BIGINT) AS removed_chars
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
 def decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-level benchmark decontamination (r8; operators/dedup.
     contaminated_spans): the n-gram semi-join's exact-boundary sibling.
@@ -1986,6 +2060,7 @@ QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SQL),
+    "dedup_span_removal": (dedup_span_removal, DEDUP_SPAN_REMOVAL_SQL),
     "decontaminate_spans": (decontaminate_spans, DECONTAMINATE_SPANS_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),

@@ -558,3 +558,46 @@ def test_duplicate_spans_matches_python_reference(spark, texts):
            for r in duplicate_spans(df, "text", "doc_id",
                                     width=width).collect()}
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1,
+    max_size=5))
+def test_remove_duplicate_spans_matches_python_reference(spark, texts):
+    """r10 remove_duplicate_spans vs brute force (r9 verdict task 4):
+    the cleaned text must equal the original minus exactly the covered
+    positions, removed_chars must equal duplicate_spans' dup_chars, and
+    no cleaned doc may retain any originally-flagged cross-doc
+    window."""
+    from sc_crawler_spark.operators.dedup import (
+        duplicate_spans, remove_duplicate_spans)
+
+    width = 4
+    docs = list(enumerate(texts))
+    windows: dict = {}
+    for i, t in docs:
+        for p in range(len(t) - width + 1):
+            windows.setdefault(t[p:p + width], set()).add(i)
+    dup_windows = {w for w, ids in windows.items() if len(ids) > 1}
+    expect = {}
+    for i, t in docs:
+        covered = set()
+        for p in range(len(t) - width + 1):
+            if t[p:p + width] in dup_windows:
+                covered.update(range(p, p + width))
+        expect[i] = "".join(c for p, c in enumerate(t) if p not in covered)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {r.doc_id: r.dup_chars
+             for r in duplicate_spans(df, "text", "doc_id",
+                                      width=width).collect()}
+    got = remove_duplicate_spans(df, "text", "doc_id",
+                                 width=width).collect()
+    assert len(got) == len(docs)  # every input doc comes back
+    for r in got:
+        t = dict(docs)[r.doc_id]
+        assert r.clean_text == expect[r.doc_id]
+        assert r.removed_chars == stats.get(r.doc_id, 0)
+        assert len(t) - len(r.clean_text) == r.removed_chars

@@ -565,3 +565,37 @@ def test_r8_incremental_dedup_band_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"keys \[2\]: \[band", plan), (
         "candidate join is not the (band, sig) bucket equi-join")
+
+
+def test_r9_table_disk_bytes_nested_layout(tmp_path):
+    """r9's os.walk fix, now tested: a hive-partitioned table (part
+    files nested under key=value subdirs) must sum its CONTENTS, not
+    the subdirectory inodes — undercounting here opens the broadcast
+    gate on tables far above the ceiling. Metadata files/dirs
+    (_SUCCESS, .crc, _delta_log) stay excluded at every depth."""
+    import os
+
+    from sc_crawler_spark.tables import table_disk_bytes
+
+    root = tmp_path / "part.parquet"
+    sizes = {}
+    for sub, fname, n in [
+        ("p_brand=A", "part-000.parquet", 1111),
+        ("p_brand=A", "part-001.parquet", 2222),
+        ("p_brand=B/p_type=x", "part-000.parquet", 4444),  # two deep
+    ]:
+        d = root / sub
+        d.mkdir(parents=True, exist_ok=True)
+        (d / fname).write_bytes(b"x" * n)
+        sizes[(sub, fname)] = n
+    # excluded noise at several depths
+    (root / "_SUCCESS").write_bytes(b"")
+    (root / "p_brand=A" / ".part-000.parquet.crc").write_bytes(b"y" * 99)
+    (root / "_delta_log").mkdir()
+    (root / "_delta_log" / "0.json").write_bytes(b"z" * 500)
+
+    assert table_disk_bytes(str(tmp_path), "part") == sum(sizes.values())
+    # flat single file still works; missing table degrades to None
+    (tmp_path / "nation.parquet").write_bytes(b"q" * 77)
+    assert table_disk_bytes(str(tmp_path), "nation") == 77
+    assert table_disk_bytes(str(tmp_path), "absent") is None

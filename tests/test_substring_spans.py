@@ -170,3 +170,40 @@ def test_incremental_minhash_no_base_x_base(spark):
         band_rows=2, threshold=0.5).collect()}
     want = {p: j for p, j in full.items() if p[0] >= 10 or p[1] >= 10}
     assert {p: r.jaccard for p, r in out.items()} == want
+
+
+def test_incremental_minhash_reingested_ids(spark):
+    """r9's re-ingestion guard + r9-advice edge collapse, now tested:
+    a replayed batch carries ids that ALREADY sit in the corpus index.
+    The degenerate self-pair (id, id) must not surface, and a pair of
+    TWO re-ingested docs — which matches through both the cross arm and
+    the within-batch arm — must come out as ONE edge (is_cross=True:
+    it did match the standing index), never two rows with conflicting
+    flags."""
+    from sc_crawler_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_index)
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, txt), (2, txt),
+         (3, "totally different words entirely unrelated here now")],
+        "doc_id long, text string")
+    # replay docs 1 and 2 verbatim, plus doc 3 with CHANGED text that
+    # now near-dups the others (a corrected record)
+    new = spark.createDataFrame(
+        [(1, txt), (2, txt),
+         (3, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    idx = minhash_index(base, "text", "doc_id", k=3, n_hashes=8)
+    rows = incremental_minhash_pairs(
+        new, idx, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))          # one row per edge
+    out = {(r.id_a, r.id_b): r for r in rows}
+    assert all(a != b for a, b in out)            # no self-pairs
+    # the two re-ingested dups: one edge, cross flag wins
+    assert out[(1, 2)].is_cross is True
+    assert out[(1, 2)].jaccard == 1.0
+    # corrected doc 3 matches 1 and 2 (old text of 3 matched nothing)
+    assert (1, 3) in out and (2, 3) in out
