@@ -1120,6 +1120,43 @@ def cmd_shards(spark: SparkSession, lake: str, table: str, out: str,
     print(f"shards: {table}: {n} rows into {n_shards} shards at {out}")
 
 
+def cmd_index(spark: SparkSession, lake: str, out: str,
+              table: str = "documents", text_col: str = "text",
+              id_col: str = "doc_id", k: int = 3, n_hashes: int = 8,
+              band_rows: int = 2, threshold: float = 0.5,
+              force: bool = False) -> None:
+    """Land the digest-keyed dedup index as a lake artifact
+    (sinks/index_store.py — r8 verdict task 4): shingles, signatures,
+    (band, sig)-clustered LSH buckets and the verified pair graph,
+    built ONCE per corpus content digest. A matching artifact is
+    reused, not rebuilt (idempotent re-runs are free — the X3
+    disk-memoization discipline); any content or parameter change
+    rebuilds. Consumers (incremental dedup, the graph queries' shared
+    pair source) pick the artifact up via $SC_SPARK_INDEX_DIR after
+    proving the digest still matches the corpus in front of them."""
+    from .sinks import index_store
+
+    plain = os.path.join(lake, f"{table}.parquet")
+    if os.path.exists(plain):  # raw lake dir (TESTDATA layout)
+        df = spark.read.parquet(plain)
+    else:                      # snapshot-versioned CLI lake table
+        df = _read(spark, lake, table)
+    df = df.select(id_col, text_col)
+    digest = index_store.corpus_digest(df, text_col, id_col)
+    params = dict(k=k, n_hashes=n_hashes, band_rows=band_rows,
+                  threshold=threshold, text_col=text_col, id_col=id_col)
+    if not force and index_store.index_matches(out, digest, **params):
+        n = spark.read.parquet(os.path.join(out, "pairs")).count()
+        print(f"index: reuse {out} digest={digest} pairs={n}")
+        return
+    index_store.write_minhash_index(df, out, text_col, id_col, k=k,
+                                    n_hashes=n_hashes,
+                                    band_rows=band_rows,
+                                    threshold=threshold)
+    n = spark.read.parquet(os.path.join(out, "pairs")).count()
+    print(f"index: built {out} digest={digest} pairs={n}")
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1445,6 +1482,21 @@ def main(argv: list[str] | None = None) -> None:
                             "landed benchmark_score rows")
     p.add_argument("--lake", required=True)
 
+    p = sub.add_parser("index",
+                       help="land the digest-keyed dedup index (shingles/"
+                            "signatures/bands/pair graph) as a lake artifact")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--table", default="documents")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--n-hashes", type=int, default=8)
+    p.add_argument("--band-rows", type=int, default=2)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--force", action="store_true",
+                   help="rebuild even when digest+params match")
+
     p = sub.add_parser("versions",
                        help="list retained snapshot versions per table")
     p.add_argument("--lake", required=True)
@@ -1536,6 +1588,10 @@ def main(argv: list[str] | None = None) -> None:
                    args.id_col, args.n_shards, args.seed)
     elif args.cmd == "score":
         cmd_score(spark, args.lake)
+    elif args.cmd == "index":
+        cmd_index(spark, args.lake, args.out, args.table, args.text_col,
+                  args.id_col, args.k, args.n_hashes, args.band_rows,
+                  args.threshold, args.force)
     elif args.cmd == "versions":
         cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":

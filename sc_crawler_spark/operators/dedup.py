@@ -525,7 +525,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     shingles = doc_shingles(df, text_col, id_col, k).cache()
     sig = _signatures_from_shingles(shingles, id_col, n_hashes).cache()
     bands = _band_table(sig, id_col, n_hashes, band_rows)
+    return verified_pairs_from_index(shingles, bands, id_col, threshold)
 
+
+def verified_pairs_from_index(shingles: DataFrame, bands: DataFrame,
+                              id_col: str,
+                              threshold: float) -> DataFrame:
+    """Bucket-join + exact-Jaccard verify over ALREADY-BUILT shingle
+    and band tables — the shared tail of minhash_lsh_pairs, callable
+    directly on a landed index (sinks/index_store.py) so rebuilding the
+    pair graph from bronze never re-shingles the corpus."""
     left = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (

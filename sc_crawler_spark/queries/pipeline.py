@@ -812,9 +812,15 @@ def _lsh_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
     REGENERATED at the same path within one session (tests, notebooks)
     invalidates the memo instead of silently reusing stale pairs (r8
     advice); a session-scoped persist rather than a bronze parquet
-    write keeps the blast radius of any staleness to one session. The
-    multi-session 100 TB deployment lands this frame bronze with an
-    explicit corpus-digest key instead (cli.py cmd_index)."""
+    write keeps the blast radius of any staleness to one session.
+
+    The multi-session 100 TB deployment lands this frame bronze with an
+    explicit corpus-digest key instead (cli.py cmd_index /
+    sinks/index_store.py): when $SC_SPARK_INDEX_DIR points at an
+    artifact whose digest matches THIS corpus (and whose parameters
+    match), the landed pair graph is read instead of recomputed — the
+    87 s pair pass amortizes across sessions, not just within one. A
+    stale or mismatched artifact is ignored, never trusted."""
     from pyspark.storagelevel import StorageLevel
 
     per_session = _PAIR_MEMO.setdefault(spark, {})
@@ -827,10 +833,19 @@ def _lsh_pair_graph(spark: SparkSession, sf: str) -> DataFrame:
             stale.unpersist()
             del per_session[stale_key]
     corpus = _docs_with_clones(spark, sf)
-    pairs = dedup.minhash_lsh_pairs(
-        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
-        threshold=0.5
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = None
+    idx_dir = os.environ.get("SC_SPARK_INDEX_DIR")
+    if idx_dir:
+        from ..sinks import index_store
+        digest = index_store.corpus_digest(corpus, "text", "doc_id")
+        if index_store.index_matches(idx_dir, digest, k=3, n_hashes=8,
+                                     band_rows=2, threshold=0.5):
+            pairs = index_store.load_pair_graph(spark, idx_dir)
+    if pairs is None:
+        pairs = dedup.minhash_lsh_pairs(
+            corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+            threshold=0.5)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     per_session[key] = pairs
     return pairs
 
@@ -845,11 +860,25 @@ def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
     full recomputation restricted to new-involving pairs — the oracle
     IS that restriction over the shared full-corpus pair CTEs, so the
     equivalence is hash-checked, not asserted. Output: (id_a, id_b,
-    jaccard, is_cross) with is_cross marking new-vs-corpus matches."""
+    jaccard, is_cross) with is_cross marking new-vs-corpus matches.
+
+    When $SC_SPARK_INDEX_DIR holds an artifact whose digest matches the
+    BASE corpus (cli.py cmd_index), the stored shingle/signature tables
+    are read instead of recomputed — the multi-session production mode
+    where the standing corpus is never re-shingled."""
     corpus = _docs_with_clones(spark, sf)
     new = corpus.filter(F.col("doc_id") % 7 == 0)
     base = corpus.filter(F.col("doc_id") % 7 != 0)
-    idx = dedup.minhash_index(base, "text", "doc_id", k=3, n_hashes=8)
+    idx = None
+    idx_dir = os.environ.get("SC_SPARK_INDEX_DIR")
+    if idx_dir:
+        from ..sinks import index_store
+        digest = index_store.corpus_digest(base, "text", "doc_id")
+        if index_store.index_matches(idx_dir, digest, k=3, n_hashes=8):
+            idx = index_store.load_minhash_index(spark, idx_dir)
+    if idx is None:
+        idx = dedup.minhash_index(base, "text", "doc_id", k=3,
+                                  n_hashes=8)
     return dedup.incremental_minhash_pairs(
         new, idx, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
         threshold=0.5)

@@ -406,3 +406,112 @@ def test_dump_per_row_overwrites_and_refuses_collisions(spark, tmp_path):
         "vendor_id string, server_id string")
     with pytest.raises(ValueError, match="collide"):
         dump_file_per_row(clash, ["vendor_id", "server_id"], dest)
+
+
+def test_index_build_reuse_rebuild_and_consumers(spark, tmp_path, capsys,
+                                                 monkeypatch):
+    """cmd_index e2e (r8 verdict task 4): build -> reuse (digest match
+    is free) -> content-change rebuild; then both consumers pick the
+    artifact up through $SC_SPARK_INDEX_DIR — the graph queries' shared
+    pair source reads the landed pairs verbatim, and the incremental
+    dedup path reads the stored shingle/signature index — while a
+    MISMATCHED digest is ignored, never trusted."""
+    from sc_crawler_spark.queries.pipeline import (
+        _PAIR_MEMO, _docs_with_clones, _lsh_pair_graph)
+    from sc_crawler_spark.sinks import index_store
+    from sc_crawler_spark import tables
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "idx")
+    os.makedirs(lake)
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, txt, "en"), (2, txt, "en"),
+         (3, "totally different words entirely unrelated here now", "en")],
+        "doc_id long, text string, lang string")
+    docs.write.parquet(os.path.join(lake, "documents.parquet"))
+
+    # build
+    cli.cmd_index(spark, lake, out)
+    assert "built" in capsys.readouterr().out
+    meta = index_store.read_index_meta(out)
+    assert meta["k"] == 3 and meta["n_hashes"] == 8
+    stored = index_store.load_pair_graph(spark, out).collect()
+    assert [(r.id_a, r.id_b) for r in stored] == [(1, 2)]
+
+    # idempotent re-run: digest matches, nothing rebuilt
+    mtime = os.path.getmtime(os.path.join(out, index_store.META_NAME))
+    cli.cmd_index(spark, lake, out)
+    assert "reuse" in capsys.readouterr().out
+    assert os.path.getmtime(
+        os.path.join(out, index_store.META_NAME)) == mtime
+
+    # consumer: the pair-graph memo reads the artifact when the digest
+    # matches ITS corpus. Build the index over the CLONE corpus (what
+    # _lsh_pair_graph actually walks), plant a sentinel row in the
+    # stored pairs, and the sentinel must come back — proof the landed
+    # graph was read, not recomputed.
+    corpus = _docs_with_clones(spark, lake)
+    idx2 = str(tmp_path / "idx2")
+    index_store.write_minhash_index(corpus, idx2, "text", "doc_id")
+    sentinel = spark.createDataFrame([(777, 888, 0.999)],
+                                     "id_a long, id_b long, jaccard double")
+    stored_pairs = spark.read.parquet(
+        os.path.join(idx2, "pairs")).unionByName(sentinel)
+    stored_pairs.write.mode("overwrite").parquet(
+        str(tmp_path / "pairs_new"))
+    spark.read.parquet(str(tmp_path / "pairs_new")).write.mode(
+        "overwrite").parquet(os.path.join(idx2, "pairs"))
+    monkeypatch.setenv("SC_SPARK_INDEX_DIR", idx2)
+    _PAIR_MEMO.clear()
+    got = _lsh_pair_graph(spark, lake).collect()
+    assert (777, 888) in {(r.id_a, r.id_b) for r in got}
+
+    # mismatched digest: corpus changes, artifact must be IGNORED
+    tables.clear_load_memo()
+    _PAIR_MEMO.clear()
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(4, "yet another brand new document text", "en")],
+        "doc_id long, text string, lang string"))
+    docs2.write.mode("overwrite").parquet(
+        os.path.join(lake, "documents.parquet"))
+    tables.clear_load_memo()
+    got2 = _lsh_pair_graph(spark, lake).collect()
+    assert (777, 888) not in {(r.id_a, r.id_b) for r in got2}
+    _PAIR_MEMO.clear()
+
+    # content change at the ORIGINAL lake: digest differs -> rebuild
+    cli.cmd_index(spark, lake, out)
+    assert "built" in capsys.readouterr().out
+
+
+def test_incremental_dedup_reads_stored_index(spark, tmp_path,
+                                              monkeypatch):
+    """dedup_incremental_batch's artifact path: when $SC_SPARK_INDEX_DIR
+    holds an index whose digest matches the BASE corpus, the stored
+    shingle/signature tables are used (results identical to the
+    recomputed index — the artifact is a cache, not a semantic)."""
+    from sc_crawler_spark.queries.pipeline import (
+        _docs_with_clones, dedup_incremental_batch)
+    from sc_crawler_spark.sinks import index_store
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(7, txt, "en"), (14, txt, "en"), (3, txt, "en"),
+         (5, "totally different words entirely unrelated here now", "en")],
+        "doc_id long, text string, lang string"
+    ).write.parquet(os.path.join(lake, "documents.parquet"))
+
+    baseline = {(r.id_a, r.id_b, r.jaccard, r.is_cross)
+                for r in dedup_incremental_batch(spark, lake).collect()}
+    assert baseline  # the %7 split makes 7/14 the batch, 3 the corpus
+
+    base = _docs_with_clones(spark, lake).filter(F.col("doc_id") % 7 != 0)
+    idx_dir = str(tmp_path / "idx")
+    index_store.write_minhash_index(base, idx_dir, "text", "doc_id")
+    monkeypatch.setenv("SC_SPARK_INDEX_DIR", idx_dir)
+    got = {(r.id_a, r.id_b, r.jaccard, r.is_cross)
+           for r in dedup_incremental_batch(spark, lake).collect()}
+    assert got == baseline
