@@ -227,6 +227,45 @@ def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
         fh.write("ok")
 
 
+def _mount_bucketed_facts(spark, s16_dir: str) -> dict:
+    """Build (first run) or re-mount the orderkey-bucketed fact twins
+    the q3/q5 HEADLINE runs join with zero exchange — the layout a
+    100 TB lake would actually write (PLANS.md q5 section). Files
+    persist under <scale_dir>/bucketed; the in-memory catalog doesn't,
+    so re-mounts re-declare the bucket count the files were written
+    with (recorded in the _READY marker), not this run's cpu count."""
+    from sc_crawler_spark.sinks.bucketed import mount_bucketed, write_bucketed
+    bdir = os.path.join(s16_dir, "bucketed")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    specs = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    # _READY_v2: v1 dirs predate the one-file-per-bucket write fix
+    # (32 writer partitions x 32 buckets = 1024 tiny files whose open
+    # cost dominated the bucketed scan) — rebuild
+    ready = os.path.join(bdir, "_READY_v2")
+    fresh = not os.path.exists(ready)
+    n_buckets = cpus
+    if not fresh:
+        with open(ready) as fh:
+            txt = fh.read().strip()
+        n_buckets = int(txt) if txt.isdigit() else cpus
+    facts = {}
+    for t, key in specs.items():
+        if fresh:
+            write_bucketed(
+                spark.read.parquet(os.path.join(s16_dir, f"{t}.parquet")),
+                f"b_{t}", [key], n_buckets, sort_cols=[key],
+                path=os.path.join(bdir, t))
+            facts[t] = spark.table(f"b_{t}")
+        else:  # files persist; the in-memory catalog doesn't
+            facts[t] = mount_bucketed(
+                spark, f"b_{t}", os.path.join(bdir, t),
+                [key], n_buckets, sort_cols=[key])
+    if fresh:
+        with open(ready, "w") as fh:
+            fh.write(str(n_buckets))
+    return facts
+
+
 def _duckdb_time(sql: str, sf_dir: str, reps: int = 2,
                  timeout_s: float | None = None) -> float:
     """Best-of-reps DuckDB wall time. With ``timeout_s``, each rep is
@@ -327,6 +366,22 @@ def main() -> None:
         s16_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR",
                                  f"/tmp/sc_bench_scale{SCALE_FACTOR}")
         _build_scale(spark, sf_dir, s16_dir)
+        # The bucketed fact layout is part of the lake build, like the
+        # scale dir itself: at 100 TB the facts are WRITTEN bucketed
+        # once and every downstream join rides the layout. q3/q5
+        # headline numbers run on it (r8 verdict task 5 — promoted from
+        # supplementary); the plain-layout variants are published
+        # beside them as the A/B that isolates what the layout buys.
+        # DuckDB reads its own preferred layout either way, so the
+        # engine comparison stays like-for-like at the "each engine's
+        # production physical design" level.
+        bucketed_facts = None
+        try:
+            bucketed_facts = _mount_bucketed_facts(spark, s16_dir)
+        except Exception as exc:
+            scale["bucketed_mount_error"] = str(exc)[:200]
+        _BUCKETED_HEADLINE = {"q3_shipping_priority": "q3",
+                              "q5_local_supplier_volume": "q5"}
         spark_s = {}
         duck_s = {}
         # live references: a mid-loop failure still publishes the
@@ -365,18 +420,45 @@ def main() -> None:
             # single run can't become the published number; the cold
             # first run is still published separately so the
             # build-included claim survives.
-            t0 = time.perf_counter()
-            REGISTRY[name][0](spark, qdir).count()  # build INCLUDED
-            cold = time.perf_counter() - t0
-            best = cold
-            for _ in range(2):
+            use_bucketed = (name in _BUCKETED_HEADLINE
+                            and bucketed_facts is not None)
+            kw = {"_tables": bucketed_facts} if use_bucketed else {}
+            if use_bucketed:
+                # subset-key co-partitioning: the join adds the
+                # same-nation equality on top of the bucket key;
+                # partitioning on the key subset still clusters
+                spark.conf.set(
+                    "spark.sql.requireAllClusterKeysForCoPartition",
+                    "false")
+            try:
                 t0 = time.perf_counter()
-                REGISTRY[name][0](spark, qdir).count()
-                best = min(best, time.perf_counter() - t0)
-                if best >= 5.0:  # expensive: stop at 2 runs total
-                    break
+                REGISTRY[name][0](spark, qdir, **kw).count()  # build INCLUDED
+                cold = time.perf_counter() - t0
+                best = cold
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name][0](spark, qdir, **kw).count()
+                    best = min(best, time.perf_counter() - t0)
+                    if best >= 5.0:  # expensive: stop at 2 runs total
+                        break
+            finally:
+                if use_bucketed:
+                    spark.conf.set(
+                        "spark.sql.requireAllClusterKeysForCoPartition",
+                        "true")
             spark_s[name] = round(best, 3)
             scale.setdefault("spark_cold", {})[name] = round(cold, 3)
+            if use_bucketed:
+                # the plain-layout A/B: what the exchange costs when
+                # the facts are NOT co-located at write time
+                short = _BUCKETED_HEADLINE[name]
+                scale.setdefault("layout", {})[name] = "bucketed"
+                plain = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name][0](spark, qdir).count()
+                    plain = min(plain, time.perf_counter() - t0)
+                scale[f"{short}_plain_sec"] = round(plain, 3)
             # the dedup/training queries cache multi-hundred-MB
             # intermediates (shingles, signatures); left resident they
             # steal executor memory from every later scale query
@@ -410,72 +492,6 @@ def main() -> None:
                 "ratio": round(sum(spark_s[n] for n in both)
                                / sum(duck_s[n] for n in both), 3),
             }
-        # ---- supplementary: bucketed co-located q5 — the 100 TB
-        # answer to the fact-fact exchange measured above. The two
-        # facts are bucketed on orderkey at write time, so the join
-        # reads co-located buckets with ZERO exchange (PLANS.md q5
-        # section). Reported beside the ratio, not inside it: same
-        # data, different physical layout, and DuckDB has no
-        # bucketing concept to compare against. Measured 64x:
-        # 1.15 s vs 2.5-2.8 s plain — the exchange was the gap.
-        try:
-            from sc_crawler_spark.sinks.bucketed import (
-                mount_bucketed, write_bucketed)
-            bdir = os.path.join(s16_dir, "bucketed")
-            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-            specs = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
-            # _READY_v2: v1 dirs predate the one-file-per-bucket write
-            # fix (32 writer partitions x 32 buckets = 1024 tiny files
-            # whose open cost dominated the bucketed scan) — rebuild
-            ready = os.path.join(bdir, "_READY_v2")
-            fresh = not os.path.exists(ready)
-            # the bucket count is part of the FILE layout: a re-mount
-            # must declare the count the files were written with, not
-            # whatever this run's cpu count happens to be — the _READY
-            # marker records it
-            n_buckets = cpus
-            if not fresh:
-                with open(ready) as fh:
-                    txt = fh.read().strip()
-                n_buckets = int(txt) if txt.isdigit() else cpus
-            facts = {}
-            for t, key in specs.items():
-                if fresh:
-                    write_bucketed(
-                        spark.read.parquet(
-                            os.path.join(s16_dir, f"{t}.parquet")),
-                        f"b_{t}", [key], n_buckets, sort_cols=[key],
-                        path=os.path.join(bdir, t))
-                    facts[t] = spark.table(f"b_{t}")
-                else:  # files persist; the in-memory catalog doesn't
-                    facts[t] = mount_bucketed(
-                        spark, f"b_{t}", os.path.join(bdir, t),
-                        [key], n_buckets, sort_cols=[key])
-            if fresh:
-                with open(ready, "w") as fh:
-                    fh.write(str(n_buckets))
-            # subset-key co-partitioning: the join adds the same-nation
-            # equality on top of the bucket key; partitioning on the
-            # key subset still clusters correctly
-            spark.conf.set(
-                "spark.sql.requireAllClusterKeysForCoPartition", "false")
-            try:
-                for qname, out_key in (
-                    ("q5_local_supplier_volume", "q5_bucketed_sec"),
-                    ("q3_shipping_priority", "q3_bucketed_sec"),
-                ):
-                    best = float("inf")
-                    for _ in range(3):  # sub-second queries; best-of-3
-                        t0 = time.perf_counter()
-                        REGISTRY[qname][0](
-                            spark, s16_dir, _tables=facts).count()
-                        best = min(best, time.perf_counter() - t0)
-                    scale[out_key] = round(best, 3)
-            finally:
-                spark.conf.set(
-                    "spark.sql.requireAllClusterKeysForCoPartition", "true")
-        except Exception as exc:
-            scale["q5_bucketed_error"] = str(exc)[:200]
     except Exception as exc:  # scale block is supplementary — never fail bench
         scale |= {"error": str(exc)[:200]}
 

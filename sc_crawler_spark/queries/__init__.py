@@ -98,6 +98,7 @@ _PRIORITY = [
     "dedup_cluster_resolve",
     "doc_pagerank",
     "dedup_span_removal",
+    "media_pcm_stats",
     "approx_median_price",
     "approx_distinct_users",
     "embed_ann_pq",

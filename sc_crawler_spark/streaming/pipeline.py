@@ -207,6 +207,77 @@ def stream_exact_dedup(events: DataFrame, key_cols: list[str] | None = None,
     )
 
 
+def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
+                      checkpoint_dir: str, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      n_hashes: int = 8, band_rows: int = 2,
+                      threshold: float = 0.5):
+    """Streaming MinHash-LSH near-dedup (r8 verdict item 9): each
+    micro-batch of documents is matched against the STANDING shingle/
+    signature index (operators/dedup.incremental_minhash_pairs — no
+    base x base work, no corpus re-shingling) plus itself, the verified
+    near-dup pairs land under ``pairs_dir``, and the batch's shingles/
+    signatures are folded into the index so LATER batches match against
+    it. The union of emitted pairs over any batch split equals the
+    full-corpus ``minhash_lsh_pairs`` output — batch-equal by the same
+    signature-locality argument the incremental operator's oracle
+    proves (a doc's signature depends only on its own shingles), and
+    pinned by test_streaming_multimodal.
+
+    Idempotent under checkpoint replay: every write goes to a
+    ``batch=<id>`` subdirectory with mode=overwrite, so a replayed
+    micro-batch overwrites its own partition instead of double-
+    appending — exactly-once OUTPUT from at-least-once execution, the
+    same discipline foreachBatch sinks need on a cluster. At 100 TB the
+    index dirs are the cmd_index artifact maintained continuously:
+    per-batch cost is O(batch) shingling plus co-located bucket joins
+    against (band, sig)-clustered state."""
+    from ..operators.dedup import (
+        _signatures_from_shingles, doc_shingles,
+        incremental_minhash_pairs, minhash_lsh_pairs)
+
+    sh_dir = os.path.join(index_dir, "shingles")
+    sig_dir = os.path.join(index_dir, "signatures")
+
+    def _read_part(spark: SparkSession, d: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(d).drop("batch")
+        except Exception:
+            return None  # no batches landed yet
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col)
+        base_sh = _read_part(spark, sh_dir)
+        base_sig = _read_part(spark, sig_dir)
+        if base_sh is not None and base_sig is not None:
+            pairs = incremental_minhash_pairs(
+                batch, (base_sh, base_sig), text_col, id_col, k=k,
+                n_hashes=n_hashes, band_rows=band_rows,
+                threshold=threshold)
+        else:  # first batch: nothing standing, the batch IS the corpus
+            pairs = minhash_lsh_pairs(
+                batch, text_col, id_col, k=k, n_hashes=n_hashes,
+                band_rows=band_rows, threshold=threshold
+            ).withColumn("is_cross", F.lit(False))
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}"))
+        new_sh = doc_shingles(batch, text_col, id_col, k)
+        new_sh.write.mode("overwrite").parquet(
+            os.path.join(sh_dir, f"batch={batch_id}"))
+        _signatures_from_shingles(
+            new_sh, id_col, n_hashes
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={batch_id}"))
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_best_scores(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running best score per (user_id,
     event_type) — the streaming form of A1 ``best_per_entry``

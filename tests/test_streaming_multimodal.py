@@ -500,3 +500,53 @@ def test_stream_chunk_documents_matches_batch(spark, tmpdir):
     batch = spark.read.parquet(src)  # the union of both files
     want = sorted(map(tuple, chunk_docs(batch).collect()))
     assert got == want
+
+
+def test_stream_near_dedup_batch_equal(spark, tmpdir):
+    """stream_near_dedup over 3 micro-batches == the full-corpus
+    minhash_lsh_pairs pair set (same (id_a, id_b, jaccard) triples;
+    is_cross depends on arrival order, so it is not compared) — the
+    batch-equality contract the r8/r9 verdicts asked to pin. Also
+    checks the standing index grew to cover the whole corpus."""
+    from sc_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_near_dedup)
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota"
+    batches = [
+        [(1, txt), (2, "totally different words entirely unrelated here")],
+        [(3, txt)],                      # dup of batch-1 doc
+        [(4, near), (5, "another set of fresh unique tokens right now")],
+    ]
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        spark.createDataFrame(
+            [(d, t, "en", "s") for d, t in rows],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(src, f"b{i}.parquet"))
+
+    pairs_dir = os.path.join(tmpdir, "pairs")
+    index_dir = os.path.join(tmpdir, "index")
+    q = stream_near_dedup(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        pairs_dir, index_dir, os.path.join(tmpdir, "ckpt"))
+    q.awaitTermination(120)
+
+    corpus = spark.createDataFrame(
+        [(d, t) for rows in batches for d, t in rows],
+        "doc_id long, text string")
+    want = {(r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5).collect()}
+    got = {(r.id_a, r.id_b, r.jaccard)
+           for r in spark.read.parquet(pairs_dir).collect()}
+    assert got == want and (1, 3) in {(a, b) for a, b, _ in got}
+    # the index now holds every doc's signature
+    sigs = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    assert sigs.select("doc_id").distinct().count() == 5
