@@ -99,6 +99,7 @@ _PRIORITY = [
     "doc_pagerank",
     "dedup_span_removal",
     "media_pcm_stats",
+    "domain_balanced_sample",
     "approx_median_price",
     "approx_distinct_users",
     "embed_ann_pq",

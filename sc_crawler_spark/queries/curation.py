@@ -264,6 +264,105 @@ WHERE sample_rank <= {_LANG_QUOTA}
 """
 
 
+# -------------------------------------------------- domain balancing
+
+# Multi-label public suffixes the embedded PSL subset recognizes. Real
+# pipelines load the full Mozilla public-suffix list (thousands of
+# rules, same longest-match evaluation); the rule ENGINE below is the
+# real one — only the rule table is abbreviated to the suffixes the
+# synthetic corpus exercises.
+_MULTI_SUFFIX = ["co.uk", "ac.uk", "com.au", "co.jp", "com.br"]
+# Deterministic URL synthesis (the lake's documents carry opaque srcN
+# sources, not URLs): host = pool[doc_id % 16]. The pool is skewed —
+# wikipedia.org 5/16, reddit.com 3/16 — and spreads one registrable
+# domain across SUBDOMAINS (en./m. wikipedia, www./old. reddit,
+# news./www. bbc.co.uk) so the sampler must aggregate at eTLD+1, not
+# hostname: per-host quotas would hand wikipedia.org 2x reddit.com's
+# share despite the quota.
+_HOST_POOL = [
+    "en.wikipedia.org", "en.wikipedia.org", "en.wikipedia.org",
+    "en.wikipedia.org", "m.wikipedia.org",
+    "www.reddit.com", "www.reddit.com", "old.reddit.com",
+    "github.com", "gist.github.com",
+    "news.bbc.co.uk", "www.bbc.co.uk",
+    "shop.amazon.co.uk", "blog.example.com.au",
+    "docs.python.org", "stackoverflow.com",
+]
+_DOMAIN_QUOTA = 20
+
+
+def _etld1(host):
+    """Registrable domain (eTLD+1) from a hostname column: the last
+    label pair, extended one label left when the pair is itself a
+    public suffix (co.uk and friends). Pure JVM expressions — split +
+    element_at + a literal isin — no UDF."""
+    parts = F.split(host, r"\.")
+    last2 = F.concat_ws(".", F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    return F.when(
+        last2.isin(_MULTI_SUFFIX) & (F.size(parts) >= 3),
+        F.concat_ws(".", F.element_at(parts, -3), last2)
+    ).otherwise(last2)
+
+
+def domain_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """eTLD+1 domain-balanced sampling (r8 verdict item 9): cap every
+    REGISTRABLE domain — not hostname — at ``_DOMAIN_QUOTA`` docs, the
+    standard guard against one crawled site dominating a training mix.
+    URLs are synthesized deterministically from doc_id (corpus carries
+    no URLs), the host is parsed back out of the URL and reduced to
+    eTLD+1 by the embedded public-suffix rules, and the per-domain
+    quota is a seeded-hash rank — the exact lang_balanced_sample
+    machinery, so the rank<=N filter compiles to WindowGroupLimit and
+    single-domain skew (wikipedia at 5/16 of the corpus) cannot
+    serialize the scan at 100 TB."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    pool = F.array(*[F.lit(h) for h in _HOST_POOL])
+    url = F.concat(F.lit("https://"),
+                   F.element_at(pool, (F.col("doc_id") % 16 + 1)
+                                .cast("int")),
+                   F.lit("/doc/"), F.col("doc_id"))
+    host = F.regexp_extract(url, r"^https://([^/]+)/", 1)
+    staged = docs.select("doc_id", _etld1(host).alias("domain"))
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        staged.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _DOMAIN_QUOTA)
+        .select("domain", "doc_id",
+                F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
+_POOL_SQL = "[" + ", ".join(f"'{h}'" for h in _HOST_POOL) + "]"
+_SUFFIX_SQL = ", ".join(f"'{s}'" for s in _MULTI_SUFFIX)
+
+DOMAIN_SAMPLE_SQL = f"""
+WITH hosts AS (
+  SELECT doc_id,
+         regexp_extract('https://' || ({_POOL_SQL})[CAST(doc_id % 16 + 1 AS INT)]
+                        || '/doc/' || doc_id, '^https://([^/]+)/', 1) AS host
+  FROM documents
+),
+doms AS (
+  SELECT doc_id,
+         CASE WHEN parts[-2] || '.' || parts[-1] IN ({_SUFFIX_SQL})
+                   AND len(parts) >= 3
+              THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+              ELSE parts[-2] || '.' || parts[-1] END AS domain
+  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM hosts)
+)
+SELECT domain, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS sample_rank
+  FROM doms)
+WHERE sample_rank <= {_DOMAIN_QUOTA}
+"""
+
+
 # -------------------------------------------------- temperature mixing
 
 _MIX_ALPHA = 0.7     # source weight ∝ n^alpha — upweights small sources
@@ -454,6 +553,7 @@ QUERIES = {
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
+    "domain_balanced_sample": (domain_balanced_sample, DOMAIN_SAMPLE_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "training_shard_stats": (training_shard_stats, SHARD_STATS_SQL),

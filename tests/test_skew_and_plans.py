@@ -599,3 +599,35 @@ def test_r9_table_disk_bytes_nested_layout(tmp_path):
     (tmp_path / "nation.parquet").write_bytes(b"q" * 77)
     assert table_disk_bytes(str(tmp_path), "nation") == 77
     assert table_disk_bytes(str(tmp_path), "absent") is None
+
+
+def test_r10_domain_sample_uses_window_group_limit(spark):
+    """Same contract as the lang sampler: the per-domain quota rank
+    must compile to WindowGroupLimit so 8-domain skew (wikipedia at
+    5/16 of the corpus) keeps partial top-N on every input partition
+    instead of serializing the scan at the domain shuffle."""
+    plan = _plan(spark, "domain_balanced_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_r10_span_removal_plan_shape(spark):
+    """remove_duplicate_spans = duplicate_spans' two key-hashed
+    exchanges plus ONE doc-keyed join back to the corpus — and no
+    cartesian/nested-loop anywhere. The spans side arrives already
+    hashed on the doc id (subset-key clustering), so the join adds at
+    most the corpus-side exchange."""
+    plan = _plan(spark, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert exchanges <= 4, f"expected <=4 exchanges, got {exchanges}"
+
+
+def test_r10_pcm_stats_single_python_stage(spark):
+    """The PCM decode must be ONE Arrow-batched python stage over the
+    synthesized media (mapInPandas chained after the encode stage) —
+    no shuffle between encode and decode, no per-row python UDF."""
+    plan = _plan(spark, "media_pcm_stats")
+    assert "Exchange" not in plan  # stateless per-row: nothing shuffles
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF forbidden
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2  # encode + decode
