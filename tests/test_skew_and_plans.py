@@ -631,3 +631,15 @@ def test_r10_pcm_stats_single_python_stage(spark):
     assert "Exchange" not in plan  # stateless per-row: nothing shuffles
     assert "BatchEvalPython" not in plan  # row-at-a-time UDF forbidden
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2  # encode + decode
+
+
+def test_r10_html_extract_stateless_scan(spark):
+    """Crawl step 0 must run at parquet-scan speed: one stateless
+    whole-stage-codegen projection — zero exchanges, zero Python
+    stages, no join. At 100 TB anything else in this path is a bug."""
+    plan = _plan(spark, "html_extract_text")
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    # formatted mode stars codegen'd nodes: the projection must be one
+    assert re.search(r"\* Project \(\d+\)", plan)
