@@ -211,7 +211,8 @@ def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
                       checkpoint_dir: str, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       n_hashes: int = 8, band_rows: int = 2,
-                      threshold: float = 0.5):
+                      threshold: float = 0.5,
+                      seed_index_dir: str | None = None):
     """Streaming MinHash-LSH near-dedup (r8 verdict item 9): each
     micro-batch of documents is matched against the STANDING shingle/
     signature index (operators/dedup.incremental_minhash_pairs — no
@@ -228,13 +229,30 @@ def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
     ``batch=<id>`` subdirectory with mode=overwrite, so a replayed
     micro-batch overwrites its own partition instead of double-
     appending — exactly-once OUTPUT from at-least-once execution, the
-    same discipline foreachBatch sinks need on a cluster. At 100 TB the
-    index dirs are the cmd_index artifact maintained continuously:
-    per-batch cost is O(batch) shingling plus co-located bucket joins
-    against (band, sig)-clustered state."""
+    same discipline foreachBatch sinks need on a cluster.
+
+    ``seed_index_dir`` is the production wiring (r10): point it at a
+    ``cmd_index`` lake artifact and the stream's standing index STARTS
+    as the landed corpus — the 100 TB base is never re-shingled; the
+    stream only ACCUMULATES its own batches under ``index_dir`` (the
+    digest-keyed artifact is read-only here, so its digest stays
+    true). Shingle/signature parameters are proven against the
+    artifact's _META before the stream starts — a mismatched seed is a
+    loud ValueError, never silently-incomparable signatures."""
     from ..operators.dedup import (
         _signatures_from_shingles, doc_shingles,
         incremental_minhash_pairs, minhash_lsh_pairs)
+
+    if seed_index_dir is not None:
+        from ..sinks import index_store
+        meta = index_store.read_index_meta(seed_index_dir)
+        want = dict(k=k, n_hashes=n_hashes, text_col=text_col,
+                    id_col=id_col)
+        if meta is None or any(meta.get(p) != v for p, v in want.items()):
+            raise ValueError(
+                f"seed index at {seed_index_dir} missing or built under "
+                f"different parameters (want {want}, got "
+                f"{ {p: (meta or {}).get(p) for p in want} })")
 
     sh_dir = os.path.join(index_dir, "shingles")
     sig_dir = os.path.join(index_dir, "signatures")
@@ -245,11 +263,22 @@ def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
         except Exception:
             return None  # no batches landed yet
 
+    def _union(a: DataFrame | None, b: DataFrame | None) -> DataFrame | None:
+        if a is None:
+            return b
+        return a if b is None else a.unionByName(b)
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select(id_col, text_col)
         base_sh = _read_part(spark, sh_dir)
         base_sig = _read_part(spark, sig_dir)
+        if seed_index_dir is not None:
+            from ..sinks import index_store
+            seed_sh, seed_sig = index_store.load_minhash_index(
+                spark, seed_index_dir)
+            base_sh = _union(seed_sh, base_sh)
+            base_sig = _union(seed_sig, base_sig)
         if base_sh is not None and base_sig is not None:
             pairs = incremental_minhash_pairs(
                 batch, (base_sh, base_sig), text_col, id_col, k=k,

@@ -550,3 +550,84 @@ def test_stream_near_dedup_batch_equal(spark, tmpdir):
     # the index now holds every doc's signature
     sigs = spark.read.parquet(os.path.join(index_dir, "signatures"))
     assert sigs.select("doc_id").distinct().count() == 5
+
+
+def test_stream_near_dedup_seeded_from_lake_artifact(spark, tmpdir):
+    """The production wiring: the standing corpus index is a cmd_index
+    lake artifact (built ONCE, read-only), the stream only accumulates
+    its own batches. Artifact pairs (base x base) + streamed pairs
+    (new x base, new x new) must equal the full-corpus pair set — the
+    100 TB claim that the base is never re-shingled stays lossless."""
+    from sc_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from sc_crawler_spark.sinks import index_store
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_near_dedup)
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota"
+    base_rows = [(1, txt), (2, "totally different words entirely here")]
+    stream_batches = [[(3, txt)], [(4, near), (5, "fresh unique tokens")]]
+
+    seed_dir = os.path.join(tmpdir, "artifact")
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    index_store.write_minhash_index(base, seed_dir, "text", "doc_id")
+
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    for i, rows in enumerate(stream_batches):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        spark.createDataFrame(
+            [(d, t, "en", "s") for d, t in rows],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(src, f"b{i}.parquet"))
+
+    pairs_dir = os.path.join(tmpdir, "pairs")
+    q = stream_near_dedup(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        pairs_dir, os.path.join(tmpdir, "own_index"),
+        os.path.join(tmpdir, "ckpt"), seed_index_dir=seed_dir)
+    q.awaitTermination(120)
+
+    corpus = spark.createDataFrame(
+        base_rows + [(d, t) for rows in stream_batches for d, t in rows],
+        "doc_id long, text string")
+    want = {(r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5).collect()}
+    got = {(r.id_a, r.id_b, r.jaccard) for r in
+           index_store.load_pair_graph(spark, seed_dir).collect()}
+    got |= {(r.id_a, r.id_b, r.jaccard)
+            for r in spark.read.parquet(pairs_dir).collect()}
+    assert got == want
+    # cross-source dup (streamed 3 vs artifact-seeded 1) was caught
+    assert (1, 3) in {(a, b) for a, b, _ in got}
+    # the read-only artifact was never written into
+    assert set(os.listdir(seed_dir)) == {
+        "_META.json", "shingles", "signatures", "bands", "pairs"}
+
+
+def test_stream_near_dedup_rejects_mismatched_seed(spark, tmpdir):
+    """A seed artifact built under different shingle/signature
+    parameters must fail LOUD at stream setup, not produce
+    incomparable signatures."""
+    import pytest as _pytest
+
+    from sc_crawler_spark.sinks import index_store
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_near_dedup)
+
+    seed_dir = os.path.join(tmpdir, "artifact")
+    base = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    index_store.write_minhash_index(base, seed_dir, "text", "doc_id",
+                                    k=5)  # mismatched shingle width
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    with _pytest.raises(ValueError, match="different parameters"):
+        stream_near_dedup(
+            read_document_stream(spark, src),
+            os.path.join(tmpdir, "pairs"), os.path.join(tmpdir, "idx"),
+            os.path.join(tmpdir, "ckpt"), seed_index_dir=seed_dir)
