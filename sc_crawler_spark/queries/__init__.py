@@ -99,6 +99,7 @@ _PRIORITY = [
     "doc_pagerank",
     "dedup_span_removal",
     "media_pcm_stats",
+    "media_pixel_stats",
     "domain_balanced_sample",
     "html_extract_text",
     "approx_median_price",

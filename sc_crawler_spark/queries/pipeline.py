@@ -2074,6 +2074,59 @@ FROM (
 """
 
 
+def media_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image pixel decode end to end (the PNG counterpart of
+    media_pcm_stats, r10): documents -> 8-bit RGB PNG payloads
+    (multimodal.encode_png, dims + pixels derived from doc_id) ->
+    stdlib zlib inflate + numpy channel sums
+    (multimodal.extract_pixel_stats) -> exact integer stats + mean
+    Rec.709 luma. The oracle never sees a byte: it regenerates every
+    pixel from encode_png's arithmetic (v = (x*31 + y*17 + id) & 255;
+    r, g, b = v, 3v & 255, 7v & 255) and sums the same integers, so a
+    hash match proves the deflate -> chunk walk -> inflate -> unfilter
+    loop reproduced every pixel exactly."""
+    from ..multimodal import extract_pixel_stats, synthesize_media
+
+    docs = load(spark, sf, "documents")
+    stats = extract_pixel_stats(synthesize_media(docs))
+    luma = (F.col("sum_r") * 2126 + F.col("sum_g") * 7152
+            + F.col("sum_b") * 722)
+    return stats.select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b",
+        dround(luma.cast("double")
+               / (F.col("n_pixels") * F.lit(10000.0)), 4)
+        .alias("mean_luma"),
+    )
+
+
+MEDIA_PIXEL_SQL = f"""
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 64 AS w, 8 + (doc_id // 2) % 48 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         ((u.p % w) * 31 + (u.p // w) * 17 + doc_id) & 255 AS v
+  FROM img, unnest(generate_series(0, w * h - 1)) AS u(p)
+),
+ch AS (
+  SELECT doc_id, w, h, COUNT(*) AS n_pixels,
+         SUM(v) AS sum_r, SUM((v * 3) & 255) AS sum_g,
+         SUM((v * 7) & 255) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(n_pixels AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       {sql_round("CAST(sum_r * 2126 + sum_g * 7152 + sum_b * 722 AS DOUBLE)"
+                  " / (n_pixels * 10000.0)", 4)} AS mean_luma
+FROM ch
+"""
+
+
 def media_pcm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio sample decode end to end (r8 verdict item 7):
     documents -> PCM-16 WAV payloads (multimodal.encode_wav, seeded by
@@ -2128,6 +2181,7 @@ FROM flagged GROUP BY doc_id
 QUERIES = {
     "media_metadata_extract": (media_metadata_extract, MEDIA_METADATA_SQL),
     "media_pcm_stats": (media_pcm_stats, MEDIA_PCM_SQL),
+    "media_pixel_stats": (media_pixel_stats, MEDIA_PIXEL_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, BPE_TOKEN_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),

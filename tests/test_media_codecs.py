@@ -72,3 +72,52 @@ def test_audio_features_use_real_headers(spark):
     assert row.sample_rate == 44100
     assert row.n_channels == 1
     assert row.duration_ms == 50
+
+
+def test_pixel_stats_decode_exact(spark):
+    """The zlib inflate + unfilter must reproduce encode_png's pixels
+    EXACTLY: channel sums equal the arithmetic the encoder ran. Also:
+    non-PNG payloads and filter/color modes outside scope emit no row
+    (never fake numbers)."""
+    from sc_crawler_spark.multimodal import extract_pixel_stats
+
+    w, h, seed = 5, 3, 9
+    want_r = want_g = want_b = 0
+    for y in range(h):
+        for x in range(w):
+            v = (x * 31 + y * 17 + seed) & 0xFF
+            want_r += v
+            want_g += (v * 3) & 0xFF
+            want_b += (v * 7) & 0xFF
+    rows = [
+        (1, "image", bytearray(encode_png(w, h, seed=seed)),
+         "image/png", None),
+        (2, "image", bytearray(b"GIF87a" + struct.pack("<HH", 4, 4)),
+         "image/gif", None),  # not a PNG: skipped
+        (3, "audio", bytearray(encode_wav(8000, 10)), "audio/wav",
+         None),  # wrong kind: filtered out before decode
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_pixel_stats(media).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (want_r, want_g, want_b)
+
+
+def test_pixel_stats_rejects_corrupt_idat(spark):
+    """A PNG whose IDAT does not inflate (or inflates to the wrong
+    scanline length) must be skipped, not crash the batch or emit
+    garbage."""
+    from sc_crawler_spark.multimodal import extract_pixel_stats
+
+    good = bytes(encode_png(4, 4, seed=1))
+    # corrupt the IDAT body: flip bytes after the chunk tag
+    i = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[i + 4:i + 10] = b"\x00\xff\x00\xff\x00\xff"
+    rows = [(1, "image", bytearray(good), "image/png", None),
+            (2, "image", corrupt, "image/png", None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id for r in extract_pixel_stats(media).collect()}
+    assert out == {1}

@@ -643,3 +643,13 @@ def test_r10_html_extract_stateless_scan(spark):
     assert "Join" not in plan
     # formatted mode stars codegen'd nodes: the projection must be one
     assert re.search(r"\* Project \(\d+\)", plan)
+
+
+def test_r10_pixel_stats_single_python_stage(spark):
+    """Same contract as the PCM twin: encode + decode are the only two
+    Arrow-batched python stages, chained with no shuffle between them
+    and no row-at-a-time UDF anywhere."""
+    plan = _plan(spark, "media_pixel_stats")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
