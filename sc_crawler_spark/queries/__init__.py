@@ -65,8 +65,11 @@ _PRIORITY = [
     # --- r10 rotation (r9 verdict task 3): the 27 names whose last
     # driver green is r6 HEAD the window (staged since r8, finally
     # executed), then the 3 graph queries un-broken this round, the
-    # approx pair (tolerance oracles, r10), and the next-stalest
-    # r6/r7 _TAIL names to fill the 50-slot window ---
+    # 5 queries NEW in r10 (span removal, WAV-sample + PNG-pixel
+    # decode, domain-balanced sample, HTML extraction), the approx
+    # pair (schema changed: tolerance oracles), and the next-stalest
+    # r6/r7 _TAIL names to fill the 50-slot window; the overflow past
+    # the cap (r7-greened TPC-H tail) stays pytest-oracle-verified ---
     "doc_langid",
     "doc_quality",
     "doc_token_stats",
