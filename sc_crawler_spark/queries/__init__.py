@@ -103,6 +103,7 @@ _PRIORITY = [
     "dedup_span_removal",
     "media_pcm_stats",
     "media_pixel_stats",
+    "media_video_frames",
     "domain_balanced_sample",
     "html_extract_text",
     "approx_median_price",

@@ -121,3 +121,30 @@ def test_pixel_stats_rejects_corrupt_idat(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id for r in extract_pixel_stats(media).collect()}
     assert out == {1}
+
+
+def test_avi_header_roundtrip_and_frame_sampling(spark):
+    """encode_avi's RIFF nesting must be readable back by the chunk
+    walk (width/height/frames/us-per-frame exact), junk video payloads
+    must emit nothing, and the sampled frames carry exact integer
+    timestamps computed from the PARSED header."""
+    from sc_crawler_spark.multimodal import (
+        encode_avi, parse_avi_header, sample_avi_frames)
+
+    payload = encode_avi(320, 240, 95, fps=24)
+    assert parse_avi_header(payload) == (320, 240, 95, 41666)
+    assert parse_avi_header(b"RIFFxxxxWAVE") is None
+    assert parse_avi_header(b"junk") is None
+
+    rows = [
+        (1, "video", bytearray(payload), "video/x-msvideo", None),
+        (2, "video", bytearray(b"\x00" * 4096), "video/mp4", None),
+        (3, "audio", bytearray(encode_wav(8000, 10)), "audio/wav", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_avi_frames(media, every_n=30).collect()
+    assert {r.media_id for r in got} == {1}
+    frames = sorted((r.frame_idx, r.ts_ms) for r in got)
+    # 95 frames sampled every 30: 0, 30, 60, 90; ts = idx * 41666 // 1000
+    assert frames == [(0, 0), (30, 1249), (60, 2499), (90, 3749)]
+    assert all((r.width, r.height) == (320, 240) for r in got)

@@ -653,3 +653,15 @@ def test_r10_pixel_stats_single_python_stage(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+
+
+def test_r10_video_frames_python_is_per_video_not_per_frame(spark):
+    """The frame fan-out must be JVM-side: exactly 2 Arrow-batched
+    stages (synthesize + header parse) each emitting one row per
+    VIDEO, then a Generate (explode) producing the per-frame rows —
+    zero exchanges, no row-at-a-time UDF."""
+    plan = _plan(spark, "media_video_frames")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert re.search(r"\(\d+\) Generate", plan)  # the explode
