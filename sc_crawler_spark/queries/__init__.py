@@ -127,9 +127,6 @@ _PRIORITY = [
     "q21_single_supplier_blame",
     "q13_customer_distribution",
 ]
-# Freshest driver evidence (green rows in CORRECTNESS_r06.json) — these
-# sit out this round's 50-query window and are covered by the pytest
-# oracle re-check until they rotate forward again.
 _TAIL = [
     # Freshest driver evidence (green in CORRECTNESS_r09.json or
     # r8) — these sit out this round's 50-query window and are
