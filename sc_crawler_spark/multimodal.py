@@ -380,20 +380,92 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def encode_png_rgb(px) -> bytes:
+    """Real PNG writer over an (h, w, 3) uint8 numpy array — the
+    arbitrary-pixel sibling of :func:`encode_png` (same signature +
+    IHDR + filter-0 scanlines + one zlib IDAT + IEND), used by the
+    real resize path to re-encode downsampled pixels."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        data = tag + payload
+        return struct.pack(">I", len(payload)) + data + struct.pack(
+            ">I", zlib.crc32(data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    lines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),           # filter byte: None
+         px.astype(np.uint8).reshape(h, w * 3)], axis=1)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def resize_images_real(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """REAL aspect-preserving resize for the PNGs this lake carries
+    (r10 — upgrades the stub now that the codec exists in-repo):
+    decode via the chunk-walk/zlib path, nearest-neighbor downsample
+    with pure integer index math (``src = (dst * src_dim) //
+    dst_dim`` — reproducible arithmetically by an oracle), re-encode a
+    VALID PNG via :func:`encode_png_rgb`. Images already inside
+    ``max_side`` pass through untouched; payloads outside the decoder's
+    scope (non-PNG, palette, interlace) emit nothing — the honest-skip
+    rule everywhere in this module.
+
+    One Arrow-batched stage, one row per image in and out: at 100 TB
+    it chains after the scan with no shuffle and no per-pixel Python
+    (the kernel is numpy fancy-indexing)."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                parsed = _png_rgb_rows(data)
+                if parsed is None:
+                    continue
+                w, h, raw = parsed
+                lines = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    h, 1 + w * 3)
+                if lines[:, 0].any():
+                    continue
+                px = lines[:, 1:].reshape(h, w, 3)
+                if max(w, h) <= max_side:
+                    rows.append((int(media_id), w, h, data))
+                    continue
+                nw = max(1, (w * max_side) // max(w, h))
+                nh = max(1, (h * max_side) // max(w, h))
+                sx = (np.arange(nw) * w) // nw
+                sy = (np.arange(nh) * h) // nh
+                small = px[sy][:, sx]
+                rows.append((int(media_id), nw, nh,
+                             encode_png_rgb(small)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload")
+    return imgs.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
 def resize_images(media: DataFrame, max_side: int = 256,
                   real_decode: bool = False) -> DataFrame:
     """Resize stage: aspect-preserving downscale to ``max_side``.
 
-    The pixel kernel is stubbed (no codec here): output dims follow the
-    stub decoder's dims scaled to max_side, payload passes through
+    The pixel kernel here is the byte-budget stub; since r10,
+    :func:`resize_images_real` does the ACTUAL decode -> nearest-
+    neighbor -> re-encode loop for PNG payloads (PIL/cv2-class codecs
+    for JPEG remain out of env scope). Output dims follow the stub
+    decoder's dims scaled to max_side, payload passes through
     truncated-by-ratio so byte volume shrinks like a real resize would.
     The Spark shape is real — mapInPandas over binary Arrow batches, blob
     column pruned when downstream selects metadata only.
     """
     if real_decode:
-        raise NotImplementedError(
-            "real resize needs a codec library (PIL/cv2) not present here"
-        )
+        return resize_images_real(media, max_side)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

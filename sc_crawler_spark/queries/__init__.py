@@ -104,6 +104,7 @@ _PRIORITY = [
     "media_pcm_stats",
     "media_pixel_stats",
     "media_video_frames",
+    "media_resize_stats",
     "domain_balanced_sample",
     "html_extract_text",
     "approx_median_price",

