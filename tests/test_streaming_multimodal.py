@@ -344,9 +344,12 @@ def test_resize_and_audio_stubs(spark):
     assert audio[0]["sample_rate"] == 16000
     assert audio[0]["n_channels"] == 1
 
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        resize_images(media, real_decode=True)
+    # real_decode now routes to the real PNG path (r10): these fake
+    # payloads are outside the decoder's scope, so it emits NOTHING
+    # (honest skip) instead of raising — the real loop is covered by
+    # test_media_codecs.test_real_resize_roundtrip.
+    assert resize_images(media, max_side=64,
+                         real_decode=True).count() == 0
 
 
 def test_transform_with_state_best_scores(spark, tmpdir):
