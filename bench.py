@@ -509,6 +509,22 @@ def main() -> None:
         "scale": scale,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
+    # Tiny summary line printed LAST: the driver's tail capture has
+    # front-truncated the full JSON line two rounds running (BENCH_r10
+    # and BENCH_r11 lost the graded sf0.1 block). Whatever the capture
+    # length, this line survives, so the graded numbers do too.
+    print(json.dumps({
+        "summary": "tail-safe",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf_value": round(sum(timings.values()), 3),
+        "sf_duckdb": oracle.get("duckdb_sec"),
+        "sf_ratio": oracle.get("ratio"),
+        "build_sec": round(build_total, 3),
+        "scale_factor": scale.get("factor"),
+        "scale_spark": scale.get("spark_sec"),
+        "scale_duckdb": scale.get("duckdb_sec"),
+        "scale_ratio": scale.get("ratio"),
+    }))
     spark.stop()
 
 

@@ -62,14 +62,104 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r10 rotation (r9 verdict task 3): the 27 names whose last
-    # driver green is r6 HEAD the window (staged since r8, finally
-    # executed), then the 3 graph queries un-broken this round, the
-    # 5 queries NEW in r10 (span removal, WAV-sample + PNG-pixel
-    # decode, domain-balanced sample, HTML extraction), the approx
-    # pair (schema changed: tolerance oracles), and the next-stalest
-    # r6/r7 _TAIL names to fill the 50-slot window; the overflow past
-    # the cap (r7-greened TPC-H tail) stays pytest-oracle-verified ---
+    # --- r12 rotation (r11 verdict task 1): the 34 names whose last
+    # driver green is CORRECTNESS_r07 HEAD the window — the union of
+    # r1-r11 correctness artifacts puts every other name at r9 or r11.
+    # First the 7 that sat just past r11's cap (positions 51-57), then
+    # the 27 r7-stale former-_TAIL names, then the 16 stalest r9 names
+    # to fill the 50-slot window. The 50 r11-fresh greens and the
+    # remaining 31 r9 names rotate to _TAIL (r9 ones first, so they
+    # head the r13 window) and stay pytest-oracle-verified every round
+    # by tests/test_queries_oracle.py. ---
+    "q20_dominant_suppliers",
+    "q14_promo_effect",
+    "q22_global_sales_opportunity",
+    "doc_bpe_token_stats",
+    "q11_important_stock",
+    "q21_single_supplier_blame",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "session_counts",
+    "embed_ann_ivf_sq",
+    "training_set_select",
+    "q7_volume_shipping",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "decontaminate_docs",
+    "lang_balanced_sample",
+    "training_shard_stats",
+    "q2_min_price_order",
+    "q4_order_priority",
+    "cube_revenue",
+    "rollup_revenue",
+    "pivot_status_counts",
+    "moving_range_avg",
+    "intersect_repeat_buyers",
+    "temperature_mix_sample",
+    "profile_orders",
+    "region_dims_rollup",
+    "vendor_compliance_matrix",
+    "spot_price_asof",
+    "media_metadata_extract",
+    "anti_join_no_orders",
+    "keep_last_dedup_lineitem",
+    "except_building_buyers",
+    "argmax_customer_per_nation",
+    # --- r9-stale fillers (slots 35-50) ---
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "semi_join_big_spenders",
+    "top1_order_per_customer",
+    "exact_median_price",
+    "mode_brand_per_type",
+    "group_merge_nations",
+    "minmax_bounds_part",
+    "count_expansion",
+    "weighted_geomean_price",
+    "q18_large_orders",
+    "longtail_price_assembly",
+]
+_TAIL = [
+    # Sat out this round's 50-query window; covered by the pytest
+    # oracle re-check until they rotate forward. Ordered by staleness:
+    # the 31 remaining r9 greens first (they head the r13 window),
+    # then the 50 r11-fresh greens.
+    "dedup_substring_spans",
+    "decontaminate_spans",
+    "dedup_incremental_batch",
+    "embed_ann_ivf_pq",
+    "gap_fill_interp_value",
+    "embed_knn_classify",
+    "dedup_semantic_clusters",
+    "train_split_stats",
+    "sku_prefix_join",
+    "q8_national_market_share",
+    "sig_fig_prices",
+    "unit_conversions",
+    "extract_brand_number",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q16_parts_supplier",
+    "q12_priority_shipmode",
+    "q19_discounted_revenue",
+    "pack_sequences_docs",
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
+    "benchmark_config_pk",
+    "config_tolerance_filter",
+    "dedup_boilerplate_chunks",
+    "dedup_embed_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    # --- r11-fresh greens below ---
     "doc_langid",
     "doc_quality",
     "doc_token_stats",
@@ -120,93 +210,6 @@ _PRIORITY = [
     "tfidf_keywords",
     "doc_lm_perplexity",
     "q6_forecast_revenue",
-    "q20_dominant_suppliers",
-    "q14_promo_effect",
-    "q22_global_sales_opportunity",
-    "doc_bpe_token_stats",
-    "q11_important_stock",
-    "q21_single_supplier_blame",
-    "q13_customer_distribution",
-]
-_TAIL = [
-    # Freshest driver evidence (green in CORRECTNESS_r09.json or
-    # r8) — these sit out this round's 50-query window and are
-    # covered by the pytest oracle re-check until they rotate
-    # forward again.
-    "dim_join_enrichment",
-    "price_quartiles",
-    "min_unit_price_per_part",
-    "distinct_part_counts",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "semi_join_big_spenders",
-    "top1_order_per_customer",
-    "exact_median_price",
-    "mode_brand_per_type",
-    "group_merge_nations",
-    "minmax_bounds_part",
-    "count_expansion",
-    "weighted_geomean_price",
-    "q18_large_orders",
-    "longtail_price_assembly",
-    "dedup_substring_spans",
-    "decontaminate_spans",
-    "dedup_incremental_batch",
-    "embed_ann_ivf_pq",
-    "gap_fill_interp_value",
-    "embed_knn_classify",
-    "dedup_semantic_clusters",
-    "train_split_stats",
-    "sku_prefix_join",
-    "q8_national_market_share",
-    "sig_fig_prices",
-    "unit_conversions",
-    "extract_brand_number",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q16_parts_supplier",
-    "q12_priority_shipmode",
-    "q19_discounted_revenue",
-    "pack_sequences_docs",
-    "asof_latest_event_value",
-    "benchmark_catalog_stats",
-    "benchmark_config_pk",
-    "config_tolerance_filter",
-    "dedup_boilerplate_chunks",
-    "dedup_embed_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "q15_top_supplier",
-    "session_counts",
-    "embed_ann_ivf_sq",
-    "training_set_select",
-    "q7_volume_shipping",
-    "doc_repetition",
-    "doc_pii_scrub",
-    "decontaminate_docs",
-    "lang_balanced_sample",
-    "training_shard_stats",
-    "q2_min_price_order",
-    "q4_order_priority",
-    "cube_revenue",
-    "rollup_revenue",
-    "pivot_status_counts",
-    "moving_range_avg",
-    "intersect_repeat_buyers",
-    "temperature_mix_sample",
-    "profile_orders",
-    "region_dims_rollup",
-    "vendor_compliance_matrix",
-    "spot_price_asof",
-    "media_metadata_extract",
-    "anti_join_no_orders",
-    "keep_last_dedup_lineitem",
-    "except_building_buyers",
-    "argmax_customer_per_nation",
 ]
 REGISTRY = {
     n: REGISTRY[n]
