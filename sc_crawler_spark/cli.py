@@ -1157,6 +1157,23 @@ def cmd_index(spark: SparkSession, lake: str, out: str,
     print(f"index: built {out} digest={digest} pairs={n}")
 
 
+def cmd_index_fold(spark: SparkSession, base: str, stream_index: str,
+                   stream_pairs: str, out: str) -> None:
+    """Fold a stream's accumulated dedup batches back into a NEW
+    digest-keyed artifact (r10 verdict task 6 — the compaction that
+    closes the streaming loop): ``seed cmd_index artifact + N streamed
+    batches -> one artifact`` whose digest provably covers the unioned
+    corpus (per-batch xor/count digest partials merge exactly — no
+    text is re-read). Existing consumers pick the folded artifact up
+    through the same digest gate; the base stays read-only and true."""
+    from .sinks import index_store
+
+    meta = index_store.fold_minhash_index(spark, base, stream_index,
+                                          stream_pairs, out)
+    n = spark.read.parquet(os.path.join(out, "pairs")).count()
+    print(f"index: folded {out} digest={meta['digest']} pairs={n}")
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1484,9 +1501,19 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("index",
                        help="land the digest-keyed dedup index (shingles/"
-                            "signatures/bands/pair graph) as a lake artifact")
-    p.add_argument("--lake", required=True)
+                            "signatures/bands/pair graph) as a lake artifact; "
+                            "--fold merges a stream's accumulated batches "
+                            "into a NEW artifact instead")
+    p.add_argument("--lake",
+                   help="corpus lake to build from (build mode)")
     p.add_argument("--out", required=True)
+    p.add_argument("--fold", metavar="STREAM_INDEX_DIR",
+                   help="fold mode: stream_near_dedup index dir whose "
+                        "batches fold into the artifact at --base")
+    p.add_argument("--base", metavar="BASE_INDEX_DIR",
+                   help="fold mode: the seed cmd_index artifact")
+    p.add_argument("--stream-pairs", metavar="PAIRS_DIR",
+                   help="fold mode: the stream's landed pair batches")
     p.add_argument("--table", default="documents")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -1589,9 +1616,18 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "score":
         cmd_score(spark, args.lake)
     elif args.cmd == "index":
-        cmd_index(spark, args.lake, args.out, args.table, args.text_col,
-                  args.id_col, args.k, args.n_hashes, args.band_rows,
-                  args.threshold, args.force)
+        if args.fold:
+            if not (args.base and args.stream_pairs):
+                raise SystemExit(
+                    "index --fold requires --base and --stream-pairs")
+            cmd_index_fold(spark, args.base, args.fold,
+                           args.stream_pairs, args.out)
+        else:
+            if not args.lake:
+                raise SystemExit("index requires --lake (or --fold)")
+            cmd_index(spark, args.lake, args.out, args.table,
+                      args.text_col, args.id_col, args.k, args.n_hashes,
+                      args.band_rows, args.threshold, args.force)
     elif args.cmd == "versions":
         cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":

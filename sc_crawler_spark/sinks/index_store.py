@@ -99,6 +99,103 @@ def write_minhash_index(df: DataFrame, out: str, text_col: str,
     return meta
 
 
+def merge_digests(digests: list[str]) -> str:
+    """Combine corpus digests of DISJOINT corpora into the digest of
+    their union — exact by construction, no text needed: the digest is
+    ``bit_xor(xxhash64(id, text)) _ count``, and xor/sum are both
+    associative-commutative-mergeable. This is what makes the streamed
+    index FOLDABLE: each micro-batch lands its own partial digest and
+    the fold proves the union without re-reading one byte of text."""
+    xor, n = 0, 0
+    for d in digests:
+        x, _, c = d.rpartition("_")
+        xor ^= int(x)
+        n += int(c)
+    # wrap to Spark's signed 64-bit bit_xor convention
+    xor &= (1 << 64) - 1
+    if xor >= 1 << 63:
+        xor -= 1 << 64
+    return f"{xor}_{n}"
+
+
+def fold_minhash_index(spark: SparkSession, base_dir: str,
+                       stream_index_dir: str, stream_pairs_dir: str,
+                       out: str) -> dict:
+    """Fold a stream's accumulated batches back into a NEW digest-keyed
+    lake artifact (r10 verdict task 6): the compaction step that closes
+    the streaming loop. The base artifact (``cmd_index``) stays
+    read-only and true to ITS digest; the folded artifact at ``out``
+    covers base ∪ batches and is keyed by the merged digest, so every
+    existing consumer (incremental dedup, the graph queries) picks it
+    up through the same digest gate with zero new code paths.
+
+    No corpus re-reads and no pair recomputation — all three fold
+    inputs are mergeable by construction:
+
+    - digest: xor/count partials landed per batch (``merge_digests``);
+    - shingles/signatures/bands: per-doc derivations, so base ∪ batch
+      tables ARE the union corpus's tables (bands rebuilt from the
+      batch signatures only — base bands are reused as landed);
+    - pairs: base pairs ∪ streamed pairs equals the full-corpus pair
+      graph by the batch-equality property stream_near_dedup pins
+      (every pair has its base x base / cross / intra arbiter exactly
+      once).
+
+    ``_META.json`` is written LAST, same crash discipline as the
+    builder. ``out`` must not be the base or stream dir (the fold reads
+    them while writing)."""
+    from ..operators.dedup import _band_table
+
+    norm = [os.path.abspath(d) for d in (base_dir, stream_index_dir)]
+    if os.path.abspath(out) in norm:
+        raise ValueError("fold target must be a NEW directory, not the "
+                         "base or stream index dir")
+    meta = read_index_meta(base_dir)
+    if meta is None:
+        raise ValueError(f"no complete base index at {base_dir}")
+    digest_dir = os.path.join(stream_index_dir, "digest")
+    try:
+        parts = spark.read.parquet(digest_dir).collect()
+    except Exception as exc:
+        raise ValueError(
+            f"stream index at {stream_index_dir} has no digest partials "
+            f"(pre-fold stream layout?): {exc}") from None
+    folded_digest = merge_digests(
+        [meta["digest"]] + [f"{r['d']}_{r['n']}" for r in parts])
+    id_col = meta["id_col"]
+
+    def _cat(sub: str, stream_sub: str) -> DataFrame:
+        base = spark.read.parquet(os.path.join(base_dir, sub))
+        new = spark.read.parquet(
+            os.path.join(stream_index_dir, stream_sub)).drop("batch")
+        return base.unionByName(new)
+
+    _cat("shingles", "shingles").write.mode("overwrite").parquet(
+        os.path.join(out, "shingles"))
+    _cat("signatures", "signatures").write.mode("overwrite").parquet(
+        os.path.join(out, "signatures"))
+
+    new_sig = spark.read.parquet(
+        os.path.join(stream_index_dir, "signatures")).drop("batch")
+    new_bands = _band_table(new_sig, id_col, meta["n_hashes"],
+                            meta["band_rows"])
+    (spark.read.parquet(os.path.join(base_dir, "bands"))
+     .unionByName(new_bands)
+     .repartition("band", "sig")
+     .write.mode("overwrite").parquet(os.path.join(out, "bands")))
+
+    stream_pairs = (spark.read.parquet(stream_pairs_dir)
+                    .select("id_a", "id_b", "jaccard"))
+    (spark.read.parquet(os.path.join(base_dir, "pairs"))
+     .unionByName(stream_pairs)
+     .write.mode("overwrite").parquet(os.path.join(out, "pairs")))
+
+    folded = dict(meta, digest=folded_digest)
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(folded, f, indent=1, sort_keys=True)
+    return folded
+
+
 def read_index_meta(out: str) -> dict | None:
     """The artifact's meta, or None when ``out`` holds no (complete)
     index — a build that died before the final meta write reads as

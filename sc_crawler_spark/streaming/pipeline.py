@@ -298,6 +298,18 @@ def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
             new_sh, id_col, n_hashes
         ).write.mode("overwrite").parquet(
             os.path.join(sig_dir, f"batch={batch_id}"))
+        # partial corpus digest (xor of xxhash64(id,text) + count):
+        # what makes the accumulated stream FOLDABLE into a new
+        # digest-keyed artifact (sinks/index_store.fold_minhash_index)
+        # without ever re-reading the batch texts — same overwrite-own-
+        # partition idempotence as the other per-batch writes
+        batch.agg(
+            F.coalesce(  # empty replayed batch: xor identity, not NULL
+                F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))"),
+                F.lit(0).cast("long")).alias("d"),
+            F.count("*").alias("n"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "digest", f"batch={batch_id}"))
 
     return (
         docs.writeStream.foreachBatch(_apply)

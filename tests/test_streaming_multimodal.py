@@ -634,3 +634,124 @@ def test_stream_near_dedup_rejects_mismatched_seed(spark, tmpdir):
             read_document_stream(spark, src),
             os.path.join(tmpdir, "pairs"), os.path.join(tmpdir, "idx"),
             os.path.join(tmpdir, "ckpt"), seed_index_dir=seed_dir)
+
+
+def test_stream_fold_back_into_lake_index(spark, tmpdir, capsys,
+                                          monkeypatch):
+    """The compaction that closes the streaming loop (r10 verdict task
+    6): seed cmd_index artifact -> stream 3 batches -> ``index --fold``
+    -> ONE new digest-keyed artifact covering base ∪ batches. The
+    folded digest must equal the unioned corpus's digest (proven via
+    the per-batch xor/count partials — no text re-read), the folded
+    pair graph must equal the full-corpus recomputation, and
+    doc_pagerank must pick the folded artifact up through the standard
+    $SC_SPARK_INDEX_DIR digest gate (sentinel-proven read)."""
+    from sc_crawler_spark import cli, tables
+    from sc_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from sc_crawler_spark.queries.pipeline import _PAIR_MEMO, doc_pagerank
+    from sc_crawler_spark.sinks import index_store
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_near_dedup)
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota"
+    # doc_id % 10 not in {0, 5}: the registry's clone injection adds
+    # nothing, so the raw union IS the corpus doc_pagerank walks
+    base_rows = [(1, txt), (2, "totally different words entirely here")]
+    batches = [[(3, txt)], [(4, near)], [(6, "fresh unique tokens")]]
+
+    lake = os.path.join(tmpdir, "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(
+        [(d, t, "en") for d, t in base_rows],
+        "doc_id long, text string, lang string",
+    ).write.parquet(os.path.join(lake, "documents.parquet"))
+    seed_dir = os.path.join(tmpdir, "artifact")
+    cli.cmd_index(spark, lake, seed_dir)
+
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        spark.createDataFrame(
+            [(d, t, "en", "s") for d, t in rows],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(src, f"b{i}.parquet"))
+
+    own_index = os.path.join(tmpdir, "own_index")
+    pairs_dir = os.path.join(tmpdir, "pairs")
+    q = stream_near_dedup(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        pairs_dir, own_index, os.path.join(tmpdir, "ckpt"),
+        seed_index_dir=seed_dir)
+    q.awaitTermination(120)
+    assert len(os.listdir(os.path.join(own_index, "digest"))) == 3
+
+    folded = os.path.join(tmpdir, "folded")
+    cli.cmd_index_fold(spark, seed_dir, own_index, pairs_dir, folded)
+    assert "folded" in capsys.readouterr().out
+
+    # digest covers the unioned corpus — recomputed from raw text here,
+    # merged from partials inside the fold; they must agree exactly
+    union_rows = base_rows + [(d, t) for rows in batches for d, t in rows]
+    union = spark.createDataFrame(union_rows, "doc_id long, text string")
+    want_digest = index_store.corpus_digest(union, "text", "doc_id")
+    assert index_store.read_index_meta(folded)["digest"] == want_digest
+    assert index_store.index_matches(folded, want_digest, k=3,
+                                     n_hashes=8, threshold=0.5)
+
+    # folded pair graph == full-corpus recomputation
+    want_pairs = {(r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_pairs(
+        union, "text", "doc_id").collect()}
+    got_pairs = {(r.id_a, r.id_b, r.jaccard) for r in
+                 index_store.load_pair_graph(spark, folded).collect()}
+    assert got_pairs == want_pairs
+
+    # the base artifact stayed read-only and true to ITS digest
+    assert index_store.read_index_meta(seed_dir)["digest"] != want_digest
+
+    # doc_pagerank reads the folded artifact through the digest gate:
+    # land the unioned corpus as the lake, plant a sentinel pair in the
+    # folded graph, and the sentinel nodes must surface in the ranks
+    spark.createDataFrame(
+        [(d, t, "en") for d, t in union_rows],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(os.path.join(lake,
+                                                   "documents.parquet"))
+    sentinel = spark.createDataFrame([(777, 888, 0.999)],
+                                     "id_a long, id_b long, jaccard double")
+    with_sentinel = index_store.load_pair_graph(spark, folded).unionByName(
+        sentinel)
+    staged = os.path.join(tmpdir, "pairs_sentinel")
+    with_sentinel.write.parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(
+        os.path.join(folded, "pairs"))
+    monkeypatch.setenv("SC_SPARK_INDEX_DIR", folded)
+    tables.clear_load_memo()
+    _PAIR_MEMO.clear()
+    ranked = {r.doc_id for r in doc_pagerank(spark, lake).collect()}
+    assert {777, 888} <= ranked
+    tables.clear_load_memo()
+    _PAIR_MEMO.clear()
+
+
+def test_fold_digest_partials_merge_exactly(spark, tmpdir):
+    """merge_digests is exact under arbitrary splits: the digest of a
+    corpus equals the merge of its parts' digests, including negative
+    xor values (signed 64-bit wrap) and an empty part (xor identity)."""
+    from sc_crawler_spark.sinks.index_store import (
+        corpus_digest, merge_digests)
+
+    rows = [(i, f"document text number {i} with words") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = corpus_digest(df, "text", "doc_id")
+    parts = [
+        corpus_digest(df.filter(F.col("doc_id") % 3 == r), "text",
+                      "doc_id")
+        for r in range(3)
+    ]
+    assert merge_digests(parts) == whole
+    assert merge_digests([whole, "0_0"]) == whole  # empty batch
