@@ -91,7 +91,16 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # benched: the oracle's 8.6x loss would sit as an
                  # every-run 210 s tax or a permanent DNF row — the
                  # measured win is recorded in PLANS.md instead
-                 "tfidf_keywords", "doc_lm_perplexity"]
+                 "tfidf_keywords", "doc_lm_perplexity",
+                 # r12: the graph/index tier (r11 verdict task 7) —
+                 # PageRank over the near-dup pair graph with
+                 # $SC_SPARK_INDEX_DIR pointing at the digest-keyed
+                 # lake artifact (built once under <scale_dir>/
+                 # dedup_index, reused while the digest matches), the
+                 # multi-session production mode. The per-session pair
+                 # memo is cleared before every timed run so the
+                 # number measures artifact reads, not the memo.
+                 "doc_pagerank"]
 # r8 additions measured but NOT benched (same doctrine as
 # embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
 # events = 1.7 s vs DuckDB 0.6 s and train_split_stats at 512x docs =
@@ -118,6 +127,7 @@ SCALE_SCANS = {
     "training_set_select": ["documents", "documents"],
     "tfidf_keywords": ["documents", "documents"],
     "doc_lm_perplexity": ["documents", "documents"],
+    "doc_pagerank": ["documents", "documents"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -423,6 +433,31 @@ def main() -> None:
             use_bucketed = (name in _BUCKETED_HEADLINE
                             and bucketed_facts is not None)
             kw = {"_tables": bucketed_facts} if use_bucketed else {}
+            prerun = None
+            if name == "doc_pagerank":
+                # graph/index tier: ensure the digest-keyed lake
+                # artifact exists (built ONCE per corpus digest —
+                # later rounds reuse it for free), point the digest
+                # gate at it, and clear the per-session pair memo
+                # before every timed run so each run re-reads the
+                # landed pairs (the multi-session cost, not the memo)
+                from sc_crawler_spark.queries.pipeline import (
+                    _PAIR_MEMO, _docs_with_clones)
+                from sc_crawler_spark.sinks import index_store
+                idx_dir = os.path.join(s16_dir, "dedup_index")
+                corpus = _docs_with_clones(spark, qdir)
+                digest = index_store.corpus_digest(corpus, "text",
+                                                   "doc_id")
+                if not index_store.index_matches(
+                        idx_dir, digest, k=3, n_hashes=8, band_rows=2,
+                        threshold=0.5):
+                    t0 = time.perf_counter()
+                    index_store.write_minhash_index(
+                        corpus, idx_dir, "text", "doc_id")
+                    scale["index_build_sec"] = round(
+                        time.perf_counter() - t0, 3)
+                os.environ["SC_SPARK_INDEX_DIR"] = idx_dir
+                prerun = _PAIR_MEMO.clear
             if use_bucketed:
                 # subset-key co-partitioning: the join adds the
                 # same-nation equality on top of the bucket key;
@@ -431,11 +466,15 @@ def main() -> None:
                     "spark.sql.requireAllClusterKeysForCoPartition",
                     "false")
             try:
+                if prerun:
+                    prerun()
                 t0 = time.perf_counter()
                 REGISTRY[name][0](spark, qdir, **kw).count()  # build INCLUDED
                 cold = time.perf_counter() - t0
                 best = cold
                 for _ in range(2):
+                    if prerun:
+                        prerun()
                     t0 = time.perf_counter()
                     REGISTRY[name][0](spark, qdir, **kw).count()
                     best = min(best, time.perf_counter() - t0)
@@ -446,6 +485,8 @@ def main() -> None:
                     spark.conf.set(
                         "spark.sql.requireAllClusterKeysForCoPartition",
                         "true")
+                if name == "doc_pagerank":
+                    os.environ.pop("SC_SPARK_INDEX_DIR", None)
             spark_s[name] = round(best, 3)
             scale.setdefault("spark_cold", {})[name] = round(cold, 3)
             if use_bucketed:
@@ -472,7 +513,11 @@ def main() -> None:
                 # run stall the whole bench
                 duck_timeout = {"dedup_minhash_lsh": 60.0,
                                 "tfidf_keywords": 150.0,
-                                "doc_lm_perplexity": 150.0}.get(name)
+                                "doc_lm_perplexity": 150.0,
+                                # replays the minhash pair CTEs (the
+                                # documented 512x DNF) then unrolls
+                                # two mass-sum iterations on top
+                                "doc_pagerank": 120.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
                     REGISTRY[name][1], qdir,
                     reps=2 if best < 5.0 else 1,

@@ -105,7 +105,9 @@ _PRIORITY = [
     "keep_last_dedup_lineitem",
     "except_building_buyers",
     "argmax_customer_per_nation",
-    # --- r9-stale fillers (slots 35-50) ---
+    # --- NEW in r12 (need first driver evidence) ---
+    "media_jpeg_stats",
+    # --- r9-stale fillers (fill to the 50-slot cap) ---
     "dim_join_enrichment",
     "price_quartiles",
     "min_unit_price_per_part",
@@ -121,9 +123,9 @@ _PRIORITY = [
     "count_expansion",
     "weighted_geomean_price",
     "q18_large_orders",
-    "longtail_price_assembly",
 ]
 _TAIL = [
+    "longtail_price_assembly",
     # Sat out this round's 50-query window; covered by the pytest
     # oracle re-check until they rotate forward. Ordered by staleness:
     # the 31 remaining r9 greens first (they head the r13 window),

@@ -2181,6 +2181,47 @@ FROM px GROUP BY doc_id, nw, nh
 """
 
 
+def media_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode end to end (r11 verdict task 5 — the
+    lossy-codec counterpart of media_pixel_stats): documents ->
+    grayscale baseline JPEGs (multimodal.encode_jpeg_gray — real
+    forward DCT, Annex K Huffman entropy coding, byte stuffing; pixels
+    8x8-block-constant so the lossy pipeline is exact under the
+    all-ones quant table) -> full in-repo decode (marker walk, Huffman,
+    dequant, inverse zigzag, numpy IDCT in
+    multimodal._jpeg_gray_pixels) -> exact integer stats. The oracle
+    regenerates every block value from doc_id arithmetic
+    (v = (bx*31 + by*17 + id) & 255), so a hash match proves the
+    entropy-decode -> IDCT loop reproduced every pixel bit for bit."""
+    from ..multimodal import extract_jpeg_stats, synthesize_jpeg_media
+
+    docs = load(spark, sf, "documents")
+    return extract_jpeg_stats(synthesize_jpeg_media(docs)).select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_v", "min_v", "max_v")
+
+
+MEDIA_JPEG_SQL = """
+WITH img AS (
+  SELECT doc_id, 8 * (1 + doc_id % 8) AS w,
+         8 * (1 + (doc_id // 2) % 6) AS h
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, w, h,
+         ((u.p % (w // 8)) * 31 + (u.p // (w // 8)) * 17 + doc_id)
+           & 255 AS v
+  FROM img, unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS u(p)
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS INT) AS min_v, CAST(MAX(v) AS INT) AS max_v
+FROM blk GROUP BY doc_id, w, h
+"""
+
+
 def media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Header-driven video frame sampling (r10 — the third modality
     with REAL container plumbing): documents -> headers-only AVI
@@ -2275,6 +2316,7 @@ QUERIES = {
     "media_metadata_extract": (media_metadata_extract, MEDIA_METADATA_SQL),
     "media_pcm_stats": (media_pcm_stats, MEDIA_PCM_SQL),
     "media_pixel_stats": (media_pixel_stats, MEDIA_PIXEL_SQL),
+    "media_jpeg_stats": (media_jpeg_stats, MEDIA_JPEG_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_SQL),
     "media_resize_stats": (media_resize_stats, MEDIA_RESIZE_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),

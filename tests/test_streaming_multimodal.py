@@ -250,10 +250,32 @@ def test_image_feature_extraction(spark):
     assert again[1] == feats[1]
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    media = spark.createDataFrame([], MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError):
-        extract_image_features(media, real_decode=True)
+def test_real_decode_decodes_png_and_jpeg_skips_rest(spark):
+    """real_decode=True is REAL now (r12): dims come from the decoded
+    pixel plane (PNG chunk-walk/zlib, JPEG Huffman/IDCT), and payloads
+    outside the codecs' scope are skipped — never header-trusted,
+    never guessed."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import encode_jpeg_gray, encode_png
+
+    jpeg = encode_jpeg_gray(np.full((24, 16), 77, dtype=np.int64))
+    rows = [
+        (1, "image", bytearray(encode_png(20, 12, seed=1)),
+         "image/png", None),
+        (2, "image", bytearray(jpeg), "image/jpeg", None),
+        # valid PNG *header* but truncated pixel data: header parsing
+        # would report 99x99; real decode must skip it instead
+        (3, "image", bytearray(encode_png(99, 99, seed=3)[:40]),
+         "image/png", None),
+        (4, "image", bytearray(b"GIF89a\x08\x00\x08\x00junk"),
+         "image/gif", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.width, r.height, r.format)
+           for r in extract_image_features(media,
+                                           real_decode=True).collect()}
+    assert got == {1: (20, 12, "png"), 2: (16, 24, "jpeg")}
 
 
 def test_video_frame_sampling(spark):
@@ -755,3 +777,64 @@ def test_fold_digest_partials_merge_exactly(spark, tmpdir):
     ]
     assert merge_digests(parts) == whole
     assert merge_digests([whole, "0_0"]) == whole  # empty batch
+
+
+def test_jpeg_codec_block_constant_exact_roundtrip():
+    """The arithmetic-oracle contract: a block-constant source under
+    the all-ones quant table round-trips BIT-EXACTLY through the full
+    encode -> Huffman decode -> dequant -> IDCT loop (AC coefficients
+    are identically 0; the DC integer survives float64 rint)."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import (
+        _jpeg_gray_pixels, encode_jpeg_gray)
+
+    for i in (0, 1, 7, 42, 499):
+        w, h = 8 * (1 + i % 8), 8 * (1 + (i // 2) % 6)
+        bx, by = np.meshgrid(np.arange(w // 8), np.arange(h // 8))
+        px = np.kron((bx * 31 + by * 17 + i) & 0xFF,
+                     np.ones((8, 8), dtype=np.int64))
+        got = _jpeg_gray_pixels(encode_jpeg_gray(px))
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        assert np.array_equal(got[2], px.astype(np.uint8))
+
+
+def test_jpeg_codec_arbitrary_pixels_within_rint_loss():
+    """General images exercise the AC path (run-lengths, ZRL, byte
+    stuffing, non-8-aligned edge padding): with quantization steps of
+    1 the only loss is coefficient rounding, so the round trip stays
+    within +/-2 of the source — and dims are trimmed back exactly."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import (
+        _jpeg_gray_pixels, encode_jpeg_gray)
+
+    rng = np.random.default_rng(11)
+    for shape in ((37, 53), (8, 8), (9, 65)):
+        px = rng.integers(0, 256, size=shape)
+        data = encode_jpeg_gray(px)
+        w, h, out = _jpeg_gray_pixels(data)
+        assert (h, w) == shape
+        assert np.abs(out.astype(int) - px).max() <= 2
+    # entropy bytes hit 0xFF often enough that stuffing is exercised
+    assert b"\xff\x00" in encode_jpeg_gray(
+        rng.integers(0, 256, size=(64, 64)))
+
+
+def test_jpeg_decoder_scope_is_honest():
+    """Out-of-scope payloads return None (skip), never fake stats:
+    non-JPEG bytes, progressive SOF2, and truncated scans."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import (
+        _jpeg_gray_pixels, encode_jpeg_gray, encode_png)
+
+    assert _jpeg_gray_pixels(b"") is None
+    assert _jpeg_gray_pixels(encode_png(8, 8, 0)) is None
+    good = encode_jpeg_gray(np.full((8, 8), 42, dtype=np.int64))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive is out of scope
+    sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _jpeg_gray_pixels(sof2) is None
+    # truncate mid-scan: the bit reader must fail closed, not wrap
+    assert _jpeg_gray_pixels(good[:len(good) - 8]) is None
