@@ -516,8 +516,11 @@ def main() -> None:
                                 "doc_lm_perplexity": 150.0,
                                 # replays the minhash pair CTEs (the
                                 # documented 512x DNF) then unrolls
-                                # two mass-sum iterations on top
-                                "doc_pagerank": 120.0}.get(name)
+                                # two mass-sum iterations on top —
+                                # measured DNF at 120 s; capped at 60
+                                # like minhash so the every-round DNF
+                                # burns half the wall-clock
+                                "doc_pagerank": 60.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
                     REGISTRY[name][1], qdir,
                     reps=2 if best < 5.0 else 1,

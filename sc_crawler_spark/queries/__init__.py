@@ -107,6 +107,7 @@ _PRIORITY = [
     "argmax_customer_per_nation",
     # --- NEW in r12 (need first driver evidence) ---
     "media_jpeg_stats",
+    "training_corpus_emit",
     # --- r9-stale fillers (fill to the 50-slot cap) ---
     "dim_join_enrichment",
     "price_quartiles",
@@ -122,9 +123,9 @@ _PRIORITY = [
     "minmax_bounds_part",
     "count_expansion",
     "weighted_geomean_price",
-    "q18_large_orders",
 ]
 _TAIL = [
+    "q18_large_orders",
     "longtail_price_assembly",
     # Sat out this round's 50-query window; covered by the pytest
     # oracle re-check until they rotate forward. Ordered by staleness:

@@ -664,8 +664,204 @@ FROM b GROUP BY 1
 """
 
 
+# ------------------------------------------- end-to-end corpus emission
+
+
+def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END training-corpus assembly (r11 verdict task 8) —
+    the registry's component filters composed in the order a public
+    pretraining pipeline runs them, one DataFrame chain:
+
+    1. language gate: marker-lexicon argmax == 'en' (doc_langid's
+       chain);
+    2. quality gate: heuristic quality >= 0.9 (doc_quality's scorer);
+    3. substring span-clean ACROSS the surviving corpus
+       (operators/dedup.remove_duplicate_spans, width 40 — spans are
+       recomputed among survivors, matching a staged pipeline where
+       dedup runs after filtering);
+    4. exact dedup of the CLEANED text (keep-min doc_id per sha256 —
+       docs that clean down to identical bytes collapse);
+    5. eTLD+1 domain-balanced quota (domain_balanced_sample's
+       machinery, <= 20/domain).
+
+    Output is the corpus MANIFEST: (doc_id, domain, clean_md5,
+    clean_chars, removed_chars, quality, sample_rank) — the cleaned
+    text itself is hash-pinned via md5 so the oracle verifies exact
+    reconstructed bytes end to end. Scale: every stage is the already-
+    audited plan (broadcast marker join, two span shuffles + doc-keyed
+    stitch join, digest groupBy, WindowGroupLimit quota) — composition
+    adds joins on (doc_id) only, no new shuffle shapes."""
+    from ..functions.text import LANG_MARKERS, quality_score
+    from ..operators import dedup as dedup_ops
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    # 1. language gate
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items()
+        for w in ws)
+    markers = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(cand_lang, marker)")
+    toks = docs.select("doc_id",
+                       F.explode(tokens(F.col("text"))).alias("tok"))
+    hits = (toks.join(F.broadcast(markers), toks.tok == markers.marker)
+            .groupBy("doc_id", "cand_lang")
+            .agg(F.count("*").alias("n_hits")))
+    wl = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang"))
+    en_ids = (hits.withColumn("rn", F.row_number().over(wl))
+              .filter((F.col("rn") == 1) & (F.col("cand_lang") == "en"))
+              .select("doc_id"))
+
+    # 2. quality gate (scored on the RAW text, like doc_quality)
+    base = (docs.join(en_ids, "doc_id")
+            .withColumn("quality",
+                        quality_score(F.col("text")).cast("double"))
+            .filter(F.col("quality") >= 0.9))
+
+    # 3. span-clean among survivors
+    cleaned = dedup_ops.remove_duplicate_spans(
+        base.select("doc_id", "text"), "text", "doc_id", width=40)
+    manifest = cleaned.join(base.select("doc_id", "quality"), "doc_id")
+
+    # 4. exact dedup of the cleaned text, keep-min doc_id
+    wd = Window.partitionBy("content_sha").orderBy("doc_id")
+    survivors = (manifest
+                 .withColumn("content_sha", F.sha2("clean_text", 256))
+                 .withColumn("rn", F.row_number().over(wd))
+                 .filter(F.col("rn") == 1))
+
+    # 5. domain-balanced quota (same synthesis as domain_balanced_sample)
+    pool = F.array(*[F.lit(h) for h in _HOST_POOL])
+    url = F.concat(F.lit("https://"),
+                   F.element_at(pool, (F.col("doc_id") % 16 + 1)
+                                .cast("int")),
+                   F.lit("/doc/"), F.col("doc_id"))
+    host = F.regexp_extract(url, r"^https://([^/]+)/", 1)
+    staged = survivors.withColumn("domain", _etld1(host))
+    wq = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (staged.withColumn("sample_rank", F.row_number().over(wq))
+            .filter(F.col("sample_rank") <= _DOMAIN_QUOTA)
+            .select("doc_id", "domain",
+                    F.md5("clean_text").alias("clean_md5"),
+                    F.length("clean_text").cast("bigint")
+                    .alias("clean_chars"),
+                    "removed_chars", "quality",
+                    F.col("sample_rank").cast("long")
+                    .alias("sample_rank")))
+
+
+def _corpus_emit_sql() -> str:
+    """Oracle for :func:`training_corpus_emit`, composed from the SAME
+    proven CTE chains its component queries use (LANGID_SQL,
+    QUALITY_EXPR, DEDUP_SPAN_REMOVAL_SQL's span/segs/stitch,
+    DOMAIN_SAMPLE_SQL's eTLD+1 quota) — re-rooted on the filtered
+    survivor set instead of raw documents."""
+    from .pipeline import _MARKER_VALUES, QUALITY_EXPR
+
+    return f"""
+WITH markers(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
+ltoks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+lhits AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+  FROM ltoks JOIN markers ON tok = marker
+  GROUP BY doc_id, cand_lang
+),
+lang AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, cand_lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, cand_lang) AS rn
+    FROM lhits) WHERE rn = 1 AND cand_lang = 'en'
+),
+base AS (
+  SELECT d.doc_id, d.text, {sql_round(QUALITY_EXPR, 6)} AS quality
+  FROM documents d JOIN lang USING (doc_id)
+  WHERE {sql_round(QUALITY_EXPR, 6)} >= 0.9
+),
+pos AS (
+  SELECT doc_id, u.p AS pos, substr(text, u.p, 40) AS span
+  FROM base, unnest(generate_series(1, length(text) - 39)) AS u(p)
+  WHERE length(text) >= 40
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(doc_id) OVER (PARTITION BY span)
+             <> MAX(doc_id) OVER (PARTITION BY span) AS is_dup
+    FROM pos) WHERE is_dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS span_start, MAX(pos) + 39 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+segs AS (
+  SELECT s.doc_id, s.span_start AS ord,
+         substr(d.text, prev_end + 1,
+                GREATEST(0, s.span_start - prev_end - 1)) AS seg
+  FROM (SELECT *, lag(span_end, 1, 0) OVER (
+          PARTITION BY doc_id ORDER BY span_start) AS prev_end
+        FROM spans) s JOIN base d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 2147483647 AS ord, substr(d.text, m.max_end + 1) AS seg
+  FROM (SELECT doc_id, MAX(span_end) AS max_end
+        FROM spans GROUP BY doc_id) m JOIN base d USING (doc_id)
+),
+stitched AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+  FROM segs GROUP BY doc_id
+),
+cleanfull AS (
+  SELECT b.doc_id, b.quality,
+         coalesce(c.clean_text, b.text) AS clean_text,
+         CAST(length(b.text) - length(coalesce(c.clean_text, b.text))
+              AS BIGINT) AS removed_chars
+  FROM base b LEFT JOIN stitched c USING (doc_id)
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(clean_text)
+                                 ORDER BY doc_id) AS rn
+    FROM cleanfull) WHERE rn = 1
+),
+doms AS (
+  SELECT s.*,
+         CASE WHEN parts[-2] || '.' || parts[-1] IN ({_SUFFIX_SQL})
+                   AND len(parts) >= 3
+              THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+              ELSE parts[-2] || '.' || parts[-1] END AS domain
+  FROM (SELECT *,
+               string_split(regexp_extract(
+                 'https://' || ({_POOL_SQL})[CAST(doc_id % 16 + 1 AS INT)]
+                 || '/doc/' || doc_id, '^https://([^/]+)/', 1),
+                 '.') AS parts
+        FROM survivors) s
+)
+SELECT doc_id, domain, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars,
+       removed_chars, quality,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY domain
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM doms)
+WHERE sample_rank <= {_DOMAIN_QUOTA}
+"""
+
+
 QUERIES = {
     "doc_repetition": (doc_repetition, REPETITION_SQL),
+    "training_corpus_emit": (training_corpus_emit, _corpus_emit_sql()),
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
