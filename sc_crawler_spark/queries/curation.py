@@ -713,11 +713,21 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
               .filter((F.col("rn") == 1) & (F.col("cand_lang") == "en"))
               .select("doc_id"))
 
-    # 2. quality gate (scored on the RAW text, like doc_quality)
+    # 2. quality gate (scored on the RAW text, like doc_quality).
+    # Persisted: four downstream consumers read base (the span-removal
+    # window marks, its stitch join, the tail-segment join, the quality
+    # re-join) and Spark cannot dedup common subtrees — uncached, the
+    # whole langid+quality chain re-runs per consumer (plan showed 6
+    # documents scans). At 100 TB this frame lands bronze once instead
+    # (the filtered corpus IS a pipeline artifact); in-session,
+    # MEMORY_AND_DISK caps the recompute the same way.
+    from pyspark.storagelevel import StorageLevel
+
     base = (docs.join(en_ids, "doc_id")
             .withColumn("quality",
                         quality_score(F.col("text")).cast("double"))
-            .filter(F.col("quality") >= 0.9))
+            .filter(F.col("quality") >= 0.9)
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     # 3. span-clean among survivors
     cleaned = dedup_ops.remove_duplicate_spans(

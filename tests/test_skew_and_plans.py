@@ -675,3 +675,40 @@ def test_r10_resize_three_python_stages_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 3
+
+
+def test_r12_training_corpus_emit_plan_shape(spark):
+    """The end-to-end composition must not invent new shuffle shapes:
+    no cartesian, the marker lexicon broadcast (never shuffled), the
+    filtered base CACHED (four consumers — uncached, the langid+quality
+    chain re-ran per consumer, 6 corpus scans), and a bounded
+    shuffle-exchange count in the plan tree."""
+    import re as _re
+
+    plan = REGISTRY["training_corpus_emit"][0](
+        spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree       # marker lexicon side
+    assert "InMemoryTableScan" in tree       # base persisted, not re-derived
+    # shuffle exchanges in the printed tree (InMemoryRelation reprints
+    # its defining subtree, so this double-counts the cached chain —
+    # a stable ceiling regardless): language windows + span shuffles +
+    # stitch/digest/domain windows. Beyond this, a stage started
+    # re-shuffling the corpus.
+    n_shuffles = len(_re.findall(r"[+:]- Exchange \(", tree))
+    assert n_shuffles <= 14, n_shuffles
+
+
+def test_r12_media_jpeg_stats_plan_is_exchange_free(spark):
+    """Same plan pin as the other media queries: synthesize -> decode
+    is a straight mapInPandas chain over the documents scan — zero
+    exchanges, nothing to shuffle."""
+    plan = REGISTRY["media_jpeg_stats"][0](
+        spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
