@@ -66,11 +66,13 @@ _PRIORITY = [
     # driver green is CORRECTNESS_r07 HEAD the window — the union of
     # r1-r11 correctness artifacts puts every other name at r9 or r11.
     # First the 7 that sat just past r11's cap (positions 51-57), then
-    # the 27 r7-stale former-_TAIL names, then the 16 stalest r9 names
-    # to fill the 50-slot window. The 50 r11-fresh greens and the
-    # remaining 31 r9 names rotate to _TAIL (r9 ones first, so they
-    # head the r13 window) and stay pytest-oracle-verified every round
-    # by tests/test_queries_oracle.py. ---
+    # the 27 r7-stale former-_TAIL names, then the 2 queries NEW in r12
+    # (media_jpeg_stats, training_corpus_emit — first driver evidence),
+    # then the 14 stalest r9 names to fill the 50-slot window. The 50
+    # r11-fresh greens and the remaining 33 r9 names rotate to _TAIL
+    # (r9 ones first, so they head the r13 window) and stay
+    # pytest-oracle-verified every round by
+    # tests/test_queries_oracle.py. ---
     "q20_dominant_suppliers",
     "q14_promo_effect",
     "q22_global_sales_opportunity",
@@ -129,7 +131,7 @@ _TAIL = [
     "longtail_price_assembly",
     # Sat out this round's 50-query window; covered by the pytest
     # oracle re-check until they rotate forward. Ordered by staleness:
-    # the 31 remaining r9 greens first (they head the r13 window),
+    # the 33 remaining r9 greens first (they head the r13 window),
     # then the 50 r11-fresh greens.
     "dedup_substring_spans",
     "decontaminate_spans",
