@@ -515,3 +515,59 @@ def test_incremental_dedup_reads_stored_index(spark, tmp_path,
     got = {(r.id_a, r.id_b, r.jaccard, r.is_cross)
            for r in dedup_incremental_batch(spark, lake).collect()}
     assert got == baseline
+
+
+def test_index_fold_cli_wiring(spark, tmp_path, capsys):
+    """main()-level smoke of the `index --fold` argparse path (the
+    fold LOGIC is e2e-tested in test_streaming_multimodal): flags
+    dispatch to cmd_index_fold, and the mode guards fail loud —
+    --fold without --base/--stream-pairs, build mode without --lake."""
+    import pytest as _pytest
+
+    from sc_crawler_spark.sinks import index_store
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en"),
+         (2, "alpha beta gamma delta epsilon zeta", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(os.path.join(lake, "documents.parquet"))
+    seed = str(tmp_path / "seed")
+    cli.main(["index", "--lake", lake, "--out", seed])
+    assert "built" in capsys.readouterr().out
+
+    # a minimal "stream" layout: one batch of shingles/signatures/
+    # digest + one pairs batch, built with the same operators
+    own = str(tmp_path / "own")
+    pairs_dir = str(tmp_path / "pairs")
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.dedup import (
+        _signatures_from_shingles, doc_shingles)
+
+    batch = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    sh = doc_shingles(batch, "text", "doc_id", 3)
+    sh.write.parquet(os.path.join(own, "shingles", "batch=0"))
+    _signatures_from_shingles(sh, "doc_id", 8).write.parquet(
+        os.path.join(own, "signatures", "batch=0"))
+    batch.agg(F.expr("bit_xor(xxhash64(doc_id, text))").alias("d"),
+              F.count("*").alias("n")).write.parquet(
+        os.path.join(own, "digest", "batch=0"))
+    spark.createDataFrame(
+        [(1, 3, 1.0), (2, 3, 1.0)],
+        "id_a long, id_b long, jaccard double",
+    ).write.parquet(os.path.join(pairs_dir, "batch=0"))
+
+    folded = str(tmp_path / "folded")
+    cli.main(["index", "--fold", own, "--base", seed,
+              "--stream-pairs", pairs_dir, "--out", folded])
+    assert "folded" in capsys.readouterr().out
+    assert index_store.read_index_meta(folded)["digest"].endswith("_3")
+
+    with _pytest.raises(SystemExit, match="--base"):
+        cli.main(["index", "--fold", own, "--out", str(tmp_path / "x")])
+    with _pytest.raises(SystemExit, match="--lake"):
+        cli.main(["index", "--out", str(tmp_path / "y")])
