@@ -66,10 +66,10 @@ _PRIORITY = [
     # driver green is CORRECTNESS_r07 HEAD the window — the union of
     # r1-r11 correctness artifacts puts every other name at r9 or r11.
     # First the 7 that sat just past r11's cap (positions 51-57), then
-    # the 27 r7-stale former-_TAIL names, then the 2 queries NEW in r12
-    # (media_jpeg_stats, training_corpus_emit — first driver evidence),
-    # then the 14 stalest r9 names to fill the 50-slot window. The 50
-    # r11-fresh greens and the remaining 33 r9 names rotate to _TAIL
+    # the 27 r7-stale former-_TAIL names, then the 3 queries NEW in r12
+    # (media_jpeg_stats, training_corpus_emit, url_canonical_dedup —
+    # first driver evidence), then the 13 stalest r9 names to fill the 50-slot window. The 50
+    # r11-fresh greens and the remaining 34 r9 names rotate to _TAIL
     # (r9 ones first, so they head the r13 window) and stay
     # pytest-oracle-verified every round by
     # tests/test_queries_oracle.py. ---
@@ -110,6 +110,7 @@ _PRIORITY = [
     # --- NEW in r12 (need first driver evidence) ---
     "media_jpeg_stats",
     "training_corpus_emit",
+    "url_canonical_dedup",
     # --- r9-stale fillers (fill to the 50-slot cap) ---
     "dim_join_enrichment",
     "price_quartiles",
@@ -124,14 +125,14 @@ _PRIORITY = [
     "group_merge_nations",
     "minmax_bounds_part",
     "count_expansion",
-    "weighted_geomean_price",
 ]
 _TAIL = [
+    "weighted_geomean_price",
     "q18_large_orders",
     "longtail_price_assembly",
     # Sat out this round's 50-query window; covered by the pytest
     # oracle re-check until they rotate forward. Ordered by staleness:
-    # the 33 remaining r9 greens first (they head the r13 window),
+    # the 34 remaining r9 greens first (they head the r13 window),
     # then the 50 r11-fresh greens.
     "dedup_substring_spans",
     "decontaminate_spans",

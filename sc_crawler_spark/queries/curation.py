@@ -664,6 +664,138 @@ FROM b GROUP BY 1
 """
 
 
+# ----------------------------------------------- URL canonical dedup
+
+# The crawl-frontier op that runs BEFORE any content dedup: the same
+# page arrives under scheme/host case variants, default ports,
+# tracking query params, fragments and trailing slashes — canonicalize
+# and collapse. Rules are the public crawler standard set: lowercase
+# scheme+host, strip the scheme's default port, drop the fragment,
+# drop utm_* tracking params and SORT the survivors, strip trailing
+# slashes (root stays "/").
+
+
+def _canonical_url(url):
+    """Canonical form of a URL column, pure JVM expressions."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.when(scheme == "https",
+                  F.regexp_replace(hostport, r":443$", "")) \
+            .when(scheme == "http",
+                  F.regexp_replace(hostport, r":80$", "")) \
+            .otherwise(hostport)
+    rest = F.regexp_replace(  # path + query + fragment
+        url, r"^[A-Za-z]+://[^/?#]+", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")       # drop fragment
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(rest.contains("?"),
+                   F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise("")
+    path = F.regexp_replace(path, r"/+$", "")        # trailing slashes
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(r"^utm_[a-z]+=")))
+    qstr = F.when(F.size(kept) > 0,
+                  F.concat(F.lit("?"), F.concat_ws("&", kept))) \
+            .otherwise("")
+    return F.concat(scheme, F.lit("://"), host, path, qstr)
+
+
+def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup over a deterministically-messy URL fixture:
+    each document's URL is one of five variants of its group's base
+    page (group = doc_id - doc_id % 5, host from the shared pool) —
+    clean, SCHEME/HOST-cased + explicit :443, utm-tracking params,
+    trailing-slash + fragment, and a KEPT pagination param. Variants
+    0-3 must collapse to one canonical URL; variant 4 must stay
+    distinct (?page=2 survives canonicalization). Output: one row per
+    canonical URL with the min doc_id as survivor and the variant
+    count — the standard frontier-dedup shape, entirely JVM
+    expressions, one groupBy shuffle on the canonical key."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    base = (F.col("doc_id") - F.col("doc_id") % 5).cast("long")
+    variant = F.col("doc_id") % 5
+    pool = F.array(*[F.lit(h) for h in _HOST_POOL])
+    host = F.element_at(pool, (base % 16 + 1).cast("int"))
+    stem = F.concat(F.lit("/doc/"), base.cast("string"))
+    messy = (
+        F.when(variant == 0,
+               F.concat(F.lit("https://"), host, stem))
+        .when(variant == 1,
+              F.concat(F.lit("HTTPS://"), F.upper(host), F.lit(":443"),
+                       stem))
+        .when(variant == 2,
+              F.concat(F.lit("https://"), host, stem,
+                       F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(variant == 3,
+              F.concat(F.lit("https://"), host, stem, F.lit("/#section2")))
+        .otherwise(
+            F.concat(F.lit("https://"), host, stem, F.lit("?page=2")))
+    )
+    canon = docs.select("doc_id", _canonical_url(messy).alias("url"))
+    return (canon.groupBy("url")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("n_variants"))
+            .select("url", "canonical_doc_id", "n_variants"))
+
+
+URL_CANONICAL_SQL = f"""
+WITH messy AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://' || host || stem
+           WHEN 1 THEN 'HTTPS://' || upper(host) || ':443' || stem
+           WHEN 2 THEN 'https://' || host || stem
+                       || '?utm_source=feed&utm_campaign=x'
+           WHEN 3 THEN 'https://' || host || stem || '/#section2'
+           ELSE 'https://' || host || stem || '?page=2'
+         END AS url
+  FROM (
+    SELECT doc_id,
+           ({_POOL_SQL})[CAST((doc_id - doc_id % 5) % 16 + 1 AS INT)]
+             AS host,
+           '/doc/' || CAST(doc_id - doc_id % 5 AS VARCHAR) AS stem
+    FROM documents)
+),
+canon AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+    || CASE lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+         WHEN 'https' THEN regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+           ':443$', '')
+         WHEN 'http' THEN regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+           ':80$', '')
+         ELSE lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+       END
+    || CASE WHEN regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(url, '^[A-Za-z]+://[^/?#]+', ''),
+              '#.*$', ''), '\\?.*$', ''), '/+$', '') = ''
+            THEN '/'
+            ELSE regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(url, '^[A-Za-z]+://[^/?#]+', ''),
+              '#.*$', ''), '\\?.*$', ''), '/+$', '')
+       END
+    || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+            ELSE '' END AS url
+  FROM (
+    SELECT doc_id, url,
+           list_sort(list_filter(
+             string_split(
+               CASE WHEN contains(regexp_replace(url, '#.*$', ''), '?')
+                    THEN regexp_replace(
+                      regexp_replace(url, '#.*$', ''), '^[^?]*\\?', '')
+                    ELSE '' END, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^utm_[a-z]+=')))
+           AS kept
+    FROM messy) q
+)
+SELECT url, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_variants
+FROM canon GROUP BY url
+"""
+
+
 # ------------------------------------------- end-to-end corpus emission
 
 
@@ -872,6 +1004,7 @@ WHERE sample_rank <= {_DOMAIN_QUOTA}
 QUERIES = {
     "doc_repetition": (doc_repetition, REPETITION_SQL),
     "training_corpus_emit": (training_corpus_emit, _corpus_emit_sql()),
+    "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_SQL),
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),

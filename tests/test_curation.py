@@ -93,3 +93,51 @@ def test_html_extract_counts(spark):
         assert r["chrome_chars"] > 0
         # heading adds a few chars; squeeze can only shrink
         assert r["extract_chars"] >= 1
+
+
+def test_url_canonicalization_rules(spark):
+    """Each canonicalization rule pinned individually: scheme/host
+    lowercasing, default-port strip (https:443 only — a non-default
+    port survives), fragment drop, utm_* strip with surviving params
+    SORTED, trailing-slash strip with bare-host -> '/', and kept
+    params keeping variants DISTINCT."""
+    from sc_crawler_spark.queries.curation import _canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/Doc/1", "https://example.com/Doc/1"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com/a/#frag", "https://example.com/a"),
+        ("https://example.com/a?utm_source=x&b=2&a=1",
+         "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?utm_source=x&utm_campaign=y",
+         "https://example.com/a"),
+        ("https://example.com///", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", _canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_canonical_dedup_collapse_semantics(spark):
+    """The fixture's contract: variants 0-3 of a group collapse into
+    one canonical URL (n_variants counts them), the ?page=2 variant
+    stays its own row — per group there are exactly TWO canonical
+    URLs when all five doc_ids exist."""
+    from sc_crawler_spark.queries.curation import url_canonical_dedup
+
+    got = url_canonical_dedup(spark, SF).collect()
+    by_doc = {r.canonical_doc_id: r for r in got}
+    # group of doc_ids 0-4: survivor 0 with 4 variants, survivor 4
+    # (the ?page=2 row) alone
+    assert by_doc[0].n_variants == 4
+    assert by_doc[4].n_variants == 1
+    assert by_doc[4].url.endswith("?page=2")
+    assert by_doc[0].url + "?page=2" == by_doc[4].url
+    # every canonical url is already canonical (idempotent fixture)
+    assert all(r.url.startswith("https://") and "#" not in r.url
+               and "utm_" not in r.url for r in got)
