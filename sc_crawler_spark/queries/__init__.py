@@ -68,8 +68,9 @@ _PRIORITY = [
     # First the 7 that sat just past r11's cap (positions 51-57), then
     # the 27 r7-stale former-_TAIL names, then the 3 queries NEW in r12
     # (media_jpeg_stats, training_corpus_emit, url_canonical_dedup —
-    # first driver evidence), then the 13 stalest r9 names to fill the 50-slot window. The 50
-    # r11-fresh greens and the remaining 34 r9 names rotate to _TAIL
+    # first driver evidence), plus the r12-REWRITTEN doc_langid
+    # (zero-shuffle argmax), then the 12 stalest r9 names to fill the 50-slot window. The 50
+    # r11-fresh greens and the remaining 35 r9 names rotate to _TAIL
     # (r9 ones first, so they head the r13 window) and stay
     # pytest-oracle-verified every round by
     # tests/test_queries_oracle.py. ---
@@ -111,6 +112,7 @@ _PRIORITY = [
     "media_jpeg_stats",
     "training_corpus_emit",
     "url_canonical_dedup",
+    "doc_langid",
     # --- r9-stale fillers (fill to the 50-slot cap) ---
     "dim_join_enrichment",
     "price_quartiles",
@@ -124,15 +126,15 @@ _PRIORITY = [
     "mode_brand_per_type",
     "group_merge_nations",
     "minmax_bounds_part",
-    "count_expansion",
 ]
 _TAIL = [
+    "count_expansion",
     "weighted_geomean_price",
     "q18_large_orders",
     "longtail_price_assembly",
     # Sat out this round's 50-query window; covered by the pytest
     # oracle re-check until they rotate forward. Ordered by staleness:
-    # the 34 remaining r9 greens first (they head the r13 window),
+    # the 35 remaining r9 greens first (they head the r13 window),
     # then the 50 r11-fresh greens.
     "dedup_substring_spans",
     "decontaminate_spans",
@@ -166,7 +168,6 @@ _TAIL = [
     "dedup_simhash",
     "doc_fingerprint",
     # --- r11-fresh greens below ---
-    "doc_langid",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

@@ -823,26 +823,19 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
     audited plan (broadcast marker join, two span shuffles + doc-keyed
     stitch join, digest groupBy, WindowGroupLimit quota) — composition
     adds joins on (doc_id) only, no new shuffle shapes."""
-    from ..functions.text import LANG_MARKERS, quality_score
+    from ..functions.text import quality_score
     from ..operators import dedup as dedup_ops
+    from .pipeline import lang_argmax
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
 
-    # 1. language gate
-    values = ", ".join(
-        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items()
-        for w in ws)
-    markers = spark.sql(
-        f"SELECT * FROM VALUES {values} AS t(cand_lang, marker)")
-    toks = docs.select("doc_id",
-                       F.explode(tokens(F.col("text"))).alias("tok"))
-    hits = (toks.join(F.broadcast(markers), toks.tok == markers.marker)
-            .groupBy("doc_id", "cand_lang")
-            .agg(F.count("*").alias("n_hits")))
-    wl = Window.partitionBy("doc_id").orderBy(
-        F.col("n_hits").desc(), F.col("cand_lang"))
-    en_ids = (hits.withColumn("rn", F.row_number().over(wl))
-              .filter((F.col("rn") == 1) & (F.col("cand_lang") == "en"))
+    # 1. language gate — the zero-shuffle array-expression argmax
+    # (pipeline.lang_argmax): at 512x the old explode -> broadcast-join
+    # chain materialized ~256M token rows and dominated this query's
+    # cost; as a codegen'd filter it rides the corpus scan
+    best = lang_argmax(tokens(F.col("text")))
+    en_ids = (docs.select("doc_id", best.alias("b"))
+              .filter((F.col("b.n") > 0) & (F.col("b.lang") == "en"))
               .select("doc_id"))
 
     # 2. quality gate (scored on the RAW text, like doc_quality).

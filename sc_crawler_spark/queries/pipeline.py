@@ -206,27 +206,47 @@ FROM documents
 """
 
 
+def lang_argmax(toks) -> "F.Column":
+    """Marker-lexicon language argmax over a token-array column as ONE
+    codegen'd expression — zero explode, zero join, zero shuffle (r12:
+    replaces the explode -> broadcast-join -> window plan, which
+    materialized ~256M token rows at the 512x corpus just to count
+    lexicon hits). Per language, ``size(filter(toks, isin(lexicon)))``
+    counts marker OCCURRENCES (same multiplicity the join credited);
+    the argmax with the n_hits-DESC / lang-ASC tiebreak is
+    ``array_min`` over (−n_hits, lang, n_hits) structs (struct ordering
+    is field-order, so min = most hits, ties to the smaller language
+    code). Returns the winning struct; langid runs at parquet-scan
+    speed at any corpus size."""
+    def hits(ws):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # PySpark treat it as the (element, index) HOF form
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    entries = [
+        F.struct(
+            (-hits(ws)).alias("neg"),
+            F.lit(lang).alias("lang"),
+            hits(ws).alias("n"),
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    return F.array_min(F.array(*entries))
+
+
 def doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-lexicon language ID: argmax of marker-token hits per doc
-    (docs with zero hits in every lexicon are not emitted)."""
+    (docs with zero hits in every lexicon are not emitted). Pure
+    array-expression plan via :func:`lang_argmax` — the oracle still
+    replays the relational explode/join/window formulation, so the
+    hash match proves the two formulations equivalent."""
     docs = load(spark, sf, "documents")
-    values = ", ".join(
-        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
-    )
-    markers = spark.sql(
-        f"SELECT * FROM VALUES {values} AS t(cand_lang, marker)"
-    )
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    hits = (
-        toks.join(F.broadcast(markers), toks.tok == markers.marker)
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("cand_lang"))
+    best = lang_argmax(tokens(F.col("text")))
     return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "n_hits")
+        docs.select("doc_id", best.alias("b"))
+        .filter(F.col("b.n") > 0)
+        .select("doc_id", F.col("b.lang").alias("pred_lang"),
+                F.col("b.n").cast("long").alias("n_hits"))
     )
 
 

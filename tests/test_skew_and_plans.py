@@ -691,7 +691,6 @@ def test_r12_training_corpus_emit_plan_shape(spark):
             "formatted"))
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
-    assert "BroadcastHashJoin" in tree       # marker lexicon side
     assert "InMemoryTableScan" in tree       # base persisted, not re-derived
     # shuffle exchanges in the printed tree (InMemoryRelation reprints
     # its defining subtree, so this double-counts the cached chain —
@@ -712,3 +711,18 @@ def test_r12_media_jpeg_stats_plan_is_exchange_free(spark):
             "formatted"))
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r12_doc_langid_zero_shuffle(spark):
+    """langid is a codegen'd array-expression argmax (r12): the plan
+    must carry NO exchange and NO join — the old explode ->
+    broadcast-join -> window formulation materialized ~256M token rows
+    at 512x. The DuckDB oracle still replays the relational form, so
+    the hash match proves the two formulations equivalent."""
+    plan = REGISTRY["doc_langid"][0](
+        spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
