@@ -1120,6 +1120,44 @@ def cmd_shards(spark: SparkSession, lake: str, table: str, out: str,
     print(f"shards: {table}: {n} rows into {n_shards} shards at {out}")
 
 
+def cmd_corpus(spark: SparkSession, lake: str, out: str,
+               lang: str = "en", min_quality: float = 0.9,
+               quota: int = 20) -> None:
+    """Land the end-to-end training corpus as a lake artifact
+    (queries/curation.emit_training_corpus — the composition the
+    registry's ``training_corpus_emit`` oracle proves): language gate
+    -> quality gate -> cross-doc span removal -> exact dedup of the
+    cleaned bytes -> eTLD+1 domain quota. Writes the cleaned TEXT with
+    the manifest under ``<out>/corpus/``, ``_META.json`` LAST (same
+    crash discipline as cmd_index) carrying the parameters and the
+    input-corpus digest, so a reader can prove which corpus + knobs
+    produced the artifact."""
+    import json as _json
+
+    from .queries.curation import emit_training_corpus
+    from .sinks import index_store
+
+    plain = os.path.join(lake, "documents.parquet")
+    docs = (spark.read.parquet(plain) if os.path.exists(plain)
+            else _read(spark, lake, "documents"))
+    digest = index_store.corpus_digest(
+        docs.select("doc_id", "text"), "text", "doc_id")
+    emitted = emit_training_corpus(spark, lake, lang=lang,
+                                   min_quality=min_quality, quota=quota,
+                                   with_text=True)
+    emitted.write.mode("overwrite").parquet(os.path.join(out, "corpus"))
+    landed = spark.read.parquet(os.path.join(out, "corpus"))
+    n = landed.count()
+    chars = landed.agg(F.sum("clean_chars")).first()[0] or 0
+    with open(os.path.join(out, "_META.json"), "w") as f:
+        _json.dump({"input_digest": digest, "lang": lang,
+                    "min_quality": min_quality, "quota": quota,
+                    "n_docs": n, "clean_chars": int(chars)},
+                   f, indent=1, sort_keys=True)
+    print(f"corpus: landed {n} docs ({chars} chars) at {out} "
+          f"digest={digest}")
+
+
 def cmd_index(spark: SparkSession, lake: str, out: str,
               table: str = "documents", text_col: str = "text",
               id_col: str = "doc_id", k: int = 3, n_hashes: int = 8,
@@ -1499,6 +1537,17 @@ def main(argv: list[str] | None = None) -> None:
                             "landed benchmark_score rows")
     p.add_argument("--lake", required=True)
 
+    p = sub.add_parser("corpus",
+                       help="land the end-to-end training corpus "
+                            "(lang gate -> quality -> span-clean -> "
+                            "exact dedup -> domain quota) as a lake "
+                            "artifact with cleaned text + manifest")
+    p.add_argument("--lake", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--min-quality", type=float, default=0.9)
+    p.add_argument("--quota", type=int, default=20)
+
     p = sub.add_parser("index",
                        help="land the digest-keyed dedup index (shingles/"
                             "signatures/bands/pair graph) as a lake artifact; "
@@ -1615,6 +1664,9 @@ def main(argv: list[str] | None = None) -> None:
                    args.id_col, args.n_shards, args.seed)
     elif args.cmd == "score":
         cmd_score(spark, args.lake)
+    elif args.cmd == "corpus":
+        cmd_corpus(spark, args.lake, args.out, args.lang,
+                   args.min_quality, args.quota)
     elif args.cmd == "index":
         if args.fold:
             if not (args.base and args.stream_pairs):

@@ -823,6 +823,19 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
     audited plan (broadcast marker join, two span shuffles + doc-keyed
     stitch join, digest groupBy, WindowGroupLimit quota) — composition
     adds joins on (doc_id) only, no new shuffle shapes."""
+    return emit_training_corpus(spark, sf)
+
+
+def emit_training_corpus(spark: SparkSession, sf: str, *,
+                         lang: str = "en", min_quality: float = 0.9,
+                         quota: int = _DOMAIN_QUOTA,
+                         with_text: bool = False) -> DataFrame:
+    """Parameterized engine for :func:`training_corpus_emit` (the
+    registry query pins the defaults against the composed oracle) and
+    for the ``corpus`` CLI command, which lands the emitted corpus as
+    a lake artifact. ``with_text=True`` carries ``clean_text`` through
+    for the landing write; the manifest columns are identical either
+    way."""
     from ..functions.text import quality_score
     from ..operators import dedup as dedup_ops
     from .pipeline import lang_argmax
@@ -834,9 +847,9 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
     # chain materialized ~256M token rows and dominated this query's
     # cost; as a codegen'd filter it rides the corpus scan
     best = lang_argmax(tokens(F.col("text")))
-    en_ids = (docs.select("doc_id", best.alias("b"))
-              .filter((F.col("b.n") > 0) & (F.col("b.lang") == "en"))
-              .select("doc_id"))
+    lang_ids = (docs.select("doc_id", best.alias("b"))
+                .filter((F.col("b.n") > 0) & (F.col("b.lang") == lang))
+                .select("doc_id"))
 
     # 2. quality gate (scored on the RAW text, like doc_quality).
     # Persisted: four downstream consumers read base (the span-removal
@@ -848,10 +861,10 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
     # MEMORY_AND_DISK caps the recompute the same way.
     from pyspark.storagelevel import StorageLevel
 
-    base = (docs.join(en_ids, "doc_id")
+    base = (docs.join(lang_ids, "doc_id")
             .withColumn("quality",
                         quality_score(F.col("text")).cast("double"))
-            .filter(F.col("quality") >= 0.9)
+            .filter(F.col("quality") >= min_quality)
             .persist(StorageLevel.MEMORY_AND_DISK))
 
     # 3. span-clean among survivors
@@ -876,15 +889,16 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
     staged = survivors.withColumn("domain", _etld1(host))
     wq = Window.partitionBy("domain").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    extra = ["clean_text"] if with_text else []
     return (staged.withColumn("sample_rank", F.row_number().over(wq))
-            .filter(F.col("sample_rank") <= _DOMAIN_QUOTA)
+            .filter(F.col("sample_rank") <= quota)
             .select("doc_id", "domain",
                     F.md5("clean_text").alias("clean_md5"),
                     F.length("clean_text").cast("bigint")
                     .alias("clean_chars"),
                     "removed_chars", "quality",
                     F.col("sample_rank").cast("long")
-                    .alias("sample_rank")))
+                    .alias("sample_rank"), *extra))
 
 
 def _corpus_emit_sql() -> str:

@@ -571,3 +571,30 @@ def test_index_fold_cli_wiring(spark, tmp_path, capsys):
         cli.main(["index", "--fold", own, "--out", str(tmp_path / "x")])
     with _pytest.raises(SystemExit, match="--lake"):
         cli.main(["index", "--out", str(tmp_path / "y")])
+
+
+def test_corpus_cli_lands_cleaned_corpus(spark, tmp_path, capsys):
+    """`corpus` e2e: the landed artifact equals the registry query's
+    manifest (same defaults) PLUS the cleaned text whose md5 matches
+    the manifest's clean_md5 column row for row; _META.json carries
+    the params and the input digest."""
+    import hashlib
+
+    from sc_crawler_spark.queries.curation import training_corpus_emit
+
+    lake = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus_art")
+    cli.main(["corpus", "--lake", lake, "--out", out])
+    assert "landed" in capsys.readouterr().out
+
+    landed = spark.read.parquet(os.path.join(out, "corpus"))
+    want = {tuple(r) for r in training_corpus_emit(spark, lake)
+            .collect()}
+    got = {tuple(r) for r in landed.drop("clean_text").collect()}
+    assert got == want and len(got) > 0
+    for r in landed.collect():
+        assert hashlib.md5(r.clean_text.encode()).hexdigest() == r.clean_md5
+        assert len(r.clean_text) == r.clean_chars
+    meta = json.load(open(os.path.join(out, "_META.json")))
+    assert meta["lang"] == "en" and meta["n_docs"] == len(got)
+    assert meta["input_digest"].count("_") == 1
