@@ -493,19 +493,11 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
         # array_min(transform(...)) — zero explode, zero shuffle, pure
         # codegen — NOT the md5 convention _signatures_from_shingles
         # uses (that one is pinned by the minhash oracle + the landed
-        # index format; this one never leaves this function). Measured
-        # at 512x docs: the md5 agg path costs ~170 s for the signature
-        # alone; this path runs the whole banded pipeline in ~38 s.
-        # Cached because the band table feeds both sides of the
-        # candidate self-join.
-        sig = shing.select(
-            F.col(id_col),
-            *[F.array_min(
-                F.transform(F.col("shingles"),
-                            lambda s, i=i: F.xxhash64(F.lit(i), s))
-              ).alias(f"mh_{i}")
-              for i in range(n_hashes)],
-        ).cache()
+        # index format). Measured at 512x docs: the md5 agg path costs
+        # ~170 s for the signature alone; this path runs the whole
+        # banded pipeline in ~38 s. Cached because the band table feeds
+        # both sides of the candidate self-join.
+        sig = _fast_signatures_from_shingles(shing, id_col, n_hashes).cache()
         bands = _band_table(sig, id_col, n_hashes, band_rows)
         if block_col:
             # block inequality can never pair — fold it into the bucket
@@ -535,6 +527,30 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
     return _verified_shingle_pairs(
         df, text_col, id_col, k, threshold, block_col, max_df,
         "containment", lambda nc, na, nb: nc / F.least(na, nb))
+
+
+def _fast_signatures_from_shingles(shingles: DataFrame, id_col: str,
+                                   n_hashes: int) -> DataFrame:
+    """xxhash64 MinHash signature computed per-doc by
+    ``array_min(transform(shingles, xxhash64(seed, s)))`` — zero
+    explode, zero extra shuffle, pure whole-stage codegen. Hash ``i``
+    is seeded by prepending the literal seed as xxhash64's first
+    argument. The seed MUST be captured via this enclosing function's
+    parameter and the transform lambda MUST take exactly one argument:
+    PySpark counts a defaulted second parameter (``lambda s, i=i:``)
+    toward the lambda's arity and binds it to the array-POSITION
+    column, silently turning all n signatures into one position-seeded
+    hash (no LSH guarantee — same hazard lang_argmax documents in
+    queries/pipeline.py)."""
+    def _mh(seed: int):
+        return F.array_min(
+            F.transform(F.col("shingles"),
+                        lambda s: F.xxhash64(F.lit(seed), s)))
+
+    return shingles.select(
+        F.col(id_col),
+        *[_mh(i).alias(f"mh_{i}") for i in range(n_hashes)],
+    )
 
 
 def _signatures_from_shingles(shingles: DataFrame, id_col: str,
@@ -569,7 +585,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       k: int = 3, n_hashes: int = 8, band_rows: int = 2,
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6,
+                      fast_signatures: bool = False) -> DataFrame:
     """MinHash-LSH near-dup candidates verified with exact Jaccard.
 
     Bands of ``band_rows`` minhashes; docs sharing any band signature are
@@ -578,6 +595,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     intersecting the two docs' shingle ARRAYS (candidates are sparse, so
     two id-joins + array_intersect beats re-exploding and self-joining
     every shingle — at sf0.1 this is ~10x less shuffle).
+
+    ``fast_signatures=True`` is the bench/production-scale knob (r12
+    verdict task 2): signatures come from the zero-explode xxhash64
+    ``array_min(transform(...))`` path instead of the md5
+    explode+aggregate convention. Both are true per-seed minhashes, so
+    the LSH s-curve — and therefore the EXACT-verified output's recall
+    characteristics — is the same family; only the hash convention
+    differs, so individual candidate sets can differ pair-by-pair at
+    the s-curve's probabilistic margin. The md5 path stays the default
+    because the landed index format (sinks/index_store.py) and the
+    DuckDB oracle pin that convention; the fast path skips the
+    ~500M-row explode whose multi-GB aggregation cache made the 64x
+    bench lose tasks under memory pressure.
     """
     if band_rows <= 0 or n_hashes % band_rows != 0:
         # silent truncation would band only (n_hashes // band_rows) *
@@ -593,7 +623,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # the signature table feeds both sides of the band join — cache both
     # narrow intermediates.
     shingles = doc_shingles(df, text_col, id_col, k).cache()
-    sig = _signatures_from_shingles(shingles, id_col, n_hashes).cache()
+    make_sig = (_fast_signatures_from_shingles if fast_signatures
+                else _signatures_from_shingles)
+    sig = make_sig(shingles, id_col, n_hashes).cache()
     bands = _band_table(sig, id_col, n_hashes, band_rows)
     return verified_pairs_from_index(shingles, bands, id_col, threshold)
 

@@ -629,8 +629,21 @@ def test_containment_band_prefilter_recall(spark):
         # the original plus a drop-last-3-tokens truncation.
         for copy in range(3):
             ciphered = " ".join(f"c{copy}b{base}{w}" for w in text.split())
-            trunc = " ".join(ciphered.split()[:-3])
-            rows.append((doc_id, ciphered)); rows.append((doc_id + 1, trunc))
+            # Alternate near-dup shapes so the fixture exercises BOTH
+            # aligned and SHIFTED shingle positions (the r12 advice bug:
+            # position-seeded pseudo-signatures pass a truncation-only
+            # fixture because truncation keeps array positions aligned;
+            # a mid-document insertion/substitution shifts every later
+            # shingle's position and exposes them):
+            toks = ciphered.split()
+            if copy == 0:            # prefix truncation (aligned)
+                near = toks[:-3]
+            elif copy == 1:          # mid-document insertion (shifts)
+                near = toks[:20] + [f"ins{base}"] + toks[20:]
+            else:                    # mid-document substitution (local)
+                near = toks[:30] + [f"sub{base}"] + toks[31:]
+            rows.append((doc_id, ciphered))
+            rows.append((doc_id + 1, " ".join(near)))
             doc_id += 2
     df = spark.createDataFrame(rows, "doc_id long, text string")
     exact = {(r.id_a, r.id_b): r.containment
@@ -647,6 +660,57 @@ def test_containment_band_prefilter_recall(spark):
         assert exact[pair] == score
     recall = len(banded) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_fast_signatures_are_independent_minhashes(spark):
+    """Regression for the r12 advice bug: the zero-explode xxhash64
+    signature columns must be INDEPENDENT per-seed minhashes, not one
+    position-seeded hash repeated n times. On a multi-shingle doc the
+    odds of 8 true minhashes all colliding are ~0; the broken
+    two-parameter-lambda form made them identical by construction."""
+    from sc_crawler_spark.operators.dedup import (
+        _fast_signatures_from_shingles, doc_shingles)
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string")
+    sh = doc_shingles(df, "text", "doc_id", 3)
+    row = _fast_signatures_from_shingles(sh, "doc_id", 8).first()
+    vals = [row[f"mh_{i}"] for i in range(8)]
+    assert len(set(vals)) >= 6, f"signatures not independent: {vals}"
+
+
+def test_minhash_lsh_fast_signatures_recall(spark):
+    """``fast_signatures=True`` must reproduce the md5 path's verified
+    pair set on a position-shifting near-dup corpus: both arms EXACT-
+    verify candidates, so any emitted pair carries the identical
+    jaccard; recall of fast vs default must be >= 0.95 (same s-curve
+    family, different hash convention)."""
+    import random
+
+    from sc_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(13)
+    words = [f"tok{i}" for i in range(60)]
+    rows, doc_id = [], 0
+    for base in range(30):
+        toks = [rng.choice(words) for _ in range(50)]
+        ciphered = [f"b{base}{w}" for w in toks]
+        near = ciphered[:15] + [f"x{base}"] + ciphered[15:]  # shifts
+        rows.append((doc_id, " ".join(ciphered)))
+        rows.append((doc_id + 1, " ".join(near)))
+        doc_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=3, n_hashes=8, band_rows=2, threshold=0.6)
+    md5 = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(
+        df, "text", "doc_id", **kw).collect()}
+    fast = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(
+        df, "text", "doc_id", fast_signatures=True, **kw).collect()}
+    assert md5, "fixture must produce true pairs"
+    for pair, jac in fast.items():
+        assert md5.get(pair, jac) == jac  # exact verify = same score
+    recall = len(set(fast) & set(md5)) / len(md5)
+    assert recall >= 0.95, f"fast-signature recall {recall:.3f}"
 
 
 def test_containment_band_prefilter_block_col(spark):
