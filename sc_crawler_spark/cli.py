@@ -1142,9 +1142,14 @@ def cmd_corpus(spark: SparkSession, lake: str, out: str,
             else _read(spark, lake, "documents"))
     digest = index_store.corpus_digest(
         docs.select("doc_id", "text"), "text", "doc_id")
+    # Pass the RESOLVED source through: emit's default loader only
+    # reads <lake>/documents.parquet, so on a snapshot-versioned lake
+    # the digest above and the emitted corpus would come from
+    # different sources (r12 advice) — with docs= they are provably
+    # the same rows.
     emitted = emit_training_corpus(spark, lake, lang=lang,
                                    min_quality=min_quality, quota=quota,
-                                   with_text=True)
+                                   with_text=True, docs=docs)
     emitted.write.mode("overwrite").parquet(os.path.join(out, "corpus"))
     landed = spark.read.parquet(os.path.join(out, "corpus"))
     n = landed.count()

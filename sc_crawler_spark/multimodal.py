@@ -710,48 +710,60 @@ def _jpeg_gray_pixels(data: bytes):
     comp_q = 0
     scan = None
     i = 2
-    while i + 4 <= len(data):
-        if data[i] != 0xFF:
-            return None
-        marker = data[i + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (ln,) = struct.unpack(">H", data[i + 2:i + 4])
-        body = data[i + 4:i + 2 + ln]
-        if marker == 0xDB:
-            j = 0
-            while j < len(body):
-                pq, tq = body[j] >> 4, body[j] & 0xF
-                if pq != 0:
-                    return None  # 16-bit tables out of scope
-                qtables[tq] = list(body[j + 1:j + 65])
-                j += 65
-        elif marker == 0xC4:
-            j = 0
-            while j < len(body):
-                tc, th = body[j] >> 4, body[j] & 0xF
-                bits = list(body[j + 1:j + 17])
-                n = sum(bits)
-                vals = list(body[j + 17:j + 17 + n])
-                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
-                j += 17 + n
-        elif marker == 0xC0:
-            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1 or body[7] != 0x11:
-                return None  # not 8-bit single-component 1x1
-            comp_q = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/extended/arithmetic out of scope
-        elif marker == 0xDD:
-            return None  # restart intervals out of scope
-        elif marker == 0xDA:
-            dc_th, ac_th = body[2] >> 4, body[2] & 0xF
-            scan = data[i + 2 + ln:]
-            dc_map = huff.get((0, dc_th))
-            ac_map = huff.get((1, ac_th))
-            break
-        i += 2 + ln
+    # The walk is guarded like the block decode below: a TRUNCATED
+    # segment (e.g. a SOF0 body shorter than its fixed 6+3 bytes)
+    # raises struct.error/IndexError from untrusted bytes — honor the
+    # skip-never-guess contract by returning None, never crashing the
+    # Spark task (r12 advice).
+    try:
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (ln,) = struct.unpack(">H", data[i + 2:i + 4])
+            body = data[i + 4:i + 2 + ln]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables out of scope
+                    if len(body) < j + 65:
+                        return None  # truncated quant table
+                    qtables[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0xF
+                    bits = list(body[j + 1:j + 17])
+                    n = sum(bits)
+                    if len(body) < j + 17 + n:
+                        return None  # truncated Huffman table
+                    vals = list(body[j + 17:j + 17 + n])
+                    huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                    j += 17 + n
+            elif marker == 0xC0:
+                prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                    return None  # not 8-bit single-component 1x1
+                comp_q = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/extended/arithmetic out of scope
+            elif marker == 0xDD:
+                return None  # restart intervals out of scope
+            elif marker == 0xDA:
+                dc_th, ac_th = body[2] >> 4, body[2] & 0xF
+                scan = data[i + 2 + ln:]
+                dc_map = huff.get((0, dc_th))
+                ac_map = huff.get((1, ac_th))
+                break
+            i += 2 + ln
+    except (struct.error, IndexError, ValueError):
+        return None
     if scan is None or w is None or dc_map is None or ac_map is None \
             or comp_q not in qtables:
         return None

@@ -829,18 +829,24 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
 def emit_training_corpus(spark: SparkSession, sf: str, *,
                          lang: str = "en", min_quality: float = 0.9,
                          quota: int = _DOMAIN_QUOTA,
-                         with_text: bool = False) -> DataFrame:
+                         with_text: bool = False,
+                         docs: DataFrame | None = None) -> DataFrame:
     """Parameterized engine for :func:`training_corpus_emit` (the
     registry query pins the defaults against the composed oracle) and
     for the ``corpus`` CLI command, which lands the emitted corpus as
     a lake artifact. ``with_text=True`` carries ``clean_text`` through
     for the landing write; the manifest columns are identical either
-    way."""
+    way. ``docs`` overrides the default plain-parquet table read —
+    cmd_corpus passes its already-resolved source (plain OR
+    snapshot-versioned lake) so the digest it records and the corpus
+    it emits provably come from the same rows."""
     from ..functions.text import quality_score
     from ..operators import dedup as dedup_ops
     from .pipeline import lang_argmax
 
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    if docs is None:
+        docs = load(spark, sf, "documents")
+    docs = docs.select("doc_id", "text")
 
     # 1. language gate — the zero-shuffle array-expression argmax
     # (pipeline.lang_argmax): at 512x the old explode -> broadcast-join

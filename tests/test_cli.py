@@ -598,3 +598,27 @@ def test_corpus_cli_lands_cleaned_corpus(spark, tmp_path, capsys):
     meta = json.load(open(os.path.join(out, "_META.json")))
     assert meta["lang"] == "en" and meta["n_docs"] == len(got)
     assert meta["input_digest"].count("_") == 1
+
+
+def test_corpus_cli_snapshot_lake(spark, tmp_path, capsys):
+    """`corpus` on a SNAPSHOT-versioned lake (no plain
+    documents.parquet): the digest and the emitted corpus must come
+    from the same resolved source (r12 advice — emit's default loader
+    only reads the plain file, so on a snapshot lake the command used
+    to digest one corpus then fail or emit from a stale file)."""
+    from sc_crawler_spark.tables import load
+
+    lake = str(tmp_path / "snap_lake")
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    write_snapshot(spark, docs, os.path.join(lake, "documents"))
+    out = str(tmp_path / "corpus_art")
+    cli.main(["corpus", "--lake", lake, "--out", out])
+    assert "landed" in capsys.readouterr().out
+    landed = spark.read.parquet(os.path.join(out, "corpus"))
+    meta = json.load(open(os.path.join(out, "_META.json")))
+    assert meta["n_docs"] == landed.count()
+    # the digest describes the snapshot rows actually emitted from
+    from sc_crawler_spark.sinks import index_store
+    want = index_store.corpus_digest(
+        docs.select("doc_id", "text"), "text", "doc_id")
+    assert meta["input_digest"] == want

@@ -838,3 +838,17 @@ def test_jpeg_decoder_scope_is_honest():
     assert _jpeg_gray_pixels(sof2) is None
     # truncate mid-scan: the bit reader must fail closed, not wrap
     assert _jpeg_gray_pixels(good[:len(good) - 8]) is None
+    # malformed SOF0 with a body SHORTER than its fixed 6+3 bytes: the
+    # marker walk's struct.unpack/body indexing must return None, not
+    # crash the task with an uncaught struct.error (r12 advice)
+    import struct as _struct
+    short_sof = (b"\xff\xd8" + b"\xff\xc0"
+                 + _struct.pack(">H", 2 + 3) + b"\x08\x00\x08")
+    assert _jpeg_gray_pixels(short_sof) is None
+    # truncated DQT / DHT bodies likewise skip
+    assert _jpeg_gray_pixels(
+        b"\xff\xd8\xff\xdb" + _struct.pack(">H", 2 + 10)
+        + bytes(10)) is None
+    assert _jpeg_gray_pixels(
+        b"\xff\xd8\xff\xc4" + _struct.pack(">H", 2 + 18)
+        + bytes((0,)) + bytes((4,) * 16) + bytes(1)) is None
