@@ -100,7 +100,15 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # multi-session production mode. The per-session pair
                  # memo is cleared before every timed run so the
                  # number measures artifact reads, not the memo.
-                 "doc_pagerank"]
+                 "doc_pagerank",
+                 # r13: the END-TO-END corpus composition (r12 verdict
+                 # task 5) — langid -> quality -> cross-doc span clean
+                 # -> exact dedup -> domain quota, one manifest. The
+                 # oracle replays the composed CTE chains; its span
+                 # stage unnests every character position of 2.56M docs
+                 # (~1.3B rows) and is an expected DNF at 512x — capped
+                 # below so the documented DNF doesn't stall the bench.
+                 "training_corpus_emit"]
 # r8 additions measured but NOT benched (same doctrine as
 # embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
 # events = 1.7 s vs DuckDB 0.6 s and train_split_stats at 512x docs =
@@ -128,6 +136,7 @@ SCALE_SCANS = {
     "tfidf_keywords": ["documents", "documents"],
     "doc_lm_perplexity": ["documents", "documents"],
     "doc_pagerank": ["documents", "documents"],
+    "training_corpus_emit": ["documents", "documents"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -331,8 +340,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # bench profile opts into shuffled-hash joins (fact-fact build sides
     # here are dim-reduced and bounded — see session.py docstring)
+    # task_max_failures=4: local[N] defaults to fail-on-first-lost-task,
+    # which aborted the r12 dedup_minhash_lsh 64x measurement when a
+    # co-tenant memory spike killed one task. 4 is the CLUSTER default
+    # (spark.task.maxFailures) — the bench session now matches it.
     spark = get_spark("sc-crawler-spark-bench", shuffle_partitions=8,
-                      prefer_shuffled_hash=True)
+                      prefer_shuffled_hash=True, task_max_failures=4)
     spark.sparkContext.setLogLevel("ERROR")
 
     warm_dir = sf_dir.replace("sf0.1", "sf0.001") if "sf0.1" in sf_dir else sf_dir
@@ -433,6 +446,13 @@ def main() -> None:
             use_bucketed = (name in _BUCKETED_HEADLINE
                             and bucketed_facts is not None)
             kw = {"_tables": bucketed_facts} if use_bucketed else {}
+            if name == "dedup_minhash_lsh":
+                # scale variant (r12 verdict task 2b): zero-explode
+                # xxhash64 signatures instead of the md5 explode+agg
+                # whose multi-GB cache was the r12 task-loss surface;
+                # banding + exact verify identical, variant recorded
+                kw = {"fast_signatures": True}
+                scale.setdefault("variant", {})[name] = "fast_signatures"
             prerun = None
             if name == "doc_pagerank":
                 # graph/index tier: ensure the digest-keyed lake
@@ -534,6 +554,10 @@ def main() -> None:
                 duck_timeout = {"dedup_minhash_lsh": 60.0,
                                 "tfidf_keywords": 150.0,
                                 "doc_lm_perplexity": 150.0,
+                                # composed-CTE replay whose span stage
+                                # unnests ~1.3B char positions at 512x —
+                                # expected DNF, capped so it can't stall
+                                "training_corpus_emit": 90.0,
                                 # replays the minhash pair CTEs (the
                                 # documented 512x DNF) then unrolls
                                 # two mass-sum iterations on top —
@@ -548,6 +572,74 @@ def main() -> None:
             except Exception as exc:
                 duck_s[name] = None
                 scale.setdefault("duck_dnf", {})[name] = str(exc)[:120]
+        # ---- stream -> fold -> serve e2e (r12 verdict task 6): time
+        # one full operational cycle of the dedup index at bench scale.
+        # Seed = the digest-keyed artifact doc_pagerank built above;
+        # batch = 1x documents freshly ciphered with offset ids (the
+        # "next day's crawl"); stream lands the batch's pairs +
+        # shingles/signatures/digest partials against the STANDING
+        # index (no base re-shingle); fold compacts base ∪ batch into a
+        # NEW digest-keyed artifact (no text re-read — digest merged
+        # from partials, asserted below against an independently
+        # computed batch digest); serve = PageRank over the folded pair
+        # graph. Supplementary like the rest of the scale block.
+        try:
+            import shutil
+
+            from sc_crawler_spark.operators.graph import pagerank
+            from sc_crawler_spark.sinks import index_store
+            from sc_crawler_spark.streaming import (
+                read_document_stream, stream_near_dedup)
+            from sc_crawler_spark.tables import load as _load
+
+            seed_dir = os.path.join(s16_dir, "dedup_index")
+            seed_meta = index_store.read_index_meta(seed_dir)
+            if seed_meta is not None:
+                fc: dict[str, object] = {}
+                scale["fold_cycle"] = fc
+                root = f"/tmp/sc_bench_fold{SCALE_FACTOR}"
+                shutil.rmtree(root, ignore_errors=True)
+                from pyspark.sql import functions as F
+                batch = _copy_cipher(
+                    _load(spark, sf_dir, "documents")
+                    .select((F.col("doc_id") + 10**13).alias("doc_id"),
+                            "text"), 1000)
+                src = os.path.join(root, "in")
+                batch.coalesce(1).write.parquet(src)
+                fc["batch_docs"] = spark.read.parquet(src).count()
+                own_index = os.path.join(root, "own_index")
+                pairs_dir = os.path.join(root, "pairs")
+                t0 = time.perf_counter()
+                q = stream_near_dedup(
+                    read_document_stream(spark, src),
+                    pairs_dir, own_index, os.path.join(root, "ckpt"),
+                    seed_index_dir=seed_dir)
+                q.awaitTermination(600)
+                fc["stream_sec"] = round(time.perf_counter() - t0, 3)
+                folded = os.path.join(root, "folded")
+                t0 = time.perf_counter()
+                index_store.fold_minhash_index(
+                    spark, seed_dir, own_index, pairs_dir, folded)
+                fc["fold_sec"] = round(time.perf_counter() - t0, 3)
+                # exactness gate: folded digest must equal the merge of
+                # the seed's digest with the batch digest computed
+                # directly from the batch text (partials == direct)
+                want = index_store.merge_digests([
+                    seed_meta["digest"],
+                    index_store.corpus_digest(
+                        spark.read.parquet(src), "text", "doc_id")])
+                got = index_store.read_index_meta(folded)["digest"]
+                fc["digest_ok"] = bool(got == want)
+                t0 = time.perf_counter()
+                pagerank(index_store.load_pair_graph(spark, folded),
+                         iters=2).count()
+                fc["serve_pagerank_sec"] = round(
+                    time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+                shutil.rmtree(root, ignore_errors=True)
+        except Exception as exc:
+            scale.setdefault("fold_cycle", {})["error"] = str(exc)[:200]
+
         # aggregate ratio over the queries BOTH engines completed; a
         # DuckDB DNF is reported separately (excluding it UNDERSTATES
         # the Spark win — no number exists to credit). Spark's per-query

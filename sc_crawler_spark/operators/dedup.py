@@ -447,12 +447,35 @@ def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
         "jaccard", lambda nc, na, nb: nc / (na + nb - nc))
 
 
+def _containment_verify(shing: "DataFrame", cand: "DataFrame",
+                        id_col: str, threshold: float) -> "DataFrame":
+    """EXACT overlap-coefficient verification of a sparse candidate
+    set: two id-joins ship only the candidate docs' shingle arrays,
+    array_intersect computes |A∩B| JVM-side. Shared tail of both
+    banded containment arms — whatever generated the candidates, the
+    emitted score is exact."""
+    sh_a = shing.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+    sh_b = shing.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    score = n_common / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        paired.withColumn("containment", dround(score, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
                       k: int = 3, threshold: float = 0.8,
                       block_col: str | None = None,
                       max_df: int | None = None,
                       band_prefilter: bool = False,
-                      n_hashes: int = 16, band_rows: int = 2) -> "DataFrame":
+                      n_hashes: int = 16, band_rows: int = 2,
+                      size_partitioned: bool = False,
+                      max_ratio: float = 16.0) -> "DataFrame":
     """Overlap-coefficient (containment) near-dup pairs:
     |A∩B| / min(|A|,|B|) >= threshold, id_a < id_b.
 
@@ -479,8 +502,55 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
     candidates recall by JACCARD s-curve (at the defaults, >=99% for
     near-size pairs with containment >= 0.8, i.e. jaccard >= 0.67), so
     HIGHLY asymmetric subset pairs (|A| << |B|, jaccard ~ |A|/|B|) can
-    be missed — use the exact arm, or a size-partitioned run (the LSH
-    Ensemble construction), when those dominate the workload."""
+    be missed — for those use ``size_partitioned=True`` below, or the
+    exact arm.
+
+    ``size_partitioned=True`` is the LSH-Ensemble-style construction
+    (Zhu et al., VLDB 2016: size-partitioned indexes let the band
+    config track the containment->jaccard mapping instead of one fixed
+    s-curve) closing that asymmetric blind spot: single-row bands
+    (``band_rows`` must be 1; pass a larger ``n_hashes``, e.g. 64) so
+    the candidate probability for a pair with jaccard j is
+    1-(1-j)^n_hashes, and a size-ratio gate ``max_ratio`` bounding how
+    asymmetric a recalled pair can be. A subset pair A ⊆ B at
+    containment t has jaccard >= t/(1 + ratio - t); at t=0.8,
+    ratio=16, n_hashes=64 that is j >= 0.0494 and recall
+    1-(1-0.0494)^64 ≈ 0.96 — vs ≈0 for the 2-row banding at that
+    ratio. The trade is candidate volume: low-j random pairs collide
+    with probability ≈ n_hashes·j, all pruned by the exact verify;
+    pairs MORE asymmetric than ``max_ratio`` are out of the declared
+    recall envelope (raise it and ``n_hashes`` together — the pinned
+    test is tests/test_properties.py::
+    test_containment_size_partitioned_subset_recall)."""
+    if size_partitioned:
+        if band_rows != 1:
+            raise ValueError(
+                "containment_pairs: size_partitioned=True requires "
+                f"band_rows=1 (got {band_rows}) — the asymmetric "
+                "recall math above assumes single-hash bands")
+        extra = [block_col] if block_col else []
+        shing = doc_shingles(df, text_col, id_col, k,
+                             extra_cols=extra).cache()
+        sig = _fast_signatures_from_shingles(shing, id_col,
+                                             n_hashes).cache()
+        bands = _band_table(sig, id_col, n_hashes, 1)
+        sizes = shing.select(id_col, F.size("shingles").alias("n_sh"),
+                             *extra)
+        bands = bands.join(sizes, id_col)
+        join_keys = ["band", "sig"] + ([block_col] if block_col else [])
+        left = bands.select(F.col(id_col).alias("id_a"),
+                            F.col("n_sh").alias("n_a"), *join_keys)
+        right = bands.select(F.col(id_col).alias("id_b"),
+                             F.col("n_sh").alias("n_b"), *join_keys)
+        cand = (
+            left.join(right, join_keys)
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.greatest("n_a", "n_b")
+                       <= F.lit(max_ratio) * F.least("n_a", "n_b")))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _containment_verify(shing, cand, id_col, threshold)
     if band_prefilter:
         if band_rows <= 0 or n_hashes % band_rows != 0:
             raise ValueError(
@@ -512,18 +582,7 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
             .select("id_a", "id_b")
             .distinct()
         )
-        sh_a = shing.select(F.col(id_col).alias("id_a"),
-                            F.col("shingles").alias("sh_a"))
-        sh_b = shing.select(F.col(id_col).alias("id_b"),
-                            F.col("shingles").alias("sh_b"))
-        paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-        n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        score = n_common / F.least(F.size("sh_a"), F.size("sh_b"))
-        return (
-            paired.withColumn("containment", dround(score, 6))
-            .filter(F.col("containment") >= threshold)
-            .select("id_a", "id_b", "containment")
-        )
+        return _containment_verify(shing, cand, id_col, threshold)
     return _verified_shingle_pairs(
         df, text_col, id_col, k, threshold, block_col, max_df,
         "containment", lambda nc, na, nb: nc / F.least(na, nb))

@@ -701,24 +701,21 @@ def _canonical_url(url):
     return F.concat(scheme, F.lit("://"), host, path, qstr)
 
 
-def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Canonical-URL dedup over a deterministically-messy URL fixture:
-    each document's URL is one of five variants of its group's base
-    page (group = doc_id - doc_id % 5, host from the shared pool) —
-    clean, SCHEME/HOST-cased + explicit :443, utm-tracking params,
-    trailing-slash + fragment, and a KEPT pagination param. Variants
-    0-3 must collapse to one canonical URL; variant 4 must stay
-    distinct (?page=2 survives canonicalization). Output: one row per
-    canonical URL with the min doc_id as survivor and the variant
-    count — the standard frontier-dedup shape, entirely JVM
-    expressions, one groupBy shuffle on the canonical key."""
-    docs = load(spark, sf, "documents").select("doc_id")
+def _messy_url():
+    """The deterministically-messy URL fixture (documents carry no URL
+    column, so one is synthesized from doc_id): each doc's URL is one
+    of five variants of its group's base page (group = doc_id -
+    doc_id % 5, host from the shared pool) — clean, SCHEME/HOST-cased
+    + explicit :443, utm-tracking params, trailing-slash + fragment,
+    and a KEPT pagination param. Shared by url_canonical_dedup and the
+    corpus emit's frontier stage so both stages provably canonicalize
+    the same URLs."""
     base = (F.col("doc_id") - F.col("doc_id") % 5).cast("long")
     variant = F.col("doc_id") % 5
     pool = F.array(*[F.lit(h) for h in _HOST_POOL])
     host = F.element_at(pool, (base % 16 + 1).cast("int"))
     stem = F.concat(F.lit("/doc/"), base.cast("string"))
-    messy = (
+    return (
         F.when(variant == 0,
                F.concat(F.lit("https://"), host, stem))
         .when(variant == 1,
@@ -732,15 +729,31 @@ def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(
             F.concat(F.lit("https://"), host, stem, F.lit("?page=2")))
     )
-    canon = docs.select("doc_id", _canonical_url(messy).alias("url"))
+
+
+def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup over a deterministically-messy URL fixture:
+    each document's URL is one of five variants of its group's base
+    page (group = doc_id - doc_id % 5, host from the shared pool) —
+    clean, SCHEME/HOST-cased + explicit :443, utm-tracking params,
+    trailing-slash + fragment, and a KEPT pagination param. Variants
+    0-3 must collapse to one canonical URL; variant 4 must stay
+    distinct (?page=2 survives canonicalization). Output: one row per
+    canonical URL with the min doc_id as survivor and the variant
+    count — the standard frontier-dedup shape, entirely JVM
+    expressions, one groupBy shuffle on the canonical key."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    canon = docs.select("doc_id",
+                        _canonical_url(_messy_url()).alias("url"))
     return (canon.groupBy("url")
             .agg(F.min("doc_id").alias("canonical_doc_id"),
                  F.count("*").alias("n_variants"))
             .select("url", "canonical_doc_id", "n_variants"))
 
 
-URL_CANONICAL_SQL = f"""
-WITH messy AS (
+# The messy-URL synthesis + canonicalization CTE chain, shared by
+# URL_CANONICAL_SQL and the corpus-emit oracle's frontier stage 0.
+_URL_CANON_CTES = f"""messy AS (
   SELECT doc_id,
          CASE doc_id % 5
            WHEN 0 THEN 'https://' || host || stem
@@ -790,7 +803,10 @@ canon AS (
              p -> p <> '' AND NOT regexp_matches(p, '^utm_[a-z]+=')))
            AS kept
     FROM messy) q
-)
+)"""
+
+URL_CANONICAL_SQL = f"""
+WITH {_URL_CANON_CTES}
 SELECT url, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_variants
 FROM canon GROUP BY url
 """
@@ -804,6 +820,10 @@ def training_corpus_emit(spark: SparkSession, sf: str) -> DataFrame:
     the registry's component filters composed in the order a public
     pretraining pipeline runs them, one DataFrame chain:
 
+    0. crawl-frontier URL dedup (r12 verdict task 8): canonical-URL
+       collapse of the messy-URL fixture (url_canonical_dedup's
+       operators), keep min doc_id per canonical URL — frontier dedup
+       runs BEFORE content dedup, the production ordering;
     1. language gate: marker-lexicon argmax == 'en' (doc_langid's
        chain);
     2. quality gate: heuristic quality >= 0.9 (doc_quality's scorer);
@@ -847,6 +867,21 @@ def emit_training_corpus(spark: SparkSession, sf: str, *,
     if docs is None:
         docs = load(spark, sf, "documents")
     docs = docs.select("doc_id", "text")
+
+    # 0. crawl-frontier URL dedup (r12 verdict task 8 — the production
+    # ordering: canonical-URL dedup runs on the frontier BEFORE any
+    # content is tokenized, so re-crawled tracking-param/case/fragment
+    # variants never reach the content stages at all). Same operators
+    # as url_canonical_dedup (shared _messy_url fixture +
+    # _canonical_url): keep min doc_id per canonical URL. One narrow
+    # (doc_id, url) groupBy + a doc_id join — at 100 TB this prunes
+    # the corpus scan-side, it doesn't add a text shuffle.
+    canon = docs.select("doc_id",
+                        _canonical_url(_messy_url()).alias("url"))
+    frontier = (canon.groupBy("url")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    docs = docs.join(frontier, "doc_id")
 
     # 1. language gate — the zero-shuffle array-expression argmax
     # (pipeline.lang_argmax): at 512x the old explode -> broadcast-join
@@ -916,9 +951,12 @@ def _corpus_emit_sql() -> str:
     from .pipeline import _MARKER_VALUES, QUALITY_EXPR
 
     return f"""
-WITH markers(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
+WITH {_URL_CANON_CTES},
+frontier AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY url),
+docs0 AS (SELECT d.* FROM documents d JOIN frontier USING (doc_id)),
+markers(cand_lang, marker) AS (VALUES {_MARKER_VALUES}),
 ltoks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-          FROM documents),
+          FROM docs0),
 lhits AS (
   SELECT doc_id, cand_lang, COUNT(*) AS n_hits
   FROM ltoks JOIN markers ON tok = marker
@@ -933,7 +971,7 @@ lang AS (
 ),
 base AS (
   SELECT d.doc_id, d.text, {sql_round(QUALITY_EXPR, 6)} AS quality
-  FROM documents d JOIN lang USING (doc_id)
+  FROM docs0 d JOIN lang USING (doc_id)
   WHERE {sql_round(QUALITY_EXPR, 6)} >= 0.9
 ),
 pos AS (

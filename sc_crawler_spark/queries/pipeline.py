@@ -735,11 +735,18 @@ CONTAINMENT_SQL = _capped_pair_sql(
     "containment", 0.8)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard verification."""
+def dedup_minhash_lsh(spark: SparkSession, sf: str, *,
+                      fast_signatures: bool = False) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    ``fast_signatures=True`` (bench scale block / production scale)
+    derives the signatures via the zero-explode xxhash64 path instead
+    of the oracle-pinned md5 explode+aggregate — same banding, same
+    exact verify; see operators/dedup.minhash_lsh_pairs."""
     corpus = _docs_with_clones(spark, sf)
     return dedup.minhash_lsh_pairs(
-        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2, threshold=0.5
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5, fast_signatures=fast_signatures
     )
 
 

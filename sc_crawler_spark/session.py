@@ -19,7 +19,8 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
-              prefer_shuffled_hash: bool | None = None) -> SparkSession:
+              prefer_shuffled_hash: bool | None = None,
+              task_max_failures: int | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
@@ -40,7 +41,18 @@ def get_spark(app_name: str = "sc-crawler-spark", master: str | None = None,
     ``SPARK_GRAFT_PREFER_SHJ=1``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # Task retries in LOCAL mode are set through the master string
+    # (local[N, F]) — spark.task.maxFailures only applies on a real
+    # cluster scheduler. Default stays Spark's local[N] (fail fast, the
+    # right call for unit tests); the bench profile passes 4 so one
+    # co-tenant-induced lost task cannot abort a long measurement (the
+    # r12 dedup_minhash_lsh 64x failure mode). On a 1000-executor
+    # cluster the equivalent is the spark.task.maxFailures=4 DEFAULT —
+    # local[N]'s 1 is the odd one out, not the production setting.
+    if master is None:
+        master = (f"local[{cpus},{task_max_failures}]"
+                  if task_max_failures and task_max_failures > 1
+                  else f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
     if prefer_shuffled_hash is None:

@@ -662,6 +662,68 @@ def test_containment_band_prefilter_recall(spark):
     assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} pairs"
 
 
+def test_containment_size_partitioned_subset_recall(spark):
+    """The LSH-Ensemble arm's contract (r12 verdict task 4): HIGHLY
+    asymmetric subset pairs — short doc ⊆ long doc, jaccard ≈
+    |A|/|B| ≈ 0.1, far below any jaccard banding's reach — must be
+    recalled >= 0.95 by ``size_partitioned=True`` with single-row
+    bands at n_hashes=64 (predicted per-pair candidate probability
+    1-(1-0.1)^64 ≈ 0.999), with every emitted pair exact-verified
+    (banded ⊆ exact, identical scores). The 2-row banded arm misses
+    these by design — its documented blind spot."""
+    import random
+
+    from sc_crawler_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(21)
+    words = [f"tok{i}" for i in range(80)]
+    rows, doc_id = [], 0
+    for base in range(40):
+        toks = [rng.choice(words) for _ in range(80)]
+        for copy in range(3):
+            long_doc = [f"c{copy}b{base}{w}" for w in toks]
+            short_doc = long_doc[:10]       # ~8 shingles ⊂ ~78: ratio ~10
+            rows.append((doc_id, " ".join(long_doc)))
+            rows.append((doc_id + 1, " ".join(short_doc)))
+            doc_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.id_a, r.id_b): r.containment
+             for r in containment_pairs(
+                 df, "text", "doc_id", k=3, threshold=0.9).collect()}
+    sized = {(r.id_a, r.id_b): r.containment
+             for r in containment_pairs(
+                 df, "text", "doc_id", k=3, threshold=0.9,
+                 size_partitioned=True, n_hashes=64,
+                 band_rows=1).collect()}
+    assert len(exact) >= 120, "every subset pair is a true pair"
+    for pair, score in sized.items():
+        assert exact[pair] == score      # exact verify = same score
+    recall = len(set(sized) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"asymmetric recall {recall:.3f}"
+
+
+def test_containment_size_partitioned_ratio_gate(spark):
+    """Pairs more asymmetric than ``max_ratio`` are out of the
+    declared envelope: with max_ratio=2 the ratio-10 subset pairs are
+    gated out of the candidate join entirely, and band_rows != 1 is a
+    loud error, not silently-wrong math."""
+    import pytest
+
+    from sc_crawler_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(80))
+    short_doc = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string")
+    got = containment_pairs(df, "text", "doc_id", k=3, threshold=0.9,
+                            size_partitioned=True, n_hashes=64,
+                            band_rows=1, max_ratio=2.0).collect()
+    assert got == []
+    with pytest.raises(ValueError, match="band_rows=1"):
+        containment_pairs(df, "text", "doc_id",
+                          size_partitioned=True, band_rows=2)
+
+
 def test_fast_signatures_are_independent_minhashes(spark):
     """Regression for the r12 advice bug: the zero-explode xxhash64
     signature columns must be INDEPENDENT per-seed minhashes, not one

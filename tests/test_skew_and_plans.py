@@ -695,10 +695,14 @@ def test_r12_training_corpus_emit_plan_shape(spark):
     # shuffle exchanges in the printed tree (InMemoryRelation reprints
     # its defining subtree, so this double-counts the cached chain —
     # a stable ceiling regardless): language windows + span shuffles +
-    # stitch/digest/domain windows. Beyond this, a stage started
-    # re-shuffling the corpus.
+    # stitch/digest/domain windows, plus the r13 frontier stage 0 (a
+    # narrow (doc_id, url) groupBy + the doc_id join back = 2 real
+    # exchanges upstream of the cached base, reprinted -> +4; the
+    # stage PRUNES ~60% of docs before every text-heavy stage, a net
+    # win at scale). Beyond this, a stage started re-shuffling the
+    # corpus.
     n_shuffles = len(_re.findall(r"[+:]- Exchange \(", tree))
-    assert n_shuffles <= 14, n_shuffles
+    assert n_shuffles <= 18, n_shuffles
 
 
 def test_r12_media_jpeg_stats_plan_is_exchange_free(spark):
