@@ -62,80 +62,21 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r12 rotation (r11 verdict task 1): the 34 names whose last
-    # driver green is CORRECTNESS_r07 HEAD the window — the union of
-    # r1-r11 correctness artifacts puts every other name at r9 or r11.
-    # First the 7 that sat just past r11's cap (positions 51-57), then
-    # the 27 r7-stale former-_TAIL names, then the 3 queries NEW in r12
-    # (media_jpeg_stats, training_corpus_emit, url_canonical_dedup —
-    # first driver evidence), plus the r12-REWRITTEN doc_langid
-    # (zero-shuffle argmax), then the 12 stalest r9 names to fill the 50-slot window. The 50
-    # r11-fresh greens and the remaining 35 r9 names rotate to _TAIL
-    # (r9 ones first, so they head the r13 window) and stay
-    # pytest-oracle-verified every round by
+    # --- r13 rotation (r12 verdict task 1): the 35 names whose last
+    # driver green is CORRECTNESS_r09 HEAD the window (the ledger
+    # promise from r12 — computed from the union of r1-r12 driver
+    # files: every other name is r11- or r12-fresh). Then the query
+    # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier,
+    # first driver evidence) and the r13-REWRITTEN training_corpus_emit
+    # (frontier stage 0 prepended; its oracle recomposed), then the 13
+    # stalest r11 greens to fill the 50-slot window. Everything else
+    # rotates to _TAIL (remaining r11 greens first, then the 49
+    # r12-fresh names) and stays pytest-oracle-verified every round by
     # tests/test_queries_oracle.py. ---
-    "q20_dominant_suppliers",
-    "q14_promo_effect",
-    "q22_global_sales_opportunity",
-    "doc_bpe_token_stats",
-    "q11_important_stock",
-    "q21_single_supplier_blame",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "session_counts",
-    "embed_ann_ivf_sq",
-    "training_set_select",
-    "q7_volume_shipping",
-    "doc_repetition",
-    "doc_pii_scrub",
-    "decontaminate_docs",
-    "lang_balanced_sample",
-    "training_shard_stats",
-    "q2_min_price_order",
-    "q4_order_priority",
-    "cube_revenue",
-    "rollup_revenue",
-    "pivot_status_counts",
-    "moving_range_avg",
-    "intersect_repeat_buyers",
-    "temperature_mix_sample",
-    "profile_orders",
-    "region_dims_rollup",
-    "vendor_compliance_matrix",
-    "spot_price_asof",
-    "media_metadata_extract",
-    "anti_join_no_orders",
-    "keep_last_dedup_lineitem",
-    "except_building_buyers",
-    "argmax_customer_per_nation",
-    # --- NEW in r12 (need first driver evidence) ---
-    "media_jpeg_stats",
-    "training_corpus_emit",
-    "url_canonical_dedup",
-    "doc_langid",
-    # --- r9-stale fillers (fill to the 50-slot cap) ---
-    "dim_join_enrichment",
-    "price_quartiles",
-    "min_unit_price_per_part",
-    "distinct_part_counts",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "semi_join_big_spenders",
-    "top1_order_per_customer",
-    "exact_median_price",
-    "mode_brand_per_type",
-    "group_merge_nations",
-    "minmax_bounds_part",
-]
-_TAIL = [
     "count_expansion",
     "weighted_geomean_price",
     "q18_large_orders",
     "longtail_price_assembly",
-    # Sat out this round's 50-query window; covered by the pytest
-    # oracle re-check until they rotate forward. Ordered by staleness:
-    # the 35 remaining r9 greens first (they head the r13 window),
-    # then the 50 r11-fresh greens.
     "dedup_substring_spans",
     "decontaminate_spans",
     "dedup_incremental_batch",
@@ -167,7 +108,8 @@ _TAIL = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_fingerprint",
-    # --- r11-fresh greens below ---
+    "media_jpeg_color_stats",
+    "training_corpus_emit",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
@@ -181,6 +123,8 @@ _TAIL = [
     "merge_upsert_lifecycle",
     "range_join_event_window",
     "running_user_value",
+]
+_TAIL = [
     "scd2_latest_event",
     "shuffled_sample_orders",
     "standardize_part_names",
@@ -217,6 +161,55 @@ _TAIL = [
     "tfidf_keywords",
     "doc_lm_perplexity",
     "q6_forecast_revenue",
+    "q20_dominant_suppliers",
+    "q14_promo_effect",
+    "q22_global_sales_opportunity",
+    "doc_bpe_token_stats",
+    "q11_important_stock",
+    "q21_single_supplier_blame",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "session_counts",
+    "embed_ann_ivf_sq",
+    "training_set_select",
+    "q7_volume_shipping",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "decontaminate_docs",
+    "lang_balanced_sample",
+    "training_shard_stats",
+    "q2_min_price_order",
+    "q4_order_priority",
+    "cube_revenue",
+    "rollup_revenue",
+    "pivot_status_counts",
+    "moving_range_avg",
+    "intersect_repeat_buyers",
+    "temperature_mix_sample",
+    "profile_orders",
+    "region_dims_rollup",
+    "vendor_compliance_matrix",
+    "spot_price_asof",
+    "media_metadata_extract",
+    "anti_join_no_orders",
+    "keep_last_dedup_lineitem",
+    "except_building_buyers",
+    "argmax_customer_per_nation",
+    "media_jpeg_stats",
+    "url_canonical_dedup",
+    "doc_langid",
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "semi_join_big_spenders",
+    "top1_order_per_customer",
+    "exact_median_price",
+    "mode_brand_per_type",
+    "group_merge_nations",
+    "minmax_bounds_part",
 ]
 REGISTRY = {
     n: REGISTRY[n]

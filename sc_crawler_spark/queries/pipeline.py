@@ -2249,6 +2249,69 @@ FROM blk GROUP BY doc_id, w, h
 """
 
 
+def media_jpeg_color_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline 4:2:0 COLOR JPEG decode end to end (r12 verdict
+    task 7 — the 3-component notch on the grayscale codec): documents
+    -> YCbCr JPEGs (multimodal.encode_jpeg_color — interleaved 16x16
+    MCUs, Annex K luma + chroma Huffman pairs, 2x2-mean chroma
+    subsampling, all-ones quant tables) -> full in-repo decode
+    (multimodal._jpeg_color_pixels: shared marker walk, per-component
+    Huffman/predictors over the MCU interleave, IDCT) -> exact integer
+    stats over Y and the SUBSAMPLED chroma planes. Fixture planes are
+    block-constant (Y per 8x8, chroma per 16x16 MCU) and the encoder
+    takes YCbCr directly — no RGB rounding — so the oracle regenerates
+    every plane value from doc_id arithmetic and a hash match proves
+    the 3-component entropy loop bit for bit."""
+    from ..multimodal import (extract_jpeg_color_stats,
+                              synthesize_jpeg_color_media)
+
+    docs = load(spark, sf, "documents")
+    return extract_jpeg_color_stats(
+        synthesize_jpeg_color_media(docs)).select(
+        "media_id", "width", "height", "n_pixels",
+        "sum_y", "sum_cb", "sum_cr", "min_y", "max_y")
+
+
+MEDIA_JPEG_COLOR_SQL = """
+WITH img AS (
+  SELECT doc_id, 16 * (1 + doc_id % 4) AS w,
+         16 * (1 + (doc_id // 2) % 3) AS h
+  FROM documents
+),
+yblk AS (
+  SELECT doc_id, w, h,
+         ((u.p % (w // 8)) * 29 + (u.p // (w // 8)) * 13 + doc_id)
+           & 255 AS v
+  FROM img, unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS u(p)
+),
+ystat AS (
+  SELECT doc_id, w, h, 64 * SUM(v) AS sum_y,
+         MIN(v) AS min_y, MAX(v) AS max_y
+  FROM yblk GROUP BY doc_id, w, h
+),
+cblk AS (
+  SELECT doc_id,
+         ((u.p % (w // 16)) * 37 + (u.p // (w // 16)) * 19
+          + 2 * doc_id) & 255 AS cbv,
+         ((u.p % (w // 16)) * 23 + (u.p // (w // 16)) * 41
+          + 3 * doc_id) & 255 AS crv
+  FROM img, unnest(generate_series(0, (w // 16) * (h // 16) - 1)) AS u(p)
+),
+cstat AS (
+  SELECT doc_id, 64 * SUM(cbv) AS sum_cb, 64 * SUM(crv) AS sum_cr
+  FROM cblk GROUP BY doc_id
+)
+SELECT y.doc_id AS media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum_y AS BIGINT) AS sum_y,
+       CAST(sum_cb AS BIGINT) AS sum_cb,
+       CAST(sum_cr AS BIGINT) AS sum_cr,
+       CAST(min_y AS INT) AS min_y, CAST(max_y AS INT) AS max_y
+FROM ystat y JOIN cstat c ON y.doc_id = c.doc_id
+"""
+
+
 def media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Header-driven video frame sampling (r10 — the third modality
     with REAL container plumbing): documents -> headers-only AVI
@@ -2344,6 +2407,8 @@ QUERIES = {
     "media_pcm_stats": (media_pcm_stats, MEDIA_PCM_SQL),
     "media_pixel_stats": (media_pixel_stats, MEDIA_PIXEL_SQL),
     "media_jpeg_stats": (media_jpeg_stats, MEDIA_JPEG_SQL),
+    "media_jpeg_color_stats": (media_jpeg_color_stats,
+                               MEDIA_JPEG_COLOR_SQL),
     "media_video_frames": (media_video_frames, MEDIA_VIDEO_SQL),
     "media_resize_stats": (media_resize_stats, MEDIA_RESIZE_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),

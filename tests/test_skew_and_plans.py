@@ -717,6 +717,18 @@ def test_r12_media_jpeg_stats_plan_is_exchange_free(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_r13_media_jpeg_color_plan_is_exchange_free(spark):
+    """The color tier keeps the media-plan pin: synthesize -> decode is
+    a straight chained mapInPandas over the documents scan — zero
+    exchanges, zero joins, linear scale-out."""
+    plan = REGISTRY["media_jpeg_color_stats"][0](
+        spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_r12_doc_langid_zero_shuffle(spark):
     """langid is a codegen'd array-expression argmax (r12): the plan
     must carry NO exchange and NO join — the old explode ->

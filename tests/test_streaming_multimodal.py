@@ -822,6 +822,61 @@ def test_jpeg_codec_arbitrary_pixels_within_rint_loss():
         rng.integers(0, 256, size=(64, 64)))
 
 
+def test_jpeg_color_block_constant_exact_roundtrip():
+    """The color notch of the arithmetic-oracle contract: Y
+    8x8-block-constant + chroma 16x16-MCU-constant sources under the
+    all-ones tables round-trip BIT-EXACTLY through the interleaved
+    4:2:0 encode -> decode loop (per-component predictors, luma +
+    chroma Huffman pairs), chroma returned at subsampled resolution."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import (
+        _jpeg_color_pixels, encode_jpeg_color)
+
+    ones8 = np.ones((8, 8), dtype=np.int64)
+    ones16 = np.ones((16, 16), dtype=np.int64)
+    for i in (0, 1, 7, 42, 499):
+        w, h = 16 * (1 + i % 4), 16 * (1 + (i // 2) % 3)
+        bx, by = np.meshgrid(np.arange(w // 8), np.arange(h // 8))
+        y = np.kron((bx * 29 + by * 13 + i) & 0xFF, ones8)
+        mx, my = np.meshgrid(np.arange(w // 16), np.arange(h // 16))
+        cb = np.kron((mx * 37 + my * 19 + 2 * i) & 0xFF, ones16)
+        cr = np.kron((mx * 23 + my * 41 + 3 * i) & 0xFF, ones16)
+        got = _jpeg_color_pixels(encode_jpeg_color(y, cb, cr))
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        assert np.array_equal(got[2], y.astype(np.uint8))
+        assert np.array_equal(got[3], cb[0::2, 0::2].astype(np.uint8))
+        assert np.array_equal(got[4], cr[0::2, 0::2].astype(np.uint8))
+
+
+def test_jpeg_color_arbitrary_pixels_within_rint_loss():
+    """General color images exercise the interleaved AC path, chroma
+    subsampling, and non-16-aligned edge padding: quantization steps
+    of 1 leave only coefficient rounding on Y (+/-2); dims trim back
+    exactly; the two decoders refuse each other's payloads."""
+    import numpy as np
+
+    from sc_crawler_spark.multimodal import (
+        _jpeg_color_pixels, _jpeg_gray_pixels, encode_jpeg_color,
+        encode_jpeg_gray)
+
+    rng = np.random.default_rng(5)
+    for shape in ((37, 53), (16, 16), (9, 65)):
+        y = rng.integers(0, 256, size=shape)
+        cb = rng.integers(0, 256, size=shape)
+        cr = rng.integers(0, 256, size=shape)
+        data = encode_jpeg_color(y, cb, cr)
+        w, h, yo, cbo, cro = _jpeg_color_pixels(data)
+        assert (h, w) == shape
+        assert np.abs(yo.astype(int) - y).max() <= 2
+        assert cbo.shape == ((h + 1) // 2, (w + 1) // 2)
+        # scope separation: gray decoder skips color payloads & vice versa
+        assert _jpeg_gray_pixels(data) is None
+    assert _jpeg_color_pixels(
+        encode_jpeg_gray(rng.integers(0, 256, size=(24, 24)))) is None
+
+
 def test_jpeg_decoder_scope_is_honest():
     """Out-of-scope payloads return None (skip), never fake stats:
     non-JPEG bytes, progressive SOF2, and truncated scans."""
