@@ -448,17 +448,25 @@ def _ngram_jaccard_capped(df: DataFrame, text_col: str, id_col: str,
 
 
 def _containment_verify(shing: "DataFrame", cand: "DataFrame",
-                        id_col: str, threshold: float) -> "DataFrame":
+                        id_col: str, threshold: float,
+                        max_ratio: float | None = None) -> "DataFrame":
     """EXACT overlap-coefficient verification of a sparse candidate
     set: two id-joins ship only the candidate docs' shingle arrays,
     array_intersect computes |A∩B| JVM-side. Shared tail of both
     banded containment arms — whatever generated the candidates, the
-    emitted score is exact."""
+    emitted score is exact. ``max_ratio`` applies the size-envelope
+    gate HERE, where both sizes are already in hand, instead of
+    shipping a per-band size column through the (docs x bands) table —
+    at 512x docs that join alone shuffled 164M rows."""
     sh_a = shing.select(F.col(id_col).alias("id_a"),
                         F.col("shingles").alias("sh_a"))
     sh_b = shing.select(F.col(id_col).alias("id_b"),
                         F.col("shingles").alias("sh_b"))
     paired = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    if max_ratio is not None:
+        paired = paired.filter(
+            F.greatest(F.size("sh_a"), F.size("sh_b"))
+            <= F.lit(max_ratio) * F.least(F.size("sh_a"), F.size("sh_b")))
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     score = n_common / F.least(F.size("sh_a"), F.size("sh_b"))
     return (
@@ -475,7 +483,9 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
                       band_prefilter: bool = False,
                       n_hashes: int = 16, band_rows: int = 2,
                       size_partitioned: bool = False,
-                      max_ratio: float = 16.0) -> "DataFrame":
+                      max_ratio: float = 8.0,
+                      max_bucket: int | None = 64,
+                      min_bands: int = 2) -> "DataFrame":
     """Overlap-coefficient (containment) near-dup pairs:
     |A∩B| / min(|A|,|B|) >= threshold, id_a < id_b.
 
@@ -509,48 +519,82 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
     (Zhu et al., VLDB 2016: size-partitioned indexes let the band
     config track the containment->jaccard mapping instead of one fixed
     s-curve) closing that asymmetric blind spot: single-row bands
-    (``band_rows`` must be 1; pass a larger ``n_hashes``, e.g. 64) so
-    the candidate probability for a pair with jaccard j is
-    1-(1-j)^n_hashes, and a size-ratio gate ``max_ratio`` bounding how
-    asymmetric a recalled pair can be. A subset pair A ⊆ B at
-    containment t has jaccard >= t/(1 + ratio - t); at t=0.8,
-    ratio=16, n_hashes=64 that is j >= 0.0494 and recall
-    1-(1-0.0494)^64 ≈ 0.96 — vs ≈0 for the 2-row banding at that
-    ratio. The trade is candidate volume: low-j random pairs collide
-    with probability ≈ n_hashes·j, all pruned by the exact verify;
-    pairs MORE asymmetric than ``max_ratio`` are out of the declared
-    recall envelope (raise it and ``n_hashes`` together — the pinned
-    test is tests/test_properties.py::
-    test_containment_size_partitioned_subset_recall)."""
+    (``band_rows`` must be 1; pass a larger ``n_hashes``, e.g. 64), a
+    size-ratio envelope ``max_ratio``, and a ``min_bands`` vote. A
+    subset pair A ⊆ B at containment t has jaccard
+    >= t/(1 + ratio - t); at t=0.8, ratio=8, that is j >= 0.098, and
+    with 64 single-row bands the probability of colliding in >=
+    ``min_bands``=2 of them is ~0.99 — vs ≈0 for the 2-row banding at
+    that ratio. Three cost levers, each with a stated recall trade
+    (pinned by tests/test_properties.py::
+    test_containment_size_partitioned_subset_recall):
+
+    - ``min_bands``: single-band collisions fire for ANY shared
+      shingle whose hash wins both minima (P ≈ n_hashes·j even at
+      background similarity), so requiring >= 2 colliding bands cuts
+      background candidates ~10-20x while costing a ratio-8 subset
+      pair ~1% recall (measured at 512x docs: >=1 band -> 178M
+      exact verifies, OOM in an 8 GB local JVM; >=2 -> the arm
+      completes); pairs asymmetric beyond ``max_ratio`` lose the
+      >=0.95 guarantee first (ratio 16 at min_bands=2: ~0.83).
+    - ``max_bucket``: drops band buckets holding more docs than the
+      cap — the max_df discipline applied to LSH buckets; a
+      globally-common shingle otherwise creates one quadratic bucket.
+      A true pair loses recall only if EVERY colliding band is hot.
+    - ``max_ratio``: the declared asymmetry envelope, enforced in the
+      exact verify (both sizes are in hand there — shipping sizes
+      through the (docs x bands) table costs a 164M-row shuffle at
+      512x).
+
+    The arm exists for corpora where the EXACT rare-shingle arm's
+    blocking join is itself the bottleneck (ciphered near-clones);
+    on ordinary corpora the exact arm already recalls subset pairs
+    at ANY asymmetry — rare-shingle blocking keys on shingles, not
+    jaccard — and stays the default."""
     if size_partitioned:
         if band_rows != 1:
             raise ValueError(
                 "containment_pairs: size_partitioned=True requires "
                 f"band_rows=1 (got {band_rows}) — the asymmetric "
                 "recall math above assumes single-hash bands")
+        from pyspark.storagelevel import StorageLevel
+
         extra = [block_col] if block_col else []
-        shing = doc_shingles(df, text_col, id_col, k,
-                             extra_cols=extra).cache()
-        sig = _fast_signatures_from_shingles(shing, id_col,
-                                             n_hashes).cache()
-        bands = _band_table(sig, id_col, n_hashes, 1)
-        sizes = shing.select(id_col, F.size("shingles").alias("n_sh"),
-                             *extra)
-        bands = bands.join(sizes, id_col)
-        join_keys = ["band", "sig"] + ([block_col] if block_col else [])
-        left = bands.select(F.col(id_col).alias("id_a"),
-                            F.col("n_sh").alias("n_a"), *join_keys)
-        right = bands.select(F.col(id_col).alias("id_b"),
-                             F.col("n_sh").alias("n_b"), *join_keys)
-        cand = (
+        # Memory discipline, learned at 512x docs in one 8 GB local
+        # JVM: cache ONLY the narrow signature table (n_hashes longs a
+        # doc, spill-friendly) — caching the multi-GB shingle arrays
+        # alongside the 64-hash signature evaluation GC-thrashed the
+        # heap to death. The verify tail re-shingles its two sparse
+        # candidate sides instead (shingling is one cheap text pass;
+        # at 100 TB the shingle table lands bronze anyway).
+        shing = doc_shingles(df, text_col, id_col, k, extra_cols=extra)
+        sig = _fast_signatures_from_shingles(
+            shing, id_col, n_hashes, extra_cols=extra,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        bands = _band_table(sig, id_col, n_hashes, 1, extra_cols=extra)
+        join_keys = ["band", "sig"] + extra
+        if max_bucket is not None:
+            ok = (bands.groupBy(*join_keys)
+                  .agg(F.count("*").alias("_bn"))
+                  .filter(F.col("_bn") <= max_bucket)
+                  .drop("_bn"))
+            bands = bands.join(ok, join_keys)
+        left = bands.select(F.col(id_col).alias("id_a"), *join_keys)
+        right = bands.select(F.col(id_col).alias("id_b"), *join_keys)
+        pair_rows = (
             left.join(right, join_keys)
-            .filter((F.col("id_a") < F.col("id_b"))
-                    & (F.greatest("n_a", "n_b")
-                       <= F.lit(max_ratio) * F.least("n_a", "n_b")))
+            .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
-        return _containment_verify(shing, cand, id_col, threshold)
+        # min_bands vote replaces the plain distinct: same shuffle key,
+        # one extra count per pair, an order of magnitude fewer arrays
+        # shipped into the exact verify
+        cand = (pair_rows.groupBy("id_a", "id_b")
+                .agg(F.count("*").alias("_nb"))
+                .filter(F.col("_nb") >= min_bands)
+                .select("id_a", "id_b"))
+        return _containment_verify(shing, cand, id_col, threshold,
+                                   max_ratio=max_ratio)
     if band_prefilter:
         if band_rows <= 0 or n_hashes % band_rows != 0:
             raise ValueError(
@@ -589,7 +633,8 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
 
 
 def _fast_signatures_from_shingles(shingles: DataFrame, id_col: str,
-                                   n_hashes: int) -> DataFrame:
+                                   n_hashes: int,
+                                   extra_cols: tuple = ()) -> DataFrame:
     """xxhash64 MinHash signature computed per-doc by
     ``array_min(transform(shingles, xxhash64(seed, s)))`` — zero
     explode, zero extra shuffle, pure whole-stage codegen. Hash ``i``
@@ -607,7 +652,7 @@ def _fast_signatures_from_shingles(shingles: DataFrame, id_col: str,
                         lambda s: F.xxhash64(F.lit(seed), s)))
 
     return shingles.select(
-        F.col(id_col),
+        F.col(id_col), *extra_cols,
         *[_mh(i).alias(f"mh_{i}") for i in range(n_hashes)],
     )
 
@@ -723,13 +768,14 @@ def verified_pairs_from_index(shingles: DataFrame, bands: DataFrame,
 
 
 def _band_table(sig: DataFrame, id_col: str, n_hashes: int,
-                band_rows: int) -> DataFrame:
+                band_rows: int, extra_cols: tuple = ()) -> DataFrame:
     """(id, band, sig) LSH bucket keys from a minhash signature table —
     the one banding convention every LSH consumer (batch pairs,
-    incremental pairs, the persisted index) shares."""
+    incremental pairs, the persisted index) shares. ``extra_cols``
+    (e.g. a block key) pass through per band row."""
     n_bands = n_hashes // band_rows
     return sig.select(
-        F.col(id_col),
+        F.col(id_col), *extra_cols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -742,7 +788,7 @@ def _band_table(sig: DataFrame, id_col: str, n_hashes: int,
                 for b in range(n_bands)
             ])
         ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"),
+    ).select(id_col, *extra_cols, F.col("bs.band").alias("band"),
              F.col("bs.sig").alias("sig"))
 
 

@@ -665,12 +665,13 @@ def test_containment_band_prefilter_recall(spark):
 def test_containment_size_partitioned_subset_recall(spark):
     """The LSH-Ensemble arm's contract (r12 verdict task 4): HIGHLY
     asymmetric subset pairs — short doc ⊆ long doc, jaccard ≈
-    |A|/|B| ≈ 0.1, far below any jaccard banding's reach — must be
-    recalled >= 0.95 by ``size_partitioned=True`` with single-row
-    bands at n_hashes=64 (predicted per-pair candidate probability
-    1-(1-0.1)^64 ≈ 0.999), with every emitted pair exact-verified
-    (banded ⊆ exact, identical scores). The 2-row banded arm misses
-    these by design — its documented blind spot."""
+    |A|/|B| ≈ 0.15, far below any 2-row jaccard banding's reach — must
+    be recalled >= 0.95 by ``size_partitioned=True`` at the DEFAULTS
+    (64 single-row bands, min_bands=2, max_ratio=8: predicted
+    per-pair P[>=2 colliding bands] ≈ 0.999 at j=0.15), with every
+    emitted pair exact-verified (banded ⊆ exact, identical scores).
+    The 2-row banded arm misses these by design — its documented
+    blind spot."""
     import random
 
     from sc_crawler_spark.operators.dedup import containment_pairs
@@ -682,7 +683,7 @@ def test_containment_size_partitioned_subset_recall(spark):
         toks = [rng.choice(words) for _ in range(80)]
         for copy in range(3):
             long_doc = [f"c{copy}b{base}{w}" for w in toks]
-            short_doc = long_doc[:10]       # ~8 shingles ⊂ ~78: ratio ~10
+            short_doc = long_doc[:14]       # ~12 shingles ⊂ ~78: ratio ~6.5
             rows.append((doc_id, " ".join(long_doc)))
             rows.append((doc_id + 1, " ".join(short_doc)))
             doc_id += 2
@@ -705,8 +706,8 @@ def test_containment_size_partitioned_subset_recall(spark):
 def test_containment_size_partitioned_ratio_gate(spark):
     """Pairs more asymmetric than ``max_ratio`` are out of the
     declared envelope: with max_ratio=2 the ratio-10 subset pairs are
-    gated out of the candidate join entirely, and band_rows != 1 is a
-    loud error, not silently-wrong math."""
+    gated out at the exact verify, and band_rows != 1 is a loud
+    error, not silently-wrong math."""
     import pytest
 
     from sc_crawler_spark.operators.dedup import containment_pairs
