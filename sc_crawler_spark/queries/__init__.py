@@ -65,11 +65,13 @@ _PRIORITY = [
     # --- r13 rotation (r12 verdict task 1): the 35 names whose last
     # driver green is CORRECTNESS_r09 HEAD the window (the ledger
     # promise from r12 — computed from the union of r1-r12 driver
-    # files: every other name is r11- or r12-fresh). Then the query
-    # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier,
-    # first driver evidence) and the r13-REWRITTEN training_corpus_emit
-    # (frontier stage 0 prepended; its oracle recomposed), then the 13
-    # stalest r11 greens to fill the 50-slot window. Everything else
+    # files: every other name is r11- or r12-fresh). Then the queries
+    # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier —
+    # and doc_quality_lr_train — distributed GD training with an
+    # engine-exact oracle; first driver evidence for both) and the
+    # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
+    # its oracle recomposed), then the 12 stalest r11 greens to fill
+    # the 50-slot window. Everything else
     # rotates to _TAIL (remaining r11 greens first, then the 49
     # r12-fresh names) and stays pytest-oracle-verified every round by
     # tests/test_queries_oracle.py. ---
@@ -110,6 +112,7 @@ _PRIORITY = [
     "doc_fingerprint",
     "media_jpeg_color_stats",
     "training_corpus_emit",
+    "doc_quality_lr_train",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
@@ -122,9 +125,9 @@ _PRIORITY = [
     "json_props_extract",
     "merge_upsert_lifecycle",
     "range_join_event_window",
-    "running_user_value",
 ]
 _TAIL = [
+    "running_user_value",
     "scd2_latest_event",
     "shuffled_sample_orders",
     "standardize_part_names",

@@ -717,6 +717,22 @@ def test_r12_media_jpeg_stats_plan_is_exchange_free(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_r13_lr_train_plan_shape(spark):
+    """Distributed GD stays in-plan: the feature frame is CACHED (one
+    scan feeds 5 epochs + the scoring pass), each epoch consumes the
+    previous one-row gradient frame via broadcast nested-loop join
+    (the broadcast-of-scalar pattern — NOT a cartesian product), and
+    nothing collects to the driver."""
+    plan = REGISTRY["doc_quality_lr_train"][0](
+        spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "InMemoryTableScan" in tree
+    assert "BroadcastNestedLoopJoin" in tree
+
+
 def test_r13_media_jpeg_color_plan_is_exchange_free(spark):
     """The color tier keeps the media-plan pin: synthesize -> decode is
     a straight chained mapInPandas over the documents scan — zero
