@@ -67,8 +67,10 @@ _PRIORITY = [
     # promise from r12 — computed from the union of r1-r12 driver
     # files: every other name is r11- or r12-fresh). Then the queries
     # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier —
-    # and doc_quality_lr_train — distributed GD training with an
-    # engine-exact oracle; first driver evidence for both) and the
+    # doc_quality_lr_train — distributed GD training with an
+    # engine-exact oracle — and bpe_train_merges — distributed BPE
+    # tokenizer training, integer-exact oracle; first driver evidence
+    # for all three) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -113,6 +115,7 @@ _PRIORITY = [
     "media_jpeg_color_stats",
     "training_corpus_emit",
     "doc_quality_lr_train",
+    "bpe_train_merges",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
@@ -124,9 +127,9 @@ _PRIORITY = [
     "heavy_hitter_users",
     "json_props_extract",
     "merge_upsert_lifecycle",
-    "range_join_event_window",
 ]
 _TAIL = [
+    "range_join_event_window",
     "running_user_value",
     "scd2_latest_event",
     "shuffled_sample_orders",

@@ -179,6 +179,158 @@ FROM documents
 """
 
 
+def bpe_greedy_merge(syms, a, b):
+    """Leftmost-greedy application of BPE merge (a, b) to a symbol
+    array as ONE fold expression (zero shuffle, whole-stage codegen):
+    scan positions with a skip flag; a match emits a||b and consumes
+    the next symbol. Semantics pinned against a pure-python reference
+    scan in tests/test_properties.py (overlapping runs, consumed
+    matches)."""
+    n = F.size(syms)
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(F.expr("CAST(array() AS array<string>)").alias("arr"),
+                 F.lit(False).alias("skip")),
+        lambda acc, i: F.when(acc.skip, F.struct(
+            acc.arr.alias("arr"), F.lit(False).alias("skip")))
+        .when((i < n) & (F.element_at(syms, i) == a)
+              & (F.element_at(syms, i + 1) == b),
+              F.struct(F.concat(acc.arr,
+                                F.array(F.concat(a, b))).alias("arr"),
+                       F.lit(True).alias("skip")))
+        .otherwise(F.struct(
+            F.concat(acc.arr, F.array(F.element_at(syms, i))).alias("arr"),
+            F.lit(False).alias("skip"))),
+        lambda acc: acc.arr)
+
+
+def bpe_train_merges(spark: SparkSession, sf: str,
+                     n_merges: int = 3) -> DataFrame:
+    """Distributed BPE TOKENIZER TRAINING (r13 breadth — the learning
+    step above doc_bpe_token_stats' fixed segmentation): learn the
+    first ``n_merges`` byte-pair merges from the corpus, Sennrich
+    semantics exactly — pair counts are ALL adjacent symbol pairs
+    (overlapping runs count n-1), frequency-weighted over the unique-
+    word table; the winning pair (count DESC, then pair ASC — a total
+    order, so cross-engine deterministic) is applied LEFTMOST-GREEDY
+    and the next round counts on the merged symbols.
+
+    Spark-first shape: the corpus collapses to (word, freq) in ONE
+    shuffle; each round is then a pair-explode + one aggregate for the
+    argmax, and the merge APPLICATION is a zero-shuffle
+    ``F.aggregate`` fold over the symbol array (greedy scan with a
+    skip flag — whole-stage codegen, no window, no re-explode of
+    symbol positions). Rounds chain declaratively through one-row
+    broadcast joins like doc_quality_lr_train's epochs. The oracle
+    replays the SAME semantics relationally (lead() pair counts,
+    run-parity greedy via nested row_numbers) — the hash match is an
+    equivalence proof between the fold and the windowed form, the
+    doc_langid doctrine. Output is all integers/strings: engine-exact
+    with no float convention needed.
+
+    Scale: every stage is bounded by the UNIQUE-WORD table (vocab),
+    not the corpus — the one corpus-sized pass is the word count.
+    At 100 TB the words table lands bronze once and each merge round
+    is an O(vocab) explode + argmax."""
+    docs = load(spark, sf, "documents")
+    words = (docs.select(F.explode(F.split(F.lower(F.col("text")),
+                                           " ")).alias("w"))
+             .filter(F.col("w").rlike("^[a-z0-9]+$"))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    state = words.select(F.split("w", "").alias("syms"), "freq")
+
+    def adjacent_pairs(syms):
+        n = F.size(syms)
+        return F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b")),
+        )).otherwise(F.expr(
+            "CAST(array() AS array<struct<a:string,b:string>>)"))
+
+    outs = []
+    for k in range(n_merges):
+        best = (state.select(F.explode(adjacent_pairs(F.col("syms")))
+                             .alias("p"), "freq")
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "a", "b")
+                .limit(1))
+        outs.append(best.select(
+            F.lit(k + 1).alias("merge_rank"),
+            F.col("a").alias("left_sym"), F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            F.col("pair_count").cast("bigint").alias("pair_count")))
+        state = (state.crossJoin(F.broadcast(best))
+                 .select(bpe_greedy_merge(F.col("syms"), F.col("a"),
+                                          F.col("b")).alias("syms"),
+                         "freq"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_train_sql(n_merges: int = 3) -> str:
+    """Oracle for :func:`bpe_train_merges` — the same Sennrich rounds
+    replayed relationally: long-form (word, rn, sym) state, lead()
+    adjacent-pair counts, and leftmost-greedy application as
+    run-parity (within each maximal run of consecutive matched
+    positions, keep the 1st, 3rd, ... — exactly the greedy scan's
+    choices, provable by induction on the run)."""
+    its = []
+    for k in range(1, n_merges + 1):
+        j = k - 1
+        its.append(f"""
+pairs_{k} AS (
+  SELECT sym AS a, lead(sym) OVER (PARTITION BY wid ORDER BY rn) AS b,
+         freq
+  FROM state_{j}),
+best_{k} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM pairs_{k} WHERE b IS NOT NULL
+  GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+marked_{k} AS (
+  SELECT s.wid, s.freq, s.sym,
+         ROW_NUMBER() OVER (PARTITION BY s.wid ORDER BY s.rn) AS r,
+         (s.sym = x.a AND lead(s.sym) OVER (PARTITION BY s.wid
+                                            ORDER BY s.rn) = x.b) AS m
+  FROM state_{j} s CROSS JOIN best_{k} x),
+kept_{k} AS (
+  SELECT wid, r FROM (
+    SELECT wid, r,
+           ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY r) AS alt
+    FROM (SELECT wid, r,
+                 r - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY r)
+                   AS grp
+          FROM marked_{k} WHERE m))
+  WHERE alt % 2 = 1),
+state_{k} AS (
+  SELECT q.wid, q.freq, q.r AS rn,
+         CASE WHEN k1.r IS NOT NULL
+              THEN (SELECT a || b FROM best_{k}) ELSE q.sym END AS sym
+  FROM marked_{k} q
+  LEFT JOIN kept_{k} k1 ON q.wid = k1.wid AND q.r = k1.r
+  LEFT JOIN kept_{k} k2 ON q.wid = k2.wid AND q.r = k2.r + 1
+  WHERE k2.r IS NULL)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt AS pair_count FROM best_{k}"
+        for k in range(1, n_merges + 1))
+    return f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+state_0 AS (
+  SELECT w AS wid, freq, g.i AS rn, substr(w, g.i, 1) AS sym
+  FROM words, unnest(generate_series(1, length(w))) AS g(i)),
+{",".join(its)}
+{finals}
+"""
+
+
 def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / word-shape)."""
     docs = load(spark, sf, "documents")
@@ -2609,6 +2761,7 @@ QUERIES = {
     "doc_bpe_token_stats": (doc_bpe_token_stats, BPE_TOKEN_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_quality_lr_train": (doc_quality_lr_train, _lr_sql()),
+    "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCS_SQL),

@@ -725,6 +725,41 @@ def test_containment_size_partitioned_ratio_gate(spark):
                           size_partitioned=True, band_rows=2)
 
 
+def test_bpe_greedy_fold_matches_reference(spark):
+    """The zero-shuffle F.aggregate merge application must reproduce
+    Sennrich's leftmost-greedy scan exactly — including overlapping
+    runs ('aaaa' under (a,a) -> [aa, aa]; 'aaa' -> [aa, a]) and the
+    skip of a match consumed by the previous merge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.pipeline import bpe_greedy_merge
+
+    def ref_apply(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = random.Random(3)
+    cases = ["aaaa", "aaa", "abab", "banana", "ab", "a", "bbaabb",
+             "aabbaabb"] + [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+        for _ in range(40)]
+    df = spark.createDataFrame([(c,) for c in cases], "w string")
+    got = {r["w"]: r["m"] for r in df.select(
+        "w", bpe_greedy_merge(F.split("w", ""), F.lit("a"),
+                              F.lit("b")).alias("m")).collect()}
+    for c in cases:
+        assert got[c] == ref_apply(list(c), "a", "b"), c
+
+
 def test_fast_signatures_are_independent_minhashes(spark):
     """Regression for the r12 advice bug: the zero-explode xxhash64
     signature columns must be INDEPENDENT per-seed minhashes, not one

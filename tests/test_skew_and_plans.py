@@ -733,6 +733,21 @@ def test_r13_lr_train_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in tree
 
 
+def test_r13_bpe_train_plan_shape(spark):
+    """BPE training stays vocab-bounded and in-plan: merge rounds
+    chain through one-row broadcast joins (no cartesian); the merge
+    APPLICATION is the zero-shuffle fold, so no window/explode of
+    symbol positions appears between rounds."""
+    plan = REGISTRY["bpe_train_merges"][0](
+        spark, SF_ORACLE)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "Window" not in tree
+
+
 def test_r13_media_jpeg_color_plan_is_exchange_free(spark):
     """The color tier keeps the media-plan pin: synthesize -> decode is
     a straight chained mapInPandas over the documents scan — zero
