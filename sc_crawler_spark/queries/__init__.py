@@ -67,10 +67,11 @@ _PRIORITY = [
     # promise from r12 — computed from the union of r1-r12 driver
     # files: every other name is r11- or r12-fresh). Then the queries
     # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier —
-    # doc_quality_lr_train — distributed GD training with an
-    # engine-exact oracle — and bpe_train_merges — distributed BPE
+    # doc_quality_lr_train /
+    # doc_quality_lr_apply — distributed GD training + bit-exact
+    # per-doc inference — and bpe_train_merges — distributed BPE
     # tokenizer training, integer-exact oracle; first driver evidence
-    # for all three) and the
+    # for all four) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -115,6 +116,7 @@ _PRIORITY = [
     "media_jpeg_color_stats",
     "training_corpus_emit",
     "doc_quality_lr_train",
+    "doc_quality_lr_apply",
     "bpe_train_merges",
     "doc_quality",
     "doc_token_stats",
@@ -126,9 +128,9 @@ _PRIORITY = [
     "hash_diff_sync",
     "heavy_hitter_users",
     "json_props_extract",
-    "merge_upsert_lifecycle",
 ]
 _TAIL = [
+    "merge_upsert_lifecycle",
     "range_join_event_window",
     "running_user_value",
     "scd2_latest_event",

@@ -179,6 +179,108 @@ FROM documents
 """
 
 
+def _lr_sigmoid(z):
+    """The RATIONAL sigmoid 0.5 + z/(2*(1+|z|)): only +, *, /, abs —
+    IEEE-exact and identically associated in both engines, so per-row
+    activations are bit-identical (exp() differs in ulps between
+    libms)."""
+    return 0.5 + z / (2.0 * (1.0 + F.abs(z)))
+
+
+def _lr_z(wb, wl, wt, wp):
+    return wb + wl * F.col("x1") + wt * F.col("x2") + wp * F.col("x3")
+
+
+def _lr_trained(spark: SparkSession, sf: str):
+    """Shared training chain for doc_quality_lr_train (weights +
+    accuracy) and doc_quality_lr_apply (per-doc inference): the cached
+    feature frame (doc_id, x1, x2, x3, y) and the one-row frame of
+    trained weights after 5 in-plan GD epochs (w_b, w_l, w_t, w_p,
+    n)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import LANG_MARKERS
+
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    # centered, ~unit-range features: GD from zero init needs the
+    # uninformative directions to sit near 0 mean or the bias soaks
+    # epochs re-centering them
+    feat = docs.select(
+        "doc_id",
+        ((F.least(F.length("text"), F.lit(2000)) - 300.0) / 300.0)
+        .alias("x1"),
+        ((F.least(F.length("text") / n_tok.cast("double"), F.lit(12.0))
+          - 5.5) / 5.5).alias("x2"),
+        dround((hits / n_tok.cast("double") - 0.06) * 10.0, 6)
+        .alias("x3"),
+        F.when(F.length("text") >= 300, 1.0).otherwise(0.0).alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def step(z, carry):
+        """One GD iteration: 4 DECIMAL gradient sums + the weight
+        update, emitted as a one-row frame (w_b, w_l, w_t, w_p, n).
+        ``carry`` maps output names to expressions constant per row
+        (the previous weights), folded through F.first."""
+        r = _lr_sigmoid(z) - F.col("y")
+        return [
+            decimal_sum(r, 12).alias("g_b"),
+            decimal_sum(r * F.col("x1"), 12).alias("g_l"),
+            decimal_sum(r * F.col("x2"), 12).alias("g_t"),
+            decimal_sum(r * F.col("x3"), 12).alias("g_p"),
+            F.count("*").alias("n"),
+            *[F.first(c).alias(name) for name, c in carry.items()],
+        ]
+
+    def update(old, g):
+        return dround(old - 8.0 * (F.col(g).cast("double") / F.col("n")),
+                      12)
+
+    # iteration 1: w = 0 -> z = 0 (the literal-zero plan is the same
+    # shape; keeping _lr_z makes the epochs textually uniform)
+    zero = F.lit(0.0)
+    it = feat.agg(*step(_lr_z(zero, zero, zero, zero), {}))
+    it = it.select(update(zero, "g_b").alias("w_b"),
+                   update(zero, "g_l").alias("w_l"),
+                   update(zero, "g_t").alias("w_t"),
+                   update(zero, "g_p").alias("w_p"), "n")
+    for _ in range(4):  # iterations 2..5
+        joined = feat.crossJoin(F.broadcast(it))
+        z = _lr_z(F.col("w_b"), F.col("w_l"), F.col("w_t"), F.col("w_p"))
+        carry = {f"p_{c}": F.col(c) for c in ("w_b", "w_l", "w_t", "w_p")}
+        agg = joined.agg(*step(z, carry))
+        it = agg.select(update(F.col("p_w_b"), "g_b").alias("w_b"),
+                        update(F.col("p_w_l"), "g_l").alias("w_l"),
+                        update(F.col("p_w_t"), "g_t").alias("w_t"),
+                        update(F.col("p_w_p"), "g_p").alias("w_p"), "n")
+    return feat, it
+
+
+def doc_quality_lr_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """INFERENCE over the corpus with the trained model — the other
+    half of the train->infer loop doc_quality_lr_train opens: the same
+    shared chain trains the weights (engine-exactly, see there), then
+    every document is scored in one broadcast pass: probability from
+    the rational sigmoid, predicted class from sign(z), and the label
+    for the per-row correctness flag. Everything stays in-plan; the
+    oracle replays the same CTE chain and scores per doc, so the
+    per-document PROBABILITIES hash-match — model deployment with a
+    bit-exact parity proof."""
+    feat, it = _lr_trained(spark, sf)
+    scored = feat.crossJoin(F.broadcast(it))
+    z = _lr_z(F.col("w_b"), F.col("w_l"), F.col("w_t"), F.col("w_p"))
+    return scored.select(
+        "doc_id",
+        dround(_lr_sigmoid(z), 6).alias("prob"),
+        F.when(z > 0, 1).otherwise(0).cast("int").alias("predicted"),
+        F.col("y").cast("int").alias("label"),
+        F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+        .cast("int").alias("is_correct"),
+    )
+
+
 def bpe_greedy_merge(syms, a, b):
     """Leftmost-greedy application of BPE merge (a, b) to a symbol
     array as ONE fold expression (zero shuffle, whole-stage codegen):
@@ -397,72 +499,9 @@ def doc_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
 
     Output: one row — trained weights (bias, len, mwl, marker),
     training accuracy of sign(z), and n_docs."""
-    from pyspark.storagelevel import StorageLevel
-
-    from ..functions.text import LANG_MARKERS
-
-    docs = load(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    n_tok = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    # centered, ~unit-range features: GD from zero init needs the
-    # uninformative directions to sit near 0 mean or the bias soaks
-    # epochs re-centering them
-    feat = docs.select(
-        ((F.least(F.length("text"), F.lit(2000)) - 300.0) / 300.0)
-        .alias("x1"),
-        ((F.least(F.length("text") / n_tok.cast("double"), F.lit(12.0))
-          - 5.5) / 5.5).alias("x2"),
-        dround((hits / n_tok.cast("double") - 0.06) * 10.0, 6)
-        .alias("x3"),
-        F.when(F.length("text") >= 300, 1.0).otherwise(0.0).alias("y"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def sig(z):
-        return 0.5 + z / (2.0 * (1.0 + F.abs(z)))
-
-    def z_of(wb, wl, wt, wp):
-        return (wb + wl * F.col("x1") + wt * F.col("x2")
-                + wp * F.col("x3"))
-
-    def step(z, carry):
-        """One GD iteration: 4 DECIMAL gradient sums + the weight
-        update, emitted as a one-row frame (w_b, w_l, w_t, w_p, n).
-        ``carry`` maps output names to expressions constant per row
-        (the previous weights), folded through F.first."""
-        r = sig(z) - F.col("y")
-        return [
-            decimal_sum(r, 12).alias("g_b"),
-            decimal_sum(r * F.col("x1"), 12).alias("g_l"),
-            decimal_sum(r * F.col("x2"), 12).alias("g_t"),
-            decimal_sum(r * F.col("x3"), 12).alias("g_p"),
-            F.count("*").alias("n"),
-            *[F.first(c).alias(name) for name, c in carry.items()],
-        ]
-
-    def update(old, g):
-        return dround(old - 8.0 * (F.col(g).cast("double") / F.col("n")),
-                      12)
-
-    # iteration 1: w = 0 -> z = 0 (the literal-zero plan is the same
-    # shape; keeping z_of makes the three iterations textually uniform)
-    zero = F.lit(0.0)
-    it = feat.agg(*step(z_of(zero, zero, zero, zero), {}))
-    it = it.select(update(zero, "g_b").alias("w_b"),
-                   update(zero, "g_l").alias("w_l"),
-                   update(zero, "g_t").alias("w_t"),
-                   update(zero, "g_p").alias("w_p"), "n")
-    for _ in range(4):  # iterations 2..5
-        joined = feat.crossJoin(F.broadcast(it))
-        z = z_of(F.col("w_b"), F.col("w_l"), F.col("w_t"), F.col("w_p"))
-        carry = {f"p_{c}": F.col(c) for c in ("w_b", "w_l", "w_t", "w_p")}
-        agg = joined.agg(*step(z, carry))
-        it = agg.select(update(F.col("p_w_b"), "g_b").alias("w_b"),
-                        update(F.col("p_w_l"), "g_l").alias("w_l"),
-                        update(F.col("p_w_t"), "g_t").alias("w_t"),
-                        update(F.col("p_w_p"), "g_p").alias("w_p"), "n")
+    feat, it = _lr_trained(spark, sf)
     scored = feat.crossJoin(F.broadcast(it))
-    z = z_of(F.col("w_b"), F.col("w_l"), F.col("w_t"), F.col("w_p"))
+    z = _lr_z(F.col("w_b"), F.col("w_l"), F.col("w_t"), F.col("w_p"))
     out = scored.agg(
         F.sum(F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0))
         .alias("correct"),
@@ -479,14 +518,20 @@ def doc_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lr_sql() -> str:
-    """Oracle for :func:`doc_quality_lr_train` — the identical GD
-    unroll as a CROSS JOIN CTE chain. Every arithmetic expression is
-    textually parallel to the Spark column (same association order),
-    the sigmoid is exp-free, gradients are DECIMAL(18,12) sums, and
-    weights round to 12 decimals per iteration — so the final weights
+_LR_SIG = "(0.5 + {z}/(2.0*(1.0+abs({z}))))"
+_LR_Z = "(w_b + w_l*x1 + w_t*x2 + w_p*x3)"
+
+
+def _lr_ctes() -> str:
+    """The shared GD unroll as a CROSS JOIN CTE chain ending in
+    ``scored`` — consumed by both the train oracle (weights +
+    accuracy) and the apply oracle (per-doc inference). Every
+    arithmetic expression is textually parallel to the Spark column
+    (same association order), the sigmoid is exp-free, gradients are
+    DECIMAL(18,12) sums, and weights round to 12 decimals per
+    iteration — so trained weights and per-doc probabilities
     hash-match exactly, not within tolerance."""
-    sig = "(0.5 + {z}/(2.0*(1.0+abs({z}))))"
+    sig = _LR_SIG
 
     def gsum(r, x):
         mul = f"({r}) * {x}" if x else r
@@ -496,7 +541,7 @@ def _lr_sql() -> str:
         return sql_round(f"{old} - 8.0*(CAST({g} AS DOUBLE)/n)", 12)
 
     z0 = "(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)"
-    zi = "(w_b + w_l*x1 + w_t*x2 + w_p*x3)"
+    zi = _LR_Z
     r0 = f"{sig.format(z=z0)} - y"
     ri = f"{sig.format(z=zi)} - y"
     it_n = """
@@ -525,7 +570,8 @@ it{k} AS (
         f"/ CAST(len(string_split(lower(text), ' ')) AS DOUBLE)")
     return f"""
 WITH feat AS (
-  SELECT (least(length(text), 2000) - 300.0)/300.0 AS x1,
+  SELECT doc_id,
+         (least(length(text), 2000) - 300.0)/300.0 AS x1,
          (least(length(text)
                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE),
                 12.0) - 5.5)/5.5 AS x2,
@@ -542,13 +588,33 @@ it1 AS (
            COUNT(*) AS n
     FROM feat)),{its}
 scored AS (SELECT f.*, i.w_b, i.w_l, i.w_t, i.w_p, i.n
-           FROM feat f CROSS JOIN it5 i)
+           FROM feat f CROSS JOIN it5 i)"""
+
+
+def _lr_sql() -> str:
+    """Oracle for :func:`doc_quality_lr_train`: the shared chain's
+    trained weights + sign(z) training accuracy."""
+    return f"""{_lr_ctes()}
 SELECT {sql_round('w_b', 6)} AS w_bias, {sql_round('w_l', 6)} AS w_len,
        {sql_round('w_t', 6)} AS w_mwl, {sql_round('w_p', 6)} AS w_marker,
-       {sql_round(f"SUM(CASE WHEN ({zi} > 0) = (y = 1.0) THEN 1 ELSE 0 END)"
+       {sql_round(f"SUM(CASE WHEN ({_LR_Z} > 0) = (y = 1.0) THEN 1 ELSE 0 END)"
                   " / CAST(COUNT(*) AS DOUBLE)", 6)} AS accuracy,
        COUNT(*) AS n_docs
 FROM scored GROUP BY w_b, w_l, w_t, w_p
+"""
+
+
+def _lr_apply_sql() -> str:
+    """Oracle for :func:`doc_quality_lr_apply`: per-doc inference over
+    the shared trained chain — bit-exact probabilities."""
+    return f"""{_lr_ctes()}
+SELECT doc_id,
+       {sql_round(_LR_SIG.format(z=_LR_Z), 6)} AS prob,
+       CAST(CASE WHEN {_LR_Z} > 0 THEN 1 ELSE 0 END AS INT) AS predicted,
+       CAST(y AS INT) AS label,
+       CAST(CASE WHEN ({_LR_Z} > 0) = (y = 1.0) THEN 1 ELSE 0 END AS INT)
+         AS is_correct
+FROM scored
 """
 
 
@@ -2761,6 +2827,7 @@ QUERIES = {
     "doc_bpe_token_stats": (doc_bpe_token_stats, BPE_TOKEN_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_quality_lr_train": (doc_quality_lr_train, _lr_sql()),
+    "doc_quality_lr_apply": (doc_quality_lr_apply, _lr_apply_sql()),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
