@@ -118,6 +118,7 @@ _PRIORITY = [
     "doc_quality_lr_train",
     "doc_quality_lr_apply",
     "bpe_train_merges",
+    "doc_lm2_perplexity",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
@@ -127,9 +128,9 @@ _PRIORITY = [
     "first_version_orders",
     "hash_diff_sync",
     "heavy_hitter_users",
-    "json_props_extract",
 ]
 _TAIL = [
+    "json_props_extract",
     "merge_upsert_lifecycle",
     "range_join_event_window",
     "running_user_value",

@@ -836,6 +836,100 @@ def doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         dround(F.pow(F.lit(2.0), xent), 4).alias("perplexity"))
 
 
+def doc_lm2_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERPOLATED BIGRAM-LM cross-entropy per document (r13 — the
+    context-aware upgrade of doc_lm_perplexity's unigram signal: a doc
+    whose token PAIRS are corpus-rare scores high even when every
+    individual token is common — word-salad detection).
+
+    P(cur|prev) = 0.75 * c(prev,cur)/c(prev·) + 0.25 * c(cur)/total —
+    Jelinek-Mercer interpolation with the corpus itself as the LM;
+    c(prev·) is the HISTORY count (sum of c(prev,cur) over cur), so
+    the bigram component is a proper conditional that sums to 1, and
+    the unigram backoff covers contexts the history never saw. Per-
+    position bits are DECIMAL(28,12)-routed before the per-doc sum
+    (order-independent, engine-exact); the interpolation arithmetic is
+    explicit-parenthesized identically in both engines so log2 sees
+    bit-identical inputs (the log2-parity convention doc_lm_perplexity
+    pinned).
+
+    Scale shape: bigram tf via one array-expression explode (no
+    self-join of token positions), corpus counts via two windows over
+    the SAME (prev, cur) table — partitionBy (prev, cur) and its
+    prefix (prev), one shuffle thanks to partial clustering — one
+    vocab-sized unigram join, per-doc final agg. The LM is never
+    materialized driver-side."""
+    docs = load(spark, sf, "documents")
+    toks_arr = tokens(F.col("text"))
+    n = F.size(toks_arr)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(toks_arr, i).alias("prev"),
+                           F.element_at(toks_arr, i + 1).alias("cur")),
+    )).otherwise(F.expr(
+        "CAST(array() AS array<struct<prev:string,cur:string>>)"))
+    tf2 = (docs.select("doc_id", F.explode(bigrams).alias("b"))
+           .select("doc_id", "b.prev", "b.cur")
+           .groupBy("doc_id", "prev", "cur")
+           .agg(F.count("*").alias("tf2")))
+    uni = (docs.select(F.explode(toks_arr).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("cu")))
+    total = docs.agg(F.sum(F.size(toks_arr)).alias("total"))
+    c2 = F.sum("tf2").over(Window.partitionBy("prev", "cur"))
+    c1 = F.sum("tf2").over(Window.partitionBy("prev"))
+    p = ((F.lit(0.75) * (c2.cast("double") / c1.cast("double")))
+         + (F.lit(0.25) * (F.col("cu").cast("double")
+                           / F.col("total").cast("double"))))
+    bits = (-F.col("tf2") * F.log2(p)).cast("decimal(28,12)")
+    per_doc = (
+        tf2.join(uni.withColumnRenamed("term", "cur"), "cur")
+        .join(F.broadcast(total))
+        .withColumn("bits", bits)
+        .groupBy("doc_id")
+        .agg(F.sum("tf2").alias("n_bigrams"),
+             F.sum("bits").alias("sbits")))
+    xent = dround(
+        F.col("sbits").cast("double") / F.col("n_bigrams").cast("double"),
+        6)
+    return per_doc.select(
+        "doc_id", "n_bigrams", xent.alias("bits_per_bigram"),
+        dround(F.pow(F.lit(2.0), xent), 4).alias("perplexity"))
+
+
+LM2_PERPLEXITY_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+              FROM documents),
+big AS (
+  SELECT doc_id, ts[g.i] AS prev, ts[g.i + 1] AS cur
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2),
+tf2 AS (SELECT doc_id, prev, cur, COUNT(*) AS tf2
+        FROM big GROUP BY doc_id, prev, cur),
+uni AS (SELECT term, COUNT(*) AS cu FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents) GROUP BY term),
+tot AS (SELECT SUM(len(string_split(lower(text), ' '))) AS total
+        FROM documents),
+bits AS (
+  SELECT doc_id, tf2,
+         CAST(-tf2 * log2(
+           (0.75 * (CAST(SUM(tf2) OVER (PARTITION BY prev, cur) AS DOUBLE)
+                    / CAST(SUM(tf2) OVER (PARTITION BY prev) AS DOUBLE)))
+           + (0.25 * (CAST(cu AS DOUBLE) / CAST(total AS DOUBLE)))
+         ) AS DECIMAL(28,12)) AS bits
+  FROM tf2 JOIN uni ON tf2.cur = uni.term CROSS JOIN tot),
+per_doc AS (
+  SELECT doc_id, SUM(tf2) AS n_bigrams, SUM(bits) AS sbits
+  FROM bits GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  {sql_round("CAST(sbits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 6)}
+    AS bits_per_bigram,
+  {sql_round(f"pow(2.0, {sql_round('CAST(sbits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)', 6)})", 4)}
+    AS perplexity
+FROM per_doc
+"""
+
+
 LM_PERPLEXITY_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
               FROM documents),
@@ -2834,6 +2928,7 @@ QUERIES = {
     "chunk_documents": (chunk_documents, CHUNK_DOCS_SQL),
     "tfidf_keywords": (tfidf_keywords, TFIDF_SQL),
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
+    "doc_lm2_perplexity": (doc_lm2_perplexity, LM2_PERPLEXITY_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
