@@ -725,6 +725,28 @@ def test_containment_size_partitioned_ratio_gate(spark):
                           size_partitioned=True, band_rows=2)
 
 
+def test_lr_train_actually_learns(spark):
+    """The distributed GD must LEARN, not just run: on the sf0.001
+    corpus the trained model beats the majority-class floor by a wide
+    margin, the signal weight dominates the uninformative ones, and
+    the apply query's per-doc flags reproduce the train query's
+    accuracy exactly (same chain, same weights)."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.pipeline import (doc_quality_lr_apply,
+                                                   doc_quality_lr_train)
+
+    sf = "/root/testdata/sf0.001"
+    row = doc_quality_lr_train(spark, sf).first()
+    assert row.accuracy >= 0.9, row
+    assert abs(row.w_len) > 5 * abs(row.w_mwl), row
+    assert abs(row.w_len) > 5 * abs(row.w_marker), row
+    applied = doc_quality_lr_apply(spark, sf).agg(
+        F.sum("is_correct").alias("c"), F.count("*").alias("n")).first()
+    assert round(applied.c / applied.n, 6) == row.accuracy
+    assert applied.n == row.n_docs
+
+
 def test_bpe_greedy_fold_matches_reference(spark):
     """The zero-shuffle F.aggregate merge application must reproduce
     Sennrich's leftmost-greedy scan exactly — including overlapping
