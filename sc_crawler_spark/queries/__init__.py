@@ -69,9 +69,11 @@ _PRIORITY = [
     # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier —
     # doc_quality_lr_train /
     # doc_quality_lr_apply — distributed GD training + bit-exact
-    # per-doc inference — and bpe_train_merges — distributed BPE
-    # tokenizer training, integer-exact oracle; first driver evidence
-    # for all four) and the
+    # per-doc inference — bpe_train_merges — distributed BPE
+    # tokenizer training, integer-exact oracle — doc_lm2_perplexity —
+    # interpolated bigram LM — and dsir_select — DSIR importance
+    # resampling (hashed-ngram LM ratio + Gumbel-top-k); first driver
+    # evidence for all of them) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -119,6 +121,7 @@ _PRIORITY = [
     "doc_quality_lr_apply",
     "bpe_train_merges",
     "doc_lm2_perplexity",
+    "dsir_select",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
@@ -127,9 +130,12 @@ _PRIORITY = [
     "embed_cosine_topk",
     "first_version_orders",
     "hash_diff_sync",
-    "heavy_hitter_users",
 ]
 _TAIL = [
+    # displaced from the 50-slot window by dsir_select (r13-new);
+    # r11-green, re-verified every round by pytest — rotates forward
+    # next round.
+    "heavy_hitter_users",
     "json_props_extract",
     "merge_upsert_lifecycle",
     "range_join_event_window",

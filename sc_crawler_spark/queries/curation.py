@@ -664,6 +664,149 @@ FROM b GROUP BY 1
 """
 
 
+# ---------------------------------------------- DSIR data selection
+
+# Data Selection with Importance Resampling (Xie et al. 2023): fit two
+# bag-of-hashed-ngram multinomial LMs — one on a small TARGET domain,
+# one on the raw pool — and resample raw docs proportionally to the
+# importance weight p_target(x)/p_raw(x). The published recipe is
+# hashed unigram+bigram features, add-smoothing, and Gumbel-top-k for
+# sampling without replacement; all of it is relational.
+_DSIR_B = 512          # hashed feature buckets
+_DSIR_K = 50           # docs to select
+_DSIR_TARGET = "src0"  # the target domain (5% of the pool)
+
+
+def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling over the corpus: hashed
+    unigram+bigram bucket counts (md5 -> one of ``_DSIR_B`` buckets),
+    add-0.5-smoothed multinomial LMs for the target domain
+    (``source = 'src0'``) vs the raw pool, per-doc importance weight
+    log w(x) = sum_g c_g(x) * (log2 p_tgt(g) - log2 p_raw(g)), then
+    Gumbel-top-k selection (log w + Gumbel noise from the seeded
+    md5-uniform convention == sampling w/o replacement proportional
+    to softmax(log w)). Output: the ``_DSIR_K`` selected docs with
+    weight, key and rank.
+
+    Engine-exact by the log2-parity doctrine (doc_lm_perplexity):
+    every log2/ln input is an identically-parenthesized IEEE double
+    (counts + 0.5, totals + B/2 — exact in double), per-bucket ratios
+    round to 12 decimals before the DECIMAL(28,12)-routed per-doc
+    sum, and the Gumbel key orders on its 12-decimal rounding with a
+    doc_id tiebreak.
+
+    Scale shape: ONE explode shuffle builds the (doc, bucket) count
+    table; the LM is a B-row aggregate of it (partial-aggregable,
+    broadcast back with its 1-row totals); scoring is a broadcast
+    join + one per-doc agg; selection is orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, never a global
+    window over the corpus). The LM never touches the driver."""
+    docs = load(spark, sf, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    big = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+    )).otherwise(F.expr("CAST(array() AS array<string>)"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.concat(ts, big)).alias("gram"))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+              .cast("long") % _DSIR_B)
+    feat = (grams.select("doc_id", "source", bucket.alias("bucket"))
+            .groupBy("doc_id", "source", "bucket")
+            .agg(F.count("*").alias("cnt")))
+    is_tgt = F.col("source") == _DSIR_TARGET
+    lm = feat.groupBy("bucket").agg(
+        F.sum(F.when(is_tgt, F.col("cnt")).otherwise(0)).alias("tc"),
+        F.sum(F.when(~is_tgt, F.col("cnt")).otherwise(0)).alias("rc"))
+    tot = lm.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    half_b = float(_DSIR_B) / 2.0
+    lr = lm.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        dround(
+            (F.log2(F.col("tc").cast("double") + F.lit(0.5))
+             - F.log2(F.col("tt").cast("double") + F.lit(half_b)))
+            - (F.log2(F.col("rc").cast("double") + F.lit(0.5))
+               - F.log2(F.col("rt").cast("double") + F.lit(half_b))),
+            12).alias("lr"))
+    scored = (
+        feat.filter(~is_tgt)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("cnt").alias("n_grams"),
+             F.sum((F.col("cnt").cast("double") * F.col("lr"))
+                   .cast("decimal(28,12)")).alias("s")))
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                 16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(16 ** 6)))
+    key = dround(F.col("s").cast("double") + (-F.log(-F.log(u))), 12)
+    top = (scored.withColumn("key", key)
+           .orderBy(F.col("key").desc(), "doc_id")
+           .limit(_DSIR_K))
+    w = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "source", F.col("n_grams").cast("long").alias("n_grams"),
+        dround(F.col("s").cast("double"), 6).alias("log_weight"),
+        dround(F.col("key"), 6).alias("gumbel_key"),
+        F.row_number().over(w).cast("long").alias("sel_rank"))
+
+
+DSIR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, source, unnest(ts) AS gram FROM docs
+  UNION ALL
+  SELECT doc_id, source, ts[g.i] || ' ' || ts[g.i + 1] AS gram
+  FROM docs, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2),
+feat AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) % {_DSIR_B}
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, source, bucket),
+lm AS (
+  SELECT bucket,
+         SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS tc,
+         SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS rc
+  FROM feat GROUP BY bucket),
+tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM lm),
+lr AS (
+  SELECT bucket,
+         {sql_round(f"(log2(CAST(tc AS DOUBLE) + 0.5)"
+                    f" - log2(CAST(tt AS DOUBLE) + {float(_DSIR_B) / 2.0}))"
+                    f" - (log2(CAST(rc AS DOUBLE) + 0.5)"
+                    f" - log2(CAST(rt AS DOUBLE) + {float(_DSIR_B) / 2.0}))",
+                    12)} AS lr
+  FROM lm CROSS JOIN tot),
+scored AS (
+  SELECT f.doc_id, f.source, SUM(f.cnt) AS n_grams,
+         SUM(CAST(CAST(f.cnt AS DOUBLE) * l.lr AS DECIMAL(28,12))) AS s
+  FROM feat f JOIN lr l USING (bucket)
+  WHERE f.source <> '{_DSIR_TARGET}'
+  GROUP BY f.doc_id, f.source),
+keyed AS (
+  SELECT doc_id, source, n_grams, s,
+         {sql_round(
+             "CAST(s AS DOUBLE) + (-ln(-ln((CAST('0x' || substring("
+             "md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)"
+             f" + 0.5) / {float(16 ** 6)})))", 12)} AS key
+  FROM scored),
+ranked AS (
+  SELECT doc_id, source, n_grams, s, key,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS sel_rank
+  FROM keyed)
+SELECT doc_id, source, CAST(n_grams AS BIGINT) AS n_grams,
+       {sql_round("CAST(s AS DOUBLE)", 6)} AS log_weight,
+       {sql_round("key", 6)} AS gumbel_key,
+       CAST(sel_rank AS BIGINT) AS sel_rank
+FROM ranked WHERE sel_rank <= {_DSIR_K}
+"""
+
+
 # ----------------------------------------------- URL canonical dedup
 
 # The crawl-frontier op that runs BEFORE any content dedup: the same
@@ -1059,6 +1202,7 @@ QUERIES = {
     "doc_pii_scrub": (doc_pii_scrub, PII_SQL),
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
+    "dsir_select": (dsir_select, DSIR_SQL),
     "domain_balanced_sample": (domain_balanced_sample, DOMAIN_SAMPLE_SQL),
     "html_extract_text": (html_extract_text, HTML_EXTRACT_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
