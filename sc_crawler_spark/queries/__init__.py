@@ -71,9 +71,11 @@ _PRIORITY = [
     # doc_quality_lr_apply — distributed GD training + bit-exact
     # per-doc inference — bpe_train_merges — distributed BPE
     # tokenizer training, integer-exact oracle — doc_lm2_perplexity —
-    # interpolated bigram LM — and dsir_select — DSIR importance
-    # resampling (hashed-ngram LM ratio + Gumbel-top-k); first driver
-    # evidence for all of them) and the
+    # interpolated bigram LM — dsir_select — DSIR importance
+    # resampling (hashed-ngram LM ratio + Gumbel-top-k) — and
+    # perplexity_bucket_filter — CCNet head/middle/tail partition with
+    # sample-fit tercile cutoffs; first driver evidence for all of
+    # them) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -122,6 +124,7 @@ _PRIORITY = [
     "bpe_train_merges",
     "doc_lm2_perplexity",
     "dsir_select",
+    "perplexity_bucket_filter",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
@@ -129,12 +132,12 @@ _PRIORITY = [
     "embed_ann_lsh",
     "embed_cosine_topk",
     "first_version_orders",
-    "hash_diff_sync",
 ]
 _TAIL = [
-    # displaced from the 50-slot window by dsir_select (r13-new);
-    # r11-green, re-verified every round by pytest — rotates forward
-    # next round.
+    # displaced from the 50-slot window by the r13-new dsir_select and
+    # perplexity_bucket_filter; r11-green, re-verified every round by
+    # pytest — they rotate forward next round.
+    "hash_diff_sync",
     "heavy_hitter_users",
     "json_props_extract",
     "merge_upsert_lifecycle",

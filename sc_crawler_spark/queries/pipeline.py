@@ -812,6 +812,18 @@ def doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     scalar is a 1-row broadcast cross join computed map-side from
     token counts, not an explode."""
     docs = load(spark, sf, "documents")
+    per_doc = _unigram_lm_per_doc(docs)
+    xent = dround(
+        F.col("sbits").cast("double") / F.col("n_tokens").cast("double"), 6)
+    return per_doc.select(
+        "doc_id", "n_tokens", xent.alias("bits_per_token"),
+        dround(F.pow(F.lit(2.0), xent), 4).alias("perplexity"))
+
+
+def _unigram_lm_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram-LM tally (doc_id, n_tokens, sbits) — the chain
+    shared by doc_lm_perplexity and perplexity_bucket_filter. sbits is
+    the DECIMAL(28,12)-routed sum of -tf*log2(c/total) per term."""
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -823,17 +835,12 @@ def doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         * F.log2(F.sum("tf").over(c_w).cast("double")
                  / F.col("total").cast("double"))
     ).cast("decimal(28,12)")
-    per_doc = (
+    return (
         tf.join(F.broadcast(total))
         .withColumn("bits", bits)
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("n_tokens"), F.sum("bits").alias("sbits"))
     )
-    xent = dround(
-        F.col("sbits").cast("double") / F.col("n_tokens").cast("double"), 6)
-    return per_doc.select(
-        "doc_id", "n_tokens", xent.alias("bits_per_token"),
-        dround(F.pow(F.lit(2.0), xent), 4).alias("perplexity"))
 
 
 def doc_lm2_perplexity(spark: SparkSession, sf: str) -> DataFrame:
@@ -948,6 +955,86 @@ agg AS (
 SELECT doc_id, n_tokens, bits_per_token,
   {sql_round("pow(2.0, bits_per_token)")} AS perplexity
 FROM agg
+"""
+
+# CCNet's perplexity partition: cutoffs fit on a deterministic SAMPLE
+# (the production shape — an exact percentile over the full corpus
+# would funnel every per-doc score through one reducer; CCNet itself
+# fits cutoffs on held-out Wikipedia, i.e. a sample).
+_PPL_SAMPLE_FRAC = 0.2
+_PPL_TERCILES = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def perplexity_bucket_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every doc is scored by the
+    unigram corpus LM (doc_lm_perplexity's chain), tercile cutoffs are
+    fit with an EXACT interpolating percentile over a deterministic
+    md5-seeded 20% sample, and each doc lands in head / middle / tail
+    — the standard keep-head-and-middle quality filter (``kept``).
+
+    Engine parity: the sample membership is the seeded md5-uniform
+    convention, cutoffs and scores both round to 6 decimals before
+    comparison (identical doubles on both sides, so bucket boundaries
+    cannot diverge), and F.percentile's linear interpolation is
+    DuckDB's quantile_cont (the price_quartiles pair).
+
+    Scale shape: the LM chain's three shuffles + a 1-row cutoff agg
+    over the sample (broadcast back) + a stateless projection — the
+    full corpus never sorts globally and the percentile buffer holds
+    only the sample."""
+    docs = load(spark, sf, "documents")
+    per_doc = _unigram_lm_per_doc(docs)
+    xent = dround(
+        F.col("sbits").cast("double") / F.col("n_tokens").cast("double"), 6)
+    scored = per_doc.select(
+        "doc_id", "n_tokens", xent.alias("bits_per_token"))
+    u = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("ppl|"), F.col("doc_id").cast("string"))), 1, 6),
+        16, 10).cast("double") / F.lit(float(16 ** 6)))
+    cuts = scored.filter(u < _PPL_SAMPLE_FRAC).agg(
+        dround(F.percentile(F.col("bits_per_token"),
+                            F.lit(_PPL_TERCILES[0])), 6).alias("c1"),
+        dround(F.percentile(F.col("bits_per_token"),
+                            F.lit(_PPL_TERCILES[1])), 6).alias("c2"))
+    bucket = (F.when(F.col("bits_per_token") <= F.col("c1"), "head")
+              .when(F.col("bits_per_token") <= F.col("c2"), "middle")
+              .otherwise("tail"))
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "n_tokens", "bits_per_token",
+                    bucket.alias("ppl_bucket"),
+                    (F.col("bits_per_token") <= F.col("c2")).alias("kept")))
+
+
+PPL_BUCKET_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+tot AS (SELECT SUM(len(string_split(lower(text), ' '))) AS total
+        FROM documents),
+sc AS (
+  SELECT doc_id, tf,
+    CAST(-tf * log2(CAST(SUM(tf) OVER (PARTITION BY term) AS DOUBLE)
+                    / CAST(total AS DOUBLE)) AS DECIMAL(28,12)) AS bits
+  FROM tf, tot),
+scored AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+    {sql_round("CAST(SUM(bits) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)", 6)}
+      AS bits_per_token
+  FROM sc GROUP BY doc_id),
+cuts AS (
+  SELECT {sql_round(f"quantile_cont(bits_per_token, {_PPL_TERCILES[0]!r})",
+                    6)} AS c1,
+         {sql_round(f"quantile_cont(bits_per_token, {_PPL_TERCILES[1]!r})",
+                    6)} AS c2
+  FROM scored
+  WHERE CAST('0x' || substring(md5('ppl|' || CAST(doc_id AS VARCHAR)), 1, 6)
+             AS BIGINT) / CAST({16 ** 6} AS DOUBLE) < {_PPL_SAMPLE_FRAC})
+SELECT doc_id, n_tokens, bits_per_token,
+       CASE WHEN bits_per_token <= c1 THEN 'head'
+            WHEN bits_per_token <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       bits_per_token <= c2 AS kept
+FROM scored CROSS JOIN cuts
 """
 
 # ------------------------------------------------------------- deduplication
@@ -2929,6 +3016,7 @@ QUERIES = {
     "tfidf_keywords": (tfidf_keywords, TFIDF_SQL),
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "doc_lm2_perplexity": (doc_lm2_perplexity, LM2_PERPLEXITY_SQL),
+    "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
