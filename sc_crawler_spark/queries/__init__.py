@@ -70,7 +70,8 @@ _PRIORITY = [
     # doc_quality_lr_train /
     # doc_quality_lr_apply — distributed GD training + bit-exact
     # per-doc inference — bpe_train_merges — distributed BPE
-    # tokenizer training, integer-exact oracle — doc_lm2_perplexity —
+    # tokenizer training, integer-exact oracle — bpe_tokenize_apply —
+    # the train->apply composition over the corpus — doc_lm2_perplexity —
     # interpolated bigram LM — dsir_select — DSIR importance
     # resampling (hashed-ngram LM ratio + Gumbel-top-k) — and
     # perplexity_bucket_filter — CCNet head/middle/tail partition with
@@ -122,6 +123,7 @@ _PRIORITY = [
     "doc_quality_lr_train",
     "doc_quality_lr_apply",
     "bpe_train_merges",
+    "bpe_tokenize_apply",
     "doc_lm2_perplexity",
     "dsir_select",
     "perplexity_bucket_filter",
@@ -131,12 +133,13 @@ _PRIORITY = [
     "embed_ann_ivf",
     "embed_ann_lsh",
     "embed_cosine_topk",
-    "first_version_orders",
 ]
 _TAIL = [
-    # displaced from the 50-slot window by the r13-new dsir_select and
-    # perplexity_bucket_filter; r11-green, re-verified every round by
-    # pytest — they rotate forward next round.
+    # displaced from the 50-slot window by the r13-new dsir_select,
+    # perplexity_bucket_filter and bpe_tokenize_apply; r11-green,
+    # re-verified every round by pytest — they rotate forward next
+    # round.
+    "first_version_orders",
     "hash_diff_sync",
     "heavy_hitter_users",
     "json_props_extract",

@@ -335,11 +335,22 @@ def bpe_train_merges(spark: SparkSession, sf: str,
     At 100 TB the words table lands bronze once and each merge round
     is an O(vocab) explode + argmax."""
     docs = load(spark, sf, "documents")
+    _, outs = _bpe_rounds(docs, n_merges)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_rounds(docs: DataFrame, n_merges: int):
+    """The Sennrich training loop shared by bpe_train_merges and
+    bpe_tokenize_apply: returns (final per-word symbol state with the
+    word column, per-round merge rows)."""
     words = (docs.select(F.explode(F.split(F.lower(F.col("text")),
                                            " ")).alias("w"))
              .filter(F.col("w").rlike("^[a-z0-9]+$"))
              .groupBy("w").agg(F.count("*").alias("freq")))
-    state = words.select(F.split("w", "").alias("syms"), "freq")
+    state = words.select("w", F.split("w", "").alias("syms"), "freq")
 
     def adjacent_pairs(syms):
         n = F.size(syms)
@@ -365,13 +376,48 @@ def bpe_train_merges(spark: SparkSession, sf: str,
             F.concat("a", "b").alias("merged"),
             F.col("pair_count").cast("bigint").alias("pair_count")))
         state = (state.crossJoin(F.broadcast(best))
-                 .select(bpe_greedy_merge(F.col("syms"), F.col("a"),
-                                          F.col("b")).alias("syms"),
+                 .select("w", bpe_greedy_merge(F.col("syms"), F.col("a"),
+                                               F.col("b")).alias("syms"),
                          "freq"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return state, outs
+
+
+def bpe_tokenize_apply(spark: SparkSession, sf: str,
+                       n_merges: int = 3) -> DataFrame:
+    """TRAIN -> APPLY composition for the BPE tokenizer (r13): learn
+    the first ``n_merges`` merges (bpe_train_merges' exact loop), then
+    tokenize the WHOLE corpus with them and report per-doc sequence
+    stats — n_words, n_chars, n_pieces after merging, and pieces per
+    char (the compression the tokenizer bought). This is the shape a
+    production pipeline runs nightly: the tokenizer applies to the
+    vocab-bounded UNIQUE-word table (each merge a zero-shuffle
+    ``F.aggregate`` greedy fold), and documents join the tokenized
+    vocab on the word — corpus text is never re-scanned per merge.
+
+    Engine parity: training winners are the count-then-pair total
+    order (integer-exact), application is the fold-vs-window
+    equivalence the training oracle already proves, and the per-doc
+    ratio is the only float (dround 6). Docs with no alphanumeric
+    words drop out in both engines (inner join)."""
+    docs = load(spark, sf, "documents")
+    state, _ = _bpe_rounds(docs, n_merges)
+    vocab = state.select("w", F.size("syms").alias("w_pieces"))
+    dw = (docs.select("doc_id",
+                      F.explode(F.split(F.lower(F.col("text")), " "))
+                      .alias("w"))
+          .filter(F.col("w").rlike("^[a-z0-9]+$")))
+    per = (dw.join(vocab, "w")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_words"),
+                F.sum(F.length("w")).alias("n_chars"),
+                F.sum("w_pieces").alias("n_pieces")))
+    return per.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        dround(F.col("n_pieces").cast("double")
+               / F.col("n_chars").cast("double"), 6)
+        .alias("pieces_per_char"))
 
 
 def _bpe_train_sql(n_merges: int = 3) -> str:
@@ -381,6 +427,20 @@ def _bpe_train_sql(n_merges: int = 3) -> str:
     run-parity (within each maximal run of consecutive matched
     positions, keep the 1st, 3rd, ... — exactly the greedy scan's
     choices, provable by induction on the run)."""
+    its = _bpe_sql_rounds(n_merges)
+    finals = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt AS pair_count FROM best_{k}"
+        for k in range(1, n_merges + 1))
+    return f"""
+WITH {_bpe_sql_ctes(its)}
+{finals}
+"""
+
+
+def _bpe_sql_rounds(n_merges: int) -> list:
+    """Per-round pairs/best/marked/kept/state CTEs shared by the BPE
+    train and apply oracles."""
     its = []
     for k in range(1, n_merges + 1):
         j = k - 1
@@ -416,21 +476,47 @@ state_{k} AS (
   LEFT JOIN kept_{k} k1 ON q.wid = k1.wid AND q.r = k1.r
   LEFT JOIN kept_{k} k2 ON q.wid = k2.wid AND q.r = k2.r + 1
   WHERE k2.r IS NULL)""")
-    finals = "\nUNION ALL ".join(
-        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym, "
-        f"a || b AS merged, cnt AS pair_count FROM best_{k}"
-        for k in range(1, n_merges + 1))
+    return its
+
+
+def _bpe_apply_sql(n_merges: int = 3) -> str:
+    """Oracle for :func:`bpe_tokenize_apply`: the train oracle's CTE
+    chain, then the final state collapses to per-word piece counts
+    and joins back to the exploded corpus."""
     return f"""
-WITH words AS (
+WITH {_bpe_sql_ctes(_bpe_sql_rounds(n_merges))},
+vocab AS (
+  SELECT wid AS w, COUNT(*) AS w_pieces
+  FROM state_{n_merges} GROUP BY wid),
+dw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(length(d.w)) AS n_chars,
+         SUM(v.w_pieces) AS n_pieces
+  FROM dw d JOIN vocab v USING (w)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       {sql_round("CAST(n_pieces AS DOUBLE) / CAST(n_chars AS DOUBLE)", 6)}
+         AS pieces_per_char
+FROM per
+"""
+
+
+def _bpe_sql_ctes(its: list) -> str:
+    """The shared WITH-body of the BPE oracles: unique-word counts,
+    char-split state_0, and the per-round pairs/best/marked/kept/state
+    chain built by the caller."""
+    return f"""words AS (
   SELECT w, COUNT(*) AS freq FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
   WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
 state_0 AS (
   SELECT w AS wid, freq, g.i AS rn, substr(w, g.i, 1) AS sym
   FROM words, unnest(generate_series(1, length(w))) AS g(i)),
-{",".join(its)}
-{finals}
-"""
+{",".join(its)}"""
 
 
 def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -3010,6 +3096,7 @@ QUERIES = {
     "doc_quality_lr_train": (doc_quality_lr_train, _lr_sql()),
     "doc_quality_lr_apply": (doc_quality_lr_apply, _lr_apply_sql()),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
+    "bpe_tokenize_apply": (bpe_tokenize_apply, _bpe_apply_sql()),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCS_SQL),
