@@ -75,8 +75,10 @@ _PRIORITY = [
     # interpolated bigram LM — dsir_select — DSIR importance
     # resampling (hashed-ngram LM ratio + Gumbel-top-k) — and
     # perplexity_bucket_filter — CCNet head/middle/tail partition with
-    # sample-fit tercile cutoffs; first driver evidence for all of
-    # them) and the
+    # sample-fit tercile cutoffs — doc_ngram_novelty — corpus-unique
+    # 3-gram fraction — and source_embed_similarity — the centroid-
+    # cosine domain map; first driver evidence for all of them) and
+    # the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -127,18 +129,20 @@ _PRIORITY = [
     "doc_lm2_perplexity",
     "dsir_select",
     "perplexity_bucket_filter",
+    "doc_ngram_novelty",
+    "source_embed_similarity",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
     "embed_ann_ivf",
-    "embed_ann_lsh",
-    "embed_cosine_topk",
 ]
 _TAIL = [
     # displaced from the 50-slot window by the r13-new dsir_select,
-    # perplexity_bucket_filter and bpe_tokenize_apply; r11-green,
-    # re-verified every round by pytest — they rotate forward next
-    # round.
+    # perplexity_bucket_filter, bpe_tokenize_apply, doc_ngram_novelty
+    # and source_embed_similarity; r11-green, re-verified every round
+    # by pytest — they rotate forward next round.
+    "embed_ann_lsh",
+    "embed_cosine_topk",
     "first_version_orders",
     "hash_diff_sync",
     "heavy_hitter_users",

@@ -664,6 +664,61 @@ FROM b GROUP BY 1
 """
 
 
+# ---------------------------------------------- n-gram novelty
+
+def doc_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram NOVELTY (memorization-risk / informativeness
+    signal): the fraction of a doc's distinct 3-grams that appear in NO
+    other document. High novelty marks unique content worth keeping;
+    near-zero novelty marks templated/boilerplate text even when no
+    single near-dup pair exists (the complement of the dedup tier:
+    dedup finds PAIRS, novelty scores each doc against the whole
+    corpus). Docs shorter than 3 tokens drop out in both engines
+    (empty gram set).
+
+    Scale shape: tf-idf's exact three-stage plan — one (doc, gram)
+    explode with per-doc DISTINCT folded into the array expression, a
+    gram-partitioned window for document frequency (the gram table is
+    never joined to itself), and the per-doc final agg. All counts
+    integer: no float convention needed beyond the output ratio."""
+    docs = load(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.when(F.size(toks) >= 3, F.array_distinct(_grams(toks, 3))) \
+             .otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    df_w = Window.partitionBy("gram")
+    per = (g.withColumn("df", F.count("*").over(df_w))
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_grams"),
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                .alias("n_novel")))
+    return per.select(
+        "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        dround(F.col("n_novel").cast("double")
+               / F.col("n_grams").cast("double"), 6).alias("novelty"))
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         ws[s.i] || ' ' || ws[s.i + 1] || ' ' || ws[s.i + 2] AS gram
+  FROM t, unnest(generate_series(1, len(ws) - 2)) AS s(i)),
+d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM g),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM d GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       {sql_round("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)}
+         AS novelty
+FROM per
+"""
+
+
 # ---------------------------------------------- DSIR data selection
 
 # Data Selection with Importance Resampling (Xie et al. 2023): fit two
@@ -1203,6 +1258,7 @@ QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
     "dsir_select": (dsir_select, DSIR_SQL),
+    "doc_ngram_novelty": (doc_ngram_novelty, NGRAM_NOVELTY_SQL),
     "domain_balanced_sample": (domain_balanced_sample, DOMAIN_SAMPLE_SQL),
     "html_extract_text": (html_extract_text, HTML_EXTRACT_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),

@@ -2506,6 +2506,80 @@ FROM af JOIN sizes USING (cell_id)
 """
 
 
+def source_embed_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-similarity map (r13): mean embedding per source, then
+    pairwise cosine between every source pair — the matrix a data-
+    mixing pass consults to spot redundant domains (near-1 centroid
+    cosine) and outliers before setting mixture weights. Output: one
+    row per unordered source pair with the centroid cosine.
+
+    Engine parity: per-dim centroid means are DECIMAL(28,12)-routed
+    sums over the float->double-widened coordinates, rounded to 12
+    before the cosine; cosine numerator/norms are DECIMAL-routed sums
+    of identically-computed double products (the embed_cosine_topk
+    convention), output rounded to 6.
+
+    Scale shape: one (source, dim) partial-aggregable groupBy over the
+    posexploded corpus — the only corpus-sized pass; the pairwise
+    stage is |sources|^2 * dim rows (a dictionary, broadcastable) and
+    never touches the corpus again."""
+    emb = load(spark, sf, "embeddings")
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    d = j.select("source", F.posexplode("embedding").alias("dim", "val"))
+    cent = (d.groupBy("source", "dim")
+            .agg(dround(
+                F.sum(F.col("val").cast("double").cast("decimal(28,12)"))
+                .cast("double") / F.count("*"), 12).alias("c")))
+    a = cent.select(F.col("source").alias("source_a"), "dim",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("source").alias("source_b"), "dim",
+                    F.col("c").alias("cb"))
+    pairs = (a.join(b, "dim")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.sum((F.col("ca") * F.col("cb"))
+                        .cast("decimal(28,12)")).alias("num"),
+                  F.sum((F.col("ca") * F.col("ca"))
+                        .cast("decimal(28,12)")).alias("na"),
+                  F.sum((F.col("cb") * F.col("cb"))
+                        .cast("decimal(28,12)")).alias("nb")))
+    return pairs.select(
+        "source_a", "source_b",
+        dround(F.col("num").cast("double")
+               / (F.sqrt(F.col("na").cast("double"))
+                  * F.sqrt(F.col("nb").cast("double"))), 6)
+        .alias("centroid_cosine"))
+
+
+SOURCE_EMBED_SIM_SQL = f"""
+WITH j AS (
+  SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+dims AS (
+  SELECT source, g.i AS dim, v[g.i] AS val
+  FROM j, unnest(generate_series(1, len(v))) AS g(i)),
+cent AS (
+  SELECT source, dim,
+         {sql_round("CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)"
+                    " / COUNT(*)", 12)} AS c
+  FROM dims GROUP BY source, dim),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(CAST(a.c * b.c AS DECIMAL(28,12))) AS num,
+         SUM(CAST(a.c * a.c AS DECIMAL(28,12))) AS na,
+         SUM(CAST(b.c * b.c AS DECIMAL(28,12))) AS nb
+  FROM cent a JOIN cent b USING (dim)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b,
+       {sql_round("CAST(num AS DOUBLE)"
+                  " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))",
+                  6)} AS centroid_cosine
+FROM pairs
+"""
+
+
 def _ann_lsh_sql(n_planes: int = 24, n_bands: int = 8, dim: int = 64, k: int = 5) -> str:
     planes = similarity.hyperplane_signs(n_planes, dim)
     bit_exprs = " || ".join(
@@ -3097,6 +3171,8 @@ QUERIES = {
     "doc_quality_lr_apply": (doc_quality_lr_apply, _lr_apply_sql()),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "bpe_tokenize_apply": (bpe_tokenize_apply, _bpe_apply_sql()),
+    "source_embed_similarity": (source_embed_similarity,
+                                SOURCE_EMBED_SIM_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCS_SQL),
