@@ -76,9 +76,9 @@ _PRIORITY = [
     # resampling (hashed-ngram LM ratio + Gumbel-top-k) — and
     # perplexity_bucket_filter — CCNet head/middle/tail partition with
     # sample-fit tercile cutoffs — doc_ngram_novelty — corpus-unique
-    # 3-gram fraction — and source_embed_similarity — the centroid-
-    # cosine domain map; first driver evidence for all of them) and
-    # the
+    # 3-gram fraction — source_embed_similarity — the centroid-cosine
+    # domain map — and bigram_pmi_top — PMI collocation mining; first
+    # driver evidence for all of them) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -131,12 +131,13 @@ _PRIORITY = [
     "perplexity_bucket_filter",
     "doc_ngram_novelty",
     "source_embed_similarity",
+    "bigram_pmi_top",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
-    "embed_ann_ivf",
 ]
 _TAIL = [
+    "embed_ann_ivf",
     # displaced from the 50-slot window by the r13-new dsir_select,
     # perplexity_bucket_filter, bpe_tokenize_apply, doc_ngram_novelty
     # and source_embed_similarity; r11-green, re-verified every round

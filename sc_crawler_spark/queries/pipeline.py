@@ -1043,6 +1043,103 @@ SELECT doc_id, n_tokens, bits_per_token,
 FROM agg
 """
 
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def bigram_pmi_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus collocation mining: pointwise mutual information over
+    adjacent token pairs, PMI(a,b) = log2(p(a,b)/(p(a)p(b))) with
+    bigrams below ``_PMI_MIN_COUNT`` occurrences dropped (the standard
+    sparse-PMI guard), top ``_PMI_TOP_K`` by PMI — the vocabulary a
+    tokenizer- or phrase-mining pass consumes (multi-word entities
+    merge before training).
+
+    Engine parity: every log2 input is an exact integer widened to
+    double, the PMI is the identically-parenthesized difference of
+    log2 terms (log2-parity doctrine), rounded to 6 before ordering;
+    count-then-pair gives the top-k a total order.
+
+    Scale shape: one bigram explode + groupBy (map-side combined), a
+    vocab-sized unigram aggregate joined twice (broadcastable — the
+    c >= min_count filter prunes the bigram side first), two 1-row
+    total broadcasts, then TakeOrderedAndProject top-k — never a
+    global sort of the bigram table."""
+    docs = load(spark, sf, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(ts, i).alias("a"),
+                           F.element_at(ts, i + 1).alias("b")),
+    )).otherwise(F.expr(
+        "CAST(array() AS array<struct<a:string,b:string>>)"))
+    c2 = (docs.select(F.explode(bigrams).alias("p"))
+          .select("p.a", "p.b")
+          .groupBy("a", "b").agg(F.count("*").alias("c2"))
+          .filter(F.col("c2") >= _PMI_MIN_COUNT))
+    uni = (docs.select(F.explode(ts).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("cu")))
+    tot = docs.agg(
+        F.sum(F.size(ts)).alias("t1"),
+        F.sum(F.greatest(F.size(ts) - 1, F.lit(0))).alias("t2"))
+    pmi = dround(
+        (F.log2(F.col("c2").cast("double"))
+         - F.log2(F.col("t2").cast("double")))
+        - (F.log2(F.col("ca").cast("double"))
+           - F.log2(F.col("t1").cast("double")))
+        - (F.log2(F.col("cb").cast("double"))
+           - F.log2(F.col("t1").cast("double"))), 6)
+    scored = (c2
+              .join(uni.select(F.col("term").alias("a"),
+                               F.col("cu").alias("ca")), "a")
+              .join(uni.select(F.col("term").alias("b"),
+                               F.col("cu").alias("cb")), "b")
+              .join(F.broadcast(tot))
+              .select("a", "b", F.col("c2").cast("long").alias("pair_count"),
+                      pmi.alias("pmi")))
+    top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(_PMI_TOP_K)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
+    return top.select(
+        F.col("a").alias("left_term"), F.col("b").alias("right_term"),
+        "pair_count", "pmi",
+        F.row_number().over(w).cast("long").alias("pmi_rank"))
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+              FROM documents),
+c2 AS (
+  SELECT ts[g.i] AS a, ts[g.i + 1] AS b, COUNT(*) AS c2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+uni AS (SELECT term, COUNT(*) AS cu FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents) GROUP BY term),
+tot AS (SELECT SUM(len(string_split(lower(text), ' '))) AS t1,
+               SUM(greatest(len(string_split(lower(text), ' ')) - 1, 0))
+                 AS t2
+        FROM documents),
+scored AS (
+  SELECT c2.a, c2.b, c2.c2 AS pair_count,
+         {sql_round(
+             "(log2(CAST(c2.c2 AS DOUBLE)) - log2(CAST(t2 AS DOUBLE)))"
+             " - (log2(CAST(ua.cu AS DOUBLE)) - log2(CAST(t1 AS DOUBLE)))"
+             " - (log2(CAST(ub.cu AS DOUBLE)) - log2(CAST(t1 AS DOUBLE)))",
+             6)} AS pmi
+  FROM c2 JOIN uni ua ON c2.a = ua.term
+          JOIN uni ub ON c2.b = ub.term
+          CROSS JOIN tot)
+SELECT a AS left_term, b AS right_term,
+       CAST(pair_count AS BIGINT) AS pair_count, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS BIGINT)
+         AS pmi_rank
+FROM scored
+ORDER BY pmi DESC, a, b LIMIT {_PMI_TOP_K}
+"""
+
+
 # CCNet's perplexity partition: cutoffs fit on a deterministic SAMPLE
 # (the production shape — an exact percentile over the full corpus
 # would funnel every per-doc score through one reducer; CCNet itself
@@ -3180,6 +3277,7 @@ QUERIES = {
     "doc_lm_perplexity": (doc_lm_perplexity, LM_PERPLEXITY_SQL),
     "doc_lm2_perplexity": (doc_lm2_perplexity, LM2_PERPLEXITY_SQL),
     "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
+    "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
