@@ -77,8 +77,9 @@ _PRIORITY = [
     # perplexity_bucket_filter — CCNet head/middle/tail partition with
     # sample-fit tercile cutoffs — doc_ngram_novelty — corpus-unique
     # 3-gram fraction — source_embed_similarity — the centroid-cosine
-    # domain map — and bigram_pmi_top — PMI collocation mining; first
-    # driver evidence for all of them) and the
+    # domain map — bigram_pmi_top — PMI collocation mining — and
+    # lr_calibration_bins — the trained classifier's reliability
+    # diagram; first driver evidence for all of them) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -132,11 +133,12 @@ _PRIORITY = [
     "doc_ngram_novelty",
     "source_embed_similarity",
     "bigram_pmi_top",
+    "lr_calibration_bins",
     "doc_quality",
     "doc_token_stats",
-    "ecpus_scalability",
 ]
 _TAIL = [
+    "ecpus_scalability",
     "embed_ann_ivf",
     # displaced from the 50-slot window by the r13-new dsir_select,
     # perplexity_bucket_filter, bpe_tokenize_apply, doc_ngram_novelty

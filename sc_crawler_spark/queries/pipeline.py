@@ -281,6 +281,70 @@ def doc_quality_lr_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lr_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """MODEL EVALUATION in-plan (r13): the reliability diagram of the
+    trained quality classifier — predicted-probability deciles vs the
+    observed positive rate per bin, the calibration check every
+    production classifier gate ships with (a filter thresholded at
+    p>=0.5 is only meaningful if p is calibrated). Composes the shared
+    trained chain (doc_quality_lr_train) with one per-bin aggregate.
+
+    Engine parity: the per-doc probability is the bit-exact rational
+    sigmoid rounded to 6 (doc_quality_lr_apply's convention); the bin
+    is floor(prob*10) capped at 9 — both engines floor the SAME double
+    — and bin means are DECIMAL-routed sums divided by the bin count,
+    with the gap computed from the already-rounded outputs.
+
+    Scale shape: training's bounded epochs + ONE partial-aggregable
+    groupBy over the scored corpus (10 groups); nothing new shuffles
+    the corpus."""
+    feat, it = _lr_trained(spark, sf)
+    scored = feat.crossJoin(F.broadcast(it))
+    z = _lr_z(F.col("w_b"), F.col("w_l"), F.col("w_t"), F.col("w_p"))
+    prob = dround(_lr_sigmoid(z), 6)
+    b = F.least(F.floor(prob * 10), F.lit(9)).cast("int")
+    per = (scored.select(b.alias("bin"), prob.alias("prob"), "y")
+           .groupBy("bin")
+           .agg(F.count("*").alias("n_docs"),
+                decimal_sum(F.col("prob"), 12).alias("sp"),
+                decimal_sum(F.col("y"), 12).alias("sy")))
+    mean_prob = dround(F.col("sp").cast("double")
+                       / F.col("n_docs").cast("double"), 6)
+    pos_rate = dround(F.col("sy").cast("double")
+                      / F.col("n_docs").cast("double"), 6)
+    return per.select(
+        "bin", F.col("n_docs").cast("long").alias("n_docs"),
+        mean_prob.alias("mean_prob"), pos_rate.alias("pos_rate")) \
+        .withColumn("calib_gap",
+                    dround(F.abs(F.col("mean_prob") - F.col("pos_rate")), 6))
+
+
+def _lr_calibration_sql() -> str:
+    """Oracle for :func:`lr_calibration_bins`: the shared trained
+    chain scored per doc, then the same decile aggregate."""
+    return f"""{_lr_ctes()},
+probs AS (
+  SELECT {sql_round(_LR_SIG.format(z=_LR_Z), 6)} AS prob, y
+  FROM scored),
+bins AS (
+  SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+         COUNT(*) AS n_docs,
+         SUM(CAST(prob AS DECIMAL(18,12))) AS sp,
+         SUM(CAST(y AS DECIMAL(18,12))) AS sy
+  FROM probs GROUP BY 1),
+outp AS (
+  SELECT bin, CAST(n_docs AS BIGINT) AS n_docs,
+         {sql_round("CAST(sp AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)}
+           AS mean_prob,
+         {sql_round("CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)}
+           AS pos_rate
+  FROM bins)
+SELECT bin, n_docs, mean_prob, pos_rate,
+       {sql_round("abs(mean_prob - pos_rate)", 6)} AS calib_gap
+FROM outp
+"""
+
+
 def bpe_greedy_merge(syms, a, b):
     """Leftmost-greedy application of BPE merge (a, b) to a symbol
     array as ONE fold expression (zero shuffle, whole-stage codegen):
@@ -3278,6 +3342,7 @@ QUERIES = {
     "doc_lm2_perplexity": (doc_lm2_perplexity, LM2_PERPLEXITY_SQL),
     "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
+    "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
