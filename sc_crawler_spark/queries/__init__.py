@@ -79,7 +79,8 @@ _PRIORITY = [
     # 3-gram fraction — source_embed_similarity — the centroid-cosine
     # domain map — bigram_pmi_top — PMI collocation mining — and
     # lr_calibration_bins — the trained classifier's reliability
-    # diagram; first driver evidence for all of them) and the
+    # diagram — and source_token_kl — per-source unigram KL domain
+    # shift; first driver evidence for all of them) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -134,10 +135,11 @@ _PRIORITY = [
     "source_embed_similarity",
     "bigram_pmi_top",
     "lr_calibration_bins",
+    "source_token_kl",
     "doc_quality",
-    "doc_token_stats",
 ]
 _TAIL = [
+    "doc_token_stats",
     "ecpus_scalability",
     "embed_ann_ivf",
     # displaced from the 50-slot window by the r13-new dsir_select,

@@ -1107,6 +1107,75 @@ SELECT doc_id, n_tokens, bits_per_token,
 FROM agg
 """
 
+def source_token_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-level domain shift (r13): KL(P_source || P_corpus) in
+    bits over the unigram distributions — the lexical counterpart of
+    source_embed_similarity's centroid map. A source whose token mix
+    diverges from the pool is a distinct domain (upweight for
+    diversity or inspect for junk); near-zero KL flags redundant
+    sources. No smoothing is needed: every source term occurs in the
+    corpus by construction, so the log ratio is always finite.
+
+    Engine parity: per-term contributions p_s*log2(p_s/p_c) expand to
+    the identically-parenthesized difference of exact-input log2 terms
+    times a ratio of exact integer casts, DECIMAL(28,12)-routed before
+    the per-source sum (log2-parity doctrine), output rounded to 6.
+
+    Scale shape: tf-idf's plan — one (source, term) groupBy off the
+    explode (map-side combined), a term-partitioned window for the
+    corpus count (the corpus LM is never a driver-side dict), then a
+    |sources|-row final agg."""
+    docs = load(spark, sf, "documents")
+    st = (docs.select("source",
+                      F.explode(tokens(F.col("text"))).alias("term"))
+          .groupBy("source", "term").agg(F.count("*").alias("c_st")))
+    tw = Window.partitionBy("term")
+    sw = Window.partitionBy("source")
+    c_t = F.sum("c_st").over(tw)
+    t_s = F.sum("c_st").over(sw)
+    total = docs.agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("total"))
+    contrib = (
+        (F.col("c_st").cast("double") / F.col("t_s").cast("double"))
+        * ((F.log2(F.col("c_st").cast("double"))
+            - F.log2(F.col("t_s").cast("double")))
+           - (F.log2(F.col("c_t").cast("double"))
+              - F.log2(F.col("total").cast("double"))))
+    ).cast("decimal(28,12)")
+    per = (st.withColumn("c_t", c_t).withColumn("t_s", t_s)
+           .join(F.broadcast(total))
+           .withColumn("kl_part", contrib)
+           .groupBy("source")
+           .agg(F.max("t_s").alias("n_tokens"),
+                F.sum("kl_part").alias("skl")))
+    return per.select(
+        "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+        dround(F.col("skl").cast("double"), 6).alias("kl_bits"))
+
+
+SOURCE_TOKEN_KL_SQL = f"""
+WITH st AS (
+  SELECT source, term, COUNT(*) AS c_st FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents) GROUP BY source, term),
+tot AS (SELECT SUM(len(string_split(lower(text), ' '))) AS total
+        FROM documents),
+parts AS (
+  SELECT source,
+         SUM(c_st) OVER (PARTITION BY source) AS t_s,
+         CAST((CAST(c_st AS DOUBLE) / CAST(SUM(c_st) OVER (PARTITION BY source) AS DOUBLE))
+              * ((log2(CAST(c_st AS DOUBLE))
+                  - log2(CAST(SUM(c_st) OVER (PARTITION BY source) AS DOUBLE)))
+                 - (log2(CAST(SUM(c_st) OVER (PARTITION BY term) AS DOUBLE))
+                    - log2(CAST(total AS DOUBLE))))
+              AS DECIMAL(28,12)) AS kl_part
+  FROM st CROSS JOIN tot)
+SELECT source, CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+       {sql_round("CAST(SUM(kl_part) AS DOUBLE)", 6)} AS kl_bits
+FROM parts GROUP BY source
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_TOP_K = 50
 
@@ -3343,6 +3412,7 @@ QUERIES = {
     "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
+    "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
