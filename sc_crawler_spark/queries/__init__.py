@@ -79,8 +79,9 @@ _PRIORITY = [
     # 3-gram fraction — source_embed_similarity — the centroid-cosine
     # domain map — bigram_pmi_top — PMI collocation mining — and
     # lr_calibration_bins — the trained classifier's reliability
-    # diagram — and source_token_kl — per-source unigram KL domain
-    # shift; first driver evidence for all of them) and the
+    # diagram — source_token_kl — per-source unigram KL domain shift —
+    # and doc_oov_rate — tokenizer-coverage gate vs the top-K corpus
+    # vocabulary; first driver evidence for all of them) and the
     # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
     # its oracle recomposed), then the 12 stalest r11 greens to fill
     # the 50-slot window. Everything else
@@ -136,9 +137,10 @@ _PRIORITY = [
     "bigram_pmi_top",
     "lr_calibration_bins",
     "source_token_kl",
-    "doc_quality",
+    "doc_oov_rate",
 ]
 _TAIL = [
+    "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
     "embed_ann_ivf",

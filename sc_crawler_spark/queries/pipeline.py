@@ -1107,6 +1107,68 @@ SELECT doc_id, n_tokens, bits_per_token,
 FROM agg
 """
 
+# Top-K closed vocabulary for the OOV gate. 16 covers half the
+# synthetic corpus's 31-token vocabulary so the rate is exercised;
+# production runs set this to the tokenizer's vocab size.
+_OOV_VOCAB_K = 16
+
+
+def doc_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K
+    closed vocabulary (count DESC, term ASC — a total order): the
+    standard tokenizer-coverage gate (a doc full of tokens the
+    tokenizer must byte-split is expensive and usually junk; CCNet and
+    Gopher both carry an OOV-style rule). Output: per-doc token count,
+    OOV count, and rate.
+
+    All integers + one rounded ratio: no float doctrine needed. Scale
+    shape: the vocab is a corpus unigram aggregate + TakeOrderedAndProject
+    top-K (dictionary-sized, broadcast); documents then score in one
+    explode + broadcast-hash LEFT join + per-doc agg — the corpus
+    shuffles once, on doc_id."""
+    docs = load(spark, sf, "documents")
+    uni = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("cu")))
+    vocab = (uni.orderBy(F.col("cu").desc(), "term")
+             .limit(_OOV_VOCAB_K)
+             .select("term", F.lit(1).alias("in_vocab")))
+    dt = docs.select("doc_id",
+                     F.explode(tokens(F.col("text"))).alias("term"))
+    per = (dt.join(F.broadcast(vocab), "term", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                .alias("n_oov")))
+    return per.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        dround(F.col("n_oov").cast("double")
+               / F.col("n_tokens").cast("double"), 6).alias("oov_rate"))
+
+
+DOC_OOV_SQL = f"""
+WITH uni AS (
+  SELECT term, COUNT(*) AS cu FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS term
+    FROM documents) GROUP BY term),
+vocab AS (
+  SELECT term FROM uni ORDER BY cu DESC, term LIMIT {_OOV_VOCAB_K}),
+dt AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+per AS (
+  SELECT d.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM dt d LEFT JOIN vocab v ON d.term = v.term
+  GROUP BY d.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       {sql_round("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)}
+         AS oov_rate
+FROM per
+"""
+
+
 def source_token_kl(spark: SparkSession, sf: str) -> DataFrame:
     """Token-level domain shift (r13): KL(P_source || P_corpus) in
     bits over the unigram distributions — the lexical counterpart of
@@ -3413,6 +3475,7 @@ QUERIES = {
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
+    "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
