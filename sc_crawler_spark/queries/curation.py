@@ -750,31 +750,36 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     sum, and the Gumbel key orders on its 12-decimal rounding with a
     doc_id tiebreak.
 
-    Scale shape: ONE explode shuffle builds the (doc, bucket) count
-    table; the LM is a B-row aggregate of it (partial-aggregable,
-    broadcast back with its 1-row totals); scoring is a broadcast
-    join + one per-doc agg; selection is orderBy+limit
-    (TakeOrderedAndProject — per-partition top-k, never a global
+    Scale shape: the exploded (doc, bucket) gram instances are never
+    compressed into a per-doc count table (that groupBy's key space is
+    |docs| x |buckets| — at the 512x corpus it emitted ~300M groups
+    and dominated the runtime); instead the LM is a 512-group
+    partial-aggregable count over the instances, and scoring joins
+    each instance to the broadcast 512-row log-ratio dictionary and
+    map-side-combines straight down to one row per doc (the per-doc
+    partial agg compresses BEFORE the only corpus shuffle). The
+    instance-level DECIMAL sum of 12-decimal-rounded lr values is
+    exactly cnt*lr summed per bucket, so the semantics are unchanged.
+    Selection is orderBy+limit (TakeOrderedAndProject — never a global
     window over the corpus). The LM never touches the driver."""
     docs = load(spark, sf, "documents")
     ts = tokens(F.col("text"))
     n = F.size(ts)
-    big = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ts, i), F.element_at(ts, i + 1)),
-    )).otherwise(F.expr("CAST(array() AS array<string>)"))
+    # bigrams via the zip-with-shifted-self fold (_grams), NOT
+    # per-index element_at over a sequence: the indexed form walks the
+    # token array per position and measured 94 s for the bare explode
+    # at the 512x corpus vs ~10 s for this linear zip
+    big = F.when(n >= 2, _grams(ts, 2)) \
+           .otherwise(F.expr("CAST(array() AS array<string>)"))
     grams = docs.select(
         "doc_id", "source", F.explode(F.concat(ts, big)).alias("gram"))
     bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
               .cast("long") % _DSIR_B)
-    feat = (grams.select("doc_id", "source", bucket.alias("bucket"))
-            .groupBy("doc_id", "source", "bucket")
-            .agg(F.count("*").alias("cnt")))
+    inst = grams.select("doc_id", "source", bucket.alias("bucket"))
     is_tgt = F.col("source") == _DSIR_TARGET
-    lm = feat.groupBy("bucket").agg(
-        F.sum(F.when(is_tgt, F.col("cnt")).otherwise(0)).alias("tc"),
-        F.sum(F.when(~is_tgt, F.col("cnt")).otherwise(0)).alias("rc"))
+    lm = inst.groupBy("bucket").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("rc"))
     tot = lm.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
     half_b = float(_DSIR_B) / 2.0
     lr = lm.crossJoin(F.broadcast(tot)).select(
@@ -786,12 +791,11 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
                - F.log2(F.col("rt").cast("double") + F.lit(half_b))),
             12).alias("lr"))
     scored = (
-        feat.filter(~is_tgt)
+        inst.filter(~is_tgt)
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "source")
-        .agg(F.sum("cnt").alias("n_grams"),
-             F.sum((F.col("cnt").cast("double") * F.col("lr"))
-                   .cast("decimal(28,12)")).alias("s")))
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.col("lr").cast("decimal(28,12)")).alias("s")))
     u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
                  16, 10).cast("double") + F.lit(0.5))
          / F.lit(float(16 ** 6)))
@@ -817,17 +821,16 @@ grams AS (
   SELECT doc_id, source, ts[g.i] || ' ' || ts[g.i + 1] AS gram
   FROM docs, unnest(generate_series(1, len(ts) - 1)) AS g(i)
   WHERE len(ts) >= 2),
-feat AS (
+inst AS (
   SELECT doc_id, source,
          CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) % {_DSIR_B}
-           AS bucket,
-         COUNT(*) AS cnt
-  FROM grams GROUP BY doc_id, source, bucket),
+           AS bucket
+  FROM grams),
 lm AS (
   SELECT bucket,
-         SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS tc,
-         SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN cnt ELSE 0 END) AS rc
-  FROM feat GROUP BY bucket),
+         SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS tc,
+         SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS rc
+  FROM inst GROUP BY bucket),
 tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM lm),
 lr AS (
   SELECT bucket,
@@ -838,9 +841,9 @@ lr AS (
                     12)} AS lr
   FROM lm CROSS JOIN tot),
 scored AS (
-  SELECT f.doc_id, f.source, SUM(f.cnt) AS n_grams,
-         SUM(CAST(CAST(f.cnt AS DOUBLE) * l.lr AS DECIMAL(28,12))) AS s
-  FROM feat f JOIN lr l USING (bucket)
+  SELECT f.doc_id, f.source, COUNT(*) AS n_grams,
+         SUM(CAST(l.lr AS DECIMAL(28,12))) AS s
+  FROM inst f JOIN lr l USING (bucket)
   WHERE f.source <> '{_DSIR_TARGET}'
   GROUP BY f.doc_id, f.source),
 keyed AS (
