@@ -140,6 +140,11 @@ _PRIORITY = [
     "doc_oov_rate",
 ]
 _TAIL = [
+    # approx_heavy_hitters is r13-new but its oracle is the exact arm
+    # + tolerance flag (the weakest marginal driver check), so it
+    # yields its window slot to the 35-name r9-stale rotation promise
+    # and rotates first next round; pytest runs its oracle every round.
+    "approx_heavy_hitters",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

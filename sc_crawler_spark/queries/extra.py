@@ -239,6 +239,71 @@ FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 5
 """
 
+# Count-Min sketch geometry: d hash rows x w buckets. Overestimate per
+# probe is bounded by ~e*N/w per row w.h.p.; the within_bound check
+# uses the loose deterministic-enough 4*N/w (min over d=4 rows sits
+# far inside it on every SF of this lake).
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def approx_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based scale twin of heavy_hitter_users: a REAL Count-Min
+    sketch built in-plan — every event hashes into ``_CMS_D`` rows of
+    ``_CMS_W`` counters (one explode + one groupBy; the 4096-cell
+    table is a commutative monoid, so it partial-aggregates map-side
+    and MERGES across batches/streams — the mergeability HLL/GK
+    sketches in this suite already rely on), and a user's estimated
+    count is the MIN over its d probed cells. At 100 TB the exact
+    per-user top-k needs a full user-keyed shuffle; the sketch ships
+    4096 longs and answers point queries from a broadcast.
+
+    TOLERANCE ORACLE (the approx_distinct_users doctrine): DuckDB has
+    no CMS, so the oracle emits the exact arm + literal TRUE while the
+    Spark side emits the exact arm + ``within_bound`` = (estimate >=
+    exact AND estimate - exact <= 4N/w). CMS never underestimates —
+    a broken sketch flips the flag and reds the hash. The exact arm
+    exists for the verification harness; the sketch is the production
+    path."""
+    ev = load(spark, sf, "events").select("user_id")
+    probes = F.transform(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1)),
+        lambda j: F.struct(
+            j.alias("row"),
+            F.pmod(F.xxhash64(j, F.col("user_id")), F.lit(_CMS_W))
+            .alias("cell")))
+    sketch = (ev.select(F.explode(probes).alias("p"))
+              .groupBy(F.col("p.row").alias("row"),
+                       F.col("p.cell").alias("cell"))
+              .agg(F.count("*").alias("cnt")))
+    n_total = ev.agg(F.count("*").alias("n_total"))
+    top = (ev.groupBy("user_id")
+           .agg(F.count("*").alias("n_events_exact"))
+           .orderBy(F.col("n_events_exact").desc(), "user_id")
+           .limit(5))
+    est = (top.select("user_id", "n_events_exact",
+                      F.explode(probes).alias("p"))
+           .join(F.broadcast(sketch),
+                 (F.col("p.row") == F.col("row"))
+                 & (F.col("p.cell") == F.col("cell")))
+           .groupBy("user_id", "n_events_exact")
+           .agg(F.min("cnt").alias("cms_est")))
+    bound = F.lit(float(_CMS_D)) * F.col("n_total").cast("double") \
+        / F.lit(float(_CMS_W))
+    return (est.crossJoin(F.broadcast(n_total))
+            .select("user_id", "n_events_exact",
+                    ((F.col("cms_est") >= F.col("n_events_exact"))
+                     & ((F.col("cms_est") - F.col("n_events_exact"))
+                        .cast("double") <= bound)).alias("within_bound"))
+            .orderBy(F.col("n_events_exact").desc(), "user_id"))
+
+
+APPROX_HEAVY_SQL = """
+SELECT user_id, COUNT(*) AS n_events_exact, TRUE AS within_bound
+FROM events GROUP BY user_id
+ORDER BY n_events_exact DESC, user_id LIMIT 5
+"""
+
 # ------------------------------------------------------------------ set ops
 
 
@@ -616,6 +681,7 @@ QUERIES = {
     "price_quartiles": (price_quartiles, QUARTILES_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "heavy_hitter_users": (heavy_hitter_users, HEAVY_SQL),
+    "approx_heavy_hitters": (approx_heavy_hitters, APPROX_HEAVY_SQL),
     "except_building_buyers": (except_building_buyers, EXCEPT_SQL),
     "intersect_repeat_buyers": (intersect_repeat_buyers, INTERSECT_SQL),
     "profile_orders": (profile_orders, _profile_orders_sql()),
