@@ -239,14 +239,6 @@ FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 5
 """
 
-# Count-Min sketch geometry: d hash rows x w buckets. Overestimate per
-# probe is bounded by ~e*N/w per row w.h.p.; the within_bound check
-# uses the loose deterministic-enough 4*N/w (min over d=4 rows sits
-# far inside it on every SF of this lake).
-_CMS_D = 4
-_CMS_W = 1024
-
-
 def approx_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based scale twin of heavy_hitter_users: a REAL Count-Min
     sketch built in-plan — every event hashes into ``_CMS_D`` rows of
@@ -264,18 +256,15 @@ def approx_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     exact AND estimate - exact <= 4N/w). CMS never underestimates —
     a broken sketch flips the flag and reds the hash. The exact arm
     exists for the verification harness; the sketch is the production
-    path."""
+    path. Geometry + probe/partial builders live in operators/
+    sketch.py, shared with the streaming fold (streaming_cms_sketch);
+    the within_bound check uses the loose d*N/w (min over d rows sits
+    far inside it on every SF of this lake)."""
+    from ..operators.sketch import CMS_D, CMS_W, cms_partial, cms_probes
+
     ev = load(spark, sf, "events").select("user_id")
-    probes = F.transform(
-        F.sequence(F.lit(0), F.lit(_CMS_D - 1)),
-        lambda j: F.struct(
-            j.alias("row"),
-            F.pmod(F.xxhash64(j, F.col("user_id")), F.lit(_CMS_W))
-            .alias("cell")))
-    sketch = (ev.select(F.explode(probes).alias("p"))
-              .groupBy(F.col("p.row").alias("row"),
-                       F.col("p.cell").alias("cell"))
-              .agg(F.count("*").alias("cnt")))
+    probes = cms_probes(F.col("user_id"))
+    sketch = cms_partial(ev, "user_id")
     n_total = ev.agg(F.count("*").alias("n_total"))
     top = (ev.groupBy("user_id")
            .agg(F.count("*").alias("n_events_exact"))
@@ -288,8 +277,8 @@ def approx_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
                  & (F.col("p.cell") == F.col("cell")))
            .groupBy("user_id", "n_events_exact")
            .agg(F.min("cnt").alias("cms_est")))
-    bound = F.lit(float(_CMS_D)) * F.col("n_total").cast("double") \
-        / F.lit(float(_CMS_W))
+    bound = F.lit(float(CMS_D)) * F.col("n_total").cast("double") \
+        / F.lit(float(CMS_W))
     return (est.crossJoin(F.broadcast(n_total))
             .select("user_id", "n_events_exact",
                     ((F.col("cms_est") >= F.col("n_events_exact"))

@@ -3,5 +3,6 @@ from .pipeline import (  # noqa: F401
     stateful_best_scores, stateful_best_scores_tws, stream_attribution_join,
     stream_chunk_documents, stream_exact_dedup, stream_keep_last_upsert,
     stream_near_dedup,
-    stream_server_inventory, streaming_sessions, tumbling_stats,
+    stream_server_inventory, streaming_cms_sketch, streaming_sessions,
+    tumbling_stats,
 )

@@ -473,6 +473,57 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
     )
 
 
+def streaming_cms_sketch(events: DataFrame, state_dir: str,
+                         checkpoint_dir: str, key_col: str = "user_id"):
+    """Count-Min sketch maintained INCREMENTALLY over the event stream
+    (the heavy-hitter counter behind queries/extra.py
+    approx_heavy_hitters, operators/sketch.py geometry): each
+    micro-batch contributes its d x w cell partial, merge-ADDED into
+    the stored snapshot. The table is a commutative monoid, so the
+    folded sketch is bit-equal to the one-shot batch sketch regardless
+    of batch boundaries or arrival order — asserted by the e2e test —
+    and point estimates (min over a key's d cells) remain
+    never-underestimates at every point in the stream.
+
+    Replay-safe exactly like incremental_daily_rollup: merge-ADD is
+    not idempotent, so the snapshot carries the last folded batch id;
+    a replayed batch is detected and skipped, and the marker commits
+    with the cells in one atomic pointer swap."""
+    import os
+
+    from ..operators.sketch import cms_partial
+    from ..sinks.snapshot import POINTER, read_snapshot, write_snapshot
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = cms_partial(batch, key_col)
+        if os.path.exists(os.path.join(state_dir, POINTER)):
+            cur = read_snapshot(spark, state_dir)
+            applied = cur.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already folded in
+            merged = (
+                cur.join(delta.withColumnRenamed("cnt", "_c"),
+                         ["row", "cell"], "full_outer")
+                .select(
+                    "row", "cell",
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("_c", F.lit(0))).alias("cnt"))
+            )
+        else:
+            merged = delta
+        write_snapshot(
+            spark, merged.withColumn("_last_batch_id", F.lit(batch_id)),
+            state_dir)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_best_scores_tws(events: DataFrame) -> DataFrame:
     """§2.11 — the same running-best operator on Spark 4's
     ``transformWithStateInPandas`` (the successor of

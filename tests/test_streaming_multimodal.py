@@ -136,6 +136,63 @@ def test_incremental_rollup_accumulates_across_batches(spark, tmpdir):
     assert _snap() == want
 
 
+def test_streaming_cms_sketch_folds_to_batch_sketch(spark, tmpdir):
+    """CMS monoid fold: two micro-batch partials merge-added into the
+    snapshot must be cell-for-cell equal to the one-shot batch sketch,
+    point estimates must never underestimate exact counts, and a
+    replayed stream must be a no-op (in-snapshot batch marker)."""
+    from sc_crawler_spark.operators.sketch import cms_partial, cms_probes
+    from sc_crawler_spark.sinks.snapshot import read_snapshot
+    from sc_crawler_spark.streaming import streaming_cms_sketch
+    from sc_crawler_spark.tables import load
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    ev = load(spark, SF, "events")
+    import glob as _glob
+    for name, half in (("a", ev.filter(F.col("event_id") % 2 == 0)),
+                       ("b", ev.filter(F.col("event_id") % 2 == 1))):
+        stage = os.path.join(tmpdir, f"_stage_{name}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    state = os.path.join(tmpdir, "cms")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = streaming_cms_sketch(stream, state, os.path.join(tmpdir, "ckpt"))
+    q.awaitTermination(120)
+
+    def _snap():
+        return sorted((r.row, r.cell, r.cnt)
+                      for r in read_snapshot(spark, state).collect())
+
+    got = _snap()
+    want = sorted((r.row, r.cell, r.cnt)
+                  for r in cms_partial(ev, "user_id").collect())
+    assert got == want
+
+    # point estimates from the folded sketch never underestimate
+    cells = {(r, c): n for r, c, n in got}
+    exact = {r.user_id: r.n
+             for r in ev.groupBy("user_id").agg(F.count("*").alias("n"))
+             .collect()}
+    probes = (ev.select("user_id",
+                        F.explode(cms_probes(F.col("user_id"))).alias("p"))
+              .select("user_id", "p.row", "p.cell").distinct().collect())
+    by_user: dict = {}
+    for r in probes:
+        by_user.setdefault(r.user_id, []).append(cells[(r.row, r.cell)])
+    for user, counts in by_user.items():
+        assert min(counts) >= exact[user]
+
+    # replay protection: fresh checkpoint, same files -> no-op
+    q2 = streaming_cms_sketch(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        state, os.path.join(tmpdir, "ckpt2"))
+    q2.awaitTermination(120)
+    assert _snap() == want
+
+
 def test_stream_attribution_join_matches_batch(spark, tmpdir):
     """Stream-stream time-bounded inner join over availableNow == the
     equivalent batch join (click->purchase, 1h lookback)."""
