@@ -140,11 +140,14 @@ _PRIORITY = [
     "doc_oov_rate",
 ]
 _TAIL = [
-    # approx_heavy_hitters is r13-new but its oracle is the exact arm
-    # + tolerance flag (the weakest marginal driver check), so it
-    # yields its window slot to the 35-name r9-stale rotation promise
-    # and rotates first next round; pytest runs its oracle every round.
+    # approx_heavy_hitters and cluster_balanced_sample are r13-new but
+    # arrived after the 50-slot window filled against the 35-name
+    # r9-stale rotation promise (approx_heavy's oracle is also just
+    # the exact arm + tolerance flag — the weakest marginal driver
+    # check); they rotate first next round and pytest runs their
+    # oracles every round.
     "approx_heavy_hitters",
+    "cluster_balanced_sample",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

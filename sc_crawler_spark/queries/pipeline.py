@@ -2750,6 +2750,61 @@ def embed_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "cluster_id", "cluster_size")
 
 
+_CLUSTER_QUOTA = 30
+
+
+def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space DIVERSITY SAMPLING (the SemDeDup/DataComp
+    selection shape, r13): train k-means (the shared
+    _km_trained_cents recipe), assign every vector, then take a
+    deterministic per-CLUSTER quota — semantic-space balance instead
+    of lang_balanced_sample's metadata balance, so over-represented
+    embedding regions can't dominate the curated set even when their
+    metadata looks diverse.
+
+    Engine parity: centroids/assignment are the embed_kmeans_clusters
+    bit-exact chain; the quota rank is the seeded md5-uniform order
+    (reproducible sample, no rand()). Scale shape: training's scalar
+    (cell, dim) shuffles + one assignment pass + WindowGroupLimit for
+    the rank<=N filter (per-partition top-N before the cluster
+    shuffle)."""
+    from ..operators.similarity import ivf_assign
+
+    emb = load(spark, sf, "embeddings")
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("cv"))
+    cents = _km_trained_cents(v, _KM_CELLS, _KM_ITERS)
+    assigned = ivf_assign(v.select(F.col("vec_id"), "cv"), cents,
+                          "cv", "centv").select(
+        "vec_id", F.col("cell_id").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (assigned
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= _CLUSTER_QUOTA)
+            .select("cluster_id", "vec_id",
+                    F.col("sample_rank").cast("long").alias("sample_rank")))
+
+
+def _cluster_sample_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+{_km_cent_chain_ctes()},
+{_km_assign_cte("c2", "af")}
+SELECT cell_id AS cluster_id, vec_id,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY cell_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS sample_rank
+  FROM af)
+WHERE sample_rank <= {_CLUSTER_QUOTA}
+"""
+
+
 def _km_assign_cte(cent_cte: str, out: str) -> str:
     return f"""{out} AS (
   SELECT vec_id, cv, cell_id FROM (
@@ -3478,6 +3533,8 @@ QUERIES = {
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
     "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
+    "cluster_balanced_sample": (cluster_balanced_sample,
+                                _cluster_sample_sql()),
     "training_set_select": (training_set_select, TRAINING_SET_SQL),
     "dedup_boilerplate_chunks": (dedup_boilerplate_chunks, BOILERPLATE_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
