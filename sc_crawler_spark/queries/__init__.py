@@ -148,6 +148,7 @@ _TAIL = [
     # oracles every round.
     "approx_heavy_hitters",
     "cluster_balanced_sample",
+    "unimax_mixture_weights",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

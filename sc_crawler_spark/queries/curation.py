@@ -664,6 +664,113 @@ FROM b GROUP BY 1
 """
 
 
+# ------------------------------------------- UniMax mixture solver
+
+# Token budget = this fraction of the corpus; per-source cap = this
+# many epochs of its own tokens (the UniMax rule: small sources repeat
+# at most k times, the remainder water-fills across the big ones).
+_UNIMAX_BUDGET_FRAC = 0.5
+_UNIMAX_EPOCH_CAP = 2
+
+
+def unimax_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing ALLOCATION SOLVER in-plan (the UniMax shape: cap
+    every source at k epochs, water-fill the remaining budget evenly):
+    given per-source token counts n_s, budget B = frac*total and cap_s
+    = k*n_s, find the water level t with sum_s min(cap_s, t) = B and
+    emit alloc_s = min(cap_s, t). The level has a CLOSED FORM over the
+    cap-sorted prefix — for i saturated sources, t(i) = (B - cumcap_i)
+    / (S - i), valid in exactly one segment — so the solver is one
+    window pass + a 1-row broadcast, no iteration and no driver math.
+
+    Engine parity: everything up to t is integer; t and the final
+    allocations are identically-parenthesized integer-input divisions
+    rounded to 4. If B >= sum(cap) every source saturates (t falls
+    back to the max cap).
+
+    Scale shape: the per-source table is dictionary-sized, but the
+    one corpus-sized pass (token counts) partial-aggregates map-side;
+    the window runs over |sources| rows."""
+    docs = load(spark, sf, "documents")
+    src = (docs.groupBy("source")
+           .agg(F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")))
+    cap = (F.col("n_tokens") * _UNIMAX_EPOCH_CAP).cast("long")
+    tot = src.agg(
+        F.floor(F.sum("n_tokens") * F.lit(_UNIMAX_BUDGET_FRAC))
+        .cast("long").alias("budget"),
+        F.count("*").alias("n_sources"))
+    w = Window.orderBy(F.col("cap").asc(), F.col("source"))
+    ranked = (src.withColumn("cap", cap)
+              .crossJoin(F.broadcast(tot))
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("cumcap", F.sum("cap").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("prev_cap", F.coalesce(
+                  F.lag("cap").over(w).cast("double"), F.lit(0.0))))
+    # threshold candidate assuming the rn-1 smaller sources saturate
+    t_cand = ((F.col("budget") - (F.col("cumcap") - F.col("cap")))
+              .cast("double")
+              / (F.col("n_sources") - F.col("rn") + 1).cast("double"))
+    level = (ranked.withColumn("t", t_cand)
+             .filter((F.col("t") >= F.col("prev_cap"))
+                     & (F.col("t") < F.col("cap").cast("double")))
+             .agg(F.min("t").alias("t")))
+    max_cap = ranked.agg(F.max("cap").cast("double").alias("t_sat"))
+    return (ranked.crossJoin(F.broadcast(level))
+            .crossJoin(F.broadcast(max_cap))
+            .select(
+                "source", "n_tokens", F.col("cap").alias("token_cap"),
+                dround(F.least(
+                    F.col("cap").cast("double"),
+                    F.coalesce(F.col("t"), F.col("t_sat"))), 4)
+                .alias("alloc_tokens"),
+                dround(F.least(
+                    F.col("cap").cast("double"),
+                    F.coalesce(F.col("t"), F.col("t_sat")))
+                    / F.col("n_tokens").cast("double"), 6)
+                .alias("epochs_used")))
+
+
+UNIMAX_SQL = f"""
+WITH src AS (
+  SELECT source, SUM(len(string_split(lower(text), ' '))) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(floor(SUM(n_tokens) * {_UNIMAX_BUDGET_FRAC}) AS BIGINT)
+           AS budget,
+         COUNT(*) AS n_sources
+  FROM src),
+ranked AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens * {_UNIMAX_EPOCH_CAP} AS BIGINT) AS cap,
+         budget, n_sources,
+         row_number() OVER (ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP},
+                            source) AS rn,
+         SUM(CAST(n_tokens * {_UNIMAX_EPOCH_CAP} AS BIGINT))
+           OVER (ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP}, source
+                 ROWS UNBOUNDED PRECEDING) AS cumcap,
+         COALESCE(CAST(lag(CAST(n_tokens * {_UNIMAX_EPOCH_CAP} AS BIGINT))
+           OVER (ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP}, source)
+           AS DOUBLE), 0.0) AS prev_cap
+  FROM src CROSS JOIN tot),
+cand AS (
+  SELECT *,
+         CAST(budget - (cumcap - cap) AS DOUBLE)
+           / CAST(n_sources - rn + 1 AS DOUBLE) AS t
+  FROM ranked),
+level AS (SELECT MIN(t) AS t FROM cand
+          WHERE t >= prev_cap AND t < CAST(cap AS DOUBLE)),
+sat AS (SELECT CAST(MAX(cap) AS DOUBLE) AS t_sat FROM ranked)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       cap AS token_cap,
+       {sql_round("least(CAST(cap AS DOUBLE), COALESCE(t, t_sat))", 4)}
+         AS alloc_tokens,
+       {sql_round("least(CAST(cap AS DOUBLE), COALESCE(t, t_sat))"
+                  " / CAST(n_tokens AS DOUBLE)", 6)} AS epochs_used
+FROM ranked CROSS JOIN level CROSS JOIN sat
+"""
+
+
 # ---------------------------------------------- n-gram novelty
 
 def doc_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
@@ -1262,6 +1369,7 @@ QUERIES = {
     "lang_balanced_sample": (lang_balanced_sample, LANG_SAMPLE_SQL),
     "dsir_select": (dsir_select, DSIR_SQL),
     "doc_ngram_novelty": (doc_ngram_novelty, NGRAM_NOVELTY_SQL),
+    "unimax_mixture_weights": (unimax_mixture_weights, UNIMAX_SQL),
     "domain_balanced_sample": (domain_balanced_sample, DOMAIN_SAMPLE_SQL),
     "html_extract_text": (html_extract_text, HTML_EXTRACT_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
