@@ -149,6 +149,7 @@ _TAIL = [
     "approx_heavy_hitters",
     "cluster_balanced_sample",
     "unimax_mixture_weights",
+    "dedup_edit_similarity",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

@@ -1761,6 +1761,52 @@ def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) 
             "SELECT id_a, id_b, jaccard FROM pairs")
 
 
+def dedup_edit_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-metric verification of the near-dup pairs: CHARACTER
+    edit similarity (1 - levenshtein/max_len) alongside the token-
+    shingle Jaccard — the tiebreaker a production dedup pass uses when
+    shingle overlap is ambiguous (reordered tokens score high Jaccard
+    but low edit similarity; small in-word edits the shingle tier
+    can't see score high here). Levenshtein runs JVM-side
+    (F.levenshtein) on CANDIDATE pairs only — the O(n*m) DP never
+    touches non-colliding docs, which is what keeps an edit-distance
+    metric feasible at corpus scale.
+
+    Both engines ship a built-in levenshtein with the same unit-cost
+    DP semantics, so the distance is integer-exact and only the
+    similarity ratio needs the rounding convention."""
+    corpus = _docs_with_clones(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5)
+    t = corpus.select("doc_id", "text")
+    j = (pairs
+         .join(t.select(F.col("doc_id").alias("id_a"),
+                        F.col("text").alias("ta")), "id_a")
+         .join(t.select(F.col("doc_id").alias("id_b"),
+                        F.col("text").alias("tb")), "id_b"))
+    lev = F.levenshtein("ta", "tb")
+    return j.select(
+        "id_a", "id_b", "jaccard",
+        lev.cast("long").alias("lev_dist"),
+        dround(F.lit(1.0) - lev.cast("double")
+               / F.greatest(F.length("ta"), F.length("tb"))
+               .cast("double"), 6).alias("lev_sim"))
+
+
+def _edit_similarity_sql() -> str:
+    return f"""WITH {_minhash_pair_ctes()}
+SELECT p.id_a, p.id_b, p.jaccard,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist,
+       {sql_round("1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)"
+                  " / CAST(greatest(length(a.text), length(b.text))"
+                  " AS DOUBLE)", 6)} AS lev_sim
+FROM pairs p
+JOIN corpus a ON p.id_a = a.doc_id
+JOIN corpus b ON p.id_b = b.doc_id
+"""
+
+
 import os
 import weakref
 
@@ -3544,6 +3590,8 @@ QUERIES = {
     "decontaminate_spans": (decontaminate_spans, DECONTAMINATE_SPANS_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_edit_similarity": (dedup_edit_similarity,
+                              _edit_similarity_sql()),
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
     "dedup_incremental_batch": (dedup_incremental_batch,
                                 INCREMENTAL_DEDUP_SQL),
