@@ -1761,7 +1761,8 @@ def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) 
             "SELECT id_a, id_b, jaccard FROM pairs")
 
 
-def dedup_edit_similarity(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_edit_similarity(spark: SparkSession, sf: str, *,
+                          fast_signatures: bool = False) -> DataFrame:
     """Second-metric verification of the near-dup pairs: CHARACTER
     edit similarity (1 - levenshtein/max_len) alongside the token-
     shingle Jaccard — the tiebreaker a production dedup pass uses when
@@ -1774,11 +1775,16 @@ def dedup_edit_similarity(spark: SparkSession, sf: str) -> DataFrame:
 
     Both engines ship a built-in levenshtein with the same unit-cost
     DP semantics, so the distance is integer-exact and only the
-    similarity ratio needs the rounding convention."""
+    similarity ratio needs the rounding convention.
+
+    ``fast_signatures=True`` is the bench/production-scale knob, same
+    contract as dedup_minhash_lsh (the md5 signature build is the
+    oracle-parity default; the zero-explode xxhash64 path is what
+    survives the 512x corpus)."""
     corpus = _docs_with_clones(spark, sf)
     pairs = dedup.minhash_lsh_pairs(
         corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
-        threshold=0.5)
+        threshold=0.5, fast_signatures=fast_signatures)
     t = corpus.select("doc_id", "text")
     j = (pairs
          .join(t.select(F.col("doc_id").alias("id_a"),
