@@ -150,6 +150,7 @@ _TAIL = [
     "cluster_balanced_sample",
     "unimax_mixture_weights",
     "dedup_edit_similarity",
+    "bm25_retrieval",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

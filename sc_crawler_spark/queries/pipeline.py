@@ -1247,6 +1247,125 @@ FROM parts GROUP BY source
 """
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP_K = 5
+
+
+def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-text RETRIEVAL over the corpus (r13): Okapi BM25 top-k per
+    query — the ranking family tf-idf keyword extraction doesn't
+    cover (length-normalized saturating tf, rarity-weighted idf). The
+    query set is the decontaminate_docs convention: every doc_id%13==0
+    doc contributes its first-8-token prompt; the searchable corpus is
+    everything else (a retrieval pass against its own prompts is the
+    RAG-building shape).
+
+    Engine parity: idf = log2(N - df + 0.5) - log2(df + 0.5) with
+    exact integer(+0.5) inputs (log2-parity doctrine); avgdl is an
+    exact integer ratio; per-term contributions are identically-
+    parenthesized doubles DECIMAL(28,12)-routed before the (query,
+    doc) sum; the top-k rank has a total order.
+
+    Scale shape: one (doc, term) tf aggregate off the explode; the
+    query-term table is dictionary-sized and BROADCASTS into the tf
+    join (no corpus re-shuffle); df comes from a term-partitioned
+    window on the joined slice (only terms any query mentions); the
+    rank<=k filter compiles to WindowGroupLimit."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    q_terms = (toked.filter(F.col("doc_id") % 13 == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(F.array_distinct(
+                           F.slice("toks", 1, 8))).alias("term")))
+    corpus = toked.filter(F.col("doc_id") % 13 != 0)
+    tf = (corpus.select("doc_id", F.explode("toks").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    lens = corpus.select("doc_id", F.size("toks").alias("len_d"))
+    stats = corpus.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_len"))
+    # df over the query-relevant tf slice BEFORE the query join —
+    # (doc, term) is unique in tf, so the term window counts docs;
+    # after the q_terms join the same window would double-count a
+    # term shared by several queries
+    rel = tf.join(F.broadcast(q_terms.select("term").distinct()), "term")
+    rel = rel.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    hit = rel.join(F.broadcast(q_terms), "term")
+    avgdl = (F.col("total_len").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = (F.log2(F.col("n_docs").cast("double")
+                  - F.col("df").cast("double") + F.lit(0.5))
+           - F.log2(F.col("df").cast("double") + F.lit(0.5)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B)
+                                  + F.lit(_BM25_B)
+                                  * (F.col("len_d").cast("double")
+                                     / avgdl)))
+    contrib = (idf * ((F.col("tf").cast("double")
+                       * F.lit(_BM25_K1 + 1.0)) / denom)) \
+        .cast("decimal(28,12)")
+    scored = (hit.join(lens, "doc_id")
+              .join(F.broadcast(stats))
+              .withColumn("c", contrib)
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c").alias("s")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _BM25_TOP_K)
+            .select("query_id", "doc_id",
+                    dround(F.col("s").cast("double"), 6)
+                    .alias("bm25_score"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+BM25_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents),
+q_terms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(toks[1:8]) AS term
+  FROM toked WHERE doc_id % 13 = 0),
+corpus AS (SELECT * FROM toked WHERE doc_id % 13 != 0),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term),
+lens AS (SELECT doc_id, len(toks) AS len_d FROM corpus),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+          FROM corpus),
+rel AS (
+  SELECT t.doc_id, t.term, t.tf,
+         COUNT(*) OVER (PARTITION BY t.term) AS df
+  FROM tf t JOIN (SELECT DISTINCT term FROM q_terms) USING (term)),
+hit AS (
+  SELECT q.query_id, r.doc_id, r.term, r.tf, r.df
+  FROM rel r JOIN q_terms q USING (term)),
+scored AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(
+           (log2(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            - log2(CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})
+              / (CAST(tf AS DOUBLE)
+                 + {_BM25_K1} * ({1.0 - _BM25_B}
+                    + {_BM25_B} * (CAST(len_d AS DOUBLE)
+                       / (CAST(total_len AS DOUBLE)
+                          / CAST(n_docs AS DOUBLE))))))
+           AS DECIMAL(28,12))) AS s
+  FROM hit JOIN lens USING (doc_id) CROSS JOIN stats
+  GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, {sql_round("CAST(s AS DOUBLE)", 6)} AS bm25_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= {_BM25_TOP_K}
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_TOP_K = 50
 
@@ -3582,6 +3701,7 @@ QUERIES = {
     "doc_lm2_perplexity": (doc_lm2_perplexity, LM2_PERPLEXITY_SQL),
     "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
+    "bm25_retrieval": (bm25_retrieval, BM25_SQL),
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
     "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
