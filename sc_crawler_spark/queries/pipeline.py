@@ -1270,8 +1270,14 @@ def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one (doc, term) tf aggregate off the explode; the
     query-term table is dictionary-sized and BROADCASTS into the tf
     join (no corpus re-shuffle); df comes from a term-partitioned
-    window on the joined slice (only terms any query mentions); the
-    rank<=k filter compiles to WindowGroupLimit."""
+    window on the PRE-query-join slice ((doc, term) unique there, so
+    the window counts docs — after the query join it would
+    double-count shared terms); the rank<=k filter compiles to
+    WindowGroupLimit. Cost model: sum over query terms of |postings|
+    — a Zipfian vocabulary keeps that small per query; this corpus's
+    31-token vocab makes every term a stopword, so the 512x PLANS.md
+    number uses a bounded 2k-query batch (31.3 s) and the full 197k-
+    query registry form is documented degenerate there."""
     docs = load(spark, sf, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     q_terms = (toked.filter(F.col("doc_id") % 13 == 0)
