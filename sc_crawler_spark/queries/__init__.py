@@ -140,12 +140,11 @@ _PRIORITY = [
     "doc_oov_rate",
 ]
 _TAIL = [
-    # approx_heavy_hitters and cluster_balanced_sample are r13-new but
-    # arrived after the 50-slot window filled against the 35-name
-    # r9-stale rotation promise (approx_heavy's oracle is also just
-    # the exact arm + tolerance flag — the weakest marginal driver
-    # check); they rotate first next round and pytest runs their
-    # oracles every round.
+    # These five are r13-new but arrived after the 50-slot window
+    # filled against the 35-name r9-stale rotation promise
+    # (approx_heavy's oracle is also just the exact arm + tolerance
+    # flag — the weakest marginal driver check); they rotate FIRST
+    # next round and pytest runs their oracles every round meanwhile.
     "approx_heavy_hitters",
     "cluster_balanced_sample",
     "unimax_mixture_weights",
