@@ -150,6 +150,7 @@ _TAIL = [
     "unimax_mixture_weights",
     "dedup_edit_similarity",
     "bm25_retrieval",
+    "hybrid_rrf_retrieval",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

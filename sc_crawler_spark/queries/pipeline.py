@@ -1284,6 +1284,22 @@ def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
                .select(F.col("doc_id").alias("query_id"),
                        F.explode(F.array_distinct(
                            F.slice("toks", 1, 8))).alias("term")))
+    scored = _bm25_scored(toked, q_terms)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _BM25_TOP_K)
+            .select("query_id", "doc_id",
+                    dround(F.col("s").cast("double"), 6)
+                    .alias("bm25_score"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def _bm25_scored(toked: DataFrame, q_terms: DataFrame) -> DataFrame:
+    """BM25 (query_id, doc_id, s) scoring chain shared by
+    bm25_retrieval and hybrid_rrf_retrieval; ``toked`` is the full
+    (doc_id, toks) table, queries (doc_id%13==0) are excluded from
+    the searchable corpus."""
     corpus = toked.filter(F.col("doc_id") % 13 != 0)
     tf = (corpus.select("doc_id", F.explode("toks").alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
@@ -1311,28 +1327,23 @@ def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     contrib = (idf * ((F.col("tf").cast("double")
                        * F.lit(_BM25_K1 + 1.0)) / denom)) \
         .cast("decimal(28,12)")
-    scored = (hit.join(lens, "doc_id")
-              .join(F.broadcast(stats))
-              .withColumn("c", contrib)
-              .groupBy("query_id", "doc_id")
-              .agg(F.sum("c").alias("s")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _BM25_TOP_K)
-            .select("query_id", "doc_id",
-                    dround(F.col("s").cast("double"), 6)
-                    .alias("bm25_score"),
-                    F.col("rank").cast("long").alias("rank")))
+    return (hit.join(lens, "doc_id")
+            .join(F.broadcast(stats))
+            .withColumn("c", contrib)
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("c").alias("s")))
 
 
-BM25_SQL = f"""
-WITH toked AS (
+def _bm25_sql_scored_ctes(query_pred: str) -> str:
+    """The BM25 oracle chain through ``scored`` (query_id, doc_id, s),
+    shared by the plain-retrieval and hybrid-RRF oracles; ``query_pred``
+    selects the query docs."""
+    return f"""toked AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks
   FROM documents),
 q_terms AS (
   SELECT DISTINCT doc_id AS query_id, unnest(toks[1:8]) AS term
-  FROM toked WHERE doc_id % 13 = 0),
+  FROM toked WHERE {query_pred}),
 corpus AS (SELECT * FROM toked WHERE doc_id % 13 != 0),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
@@ -1361,7 +1372,11 @@ scored AS (
                           / CAST(n_docs AS DOUBLE))))))
            AS DECIMAL(28,12))) AS s
   FROM hit JOIN lens USING (doc_id) CROSS JOIN stats
-  GROUP BY query_id, doc_id)
+  GROUP BY query_id, doc_id)"""
+
+
+BM25_SQL = f"""
+WITH {_bm25_sql_scored_ctes("doc_id % 13 = 0")}
 SELECT query_id, doc_id, {sql_round("CAST(s AS DOUBLE)", 6)} AS bm25_score,
        CAST(rank AS BIGINT) AS rank
 FROM (
@@ -1369,6 +1384,121 @@ FROM (
                                ORDER BY s DESC, doc_id) AS rank
   FROM scored)
 WHERE rank <= {_BM25_TOP_K}
+"""
+
+# Hybrid fusion constants: RRF's damping constant (the standard 60),
+# per-arm candidate depth, and the fused output size.
+_RRF_C = 60.0
+_RRF_DEPTH = 20
+_RRF_TOP_K = 5
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID retrieval (r13): reciprocal-rank fusion of the lexical
+    BM25 arm and the embedding-cosine arm — the standard RAG-stack
+    shape (sparse catches exact keywords, dense catches paraphrase;
+    RRF fuses WITHOUT score calibration because it only consumes
+    RANKS: score = sum over arms of 1/(C + rank), C=60). Queries are
+    the 10 prompt docs (doc_id%13==0, <130) that exist in both
+    modalities: their first-8-token prompt feeds BM25, their embedding
+    feeds exact cosine; each arm contributes its top-20, fused top-5
+    kept with per-arm ranks exposed (NULL = the arm missed it).
+
+    Engine parity: both arms' ranks already have total orders
+    (bm25_retrieval / embed_cosine_topk conventions), and RRF
+    arithmetic is a rational of small integers — identical doubles in
+    both engines; the fused order tiebreaks on doc_id.
+
+    Scale shape: the BM25 arm is the shared scored chain (broadcast
+    query terms); the dense arm is the brute-force baseline at this
+    corpus and swaps for the IVF-SQ path at production scale (the ANN
+    tier's documented ladder); fusion is a full-outer join of two
+    (10 x 20)-row frames."""
+    from ..operators import similarity
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    is_q = (F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 130)
+    q_terms = (toked.filter(is_q)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(F.array_distinct(
+                           F.slice("toks", 1, 8))).alias("term")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id"))
+    b_rank = (_bm25_scored(toked, q_terms)
+              .withColumn("rank_b", F.row_number().over(wq))
+              .filter(F.col("rank_b") <= _RRF_DEPTH)
+              .select("query_id", "doc_id",
+                      F.col("rank_b").cast("long").alias("rank_b")))
+    qv = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 130))
+    cand = emb.filter(F.col("vec_id") % 13 != 0)
+    v_rank = (similarity.cosine_topk_bruteforce(
+        qv, cand, "embedding", "vec_id", k=_RRF_DEPTH)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rank_v")))
+    fused = b_rank.join(v_rank, ["query_id", "doc_id"], "full_outer")
+    arm = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col(r).cast("double"))) \
+        .otherwise(F.lit(0.0))
+    scored = fused.withColumn("score", arm("rank_b") + arm("rank_v"))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= _RRF_TOP_K)
+            .select("query_id", "doc_id", "rank_b", "rank_v",
+                    dround(F.col("score"), 6).alias("rrf_score"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+_COS_EXPR = sql_round(
+    "list_inner_product(qv, cv)"
+    " / (sqrt(list_inner_product(qv, qv))"
+    " * sqrt(list_inner_product(cv, cv)))", 6)
+
+HYBRID_RRF_SQL = f"""
+WITH {_bm25_sql_scored_ctes("doc_id % 13 = 0 AND doc_id < 130")},
+b_rank AS (
+  SELECT query_id, doc_id, CAST(rank_b AS BIGINT) AS rank_b
+  FROM (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS rank_b
+        FROM scored)
+  WHERE rank_b <= {_RRF_DEPTH}),
+qe AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id % 13 = 0 AND vec_id < 130),
+ce AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+       FROM embeddings WHERE vec_id % 13 != 0),
+vs AS (
+  SELECT query_id, doc_id, {_COS_EXPR} AS cos_sim
+  FROM qe, ce WHERE query_id != doc_id),
+v_rank AS (
+  SELECT query_id, doc_id, CAST(rank_v AS BIGINT) AS rank_v
+  FROM (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, doc_id) AS rank_v
+        FROM vs)
+  WHERE rank_v <= {_RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         b.rank_b, v.rank_v,
+         (CASE WHEN b.rank_b IS NOT NULL
+               THEN 1.0 / ({_RRF_C} + CAST(b.rank_b AS DOUBLE))
+               ELSE 0.0 END)
+         + (CASE WHEN v.rank_v IS NOT NULL
+                 THEN 1.0 / ({_RRF_C} + CAST(v.rank_v AS DOUBLE))
+                 ELSE 0.0 END) AS score
+  FROM b_rank b FULL OUTER JOIN v_rank v
+    ON b.query_id = v.query_id AND b.doc_id = v.doc_id)
+SELECT query_id, doc_id, rank_b, rank_v,
+       {sql_round("score", 6)} AS rrf_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {_RRF_TOP_K}
 """
 
 
@@ -3708,6 +3838,7 @@ QUERIES = {
     "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
     "bm25_retrieval": (bm25_retrieval, BM25_SQL),
+    "hybrid_rrf_retrieval": (hybrid_rrf_retrieval, HYBRID_RRF_SQL),
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
     "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
