@@ -151,6 +151,7 @@ _TAIL = [
     "dedup_edit_similarity",
     "bm25_retrieval",
     "hybrid_rrf_retrieval",
+    "contrastive_triplets",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

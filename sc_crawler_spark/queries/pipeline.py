@@ -1502,6 +1502,92 @@ WHERE rank <= {_RRF_TOP_K}
 """
 
 
+_TRIPLET_NEGS = 3
+
+
+def contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINING-PAIR CONSTRUCTION for retriever/embedding training
+    (r13): (query, positive, negative) triplets — positive = the exact
+    cosine top-1 neighbor, negatives = ``_TRIPLET_NEGS`` seeded-random
+    candidates EXCLUDED from the cosine top-20 (so a "negative" is
+    never an unlabeled near-positive — the standard false-negative
+    guard). One row per (query, negative) with the positive repeated.
+
+    Engine parity: the positive/exclusion ranks are the
+    embed_cosine_topk total order; negative selection orders on the
+    seeded md5(query|doc) uniform — reproducible sampling, no rand().
+
+    Scale shape: the cosine arms are the brute-force baseline at this
+    corpus (IVF at production scale, the ANN ladder); the negative
+    window ranks a per-query hash order — at 100 TB that becomes a
+    hash-threshold Bernoulli sample before the window, same
+    convention, so the sort never sees the full corpus."""
+    from ..operators import similarity
+
+    emb = load(spark, sf, "embeddings")
+    qv = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 130))
+    cand = emb.filter(F.col("vec_id") % 13 != 0)
+    top = similarity.cosine_topk_bruteforce(
+        qv, cand, "embedding", "vec_id", k=20)
+    pos = (top.filter(F.col("rank") == 1)
+           .select("query_id", F.col("neighbor_id").alias("pos_id"),
+                   F.col("cos_sim").alias("pos_sim")))
+    pool = (qv.select(F.col("vec_id").alias("query_id"))
+            .join(cand.select(F.col("vec_id").alias("doc_id")))
+            .join(top.select("query_id",
+                             F.col("neighbor_id").alias("doc_id")),
+                  ["query_id", "doc_id"], "left_anti"))
+    seed = F.md5(F.concat(F.col("query_id").cast("string"), F.lit("|"),
+                          F.col("doc_id").cast("string")))
+    wn = Window.partitionBy("query_id").orderBy(seed, F.col("doc_id"))
+    negs = (pool.withColumn("neg_rank", F.row_number().over(wn))
+            .filter(F.col("neg_rank") <= _TRIPLET_NEGS))
+    return (negs.join(pos, "query_id")
+            .select("query_id", "pos_id", "pos_sim",
+                    F.col("doc_id").alias("neg_id"),
+                    F.col("neg_rank").cast("long").alias("neg_rank")))
+
+
+CONTRASTIVE_SQL = f"""
+WITH qe AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % 13 = 0 AND vec_id < 130),
+ce AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+       FROM embeddings WHERE vec_id % 13 != 0),
+vs AS (
+  SELECT query_id, doc_id,
+         {sql_round("list_inner_product(qv, cv)"
+                    " / (sqrt(list_inner_product(qv, qv))"
+                    " * sqrt(list_inner_product(cv, cv)))", 6)} AS cos_sim
+  FROM qe, ce WHERE query_id != doc_id),
+top AS (
+  SELECT query_id, doc_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, doc_id) AS rank
+    FROM vs)
+  WHERE rank <= 20),
+pos AS (SELECT query_id, doc_id AS pos_id, cos_sim AS pos_sim
+        FROM top WHERE rank = 1),
+pool AS (
+  SELECT q.query_id, c.doc_id
+  FROM (SELECT query_id FROM qe) q CROSS JOIN
+       (SELECT doc_id FROM ce) c
+  WHERE NOT EXISTS (SELECT 1 FROM top t
+                    WHERE t.query_id = q.query_id
+                      AND t.doc_id = c.doc_id)),
+negs AS (
+  SELECT query_id, doc_id, neg_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY md5(CAST(query_id AS VARCHAR) || '|'
+                   || CAST(doc_id AS VARCHAR)), doc_id) AS neg_rank
+    FROM pool)
+  WHERE neg_rank <= {_TRIPLET_NEGS})
+SELECT n.query_id, p.pos_id, p.pos_sim, n.doc_id AS neg_id,
+       CAST(n.neg_rank AS BIGINT) AS neg_rank
+FROM negs n JOIN pos p USING (query_id)
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_TOP_K = 50
 
@@ -3839,6 +3925,7 @@ QUERIES = {
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
     "bm25_retrieval": (bm25_retrieval, BM25_SQL),
     "hybrid_rrf_retrieval": (hybrid_rrf_retrieval, HYBRID_RRF_SQL),
+    "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
     "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
