@@ -152,6 +152,7 @@ _TAIL = [
     "bm25_retrieval",
     "hybrid_rrf_retrieval",
     "contrastive_triplets",
+    "quality_quantile_normalize",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",

@@ -1502,6 +1502,49 @@ WHERE rank <= {_RRF_TOP_K}
 """
 
 
+def quality_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source SCORE CALIBRATION (r13): per-source quantile
+    normalization of the heuristic quality score — percent_rank within
+    each source — so a single corpus-wide keep threshold means the
+    same thing for every source even when their raw score
+    distributions differ (the per-domain-classifier mixing problem:
+    raw scores from differently-shaped domains are not comparable;
+    ranks are). Output: per-doc raw quality + its within-source
+    percentile + the keep flag at the 0.25 per-source floor.
+
+    Engine parity: percent_rank's (rank-1)/(n-1) definition is
+    identical in both engines, the order has a doc_id tiebreak (total
+    order -> identical ranks), and the raw score is already the
+    rounded doc_quality convention.
+
+    Scale shape: ONE source-partitioned window over (doc, score)
+    scalars — 20 source partitions, no skew (uniform sources), no
+    global sort."""
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        dround(quality_score(F.col("text")).cast("double"), 6)
+        .alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality"), F.col("doc_id"))
+    pct = dround(F.percent_rank().over(w), 6)
+    return (scored.withColumn("src_pctile", pct)
+            .withColumn("kept", F.col("src_pctile") >= 0.25))
+
+
+QUALITY_QNORM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, {sql_round(QUALITY_EXPR, 6)} AS quality
+  FROM documents)
+SELECT doc_id, source, quality,
+       {sql_round("percent_rank() OVER (PARTITION BY source"
+                  " ORDER BY quality, doc_id)", 6)} AS src_pctile,
+       {sql_round("percent_rank() OVER (PARTITION BY source"
+                  " ORDER BY quality, doc_id)", 6)} >= 0.25 AS kept
+FROM scored
+"""
+
+
 _TRIPLET_NEGS = 3
 
 
@@ -3926,6 +3969,8 @@ QUERIES = {
     "bm25_retrieval": (bm25_retrieval, BM25_SQL),
     "hybrid_rrf_retrieval": (hybrid_rrf_retrieval, HYBRID_RRF_SQL),
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
+    "quality_quantile_normalize": (quality_quantile_normalize,
+                                   QUALITY_QNORM_SQL),
     "lr_calibration_bins": (lr_calibration_bins, _lr_calibration_sql()),
     "source_token_kl": (source_token_kl, SOURCE_TOKEN_KL_SQL),
     "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
