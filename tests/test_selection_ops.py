@@ -73,6 +73,63 @@ def test_bm25_prefers_docs_containing_query_terms(spark):
         assert prompt & set(toks[h.doc_id]), (h.query_id, h.doc_id)
 
 
+def test_rrf_fuses_only_arm_candidates(spark):
+    from sc_crawler_spark.queries.pipeline import (
+        _RRF_TOP_K, bm25_retrieval, hybrid_rrf_retrieval)
+
+    fused = hybrid_rrf_retrieval(spark, SF).collect()
+    # per query exactly top-k rows, every fused doc carries at least
+    # one arm rank, and both-arm docs outrank same-rank single-arm docs
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == _RRF_TOP_K for v in by_q.values())
+    for r in fused:
+        assert r.rank_b is not None or r.rank_v is not None
+        both = (1.0 / (60 + r.rank_b) if r.rank_b else 0.0) + \
+               (1.0 / (60 + r.rank_v) if r.rank_v else 0.0)
+        assert abs(r.rrf_score - both) < 1e-5
+    # the BM25 arm's #1 doc appears in the fused list or was beaten
+    # by both-arm docs — sanity that fusion consumed the lexical arm
+    b1 = {(r.query_id, r.doc_id) for r in bm25_retrieval(spark, SF)
+          .collect() if r.rank == 1 and r.query_id < 130}
+    fused_docs = {(r.query_id, r.doc_id) for r in fused}
+    assert b1 & fused_docs
+
+
+def test_contrastive_negatives_avoid_top20(spark):
+    from sc_crawler_spark.operators import similarity
+    from sc_crawler_spark.queries.pipeline import contrastive_triplets
+    from sc_crawler_spark.tables import load
+    from pyspark.sql import functions as F
+
+    trips = contrastive_triplets(spark, SF).collect()
+    emb = load(spark, SF, "embeddings")
+    qv = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 130))
+    cand = emb.filter(F.col("vec_id") % 13 != 0)
+    top = {(r.query_id, r.neighbor_id)
+           for r in similarity.cosine_topk_bruteforce(
+               qv, cand, "embedding", "vec_id", k=20).collect()}
+    for t in trips:
+        assert (t.query_id, t.pos_id) in top          # positive is top-1
+        assert (t.query_id, t.neg_id) not in top      # negative guarded
+        assert t.neg_id % 13 != 0                     # never a query doc
+
+
+def test_qnorm_keep_floor_is_uniform_across_sources(spark):
+    from sc_crawler_spark.queries.pipeline import quality_quantile_normalize
+
+    rows = quality_quantile_normalize(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        kept = sum(1 for r in rs if r.kept) / len(rs)
+        # percent_rank >= 0.25 keeps ~75% of EVERY source regardless
+        # of its raw score distribution — the calibration claim
+        assert 0.70 <= kept <= 0.80, (src, kept)
+
+
 def test_oov_rate_consistent_with_vocab(spark):
     from sc_crawler_spark.queries.pipeline import (
         _OOV_VOCAB_K, doc_oov_rate)
