@@ -191,24 +191,19 @@ def _lr_z(wb, wl, wt, wp):
     return wb + wl * F.col("x1") + wt * F.col("x2") + wp * F.col("x3")
 
 
-def _lr_trained(spark: SparkSession, sf: str):
-    """Shared training chain for doc_quality_lr_train (weights +
-    accuracy) and doc_quality_lr_apply (per-doc inference): the cached
-    feature frame (doc_id, x1, x2, x3, y) and the one-row frame of
-    trained weights after 5 in-plan GD epochs (w_b, w_l, w_t, w_p,
-    n)."""
-    from pyspark.storagelevel import StorageLevel
-
+def lr_features(docs: DataFrame) -> DataFrame:
+    """The classifier's feature projection (doc_id, x1, x2, x3, y) —
+    shared by the batch training chain and the streaming quality gate
+    (stream_lr_quality_gate), so offline training and in-stream
+    serving provably compute the SAME features. Centered, ~unit-range:
+    GD from zero init needs the uninformative directions to sit near 0
+    mean or the bias soaks epochs re-centering them."""
     from ..functions.text import LANG_MARKERS
 
-    docs = load(spark, sf, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     n_tok = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    # centered, ~unit-range features: GD from zero init needs the
-    # uninformative directions to sit near 0 mean or the bias soaks
-    # epochs re-centering them
-    feat = docs.select(
+    return docs.select(
         "doc_id",
         ((F.least(F.length("text"), F.lit(2000)) - 300.0) / 300.0)
         .alias("x1"),
@@ -217,7 +212,19 @@ def _lr_trained(spark: SparkSession, sf: str):
         dround((hits / n_tok.cast("double") - 0.06) * 10.0, 6)
         .alias("x3"),
         F.when(F.length("text") >= 300, 1.0).otherwise(0.0).alias("y"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _lr_trained(spark: SparkSession, sf: str):
+    """Shared training chain for doc_quality_lr_train (weights +
+    accuracy) and doc_quality_lr_apply (per-doc inference): the cached
+    feature frame (doc_id, x1, x2, x3, y) and the one-row frame of
+    trained weights after 5 in-plan GD epochs (w_b, w_l, w_t, w_p,
+    n)."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load(spark, sf, "documents")
+    feat = lr_features(docs).persist(StorageLevel.MEMORY_AND_DISK)
 
     def step(z, carry):
         """One GD iteration: 4 DECIMAL gradient sums + the weight

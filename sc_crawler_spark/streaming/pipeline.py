@@ -473,6 +473,34 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
     )
 
 
+def stream_lr_quality_gate(docs: DataFrame, weights: dict) -> DataFrame:
+    """MODEL SERVING in-stream: score every arriving document with the
+    OFFLINE-trained logistic quality classifier (doc_quality_lr_train's
+    weights, passed as the collected one-row artifact) and keep docs
+    the model accepts — the train-offline / serve-at-ingest loop every
+    production quality gate runs. Stateless per-batch (features + a
+    literal-weight rational sigmoid — the bit-exact inference path of
+    doc_quality_lr_apply), so append mode, no state store, and
+    batch == stream by construction (asserted e2e); per-batch cost is
+    proportional to the batch's own files.
+
+    ``weights``: mapping with w_b / w_l / w_t / w_p floats, e.g.
+    ``{k: row[k] for k in ("w_b","w_l","w_t","w_p")}`` from the
+    trained chain's one-row frame (or a lake weights artifact)."""
+    from ..functions.scalars import dround
+    from ..queries.pipeline import _lr_sigmoid, lr_features
+
+    feat = lr_features(docs)
+    z = (F.lit(float(weights["w_b"]))
+         + F.lit(float(weights["w_l"])) * F.col("x1")
+         + F.lit(float(weights["w_t"])) * F.col("x2")
+         + F.lit(float(weights["w_p"])) * F.col("x3"))
+    return (feat.select(
+        "doc_id", dround(_lr_sigmoid(z), 6).alias("prob"),
+        (z > 0).alias("kept"))
+        .filter(F.col("kept")))
+
+
 def streaming_cms_sketch(events: DataFrame, state_dir: str,
                          checkpoint_dir: str, key_col: str = "user_id"):
     """Count-Min sketch maintained INCREMENTALLY over the event stream

@@ -193,6 +193,47 @@ def test_streaming_cms_sketch_folds_to_batch_sketch(spark, tmpdir):
     assert _snap() == want
 
 
+def test_stream_lr_quality_gate_matches_batch(spark, tmpdir):
+    """Train offline, serve in-stream: the gate applied over two
+    micro-batches must admit exactly the docs the same weights admit
+    in one batch pass, with bit-equal probabilities (stateless
+    transform -> batch == stream by construction)."""
+    from sc_crawler_spark.queries.pipeline import _lr_trained
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_lr_quality_gate)
+    from sc_crawler_spark.tables import load
+
+    feat, it = _lr_trained(spark, SF)
+    row = it.first()
+    weights = {k: row[k] for k in ("w_b", "w_l", "w_t", "w_p")}
+    feat.unpersist()
+
+    docs = load(spark, SF, "documents")
+    src = os.path.join(tmpdir, "docs")
+    os.makedirs(src)
+    import glob as _glob
+    for name, half in (("a", docs.filter(F.col("doc_id") % 2 == 0)),
+                       ("b", docs.filter(F.col("doc_id") % 2 == 1))):
+        stage = os.path.join(tmpdir, f"_stage_{name}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    stream = read_document_stream(spark, src, max_files_per_trigger=1)
+    q = (stream_lr_quality_gate(stream, weights)
+         .writeStream.format("memory").queryName("lrgate")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.doc_id, r.prob)
+                 for r in spark.sql("SELECT * FROM lrgate").collect())
+    want = sorted((r.doc_id, r.prob)
+                  for r in stream_lr_quality_gate(docs, weights).collect())
+    assert got == want
+    assert 0 < len(got) < docs.count()  # the gate actually filters
+
+
 def test_stream_attribution_join_matches_batch(spark, tmpdir):
     """Stream-stream time-bounded inner join over availableNow == the
     equivalent batch join (click->purchase, 1h lookback)."""
