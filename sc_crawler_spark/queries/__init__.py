@@ -62,89 +62,25 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r13 rotation (r12 verdict task 1): the 35 names whose last
-    # driver green is CORRECTNESS_r09 HEAD the window (the ledger
-    # promise from r12 — computed from the union of r1-r12 driver
-    # files: every other name is r11- or r12-fresh). Then the queries
-    # NEW in r13 (media_jpeg_color_stats — the 4:2:0 color JPEG tier —
-    # doc_quality_lr_train /
-    # doc_quality_lr_apply — distributed GD training + bit-exact
-    # per-doc inference — bpe_train_merges — distributed BPE
-    # tokenizer training, integer-exact oracle — bpe_tokenize_apply —
-    # the train->apply composition over the corpus — doc_lm2_perplexity —
-    # interpolated bigram LM — dsir_select — DSIR importance
-    # resampling (hashed-ngram LM ratio + Gumbel-top-k) — and
-    # perplexity_bucket_filter — CCNet head/middle/tail partition with
-    # sample-fit tercile cutoffs — doc_ngram_novelty — corpus-unique
-    # 3-gram fraction — source_embed_similarity — the centroid-cosine
-    # domain map — bigram_pmi_top — PMI collocation mining — and
-    # lr_calibration_bins — the trained classifier's reliability
-    # diagram — source_token_kl — per-source unigram KL domain shift —
-    # and doc_oov_rate — tokenizer-coverage gate vs the top-K corpus
-    # vocabulary; first driver evidence for all of them) and the
-    # r13-REWRITTEN training_corpus_emit (frontier stage 0 prepended;
-    # its oracle recomposed), then the 12 stalest r11 greens to fill
-    # the 50-slot window. Everything else
-    # rotates to _TAIL (remaining r11 greens first, then the 49
-    # r12-fresh names) and stays pytest-oracle-verified every round by
-    # tests/test_queries_oracle.py. ---
-    "count_expansion",
-    "weighted_geomean_price",
-    "q18_large_orders",
-    "longtail_price_assembly",
-    "dedup_substring_spans",
-    "decontaminate_spans",
-    "dedup_incremental_batch",
-    "embed_ann_ivf_pq",
-    "gap_fill_interp_value",
-    "embed_knn_classify",
-    "dedup_semantic_clusters",
-    "train_split_stats",
-    "sku_prefix_join",
-    "q8_national_market_share",
-    "sig_fig_prices",
-    "unit_conversions",
-    "extract_brand_number",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q16_parts_supplier",
-    "q12_priority_shipmode",
-    "q19_discounted_revenue",
-    "pack_sequences_docs",
-    "asof_latest_event_value",
-    "benchmark_catalog_stats",
-    "benchmark_config_pk",
-    "config_tolerance_filter",
-    "dedup_boilerplate_chunks",
-    "dedup_embed_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "media_jpeg_color_stats",
-    "training_corpus_emit",
-    "doc_quality_lr_train",
-    "doc_quality_lr_apply",
-    "bpe_train_merges",
-    "bpe_tokenize_apply",
-    "doc_lm2_perplexity",
-    "dsir_select",
-    "perplexity_bucket_filter",
-    "doc_ngram_novelty",
-    "source_embed_similarity",
-    "bigram_pmi_top",
-    "lr_calibration_bins",
-    "source_token_kl",
-    "doc_oov_rate",
-]
-_TAIL = [
-    # These five are r13-new but arrived after the 50-slot window
-    # filled against the 35-name r9-stale rotation promise
-    # (approx_heavy's oracle is also just the exact arm + tolerance
-    # flag — the weakest marginal driver check); they rotate FIRST
-    # next round and pytest runs their oracles every round meanwhile.
+    # --- r14 rotation (r13 verdict task 1). Evidence ledger entering
+    # r14, recomputed from the union of CORRECTNESS_r01-r13: 50 names
+    # r13-fresh, 49 r12-fresh, 49 whose last driver green is r11, and
+    # exactly 8 r13-new names NEVER driver-checked (pytest-oracle-green
+    # every round). Window: the 8 never-checked names FIRST
+    # (approx_heavy_hitters, cluster_balanced_sample,
+    # unimax_mixture_weights, dedup_edit_similarity, bm25_retrieval,
+    # hybrid_rrf_retrieval, contrastive_triplets,
+    # quality_quantile_normalize), then the two r13-fresh names whose
+    # CODE changed this round and therefore need fresh driver evidence
+    # (dsir_select — one-pass shared-feature rewrite, r13 verdict task
+    # 7; perplexity_bucket_filter — degenerate-sample kept=FALSE
+    # coalesce, r13 ADVICE #3; contrastive_triplets also changed — the
+    # hash-threshold negative pre-sample, task 2 — and
+    # approx_heavy_hitters' bound became deterministic, ADVICE #1, but
+    # both already head the window as never-checked), then the 40
+    # stalest r11 greens. The remaining 9 r11 names head _TAIL and
+    # rotate first in r15 — after r14 greens, every registry name's
+    # driver evidence is <=3 rounds old. ---
     "approx_heavy_hitters",
     "cluster_balanced_sample",
     "unimax_mixture_weights",
@@ -153,14 +89,12 @@ _TAIL = [
     "hybrid_rrf_retrieval",
     "contrastive_triplets",
     "quality_quantile_normalize",
+    "dsir_select",
+    "perplexity_bucket_filter",
     "doc_quality",
     "doc_token_stats",
     "ecpus_scalability",
     "embed_ann_ivf",
-    # displaced from the 50-slot window by the r13-new dsir_select,
-    # perplexity_bucket_filter, bpe_tokenize_apply, doc_ngram_novelty
-    # and source_embed_similarity; r11-green, re-verified every round
-    # by pytest — they rotate forward next round.
     "embed_ann_lsh",
     "embed_cosine_topk",
     "first_version_orders",
@@ -197,6 +131,11 @@ _TAIL = [
     "approx_distinct_users",
     "embed_ann_pq",
     "dedup_containment",
+]
+_TAIL = [
+    # The 9 r11-stale names displaced past the 50-slot cap by the 8
+    # never-checked + 2 code-changed heads — they rotate FIRST in r15
+    # (pytest re-runs their oracles every round meanwhile).
     "event_anomaly_zscore",
     "twap_user_value",
     "gap_fill_daily_value",
@@ -206,6 +145,8 @@ _TAIL = [
     "tfidf_keywords",
     "doc_lm_perplexity",
     "q6_forecast_revenue",
+    # r12-fresh (CORRECTNESS_r12 greens) — next-stalest after the
+    # r11 block above.
     "q20_dominant_suppliers",
     "q14_promo_effect",
     "q22_global_sales_opportunity",
@@ -255,6 +196,56 @@ _TAIL = [
     "mode_brand_per_type",
     "group_merge_nations",
     "minmax_bounds_part",
+    # r13-fresh (CORRECTNESS_r13 greens, minus the two code-changed
+    # names promoted to the window) — freshest evidence, deepest tail.
+    "count_expansion",
+    "weighted_geomean_price",
+    "q18_large_orders",
+    "longtail_price_assembly",
+    "dedup_substring_spans",
+    "decontaminate_spans",
+    "dedup_incremental_batch",
+    "embed_ann_ivf_pq",
+    "gap_fill_interp_value",
+    "embed_knn_classify",
+    "dedup_semantic_clusters",
+    "train_split_stats",
+    "sku_prefix_join",
+    "q8_national_market_share",
+    "sig_fig_prices",
+    "unit_conversions",
+    "extract_brand_number",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q16_parts_supplier",
+    "q12_priority_shipmode",
+    "q19_discounted_revenue",
+    "pack_sequences_docs",
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
+    "benchmark_config_pk",
+    "config_tolerance_filter",
+    "dedup_boilerplate_chunks",
+    "dedup_embed_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "media_jpeg_color_stats",
+    "training_corpus_emit",
+    "doc_quality_lr_train",
+    "doc_quality_lr_apply",
+    "bpe_train_merges",
+    "bpe_tokenize_apply",
+    "doc_lm2_perplexity",
+    "doc_ngram_novelty",
+    "source_embed_similarity",
+    "bigram_pmi_top",
+    "lr_calibration_bins",
+    "source_token_kl",
+    "doc_oov_rate",
 ]
 REGISTRY = {
     n: REGISTRY[n]
