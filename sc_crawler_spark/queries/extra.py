@@ -253,14 +253,19 @@ def approx_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     TOLERANCE ORACLE (the approx_distinct_users doctrine): DuckDB has
     no CMS, so the oracle emits the exact arm + literal TRUE while the
     Spark side emits the exact arm + ``within_bound`` = (estimate >=
-    exact AND estimate - exact <= 4N/w). CMS never underestimates —
-    a broken sketch flips the flag and reds the hash. The exact arm
-    exists for the verification harness; the sketch is the production
-    path. Geometry + probe/partial builders live in operators/
-    sketch.py, shared with the streaming fold (streaming_cms_sketch);
-    the within_bound check uses the loose d*N/w (min over d rows sits
-    far inside it on every SF of this lake)."""
-    from ..operators.sketch import CMS_D, CMS_W, cms_partial, cms_probes
+    exact AND estimate <= N). Both halves are DETERMINISTIC invariants
+    of a correct sketch — CMS never underestimates (every probed cell
+    counts at least the key's own inserts) and no cell can exceed the
+    total insert count — so a red here is always a broken sketch,
+    never sketch bad luck. The r13 advice flagged the previous
+    ``estimate - exact <= d*N/w`` arm: that epsilon bound is only
+    PROBABILISTIC (Markov tail ~(1/4)^d per key), so a healthy sketch
+    could flip the flag on adversarially skewed data and red the hash
+    against the oracle's literal TRUE. The exact arm exists for the
+    verification harness; the sketch is the production path. Geometry
+    + probe/partial builders live in operators/sketch.py, shared with
+    the streaming fold (streaming_cms_sketch)."""
+    from ..operators.sketch import cms_partial, cms_probes
 
     ev = load(spark, sf, "events").select("user_id")
     probes = cms_probes(F.col("user_id"))
@@ -277,13 +282,11 @@ def approx_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
                  & (F.col("p.cell") == F.col("cell")))
            .groupBy("user_id", "n_events_exact")
            .agg(F.min("cnt").alias("cms_est")))
-    bound = F.lit(float(CMS_D)) * F.col("n_total").cast("double") \
-        / F.lit(float(CMS_W))
     return (est.crossJoin(F.broadcast(n_total))
             .select("user_id", "n_events_exact",
                     ((F.col("cms_est") >= F.col("n_events_exact"))
-                     & ((F.col("cms_est") - F.col("n_events_exact"))
-                        .cast("double") <= bound)).alias("within_bound"))
+                     & (F.col("cms_est") <= F.col("n_total")))
+                    .alias("within_bound"))
             .orderBy(F.col("n_events_exact").desc(), "user_id"))
 
 

@@ -1752,7 +1752,18 @@ def perplexity_bucket_filter(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the LM chain's three shuffles + a 1-row cutoff agg
     over the sample (broadcast back) + a stateless projection — the
     full corpus never sorts globally and the percentile buffer holds
-    only the sample."""
+    only the sample.
+
+    Degenerate-sample edge (r13 advice): a corpus so small the 20%
+    md5 sample is EMPTY yields NULL cutoffs; ``<= NULL`` is NULL, so
+    every doc correctly falls through to 'tail', and ``kept`` is
+    coalesced to FALSE — the conservative, DEFINED result (no cutoffs
+    fitted => nothing certified head/middle) instead of a NULL
+    boolean, identically in both engines. Coalescing the cutoffs to
+    full-corpus percentiles was rejected: it would add the exact
+    global-percentile funnel this query's scale shape exists to
+    avoid, paid on every run for an edge only reachable on toy
+    corpora."""
     docs = load(spark, sf, "documents")
     per_doc = _unigram_lm_per_doc(docs)
     xent = dround(
@@ -1773,7 +1784,8 @@ def perplexity_bucket_filter(spark: SparkSession, sf: str) -> DataFrame:
     return (scored.crossJoin(F.broadcast(cuts))
             .select("doc_id", "n_tokens", "bits_per_token",
                     bucket.alias("ppl_bucket"),
-                    (F.col("bits_per_token") <= F.col("c2")).alias("kept")))
+                    F.coalesce(F.col("bits_per_token") <= F.col("c2"),
+                               F.lit(False)).alias("kept")))
 
 
 PPL_BUCKET_SQL = f"""
@@ -1804,7 +1816,7 @@ SELECT doc_id, n_tokens, bits_per_token,
        CASE WHEN bits_per_token <= c1 THEN 'head'
             WHEN bits_per_token <= c2 THEN 'middle'
             ELSE 'tail' END AS ppl_bucket,
-       bits_per_token <= c2 AS kept
+       coalesce(bits_per_token <= c2, FALSE) AS kept
 FROM scored CROSS JOIN cuts
 """
 

@@ -144,8 +144,23 @@ def _next_version(root: str) -> str:
     return f"v-{n:08d}"
 
 
+def read_extra(root: str, name: str) -> str | None:
+    """Read a sidecar file committed alongside the current snapshot
+    version (``write_snapshot(extras=...)``), or ``None`` if the
+    committed version has no such sidecar (legacy snapshot). Sidecars
+    live INSIDE the version directory, so they commit/roll back with
+    the data in the same atomic pointer swap — a guard stored here can
+    never be newer or older than the cells it guards."""
+    path = os.path.join(current_path(root), name)
+    if os.path.isfile(path):
+        with open(path) as f:
+            return f.read()
+    return None
+
+
 def write_snapshot(spark: SparkSession, df: DataFrame, root: str,
-                   keep: int = 2) -> str:
+                   keep: int = 2,
+                   extras: dict[str, str] | None = None) -> str:
     """Write ``df`` as the next version of ``root`` and commit atomically.
 
     ``df``'s plan may read from the current snapshot of ``root`` itself
@@ -153,6 +168,12 @@ def write_snapshot(spark: SparkSession, df: DataFrame, root: str,
     fully succeeded. Keeps the last ``keep`` versions for debugging, prunes
     older ones, and clears legacy root-level part files after the first
     versioned commit.
+
+    ``extras``: small sidecar files (name -> content) written into the
+    new version directory BEFORE the pointer swap, so they are covered
+    by the same commit point as the parquet data (see ``read_extra``).
+    Names must not collide with part files; convention is a leading
+    underscore (e.g. ``_manifest.json``).
     """
     os.makedirs(root, exist_ok=True)
     version = _next_version(root)
@@ -160,6 +181,11 @@ def write_snapshot(spark: SparkSession, df: DataFrame, root: str,
     df.write.mode("overwrite").parquet(vdir)
     if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
         raise IOError(f"snapshot write incomplete (no _SUCCESS): {vdir}")
+    for name, content in (extras or {}).items():
+        with open(os.path.join(vdir, name), "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
     tmp = os.path.join(root, POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(version)

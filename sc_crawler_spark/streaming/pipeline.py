@@ -402,6 +402,68 @@ def stream_keep_last_upsert(events: DataFrame, state_dir: str,
     )
 
 
+#: Sidecar (committed atomically with the snapshot cells — see
+#: sinks.snapshot.read_extra) holding the sorted JSON list of input
+#: file URIs already folded into the snapshot. Grows one URI per
+#: source file — the same ledger Spark's own file source keeps in its
+#: checkpoint, except THIS one lives with the state it guards, so it
+#: survives a checkpoint wipe.
+FOLD_MANIFEST = "_folded_files.json"
+
+
+def _fold_guard(batch: DataFrame, batch_id: int, state_dir: str,
+                cur: DataFrame):
+    """Replay/restart guard for non-idempotent merge-ADD folds.
+
+    The r13 advice flagged the bare ``batch_id <= stored`` marker: it
+    is keyed to ONE checkpoint's counter, so restarting the stream
+    against the same ``state_dir`` with a FRESH checkpoint over a
+    source that has since gained new files restarts ids at 0 and the
+    marker either silently skips the new data (cms) or double-counts
+    the old (rollup). The fix is input IDENTITY, not position: the
+    snapshot carries a manifest of folded input-file URIs, and each
+    batch folds exactly the files not yet in it —
+
+    - all files already folded  -> skip (pure replay, any checkpoint);
+    - some new, some folded     -> fold only the new files (fresh
+      checkpoint whose batch 0 re-lists the whole source);
+    - no file lineage available (non-file source: ``inputFiles()``
+      empty) -> fall back to the batch-id marker, which is sound
+      within one checkpoint lifetime — documented contract for
+      non-file sources.
+
+    Returns ``(batch_or_None, manifest_json_or_None)``: ``None`` batch
+    means skip; manifest is the updated sidecar content to commit with
+    the fold (``None`` = keep legacy marker-only behavior)."""
+    import json
+
+    from ..sinks.snapshot import read_extra
+
+    files = set(batch.inputFiles())
+    if not files:
+        applied = cur.agg(F.max("_last_batch_id")).first()[0]
+        if applied is not None and batch_id <= applied:
+            return None, None
+        return batch, None
+    stored = read_extra(state_dir, FOLD_MANIFEST)
+    if stored is None:
+        # legacy snapshot (pre-manifest): seed the manifest from this
+        # batch forward, still honoring the old marker for this batch
+        applied = cur.agg(F.max("_last_batch_id")).first()[0]
+        if applied is not None and batch_id <= applied:
+            return None, None
+        return batch, json.dumps(sorted(files))
+    folded = set(json.loads(stored))
+    new = files - folded
+    if not new:
+        return None, None
+    manifest = json.dumps(sorted(folded | files))
+    if new != files:
+        # partial replay: restrict the fold to the unseen files only
+        batch = batch.where(F.input_file_name().isin(*sorted(new)))
+    return batch, manifest
+
+
 def incremental_daily_rollup(events: DataFrame, state_dir: str,
                              checkpoint_dir: str):
     """Continuous aggregate (hypertable-rollup style): a (day,
@@ -416,19 +478,32 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
     the fold order cannot perturb the total).
 
     Replay-safe: foreachBatch is at-least-once and merge-ADD is not
-    idempotent, so every snapshot row carries the id of the last batch
-    folded in; a replayed batch (crash after the snapshot's atomic
-    commit but before the checkpoint recorded it) is detected by
-    ``batch_id <= stored`` and skipped. The marker rides IN the
-    snapshot, so state and marker commit in one pointer swap — there is
-    no window where one is updated without the other. Returns the
-    streaming query (caller awaits)."""
+    idempotent, so the snapshot commits with a manifest of the input
+    files already folded (``_fold_guard`` — replays skip, a fresh
+    checkpoint over a grown source folds only the unseen files) plus
+    the legacy batch-id marker for non-file sources. Guard state rides
+    IN the snapshot version directory, so cells and guard commit in
+    one pointer swap — there is no window where one is updated without
+    the other. Returns the streaming query (caller awaits)."""
+    import json
     import os
 
     from ..sinks.snapshot import POINTER, read_snapshot, write_snapshot
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        manifest = None
+        # existence check, not try/except: a transient read failure on
+        # batch N>1 must surface (and be retried by the stream), never
+        # be mistaken for "first batch" and truncate the rollup
+        first = not os.path.exists(os.path.join(state_dir, POINTER))
+        if not first:
+            cur = read_snapshot(spark, state_dir)
+            batch, manifest = _fold_guard(batch, batch_id, state_dir, cur)
+            if batch is None:
+                return  # replayed input: already folded in
+        elif batch.inputFiles():
+            manifest = json.dumps(sorted(set(batch.inputFiles())))
         delta = batch.groupBy(
             F.date_trunc("DAY", F.col("ts")).alias("wstart"),
             F.col("event_type"),
@@ -436,14 +511,7 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
         )
-        # existence check, not try/except: a transient read failure on
-        # batch N>1 must surface (and be retried by the stream), never
-        # be mistaken for "first batch" and truncate the rollup
-        if os.path.exists(os.path.join(state_dir, POINTER)):
-            cur = read_snapshot(spark, state_dir)
-            applied = cur.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replayed batch: already folded in
+        if not first:
             merged = (
                 cur.join(delta.withColumnRenamed("n_events", "_n")
                          .withColumnRenamed("sum_value", "_s"),
@@ -463,7 +531,8 @@ def incremental_daily_rollup(events: DataFrame, state_dir: str,
             merged = delta
         write_snapshot(
             spark, merged.withColumn("_last_batch_id", F.lit(batch_id)),
-            state_dir)
+            state_dir,
+            extras={FOLD_MANIFEST: manifest} if manifest else None)
 
     return (
         events.writeStream.foreachBatch(_apply)
@@ -514,9 +583,12 @@ def streaming_cms_sketch(events: DataFrame, state_dir: str,
     never-underestimates at every point in the stream.
 
     Replay-safe exactly like incremental_daily_rollup: merge-ADD is
-    not idempotent, so the snapshot carries the last folded batch id;
-    a replayed batch is detected and skipped, and the marker commits
-    with the cells in one atomic pointer swap."""
+    not idempotent, so the snapshot commits with the folded-input-file
+    manifest (``_fold_guard`` — replays skip, a fresh checkpoint over
+    a grown source folds only the unseen files instead of silently
+    dropping them behind the old batch-id marker) in the same atomic
+    pointer swap as the cells."""
+    import json
     import os
 
     from ..operators.sketch import cms_partial
@@ -524,12 +596,17 @@ def streaming_cms_sketch(events: DataFrame, state_dir: str,
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        delta = cms_partial(batch, key_col)
-        if os.path.exists(os.path.join(state_dir, POINTER)):
+        manifest = None
+        first = not os.path.exists(os.path.join(state_dir, POINTER))
+        if not first:
             cur = read_snapshot(spark, state_dir)
-            applied = cur.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replayed batch: already folded in
+            batch, manifest = _fold_guard(batch, batch_id, state_dir, cur)
+            if batch is None:
+                return  # replayed input: already folded in
+        elif batch.inputFiles():
+            manifest = json.dumps(sorted(set(batch.inputFiles())))
+        delta = cms_partial(batch, key_col)
+        if not first:
             merged = (
                 cur.join(delta.withColumnRenamed("cnt", "_c"),
                          ["row", "cell"], "full_outer")
@@ -542,7 +619,8 @@ def streaming_cms_sketch(events: DataFrame, state_dir: str,
             merged = delta
         write_snapshot(
             spark, merged.withColumn("_last_batch_id", F.lit(batch_id)),
-            state_dir)
+            state_dir,
+            extras={FOLD_MANIFEST: manifest} if manifest else None)
 
     return (
         events.writeStream.foreachBatch(_apply)

@@ -128,12 +128,36 @@ def test_incremental_rollup_accumulates_across_batches(spark, tmpdir):
 
     # replay protection: re-running the same batches against the same
     # snapshot (fresh checkpoint -> batch ids restart at 0) must be a
-    # no-op — merge-ADD is guarded by the in-snapshot batch marker
+    # no-op — merge-ADD is guarded by the in-snapshot file manifest
     q2 = incremental_daily_rollup(
         read_event_stream(spark, src, max_files_per_trigger=1),
         state, os.path.join(tmpdir, "ckpt2"))
     q2.awaitTermination(120)
     assert _snap() == want
+
+    # restart-with-growth (r13 advice): a FRESH checkpoint over a
+    # source that gained a new file must fold the NEW file exactly
+    # once and the old files zero times — the bare batch-id marker
+    # would double-count the old ones here (restarted ids exceed the
+    # stored marker), the manifest folds only the unseen file.
+    shutil.copy(os.path.join(src, "a.parquet"),
+                os.path.join(src, "c.parquet"))
+    q3 = incremental_daily_rollup(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        state, os.path.join(tmpdir, "ckpt3"))
+    q3.awaitTermination(120)
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    want3 = sorted(
+        (r.wstart, r.event_type, r.n_events,
+         round(float(r.sum_value), 4))
+        for r in ev.unionByName(half_a).groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("wstart"),
+            F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(28,6)"))
+             .alias("sum_value")).collect())
+    got3 = _snap()
+    assert got3 == want3
 
 
 def test_streaming_cms_sketch_folds_to_batch_sketch(spark, tmpdir):
@@ -191,6 +215,23 @@ def test_streaming_cms_sketch_folds_to_batch_sketch(spark, tmpdir):
         state, os.path.join(tmpdir, "ckpt2"))
     q2.awaitTermination(120)
     assert _snap() == want
+
+    # restart-with-growth (r13 advice): fresh checkpoint over a grown
+    # source — the old batch-id marker would see restarted id 0 <=
+    # stored marker and silently DROP the new file; the manifest folds
+    # exactly the unseen file, so the sketch equals the one-shot over
+    # the grown corpus (monoid fold).
+    shutil.copy(os.path.join(src, "a.parquet"),
+                os.path.join(src, "c.parquet"))
+    q3 = streaming_cms_sketch(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        state, os.path.join(tmpdir, "ckpt3"))
+    q3.awaitTermination(120)
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    want3 = sorted((r.row, r.cell, r.cnt)
+                   for r in cms_partial(ev.unionByName(half_a), "user_id")
+                   .collect())
+    assert _snap() == want3
 
 
 def test_stream_lr_quality_gate_matches_batch(spark, tmpdir):
