@@ -669,22 +669,59 @@ def main() -> None:
         "scale": scale,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
-    # Tiny summary line printed LAST: the driver's tail capture has
-    # front-truncated the full JSON line two rounds running (BENCH_r10
-    # and BENCH_r11 lost the graded sf0.1 block). Whatever the capture
-    # length, this line survives, so the graded numbers do too.
-    print(json.dumps({
-        "summary": "tail-safe",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "sf_value": round(sum(timings.values()), 3),
-        "sf_duckdb": oracle.get("duckdb_sec"),
-        "sf_ratio": oracle.get("ratio"),
-        "build_sec": round(build_total, 3),
-        "scale_factor": scale.get("factor"),
-        "scale_spark": scale.get("spark_sec"),
-        "scale_duckdb": scale.get("duckdb_sec"),
-        "scale_ratio": scale.get("ratio"),
-    }))
+    # Compact summary line printed LAST: the driver's tail capture
+    # front-truncates stdout to its final ~2000 chars (BENCH_r10/r11
+    # lost the graded sf0.1 block that way; BENCH_r13 lost the head of
+    # the warm per-query map). Whatever the capture length, the last
+    # line survives — so it must carry EVERY graded number, including
+    # the full per-query maps (r13 verdict task 3). Layout keeps it
+    # inside the capture: one [spark, duckdb(, cold)] array per query
+    # name, 2-decimal rounding, no-space separators; if it still
+    # exceeds the budget the cold entries are dropped first (they also
+    # live in the big line + PLANS.md), then duckdb — never spark.
+    duck_h = oracle.get("duckdb") or {}
+    cold_m = scale.get("spark_cold") or {}
+    sc_spark = scale.get("spark") or {}
+    sc_duck = scale.get("duckdb") or {}
+
+    def _r2(v):
+        return None if v is None else round(v, 2)
+
+    def _summary(with_cold=True, with_duck=True):
+        sf_q = {n: [timings[n]] + ([duck_h.get(n)] if with_duck else [])
+                for n in timings}
+        scale_q = {
+            n: [_r2(sc_spark[n])]
+            + ([_r2(sc_duck.get(n))] if with_duck else [])
+            + ([_r2(cold_m.get(n))] if with_cold else [])
+            for n in sc_spark}
+        fc = scale.get("fold_cycle") or {}
+        return json.dumps({
+            "summary": "tail-safe",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf_value": round(sum(timings.values()), 3),
+            "sf_duckdb": oracle.get("duckdb_sec"),
+            "sf_ratio": oracle.get("ratio"),
+            "build_sec": round(build_total, 3),
+            "scale_factor": scale.get("factor"),
+            "scale_spark": scale.get("spark_sec"),
+            "scale_duckdb": scale.get("duckdb_sec"),
+            "scale_ratio": scale.get("ratio"),
+            # per-query: [spark_warm, duckdb(, cold)] — cold only in
+            # scale_q (sf0.1 warm protocol has no cold arm)
+            "sf_q": sf_q,
+            "scale_q": scale_q,
+            "fold": {k: fc[k] for k in
+                     ("stream_sec", "fold_sec", "digest_ok",
+                      "serve_pagerank_sec") if k in fc},
+        }, separators=(",", ":"))
+
+    line = _summary()
+    if len(line) > 1900:
+        line = _summary(with_cold=False)
+    if len(line) > 1900:
+        line = _summary(with_cold=False, with_duck=False)
+    print(line)
     spark.stop()
 
 

@@ -868,7 +868,22 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     instance-level DECIMAL sum of 12-decimal-rounded lr values is
     exactly cnt*lr summed per bucket, so the semantics are unchanged.
     Selection is orderBy+limit (TakeOrderedAndProject — never a global
-    window over the corpus). The LM never touches the driver."""
+    window over the corpus). The LM never touches the driver.
+
+    One text pass (r14, r13 verdict task 7): LM-fit and scoring both
+    consume the hashed-gram instances, which previously re-ran
+    tokenize+md5 per stage (the corpus text scanned twice — the
+    dominant cost at 512x). The persisted frame is the PRE-EXPLODE
+    (doc_id, source, array<bucket>) feature frame — 2.56M compact
+    rows at 512x — from which both stages re-explode. Granularity
+    matters and was measured (interleaved 3-arm A/B at 512x,
+    best-of-3): persisting the EXPLODED ~150M-row instance table costs
+    more to materialize than the explode it saves (34.0 s, no better
+    than the 32.2 s two-pass baseline); persisting the bucket ARRAYS
+    keeps the cache small, skips tokenize+md5 on the second pass, and
+    wins at 27.9 s. On a cluster this is the bronze-landing of the
+    DSIR feature frame."""
+    from pyspark.storagelevel import StorageLevel
     docs = load(spark, sf, "documents")
     ts = tokens(F.col("text"))
     n = F.size(ts)
@@ -878,11 +893,13 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     # at the 512x corpus vs ~10 s for this linear zip
     big = F.when(n >= 2, _grams(ts, 2)) \
            .otherwise(F.expr("CAST(array() AS array<string>)"))
-    grams = docs.select(
-        "doc_id", "source", F.explode(F.concat(ts, big)).alias("gram"))
-    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
-              .cast("long") % _DSIR_B)
-    inst = grams.select("doc_id", "source", bucket.alias("bucket"))
+    buckets = F.transform(
+        F.concat(ts, big),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("long") % _DSIR_B)
+    feat = (docs.select("doc_id", "source", buckets.alias("bks"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    inst = feat.select("doc_id", "source", F.explode("bks").alias("bucket"))
     is_tgt = F.col("source") == _DSIR_TARGET
     lm = inst.groupBy("bucket").agg(
         F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tc"),
