@@ -89,6 +89,9 @@ _PRIORITY = [
     "hybrid_rrf_retrieval",
     "contrastive_triplets",
     "quality_quantile_normalize",
+    # NEW in r14 (first driver evidence): the impact-pruned BM25 —
+    # the postings-bounded retrieval form (r13 verdict task 4)
+    "bm25_pruned_retrieval",
     "dsir_select",
     "perplexity_bucket_filter",
     "doc_quality",
@@ -129,13 +132,16 @@ _PRIORITY = [
     "html_extract_text",
     "approx_median_price",
     "approx_distinct_users",
-    "embed_ann_pq",
     "dedup_containment",
 ]
 _TAIL = [
-    # The 9 r11-stale names displaced past the 50-slot cap by the 8
-    # never-checked + 2 code-changed heads — they rotate FIRST in r15
-    # (pytest re-runs their oracles every round meanwhile).
+    # The 10 r11-stale names displaced past the 50-slot cap by the 8
+    # never-checked + 1 r14-new + 2 code-changed heads — they rotate
+    # FIRST in r15 (pytest re-runs their oracles every round
+    # meanwhile). embed_ann_pq fell out last when bm25_pruned_retrieval
+    # took its slot; dedup_containment stays in-window because its
+    # code changes this round (probe-form containment, task 5).
+    "embed_ann_pq",
     "event_anomaly_zscore",
     "twap_user_value",
     "gap_fill_daily_value",

@@ -1259,7 +1259,8 @@ _BM25_B = 0.75
 _BM25_TOP_K = 5
 
 
-def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+def bm25_retrieval(spark: SparkSession, sf: str,
+                   query_stride: int = 13) -> DataFrame:
     """Full-text RETRIEVAL over the corpus (r13): Okapi BM25 top-k per
     query — the ranking family tf-idf keyword extraction doesn't
     cover (length-normalized saturating tf, rarity-weighted idf). The
@@ -1280,14 +1281,16 @@ def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     window on the PRE-query-join slice ((doc, term) unique there, so
     the window counts docs — after the query join it would
     double-count shared terms); the rank<=k filter compiles to
-    WindowGroupLimit. Cost model: sum over query terms of |postings|
-    — a Zipfian vocabulary keeps that small per query; this corpus's
-    31-token vocab makes every term a stopword, so the 512x PLANS.md
-    number uses a bounded 2k-query batch (31.3 s) and the full 197k-
-    query registry form is documented degenerate there."""
+    WindowGroupLimit. Cost model: sum over query terms of |postings|.
+    ``query_stride`` bounds the query batch (doc_id % stride == 0;
+    registry default 13 = the full prompt set) — the bench's 64x
+    entry runs stride=1300 (~2k queries) on the ZIPFIAN fixture
+    corpus, and bm25_pruned_retrieval below is the postings-bounded
+    form that survives the full query set (r13 verdict task 4; A/B
+    numbers in PLANS.md r14)."""
     docs = load(spark, sf, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    q_terms = (toked.filter(F.col("doc_id") % 13 == 0)
+    q_terms = (toked.filter(F.col("doc_id") % query_stride == 0)
                .select(F.col("doc_id").alias("query_id"),
                        F.explode(F.array_distinct(
                            F.slice("toks", 1, 8))).alias("term")))
@@ -1382,8 +1385,12 @@ scored AS (
   GROUP BY query_id, doc_id)"""
 
 
-BM25_SQL = f"""
-WITH {_bm25_sql_scored_ctes("doc_id % 13 = 0")}
+def bm25_sql(query_stride: int = 13) -> str:
+    """DuckDB oracle for ``bm25_retrieval`` at a given query stride —
+    the bench's bounded-batch variant times the stride-1300 pair on
+    identical data, so the oracle string must parameterize too."""
+    return f"""
+WITH {_bm25_sql_scored_ctes(f"doc_id % {query_stride} = 0")}
 SELECT query_id, doc_id, {sql_round("CAST(s AS DOUBLE)", 6)} AS bm25_score,
        CAST(rank AS BIGINT) AS rank
 FROM (
@@ -1392,6 +1399,173 @@ FROM (
   FROM scored)
 WHERE rank <= {_BM25_TOP_K}
 """
+
+
+BM25_SQL = bm25_sql()
+
+# Static index pruning depth: per-term postings kept, ordered by exact
+# query-independent BM25 contribution. 256 bounds every term's join
+# fan-out — head/stopword terms included — at the cost of missing docs
+# whose contribution for that term ranks below the cut (recall gate vs
+# the M >= corpus unpruned run of the same scorer in
+# tests/test_selection_ops.py).
+_BM25_MAX_POSTINGS = 256
+
+
+def _bm25_pruned_postings(toked: DataFrame, max_postings: int) -> DataFrame:
+    """Impact-ordered static index pruning (Carmel et al. 2001; the
+    WAND-family production answer to stopword postings): per TERM keep
+    only the ``max_postings`` postings with the highest exact BM25
+    contribution c(t, d) = idf(t) * tf_sat(t, d) — query-INDEPENDENT,
+    so the index is built offline, once, and every query's join
+    fan-out is bounded by ``8 * max_postings`` regardless of how
+    common its terms are. Returns (term, doc_id, c) with c rounded to
+    12 decimals (the ordering and the per-query sum both consume the
+    rounded value, so cross-engine rank ties cannot diverge).
+
+    Uses LUCENE's idf — log2(1 + (N - df + 0.5)/(df + 0.5)), always
+    POSITIVE — not classic Robertson: static pruning requires
+    nonnegative impacts (keep-largest + treat-missing-as-zero only
+    approximates from below when contributions cannot be negative).
+    Measured on this stopword-dense fixture: Robertson idf goes
+    negative for every term (df ~ N), top-M "largest" keeps the most
+    DILUTED postings and recall@5 vs exact collapses to 0.04; with
+    the Lucene idf the same M recovers the self-consistent recall
+    gate (tests/test_selection_ops.py). This mirrors exactly why
+    Lucene switched its formula.
+
+    Scale shape: tf + lens + one broadcast df dictionary; the
+    per-term top-M compiles to partial+final WindowGroupLimit, so the
+    map side discards past-M postings before the term shuffle — the
+    window never materializes a stopword's full posting list."""
+    corpus = toked.filter(F.col("doc_id") % 13 != 0)
+    tf = (corpus.select("doc_id", F.explode("toks").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    lens = corpus.select("doc_id", F.size("toks").alias("len_d"))
+    stats = corpus.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_len"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = (F.col("total_len").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = F.log2(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double")
+           - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B)
+                                  + F.lit(_BM25_B)
+                                  * (F.col("len_d").cast("double")
+                                     / avgdl)))
+    contrib = idf * ((F.col("tf").cast("double")
+                      * F.lit(_BM25_K1 + 1.0)) / denom)
+    wt = Window.partitionBy("term").orderBy(
+        F.col("c").desc(), F.col("doc_id"))
+    return (tf.join(lens, "doc_id")
+            .join(F.broadcast(stats))
+            .join(F.broadcast(dfc), "term")
+            .withColumn("c", dround(contrib, 12))
+            .withColumn("pr", F.row_number().over(wt))
+            .filter(F.col("pr") <= max_postings)
+            .select("term", "doc_id", "c"))
+
+
+def bm25_pruned_retrieval(spark: SparkSession, sf: str,
+                          query_stride: int = 13,
+                          max_postings: int = _BM25_MAX_POSTINGS
+                          ) -> DataFrame:
+    """BM25 top-k over the impact-PRUNED postings index — the
+    100 TB retrieval shape (r13 verdict task 4's "pre-aggregated
+    postings-index variant"). Exact batch BM25's cost is
+    sum over query terms of |postings|, and head/stopword terms keep
+    that Theta(corpus) PER QUERY on any vocabulary (a Zipfian head
+    term sits in ~every doc, exactly like this lake's degenerate
+    31-token fixture — measured A/B in PLANS.md r14); the pruned index
+    caps every term at ``max_postings``, so the full query set joins
+    O(queries * 8 * M) rows instead of O(queries * corpus).
+
+    Tradeoff is recall, not correctness drift: both engines compute
+    the identical pruned semantics (deterministic top-M per term with
+    a total order), so the oracle hash-matches exactly; the
+    recall-vs-exact gate and the M >= corpus bit-equality check live
+    in tests/test_selection_ops.py."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    q_terms = (toked.filter(F.col("doc_id") % query_stride == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(F.array_distinct(
+                           F.slice("toks", 1, 8))).alias("term")))
+    pruned = _bm25_pruned_postings(toked, max_postings)
+    scored = (pruned.join(F.broadcast(q_terms), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("c").cast("decimal(28,12)")).alias("s")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _BM25_TOP_K)
+            .select("query_id", "doc_id",
+                    dround(F.col("s").cast("double"), 6)
+                    .alias("bm25_score"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def bm25_pruned_sql(query_stride: int = 13,
+                    max_postings: int = _BM25_MAX_POSTINGS) -> str:
+    """DuckDB oracle for the pruned form: the same offline index CTEs
+    (per-term top-M by 12-decimal contribution, doc_id tiebreak) and
+    the same DECIMAL-routed per-query sum."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents),
+q_terms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(toks[1:8]) AS term
+  FROM toked WHERE doc_id % {query_stride} = 0),
+corpus AS (SELECT * FROM toked WHERE doc_id % 13 != 0),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term),
+lens AS (SELECT doc_id, len(toks) AS len_d FROM corpus),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+          FROM corpus),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+post AS (
+  SELECT t.term, t.doc_id,
+         {sql_round(
+             "log2(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)"
+             " + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+             " * ((CAST(tf AS DOUBLE) * " + repr(_BM25_K1 + 1.0) + ")"
+             " / (CAST(tf AS DOUBLE) + " + repr(_BM25_K1) + " * ("
+             + repr(1.0 - _BM25_B) + " + " + repr(_BM25_B)
+             + " * (CAST(len_d AS DOUBLE)"
+             " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))",
+             12)} AS c
+  FROM tf t JOIN lens USING (doc_id)
+  CROSS JOIN stats JOIN dfc USING (term)),
+pruned AS (
+  SELECT term, doc_id, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY term
+                                 ORDER BY c DESC, doc_id) AS pr
+    FROM post)
+  WHERE pr <= {max_postings}),
+scored AS (
+  SELECT query_id, p.doc_id,
+         SUM(CAST(c AS DECIMAL(28,12))) AS s
+  FROM pruned p JOIN q_terms q USING (term)
+  GROUP BY query_id, p.doc_id)
+SELECT query_id, doc_id, {sql_round("CAST(s AS DOUBLE)", 6)} AS bm25_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+BM25_PRUNED_SQL = bm25_pruned_sql()
 
 # Hybrid fusion constants: RRF's damping constant (the standard 60),
 # per-arm candidate depth, and the fused output size.
@@ -4014,6 +4188,7 @@ QUERIES = {
     "perplexity_bucket_filter": (perplexity_bucket_filter, PPL_BUCKET_SQL),
     "bigram_pmi_top": (bigram_pmi_top, BIGRAM_PMI_SQL),
     "bm25_retrieval": (bm25_retrieval, BM25_SQL),
+    "bm25_pruned_retrieval": (bm25_pruned_retrieval, BM25_PRUNED_SQL),
     "hybrid_rrf_retrieval": (hybrid_rrf_retrieval, HYBRID_RRF_SQL),
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
     "quality_quantile_normalize": (quality_quantile_normalize,
