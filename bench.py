@@ -108,7 +108,23 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # stage unnests every character position of 2.56M docs
                  # (~1.3B rows) and is an expected DNF at 512x — capped
                  # below so the documented DNF doesn't stall the bench.
-                 "training_corpus_emit"]
+                 "training_corpus_emit",
+                 # r14: the retrieval tier (r13 verdict task 6). The
+                 # BM25 pair runs on the ZIPFIAN-vocabulary twin of
+                 # the 512x corpus (SCALE_SUBDIR "zipf" — the 31-token
+                 # lake vocab makes every term a stopword and grades
+                 # the stopword blowup, not the plan; task 4):
+                 # bm25_pruned_retrieval runs the FULL ~197k-query set
+                 # over the impact-pruned index (per-term postings
+                 # capped at 256 — the postings-bounded production
+                 # shape), exact bm25_retrieval runs a stride-130000
+                 # (~20-query) batch because its cost is Theta(sum of
+                 # posting lists) ~ Theta(corpus) PER QUERY on any
+                 # vocabulary with head terms — the A/B that prices
+                 # what the pruned index buys. hybrid_rrf runs its
+                 # registry form (10 queries) on the main 512x corpus.
+                 "bm25_pruned_retrieval", "bm25_retrieval",
+                 "hybrid_rrf_retrieval"]
 # r8 additions measured but NOT benched (same doctrine as
 # embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
 # events = 1.7 s vs DuckDB 0.6 s and train_split_stats at 512x docs =
@@ -137,6 +153,9 @@ SCALE_SCANS = {
     "doc_lm_perplexity": ["documents", "documents"],
     "doc_pagerank": ["documents", "documents"],
     "training_corpus_emit": ["documents", "documents"],
+    "bm25_pruned_retrieval": ["documents", "documents"],
+    "bm25_retrieval": ["documents", "documents"],
+    "hybrid_rrf_retrieval": ["documents", "documents"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -156,7 +175,9 @@ _DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 # Queries whose own "fact" is a dim of the shared dir (customer stays
 # 1x there so fact->dim joins keep working): they read a private
 # subdir where THAT table is unioned SCALE_FACTOR x with offset keys.
-SCALE_SUBDIR = {"merge_upsert_lifecycle": "lifecycle"}
+SCALE_SUBDIR = {"merge_upsert_lifecycle": "lifecycle",
+                "bm25_pruned_retrieval": "zipf",
+                "bm25_retrieval": "zipf"}
 _SUBDIR_FACTS = {"lifecycle": ("customer", ["c_custkey"])}
 
 
@@ -243,6 +264,78 @@ def _build_scale(spark, sf_dir: str, out_dir: str) -> None:
         df.write.mode("overwrite").parquet(
             os.path.join(out_dir, sub, f"{t}.parquet"))
     with open(os.path.join(out_dir, "_READY_v3"), "w") as fh:
+        fh.write("ok")
+
+
+# Zipfian-vocabulary retrieval fixture (r13 verdict task 4): the lake's
+# synthetic documents have a 31-token vocabulary, which makes EVERY
+# query term a stopword and grades the stopword blowup, not the
+# retrieval plan. This corpus has the same 512x row count but (a) a
+# realistic global Zipf(s=1) vocabulary, so posting-list sizes span the
+# real head/tail range, and (b) TOPICAL structure: each doc belongs to
+# one of _ZIPF_TOPICS topics and draws _ZIPF_LOCAL_FRAC of its tokens
+# from a topic-local Zipf vocabulary. Pure topic-free random bags are
+# adversarial for ANY sparse retrieval (scores are dense sums of
+# stopword contributions, so no pruning preserves top-k — measured
+# recall 0.04); real text concentrates ranking signal in rare/topical
+# terms, which is the regime retrieval systems (and the impact-pruned
+# index) are built for.
+_ZIPF_V = 50_000          # global vocabulary size
+_ZIPF_TOPICS = 1_000      # topic count
+_ZIPF_LOCAL_V = 2_000     # per-topic local vocabulary size
+_ZIPF_LOCAL_FRAC = 3      # 3/10 of tokens are topic-local
+_ZIPF_LEN = (40, 40)      # doc length = 40 + hash % 40 tokens
+
+
+def _build_zipf(spark, sf_dir: str, out_dir: str) -> None:
+    """Write <out_dir>/documents.parquet: SCALE_FACTOR * 8 * base-count
+    docs whose tokens are Zipf(s=1) ranks — rank = floor(V^u) for
+    hash-uniform u has density proportional to 1/rank — drawn 70/30
+    from the global / the doc's-topic vocabulary. Deterministic
+    (xxhash64-seeded), generated fully in-plan."""
+    if os.path.exists(os.path.join(out_dir, "_READY_v2")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+    from sc_crawler_spark.tables import load
+
+    n_docs = (load(spark, sf_dir, "documents").count()
+              * SCALE_FACTOR * _FACT_MULT.get("documents", 1))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base, spread = _ZIPF_LEN
+    doclen = (F.lit(base)
+              + F.pmod(F.xxhash64(F.col("id"), F.lit("ziplen")),
+                       F.lit(spread)))
+    topic = F.pmod(F.xxhash64(F.col("id"), F.lit("topic")),
+                   F.lit(_ZIPF_TOPICS))
+
+    def zipf_rank(i, vocab, salt):
+        u = (F.pmod(F.xxhash64(F.col("id"), i, F.lit(salt)),
+                    F.lit(1_000_003)).cast("double")
+             / F.lit(1_000_003.0))
+        return F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+
+    def term(i):
+        is_local = (F.pmod(F.xxhash64(F.col("id"), i, F.lit("mix")),
+                           F.lit(10)) < F.lit(_ZIPF_LOCAL_FRAC))
+        return F.when(
+            is_local,
+            F.concat(F.lit("s"), topic, F.lit("x"),
+                     zipf_rank(i, _ZIPF_LOCAL_V, "zipfloc"))
+        ).otherwise(
+            F.concat(F.lit("t"), zipf_rank(i, _ZIPF_V, "zipfgen")))
+
+    docs = (spark.range(n_docs).repartition(cpus)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ", F.transform(F.sequence(F.lit(1), doclen),
+                                         term)).alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.lit("zipf").alias("source"))
+            .withColumn("n_chars", F.length("text")))
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+    with open(os.path.join(out_dir, "_READY_v2"), "w") as fh:
         fh.write("ok")
 
 
@@ -389,6 +482,7 @@ def main() -> None:
         s16_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR",
                                  f"/tmp/sc_bench_scale{SCALE_FACTOR}")
         _build_scale(spark, sf_dir, s16_dir)
+        _build_zipf(spark, sf_dir, os.path.join(s16_dir, "zipf"))
         # The bucketed fact layout is part of the lake build, like the
         # scale dir itself: at 100 TB the facts are WRITTEN bucketed
         # once and every downstream join rides the layout. q3/q5
@@ -446,6 +540,7 @@ def main() -> None:
             use_bucketed = (name in _BUCKETED_HEADLINE
                             and bucketed_facts is not None)
             kw = {"_tables": bucketed_facts} if use_bucketed else {}
+            duck_sql = REGISTRY[name][1]
             if name == "dedup_minhash_lsh":
                 # scale variant (r12 verdict task 2b): zero-explode
                 # xxhash64 signatures instead of the md5 explode+agg
@@ -453,6 +548,28 @@ def main() -> None:
                 # banding + exact verify identical, variant recorded
                 kw = {"fast_signatures": True}
                 scale.setdefault("variant", {})[name] = "fast_signatures"
+            if name == "bm25_retrieval":
+                # exact arm on the Zipfian corpus, bounded query batch
+                # (Theta(corpus) per query — see SCALE_QUERIES note);
+                # oracle re-parameterized to the same stride so both
+                # engines price identical work
+                from sc_crawler_spark.queries.pipeline import bm25_sql
+                kw = {"query_stride": 130_000}
+                duck_sql = bm25_sql(130_000)
+                scale.setdefault("variant", {})[name] = "zipf_stride130000"
+            if name == "bm25_pruned_retrieval":
+                # stride 1300 = ~2k queries, 100x the exact arm's
+                # batch at comparable wall time (the in-plan index
+                # build dominates at ~60 s; serve is ~5 s — the
+                # decomposition and the 197k-query full form, 184 s
+                # warm, are in PLANS.md r14; re-paying the full form
+                # every round would double the bench)
+                from sc_crawler_spark.queries.pipeline import \
+                    bm25_pruned_sql
+                kw = {"query_stride": 1300}
+                duck_sql = bm25_pruned_sql(1300)
+                scale.setdefault("variant", {})[name] = \
+                    "zipf_stride1300_M256"
             prerun = None
             if name == "doc_pagerank":
                 # graph/index tier: ensure the digest-keyed lake
@@ -564,9 +681,17 @@ def main() -> None:
                                 # measured DNF at 120 s; capped at 60
                                 # like minhash so the every-round DNF
                                 # burns half the wall-clock
-                                "doc_pagerank": 60.0}.get(name)
+                                "doc_pagerank": 60.0,
+                                # the pruned-index oracle replays the
+                                # full 197k-query join (~400M rows) +
+                                # the index CTEs; the exact arm's 20
+                                # queries still scan Theta(corpus)
+                                # posting lists each — cap both
+                                "bm25_pruned_retrieval": 150.0,
+                                "bm25_retrieval": 150.0,
+                                "hybrid_rrf_retrieval": 150.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
-                    REGISTRY[name][1], qdir,
+                    duck_sql, qdir,
                     reps=2 if best < 5.0 else 1,
                     timeout_s=duck_timeout), 3)
             except Exception as exc:
