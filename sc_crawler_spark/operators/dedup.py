@@ -476,6 +476,45 @@ def _containment_verify(shing: "DataFrame", cand: "DataFrame",
     )
 
 
+def _ensemble_band_plan(threshold: float, max_ratio: float,
+                        n_hashes: int, min_bands: int,
+                        target: float = 0.99) -> list[int]:
+    """Per-partition-distance band counts for the probe-form LSH
+    Ensemble arm (Zhu et al., VLDB 2016: the size partition lets the
+    banding track the containment->jaccard mapping instead of one
+    fixed s-curve).
+
+    Docs sit in power-of-2 size partitions p = floor(log2(|set|)); a
+    pair at partition distance d has size ratio in (2^(d-1), 2^(d+1)),
+    so within the declared ``max_ratio`` envelope its worst-case ratio
+    is min(2^(d+1), max_ratio) and its jaccard floor is
+    j(d) = t / (1 + r_edge - t). Entry d of the returned list is the
+    smallest band count n <= n_hashes whose >=``min_bands``-collision
+    vote recalls at ``target`` probability on j(d) (clamped to
+    n_hashes when even all bands fall short — at the defaults d=2/3
+    sit at ~0.989, the r13 arm's own operating point). Defaults
+    (t=0.8, ratio 8, 64 hashes, vote 2) -> [16, 32, 64, 64]: a
+    same-partition near-clone pair needs only 16 probed bands for the
+    same recall the r13 form bought with all 64."""
+    import math
+
+    d_max = max(0, math.ceil(math.log2(max_ratio)))
+    plan = []
+    for d in range(d_max + 1):
+        r_edge = min(float(2 ** (d + 1)), float(max_ratio))
+        j = threshold / (1.0 + r_edge - threshold)
+        n_need = n_hashes
+        for n in range(min_bands, n_hashes + 1):
+            # P[Binom(n, j) >= min_bands]
+            p_lt = sum(math.comb(n, i) * (j ** i) * ((1 - j) ** (n - i))
+                       for i in range(min_bands))
+            if 1.0 - p_lt >= target:
+                n_need = n
+                break
+        plan.append(n_need)
+    return plan
+
+
 def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
                       k: int = 3, threshold: float = 0.8,
                       block_col: str | None = None,
@@ -568,10 +607,34 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
         # candidate sides instead (shingling is one cheap text pass;
         # at 100 TB the shingle table lands bronze anyway).
         shing = doc_shingles(df, text_col, id_col, k, extra_cols=extra)
+        # r14 (r13 verdict task 5): the per-PARTITION probe form of
+        # LSH Ensemble. Every doc carries its power-of-2 size
+        # partition _sp = floor(log2(|shingles|)); a qualifying pair
+        # (ratio <= max_ratio) sits within ceil(log2(max_ratio))
+        # partition distance, and the number of single-row bands that
+        # must collide to recall it at `threshold` SHRINKS as the
+        # partitions get closer (the containment->jaccard floor
+        # rises). _ensemble_band_plan computes, per distance d, the
+        # minimal band count hitting ~0.99 recall at that distance's
+        # envelope-edge ratio — [16, 32, 64, 64] at the defaults — and
+        # the bucket join only KEEPS a collision if its band index is
+        # inside the plan for the pair's actual distance. vs the r13
+        # all-bands form this cuts same-partition collision mass 4x
+        # (near-size clone corpora put almost everything there),
+        # drops cross-partition pairs beyond the envelope BEFORE the
+        # vote shuffle and the verify (previously they died in the
+        # verify, after shipping), and leaves true-pair recall at the
+        # same ~0.99 the r13 math claimed — measured A/B in PLANS.md
+        # r14.
         sig = _fast_signatures_from_shingles(
-            shing, id_col, n_hashes, extra_cols=extra,
+            shing.withColumn(
+                "_sp", F.floor(F.log2(
+                    F.greatest(F.size("shingles"), F.lit(1))
+                    .cast("double"))).cast("int")),
+            id_col, n_hashes, extra_cols=[*extra, "_sp"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        bands = _band_table(sig, id_col, n_hashes, 1, extra_cols=extra)
+        bands = _band_table(sig, id_col, n_hashes, 1,
+                            extra_cols=[*extra, "_sp"])
         join_keys = ["band", "sig"] + extra
         if max_bucket is not None:
             ok = (bands.groupBy(*join_keys)
@@ -579,12 +642,26 @@ def containment_pairs(df: "DataFrame", text_col: str, id_col: str,
                   .filter(F.col("_bn") <= max_bucket)
                   .drop("_bn"))
             bands = bands.join(ok, join_keys)
-        left = bands.select(F.col(id_col).alias("id_a"), *join_keys)
-        right = bands.select(F.col(id_col).alias("id_b"), *join_keys)
+        plan = _ensemble_band_plan(threshold, max_ratio, n_hashes,
+                                   min_bands)
+        max_d = len(plan) - 1
+        nbd = F.array(*[F.lit(n) for n in plan])
+        left = bands.select(F.col(id_col).alias("id_a"),
+                            F.col("_sp").alias("_spa"), *join_keys)
+        right = bands.select(F.col(id_col).alias("id_b"),
+                             F.col("_sp").alias("_spb"), *join_keys)
+        d = F.col("_spb") - F.col("_spa")
         pair_rows = (
             left.join(right, join_keys)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            # one orientation per pair: ascending partition, id as the
+            # same-partition tiebreak (sizes are symmetric there)
+            .filter((d > 0) | ((d == 0) & (F.col("id_a") < F.col("id_b"))))
+            # envelope + per-distance band plan: a collision counts
+            # only if its band index is one this distance PROBES
+            .filter((d <= max_d)
+                    & (F.col("band") < F.element_at(nbd, d + 1)))
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"))
         )
         # min_bands vote replaces the plain distinct: same shuffle key,
         # one extra count per pair, an order of magnitude fewer arrays

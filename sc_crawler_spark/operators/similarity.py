@@ -156,7 +156,19 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, vec_col: str,
                       as_double(F.col(vec_col)).alias("cv"))
     c = c.withColumn("cn", norm(F.col("cv")))
     assigned = ivf_assign(c, cents, "cv", "centv")
+    return ivf_probe_topk(queries, cents, assigned, vec_col, id_col,
+                          k=k, n_probe=n_probe)
 
+
+def ivf_probe_topk(queries: DataFrame, cents: DataFrame,
+                   assigned: DataFrame, vec_col: str, id_col: str,
+                   k: int = 5, n_probe: int = 2) -> DataFrame:
+    """The IVF probe/serve tail over an ALREADY-BUILT structure —
+    shared by cosine_topk_ivf (in-plan training) and the landed
+    artifact path (sinks/ann_store.cosine_topk_served, which reads
+    ``cents``/``assigned`` from parquet so a retrieval session pays
+    zero training shuffles). ``assigned`` must carry (neighbor_id,
+    cell_id, cv, cn)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", norm(F.col("qv")))

@@ -2790,9 +2790,30 @@ def embed_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat approximate nearest neighbors: 8 inverted lists,
     3-cell probes, cosine-verified top-5 (measured recall@5 = 0.82 vs
     brute force, tests/test_ann_recall.py; |corpus|*n_probe/n_cells
-    scanned per query)."""
+    scanned per query).
+
+    Artifact serve path (r14, the SC_SPARK_INDEX_DIR doctrine): when
+    $SC_SPARK_ANN_INDEX_DIR points at a landed IVF artifact
+    (sinks/ann_store.py) whose embedding digest AND build parameters
+    match this corpus, the query serves from the stored centroids +
+    cell-clustered inverted lists — zero training shuffles, zero
+    assignment pass; the k-means retrain amortizes across sessions.
+    A stale or mismatched artifact is ignored, never trusted. Default
+    (no env var — every driver/oracle run) stays fully in-plan, so
+    the hash-checked semantics never depend on stored floats."""
+    import os as _os
+
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    idx_dir = _os.environ.get("SC_SPARK_ANN_INDEX_DIR")
+    if idx_dir:
+        from ..sinks import ann_store
+        digest = ann_store.embedding_digest(emb, "embedding", "vec_id")
+        if ann_store.ann_index_matches(idx_dir, digest,
+                                       n_cells=8, iters=2):
+            return ann_store.cosine_topk_served(
+                queries, spark, idx_dir, "embedding", "vec_id",
+                k=5, n_probe=3)
     return similarity.cosine_topk_ivf(
         queries, emb, "embedding", "vec_id", k=5, n_cells=8, n_probe=3
     )

@@ -1,0 +1,138 @@
+"""Digest-keyed IVF ANN index artifact (r14, r13 verdict task 8).
+
+The ANN ladder (operators/similarity.py) trains its k-means/IVF
+structures IN-PLAN, which is self-contained and oracle-checkable but
+re-pays centroid training + cell assignment in every session that
+retrieves. This store lands the trained structure bronze — exactly the
+multi-session pattern the minhash dedup index established
+(sinks/index_store.py): the artifact is keyed by an order-independent
+content digest of the exact (id, vector) corpus it was built from plus
+its build parameters, a digest/parameter mismatch means rebuild, never
+silent reuse, and the meta file is written LAST so a crashed build
+reads as absent.
+
+Layout under one artifact root::
+
+    <root>/centroids/   parquet (cell_id, centv)        # dim-sized
+    <root>/assign/      parquet (neighbor_id, cell_id, cv, cn),
+                        repartitioned BY cell_id — the inverted lists,
+                        co-located so a probe equi-join on cell_id
+                        reads only its probed buckets
+    <root>/_META.json   {digest, n_vecs, vec_col, id_col, n_cells,
+                         iters, kind: "ivf"}             # written last
+
+At 100 TB the assign table is the big artifact (|corpus| rows of
+vector + norm); it is written once per corpus digest and every
+retrieval session serves from it with zero training shuffles —
+serve-vs-retrain numbers in PLANS.md r14.
+
+Float determinism note: centroids come from the same deterministic
+Lloyd chain the in-plan queries run (seeded from the first n_cells
+vectors by id), but double summation order inside F.avg is
+partitioning-dependent, so an artifact's centroids can differ from an
+in-session retrain in the last ulp and flip a cell assignment at an
+exact tie. The driver-facing oracle queries therefore run IN-PLAN by
+default (no env var set), and the artifact path is the opt-in
+production serve — the doc_pagerank / SC_SPARK_INDEX_DIR doctrine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_store import META_NAME, corpus_digest
+
+
+def embedding_digest(df: DataFrame, vec_col: str, id_col: str) -> str:
+    """Order-independent digest of an (id, vector) corpus: the vector
+    rendered to its canonical string form feeds the same xor+count
+    fold index_store.corpus_digest uses for text."""
+    return corpus_digest(
+        df.select(F.col(id_col),
+                  F.col(vec_col).cast("string").alias("_v")),
+        "_v", id_col)
+
+
+def write_ivf_index(df: DataFrame, out: str, vec_col: str, id_col: str,
+                    n_cells: int = 8, iters: int = 2) -> dict:
+    """Train the IVF structure for ``df`` and land it at ``out``.
+
+    Centroids are Lloyd-trained (operators/similarity.
+    ivf_train_centroids — the deterministic seeded chain the in-plan
+    queries share), the assignment pass reads the STORED centroids so
+    the landed inverted lists are exactly consistent with the landed
+    centroids, and meta commits last."""
+    from ..operators.similarity import (
+        as_double, ivf_assign, ivf_train_centroids, norm)
+
+    digest = embedding_digest(df, vec_col, id_col)
+    meta = {
+        "digest": digest, "kind": "ivf",
+        "vec_col": vec_col, "id_col": id_col,
+        "n_cells": n_cells, "iters": iters,
+        "n_vecs": df.count(),
+    }
+    spark = df.sparkSession
+    cents = ivf_train_centroids(df, vec_col, id_col,
+                                n_cells=n_cells, iters=iters)
+    cents.write.mode("overwrite").parquet(os.path.join(out, "centroids"))
+
+    cents_stored = spark.read.parquet(os.path.join(out, "centroids"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", norm(F.col("cv")))
+    assigned = ivf_assign(c, cents_stored, "cv", "centv")
+    # cell-clustered inverted lists: probes equi-join on cell_id and
+    # touch only their buckets' files
+    assigned.repartition("cell_id").write.mode("overwrite").parquet(
+        os.path.join(out, "assign"))
+
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def read_ann_meta(out: str) -> dict | None:
+    """The artifact's meta, or None for absent/incomplete builds."""
+    try:
+        with open(os.path.join(out, META_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def ann_index_matches(out: str, digest: str, **params) -> bool:
+    """True iff a complete IVF artifact at ``out`` was built from
+    exactly the corpus with ``digest`` under exactly ``params``."""
+    meta = read_ann_meta(out)
+    if meta is None or meta.get("digest") != digest:
+        return False
+    if meta.get("kind") != "ivf":
+        return False
+    return all(meta.get(k) == v for k, v in params.items())
+
+
+def load_ivf_index(spark: SparkSession,
+                   out: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) — the landed IVF structure, in the shapes
+    operators/similarity's probe tail consumes."""
+    return (spark.read.parquet(os.path.join(out, "centroids")),
+            spark.read.parquet(os.path.join(out, "assign")))
+
+
+def cosine_topk_served(queries: DataFrame, spark: SparkSession,
+                       out: str, vec_col: str, id_col: str,
+                       k: int = 5, n_probe: int = 2) -> DataFrame:
+    """IVF top-k served entirely FROM the landed artifact: zero
+    training shuffles, zero corpus assignment pass — broadcast the
+    dim-sized centroids, pick each query's n_probe cells, equi-join
+    the stored inverted lists, rank exact cosine."""
+    from ..operators.similarity import ivf_probe_topk
+
+    cents, assigned = load_ivf_index(spark, out)
+    return ivf_probe_topk(queries, cents, assigned, vec_col, id_col,
+                          k=k, n_probe=n_probe)

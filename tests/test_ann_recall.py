@@ -142,3 +142,63 @@ def test_semantic_dedup_keeps_min_id_per_near_dup_set(spark):
     assert out[10].keep and not out[11].keep and not out[12].keep
     assert out[20].keep
     assert out[10].cell_id == 0 and out[20].cell_id == 1
+
+
+def test_ivf_artifact_serves_and_gates(spark, tmp_path):
+    """sinks/ann_store e2e: the landed IVF artifact serves the same
+    probe tail the in-plan query runs, a digest mismatch is ignored
+    (never trusted), and the env-gated embed_ann_ivf consumes the
+    artifact only when digest + params match.
+
+    Served-vs-in-plan comparison is overlap >= 0.9 with bit-equal
+    cos_sim on shared pairs, NOT full equality: double summation
+    order inside the Lloyd re-center is partitioning-dependent, so
+    artifact centroids can differ from an in-session retrain in the
+    last ulp and flip a boundary vector's cell (ann_store.py's
+    documented float-determinism caveat — measured here as one rank
+    flip in 50)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.queries.pipeline import embed_ann_ivf
+    from sc_crawler_spark.sinks import ann_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "ivf_idx")
+    emb = load(spark, sf, "embeddings")
+    meta = ann_store.write_ivf_index(emb, out, "embedding", "vec_id",
+                                    n_cells=8, iters=2)
+    digest = ann_store.embedding_digest(emb, "embedding", "vec_id")
+    assert meta["digest"] == digest
+    assert ann_store.ann_index_matches(out, digest, n_cells=8, iters=2)
+    assert not ann_store.ann_index_matches(out, digest, n_cells=16)
+    assert not ann_store.ann_index_matches(out, "bogus_1", n_cells=8)
+
+    inplan = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in embed_ann_ivf(spark, sf).collect()}
+    served_rows = ann_store.cosine_topk_served(
+        emb.filter(F.col("vec_id") < 10), spark, out,
+        "embedding", "vec_id", k=5, n_probe=3).collect()
+    served = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in served_rows}
+    assert len(served) > 0
+    shared = set(served) & set(inplan)
+    assert len(shared) / len(inplan) >= 0.9
+    for pair in shared:  # exact cosine on shared pairs is bit-equal
+        assert served[pair] == inplan[pair]
+
+    os.environ["SC_SPARK_ANN_INDEX_DIR"] = out
+    try:
+        gated = {(r.query_id, r.neighbor_id): r.cos_sim
+                 for r in embed_ann_ivf(spark, sf).collect()}
+        assert gated == served  # env gate routed to the artifact
+        # a different corpus must NOT be served from this artifact
+        other = sorted(
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in embed_ann_ivf(spark, "/root/testdata/sf0.01")
+            .collect())
+        assert other  # ran in-plan (digest mismatch), not from the index
+    finally:
+        os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
