@@ -1489,13 +1489,33 @@ def bm25_pruned_retrieval(spark: SparkSession, sf: str,
     the identical pruned semantics (deterministic top-M per term with
     a total order), so the oracle hash-matches exactly; the
     recall-vs-exact gate and the M >= corpus bit-equality check live
-    in tests/test_selection_ops.py."""
+    in tests/test_selection_ops.py.
+
+    Artifact serve path (r14): when $SC_SPARK_BM25_INDEX_DIR points
+    at a landed pruned-postings artifact (sinks/postings_store.py)
+    whose corpus digest and max_postings match, the query joins the
+    stored term-clustered postings instead of rebuilding the index
+    (~85% of this query's in-plan cost at 512x — PLANS.md r14).
+    Every contribution is an integer-derived scalar rounded before
+    landing, so the served result is BIT-EQUAL to in-plan (pinned in
+    tests) — unlike the IVF artifact there is no float caveat; the
+    driver/oracle default (no env var) still runs fully in-plan."""
+    import os as _os
+
     docs = load(spark, sf, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     q_terms = (toked.filter(F.col("doc_id") % query_stride == 0)
                .select(F.col("doc_id").alias("query_id"),
                        F.explode(F.array_distinct(
                            F.slice("toks", 1, 8))).alias("term")))
+    idx_dir = _os.environ.get("SC_SPARK_BM25_INDEX_DIR")
+    if idx_dir:
+        from ..sinks import postings_store
+        digest = postings_store.corpus_digest(docs, "text", "doc_id")
+        if postings_store.bm25_index_matches(
+                idx_dir, digest, max_postings=max_postings):
+            return postings_store.bm25_topk_served(
+                q_terms, spark, idx_dir, top_k=_BM25_TOP_K)
     pruned = _bm25_pruned_postings(toked, max_postings)
     scored = (pruned.join(F.broadcast(q_terms), "term")
               .groupBy("query_id", "doc_id")

@@ -1,0 +1,107 @@
+"""Digest-keyed impact-pruned BM25 postings artifact (r14).
+
+`bm25_pruned_retrieval` bounds batch retrieval at O(queries x 8M) join
+rows, but its in-plan form re-pays the index build — tokenize, tf,
+df, per-term top-M impact pruning — every session (measured 57-62 s of
+the ~70 s total at the 512x Zipfian corpus; PLANS.md r14). This store
+lands the pruned postings bronze with the index_store/ann_store
+doctrine: keyed by the order-independent content digest of the exact
+(id, text) corpus plus build parameters, mismatch means in-plan
+rebuild (never silent reuse), meta written LAST so a crashed build
+reads as absent.
+
+Layout::
+
+    <root>/postings/   parquet (term, doc_id, c), repartitioned BY
+                       term — a query batch equi-joins co-located
+                       posting buckets
+    <root>/_META.json  {digest, n_docs, text_col, id_col,
+                        max_postings, k1, b, idf: "lucene"}
+
+Unlike the IVF artifact there is NO float-determinism caveat: every
+contribution c is a deterministic scalar function of integers (tf, df,
+len_d, n_docs, total_len) rounded to 12 decimals before landing — no
+aggregation-order-dependent float ever reaches the artifact — so the
+served result is BIT-EQUAL to the in-plan form (pinned in
+tests/test_selection_ops.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround
+from .index_store import META_NAME, corpus_digest
+
+
+def write_bm25_index(df: DataFrame, out: str, text_col: str,
+                     id_col: str, max_postings: int = 256) -> dict:
+    """Build and land the impact-pruned postings for ``df`` at
+    ``out``. One text pass; the pruning chain is exactly
+    queries/pipeline._bm25_pruned_postings (Lucene idf, 12-decimal
+    contribution, doc_id tiebreak)."""
+    from ..queries.pipeline import _bm25_pruned_postings, tokens
+
+    digest = corpus_digest(df, text_col, id_col)
+    meta = {
+        "digest": digest, "kind": "bm25",
+        "text_col": text_col, "id_col": id_col,
+        "max_postings": max_postings, "idf": "lucene",
+        "n_docs": df.count(),
+    }
+    toked = df.select(F.col(id_col).alias("doc_id"),
+                      tokens(F.col(text_col)).alias("toks"))
+    post = _bm25_pruned_postings(toked, max_postings)
+    post.repartition("term").write.mode("overwrite").parquet(
+        os.path.join(out, "postings"))
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def read_bm25_meta(out: str) -> dict | None:
+    try:
+        with open(os.path.join(out, META_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def bm25_index_matches(out: str, digest: str, **params) -> bool:
+    """True iff a complete pruned-postings artifact at ``out`` was
+    built from exactly the corpus with ``digest`` under ``params``."""
+    meta = read_bm25_meta(out)
+    if meta is None or meta.get("digest") != digest:
+        return False
+    if meta.get("kind") != "bm25":
+        return False
+    return all(meta.get(k) == v for k, v in params.items())
+
+
+def load_postings(spark: SparkSession, out: str) -> DataFrame:
+    """The landed pruned postings (term, doc_id, c)."""
+    return spark.read.parquet(os.path.join(out, "postings"))
+
+
+def bm25_topk_served(q_terms: DataFrame, spark: SparkSession, out: str,
+                     top_k: int = 5) -> DataFrame:
+    """BM25 top-k served FROM the landed postings: broadcast the
+    (query_id, term) batch into the term-clustered posting buckets,
+    DECIMAL-sum per (query, doc), rank with the total order — zero
+    index-build shuffles. Bit-equal to the in-plan pruned form."""
+    post = load_postings(spark, out)
+    scored = (post.join(F.broadcast(q_terms), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("c").cast("decimal(28,12)")).alias("s")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "doc_id",
+                    dround(F.col("s").cast("double"), 6)
+                    .alias("bm25_score"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -196,3 +196,47 @@ def test_bm25_query_stride_subsets_queries(spark):
     assert all(q % 26 == 0 for q, _ in sub)
     for k, v in sub.items():
         assert base[k] == v
+
+
+def test_bm25_postings_artifact_bit_equal_and_gated(spark, tmp_path):
+    """sinks/postings_store e2e: the landed pruned postings serve a
+    result BIT-EQUAL to the in-plan pruned query (every contribution
+    is integer-derived and rounded before landing — no float-order
+    caveat), the digest/param gate refuses mismatches, and the
+    env-gated query consumes the artifact only when both match."""
+    import os
+
+    from sc_crawler_spark.queries.pipeline import bm25_pruned_retrieval
+    from sc_crawler_spark.sinks import postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "bm25_idx")
+    docs = load(spark, sf, "documents")
+    meta = postings_store.write_bm25_index(docs, out, "text", "doc_id",
+                                           max_postings=256)
+    digest = postings_store.corpus_digest(docs, "text", "doc_id")
+    assert meta["digest"] == digest
+    assert postings_store.bm25_index_matches(out, digest,
+                                             max_postings=256)
+    assert not postings_store.bm25_index_matches(out, digest,
+                                                 max_postings=64)
+    assert not postings_store.bm25_index_matches(out, "bogus_0",
+                                                 max_postings=256)
+
+    inplan = sorted((r.query_id, r.doc_id, r.bm25_score, r.rank)
+                    for r in bm25_pruned_retrieval(spark, sf).collect())
+    os.environ["SC_SPARK_BM25_INDEX_DIR"] = out
+    try:
+        served = sorted((r.query_id, r.doc_id, r.bm25_score, r.rank)
+                        for r in bm25_pruned_retrieval(spark, sf)
+                        .collect())
+        assert served == inplan and len(served) > 0
+        # mismatched params fall back in-plan (M=64 != artifact's 256)
+        fell_back = sorted(
+            (r.query_id, r.doc_id, r.bm25_score, r.rank)
+            for r in bm25_pruned_retrieval(spark, sf, max_postings=64)
+            .collect())
+        assert fell_back != served
+    finally:
+        os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
