@@ -130,26 +130,31 @@ _PRIORITY = [
     "media_resize_stats",
     "domain_balanced_sample",
     "html_extract_text",
-    "approx_median_price",
-    "approx_distinct_users",
+    # promoted from the tail late in r14: their shared tf chain was
+    # rewritten to the zero-shuffle run-length (_tf_from_toked), so
+    # they need fresh driver evidence like every code-changed query
+    "tfidf_keywords",
+    "doc_lm_perplexity",
     "dedup_containment",
 ]
 _TAIL = [
-    # The 10 r11-stale names displaced past the 50-slot cap by the 8
-    # never-checked + 1 r14-new + 2 code-changed heads — they rotate
-    # FIRST in r15 (pytest re-runs their oracles every round
-    # meanwhile). embed_ann_pq fell out last when bm25_pruned_retrieval
-    # took its slot; dedup_containment stays in-window because its
-    # code changes this round (probe-form containment, task 5).
+    # The 12 r11-stale names displaced past the 50-slot cap by the 8
+    # never-checked + 1 r14-new + 2 code-changed heads + the 2
+    # late-promoted tf-chain rewrites above — they rotate FIRST in
+    # r15 (pytest re-runs their oracles every round meanwhile).
+    # embed_ann_pq fell out when bm25_pruned_retrieval took its slot,
+    # approx_median_price / approx_distinct_users when the tf-chain
+    # pair was promoted; dedup_containment stays in-window because
+    # its code changed this round (probe-form containment, task 5).
     "embed_ann_pq",
+    "approx_median_price",
+    "approx_distinct_users",
     "event_anomaly_zscore",
     "twap_user_value",
     "gap_fill_daily_value",
     "funnel_conversion",
     "cohort_retention",
     "chunk_documents",
-    "tfidf_keywords",
-    "doc_lm_perplexity",
     "q6_forecast_revenue",
     # r12-fresh (CORRECTNESS_r12 greens) — next-stalest after the
     # r11 block above.
