@@ -989,6 +989,49 @@ FROM ranked WHERE sel_rank <= {_DSIR_K}
 """
 
 
+def dsir_log_ratios(docs: DataFrame) -> DataFrame:
+    """Offline DSIR LM fit for SERVING (r14): the full ``_DSIR_B``-row
+    (bucket, lr) log-ratio dictionary — including buckets with zero
+    observed grams, whose lr is the same add-0.5-smoothed formula at
+    tc=rc=0 (log2(rt+B/2) - log2(tt+B/2)), so a NEW streaming doc
+    hashing into an unseen bucket gets the principled smoothed ratio
+    instead of silently dropping the gram (the batch query's inner
+    join never meets unseen buckets because it scores the fitting
+    corpus; an ingest gate does). Collected to 512 floats it is the
+    broadcastable model artifact `streaming.stream_dsir_gate`
+    serves — the train-offline / gate-at-ingest loop of
+    stream_lr_quality_gate, for importance instead of quality."""
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    big = F.when(n >= 2, _grams(ts, 2)) \
+           .otherwise(F.expr("CAST(array() AS array<string>)"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.concat(ts, big)).alias("gram"))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+              .cast("long") % _DSIR_B)
+    inst = grams.select("source", bucket.alias("bucket"))
+    is_tgt = F.col("source") == _DSIR_TARGET
+    lm = inst.groupBy("bucket").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("rc"))
+    full = (docs.sparkSession.range(_DSIR_B)
+            .select(F.col("id").alias("bucket"))
+            .join(lm, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("tc", F.lit(0)).alias("tc"),
+                    F.coalesce("rc", F.lit(0)).alias("rc")))
+    tot = lm.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    half_b = float(_DSIR_B) / 2.0
+    return full.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        dround(
+            (F.log2(F.col("tc").cast("double") + F.lit(0.5))
+             - F.log2(F.col("tt").cast("double") + F.lit(half_b)))
+            - (F.log2(F.col("rc").cast("double") + F.lit(0.5))
+               - F.log2(F.col("rt").cast("double") + F.lit(half_b))),
+            12).alias("lr"))
+
+
 # ----------------------------------------------- URL canonical dedup
 
 # The crawl-frontier op that runs BEFORE any content dedup: the same

@@ -570,6 +570,55 @@ def stream_lr_quality_gate(docs: DataFrame, weights: dict) -> DataFrame:
         .filter(F.col("kept")))
 
 
+def stream_dsir_gate(docs: DataFrame, lr_by_bucket: list,
+                     threshold: float = 0.0) -> DataFrame:
+    """DSIR IMPORTANCE gate at ingest (r14): score every arriving
+    document against the OFFLINE-fitted hashed-gram log-ratio
+    dictionary (queries/curation.dsir_log_ratios — all ``_DSIR_B``
+    buckets, so unseen grams get the smoothed ratio) and keep docs
+    whose log importance weight clears ``threshold`` — the
+    train-offline / gate-at-ingest loop of stream_lr_quality_gate,
+    selecting for target-domain RESEMBLANCE instead of quality.
+
+    Fully stateless AND shuffle-free per batch: the 512-float model
+    rides as a literal array, the doc's gram buckets come from the
+    same zero-shuffle tokenize+md5 chain dsir_select uses, and the
+    per-doc sum is a row-local array fold over the 12-decimal-rounded
+    ratios (deterministic element order, so batch == stream
+    bit-exactly — asserted e2e). Append mode, no state store, no
+    watermark; per-batch cost is proportional to the batch's own
+    files at any corpus size.
+
+    ``lr_by_bucket``: the ``_DSIR_B`` floats from
+    ``dsir_log_ratios(...).orderBy("bucket")`` (or a lake model
+    artifact), indexed by bucket id."""
+    from ..functions.scalars import dround
+    from ..queries.curation import _DSIR_B, _grams
+    from ..functions.text import tokens
+
+    if len(lr_by_bucket) != _DSIR_B:
+        raise ValueError(
+            f"stream_dsir_gate: expected {_DSIR_B} bucket ratios, "
+            f"got {len(lr_by_bucket)}")
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    big = F.when(n >= 2, _grams(ts, 2)) \
+           .otherwise(F.expr("CAST(array() AS array<string>)"))
+    lr_arr = F.array(*[F.lit(round(float(x), 12)) for x in lr_by_bucket])
+    buckets = F.transform(
+        F.concat(ts, big),
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                   .cast("long") % _DSIR_B).cast("int"))
+    w = docs.select("doc_id", buckets.alias("bks"))
+    s = F.aggregate(F.col("bks"), F.lit(0.0),
+                    lambda acc, b: acc + F.element_at(lr_arr, b + 1))
+    return (w.select(
+        "doc_id", F.size("bks").cast("long").alias("n_grams"),
+        dround(s, 6).alias("log_weight"))
+        .withColumn("kept", F.col("log_weight") >= F.lit(threshold))
+        .filter(F.col("kept")))
+
+
 def streaming_cms_sketch(events: DataFrame, state_dir: str,
                          checkpoint_dir: str, key_col: str = "user_id"):
     """Count-Min sketch maintained INCREMENTALLY over the event stream

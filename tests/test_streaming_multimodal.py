@@ -1046,3 +1046,58 @@ def test_jpeg_decoder_scope_is_honest():
     assert _jpeg_gray_pixels(
         b"\xff\xd8\xff\xc4" + _struct.pack(">H", 2 + 18)
         + bytes((0,)) + bytes((4,) * 16) + bytes(1)) is None
+
+
+def test_stream_dsir_gate_matches_batch_and_offline_fit(spark, tmpdir):
+    """Fit DSIR offline, gate in-stream: the importance gate over two
+    micro-batches must admit exactly the docs the same dictionary
+    admits in one batch pass with bit-equal weights (stateless
+    shuffle-free transform), and the gate's log_weight must agree at
+    6 decimals with dsir_select's DECIMAL-routed log_weight for the
+    docs that query selects (same grams, same rounded ratios — only
+    the summation route differs)."""
+    from sc_crawler_spark.queries.curation import (
+        _DSIR_B, dsir_log_ratios, dsir_select)
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_dsir_gate)
+    from sc_crawler_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    lr = [float(r.lr) for r in
+          dsir_log_ratios(docs).orderBy("bucket").collect()]
+    assert len(lr) == _DSIR_B
+
+    src = os.path.join(tmpdir, "docs")
+    os.makedirs(src)
+    import glob as _glob
+    for name, half in (("a", docs.filter(F.col("doc_id") % 2 == 0)),
+                       ("b", docs.filter(F.col("doc_id") % 2 == 1))):
+        stage = os.path.join(tmpdir, f"_stage_{name}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    q = (stream_dsir_gate(
+            read_document_stream(spark, src, max_files_per_trigger=1),
+            lr, threshold=0.0)
+         .writeStream.format("memory").queryName("dsirgate")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.doc_id, r.log_weight)
+                 for r in spark.sql("SELECT * FROM dsirgate").collect())
+    want = sorted((r.doc_id, r.log_weight)
+                  for r in stream_dsir_gate(docs, lr, threshold=0.0)
+                  .collect())
+    assert got == want and len(got) > 0
+
+    sel = {r.doc_id: r.log_weight for r in dsir_select(spark, SF).collect()}
+    gate_all = {r.doc_id: r.log_weight
+                for r in stream_dsir_gate(docs, lr,
+                                          threshold=-1e18).collect()}
+    overlap = 0
+    for doc_id, w in sel.items():
+        assert abs(gate_all[doc_id] - w) < 2e-6, (doc_id, gate_all[doc_id], w)
+        overlap += 1
+    assert overlap > 0
