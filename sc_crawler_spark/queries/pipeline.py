@@ -1321,8 +1321,16 @@ def _tf_from_toked(corpus: DataFrame) -> DataFrame:
     lambda occurrence (the README's higher-order-function pitfall)."""
     s = corpus.select("doc_id", F.array_sort("toks").alias("s"),
                       F.size("toks").alias("n"))
+    # n == 0 guard (r15 ADVICE #4): sequence(1, 0) yields the
+    # DESCENDING [1, 0], so the filter lambda would evaluate
+    # element_at(s, 0) at i=0 — "SQL array indices start at 1" at
+    # runtime. greatest(n, 1) keeps the sequence ascending and the
+    # n == 0 branch below short-circuits to zero (term, tf) rows.
+    # Unreachable via tokens() today (split never yields an empty
+    # array) but the helper is shared with the postings-artifact
+    # build/fold paths, which may feed arbitrary corpora.
     starts = F.filter(
-        F.sequence(F.lit(1), F.col("n")),
+        F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1))),
         lambda i: (i == 1) | (F.element_at("s", i)
                               != F.element_at("s", i - 1)))
     w = s.select("doc_id", "s", "n", starts.alias("st"))
@@ -1333,7 +1341,10 @@ def _tf_from_toked(corpus: DataFrame) -> DataFrame:
                  F.array(F.col("n") + 1)),
         lambda a, b: F.struct(F.element_at("s", a).alias("term"),
                               (b - a).alias("tf")))
-    return (w.select("doc_id", F.explode(tfs).alias("t"))
+    empty = F.array().cast("array<struct<term:string,tf:int>>")
+    return (w.select("doc_id",
+                     F.explode(F.when(F.col("n") == 0, empty)
+                               .otherwise(tfs)).alias("t"))
             .select("doc_id", F.col("t.term").alias("term"),
                     F.col("t.tf").cast("long").alias("tf")))
 
@@ -1550,7 +1561,8 @@ def bm25_pruned_retrieval(spark: SparkSession, sf: str,
         from ..sinks import postings_store
         digest = postings_store.corpus_digest(docs, "text", "doc_id")
         if postings_store.bm25_index_matches(
-                idx_dir, digest, max_postings=max_postings):
+                idx_dir, digest, max_postings=max_postings,
+                k1=_BM25_K1, b=_BM25_B):
             return postings_store.bm25_topk_served(
                 q_terms, spark, idx_dir, top_k=_BM25_TOP_K)
     pruned = _bm25_pruned_postings(toked, max_postings)

@@ -44,7 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .index_store import META_NAME, corpus_digest
+from .index_store import META_NAME, corpus_digest, invalidate_meta
 
 
 def embedding_digest(df: DataFrame, vec_col: str, id_col: str) -> str:
@@ -69,6 +69,13 @@ def write_ivf_index(df: DataFrame, out: str, vec_col: str, id_col: str,
     from ..operators.similarity import (
         as_double, ivf_assign, ivf_train_centroids, norm)
 
+    # invalidate FIRST (r15 ADVICE #3): "meta written LAST so a
+    # crashed build reads as absent" only holds for a fresh dir —
+    # rebuilding over an existing artifact (same corpus, different
+    # n_cells) and crashing after the centroids/assign overwrite
+    # would leave the OLD meta paired with partially NEW data, and
+    # ann_index_matches for the old spec would serve it.
+    invalidate_meta(out)
     digest = embedding_digest(df, vec_col, id_col)
     meta = {
         "digest": digest, "kind": "ivf",

@@ -39,6 +39,21 @@ from pyspark.sql import functions as F
 META_NAME = "_META.json"
 
 
+def invalidate_meta(out: str) -> None:
+    """Delete an existing ``_META.json`` before a (re)build writes any
+    data file (r15 ADVICE #3): "meta written LAST so a crashed build
+    reads as absent" only holds for a fresh directory — rebuilding
+    into a dir that already has a meta (same corpus, new parameters)
+    and crashing after a data overwrite would otherwise leave the OLD
+    meta paired with partially NEW data, and the digest/param gate
+    for the old spec would serve the inconsistent artifact. Shared by
+    every artifact writer (minhash, IVF, postings)."""
+    try:
+        os.remove(os.path.join(out, META_NAME))
+    except FileNotFoundError:
+        pass
+
+
 def corpus_digest(df: DataFrame, text_col: str, id_col: str) -> str:
     """Order-independent content digest of an (id, text) corpus:
     ``bit_xor(xxhash64(id, text))`` plus the row count (xor alone would
@@ -65,6 +80,7 @@ def write_minhash_index(df: DataFrame, out: str, text_col: str,
         _band_table, _signatures_from_shingles, doc_shingles,
         verified_pairs_from_index)
 
+    invalidate_meta(out)
     digest = corpus_digest(df, text_col, id_col)
     meta = {
         "digest": digest,
@@ -150,6 +166,7 @@ def fold_minhash_index(spark: SparkSession, base_dir: str,
     if os.path.abspath(out) in norm:
         raise ValueError("fold target must be a NEW directory, not the "
                          "base or stream index dir")
+    invalidate_meta(out)
     meta = read_index_meta(base_dir)
     if meta is None:
         raise ValueError(f"no complete base index at {base_dir}")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
-from .index_store import META_NAME, corpus_digest
+from .index_store import META_NAME, corpus_digest, invalidate_meta
 
 
 def write_bm25_index(df: DataFrame, out: str, text_col: str,
@@ -44,13 +44,25 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
     ``out``. One text pass; the pruning chain is exactly
     queries/pipeline._bm25_pruned_postings (Lucene idf, 12-decimal
     contribution, doc_id tiebreak)."""
-    from ..queries.pipeline import _bm25_pruned_postings, tokens
+    from ..queries.pipeline import (
+        _BM25_B, _BM25_K1, _bm25_pruned_postings, tokens)
 
+    # invalidate FIRST (r15 ADVICE #3): rebuilding into a dir that
+    # already holds a meta and crashing after the postings overwrite
+    # would otherwise leave the OLD meta paired with partially NEW
+    # data — and bm25_index_matches for the old spec would serve the
+    # inconsistent index. Deleting the meta up front restores the
+    # "crashed build reads as absent" invariant for rebuilds too.
+    invalidate_meta(out)
     digest = corpus_digest(df, text_col, id_col)
     meta = {
         "digest": digest, "kind": "bm25",
         "text_col": text_col, "id_col": id_col,
         "max_postings": max_postings, "idf": "lucene",
+        # scoring constants recorded so a constant bump can never
+        # silently serve stale scores (r15 ADVICE #2) — callers gate
+        # on them via bm25_index_matches(k1=..., b=...)
+        "k1": _BM25_K1, "b": _BM25_B,
         "n_docs": df.count(),
     }
     toked = df.select(F.col(id_col).alias("doc_id"),

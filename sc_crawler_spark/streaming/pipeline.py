@@ -430,22 +430,28 @@ def _fold_guard(batch: DataFrame, batch_id: int, state_dir: str,
     - no file lineage available (non-file source: ``inputFiles()``
       empty) -> fall back to the batch-id marker, which is sound
       within one checkpoint lifetime — documented contract for
-      non-file sources.
+      non-file sources. A STORED manifest is carried forward into the
+      new snapshot version unchanged (r15 ADVICE: an empty/no-lineage
+      micro-batch on a file source previously returned manifest=None
+      and the caller's write_snapshot dropped the sidecar — the next
+      fresh-checkpoint restart would re-fold every pre-drop file).
 
     Returns ``(batch_or_None, manifest_json_or_None)``: ``None`` batch
-    means skip; manifest is the updated sidecar content to commit with
-    the fold (``None`` = keep legacy marker-only behavior)."""
+    means skip; manifest is the sidecar content to commit with the
+    fold (``None`` = no ledger exists and none can be seeded)."""
     import json
 
     from ..sinks.snapshot import read_extra
 
     files = set(batch.inputFiles())
+    stored = read_extra(state_dir, FOLD_MANIFEST)
     if not files:
         applied = cur.agg(F.max("_last_batch_id")).first()[0]
         if applied is not None and batch_id <= applied:
             return None, None
-        return batch, None
-    stored = read_extra(state_dir, FOLD_MANIFEST)
+        # no lineage this batch: the accumulated folded-file ledger
+        # must still ride into the new version, or it is lost forever
+        return batch, stored
     if stored is None:
         # legacy snapshot (pre-manifest): seed the manifest from this
         # batch forward, still honoring the old marker for this batch

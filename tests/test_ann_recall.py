@@ -202,3 +202,35 @@ def test_ivf_artifact_serves_and_gates(spark, tmp_path):
         assert other  # ran in-plan (digest mismatch), not from the index
     finally:
         os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
+
+
+def test_ivf_rebuild_crash_invalidates_stale_meta(spark, tmp_path,
+                                                  monkeypatch):
+    """r15 advice #3: rebuilding an IVF artifact into a dir that
+    already holds a complete one deletes the OLD meta before any data
+    overwrite, so a crash mid-rebuild (same corpus, different n_cells)
+    reads as absent — never old-meta paired with partially-new data."""
+    from sc_crawler_spark.sinks import ann_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "ivf_idx")
+    emb = load(spark, sf, "embeddings")
+    ann_store.write_ivf_index(emb, out, "embedding", "vec_id",
+                              n_cells=4, iters=1)
+    digest = ann_store.embedding_digest(emb, "embedding", "vec_id")
+    assert ann_store.ann_index_matches(out, digest, n_cells=4, iters=1)
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash during rebuild")
+
+    import sc_crawler_spark.operators.similarity as sim
+    monkeypatch.setattr(sim, "ivf_train_centroids", _boom)
+    try:
+        ann_store.write_ivf_index(emb, out, "embedding", "vec_id",
+                                  n_cells=8, iters=2)
+    except RuntimeError:
+        pass
+    assert not ann_store.ann_index_matches(out, digest,
+                                           n_cells=4, iters=1)
+    assert ann_store.read_ann_meta(out) is None

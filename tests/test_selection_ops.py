@@ -240,3 +240,62 @@ def test_bm25_postings_artifact_bit_equal_and_gated(spark, tmp_path):
         assert fell_back != served
     finally:
         os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
+
+    # scoring constants are recorded and gated (r15 advice): if
+    # _BM25_K1/_BM25_B ever change, an artifact built under the old
+    # constants must refuse to serve — the query gates on k1/b now
+    from sc_crawler_spark.queries.pipeline import _BM25_B, _BM25_K1
+    assert meta["k1"] == _BM25_K1 and meta["b"] == _BM25_B
+    assert postings_store.bm25_index_matches(
+        out, digest, max_postings=256, k1=_BM25_K1, b=_BM25_B)
+    assert not postings_store.bm25_index_matches(
+        out, digest, max_postings=256, k1=_BM25_K1 + 0.1, b=_BM25_B)
+
+
+def test_bm25_rebuild_crash_invalidates_stale_meta(spark, tmp_path,
+                                                   monkeypatch):
+    """r15 advice #3: a rebuild into an out dir that already holds a
+    complete artifact deletes the OLD meta before touching data, so a
+    crash mid-rebuild reads as absent (never old-meta + new-data)."""
+    from sc_crawler_spark.sinks import postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "bm25_idx")
+    docs = load(spark, sf, "documents")
+    postings_store.write_bm25_index(docs, out, "text", "doc_id",
+                                    max_postings=16)
+    digest = postings_store.corpus_digest(docs, "text", "doc_id")
+    assert postings_store.bm25_index_matches(out, digest,
+                                             max_postings=16)
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash during rebuild")
+
+    import sc_crawler_spark.queries.pipeline as qp
+    monkeypatch.setattr(qp, "_bm25_pruned_postings", _boom)
+    try:
+        postings_store.write_bm25_index(docs, out, "text", "doc_id",
+                                        max_postings=32)
+    except RuntimeError:
+        pass
+    # the old-spec gate must now refuse: meta was invalidated first
+    assert not postings_store.bm25_index_matches(out, digest,
+                                                 max_postings=16)
+    assert postings_store.read_bm25_meta(out) is None
+
+
+def test_tf_from_toked_empty_token_array(spark):
+    """r15 advice #4: an empty toks array must yield zero (term, tf)
+    rows, not a runtime 'array indices start at 1' error (sequence(1,0)
+    is DESCENDING [1,0] and the old filter evaluated element_at(s,0)).
+    Unreachable via tokens() but the helper feeds the artifact
+    build/fold paths, which may see arbitrary corpora."""
+    from sc_crawler_spark.queries.pipeline import _tf_from_toked
+
+    df = spark.createDataFrame(
+        [(1, ["b", "a", "b"]), (2, []), (3, ["x"])],
+        "doc_id long, toks array<string>")
+    got = sorted((r.doc_id, r.term, r.tf)
+                 for r in _tf_from_toked(df).collect())
+    assert got == [(1, "a", 1), (1, "b", 2), (3, "x", 1)]

@@ -1101,3 +1101,46 @@ def test_stream_dsir_gate_matches_batch_and_offline_fit(spark, tmpdir):
         assert abs(gate_all[doc_id] - w) < 2e-6, (doc_id, gate_all[doc_id], w)
         overlap += 1
     assert overlap > 0
+
+
+def test_fold_guard_carries_manifest_on_no_lineage(spark, tmpdir):
+    """r15 ADVICE (medium): when a micro-batch has no file lineage
+    (inputFiles() empty — e.g. an empty batch on a file source) the
+    fold falls back to the batch-id marker, but the STORED manifest
+    must ride into the new snapshot version — returning manifest=None
+    made callers write_snapshot without the sidecar, permanently
+    discarding the folded-file ledger (a later fresh-checkpoint
+    restart would then re-fold every pre-drop file)."""
+    import json
+
+    from sc_crawler_spark.sinks.snapshot import (
+        read_extra, read_snapshot, write_snapshot)
+    from sc_crawler_spark.streaming.pipeline import (
+        FOLD_MANIFEST, _fold_guard)
+
+    state = os.path.join(tmpdir, "state")
+    ledger = json.dumps(sorted(["file:/day1/a.parquet",
+                                "file:/day1/b.parquet"]))
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(1, 0)], "x int, _last_batch_id int"),
+        state, extras={FOLD_MANIFEST: ledger})
+
+    # an in-memory batch has no file lineage -> marker fallback path
+    batch = spark.createDataFrame([(2,)], "x int")
+    cur = read_snapshot(spark, state)
+    out, manifest = _fold_guard(batch, 1, state, cur)
+    assert out is not None          # batch_id 1 > stored 0: fold runs
+    assert manifest == ledger       # ledger carried forward, not None
+
+    # caller contract: committing the new version with that manifest
+    # keeps the ledger readable for the NEXT restart
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(3, 1)], "x int, _last_batch_id int"),
+        state, extras={FOLD_MANIFEST: manifest})
+    assert read_extra(state, FOLD_MANIFEST) == ledger
+
+    # replayed marker still skips (fallback semantics unchanged)
+    out2, m2 = _fold_guard(batch, 1, state, read_snapshot(spark, state))
+    assert out2 is None and m2 is None
