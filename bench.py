@@ -13,9 +13,12 @@ Protocol (documented so the numbers are interpretable):
   one-time build cost is NOT hidden: it is published as ``build_sec``.
 - **Warm pass** at sf0.001 first: whole-stage codegen + JIT compilation
   are one-time JVM costs, not engine throughput.
-- **Best-of-5** (DuckDB oracle best-of-3): the box runs noisy
-  co-tenants with ±20% run-to-run drift; the minimum is the
-  steady-state cost (same convention as DuckDB's public harness).
+- **Interleaved best-of-3 per engine** (r15): each graded query's
+  Spark and DuckDB reps alternate within the same wall-clock window,
+  so a co-tenant spike degrades both engines' candidates instead of
+  one engine's whole block; the minimum is the steady-state cost
+  (same convention as DuckDB's public harness). First-rep numbers are
+  kept under ``single_run`` for cross-round comparability.
 - **scale (64x by default)**: the same comparison where the engine is
   *designed* to win — facts unioned 64x (~38M lineitem rows), Spark
   (cold plan, build INCLUDED) vs DuckDB oracle on identical parquet,
@@ -124,7 +127,22 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # what the pruned index buys. hybrid_rrf runs its
                  # registry form (10 queries) on the main 512x corpus.
                  "bm25_pruned_retrieval", "bm25_retrieval",
-                 "hybrid_rrf_retrieval"]
+                 # r15: hybrid runs with BOTH production arms served
+                 # from landed artifacts (pruned postings on the main
+                 # 512x corpus digest + the IVF index) — the r14 weak
+                 # mark's fix; builds published separately
+                 "hybrid_rrf_retrieval",
+                 # r15 (r14 verdict task 3): the IVF ANN artifact
+                 # serve, graded. Runs on a private 512x embeddings
+                 # subdir (1.024M perturbed vectors — embeddings stay
+                 # a 1x dim in the shared dir); the artifact lands
+                 # once per embedding digest (ann_index_build_sec),
+                 # timed runs SERVE from it, and the in-plan retrain
+                 # A/B is published beside it. DuckDB replays the
+                 # full Lloyd+assign chain per run — the same
+                 # build-included asymmetry as doc_pagerank/bm25,
+                 # documented.
+                 "embed_ann_ivf"]
 # r8 additions measured but NOT benched (same doctrine as
 # embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
 # events = 1.7 s vs DuckDB 0.6 s and train_split_stats at 512x docs =
@@ -156,6 +174,7 @@ SCALE_SCANS = {
     "bm25_pruned_retrieval": ["documents", "documents"],
     "bm25_retrieval": ["documents", "documents"],
     "hybrid_rrf_retrieval": ["documents", "documents"],
+    "embed_ann_ivf": ["embeddings"],
 }
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
 _FACT_OFFSETS = {  # key columns offset per copy so group counts scale too
@@ -177,7 +196,8 @@ _DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 # subdir where THAT table is unioned SCALE_FACTOR x with offset keys.
 SCALE_SUBDIR = {"merge_upsert_lifecycle": "lifecycle",
                 "bm25_pruned_retrieval": "zipf",
-                "bm25_retrieval": "zipf"}
+                "bm25_retrieval": "zipf",
+                "embed_ann_ivf": "annemb"}
 _SUBDIR_FACTS = {"lifecycle": ("customer", ["c_custkey"])}
 
 
@@ -339,6 +359,48 @@ def _build_zipf(spark, sf_dir: str, out_dir: str) -> None:
         fh.write("ok")
 
 
+def _build_annemb(spark, sf_dir: str, out_dir: str) -> None:
+    """Write <out_dir>/embeddings.parquet: SCALE_FACTOR * 8 copies of
+    the base embeddings (~1.02M 64-dim vectors at the default 64x)
+    with offset vec_ids and a deterministic per-element +-0.1%
+    perturbation — cloned-identical vectors would make every copy of
+    a vector an exact cosine tie (the ANN twin of the document-cipher
+    argument): the perturbed corpus carries 512x the base corpus's
+    genuine neighborhood structure, like a real crawl's near-dup
+    embeddings. Embeddings stay a 1x dim in the shared scale dir;
+    this private subdir exists so the IVF artifact serve is graded at
+    the corpus size where training actually costs something."""
+    if os.path.exists(os.path.join(out_dir, "_READY_v1")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+    from sc_crawler_spark.tables import load
+
+    def perturb(df, i):
+        # vec_id is already copy-offset, so hashing (vec_id, j) is
+        # distinct per copy; the float round-trip keeps the schema
+        eps = F.transform(
+            "embedding",
+            lambda x, j: (x.cast("double")
+                          * (F.lit(1.0)
+                             + (F.pmod(F.xxhash64(F.col("vec_id"), j),
+                                       F.lit(1001)).cast("double")
+                                - F.lit(500.0)) / F.lit(500_000.0)))
+            .cast("float"))
+        return df.withColumn("embedding", eps)
+
+    n = SCALE_FACTOR * _FACT_MULT.get("documents", 1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    df = _union_copies(load(spark, sf_dir, "embeddings"),
+                       ["vec_id"], n, transform=perturb)
+    if n > cpus:  # same tiny-files consolidation as _build_scale
+        df = df.repartition(cpus)
+    df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+    with open(os.path.join(out_dir, "_READY_v1"), "w") as fh:
+        fh.write("ok")
+
+
 def _mount_bucketed_facts(spark, s16_dir: str) -> dict:
     """Build (first run) or re-mount the orderkey-bucketed fact twins
     the q3/q5 HEADLINE runs join with zero exchange — the layout a
@@ -454,32 +516,59 @@ def main() -> None:
     for name in HEADLINE:
         REGISTRY[name][0](spark, warm_dir).count()
 
+    # Graded block, INTERLEAVED (r14 verdict task 4): each query's
+    # Spark and DuckDB reps alternate — spark, duck, spark, duck, ... —
+    # so a co-tenant CPU spike degrades BOTH engines' candidate runs
+    # instead of landing entirely on whichever engine happened to own
+    # that wall-clock slice (r14 graded 1.776x on a loadavg-21 box vs
+    # 1.483/1.488 measured same-code same-round; the regression was
+    # concentrated in sub-second scheduler-floor queries). best-of-3
+    # per engine; the FIRST rep of each engine is also published
+    # under "single_run" so the old protocol's numbers stay
+    # comparable across rounds.
     timings: dict[str, float] = {}
+    duck_h: dict[str, float] = {}
+    single_run: dict[str, list] = {}
+    duck_err: str | None = None
     build_total = 0.0
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = REGISTRY[name][0](spark, sf_dir)
         build_total += time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(5):
+        best_s = best_d = float("inf")
+        first: list = [None, None]
+        for rep in range(3):
             t0 = time.perf_counter()
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            el = time.perf_counter() - t0
+            best_s = min(best_s, el)
+            if rep == 0:
+                first[0] = round(el, 3)
+            try:
+                el = _duckdb_time(REGISTRY[name][1], sf_dir, reps=1)
+                best_d = min(best_d, el)
+                if rep == 0:
+                    first[1] = round(el, 3)
+            except Exception as exc:
+                duck_err = str(exc)[:200]
+        timings[name] = round(best_s, 3)
+        if best_d < float("inf"):
+            duck_h[name] = round(best_d, 3)
+        single_run[name] = first
 
     # ---- DuckDB oracle at the SAME sf: the 2x grade is self-contained
     oracle: dict[str, object] = {}
-    try:
-        duck_h = {name: round(_duckdb_time(REGISTRY[name][1], sf_dir, reps=3), 3)
-                  for name in HEADLINE}
+    if len(duck_h) == len(HEADLINE) and sum(duck_h.values()) > 0:
         duck_total = round(sum(duck_h.values()), 3)
         oracle = {
             "duckdb_sec": duck_total,
             "ratio": round(sum(timings.values()) / duck_total, 3),
             "duckdb": duck_h,
+            "single_run": single_run,
         }
-    except Exception as exc:
-        oracle = {"error": str(exc)[:200]}
+    else:
+        oracle = {"error": duck_err or "incomplete oracle set",
+                  "duckdb": duck_h, "single_run": single_run}
 
     # ---- scale: cold build+exec, Spark vs DuckDB on identical Nx data
     # loadavg is recorded so artifact drift is self-documenting: a
@@ -492,6 +581,7 @@ def main() -> None:
                                  f"/tmp/sc_bench_scale{SCALE_FACTOR}")
         _build_scale(spark, sf_dir, s16_dir)
         _build_zipf(spark, sf_dir, os.path.join(s16_dir, "zipf"))
+        _build_annemb(spark, sf_dir, os.path.join(s16_dir, "annemb"))
         # The bucketed fact layout is part of the lake build, like the
         # scale dir itself: at 100 TB the facts are WRITTEN bucketed
         # once and every downstream join rides the layout. q3/q5
@@ -589,14 +679,84 @@ def main() -> None:
                 bdocs = _bload(spark, qdir, "documents")
                 bdigest = postings_store.corpus_digest(
                     bdocs, "text", "doc_id")
+                from sc_crawler_spark.queries.pipeline import (
+                    _BM25_B, _BM25_K1)
                 if not postings_store.bm25_index_matches(
-                        bidx, bdigest, max_postings=256):
+                        bidx, bdigest, max_postings=256,
+                        k1=_BM25_K1, b=_BM25_B):
                     t0 = time.perf_counter()
                     postings_store.write_bm25_index(
                         bdocs, bidx, "text", "doc_id", max_postings=256)
                     scale["bm25_index_build_sec"] = round(
                         time.perf_counter() - t0, 3)
                 os.environ["SC_SPARK_BM25_INDEX_DIR"] = bidx
+            if name == "hybrid_rrf_retrieval":
+                # r15 (r14 verdict task 1 — the weak-mark fix): BOTH
+                # production arms serve from landed artifacts. The
+                # lexical arm's pruned postings land once per MAIN-
+                # corpus digest (bit-equal serve, zero oracle risk);
+                # the dense arm probes the IVF artifact over the
+                # shared-dir embeddings (ann_store doctrine:
+                # approximate, opt-in; the driver/oracle path never
+                # sets these env vars). DuckDB replays the full
+                # pruned-CTE + brute-cosine chain — the documented
+                # build-included asymmetry.
+                from sc_crawler_spark.queries.pipeline import (
+                    _BM25_B, _BM25_K1)
+                from sc_crawler_spark.sinks import (
+                    ann_store, postings_store)
+                from sc_crawler_spark.tables import load as _bload
+                scale.setdefault("variant", {})[name] = \
+                    "served_postings+ivf"
+                hidx = os.path.join(s16_dir, "bm25_index_main")
+                hdocs = _bload(spark, qdir, "documents")
+                hdigest = postings_store.corpus_digest(
+                    hdocs, "text", "doc_id")
+                if not postings_store.bm25_index_matches(
+                        hidx, hdigest, max_postings=256,
+                        k1=_BM25_K1, b=_BM25_B):
+                    t0 = time.perf_counter()
+                    postings_store.write_bm25_index(
+                        hdocs, hidx, "text", "doc_id",
+                        max_postings=256)
+                    scale["bm25_index_main_build_sec"] = round(
+                        time.perf_counter() - t0, 3)
+                aidx = os.path.join(s16_dir, "ann_index")
+                hemb = _bload(spark, qdir, "embeddings")
+                adigest = ann_store.embedding_digest(
+                    hemb, "embedding", "vec_id")
+                if not ann_store.ann_index_matches(
+                        aidx, adigest, n_cells=8, iters=2):
+                    t0 = time.perf_counter()
+                    ann_store.write_ivf_index(
+                        hemb, aidx, "embedding", "vec_id",
+                        n_cells=8, iters=2)
+                    scale["hybrid_ann_index_build_sec"] = round(
+                        time.perf_counter() - t0, 3)
+                os.environ["SC_SPARK_BM25_INDEX_DIR"] = hidx
+                os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
+            if name == "embed_ann_ivf":
+                # r15 (r14 verdict task 3): the IVF artifact serve,
+                # graded — lands once per 512x-embedding digest, the
+                # timed runs probe the stored inverted lists; the
+                # in-plan retrain A/B is published after the loop.
+                from sc_crawler_spark.sinks import ann_store
+                from sc_crawler_spark.tables import load as _bload
+                scale.setdefault("variant", {})[name] = \
+                    "x512_served_ivf_index"
+                aidx = os.path.join(qdir, "ann_index")
+                aemb = _bload(spark, qdir, "embeddings")
+                adigest = ann_store.embedding_digest(
+                    aemb, "embedding", "vec_id")
+                if not ann_store.ann_index_matches(
+                        aidx, adigest, n_cells=8, iters=2):
+                    t0 = time.perf_counter()
+                    ann_store.write_ivf_index(
+                        aemb, aidx, "embedding", "vec_id",
+                        n_cells=8, iters=2)
+                    scale["ann_index_build_sec"] = round(
+                        time.perf_counter() - t0, 3)
+                os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
             prerun = None
             if name == "doc_pagerank":
                 # graph/index tier: ensure the digest-keyed lake
@@ -673,8 +833,35 @@ def main() -> None:
                     os.environ.pop("SC_SPARK_INDEX_DIR", None)
                 if name == "bm25_pruned_retrieval":
                     os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
+                if name == "hybrid_rrf_retrieval":
+                    os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
+                    os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
+                if name == "embed_ann_ivf":
+                    os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
             spark_s[name] = round(best, 3)
             scale.setdefault("spark_cold", {})[name] = round(cold, 3)
+            if name == "embed_ann_ivf":
+                # the serve-vs-retrain A/B: same query, env gate off,
+                # so every run re-pays Lloyd training + the 1M-vector
+                # assignment pass — what the artifact amortizes away
+                inplan = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name][0](spark, qdir).count()
+                    inplan = min(inplan, time.perf_counter() - t0)
+                scale["embed_ann_ivf_inplan_sec"] = round(inplan, 3)
+                spark.catalog.clearCache()
+            if name == "hybrid_rrf_retrieval":
+                # the r14 weak-mark A/B: the same 10-query hybrid with
+                # no artifacts — pruned index rebuilt in-plan + brute
+                # dense arm — so BENCH shows what serving buys
+                inplan = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name][0](spark, qdir).count()
+                    inplan = min(inplan, time.perf_counter() - t0)
+                scale["hybrid_rrf_inplan_sec"] = round(inplan, 3)
+                spark.catalog.clearCache()
             if use_bucketed:
                 # the plain-layout A/B: what the exchange costs when
                 # the facts are NOT co-located at write time
@@ -718,7 +905,11 @@ def main() -> None:
                                 # posting lists each — cap both
                                 "bm25_pruned_retrieval": 150.0,
                                 "bm25_retrieval": 150.0,
-                                "hybrid_rrf_retrieval": 150.0}.get(name)
+                                "hybrid_rrf_retrieval": 150.0,
+                                # replays Lloyd + the 1M-vector
+                                # assignment per run — build-included
+                                # by construction, capped like bm25
+                                "embed_ann_ivf": 150.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
                     duck_sql, qdir,
                     reps=2 if best < 5.0 else 1,
@@ -817,7 +1008,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_sec": round(build_total, 3),
-        "protocol": "prepared-plan best-of-3 (build published separately); "
+        "protocol": "prepared-plan interleaved best-of-3 per engine "
+                    "(build published separately; single_run kept); "
                     "scale block best-of-2/3 with cold run published",
         "oracle_sf": oracle,
         "scale": scale,

@@ -62,90 +62,22 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r14 rotation (r13 verdict task 1). Evidence ledger entering
-    # r14, recomputed from the union of CORRECTNESS_r01-r13: 50 names
-    # r13-fresh, 49 r12-fresh, 49 whose last driver green is r11, and
-    # exactly 8 r13-new names NEVER driver-checked (pytest-oracle-green
-    # every round). Window: the 8 never-checked names FIRST
-    # (approx_heavy_hitters, cluster_balanced_sample,
-    # unimax_mixture_weights, dedup_edit_similarity, bm25_retrieval,
-    # hybrid_rrf_retrieval, contrastive_triplets,
-    # quality_quantile_normalize), then the two r13-fresh names whose
-    # CODE changed this round and therefore need fresh driver evidence
-    # (dsir_select — one-pass shared-feature rewrite, r13 verdict task
-    # 7; perplexity_bucket_filter — degenerate-sample kept=FALSE
-    # coalesce, r13 ADVICE #3; contrastive_triplets also changed — the
-    # hash-threshold negative pre-sample, task 2 — and
-    # approx_heavy_hitters' bound became deterministic, ADVICE #1, but
-    # both already head the window as never-checked), then the 40
-    # stalest r11 greens. The remaining 9 r11 names head _TAIL and
-    # rotate first in r15 — after r14 greens, every registry name's
-    # driver evidence is <=3 rounds old. ---
-    "approx_heavy_hitters",
-    "cluster_balanced_sample",
-    "unimax_mixture_weights",
-    "dedup_edit_similarity",
-    "bm25_retrieval",
-    "hybrid_rrf_retrieval",
-    "contrastive_triplets",
-    "quality_quantile_normalize",
-    # NEW in r14 (first driver evidence): the impact-pruned BM25 —
-    # the postings-bounded retrieval form (r13 verdict task 4)
-    "bm25_pruned_retrieval",
-    "dsir_select",
-    "perplexity_bucket_filter",
-    "doc_quality",
-    "doc_token_stats",
-    "ecpus_scalability",
-    "embed_ann_ivf",
-    "embed_ann_lsh",
-    "embed_cosine_topk",
-    "first_version_orders",
-    "hash_diff_sync",
-    "heavy_hitter_users",
-    "json_props_extract",
-    "merge_upsert_lifecycle",
-    "range_join_event_window",
-    "running_user_value",
-    "scd2_latest_event",
-    "shuffled_sample_orders",
-    "standardize_part_names",
-    "sync_stats",
-    "tiered_price_billing",
-    "tumbling_daily_stats",
-    "workload_breakdown",
-    "workload_catalog_breakdown",
-    "workload_profiles_catalog",
-    "workload_scores",
-    "embed_kmeans_clusters",
-    "embed_ann_sq",
-    "q10_returned_items",
-    "dedup_canonical_by_rank",
-    "dedup_cluster_resolve",
-    "doc_pagerank",
-    "dedup_span_removal",
-    "media_pcm_stats",
-    "media_pixel_stats",
-    "media_video_frames",
-    "media_resize_stats",
-    "domain_balanced_sample",
-    "html_extract_text",
-    # promoted from the tail late in r14: their shared tf chain was
-    # rewritten to the zero-shuffle run-length (_tf_from_toked), so
-    # they need fresh driver evidence like every code-changed query
-    "tfidf_keywords",
-    "doc_lm_perplexity",
-    "dedup_containment",
-]
-_TAIL = [
-    # The 12 r11-stale names displaced past the 50-slot cap by the 8
-    # never-checked + 1 r14-new + 2 code-changed heads + the 2
-    # late-promoted tf-chain rewrites above — they rotate FIRST in
-    # r15 (pytest re-runs their oracles every round meanwhile).
-    # embed_ann_pq fell out when bm25_pruned_retrieval took its slot,
-    # approx_median_price / approx_distinct_users when the tf-chain
-    # pair was promoted; dedup_containment stays in-window because
-    # its code changed this round (probe-form containment, task 5).
+    # --- r15 rotation (r14 verdict task 2). Evidence ledger entering
+    # r15, recomputed from the union of CORRECTNESS_r01-r14: 50 names
+    # r14-fresh, 48 r13-fresh, 49 r12-fresh, 10 whose last driver
+    # green is r11 (zero never-checked since r14). Window: the 10
+    # r11-stale names FIRST (the staged head of the r14 _TAIL), then
+    # the 7 names whose CODE changed this round and therefore need
+    # fresh driver evidence — hybrid_rrf_retrieval (lexical arm
+    # switched to the impact-pruned index + artifact serve gates,
+    # r14 verdict task 1; oracle updated in lockstep),
+    # contrastive_triplets (IVF-served cosine-arm gate, task 7), and
+    # the five tf-chain consumers of the _tf_from_toked n==0 guard
+    # (r15 ADVICE #4: bm25_retrieval, bm25_pruned_retrieval,
+    # tfidf_keywords, doc_lm_perplexity, perplexity_bucket_filter) —
+    # then the 33 stalest r12 greens. The remaining 16 r12 names head
+    # _TAIL and rotate first in r16; after r15 greens no name's
+    # evidence is older than r12. ---
     "embed_ann_pq",
     "approx_median_price",
     "approx_distinct_users",
@@ -156,8 +88,15 @@ _TAIL = [
     "cohort_retention",
     "chunk_documents",
     "q6_forecast_revenue",
-    # r12-fresh (CORRECTNESS_r12 greens) — next-stalest after the
-    # r11 block above.
+    # code-changed this round (fresh evidence needed)
+    "hybrid_rrf_retrieval",
+    "contrastive_triplets",
+    "bm25_retrieval",
+    "bm25_pruned_retrieval",
+    "tfidf_keywords",
+    "doc_lm_perplexity",
+    "perplexity_bucket_filter",
+    # stalest r12 greens (33 of 49)
     "q20_dominant_suppliers",
     "q14_promo_effect",
     "q22_global_sales_opportunity",
@@ -191,6 +130,11 @@ _TAIL = [
     "anti_join_no_orders",
     "keep_last_dedup_lineitem",
     "except_building_buyers",
+]
+_TAIL = [
+    # The 16 r12-stale names displaced past the 50-slot cap by this
+    # round's 7 code-changed promotions — they rotate FIRST in r16
+    # (pytest re-runs their oracles every round meanwhile).
     "argmax_customer_per_nation",
     "media_jpeg_stats",
     "url_canonical_dedup",
@@ -207,8 +151,7 @@ _TAIL = [
     "mode_brand_per_type",
     "group_merge_nations",
     "minmax_bounds_part",
-    # r13-fresh (CORRECTNESS_r13 greens, minus the two code-changed
-    # names promoted to the window) — freshest evidence, deepest tail.
+    # r13-fresh (CORRECTNESS_r13 greens) — next-stalest.
     "count_expansion",
     "weighted_geomean_price",
     "q18_large_orders",
@@ -257,6 +200,52 @@ _TAIL = [
     "lr_calibration_bins",
     "source_token_kl",
     "doc_oov_rate",
+    # r14-fresh (CORRECTNESS_r14 greens, minus the 7 promoted
+    # code-changed names above) — freshest evidence, deepest
+    # tail.
+    "approx_heavy_hitters",
+    "cluster_balanced_sample",
+    "unimax_mixture_weights",
+    "dedup_edit_similarity",
+    "quality_quantile_normalize",
+    "dsir_select",
+    "doc_quality",
+    "doc_token_stats",
+    "ecpus_scalability",
+    "embed_ann_ivf",
+    "embed_ann_lsh",
+    "embed_cosine_topk",
+    "first_version_orders",
+    "hash_diff_sync",
+    "heavy_hitter_users",
+    "json_props_extract",
+    "merge_upsert_lifecycle",
+    "range_join_event_window",
+    "running_user_value",
+    "scd2_latest_event",
+    "shuffled_sample_orders",
+    "standardize_part_names",
+    "sync_stats",
+    "tiered_price_billing",
+    "tumbling_daily_stats",
+    "workload_breakdown",
+    "workload_catalog_breakdown",
+    "workload_profiles_catalog",
+    "workload_scores",
+    "embed_kmeans_clusters",
+    "embed_ann_sq",
+    "q10_returned_items",
+    "dedup_canonical_by_rank",
+    "dedup_cluster_resolve",
+    "doc_pagerank",
+    "dedup_span_removal",
+    "media_pcm_stats",
+    "media_pixel_stats",
+    "media_video_frames",
+    "media_resize_stats",
+    "domain_balanced_sample",
+    "html_extract_text",
+    "dedup_containment",
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -1579,18 +1579,20 @@ def bm25_pruned_retrieval(spark: SparkSession, sf: str,
                     F.col("rank").cast("long").alias("rank")))
 
 
-def bm25_pruned_sql(query_stride: int = 13,
-                    max_postings: int = _BM25_MAX_POSTINGS) -> str:
-    """DuckDB oracle for the pruned form: the same offline index CTEs
-    (per-term top-M by 12-decimal contribution, doc_id tiebreak) and
-    the same DECIMAL-routed per-query sum."""
-    return f"""
-WITH toked AS (
+def _bm25_pruned_sql_ctes(query_pred: str,
+                          max_postings: int = _BM25_MAX_POSTINGS) -> str:
+    """The pruned-BM25 oracle chain through ``scored`` (query_id,
+    doc_id, s) — offline index CTEs (per-term top-M by 12-decimal
+    Lucene-idf contribution, doc_id tiebreak) + the DECIMAL-routed
+    per-query sum — shared by the pruned-retrieval oracle and the
+    hybrid-RRF oracle (whose lexical arm is the SAME pruned index,
+    r15); ``query_pred`` selects the query docs."""
+    return f"""toked AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks
   FROM documents),
 q_terms AS (
   SELECT DISTINCT doc_id AS query_id, unnest(toks[1:8]) AS term
-  FROM toked WHERE doc_id % {query_stride} = 0),
+  FROM toked WHERE {query_pred}),
 corpus AS (SELECT * FROM toked WHERE doc_id % 13 != 0),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
@@ -1623,7 +1625,16 @@ scored AS (
   SELECT query_id, p.doc_id,
          SUM(CAST(c AS DECIMAL(28,12))) AS s
   FROM pruned p JOIN q_terms q USING (term)
-  GROUP BY query_id, p.doc_id)
+  GROUP BY query_id, p.doc_id)"""
+
+
+def bm25_pruned_sql(query_stride: int = 13,
+                    max_postings: int = _BM25_MAX_POSTINGS) -> str:
+    """DuckDB oracle for the pruned form: the shared index CTEs plus
+    the per-query top-k rank."""
+    return f"""
+WITH {_bm25_pruned_sql_ctes(f"doc_id % {query_stride} = 0",
+                            max_postings)}
 SELECT query_id, doc_id, {sql_round("CAST(s AS DOUBLE)", 6)} AS bm25_score,
        CAST(rank AS BIGINT) AS rank
 FROM (
@@ -1644,26 +1655,44 @@ _RRF_TOP_K = 5
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
-    """HYBRID retrieval (r13): reciprocal-rank fusion of the lexical
-    BM25 arm and the embedding-cosine arm — the standard RAG-stack
-    shape (sparse catches exact keywords, dense catches paraphrase;
-    RRF fuses WITHOUT score calibration because it only consumes
-    RANKS: score = sum over arms of 1/(C + rank), C=60). Queries are
-    the 10 prompt docs (doc_id%13==0, <130) that exist in both
-    modalities: their first-8-token prompt feeds BM25, their embedding
-    feeds exact cosine; each arm contributes its top-20, fused top-5
-    kept with per-arm ranks exposed (NULL = the arm missed it).
+    """HYBRID retrieval (r13; arms production-shaped r15): reciprocal
+    -rank fusion of the lexical BM25 arm and the embedding-cosine arm
+    — the standard RAG-stack shape (sparse catches exact keywords,
+    dense catches paraphrase; RRF fuses WITHOUT score calibration
+    because it only consumes RANKS: score = sum over arms of
+    1/(C + rank), C=60). Queries are the 10 prompt docs (doc_id%13==0,
+    <130) that exist in both modalities: their first-8-token prompt
+    feeds BM25, their embedding feeds cosine; each arm contributes its
+    top-20, fused top-5 kept with per-arm ranks exposed (NULL = the
+    arm missed it).
 
-    Engine parity: both arms' ranks already have total orders
-    (bm25_retrieval / embed_cosine_topk conventions), and RRF
-    arithmetic is a rational of small integers — identical doubles in
-    both engines; the fused order tiebreaks on doc_id.
+    The LEXICAL arm is the impact-PRUNED index (r15 — r14's exact
+    chain re-paid Theta(corpus) per query on stopword-dense vocab;
+    the per-term top-M=256 postings bound is the production retrieval
+    shape, same semantics as bm25_pruned_retrieval). When
+    $SC_SPARK_BM25_INDEX_DIR holds a matching landed artifact
+    (sinks/postings_store — digest + max_postings + k1/b gated) the
+    arm serves from the stored term-clustered postings, BIT-EQUAL to
+    the in-plan form (integer-derived 12-decimal contributions), so
+    the env gate carries no oracle risk.
 
-    Scale shape: the BM25 arm is the shared scored chain (broadcast
-    query terms); the dense arm is the brute-force baseline at this
-    corpus and swaps for the IVF-SQ path at production scale (the ANN
-    tier's documented ladder); fusion is a full-outer join of two
-    (10 x 20)-row frames."""
+    The DENSE arm defaults to the exact brute-force baseline (the
+    oracle-checked semantics); when $SC_SPARK_ANN_INDEX_DIR holds a
+    matching IVF artifact (sinks/ann_store), it probes the landed
+    inverted lists via similarity.ivf_probe_topk instead — the
+    ann_store doctrine: approximate, opt-in production serve; every
+    driver/oracle run (no env var) stays exact in-plan.
+
+    Engine parity: both arms' ranks have total orders, RRF arithmetic
+    is a rational of small integers — identical doubles in both
+    engines; the fused order tiebreaks on doc_id.
+
+    Scale shape: the lexical arm joins a broadcast 10-query term batch
+    against bounded postings (O(80 * M) rows, never Theta(corpus));
+    the dense arm's probe is an equi-join on cell_id; fusion is a
+    full-outer join of two (10 x 20)-row frames."""
+    import os as _os
+
     from ..operators import similarity
 
     docs = load(spark, sf, "documents")
@@ -1674,19 +1703,55 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
                .select(F.col("doc_id").alias("query_id"),
                        F.explode(F.array_distinct(
                            F.slice("toks", 1, 8))).alias("term")))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("doc_id"))
-    b_rank = (_bm25_scored(toked, q_terms)
-              .withColumn("rank_b", F.row_number().over(wq))
-              .filter(F.col("rank_b") <= _RRF_DEPTH)
-              .select("query_id", "doc_id",
-                      F.col("rank_b").cast("long").alias("rank_b")))
+    b_rank = None
+    bidx = _os.environ.get("SC_SPARK_BM25_INDEX_DIR")
+    if bidx:
+        from ..sinks import postings_store
+        digest = postings_store.corpus_digest(docs, "text", "doc_id")
+        if postings_store.bm25_index_matches(
+                bidx, digest, max_postings=_BM25_MAX_POSTINGS,
+                k1=_BM25_K1, b=_BM25_B):
+            b_rank = (postings_store.bm25_topk_served(
+                q_terms, spark, bidx, top_k=_RRF_DEPTH)
+                .select("query_id", "doc_id",
+                        F.col("rank").alias("rank_b")))
+    if b_rank is None:
+        pruned = _bm25_pruned_postings(toked, _BM25_MAX_POSTINGS)
+        b_scored = (pruned.join(F.broadcast(q_terms), "term")
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum(F.col("c").cast("decimal(28,12)"))
+                         .alias("s")))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("s").desc(), F.col("doc_id"))
+        b_rank = (b_scored.withColumn("rank_b", F.row_number().over(wq))
+                  .filter(F.col("rank_b") <= _RRF_DEPTH)
+                  .select("query_id", "doc_id",
+                          F.col("rank_b").cast("long").alias("rank_b")))
     qv = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 130))
     cand = emb.filter(F.col("vec_id") % 13 != 0)
-    v_rank = (similarity.cosine_topk_bruteforce(
-        qv, cand, "embedding", "vec_id", k=_RRF_DEPTH)
-        .select("query_id", F.col("neighbor_id").alias("doc_id"),
-                F.col("rank").cast("long").alias("rank_v")))
+    v_rank = None
+    aidx = _os.environ.get("SC_SPARK_ANN_INDEX_DIR")
+    if aidx:
+        from ..sinks import ann_store
+        adigest = ann_store.embedding_digest(emb, "embedding", "vec_id")
+        if ann_store.ann_index_matches(aidx, adigest):
+            cents, assigned = ann_store.load_ivf_index(spark, aidx)
+            # the artifact covers the FULL embedding corpus; the
+            # hybrid candidate set excludes query docs — filter the
+            # inverted lists BEFORE the probe join (cheap, and keeps
+            # each query's k candidates drawn from eligible docs)
+            v_rank = (similarity.ivf_probe_topk(
+                qv, cents,
+                assigned.filter(F.col("neighbor_id") % 13 != 0),
+                "embedding", "vec_id", k=_RRF_DEPTH, n_probe=3)
+                .select("query_id",
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.col("rank").cast("long").alias("rank_v")))
+    if v_rank is None:
+        v_rank = (similarity.cosine_topk_bruteforce(
+            qv, cand, "embedding", "vec_id", k=_RRF_DEPTH)
+            .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                    F.col("rank").cast("long").alias("rank_v")))
     fused = b_rank.join(v_rank, ["query_id", "doc_id"], "full_outer")
     arm = lambda r: F.when(  # noqa: E731
         F.col(r).isNotNull(),
@@ -1708,7 +1773,7 @@ _COS_EXPR = sql_round(
     " * sqrt(list_inner_product(cv, cv)))", 6)
 
 HYBRID_RRF_SQL = f"""
-WITH {_bm25_sql_scored_ctes("doc_id % 13 = 0 AND doc_id < 130")},
+WITH {_bm25_pruned_sql_ctes("doc_id % 13 = 0 AND doc_id < 130")},
 b_rank AS (
   SELECT query_id, doc_id, CAST(rank_b AS BIGINT) AS rank_b
   FROM (SELECT query_id, doc_id,

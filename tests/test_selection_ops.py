@@ -75,7 +75,7 @@ def test_bm25_prefers_docs_containing_query_terms(spark):
 
 def test_rrf_fuses_only_arm_candidates(spark):
     from sc_crawler_spark.queries.pipeline import (
-        _RRF_TOP_K, bm25_retrieval, hybrid_rrf_retrieval)
+        _RRF_TOP_K, hybrid_rrf_retrieval)
 
     fused = hybrid_rrf_retrieval(spark, SF).collect()
     # per query exactly top-k rows, every fused doc carries at least
@@ -89,12 +89,67 @@ def test_rrf_fuses_only_arm_candidates(spark):
         both = (1.0 / (60 + r.rank_b) if r.rank_b else 0.0) + \
                (1.0 / (60 + r.rank_v) if r.rank_v else 0.0)
         assert abs(r.rrf_score - both) < 1e-5
-    # the BM25 arm's #1 doc appears in the fused list or was beaten
-    # by both-arm docs — sanity that fusion consumed the lexical arm
-    b1 = {(r.query_id, r.doc_id) for r in bm25_retrieval(spark, SF)
-          .collect() if r.rank == 1 and r.query_id < 130}
-    fused_docs = {(r.query_id, r.doc_id) for r in fused}
-    assert b1 & fused_docs
+    # fusion consumed BOTH arms: some fused doc is the lexical arm's
+    # #1 and some is the dense arm's #1 (rank 1 gives RRF >= 1/61,
+    # which a single-arm doc cannot be displaced from top-5 without
+    # five better-fused docs — holds on this fixture)
+    assert any(r.rank_b == 1 for r in fused)
+    assert any(r.rank_v == 1 for r in fused)
+
+
+def test_hybrid_rrf_serves_from_landed_artifacts(spark, tmp_path):
+    """r15 (r14 verdict task 1): the hybrid query's production arms.
+    With a matching pruned-postings artifact the LEXICAL arm serves
+    BIT-EQUAL (integer-derived contributions), so the full fused
+    output is unchanged; with the IVF artifact the DENSE arm probes
+    the landed inverted lists (approximate — contract checks only,
+    the oracle path never sets the env var)."""
+    import os
+
+    from sc_crawler_spark.queries.pipeline import (
+        _RRF_TOP_K, hybrid_rrf_retrieval)
+    from sc_crawler_spark.sinks import ann_store, postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    inplan = sorted(
+        (r.query_id, r.doc_id, r.rank_b, r.rank_v, r.rrf_score, r.rank)
+        for r in hybrid_rrf_retrieval(spark, sf).collect())
+    assert inplan
+
+    bidx = str(tmp_path / "bm25_idx")
+    postings_store.write_bm25_index(
+        load(spark, sf, "documents"), bidx, "text", "doc_id",
+        max_postings=256)
+    os.environ["SC_SPARK_BM25_INDEX_DIR"] = bidx
+    try:
+        served_lex = sorted(
+            (r.query_id, r.doc_id, r.rank_b, r.rank_v, r.rrf_score,
+             r.rank)
+            for r in hybrid_rrf_retrieval(spark, sf).collect())
+        # lexical serve is bit-equal -> the WHOLE fused result matches
+        assert served_lex == inplan
+
+        aidx = str(tmp_path / "ivf_idx")
+        ann_store.write_ivf_index(
+            load(spark, sf, "embeddings"), aidx, "embedding", "vec_id",
+            n_cells=8, iters=2)
+        os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
+        try:
+            both = hybrid_rrf_retrieval(spark, sf).collect()
+            by_q = {}
+            for r in both:
+                by_q.setdefault(r.query_id, []).append(r)
+            assert set(by_q) == {t[0] for t in inplan}
+            assert all(len(v) == _RRF_TOP_K for v in by_q.values())
+            # dense arm is approximate but never surfaces a query doc
+            for r in both:
+                assert r.doc_id % 13 != 0
+                assert r.rank_b is not None or r.rank_v is not None
+        finally:
+            os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
+    finally:
+        os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
 
 
 def test_contrastive_negatives_avoid_top20(spark):
