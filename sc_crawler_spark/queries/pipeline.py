@@ -1486,13 +1486,39 @@ def _bm25_pruned_postings(toked: DataFrame, max_postings: int) -> DataFrame:
     Scale shape: tf + lens + one broadcast df dictionary; the
     per-term top-M compiles to partial+final WindowGroupLimit, so the
     map side discards past-M postings before the term shuffle — the
-    window never materializes a stopword's full posting list."""
+    window never materializes a stopword's full posting list.
+
+    Split into the text pass (``_bm25_corpus_stats``) and the
+    prune-from-tf tail (``_bm25_prune_from_tf``) so the postings
+    artifact's FOLD path (sinks/postings_store.fold_bm25_index, r15)
+    can merge a new batch's tf/lens into the stored base tables and
+    re-prune without re-reading one byte of base text — exact, because
+    idf/avgdl are global: adding docs changes every posting's
+    contribution, so an incremental index must re-derive the pruned
+    set from the merged raw statistics, never append to it."""
+    tf, lens = _bm25_corpus_stats(toked)
+    return _bm25_prune_from_tf(tf, lens, max_postings)
+
+
+def _bm25_corpus_stats(toked: DataFrame) -> tuple:
+    """The text pass: (tf, lens) for the searchable corpus (query
+    docs, doc_id % 13 == 0, excluded by the retrieval convention).
+    tf is the zero-shuffle run-length; lens is row-local."""
     corpus = toked.filter(F.col("doc_id") % 13 != 0)
-    tf = _tf_from_toked(corpus)
-    lens = corpus.select("doc_id", F.size("toks").alias("len_d"))
-    stats = corpus.agg(
+    return (_tf_from_toked(corpus),
+            corpus.select("doc_id", F.size("toks").alias("len_d")))
+
+
+def _bm25_prune_from_tf(tf: DataFrame, lens: DataFrame,
+                        max_postings: int) -> DataFrame:
+    """The prune tail over raw (tf, lens): Lucene-idf contributions,
+    12-decimal rounding, per-term top-``max_postings`` with the
+    doc_id tiebreak — consumed by the in-plan query, the artifact
+    build, and the artifact fold (all three produce bit-identical
+    postings for the same raw tables)."""
+    stats = lens.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size("toks")).alias("total_len"))
+        F.sum("len_d").alias("total_len"))
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = (F.col("total_len").cast("double")
              / F.col("n_docs").cast("double"))

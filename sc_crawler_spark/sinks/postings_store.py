@@ -15,6 +15,9 @@ Layout::
     <root>/postings/   parquet (term, doc_id, c), repartitioned BY
                        term — a query batch equi-joins co-located
                        posting buckets
+    <root>/tf/         parquet (doc_id, term, tf), term-clustered —
+                       the RAW postings the fold path re-prunes from
+    <root>/lens/       parquet (doc_id, len_d)
     <root>/_META.json  {digest, n_docs, text_col, id_col,
                         max_postings, k1, b, idf: "lucene"}
 
@@ -24,6 +27,18 @@ len_d, n_docs, total_len) rounded to 12 decimals before landing — no
 aggregation-order-dependent float ever reaches the artifact — so the
 served result is BIT-EQUAL to the in-plan form (pinned in
 tests/test_selection_ops.py).
+
+Incremental maintenance (r15, r14 verdict task 8 — the index_store
+``--fold`` pattern applied to postings): ``fold_bm25_index`` merges a
+new batch's raw (tf, lens) — computed from the BATCH text only — into
+the stored raw tables and re-derives the pruned postings from the
+merged statistics. Re-deriving (not appending) is what keeps the fold
+EXACT: idf and avgdl are global, so adding documents changes every
+existing posting's contribution and can reorder any term's top-M; the
+folded artifact is therefore bit-equal to a one-shot build over
+base ∪ batch (pinned in tests), and its digest is the partial-merged
+union digest (index_store.merge_digests), provable without re-reading
+base text.
 """
 
 from __future__ import annotations
@@ -43,9 +58,13 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
     """Build and land the impact-pruned postings for ``df`` at
     ``out``. One text pass; the pruning chain is exactly
     queries/pipeline._bm25_pruned_postings (Lucene idf, 12-decimal
-    contribution, doc_id tiebreak)."""
+    contribution, doc_id tiebreak). The raw (tf, lens) tables land
+    beside the pruned postings so later batches can FOLD in without a
+    base text pass; the prune tail reads the STORED raw tables, so
+    the landed postings are exactly consistent with the landed raw."""
     from ..queries.pipeline import (
-        _BM25_B, _BM25_K1, _bm25_pruned_postings, tokens)
+        _BM25_B, _BM25_K1, _bm25_corpus_stats, _bm25_prune_from_tf,
+        tokens)
 
     # invalidate FIRST (r15 ADVICE #3): rebuilding into a dir that
     # already holds a meta and crashing after the postings overwrite
@@ -67,12 +86,82 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
     }
     toked = df.select(F.col(id_col).alias("doc_id"),
                       tokens(F.col(text_col)).alias("toks"))
-    post = _bm25_pruned_postings(toked, max_postings)
+    tf, lens = _bm25_corpus_stats(toked)
+    spark = df.sparkSession
+    tf.repartition("term").write.mode("overwrite").parquet(
+        os.path.join(out, "tf"))
+    lens.write.mode("overwrite").parquet(os.path.join(out, "lens"))
+    tf_stored = spark.read.parquet(os.path.join(out, "tf"))
+    lens_stored = spark.read.parquet(os.path.join(out, "lens"))
+    post = _bm25_prune_from_tf(tf_stored, lens_stored, max_postings)
     post.repartition("term").write.mode("overwrite").parquet(
         os.path.join(out, "postings"))
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     return meta
+
+
+def load_raw(spark: SparkSession, out: str) -> tuple:
+    """The landed raw tables: (tf, lens)."""
+    return (spark.read.parquet(os.path.join(out, "tf")),
+            spark.read.parquet(os.path.join(out, "lens")))
+
+
+def fold_bm25_index(spark: SparkSession, base_dir: str,
+                    batch: DataFrame, out: str) -> dict:
+    """Fold a new document batch into a landed postings artifact,
+    producing a NEW digest-keyed artifact at ``out`` that is
+    BIT-EQUAL to a one-shot build over base ∪ batch — without
+    re-reading any base text (the index_store fold discipline).
+
+    The batch's (tf, lens) come from ITS text only (the same
+    zero-shuffle run-length chain as the builder); the merged raw
+    tables re-derive df/avgdl/idf and the per-term top-M — global
+    statistics change under growth, so re-pruning from raw is the
+    only exact incremental form (appending to a pruned set is not:
+    a term's old postings can be displaced by new higher-impact
+    docs, and every contribution shifts with idf/avgdl). The folded
+    digest is merge_digests(base, batch) — provable against an
+    independently computed union digest. Batch ids must be disjoint
+    from the base corpus (the crawl convention every fold here
+    assumes; a colliding id would double-count its doc in n_docs).
+
+    ``out`` must be a new directory (the fold reads base while
+    writing); meta commits LAST, after invalidating any stale one."""
+    from ..queries.pipeline import (
+        _bm25_corpus_stats, _bm25_prune_from_tf, tokens)
+    from .index_store import merge_digests
+
+    if os.path.abspath(out) == os.path.abspath(base_dir):
+        raise ValueError("fold target must be a NEW directory, not "
+                         "the base artifact dir")
+    meta = read_bm25_meta(base_dir)
+    if meta is None:
+        raise ValueError(f"no complete postings artifact at {base_dir}")
+    invalidate_meta(out)
+    text_col, id_col = meta["text_col"], meta["id_col"]
+    batch_digest = corpus_digest(batch, text_col, id_col)
+    toked = batch.select(F.col(id_col).alias("doc_id"),
+                         tokens(F.col(text_col)).alias("toks"))
+    b_tf, b_lens = _bm25_corpus_stats(toked)
+    base_tf, base_lens = load_raw(spark, base_dir)
+    tf = base_tf.unionByName(b_tf)
+    lens = base_lens.unionByName(b_lens)
+    tf.repartition("term").write.mode("overwrite").parquet(
+        os.path.join(out, "tf"))
+    lens.write.mode("overwrite").parquet(os.path.join(out, "lens"))
+    tf_stored = spark.read.parquet(os.path.join(out, "tf"))
+    lens_stored = spark.read.parquet(os.path.join(out, "lens"))
+    post = _bm25_prune_from_tf(tf_stored, lens_stored,
+                               meta["max_postings"])
+    post.repartition("term").write.mode("overwrite").parquet(
+        os.path.join(out, "postings"))
+    folded = dict(meta,
+                  digest=merge_digests([meta["digest"], batch_digest]),
+                  n_docs=meta["n_docs"] + batch.count())
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(folded, f, indent=1, sort_keys=True)
+    return folded
 
 
 def read_bm25_meta(out: str) -> dict | None:

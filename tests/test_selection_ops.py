@@ -354,3 +354,71 @@ def test_tf_from_toked_empty_token_array(spark):
     got = sorted((r.doc_id, r.term, r.tf)
                  for r in _tf_from_toked(df).collect())
     assert got == [(1, "a", 1), (1, "b", 2), (3, "x", 1)]
+
+
+def test_bm25_fold_equals_one_shot_build(spark, tmp_path):
+    """r15 (r14 verdict task 8): folding a new batch into a landed
+    postings artifact — no base text pass — must be BIT-EQUAL to a
+    one-shot build over base ∪ batch: identical pruned postings,
+    identical merged digest (partials == direct), identical served
+    top-k. Also pins the refusal paths."""
+    import pytest as _pytest
+
+    from sc_crawler_spark.queries.pipeline import tokens
+    from sc_crawler_spark.sinks import postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    base_dir = str(tmp_path / "base")
+    fold_dir = str(tmp_path / "folded")
+    full_dir = str(tmp_path / "oneshot")
+
+    postings_store.write_bm25_index(base, base_dir, "text", "doc_id",
+                                    max_postings=64)
+    folded = postings_store.fold_bm25_index(spark, base_dir, batch,
+                                            fold_dir)
+    oneshot = postings_store.write_bm25_index(docs, full_dir, "text",
+                                              "doc_id", max_postings=64)
+    # digest: partial-merged == computed directly from the union text
+    assert folded["digest"] == oneshot["digest"]
+    assert folded["n_docs"] == oneshot["n_docs"]
+
+    def _postings(d):
+        return sorted((r.term, r.doc_id, str(r.c)) for r in
+                      postings_store.load_postings(spark, d).collect())
+
+    assert _postings(fold_dir) == _postings(full_dir)
+    assert len(_postings(fold_dir)) > 0
+
+    # served top-k from the folded artifact == from the one-shot one
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    q_terms = (toked.filter(F.col("doc_id") % 13 == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(F.array_distinct(
+                           F.slice("toks", 1, 8))).alias("term")))
+    a = sorted((r.query_id, r.doc_id, r.bm25_score, r.rank)
+               for r in postings_store.bm25_topk_served(
+                   q_terms, spark, fold_dir).collect())
+    b = sorted((r.query_id, r.doc_id, r.bm25_score, r.rank)
+               for r in postings_store.bm25_topk_served(
+                   q_terms, spark, full_dir).collect())
+    assert a == b and len(a) > 0
+
+    # the folded artifact's digest gate accepts the UNION corpus and
+    # refuses the base corpus
+    union_digest = postings_store.corpus_digest(docs, "text", "doc_id")
+    assert postings_store.bm25_index_matches(fold_dir, union_digest,
+                                             max_postings=64)
+    base_digest = postings_store.corpus_digest(base, "text", "doc_id")
+    assert not postings_store.bm25_index_matches(fold_dir, base_digest)
+
+    # refusal paths: fold into the base dir; fold from an incomplete base
+    with _pytest.raises(ValueError):
+        postings_store.fold_bm25_index(spark, base_dir, batch, base_dir)
+    with _pytest.raises(ValueError):
+        postings_store.fold_bm25_index(
+            spark, str(tmp_path / "nothing"), batch,
+            str(tmp_path / "f2"))
