@@ -1917,16 +1917,36 @@ def contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
     (expected count ``oversample*negs``, deterministic per dataset —
     verified >= negs at every test SF), the selected negatives are
     IDENTICAL to the unsampled query's. At 100 TB the sort input per
-    query is O(oversample*negs), not O(corpus). The cosine arms remain
-    the brute-force baseline at this corpus (IVF at production scale,
-    the ANN ladder)."""
+    query is O(oversample*negs), not O(corpus).
+
+    The remaining brute-force stage — the positive/exclusion top-20 —
+    swaps onto the landed IVF artifact when $SC_SPARK_ANN_INDEX_DIR
+    matches (r15, r14 verdict task 7: similarity.ivf_probe_topk over
+    the stored inverted lists, the ann_store doctrine — approximate
+    opt-in production serve; driver/oracle runs stay exact in-plan),
+    making the triplet query production-shaped END-TO-END: bounded
+    negative window + cell-pruned positive mining."""
+    import os as _os
+
     from ..operators import similarity
 
     emb = load(spark, sf, "embeddings")
     qv = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 130))
     cand = emb.filter(F.col("vec_id") % 13 != 0)
-    top = similarity.cosine_topk_bruteforce(
-        qv, cand, "embedding", "vec_id", k=20)
+    top = None
+    aidx = _os.environ.get("SC_SPARK_ANN_INDEX_DIR")
+    if aidx:
+        from ..sinks import ann_store
+        adigest = ann_store.embedding_digest(emb, "embedding", "vec_id")
+        if ann_store.ann_index_matches(aidx, adigest):
+            cents, assigned = ann_store.load_ivf_index(spark, aidx)
+            top = similarity.ivf_probe_topk(
+                qv, cents,
+                assigned.filter(F.col("neighbor_id") % 13 != 0),
+                "embedding", "vec_id", k=20, n_probe=3)
+    if top is None:
+        top = similarity.cosine_topk_bruteforce(
+            qv, cand, "embedding", "vec_id", k=20)
     pos = (top.filter(F.col("rank") == 1)
            .select("query_id", F.col("neighbor_id").alias("pos_id"),
                    F.col("cos_sim").alias("pos_sim")))

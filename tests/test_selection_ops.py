@@ -422,3 +422,48 @@ def test_bm25_fold_equals_one_shot_build(spark, tmp_path):
         postings_store.fold_bm25_index(
             spark, str(tmp_path / "nothing"), batch,
             str(tmp_path / "f2"))
+
+
+def test_contrastive_triplets_ivf_served_variant(spark, tmp_path):
+    """r15 (r14 verdict task 7): with a matching IVF artifact the
+    triplet query's positive/exclusion top-20 probes the landed
+    inverted lists. Approximate (opt-in production serve; the oracle
+    path never sets the env var), so the pins are contractual: the
+    positive is the IVF top-1, negatives avoid the IVF top-20 and the
+    query set, and the negative WINDOW (md5-threshold pre-sample) is
+    unchanged."""
+    import os
+
+    from sc_crawler_spark.operators import similarity
+    from sc_crawler_spark.queries.pipeline import (
+        _TRIPLET_NEGS, contrastive_triplets)
+    from sc_crawler_spark.sinks import ann_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    aidx = str(tmp_path / "ivf_idx")
+    ann_store.write_ivf_index(emb, aidx, "embedding", "vec_id",
+                              n_cells=8, iters=2)
+    os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
+    try:
+        trips = contrastive_triplets(spark, sf).collect()
+        assert trips
+        cents, assigned = ann_store.load_ivf_index(spark, aidx)
+        qv = emb.filter((F.col("vec_id") % 13 == 0)
+                        & (F.col("vec_id") < 130))
+        ivf_top = {(r.query_id, r.neighbor_id): r.rank
+                   for r in similarity.ivf_probe_topk(
+                       qv, cents,
+                       assigned.filter(F.col("neighbor_id") % 13 != 0),
+                       "embedding", "vec_id", k=20, n_probe=3)
+                   .collect()}
+        by_q = {}
+        for t in trips:
+            by_q.setdefault(t.query_id, []).append(t)
+            assert ivf_top.get((t.query_id, t.pos_id)) == 1
+            assert (t.query_id, t.neg_id) not in ivf_top
+            assert t.neg_id % 13 != 0
+        assert all(len(v) == _TRIPLET_NEGS for v in by_q.values())
+    finally:
+        os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
