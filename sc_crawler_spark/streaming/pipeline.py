@@ -239,25 +239,61 @@ def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
     true). Shingle/signature parameters are proven against the
     artifact's _META before the stream starts — a mismatched seed is a
     loud ValueError, never silently-incomparable signatures."""
+    _validate_seed_index(seed_index_dir, k, n_hashes, text_col, id_col)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        _near_dedup_batch(batch.select(id_col, text_col), batch_id,
+                          pairs_dir, index_dir, text_col, id_col, k,
+                          n_hashes, band_rows, threshold,
+                          seed_index_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _validate_seed_index(seed_index_dir: str | None, k: int,
+                         n_hashes: int, text_col: str,
+                         id_col: str) -> None:
+    """Shingle/signature parameters are proven against a seed
+    artifact's _META before any stream starts — a mismatched seed is
+    a loud ValueError, never silently-incomparable signatures."""
+    if seed_index_dir is None:
+        return
+    from ..sinks import index_store
+    meta = index_store.read_index_meta(seed_index_dir)
+    want = dict(k=k, n_hashes=n_hashes, text_col=text_col,
+                id_col=id_col)
+    if meta is None or any(meta.get(p) != v for p, v in want.items()):
+        raise ValueError(
+            f"seed index at {seed_index_dir} missing or built under "
+            f"different parameters (want {want}, got "
+            f"{ {p: (meta or {}).get(p) for p in want} })")
+
+
+def _near_dedup_batch(batch: DataFrame, batch_id: int, pairs_dir: str,
+                      index_dir: str, text_col: str, id_col: str,
+                      k: int, n_hashes: int, band_rows: int,
+                      threshold: float,
+                      seed_index_dir: str | None) -> str:
+    """One micro-batch of the near-dedup ingest (the shared body of
+    stream_near_dedup and stream_ingest_gate): match the batch against
+    the standing index (seed artifact ∪ accumulated batches), land the
+    verified pairs + the batch's shingles/signatures/digest partial
+    (all overwrite-own-``batch=<id>``-partition — idempotent under
+    checkpoint replay), and return the landed pair partition's path."""
     from ..operators.dedup import (
         _signatures_from_shingles, doc_shingles,
         incremental_minhash_pairs, minhash_lsh_pairs)
 
-    if seed_index_dir is not None:
-        from ..sinks import index_store
-        meta = index_store.read_index_meta(seed_index_dir)
-        want = dict(k=k, n_hashes=n_hashes, text_col=text_col,
-                    id_col=id_col)
-        if meta is None or any(meta.get(p) != v for p, v in want.items()):
-            raise ValueError(
-                f"seed index at {seed_index_dir} missing or built under "
-                f"different parameters (want {want}, got "
-                f"{ {p: (meta or {}).get(p) for p in want} })")
-
+    spark = batch.sparkSession
     sh_dir = os.path.join(index_dir, "shingles")
     sig_dir = os.path.join(index_dir, "signatures")
 
-    def _read_part(spark: SparkSession, d: str) -> DataFrame | None:
+    def _read_part(d: str) -> DataFrame | None:
         try:
             return spark.read.parquet(d).drop("batch")
         except Exception:
@@ -268,48 +304,115 @@ def stream_near_dedup(docs: DataFrame, pairs_dir: str, index_dir: str,
             return b
         return a if b is None else a.unionByName(b)
 
+    base_sh = _read_part(sh_dir)
+    base_sig = _read_part(sig_dir)
+    if seed_index_dir is not None:
+        from ..sinks import index_store
+        seed_sh, seed_sig = index_store.load_minhash_index(
+            spark, seed_index_dir)
+        base_sh = _union(seed_sh, base_sh)
+        base_sig = _union(seed_sig, base_sig)
+    if base_sh is not None and base_sig is not None:
+        pairs = incremental_minhash_pairs(
+            batch, (base_sh, base_sig), text_col, id_col, k=k,
+            n_hashes=n_hashes, band_rows=band_rows,
+            threshold=threshold)
+    else:  # first batch: nothing standing, the batch IS the corpus
+        pairs = minhash_lsh_pairs(
+            batch, text_col, id_col, k=k, n_hashes=n_hashes,
+            band_rows=band_rows, threshold=threshold
+        ).withColumn("is_cross", F.lit(False))
+    pair_part = os.path.join(pairs_dir, f"batch={batch_id}")
+    pairs.write.mode("overwrite").parquet(pair_part)
+    new_sh = doc_shingles(batch, text_col, id_col, k)
+    new_sh.write.mode("overwrite").parquet(
+        os.path.join(sh_dir, f"batch={batch_id}"))
+    _signatures_from_shingles(
+        new_sh, id_col, n_hashes
+    ).write.mode("overwrite").parquet(
+        os.path.join(sig_dir, f"batch={batch_id}"))
+    # partial corpus digest (xor of xxhash64(id,text) + count):
+    # what makes the accumulated stream FOLDABLE into a new
+    # digest-keyed artifact (sinks/index_store.fold_minhash_index)
+    # without ever re-reading the batch texts — same overwrite-own-
+    # partition idempotence as the other per-batch writes
+    batch.agg(
+        F.coalesce(  # empty replayed batch: xor identity, not NULL
+            F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))"),
+            F.lit(0).cast("long")).alias("d"),
+        F.count("*").alias("n"),
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "digest", f"batch={batch_id}"))
+    return pair_part
+
+
+def stream_ingest_gate(docs: DataFrame, out_dir: str, pairs_dir: str,
+                       index_dir: str, checkpoint_dir: str,
+                       weights: dict, lr_by_bucket: list,
+                       dsir_threshold: float = 0.0, k: int = 3,
+                       n_hashes: int = 8, band_rows: int = 2,
+                       threshold: float = 0.5,
+                       seed_index_dir: str | None = None):
+    """THE production crawl filter, composed (r15, r14 verdict task
+    6): quality ∧ importance ∧ novelty in one ingest pass — every
+    arriving document must clear the offline-trained LR quality gate
+    (stream_lr_quality_gate's exact scoring), the offline-fitted DSIR
+    importance gate (stream_dsir_gate's exact scoring), and near-dup
+    NOVELTY against the standing minhash index; survivors land under
+    ``out_dir`` with both scores attached.
+
+    Order is the production one: the two row-local gates run FIRST
+    (cheap, shuffle-free — Theta(batch) expression work), so only
+    their survivors pay shingling and the band-bucket probe. The
+    near-dedup stage is the stream_near_dedup body verbatim
+    (_near_dedup_batch): survivors' pairs/shingles/signatures/digest
+    partials land exactly like the standalone stream, so the
+    accumulated index stays FOLDABLE into a digest-keyed lake
+    artifact (index_store.fold_minhash_index) with zero new code.
+
+    Novelty semantics: a surviving doc is accepted iff it has no
+    verified near-dup pair with the standing corpus (seed ∪ prior
+    batches' survivors) nor with a smaller-id survivor of its own
+    batch. ALL gate survivors fold into the standing index (accepted
+    or not), which makes the accepted set independent of batch
+    boundaries whenever ids are arrival-monotone (the crawl
+    convention): accepted = {d : no pair (s, d), s.id < d.id, s a
+    survivor} — exactly the offline composition quality-filter ∘
+    dsir-filter ∘ minhash_lsh_pairs drop-larger-id, which is the
+    pytest batch==offline parity proof.
+
+    Idempotent under checkpoint replay: every write (pairs, shingles,
+    signatures, digest, accepted docs) overwrites its own
+    ``batch=<id>`` partition."""
+    _validate_seed_index(seed_index_dir, k, n_hashes, "text", "doc_id")
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.select(id_col, text_col)
-        base_sh = _read_part(spark, sh_dir)
-        base_sig = _read_part(spark, sig_dir)
-        if seed_index_dir is not None:
-            from ..sinks import index_store
-            seed_sh, seed_sig = index_store.load_minhash_index(
-                spark, seed_index_dir)
-            base_sh = _union(seed_sh, base_sh)
-            base_sig = _union(seed_sig, base_sig)
-        if base_sh is not None and base_sig is not None:
-            pairs = incremental_minhash_pairs(
-                batch, (base_sh, base_sig), text_col, id_col, k=k,
-                n_hashes=n_hashes, band_rows=band_rows,
-                threshold=threshold)
-        else:  # first batch: nothing standing, the batch IS the corpus
-            pairs = minhash_lsh_pairs(
-                batch, text_col, id_col, k=k, n_hashes=n_hashes,
-                band_rows=band_rows, threshold=threshold
-            ).withColumn("is_cross", F.lit(False))
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"batch={batch_id}"))
-        new_sh = doc_shingles(batch, text_col, id_col, k)
-        new_sh.write.mode("overwrite").parquet(
-            os.path.join(sh_dir, f"batch={batch_id}"))
-        _signatures_from_shingles(
-            new_sh, id_col, n_hashes
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_dir, f"batch={batch_id}"))
-        # partial corpus digest (xor of xxhash64(id,text) + count):
-        # what makes the accumulated stream FOLDABLE into a new
-        # digest-keyed artifact (sinks/index_store.fold_minhash_index)
-        # without ever re-reading the batch texts — same overwrite-own-
-        # partition idempotence as the other per-batch writes
-        batch.agg(
-            F.coalesce(  # empty replayed batch: xor identity, not NULL
-                F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))"),
-                F.lit(0).cast("long")).alias("d"),
-            F.count("*").alias("n"),
-        ).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "digest", f"batch={batch_id}"))
+        quality = stream_lr_quality_gate(batch, weights) \
+            .select("doc_id", "prob")
+        importance = stream_dsir_gate(batch, lr_by_bucket,
+                                      dsir_threshold) \
+            .select("doc_id", "log_weight")
+        surv = (batch.select("doc_id", "text")
+                .join(quality, "doc_id")       # inner joins = AND of
+                .join(importance, "doc_id"))   # the row-local gates
+        pair_part = _near_dedup_batch(
+            surv.select("doc_id", "text"), batch_id, pairs_dir,
+            index_dir, "text", "doc_id", k, n_hashes, band_rows,
+            threshold, seed_index_dir)
+        pairs = spark.read.parquet(pair_part)
+        # drop a batch doc that duplicates the standing corpus (either
+        # pair side when cross) or a smaller-id batch survivor (id_b
+        # of an intra pair); the anti join only ever removes BATCH
+        # docs, so a cross pair's standing side is a no-op here
+        dropped = (pairs.select(F.col("id_b").alias("doc_id"))
+                   .unionByName(
+                       pairs.filter("is_cross")
+                       .select(F.col("id_a").alias("doc_id")))
+                   .distinct())
+        accepted = surv.join(dropped, "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
 
     return (
         docs.writeStream.foreachBatch(_apply)

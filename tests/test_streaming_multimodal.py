@@ -1144,3 +1144,71 @@ def test_fold_guard_carries_manifest_on_no_lineage(spark, tmpdir):
     # replayed marker still skips (fallback semantics unchanged)
     out2, m2 = _fold_guard(batch, 1, state, read_snapshot(spark, state))
     assert out2 is None and m2 is None
+
+
+def test_stream_ingest_gate_composes_three_gates(spark, tmpdir):
+    """r15 (r14 verdict task 6): the composed production crawl filter
+    — quality ∧ importance ∧ novelty in one ingest pass. Streamed
+    over two arrival-monotone micro-batches it must accept EXACTLY
+    the offline composition: LR-quality filter ∘ DSIR-importance
+    filter ∘ minhash-pair drop-larger-id, with bit-equal per-doc
+    scores (the two row-local gates are stateless and the novelty
+    fold covers all survivors, so batch boundaries cannot move the
+    accepted set when ids are arrival-monotone)."""
+    import glob as _glob
+
+    from sc_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from sc_crawler_spark.queries.curation import dsir_log_ratios
+    from sc_crawler_spark.queries.pipeline import _lr_trained
+    from sc_crawler_spark.streaming import (
+        read_document_stream, stream_dsir_gate, stream_ingest_gate,
+        stream_lr_quality_gate)
+    from sc_crawler_spark.tables import load
+
+    feat, it = _lr_trained(spark, SF)
+    row = it.first()
+    weights = {k: row[k] for k in ("w_b", "w_l", "w_t", "w_p")}
+    feat.unpersist()
+    docs = load(spark, SF, "documents")
+    lr = [float(r.lr) for r in
+          dsir_log_ratios(docs).orderBy("bucket").collect()]
+
+    # arrival-monotone split (the crawl convention the novelty
+    # semantics assume): every batch-1 id < every batch-2 id
+    src = os.path.join(tmpdir, "docs")
+    os.makedirs(src)
+    for name, half in (("a", docs.filter(F.col("doc_id") < 250)),
+                       ("b", docs.filter(F.col("doc_id") >= 250))):
+        stage = os.path.join(tmpdir, f"_stage_{name}")
+        half.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    out = os.path.join(tmpdir, "out")
+    q = stream_ingest_gate(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        out, os.path.join(tmpdir, "pairs"), os.path.join(tmpdir, "idx"),
+        os.path.join(tmpdir, "ckpt"), weights, lr, dsir_threshold=0.0)
+    q.awaitTermination(300)
+    got = {r.doc_id: (r.prob, r.log_weight)
+           for r in spark.read.parquet(out).collect()}
+
+    # the offline twin, composed from the SAME gate transforms
+    quality = stream_lr_quality_gate(docs, weights) \
+        .select("doc_id", "prob")
+    importance = stream_dsir_gate(docs, lr, 0.0) \
+        .select("doc_id", "log_weight")
+    surv = (docs.select("doc_id", "text")
+            .join(quality, "doc_id").join(importance, "doc_id"))
+    pairs = minhash_lsh_pairs(surv, "text", "doc_id", k=3, n_hashes=8,
+                              band_rows=2, threshold=0.5)
+    dropped = {r.id_b for r in pairs.collect()}
+    want = {r.doc_id: (r.prob, r.log_weight) for r in surv.collect()
+            if r.doc_id not in dropped}
+    assert got == want
+    # every stage actually filters: quality+importance < corpus, and
+    # the novelty stage dropped at least one near-dup survivor
+    assert 0 < len(got) < docs.count()
+    assert len(dropped) > 0
+    # the accumulated index stayed foldable (digest partials landed)
+    assert os.path.isdir(os.path.join(tmpdir, "idx", "digest"))
