@@ -739,21 +739,33 @@ def main() -> None:
                 # r15 (r14 verdict task 3): the IVF artifact serve,
                 # graded — lands once per 512x-embedding digest, the
                 # timed runs probe the stored inverted lists; the
-                # in-plan retrain A/B is published after the loop.
+                # in-plan A/B is published after the loop. The
+                # PRODUCTION spec (64 cells, 8 probes — same 1/8
+                # corpus fraction per query as the registry's 8/3,
+                # 8x fewer candidates per cell) with the oracle
+                # re-parameterized in lockstep: at 8 cells the
+                # in-plan seeded assignment is too cheap for the
+                # artifact to matter (measured 6-7 s vs 9 s served —
+                # the first r15 validation run); 64 cells is where a
+                # 1M-vector assignment pass actually costs.
+                from sc_crawler_spark.queries.pipeline import \
+                    _ann_ivf_sql
                 from sc_crawler_spark.sinks import ann_store
                 from sc_crawler_spark.tables import load as _bload
+                kw = {"n_cells": 64, "n_probe": 8}
+                duck_sql = _ann_ivf_sql(n_cells=64, n_probe=8)
                 scale.setdefault("variant", {})[name] = \
-                    "x512_served_ivf_index"
+                    "x512_cells64_served_ivf_index"
                 aidx = os.path.join(qdir, "ann_index")
                 aemb = _bload(spark, qdir, "embeddings")
                 adigest = ann_store.embedding_digest(
                     aemb, "embedding", "vec_id")
                 if not ann_store.ann_index_matches(
-                        aidx, adigest, n_cells=8, iters=2):
+                        aidx, adigest, n_cells=64, iters=2):
                     t0 = time.perf_counter()
                     ann_store.write_ivf_index(
                         aemb, aidx, "embedding", "vec_id",
-                        n_cells=8, iters=2)
+                        n_cells=64, iters=2)
                     scale["ann_index_build_sec"] = round(
                         time.perf_counter() - t0, 3)
                 os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
@@ -841,13 +853,13 @@ def main() -> None:
             spark_s[name] = round(best, 3)
             scale.setdefault("spark_cold", {})[name] = round(cold, 3)
             if name == "embed_ann_ivf":
-                # the serve-vs-retrain A/B: same query, env gate off,
-                # so every run re-pays Lloyd training + the 1M-vector
+                # the serve-vs-rebuild A/B: same query + spec, env
+                # gate off, so every run re-pays the 1M x 64-cell
                 # assignment pass — what the artifact amortizes away
                 inplan = float("inf")
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    REGISTRY[name][0](spark, qdir).count()
+                    REGISTRY[name][0](spark, qdir, **kw).count()
                     inplan = min(inplan, time.perf_counter() - t0)
                 scale["embed_ann_ivf_inplan_sec"] = round(inplan, 3)
                 spark.catalog.clearCache()
@@ -906,10 +918,12 @@ def main() -> None:
                                 "bm25_pruned_retrieval": 150.0,
                                 "bm25_retrieval": 150.0,
                                 "hybrid_rrf_retrieval": 150.0,
-                                # replays Lloyd + the 1M-vector
-                                # assignment per run — build-included
-                                # by construction, capped like bm25
-                                "embed_ann_ivf": 150.0}.get(name)
+                                # replays the 64-cell seeded chain
+                                # over 1M vectors per run (measured
+                                # 197 s — an expected DNF at this
+                                # spec); capped like minhash so the
+                                # every-round DNF stays bounded
+                                "embed_ann_ivf": 60.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
                     duck_sql, qdir,
                     reps=2 if best < 5.0 else 1,
