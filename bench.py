@@ -133,15 +133,15 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # mark's fix; builds published separately
                  "hybrid_rrf_retrieval",
                  # r15 (r14 verdict task 3): the IVF ANN artifact
-                 # serve, graded. Runs on a private 512x embeddings
-                 # subdir (1.024M perturbed vectors — embeddings stay
-                 # a 1x dim in the shared dir); the artifact lands
-                 # once per embedding digest (ann_index_build_sec),
-                 # timed runs SERVE from it, and the in-plan retrain
-                 # A/B is published beside it. DuckDB replays the
-                 # full Lloyd+assign chain per run — the same
-                 # build-included asymmetry as doc_pagerank/bm25,
-                 # documented.
+                 # serve, graded at the 64-cell/8-probe production
+                 # spec. Runs on a private 512x embeddings subdir
+                 # (1.024M perturbed vectors — embeddings stay a 1x
+                 # dim in the shared dir); the artifact lands once
+                 # per embedding digest (ann_index_build_sec), timed
+                 # runs SERVE from it, the in-plan A/B publishes
+                 # beside it. DuckDB replays the seeded 64-cell
+                 # assign chain per run (measured 197 s — documented
+                 # DNF at the 60 s cap, the minhash treatment).
                  "embed_ann_ivf"]
 # r8 additions measured but NOT benched (same doctrine as
 # embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
