@@ -1217,6 +1217,64 @@ def cmd_index_fold(spark: SparkSession, base: str, stream_index: str,
     print(f"index: folded {out} digest={meta['digest']} pairs={n}")
 
 
+def cmd_bm25_index(spark: SparkSession, lake: str, out: str,
+                   table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id", max_postings: int = 256,
+                   force: bool = False) -> None:
+    """Land the digest-keyed impact-pruned BM25 postings artifact
+    (sinks/postings_store.py, r14/r15) — the retrieval twin of
+    ``cmd_index``: pruned postings + the raw (tf, lens) tables the
+    fold path re-prunes from, built ONCE per corpus content digest
+    (matching artifacts are reused; any content/parameter change
+    rebuilds). Consumers (bm25_pruned_retrieval, the hybrid RRF
+    lexical arm) pick it up via $SC_SPARK_BM25_INDEX_DIR and serve
+    BIT-EQUAL to in-plan."""
+    from .queries.pipeline import _BM25_B, _BM25_K1
+    from .sinks import postings_store
+
+    plain = os.path.join(lake, f"{table}.parquet")
+    if os.path.exists(plain):  # raw lake dir (TESTDATA layout)
+        df = spark.read.parquet(plain)
+    else:                      # snapshot-versioned CLI lake table
+        df = _read(spark, lake, table)
+    df = df.select(id_col, text_col)
+    digest = postings_store.corpus_digest(df, text_col, id_col)
+    if not force and postings_store.bm25_index_matches(
+            out, digest, max_postings=max_postings, text_col=text_col,
+            id_col=id_col, k1=_BM25_K1, b=_BM25_B):
+        n = postings_store.load_postings(spark, out).count()
+        print(f"bm25index: reuse {out} digest={digest} postings={n}")
+        return
+    meta = postings_store.write_bm25_index(df, out, text_col, id_col,
+                                           max_postings=max_postings)
+    n = postings_store.load_postings(spark, out).count()
+    print(f"bm25index: built {out} digest={meta['digest']} postings={n}")
+
+
+def cmd_bm25_index_fold(spark: SparkSession, base: str, batch_lake: str,
+                        out: str, table: str = "documents") -> None:
+    """Fold a new document batch into a landed postings artifact
+    (r15): re-derives the pruned postings from the merged raw (tf,
+    lens) tables — no base text pass — producing a NEW artifact at
+    ``out`` bit-equal to a one-shot build over base ∪ batch, keyed by
+    the merged union digest. The base stays read-only and true."""
+    from .sinks import postings_store
+
+    meta = postings_store.read_bm25_meta(base)
+    if meta is None:
+        raise SystemExit(f"no complete postings artifact at {base}")
+    plain = os.path.join(batch_lake, f"{table}.parquet")
+    if os.path.exists(plain):
+        batch = spark.read.parquet(plain)
+    else:
+        batch = _read(spark, batch_lake, table)
+    batch = batch.select(meta["id_col"], meta["text_col"])
+    folded = postings_store.fold_bm25_index(spark, base, batch, out)
+    n = postings_store.load_postings(spark, out).count()
+    print(f"bm25index: folded {out} digest={folded['digest']} "
+          f"postings={n}")
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1578,6 +1636,26 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--force", action="store_true",
                    help="rebuild even when digest+params match")
 
+    p = sub.add_parser("bm25index",
+                       help="land the digest-keyed impact-pruned BM25 "
+                            "postings artifact (postings + raw tf/lens); "
+                            "--fold merges a new-docs lake into a NEW "
+                            "artifact from the stored raw tables instead")
+    p.add_argument("--lake",
+                   help="corpus lake to build from (build mode)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--fold", metavar="BATCH_LAKE",
+                   help="fold mode: lake dir whose docs fold into the "
+                        "artifact at --base")
+    p.add_argument("--base", metavar="BASE_INDEX_DIR",
+                   help="fold mode: the seed bm25index artifact")
+    p.add_argument("--table", default="documents")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--max-postings", type=int, default=256)
+    p.add_argument("--force", action="store_true",
+                   help="rebuild even when digest+params match")
+
     p = sub.add_parser("versions",
                        help="list retained snapshot versions per table")
     p.add_argument("--lake", required=True)
@@ -1685,6 +1763,18 @@ def main(argv: list[str] | None = None) -> None:
             cmd_index(spark, args.lake, args.out, args.table,
                       args.text_col, args.id_col, args.k, args.n_hashes,
                       args.band_rows, args.threshold, args.force)
+    elif args.cmd == "bm25index":
+        if args.fold:
+            if not args.base:
+                raise SystemExit("bm25index --fold requires --base")
+            cmd_bm25_index_fold(spark, args.base, args.fold, args.out,
+                                args.table)
+        else:
+            if not args.lake:
+                raise SystemExit("bm25index requires --lake (or --fold)")
+            cmd_bm25_index(spark, args.lake, args.out, args.table,
+                           args.text_col, args.id_col,
+                           args.max_postings, args.force)
     elif args.cmd == "versions":
         cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":

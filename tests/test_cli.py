@@ -622,3 +622,59 @@ def test_corpus_cli_snapshot_lake(spark, tmp_path, capsys):
     want = index_store.corpus_digest(
         docs.select("doc_id", "text"), "text", "doc_id")
     assert meta["input_digest"] == want
+
+
+def test_bm25index_build_reuse_fold_cli(spark, tmp_path, capsys):
+    """cmd_bm25_index e2e (r15): build -> reuse (digest match is
+    free) -> param-change rebuild; then `bm25index --fold` merges a
+    new-docs lake through the argparse path and the folded artifact
+    serves the served query bit-equal to a one-shot build (the fold
+    LOGIC's bit-equality is pinned in test_selection_ops; this is the
+    CLI wiring + reuse discipline)."""
+    import pytest as _pytest
+
+    from sc_crawler_spark.sinks import postings_store
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma other words here now kappa"),
+         (3, "totally different vocabulary entirely unrelated")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(lake, "documents.parquet"))
+    out = str(tmp_path / "bidx")
+
+    cli.main(["bm25index", "--lake", lake, "--out", out])
+    assert "built" in capsys.readouterr().out
+    meta = postings_store.read_bm25_meta(out)
+    assert meta["max_postings"] == 256 and meta["idf"] == "lucene"
+
+    # digest+param match -> free reuse
+    cli.main(["bm25index", "--lake", lake, "--out", out])
+    assert "reuse" in capsys.readouterr().out
+    # parameter change -> rebuild
+    cli.main(["bm25index", "--lake", lake, "--out", out,
+              "--max-postings", "64"])
+    assert "built" in capsys.readouterr().out
+    assert postings_store.read_bm25_meta(out)["max_postings"] == 64
+
+    # fold a new-docs lake through the argparse path
+    lake2 = str(tmp_path / "lake2")
+    os.makedirs(lake2)
+    spark.createDataFrame(
+        [(4, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(lake2, "documents.parquet"))
+    folded = str(tmp_path / "folded")
+    cli.main(["bm25index", "--fold", lake2, "--base", out,
+              "--out", folded])
+    assert "folded" in capsys.readouterr().out
+    fmeta = postings_store.read_bm25_meta(folded)
+    assert fmeta["n_docs"] == 4 and fmeta["max_postings"] == 64
+
+    # mode guards fail loud
+    with _pytest.raises(SystemExit):
+        cli.main(["bm25index", "--out", out])
+    with _pytest.raises(SystemExit):
+        cli.main(["bm25index", "--fold", lake2, "--out", folded])
