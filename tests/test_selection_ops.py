@@ -328,7 +328,7 @@ def test_bm25_rebuild_crash_invalidates_stale_meta(spark, tmp_path,
         raise RuntimeError("simulated crash during rebuild")
 
     import sc_crawler_spark.queries.pipeline as qp
-    monkeypatch.setattr(qp, "_bm25_pruned_postings", _boom)
+    monkeypatch.setattr(qp, "_bm25_prune_from_tf", _boom)
     try:
         postings_store.write_bm25_index(docs, out, "text", "doc_id",
                                         max_postings=32)
