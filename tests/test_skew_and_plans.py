@@ -773,3 +773,53 @@ def test_r12_doc_langid_zero_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Join" not in tree
+
+
+def test_r15_hybrid_pruned_arm_plan_shape(spark):
+    """The r15 hybrid lexical arm is the impact-pruned chain: the
+    query-term batch must BROADCAST into the postings (never a
+    corpus-wide sort-merge), and both the per-term top-M prune and
+    the per-query rank filter must compile to WindowGroupLimit so
+    each shuffle partition keeps only its top rows. No cartesian
+    anywhere (the only crossJoin is the broadcast 1-row stats)."""
+    plan = _plan(spark, "hybrid_rrf_retrieval")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r15_hybrid_served_arm_serves_from_artifacts(spark, tmp_path):
+    """With both artifacts landed and matched, the hybrid plan must
+    scan the POSTINGS parquet instead of tokenizing documents for the
+    lexical arm, and scan the inverted-list parquet for the dense arm
+    — the in-plan index build disappears from the physical plan."""
+    import os
+
+    from sc_crawler_spark.queries import REGISTRY as _REG
+    from sc_crawler_spark.sinks import ann_store, postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    bidx = str(tmp_path / "bm25_idx")
+    aidx = str(tmp_path / "ivf_idx")
+    postings_store.write_bm25_index(
+        load(spark, sf, "documents"), bidx, "text", "doc_id",
+        max_postings=256)
+    ann_store.write_ivf_index(
+        load(spark, sf, "embeddings"), aidx, "embedding", "vec_id",
+        n_cells=8, iters=2)
+    os.environ["SC_SPARK_BM25_INDEX_DIR"] = bidx
+    os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
+    try:
+        plan = _REG["hybrid_rrf_retrieval"][0](spark, sf) \
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted"))
+        assert "postings" in plan       # lexical arm reads the artifact
+        assert "assign" in plan         # dense arm reads inverted lists
+        # the per-term top-M prune window only exists in the in-plan
+        # index build — served plans carry only the per-query rank
+        assert plan.count("WindowGroupLimit") >= 1
+    finally:
+        os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
+        os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
