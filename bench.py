@@ -995,6 +995,46 @@ def main() -> None:
                 fc["serve_pagerank_sec"] = round(
                     time.perf_counter() - t0, 3)
                 spark.catalog.clearCache()
+                # composed ingest gate (r15, r14 verdict task 6's
+                # optional timing): quality ∧ importance ∧ novelty
+                # over ANOTHER day's 1x batch, novelty seeded by the
+                # standing 512x artifact. The models fit OFFLINE on
+                # the 1x lake (the train-offline / gate-at-ingest
+                # loop); only the ingest pass is timed.
+                from sc_crawler_spark.queries.curation import \
+                    dsir_log_ratios
+                from sc_crawler_spark.queries.pipeline import \
+                    _lr_trained
+                from sc_crawler_spark.streaming import \
+                    stream_ingest_gate
+                feat, it = _lr_trained(spark, sf_dir)
+                row = it.first()
+                weights = {k: row[k]
+                           for k in ("w_b", "w_l", "w_t", "w_p")}
+                feat.unpersist()
+                lr_buckets = [float(r.lr) for r in dsir_log_ratios(
+                    _load(spark, sf_dir, "documents"))
+                    .orderBy("bucket").collect()]
+                batch2 = _copy_cipher(
+                    _load(spark, sf_dir, "documents")
+                    .select((F.col("doc_id") + 2 * 10**13)
+                            .alias("doc_id"), "text"), 2000)
+                src2 = os.path.join(root, "in2")
+                batch2.coalesce(1).write.parquet(src2)
+                gate_out = os.path.join(root, "gate_out")
+                t0 = time.perf_counter()
+                q2 = stream_ingest_gate(
+                    read_document_stream(spark, src2), gate_out,
+                    os.path.join(root, "gate_pairs"),
+                    os.path.join(root, "gate_idx"),
+                    os.path.join(root, "gate_ckpt"),
+                    weights, lr_buckets, seed_index_dir=seed_dir)
+                q2.awaitTermination(600)
+                fc["ingest_gate_sec"] = round(
+                    time.perf_counter() - t0, 3)
+                fc["ingest_accepted"] = spark.read.parquet(
+                    gate_out).count()
+                spark.catalog.clearCache()
                 shutil.rmtree(root, ignore_errors=True)
         except Exception as exc:
             scale.setdefault("fold_cycle", {})["error"] = str(exc)[:200]
@@ -1073,7 +1113,8 @@ def main() -> None:
             "scale_q": scale_q,
             "fold": {k: fc[k] for k in
                      ("stream_sec", "fold_sec", "digest_ok",
-                      "serve_pagerank_sec") if k in fc},
+                      "serve_pagerank_sec", "ingest_gate_sec",
+                      "ingest_accepted") if k in fc},
         }, separators=(",", ":"))
 
     line = _summary()
