@@ -24,7 +24,12 @@ Layout under one artifact root::
 At 100 TB the assign table is the big artifact (|corpus| rows of
 vector + norm); it is written once per corpus digest and every
 retrieval session serves from it with zero training shuffles —
-serve-vs-retrain numbers in PLANS.md r14.
+serve-vs-retrain numbers in PLANS.md r14/r15. New batches FOLD in
+without a retrain or base re-read (``fold_ivf_index``, r15 — the
+standard IVF insert: assign against the stored centroids, append to
+the inverted lists, merge the digest); centroid staleness under
+distribution drift is the documented tradeoff, fixed by a periodic
+full rebuild.
 
 Float determinism note: centroids come from the same deterministic
 Lloyd chain the in-plan queries run (seeded from the first n_cells
@@ -111,6 +116,54 @@ def write_ivf_index(df: DataFrame, out: str, vec_col: str, id_col: str,
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     return meta
+
+
+def fold_ivf_index(spark: SparkSession, base_dir: str,
+                   batch: DataFrame, out: str) -> dict:
+    """Fold a new vector batch into a landed IVF artifact — the
+    standard production IVF insert (r15): assign the batch against
+    the STORED centroids (deterministic dot-product argmax — no
+    retrain, no base re-read) and append to the inverted lists,
+    producing a NEW artifact at ``out`` keyed by the merged union
+    digest. The folded inverted lists are BIT-EQUAL to assigning the
+    union corpus against the base centroids (pinned in tests), so
+    probes over the folded artifact are exact with respect to those
+    centroids.
+
+    The documented tradeoff is centroid STALENESS, not correctness:
+    inserts never move centroids, so cell balance degrades as the
+    distribution drifts — the periodic fix is a full rebuild
+    (write_ivf_index), exactly how production IVF systems cycle
+    their indexes. Batch ids must be disjoint from the base corpus.
+    ``out`` must be a new directory; meta commits LAST."""
+    from ..operators.similarity import as_double, ivf_assign, norm
+    from .index_store import merge_digests
+
+    if os.path.abspath(out) == os.path.abspath(base_dir):
+        raise ValueError("fold target must be a NEW directory, not "
+                         "the base artifact dir")
+    meta = read_ann_meta(base_dir)
+    if meta is None:
+        raise ValueError(f"no complete IVF artifact at {base_dir}")
+    invalidate_meta(out)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    batch_digest = embedding_digest(batch, vec_col, id_col)
+    cents, base_assigned = load_ivf_index(spark, base_dir)
+    c = batch.select(F.col(id_col).alias("neighbor_id"),
+                     as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cn", norm(F.col("cv")))
+    new_assigned = ivf_assign(c, cents, "cv", "centv")
+    cents.write.mode("overwrite").parquet(
+        os.path.join(out, "centroids"))
+    (base_assigned.unionByName(new_assigned)
+     .repartition("cell_id")
+     .write.mode("overwrite").parquet(os.path.join(out, "assign")))
+    folded = dict(meta,
+                  digest=merge_digests([meta["digest"], batch_digest]),
+                  n_vecs=meta["n_vecs"] + batch.count())
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(folded, f, indent=1, sort_keys=True)
+    return folded
 
 
 def read_ann_meta(out: str) -> dict | None:

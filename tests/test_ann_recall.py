@@ -234,3 +234,67 @@ def test_ivf_rebuild_crash_invalidates_stale_meta(spark, tmp_path,
     assert not ann_store.ann_index_matches(out, digest,
                                            n_cells=4, iters=1)
     assert ann_store.read_ann_meta(out) is None
+
+
+def test_ivf_fold_equals_union_assignment(spark, tmp_path):
+    """r15: folding a vector batch into a landed IVF artifact (assign
+    against the STORED centroids, no retrain) must be bit-equal to
+    assigning the union corpus against the base centroids — identical
+    inverted lists, merged digest == direct union digest, and served
+    probes identical to the direct-union probe."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.operators.similarity import (
+        as_double, ivf_assign, ivf_probe_topk, norm)
+    from sc_crawler_spark.sinks import ann_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+    base_dir = str(tmp_path / "base")
+    fold_dir = str(tmp_path / "folded")
+    ann_store.write_ivf_index(base, base_dir, "embedding", "vec_id",
+                              n_cells=4, iters=1)
+    folded = ann_store.fold_ivf_index(spark, base_dir, batch, fold_dir)
+
+    assert folded["digest"] == ann_store.embedding_digest(
+        emb, "embedding", "vec_id")
+    assert folded["n_vecs"] == emb.count()
+    assert ann_store.ann_index_matches(
+        fold_dir, folded["digest"], n_cells=4, iters=1)
+
+    # folded inverted lists == union corpus assigned against the BASE
+    # centroids (deterministic dot-product argmax -> bit-equal cells)
+    cents, folded_assign = ann_store.load_ivf_index(spark, fold_dir)
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   as_double(F.col("embedding")).alias("cv"))
+    direct = ivf_assign(c.withColumn("cn", norm(F.col("cv"))),
+                        cents, "cv", "centv")
+    got = sorted((r.neighbor_id, r.cell_id)
+                 for r in folded_assign.collect())
+    want = sorted((r.neighbor_id, r.cell_id) for r in direct.collect())
+    assert got == want and len(got) == emb.count()
+
+    # served probe over the folded artifact == direct-union probe
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+               for r in ann_store.cosine_topk_served(
+                   queries, spark, fold_dir, "embedding", "vec_id",
+                   k=5, n_probe=2).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+               for r in ivf_probe_topk(queries, cents, direct,
+                                       "embedding", "vec_id",
+                                       k=5, n_probe=2).collect())
+    assert a == b and len(a) > 0
+
+    # refusal paths
+    with _pytest.raises(ValueError):
+        ann_store.fold_ivf_index(spark, base_dir, batch, base_dir)
+    with _pytest.raises(ValueError):
+        ann_store.fold_ivf_index(spark, str(tmp_path / "nope"),
+                                 batch, str(tmp_path / "f2"))
