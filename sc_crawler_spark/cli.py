@@ -1275,6 +1275,62 @@ def cmd_bm25_index_fold(spark: SparkSession, base: str, batch_lake: str,
           f"postings={n}")
 
 
+def cmd_ann_index(spark: SparkSession, lake: str, out: str,
+                  table: str = "embeddings", vec_col: str = "embedding",
+                  id_col: str = "vec_id", n_cells: int = 8,
+                  iters: int = 2, force: bool = False) -> None:
+    """Land the digest-keyed IVF ANN artifact (sinks/ann_store.py) —
+    the similarity twin of ``cmd_index``/``cmd_bm25_index``: Lloyd-
+    trained centroids + cell-clustered inverted lists, built ONCE per
+    embedding content digest (matching artifacts are reused; any
+    content/parameter change rebuilds). Consumers (embed_ann_ivf, the
+    hybrid RRF dense arm, contrastive_triplets) pick it up via
+    $SC_SPARK_ANN_INDEX_DIR — the opt-in approximate production
+    serve; oracle runs stay in-plan."""
+    from .sinks import ann_store
+
+    plain = os.path.join(lake, f"{table}.parquet")
+    if os.path.exists(plain):
+        df = spark.read.parquet(plain)
+    else:
+        df = _read(spark, lake, table)
+    df = df.select(id_col, vec_col)
+    digest = ann_store.embedding_digest(df, vec_col, id_col)
+    if not force and ann_store.ann_index_matches(
+            out, digest, n_cells=n_cells, iters=iters,
+            vec_col=vec_col, id_col=id_col):
+        n = spark.read.parquet(os.path.join(out, "assign")).count()
+        print(f"annindex: reuse {out} digest={digest} vectors={n}")
+        return
+    meta = ann_store.write_ivf_index(df, out, vec_col, id_col,
+                                     n_cells=n_cells, iters=iters)
+    n = spark.read.parquet(os.path.join(out, "assign")).count()
+    print(f"annindex: built {out} digest={meta['digest']} vectors={n}")
+
+
+def cmd_ann_index_fold(spark: SparkSession, base: str, batch_lake: str,
+                       out: str, table: str = "embeddings") -> None:
+    """Fold a new vector batch into a landed IVF artifact (r15): the
+    standard production IVF insert — assign against the stored
+    centroids, append to the inverted lists, merge the digest; no
+    retrain, no base re-read. The base stays read-only and true."""
+    from .sinks import ann_store
+
+    meta = ann_store.read_ann_meta(base)
+    if meta is None:
+        raise SystemExit(f"no complete IVF artifact at {base}")
+    plain = os.path.join(batch_lake, f"{table}.parquet")
+    if os.path.exists(plain):
+        batch = spark.read.parquet(plain)
+    else:
+        batch = _read(spark, batch_lake, table)
+    batch = batch.select(meta["id_col"], meta["vec_col"])
+    folded = ann_store.fold_ivf_index(spark, base, batch, out)
+    n = spark.read.parquet(os.path.join(out, "assign")).count()
+    print(f"annindex: folded {out} digest={folded['digest']} "
+          f"vectors={n}")
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1656,6 +1712,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--force", action="store_true",
                    help="rebuild even when digest+params match")
 
+    p = sub.add_parser("annindex",
+                       help="land the digest-keyed IVF ANN artifact "
+                            "(centroids + cell-clustered inverted lists); "
+                            "--fold appends a new-vectors lake against the "
+                            "stored centroids instead (no retrain)")
+    p.add_argument("--lake",
+                   help="embeddings lake to build from (build mode)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--fold", metavar="BATCH_LAKE",
+                   help="fold mode: lake dir whose vectors fold into "
+                        "the artifact at --base")
+    p.add_argument("--base", metavar="BASE_INDEX_DIR",
+                   help="fold mode: the seed annindex artifact")
+    p.add_argument("--table", default="embeddings")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--n-cells", type=int, default=8)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--force", action="store_true",
+                   help="rebuild even when digest+params match")
+
     p = sub.add_parser("versions",
                        help="list retained snapshot versions per table")
     p.add_argument("--lake", required=True)
@@ -1775,6 +1852,18 @@ def main(argv: list[str] | None = None) -> None:
             cmd_bm25_index(spark, args.lake, args.out, args.table,
                            args.text_col, args.id_col,
                            args.max_postings, args.force)
+    elif args.cmd == "annindex":
+        if args.fold:
+            if not args.base:
+                raise SystemExit("annindex --fold requires --base")
+            cmd_ann_index_fold(spark, args.base, args.fold, args.out,
+                               args.table)
+        else:
+            if not args.lake:
+                raise SystemExit("annindex requires --lake (or --fold)")
+            cmd_ann_index(spark, args.lake, args.out, args.table,
+                          args.vec_col, args.id_col, args.n_cells,
+                          args.iters, args.force)
     elif args.cmd == "versions":
         cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":

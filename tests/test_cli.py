@@ -678,3 +678,52 @@ def test_bm25index_build_reuse_fold_cli(spark, tmp_path, capsys):
         cli.main(["bm25index", "--out", out])
     with _pytest.raises(SystemExit):
         cli.main(["bm25index", "--fold", lake2, "--out", folded])
+
+
+def test_annindex_build_reuse_fold_cli(spark, tmp_path, capsys):
+    """cmd_ann_index e2e (r15): build -> digest reuse -> param-change
+    rebuild -> `annindex --fold` appends a new-vectors lake through
+    the argparse path (the fold LOGIC's bit-equality is pinned in
+    test_ann_recall; this is the CLI wiring + reuse discipline)."""
+    import pytest as _pytest
+
+    from sc_crawler_spark.sinks import ann_store
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    vecs = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>",
+    ).write.parquet(os.path.join(lake, "embeddings.parquet"))
+    out = str(tmp_path / "aidx")
+
+    cli.main(["annindex", "--lake", lake, "--out", out,
+              "--n-cells", "4", "--iters", "1"])
+    assert "built" in capsys.readouterr().out
+    meta = ann_store.read_ann_meta(out)
+    assert meta["n_cells"] == 4 and meta["kind"] == "ivf"
+
+    cli.main(["annindex", "--lake", lake, "--out", out,
+              "--n-cells", "4", "--iters", "1"])
+    assert "reuse" in capsys.readouterr().out
+    cli.main(["annindex", "--lake", lake, "--out", out,
+              "--n-cells", "2", "--iters", "1"])
+    assert "built" in capsys.readouterr().out
+    assert ann_store.read_ann_meta(out)["n_cells"] == 2
+
+    lake2 = str(tmp_path / "lake2")
+    os.makedirs(lake2)
+    spark.createDataFrame(
+        [(100, [9.0, 9.0, 9.0]), (101, [8.0, 7.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(os.path.join(lake2, "embeddings.parquet"))
+    folded = str(tmp_path / "folded")
+    cli.main(["annindex", "--fold", lake2, "--base", out,
+              "--out", folded])
+    assert "folded" in capsys.readouterr().out
+    assert ann_store.read_ann_meta(folded)["n_vecs"] == 42
+
+    with _pytest.raises(SystemExit):
+        cli.main(["annindex", "--out", out])
+    with _pytest.raises(SystemExit):
+        cli.main(["annindex", "--fold", lake2, "--out", folded])
