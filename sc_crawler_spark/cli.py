@@ -1220,7 +1220,8 @@ def cmd_index_fold(spark: SparkSession, base: str, stream_index: str,
 def cmd_bm25_index(spark: SparkSession, lake: str, out: str,
                    table: str = "documents", text_col: str = "text",
                    id_col: str = "doc_id", max_postings: int = 256,
-                   force: bool = False) -> None:
+                   force: bool = False,
+                   query_stride: int | None = 13) -> None:
     """Land the digest-keyed impact-pruned BM25 postings artifact
     (sinks/postings_store.py, r14/r15) — the retrieval twin of
     ``cmd_index``: pruned postings + the raw (tf, lens) tables the
@@ -1241,14 +1242,18 @@ def cmd_bm25_index(spark: SparkSession, lake: str, out: str,
     digest = postings_store.corpus_digest(df, text_col, id_col)
     if not force and postings_store.bm25_index_matches(
             out, digest, max_postings=max_postings, text_col=text_col,
-            id_col=id_col, k1=_BM25_K1, b=_BM25_B):
+            id_col=id_col, k1=_BM25_K1, b=_BM25_B,
+            query_stride=query_stride):
         n = postings_store.load_postings(spark, out).count()
         print(f"bm25index: reuse {out} digest={digest} postings={n}")
         return
     meta = postings_store.write_bm25_index(df, out, text_col, id_col,
-                                           max_postings=max_postings)
+                                           max_postings=max_postings,
+                                           query_stride=query_stride)
     n = postings_store.load_postings(spark, out).count()
-    print(f"bm25index: built {out} digest={meta['digest']} postings={n}")
+    print(f"bm25index: built {out} digest={meta['digest']} "
+          f"postings={n} query_stride={meta['query_stride']} "
+          f"indexed_docs={meta['n_docs']}")
 
 
 def cmd_bm25_index_fold(spark: SparkSession, base: str, batch_lake: str,
@@ -1709,6 +1714,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--max-postings", type=int, default=256)
+    p.add_argument("--query-stride", type=int, default=13,
+                   help="held-out query-doc convention: rows with "
+                        "id %% STRIDE == 0 are NOT indexed (default "
+                        "13, the registry retrieval convention); 0 "
+                        "indexes every document. Recorded and gated "
+                        "in _META.json")
     p.add_argument("--force", action="store_true",
                    help="rebuild even when digest+params match")
 
@@ -1851,7 +1862,8 @@ def main(argv: list[str] | None = None) -> None:
                 raise SystemExit("bm25index requires --lake (or --fold)")
             cmd_bm25_index(spark, args.lake, args.out, args.table,
                            args.text_col, args.id_col,
-                           args.max_postings, args.force)
+                           args.max_postings, args.force,
+                           query_stride=args.query_stride or None)
     elif args.cmd == "annindex":
         if args.fold:
             if not args.base:

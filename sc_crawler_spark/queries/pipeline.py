@@ -1500,11 +1500,17 @@ def _bm25_pruned_postings(toked: DataFrame, max_postings: int) -> DataFrame:
     return _bm25_prune_from_tf(tf, lens, max_postings)
 
 
-def _bm25_corpus_stats(toked: DataFrame) -> tuple:
-    """The text pass: (tf, lens) for the searchable corpus (query
-    docs, doc_id % 13 == 0, excluded by the retrieval convention).
-    tf is the zero-shuffle run-length; lens is row-local."""
-    corpus = toked.filter(F.col("doc_id") % 13 != 0)
+def _bm25_corpus_stats(toked: DataFrame,
+                       query_stride: int | None = 13) -> tuple:
+    """The text pass: (tf, lens) for the searchable corpus. By the
+    retrieval convention, query docs (doc_id % ``query_stride`` == 0)
+    are excluded from the index; pass ``query_stride=None`` to index
+    every document (arbitrary-lake builds with no held-out query
+    set — r16 ADVICE: the stride is a recorded artifact parameter,
+    not a silent constant). tf is the zero-shuffle run-length; lens
+    is row-local."""
+    corpus = (toked if query_stride is None
+              else toked.filter(F.col("doc_id") % query_stride != 0))
     return (_tf_from_toked(corpus),
             corpus.select("doc_id", F.size("toks").alias("len_d")))
 
@@ -1588,7 +1594,7 @@ def bm25_pruned_retrieval(spark: SparkSession, sf: str,
         digest = postings_store.corpus_digest(docs, "text", "doc_id")
         if postings_store.bm25_index_matches(
                 idx_dir, digest, max_postings=max_postings,
-                k1=_BM25_K1, b=_BM25_B):
+                k1=_BM25_K1, b=_BM25_B, query_stride=13):
             return postings_store.bm25_topk_served(
                 q_terms, spark, idx_dir, top_k=_BM25_TOP_K)
     pruned = _bm25_pruned_postings(toked, max_postings)
@@ -1678,6 +1684,13 @@ BM25_PRUNED_SQL = bm25_pruned_sql()
 _RRF_C = 60.0
 _RRF_DEPTH = 20
 _RRF_TOP_K = 5
+# The IVF spec the opt-in dense-arm serve expects (hybrid RRF and
+# contrastive triplets). An artifact at any other spec — e.g. the 64×
+# bench's 64-cell production index — is REJECTED by the gate and the
+# arm falls back to the exact in-plan path: cell count and training
+# iterations change which inverted lists exist, hence recall.
+_SERVE_IVF_N_CELLS = 8
+_SERVE_IVF_ITERS = 2
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
@@ -1736,7 +1749,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         digest = postings_store.corpus_digest(docs, "text", "doc_id")
         if postings_store.bm25_index_matches(
                 bidx, digest, max_postings=_BM25_MAX_POSTINGS,
-                k1=_BM25_K1, b=_BM25_B):
+                k1=_BM25_K1, b=_BM25_B, query_stride=13):
             b_rank = (postings_store.bm25_topk_served(
                 q_terms, spark, bidx, top_k=_RRF_DEPTH)
                 .select("query_id", "doc_id",
@@ -1760,7 +1773,13 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     if aidx:
         from ..sinks import ann_store
         adigest = ann_store.embedding_digest(emb, "embedding", "vec_id")
-        if ann_store.ann_index_matches(aidx, adigest):
+        # r16 (ADVICE): parameter-gate like every other serve — an
+        # artifact built at a different spec (e.g. the bench's
+        # 64-cell index) changes recall; mismatch falls back to the
+        # exact in-plan arm instead of being silently probed.
+        if ann_store.ann_index_matches(aidx, adigest,
+                                       n_cells=_SERVE_IVF_N_CELLS,
+                                       iters=_SERVE_IVF_ITERS):
             cents, assigned = ann_store.load_ivf_index(spark, aidx)
             # the artifact covers the FULL embedding corpus; the
             # hybrid candidate set excludes query docs — filter the
@@ -1938,7 +1957,11 @@ def contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
     if aidx:
         from ..sinks import ann_store
         adigest = ann_store.embedding_digest(emb, "embedding", "vec_id")
-        if ann_store.ann_index_matches(aidx, adigest):
+        # r16 (ADVICE): same parameter gate as hybrid_rrf_retrieval —
+        # a wrong-spec artifact falls back to the exact in-plan arm.
+        if ann_store.ann_index_matches(aidx, adigest,
+                                       n_cells=_SERVE_IVF_N_CELLS,
+                                       iters=_SERVE_IVF_ITERS):
             cents, assigned = ann_store.load_ivf_index(spark, aidx)
             top = similarity.ivf_probe_topk(
                 qv, cents,

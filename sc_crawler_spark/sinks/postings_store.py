@@ -19,7 +19,15 @@ Layout::
                        the RAW postings the fold path re-prunes from
     <root>/lens/       parquet (doc_id, len_d)
     <root>/_META.json  {digest, n_docs, text_col, id_col,
-                        max_postings, k1, b, idf: "lucene"}
+                        max_postings, k1, b, query_stride,
+                        idf: "lucene"}
+
+``query_stride`` (r16): the retrieval convention holds out query
+docs — rows with doc_id % query_stride == 0 are NOT indexed
+(default 13, the convention every registry retrieval query uses);
+``None`` indexes the full lake. It is a recorded, gated parameter
+so an arbitrary-lake user is never surprised by silently-missing
+docs, and ``n_docs`` is the count idf/avgdl actually saw.
 
 Unlike the IVF artifact there is NO float-determinism caveat: every
 contribution c is a deterministic scalar function of integers (tf, df,
@@ -54,7 +62,8 @@ from .index_store import META_NAME, corpus_digest, invalidate_meta
 
 
 def write_bm25_index(df: DataFrame, out: str, text_col: str,
-                     id_col: str, max_postings: int = 256) -> dict:
+                     id_col: str, max_postings: int = 256,
+                     query_stride: int | None = 13) -> dict:
     """Build and land the impact-pruned postings for ``df`` at
     ``out``. One text pass; the pruning chain is exactly
     queries/pipeline._bm25_pruned_postings (Lucene idf, 12-decimal
@@ -74,6 +83,9 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
     # "crashed build reads as absent" invariant for rebuilds too.
     invalidate_meta(out)
     digest = corpus_digest(df, text_col, id_col)
+    toked = df.select(F.col(id_col).alias("doc_id"),
+                      tokens(F.col(text_col)).alias("toks"))
+    tf, lens = _bm25_corpus_stats(toked, query_stride=query_stride)
     meta = {
         "digest": digest, "kind": "bm25",
         "text_col": text_col, "id_col": id_col,
@@ -82,11 +94,13 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
         # silently serve stale scores (r15 ADVICE #2) — callers gate
         # on them via bm25_index_matches(k1=..., b=...)
         "k1": _BM25_K1, "b": _BM25_B,
-        "n_docs": df.count(),
+        # r16 ADVICE: the held-out query-doc convention (doc_id %
+        # query_stride == 0 rows are NOT indexed) is a recorded,
+        # gated parameter — None means every doc is indexed; n_docs
+        # is the count the idf/avgdl statistics actually saw.
+        "query_stride": query_stride,
+        "n_docs": lens.count(),
     }
-    toked = df.select(F.col(id_col).alias("doc_id"),
-                      tokens(F.col(text_col)).alias("toks"))
-    tf, lens = _bm25_corpus_stats(toked)
     spark = df.sparkSession
     tf.repartition("term").write.mode("overwrite").parquet(
         os.path.join(out, "tf"))
@@ -143,7 +157,10 @@ def fold_bm25_index(spark: SparkSession, base_dir: str,
     batch_digest = corpus_digest(batch, text_col, id_col)
     toked = batch.select(F.col(id_col).alias("doc_id"),
                          tokens(F.col(text_col)).alias("toks"))
-    b_tf, b_lens = _bm25_corpus_stats(toked)
+    # the batch inherits the artifact's recorded query-doc stride
+    # (r16 ADVICE) — a fold can never change indexing convention
+    b_tf, b_lens = _bm25_corpus_stats(
+        toked, query_stride=meta.get("query_stride", 13))
     base_tf, base_lens = load_raw(spark, base_dir)
     tf = base_tf.unionByName(b_tf)
     lens = base_lens.unionByName(b_lens)
@@ -158,7 +175,9 @@ def fold_bm25_index(spark: SparkSession, base_dir: str,
         os.path.join(out, "postings"))
     folded = dict(meta,
                   digest=merge_digests([meta["digest"], batch_digest]),
-                  n_docs=meta["n_docs"] + batch.count())
+                  # indexed-doc count (batch rows surviving the
+                  # stride filter), consistent with write_bm25_index
+                  n_docs=meta["n_docs"] + b_lens.count())
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(folded, f, indent=1, sort_keys=True)
     return folded
