@@ -140,8 +140,10 @@ SCALE_QUERIES = ["q1_pricing_summary", "session_counts", "dedup_exact_docs",
                  # per embedding digest (ann_index_build_sec), timed
                  # runs SERVE from it, the in-plan A/B publishes
                  # beside it. DuckDB replays the seeded 64-cell
-                 # assign chain per run (measured 197 s — documented
-                 # DNF at the 60 s cap, the minhash treatment).
+                 # assign chain per run (measured 197 s standalone —
+                 # a DETERMINISTIC DNF at the 30 s cap since r16; at
+                 # 60 s it cap-flapped in/out of the both-completed
+                 # ratio, verdict r15 task 4).
                  "embed_ann_ivf"]
 # r8 additions measured but NOT benched (same doctrine as
 # embed_ann_sq/chunk_documents above): gap_fill_interp_value at 64x
@@ -531,6 +533,20 @@ def main() -> None:
     single_run: dict[str, list] = {}
     duck_errs: dict[str, str] = {}
     build_total = 0.0
+    # r16 (verdict task 1 — shave the graded floor): at sf0.1 every
+    # graded exchange is KB-scale and every join is STATICALLY
+    # broadcast-planned (the gated_broadcast hints fire below the
+    # 64 MB threshold), so AQE's only effect is materializing each
+    # query stage as its own job — pure scheduler latency at a
+    # ~70 ms/job floor (measured: q3 0.63->0.30, q5 0.40->0.30,
+    # embed_ann_lsh -35%, embed_cosine_topk -20% warm). 4 shuffle
+    # partitions sizes the tiny exchanges to the data, not the box.
+    # This is the same config-follows-scale discipline as the 64x
+    # block's per-query partition auto-sizer — BOTH settings are
+    # restored for the scale block, where AQE's runtime re-planning
+    # and wider shuffles earn their keep.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = REGISTRY[name][0](spark, sf_dir)
@@ -562,6 +578,10 @@ def main() -> None:
             duck_h[name] = round(best_d, 3)
             duck_errs.pop(name, None)  # a later rep succeeded
         single_run[name] = first
+    # restore the scale-block session shape (the 64x auto-sizer
+    # overrides partitions per query; AQE must be back ON for it)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     # ---- DuckDB oracle at the SAME sf: the 2x grade is self-contained
     oracle: dict[str, object] = {}
@@ -880,6 +900,27 @@ def main() -> None:
                     REGISTRY[name][0](spark, qdir).count()
                     inplan = min(inplan, time.perf_counter() - t0)
                 scale["hybrid_rrf_inplan_sec"] = round(inplan, 3)
+                # r16 (verdict task 3b): the quality number beside the
+                # speed numbers — fused top-5 overlap of the SERVED
+                # hybrid (IVF dense arm, n_probe=3, approximate by
+                # design) vs the exact in-plan fusion, at this scale.
+                # The lexical arm is bit-equal, so all drift here is
+                # the dense arm's cell pruning.
+                try:
+                    exact_pairs = {
+                        (r.query_id, r.doc_id) for r in
+                        REGISTRY[name][0](spark, qdir).collect()}
+                    os.environ["SC_SPARK_BM25_INDEX_DIR"] = hidx
+                    os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
+                    served_pairs = {
+                        (r.query_id, r.doc_id) for r in
+                        REGISTRY[name][0](spark, qdir).collect()}
+                    scale["hybrid_fused_overlap"] = round(
+                        len(served_pairs & exact_pairs)
+                        / max(1, len(exact_pairs)), 3)
+                finally:
+                    os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
+                    os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
                 spark.catalog.clearCache()
             if use_bucketed:
                 # the plain-layout A/B: what the exchange costs when
@@ -926,11 +967,23 @@ def main() -> None:
                                 "bm25_retrieval": 150.0,
                                 "hybrid_rrf_retrieval": 150.0,
                                 # replays the 64-cell seeded chain
-                                # over 1M vectors per run (measured
-                                # 197 s — an expected DNF at this
-                                # spec); capped like minhash so the
-                                # every-round DNF stays bounded
-                                "embed_ann_ivf": 60.0}.get(name)
+                                # over 1M vectors per run. r16
+                                # (verdict task 4): at the old 60 s
+                                # cap this FLAPPED — measured 59.5 s
+                                # (once, just under cap), 197 s
+                                # standalone, INTERRUPT twice — so
+                                # the entry dropped in/out of the
+                                # both-completed ratio between runs.
+                                # 30 s makes the DNF deterministic
+                                # every round (the minhash
+                                # treatment): the entry is always
+                                # graded via duck_dnf + the published
+                                # Spark served/in-plan numbers, never
+                                # via a cap-racing replay; the
+                                # standalone completion (197 s on a
+                                # quiet box, PLANS.md r15) is the
+                                # reference number.
+                                "embed_ann_ivf": 30.0}.get(name)
                 duck_s[name] = round(_duckdb_time(
                     duck_sql, qdir,
                     reps=2 if best < 5.0 else 1,
@@ -973,20 +1026,51 @@ def main() -> None:
                 src = os.path.join(root, "in")
                 batch.coalesce(1).write.parquet(src)
                 fc["batch_docs"] = spark.read.parquet(src).count()
+                # r16 (verdict task 5): every fold_cycle leg is
+                # best-of-2 — the legs ran single-shot and one
+                # co-tenant spike landed unaveraged in the artifact
+                # (r15: serve_pagerank printed 23.4 s on the driver
+                # box vs 5.2-5.8 s in three same-code validations).
+                # Stateful legs (stream/fold/gate) re-run into
+                # scratch dirs; run 1's outputs stay the canonical
+                # inputs downstream. First-run values are kept under
+                # fold_cycle.single_run for cross-round continuity.
+                fc_first: dict[str, float] = {}
+                fc["single_run"] = fc_first
+
+                def _best2(leg: str, run_fn) -> None:
+                    best = float("inf")
+                    for rep in range(2):
+                        t0 = time.perf_counter()
+                        run_fn(rep)
+                        el = time.perf_counter() - t0
+                        if rep == 0:
+                            fc_first[leg] = round(el, 3)
+                        best = min(best, el)
+                    fc[f"{leg}_sec"] = round(best, 3)
+
                 own_index = os.path.join(root, "own_index")
                 pairs_dir = os.path.join(root, "pairs")
-                t0 = time.perf_counter()
-                q = stream_near_dedup(
-                    read_document_stream(spark, src),
-                    pairs_dir, own_index, os.path.join(root, "ckpt"),
-                    seed_index_dir=seed_dir)
-                q.awaitTermination(600)
-                fc["stream_sec"] = round(time.perf_counter() - t0, 3)
+
+                def _stream_leg(rep: int) -> None:
+                    sub = "" if rep == 0 else "_r2"
+                    q = stream_near_dedup(
+                        read_document_stream(spark, src),
+                        pairs_dir + sub, own_index + sub,
+                        os.path.join(root, "ckpt" + sub),
+                        seed_index_dir=seed_dir)
+                    q.awaitTermination(600)
+
+                _best2("stream", _stream_leg)
                 folded = os.path.join(root, "folded")
-                t0 = time.perf_counter()
-                index_store.fold_minhash_index(
-                    spark, seed_dir, own_index, pairs_dir, folded)
-                fc["fold_sec"] = round(time.perf_counter() - t0, 3)
+
+                def _fold_leg(rep: int) -> None:
+                    sub = "" if rep == 0 else "_r2"
+                    index_store.fold_minhash_index(
+                        spark, seed_dir, own_index, pairs_dir,
+                        folded + sub)
+
+                _best2("fold", _fold_leg)
                 # exactness gate: folded digest must equal the merge of
                 # the seed's digest with the batch digest computed
                 # directly from the batch text (partials == direct)
@@ -996,11 +1080,12 @@ def main() -> None:
                         spark.read.parquet(src), "text", "doc_id")])
                 got = index_store.read_index_meta(folded)["digest"]
                 fc["digest_ok"] = bool(got == want)
-                t0 = time.perf_counter()
-                pagerank(index_store.load_pair_graph(spark, folded),
-                         iters=2).count()
-                fc["serve_pagerank_sec"] = round(
-                    time.perf_counter() - t0, 3)
+
+                def _serve_leg(rep: int) -> None:
+                    pagerank(index_store.load_pair_graph(spark, folded),
+                             iters=2).count()
+
+                _best2("serve_pagerank", _serve_leg)
                 spark.catalog.clearCache()
                 # composed ingest gate (r15, r14 verdict task 6's
                 # optional timing): quality ∧ importance ∧ novelty
@@ -1029,16 +1114,19 @@ def main() -> None:
                 src2 = os.path.join(root, "in2")
                 batch2.coalesce(1).write.parquet(src2)
                 gate_out = os.path.join(root, "gate_out")
-                t0 = time.perf_counter()
-                q2 = stream_ingest_gate(
-                    read_document_stream(spark, src2), gate_out,
-                    os.path.join(root, "gate_pairs"),
-                    os.path.join(root, "gate_idx"),
-                    os.path.join(root, "gate_ckpt"),
-                    weights, lr_buckets, seed_index_dir=seed_dir)
-                q2.awaitTermination(600)
-                fc["ingest_gate_sec"] = round(
-                    time.perf_counter() - t0, 3)
+
+                def _gate_leg(rep: int) -> None:
+                    sub = "" if rep == 0 else "_r2"
+                    q2 = stream_ingest_gate(
+                        read_document_stream(spark, src2),
+                        gate_out + sub,
+                        os.path.join(root, "gate_pairs" + sub),
+                        os.path.join(root, "gate_idx" + sub),
+                        os.path.join(root, "gate_ckpt" + sub),
+                        weights, lr_buckets, seed_index_dir=seed_dir)
+                    q2.awaitTermination(600)
+
+                _best2("ingest_gate", _gate_leg)
                 fc["ingest_accepted"] = spark.read.parquet(
                     gate_out).count()
                 spark.catalog.clearCache()
@@ -1069,9 +1157,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_sec": round(build_total, 3),
-        "protocol": "prepared-plan interleaved best-of-3 per engine "
-                    "(build published separately; single_run kept); "
-                    "scale block best-of-2/3 with cold run published",
+        "protocol": "prepared-plan interleaved best-of-3 per engine, "
+                    "sf0.1 block AQE-off/4-part (statically broadcast-"
+                    "hinted at KB scale; build published separately; "
+                    "single_run kept); scale block best-of-2/3 with "
+                    "cold run published, AQE on; fold_cycle legs "
+                    "best-of-2 with single_run kept",
         "oracle_sf": oracle,
         "scale": scale,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -1118,6 +1209,7 @@ def main() -> None:
             # scale_q (sf0.1 warm protocol has no cold arm)
             "sf_q": sf_q,
             "scale_q": scale_q,
+            "hybrid_fused_overlap": scale.get("hybrid_fused_overlap"),
             "fold": {k: fc[k] for k in
                      ("stream_sec", "fold_sec", "digest_ok",
                       "serve_pagerank_sec", "ingest_gate_sec",

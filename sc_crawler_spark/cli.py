@@ -1334,6 +1334,65 @@ def cmd_ann_index_fold(spark: SparkSession, base: str, batch_lake: str,
     n = spark.read.parquet(os.path.join(out, "assign")).count()
     print(f"annindex: folded {out} digest={folded['digest']} "
           f"vectors={n}")
+    # r16 drift trip-wire (r15 verdict task 7): folds never move
+    # centroids, so cell balance and centroid fit degrade as the
+    # incoming distribution drifts. Warn past threshold — imbalance
+    # >= 1.5x the build-time baseline (or >= 4x flat), or mean
+    # cos-distance-to-centroid up >= 20% — and recommend the periodic
+    # full rebuild that is the documented fix.
+    imb, mcd = folded.get("occupancy_imbalance"), folded.get("mean_cos_dist")
+    b_imb = folded.get("baseline_occupancy_imbalance")
+    b_mcd = folded.get("baseline_mean_cos_dist")
+    drifted = []
+    if imb is not None and (
+            imb >= 4.0 or (b_imb is not None and imb >= 1.5 * b_imb)):
+        drifted.append(f"occupancy_imbalance {imb} (baseline {b_imb})")
+    if (mcd is not None and b_mcd is not None and b_mcd > 0
+            and mcd >= 1.2 * b_mcd):
+        drifted.append(f"mean_cos_dist {mcd} (baseline {b_mcd})")
+    if drifted:
+        print("annindex: WARNING centroid drift past threshold — "
+              + "; ".join(drifted)
+              + " — recommend a full rebuild (annindex --force) "
+                "instead of further folds")
+
+
+def cmd_artifacts(action: str, root: str, keep: int = 1,
+                  active: set[str] | None = None,
+                  apply: bool = False) -> None:
+    """Artifact retention (r16, r15 verdict task 6): ``list`` prints
+    every complete digest-keyed artifact under ``root`` (kind, digest,
+    size, commit time — a dir without a readable _META.json is not an
+    artifact); ``prune`` keeps the newest ``keep`` per kind and
+    deletes older fold generations, dry-run unless ``--apply``. The
+    newest artifact of each kind is NEVER deleted (live readers gate
+    against it), and digests passed via ``--active`` are refused —
+    the operator's pin for an index a running consumer still serves."""
+    import datetime
+
+    from .sinks import artifacts
+
+    if action == "list":
+        for e in artifacts.list_artifacts(root):
+            ts = datetime.datetime.fromtimestamp(
+                e["mtime"]).strftime("%Y-%m-%d %H:%M:%S")
+            n = f" n={e['n']}" if e["n"] is not None else ""
+            print(f"artifacts: {e['kind']:7s} {ts} "
+                  f"{e['bytes'] / 1e6:8.1f}MB digest={e['digest']}{n} "
+                  f"{e['path']}")
+        return
+    res = artifacts.prune(root, keep=keep,
+                          active_digests=active or set(), apply=apply)
+    mode = "pruned" if apply else "would-prune (dry-run; --apply to delete)"
+    for e in res["deleted"]:
+        print(f"artifacts: {mode} {e['kind']} digest={e['digest']} "
+              f"{e['path']}")
+    for e in res["refused"]:
+        print(f"artifacts: refused (active digest) {e['kind']} "
+              f"digest={e['digest']} {e['path']}")
+    print(f"artifacts: kept={len(res['kept'])} "
+          f"refused={len(res['refused'])} deleted={len(res['deleted'])}"
+          f"{'' if apply else ' (dry-run)'}")
 
 
 def cmd_versions(spark: SparkSession, lake: str,
@@ -1744,6 +1803,25 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--force", action="store_true",
                    help="rebuild even when digest+params match")
 
+    p = sub.add_parser("artifacts",
+                       help="retention over the digest-keyed index "
+                            "artifacts (minhash/bm25/ivf): list the "
+                            "copies under a root, or prune superseded "
+                            "fold generations (dry-run by default; the "
+                            "newest per kind is never deleted)")
+    p.add_argument("action", choices=["list", "prune"])
+    p.add_argument("--root", required=True,
+                   help="directory whose immediate subdirs hold the "
+                        "artifacts (the dir itself also counts)")
+    p.add_argument("--keep", type=int, default=1,
+                   help="prune: newest N artifacts kept per kind "
+                        "(min 1 — the digest-current copy is refused)")
+    p.add_argument("--active", action="append", metavar="DIGEST",
+                   help="prune: digest pinned by a live consumer — "
+                        "refused even past --keep (repeatable)")
+    p.add_argument("--apply", action="store_true",
+                   help="prune: actually delete (default: dry-run)")
+
     p = sub.add_parser("versions",
                        help="list retained snapshot versions per table")
     p.add_argument("--lake", required=True)
@@ -1809,6 +1887,10 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
     if args.cmd == "metadata":  # pure sqlite — no SparkSession spin-up
         cmd_metadata(args.db, args.action, args.entries, args.version)
+        return
+    if args.cmd == "artifacts":  # pure filesystem — no session either
+        cmd_artifacts(args.action, args.root, args.keep,
+                      set(args.active or []), args.apply)
         return
     spark = get_spark("sc-crawler-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")

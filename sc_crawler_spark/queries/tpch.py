@@ -143,6 +143,15 @@ def q3_shipping_priority(spark: SparkSession, sf: str,
     # (measured at 64x: pre-aggregating lineitem per orderkey before
     # the join LOSES — 2.8 s vs 1.8 s interleaved — the extra hash-agg
     # over the full fact costs more than the shuffle rows it saves)
+    # r16: the REDUCED orders side is itself size-gated — at small SF
+    # (sf0.1: orders 2.7 MB on disk) the whole dim-reduced orders
+    # broadcasts and the fact-fact join costs lineitem ZERO exchanges
+    # (measured: 0.73 s -> ~0.4 s warm at sf0.1); past the gate
+    # (64x: 174 MB > threshold) the hint vanishes and the plan is
+    # exactly the r15 shuffle/bucketed shape. Same gate discipline as
+    # the customer/supplier dims — base-table on-disk bytes, never
+    # the stats-v1 join-output estimate.
+    orders = gated_broadcast(spark, sf, "orders", orders)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -230,6 +239,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str,
     # before this join loses, 2.8 s vs 2.5 s interleaved — same result
     # as q3: the extra hash-agg over the fact costs more than the
     # shuffle rows it saves)
+    # r16: size-gate the reduced orders side like q3 — at sf0.1 the
+    # 2-column asia-orders frame broadcasts and lineitem never
+    # shuffles before the final 5-row aggregate; at 64x/100 TB the
+    # gate stays shut and the r15 shuffle/bucketed plan is unchanged.
+    orders = gated_broadcast(spark, sf, "orders", orders)
     return (
         li.join(orders, (li.l_orderkey == orders.o_orderkey)
                 & (F.col("c_nationkey") == F.col("s_nationkey")))

@@ -113,9 +113,44 @@ def write_ivf_index(df: DataFrame, out: str, vec_col: str, id_col: str,
     assigned.repartition("cell_id").write.mode("overwrite").parquet(
         os.path.join(out, "assign"))
 
+    # build-time health baseline (one scan of the landed assign) —
+    # the fold path compares its post-fold stats against these
+    meta |= _drift_stats(
+        spark.read.parquet(os.path.join(out, "assign")), cents_stored)
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     return meta
+
+
+def _drift_stats(assigned: DataFrame, cents: DataFrame) -> dict:
+    """Index-health stats over an assign table (r16, r15 verdict
+    task 7 — the trip-wire for the fold path's documented centroid
+    staleness): ``occupancy_imbalance`` = max/mean inverted-list size
+    (1.0 = perfectly balanced; a drifting distribution piles new
+    vectors into few cells, degrading probe pruning), and
+    ``mean_cos_dist`` = mean (1 - cos(v, centroid)) — rises as
+    vectors land farther from the centroids that never move under
+    folds. One broadcast-join scan of the assign table; recorded in
+    _META.json by both the builder (the baseline) and the fold (the
+    current health), so `annindex --fold` can warn on the delta."""
+    from ..functions.scalars import dround
+    from ..operators.similarity import dot, norm
+
+    cn = cents.select("cell_id", F.col("centv").alias("_ctv")) \
+              .withColumn("_ctn", norm(F.col("_ctv")))
+    joined = assigned.join(F.broadcast(cn), "cell_id")
+    row = (joined
+           .withColumn("_cd", F.lit(1.0) - dot(F.col("cv"), F.col("_ctv"))
+                       / (F.col("cn") * F.col("_ctn")))
+           .groupBy("cell_id")
+           .agg(F.count("*").alias("_n"), F.sum("_cd").alias("_sd"))
+           .agg((F.max("_n") / F.avg("_n")).alias("imb"),
+                (F.sum("_sd") / F.sum("_n")).alias("mcd"))
+           .select(dround(F.col("imb"), 4).alias("imb"),
+                   dround(F.col("mcd"), 6).alias("mcd"))
+           .first())
+    return {"occupancy_imbalance": row["imb"],
+            "mean_cos_dist": row["mcd"]}
 
 
 def fold_ivf_index(spark: SparkSession, base_dir: str,
@@ -161,6 +196,17 @@ def fold_ivf_index(spark: SparkSession, base_dir: str,
     folded = dict(meta,
                   digest=merge_digests([meta["digest"], batch_digest]),
                   n_vecs=meta["n_vecs"] + batch.count())
+    # post-fold health over the FOLDED lists (r16 drift trip-wire):
+    # baseline_* preserves the BUILD-time numbers the current stats
+    # are judged against — a fold of a fold keeps the original
+    # baseline; callers (cmd_ann_index_fold) warn when the fold
+    # drifted past threshold and recommend a rebuild
+    for k in ("occupancy_imbalance", "mean_cos_dist"):
+        if k in meta:
+            folded[f"baseline_{k}"] = meta.get(f"baseline_{k}", meta[k])
+    folded |= _drift_stats(
+        spark.read.parquet(os.path.join(out, "assign")),
+        spark.read.parquet(os.path.join(out, "centroids")))
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(folded, f, indent=1, sort_keys=True)
     return folded

@@ -83,7 +83,7 @@ def write_minhash_index(df: DataFrame, out: str, text_col: str,
     invalidate_meta(out)
     digest = corpus_digest(df, text_col, id_col)
     meta = {
-        "digest": digest,
+        "digest": digest, "kind": "minhash",
         "text_col": text_col, "id_col": id_col,
         "k": k, "n_hashes": n_hashes, "band_rows": band_rows,
         "threshold": threshold,

@@ -204,6 +204,78 @@ def test_ivf_artifact_serves_and_gates(spark, tmp_path):
         os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
 
 
+def test_ivf_artifact_recall_at_production_spec(spark, tmp_path):
+    """r16 (r15 verdict task 3a): the 64x bench grades the IVF
+    artifact SERVE at the production spec — 64 Lloyd-trained cells,
+    8-probe (the same 1/8 corpus fraction as the registry's 8/3, with
+    8x fewer candidates per cell) — but until r16 no recall number
+    existed at that spec; the speed claim had an implicit quality
+    claim. Gate: recall@5 of the served probe vs exact brute force on
+    the sf0.01 fixture, same spec. Measured exactly 0.800 — the build
+    and probe are deterministic given the fixture, so the equality-
+    floor does not flake; a regression in training, assignment, or
+    the probe tail shows up as a drop."""
+    from pyspark.sql import functions as F
+
+    from sc_crawler_spark.sinks import ann_store
+    from sc_crawler_spark.tables import load
+
+    sf = SF
+    emb = load(spark, sf, "embeddings")
+    out = str(tmp_path / "ivf64")
+    ann_store.write_ivf_index(emb, out, "embedding", "vec_id",
+                              n_cells=64, iters=2)
+    exact = _neighbors(embed_cosine_topk(spark, sf))
+    served = _neighbors(ann_store.cosine_topk_served(
+        emb.filter(F.col("vec_id") < 10), spark, out,
+        "embedding", "vec_id", k=5, n_probe=8))
+    r = _recall(served, exact)
+    print(f"64-cell/8-probe served recall@5 = {r:.3f}")
+    # measured exactly 0.800 on this fixture (a mean of k/5 fractions,
+    # so the float is 0.799999...); epsilon keeps the verdict-task
+    # floor of 0.8 without tripping on representation
+    assert r >= 0.8 - 1e-9, (
+        f"production-spec served recall regressed: {r:.3f}")
+
+
+def test_hybrid_served_fused_overlap(spark, tmp_path):
+    """r16 (r15 verdict task 3b): the hybrid RRF serve swaps the dense
+    arm onto the IVF artifact (n_probe=3) — approximate by design, so
+    the fused top-5 can differ from the exact in-plan fusion. Gate the
+    drift: fused (query, doc) overlap served-vs-in-plan >= 0.6 on the
+    sf0.01 fixture (measured 0.72; the lexical arm is bit-equal, so
+    all drift is the dense arm's cell pruning). The bench publishes
+    the same overlap at 64x scale (scale.hybrid_fused_overlap)."""
+    import os
+
+    from sc_crawler_spark.queries.pipeline import hybrid_rrf_retrieval
+    from sc_crawler_spark.sinks import ann_store, postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = SF
+    inplan = {(r.query_id, r.doc_id)
+              for r in hybrid_rrf_retrieval(spark, sf).collect()}
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    emb = load(spark, sf, "embeddings")
+    bidx = str(tmp_path / "bm25")
+    aidx = str(tmp_path / "ivf8")
+    postings_store.write_bm25_index(docs, bidx, "text", "doc_id",
+                                    max_postings=256)
+    ann_store.write_ivf_index(emb, aidx, "embedding", "vec_id",
+                              n_cells=8, iters=2)
+    os.environ["SC_SPARK_BM25_INDEX_DIR"] = bidx
+    os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
+    try:
+        served = {(r.query_id, r.doc_id)
+                  for r in hybrid_rrf_retrieval(spark, sf).collect()}
+    finally:
+        os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
+        os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
+    ov = len(served & inplan) / len(inplan)
+    print(f"hybrid fused-top5 served overlap = {ov:.3f}")
+    assert ov >= 0.6, f"served hybrid fusion drifted too far: {ov:.3f}"
+
+
 def test_ivf_rebuild_crash_invalidates_stale_meta(spark, tmp_path,
                                                   monkeypatch):
     """r15 advice #3: rebuilding an IVF artifact into a dir that

@@ -727,3 +727,118 @@ def test_annindex_build_reuse_fold_cli(spark, tmp_path, capsys):
         cli.main(["annindex", "--out", out])
     with _pytest.raises(SystemExit):
         cli.main(["annindex", "--fold", lake2, "--out", folded])
+
+
+def test_artifacts_list_and_prune_cli(spark, tmp_path, capsys):
+    """r16 (r15 verdict task 6) e2e: build -> fold -> `artifacts
+    prune` keeps the folded (newest) artifact and removes the base;
+    dry-run deletes nothing; an --active digest is REFUSED even when
+    past --keep; the newest per kind survives even --keep 0."""
+    import time as _time
+
+    from sc_crawler_spark.sinks import artifacts, postings_store
+
+    root = str(tmp_path / "idx_root")
+    os.makedirs(root)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta other words"),
+         (3, "totally different vocabulary here")],
+        "doc_id long, text string")
+    base_dir = os.path.join(root, "bm25_base")
+    base_meta = postings_store.write_bm25_index(
+        docs, base_dir, "text", "doc_id", max_postings=64)
+    _time.sleep(0.05)  # distinct meta mtimes => deterministic order
+    batch = spark.createDataFrame(
+        [(4, "epsilon zeta eta theta iota")], "doc_id long, text string")
+    fold_dir = os.path.join(root, "bm25_folded")
+    postings_store.fold_bm25_index(spark, base_dir, batch, fold_dir)
+
+    # list: both artifacts, newest (folded) first
+    ents = artifacts.list_artifacts(root)
+    assert [e["path"].rsplit("/", 1)[-1] for e in ents] == \
+        ["bm25_folded", "bm25_base"]
+    assert all(e["kind"] == "bm25" for e in ents)
+    cli.main(["artifacts", "list", "--root", root])
+    out = capsys.readouterr().out
+    assert "bm25_folded" in out and "bm25_base" in out
+
+    # dry-run prune: reports the base, deletes nothing
+    cli.main(["artifacts", "prune", "--root", root, "--keep", "1"])
+    out = capsys.readouterr().out
+    assert "would-prune" in out and "bm25_base" in out
+    assert postings_store.read_bm25_meta(base_dir) is not None
+
+    # active-digest refusal: the base digest is pinned -> survives
+    cli.main(["artifacts", "prune", "--root", root, "--keep", "1",
+              "--active", base_meta["digest"], "--apply"])
+    out = capsys.readouterr().out
+    assert "refused (active digest)" in out
+    assert postings_store.read_bm25_meta(base_dir) is not None
+
+    # apply: folded kept, base removed
+    cli.main(["artifacts", "prune", "--root", root, "--keep", "1",
+              "--apply"])
+    assert postings_store.read_bm25_meta(fold_dir) is not None
+    assert postings_store.read_bm25_meta(base_dir) is None
+    assert not os.path.exists(base_dir)
+
+    # keep 0 still refuses the newest per kind
+    res = artifacts.prune(root, keep=0, apply=True)
+    assert len(res["kept"]) == 1 and not res["deleted"]
+    assert postings_store.read_bm25_meta(fold_dir) is not None
+
+
+def test_annindex_fold_drift_tripwire(spark, tmp_path, capsys):
+    """r16 (r15 verdict task 7): fold_ivf_index records cell-occupancy
+    imbalance and mean cos-distance-to-centroid in _META.json (plus
+    the build-time baseline), and `annindex --fold` WARNS and
+    recommends a rebuild when a drifted batch trips the thresholds —
+    folds never move centroids, so this is the staleness trip-wire."""
+    from sc_crawler_spark.sinks import ann_store
+
+    # base: two tight clusters -> balanced cells, small cos-distance
+    rows = [(i, [1.0, 0.05 * (i % 3), 0.0, 0.0]) for i in range(10)]
+    rows += [(10 + i, [0.05 * (i % 3), 1.0, 0.0, 0.0]) for i in range(10)]
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(os.path.join(lake, "embeddings.parquet"))
+    base = str(tmp_path / "base_idx")
+    meta = ann_store.write_ivf_index(
+        spark.read.parquet(os.path.join(lake, "embeddings.parquet")),
+        base, "embedding", "vec_id", n_cells=2, iters=1)
+    assert meta["occupancy_imbalance"] is not None
+    assert meta["mean_cos_dist"] is not None
+
+    # drifted batch: orthogonal to both centroids -> piles into one
+    # cell (tie -> lowest cell_id) and sits at cos-distance ~1
+    lake2 = str(tmp_path / "lake2")
+    os.makedirs(lake2)
+    spark.createDataFrame(
+        [(100 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(20)],
+        "vec_id long, embedding array<double>") \
+        .write.parquet(os.path.join(lake2, "embeddings.parquet"))
+    folded_dir = str(tmp_path / "folded_idx")
+    cli.main(["annindex", "--fold", lake2, "--base", base,
+              "--out", folded_dir])
+    out = capsys.readouterr().out
+    assert "WARNING centroid drift" in out and "rebuild" in out
+
+    fmeta = ann_store.read_ann_meta(folded_dir)
+    assert fmeta["baseline_occupancy_imbalance"] == \
+        meta["occupancy_imbalance"]
+    assert fmeta["occupancy_imbalance"] >= \
+        1.5 * fmeta["baseline_occupancy_imbalance"]
+    assert fmeta["mean_cos_dist"] > fmeta["baseline_mean_cos_dist"]
+
+    # a non-drifted fold (same clusters) stays quiet
+    lake3 = str(tmp_path / "lake3")
+    os.makedirs(lake3)
+    spark.createDataFrame(
+        [(200, [1.0, 0.02, 0.0, 0.0]), (201, [0.02, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>") \
+        .write.parquet(os.path.join(lake3, "embeddings.parquet"))
+    quiet_dir = str(tmp_path / "quiet_idx")
+    cli.main(["annindex", "--fold", lake3, "--base", base,
+              "--out", quiet_dir])
+    assert "WARNING" not in capsys.readouterr().out

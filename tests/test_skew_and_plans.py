@@ -74,26 +74,44 @@ def test_no_cartesian_or_smj_in_headline_plans(spark, name):
 
 
 def test_q5_star_join_shape(spark):
-    """q5 (r6 star-join order): every dim reduction must broadcast and
-    the ONE remaining shuffle join is the reduced-fact x reduced-fact
-    join on orderkey. Both of its inputs are join results (static size
-    unknown), so the static plan shows a SortMergeJoin there — the
-    correct 100 TB default; AQE converts it to broadcast at runtime
-    when the reduced orders side turns out small. Guard: exactly one
-    SMJ, >= 4 broadcast hash joins (region->nation->supp/cust->facts),
-    no cartesian."""
+    """q5 (r6 star-join order; r16 gates the fact-fact join too):
+    every dim reduction must broadcast, and the reduced-orders side
+    of the last join is SIZE-GATED like the dims — at small SF
+    (orders' on-disk bytes under the session threshold) the whole
+    plan is broadcast joins with ZERO shuffle joins; past the gate
+    (see test_q5_fact_join_degrades_past_ceiling) the one remaining
+    shuffle join is reduced-fact x reduced-fact on orderkey. Guard
+    here: gate-open regime — no shuffle join, >= 5 broadcast hash
+    joins (region->nation->supp/cust->facts->orders), no cartesian."""
     plan = _plan(spark, "q5_local_supplier_volume")
     assert "CartesianProduct" not in plan
     # count node headers "(N) <op>" — the formatted tree also repeats
-    # each operator name in its details section. The fact-fact join is
-    # a shuffle join either way: SMJ, or SHJ when the session's
-    # preferSortMergeJoin=false size gates admit it.
+    # each operator name in its details section.
     shuffle_joins = len(re.findall(
         r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
     bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
-    assert shuffle_joins == 1, (
-        f"exactly one fact-fact shuffle join expected (got {shuffle_joins})")
-    assert bhj >= 4, f"dim reductions must broadcast (got {bhj})"
+    assert shuffle_joins == 0, (
+        f"gate-open q5 must be all-broadcast (got {shuffle_joins})")
+    assert bhj >= 5, f"dim + orders reductions must broadcast (got {bhj})"
+
+
+def test_q5_fact_join_degrades_past_ceiling(spark):
+    """The 100 TB regime of the r16 orders gate: past the broadcast
+    threshold the reduced-orders hint is withheld and the fact-fact
+    join degrades to ONE shuffle join (SMJ, or SHJ under the bench
+    profile) — never a nested-loop/cartesian, never a hard broadcast
+    that would die at the ceiling."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        plan = _plan(spark, "q5_local_supplier_volume")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        shuffle_joins = len(re.findall(
+            r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+        assert shuffle_joins >= 1, "fact-fact join must degrade to shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def _plan(spark, name):
