@@ -69,6 +69,26 @@ def latest_snapshot(df: DataFrame, pks: list[str], observed_at: str = "observed_
     return top1_per_group(df, pks, order)
 
 
+def as_of_snapshot(df: DataFrame, pks: list[str], ts,
+                   observed_at: str = "observed_at",
+                   tiebreak: str | None = None) -> DataFrame:
+    """SCD2 TIME-TRAVEL read (r16, r15 verdict task 8): each PK's
+    version row active at ``ts`` — the newest version with
+    ``observed_at <= ts``. The reference's SCD tables
+    (tables_scd.py:45-53) exist precisely to answer this and the
+    engine had the writer (scd2_append, T2) and the current-state
+    reader (latest_snapshot) but no as-of reader.
+
+    Shape: ONE filter + the same top-1 window as latest_snapshot —
+    no join, no second pass; the ts predicate is a plain pushdown-
+    eligible comparison, so at 100 TB a date-partitioned history
+    prunes to the partitions at-or-before ``ts`` before the window
+    shuffles anything. Entities born after ``ts`` simply have no
+    surviving row (filtered out), which is the correct as-of answer."""
+    return latest_snapshot(df.filter(F.col(observed_at) <= ts),
+                           pks, observed_at, tiebreak)
+
+
 def session_flags(df: DataFrame, user_col: str, ts_col: str,
                   gap_seconds: int = 1800,
                   tiebreak: str | None = None) -> DataFrame:

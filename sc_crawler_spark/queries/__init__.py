@@ -62,22 +62,145 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r15 rotation (r14 verdict task 2). Evidence ledger entering
-    # r15, recomputed from the union of CORRECTNESS_r01-r14: 50 names
-    # r14-fresh, 48 r13-fresh, 49 r12-fresh, 10 whose last driver
-    # green is r11 (zero never-checked since r14). Window: the 10
-    # r11-stale names FIRST (the staged head of the r14 _TAIL), then
-    # the 7 names whose CODE changed this round and therefore need
-    # fresh driver evidence — hybrid_rrf_retrieval (lexical arm
-    # switched to the impact-pruned index + artifact serve gates,
-    # r14 verdict task 1; oracle updated in lockstep),
-    # contrastive_triplets (IVF-served cosine-arm gate, task 7), and
-    # the five tf-chain consumers of the _tf_from_toked n==0 guard
-    # (r15 ADVICE #4: bm25_retrieval, bm25_pruned_retrieval,
-    # tfidf_keywords, doc_lm_perplexity, perplexity_bucket_filter) —
-    # then the 33 stalest r12 greens. The remaining 16 r12 names head
-    # _TAIL and rotate first in r16; after r15 greens no name's
-    # evidence is older than r12. ---
+    # --- r16 rotation (r15 verdict task 2). Evidence ledger entering
+    # r16, recomputed from the union of CORRECTNESS_r01-r15: 50 names
+    # r15-fresh, 43 r14-fresh, 48 r13-fresh, 16 r12-fresh, 1 brand-new
+    # (scd_as_of_event, the r16 SCD2 time-travel reader — never
+    # driver-checked). Window: the 16 r12-stale names FIRST (the
+    # staged head of the r15 _TAIL, keeping the rotation promise),
+    # then the 8 names whose CODE is new or changed this round —
+    # scd_as_of_event (new, task 8); q3/q5 (the size-gated reduced-
+    # orders broadcast, task 1); embed_ann_lsh (the inline-score band
+    # join rewrite, task 1); hybrid_rrf_retrieval + contrastive_
+    # triplets (IVF serve gates now parameter-pinned, ADVICE #1);
+    # bm25_retrieval + bm25_pruned_retrieval (query_stride became a
+    # recorded, gated artifact parameter on their shared corpus-stats
+    # chain, ADVICE #2) — then the 26 stalest r13 greens. The 20
+    # remaining r13 names head _TAIL and rotate first in r17; after
+    # r16 greens no name's evidence is older than r13. ---
+    "argmax_customer_per_nation",
+    "media_jpeg_stats",
+    "url_canonical_dedup",
+    "doc_langid",
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "semi_join_big_spenders",
+    "top1_order_per_customer",
+    "exact_median_price",
+    "mode_brand_per_type",
+    "group_merge_nations",
+    "minmax_bounds_part",
+    # new / code-changed this round (fresh evidence needed)
+    "scd_as_of_event",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "embed_ann_lsh",
+    "hybrid_rrf_retrieval",
+    "contrastive_triplets",
+    "bm25_retrieval",
+    "bm25_pruned_retrieval",
+    # stalest r13 greens (26 of 46 unpromoted)
+    "count_expansion",
+    "weighted_geomean_price",
+    "q18_large_orders",
+    "longtail_price_assembly",
+    "dedup_substring_spans",
+    "decontaminate_spans",
+    "dedup_incremental_batch",
+    "embed_ann_ivf_pq",
+    "gap_fill_interp_value",
+    "embed_knn_classify",
+    "dedup_semantic_clusters",
+    "train_split_stats",
+    "sku_prefix_join",
+    "q8_national_market_share",
+    "sig_fig_prices",
+    "unit_conversions",
+    "extract_brand_number",
+    "q9_product_type_profit",
+    "q16_parts_supplier",
+    "q12_priority_shipmode",
+    "q19_discounted_revenue",
+    "pack_sequences_docs",
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
+    "benchmark_config_pk",
+    "config_tolerance_filter",
+]
+_TAIL = [
+    # The 20 r13-stale names left past the 50-slot cap — they rotate
+    # FIRST in r17 (pytest re-runs their oracles every round
+    # meanwhile).
+    "dedup_boilerplate_chunks",
+    "dedup_embed_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "media_jpeg_color_stats",
+    "training_corpus_emit",
+    "doc_quality_lr_train",
+    "doc_quality_lr_apply",
+    "bpe_train_merges",
+    "bpe_tokenize_apply",
+    "doc_lm2_perplexity",
+    "doc_ngram_novelty",
+    "source_embed_similarity",
+    "bigram_pmi_top",
+    "lr_calibration_bins",
+    "source_token_kl",
+    "doc_oov_rate",
+    # r14-fresh (CORRECTNESS_r14 greens) — next-stalest.
+    "approx_heavy_hitters",
+    "cluster_balanced_sample",
+    "unimax_mixture_weights",
+    "dedup_edit_similarity",
+    "quality_quantile_normalize",
+    "dsir_select",
+    "doc_quality",
+    "doc_token_stats",
+    "ecpus_scalability",
+    "embed_ann_ivf",
+    "embed_cosine_topk",
+    "first_version_orders",
+    "hash_diff_sync",
+    "heavy_hitter_users",
+    "json_props_extract",
+    "merge_upsert_lifecycle",
+    "range_join_event_window",
+    "running_user_value",
+    "scd2_latest_event",
+    "shuffled_sample_orders",
+    "standardize_part_names",
+    "sync_stats",
+    "tiered_price_billing",
+    "tumbling_daily_stats",
+    "workload_breakdown",
+    "workload_catalog_breakdown",
+    "workload_profiles_catalog",
+    "workload_scores",
+    "embed_kmeans_clusters",
+    "embed_ann_sq",
+    "q10_returned_items",
+    "dedup_canonical_by_rank",
+    "dedup_cluster_resolve",
+    "doc_pagerank",
+    "dedup_span_removal",
+    "media_pcm_stats",
+    "media_pixel_stats",
+    "media_video_frames",
+    "media_resize_stats",
+    "domain_balanced_sample",
+    "html_extract_text",
+    "dedup_containment",
+    # r15-fresh (CORRECTNESS_r15 greens, minus this round's
+    # re-promoted code-changed names) — freshest evidence, deepest
+    # tail.
     "embed_ann_pq",
     "approx_median_price",
     "approx_distinct_users",
@@ -88,15 +211,9 @@ _PRIORITY = [
     "cohort_retention",
     "chunk_documents",
     "q6_forecast_revenue",
-    # code-changed this round (fresh evidence needed)
-    "hybrid_rrf_retrieval",
-    "contrastive_triplets",
-    "bm25_retrieval",
-    "bm25_pruned_retrieval",
     "tfidf_keywords",
     "doc_lm_perplexity",
     "perplexity_bucket_filter",
-    # stalest r12 greens (33 of 49)
     "q20_dominant_suppliers",
     "q14_promo_effect",
     "q22_global_sales_opportunity",
@@ -130,122 +247,6 @@ _PRIORITY = [
     "anti_join_no_orders",
     "keep_last_dedup_lineitem",
     "except_building_buyers",
-]
-_TAIL = [
-    # The 16 r12-stale names displaced past the 50-slot cap by this
-    # round's 7 code-changed promotions — they rotate FIRST in r16
-    # (pytest re-runs their oracles every round meanwhile).
-    "argmax_customer_per_nation",
-    "media_jpeg_stats",
-    "url_canonical_dedup",
-    "doc_langid",
-    "dim_join_enrichment",
-    "price_quartiles",
-    "min_unit_price_per_part",
-    "distinct_part_counts",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "semi_join_big_spenders",
-    "top1_order_per_customer",
-    "exact_median_price",
-    "mode_brand_per_type",
-    "group_merge_nations",
-    "minmax_bounds_part",
-    # r13-fresh (CORRECTNESS_r13 greens) — next-stalest.
-    "count_expansion",
-    "weighted_geomean_price",
-    "q18_large_orders",
-    "longtail_price_assembly",
-    "dedup_substring_spans",
-    "decontaminate_spans",
-    "dedup_incremental_batch",
-    "embed_ann_ivf_pq",
-    "gap_fill_interp_value",
-    "embed_knn_classify",
-    "dedup_semantic_clusters",
-    "train_split_stats",
-    "sku_prefix_join",
-    "q8_national_market_share",
-    "sig_fig_prices",
-    "unit_conversions",
-    "extract_brand_number",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q16_parts_supplier",
-    "q12_priority_shipmode",
-    "q19_discounted_revenue",
-    "pack_sequences_docs",
-    "asof_latest_event_value",
-    "benchmark_catalog_stats",
-    "benchmark_config_pk",
-    "config_tolerance_filter",
-    "dedup_boilerplate_chunks",
-    "dedup_embed_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "media_jpeg_color_stats",
-    "training_corpus_emit",
-    "doc_quality_lr_train",
-    "doc_quality_lr_apply",
-    "bpe_train_merges",
-    "bpe_tokenize_apply",
-    "doc_lm2_perplexity",
-    "doc_ngram_novelty",
-    "source_embed_similarity",
-    "bigram_pmi_top",
-    "lr_calibration_bins",
-    "source_token_kl",
-    "doc_oov_rate",
-    # r14-fresh (CORRECTNESS_r14 greens, minus the 7 promoted
-    # code-changed names above) — freshest evidence, deepest
-    # tail.
-    "approx_heavy_hitters",
-    "cluster_balanced_sample",
-    "unimax_mixture_weights",
-    "dedup_edit_similarity",
-    "quality_quantile_normalize",
-    "dsir_select",
-    "doc_quality",
-    "doc_token_stats",
-    "ecpus_scalability",
-    "embed_ann_ivf",
-    "embed_ann_lsh",
-    "embed_cosine_topk",
-    "first_version_orders",
-    "hash_diff_sync",
-    "heavy_hitter_users",
-    "json_props_extract",
-    "merge_upsert_lifecycle",
-    "range_join_event_window",
-    "running_user_value",
-    "scd2_latest_event",
-    "shuffled_sample_orders",
-    "standardize_part_names",
-    "sync_stats",
-    "tiered_price_billing",
-    "tumbling_daily_stats",
-    "workload_breakdown",
-    "workload_catalog_breakdown",
-    "workload_profiles_catalog",
-    "workload_scores",
-    "embed_kmeans_clusters",
-    "embed_ann_sq",
-    "q10_returned_items",
-    "dedup_canonical_by_rank",
-    "dedup_cluster_resolve",
-    "doc_pagerank",
-    "dedup_span_removal",
-    "media_pcm_stats",
-    "media_pixel_stats",
-    "media_video_frames",
-    "media_resize_stats",
-    "domain_balanced_sample",
-    "html_extract_text",
-    "dedup_containment",
 ]
 REGISTRY = {
     n: REGISTRY[n]

@@ -140,6 +140,38 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 WHERE rn = 1
 """
 
+# ------------------------------------------------- SCD2 time-travel (T2, r16)
+
+_AS_OF_TS = "2024-01-10 00:00:00"
+
+
+def scd_as_of_event(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 time-travel (r16, r15 verdict task 8): each user's version
+    row ACTIVE at the as-of instant — the newest event with
+    ts <= '2024-01-10' (mid-history, so some users' current version
+    differs from their as-of version and late-born users drop out).
+    One filter + one window over the append-only history, no join;
+    the ts predicate is pushdown-eligible, so a date-partitioned
+    100 TB history prunes before the window shuffles
+    (operators/windows.py as_of_snapshot)."""
+    from ..operators.windows import as_of_snapshot
+
+    ev = load(spark, sf, "events")
+    return as_of_snapshot(
+        ev, ["user_id"], F.lit(_AS_OF_TS).cast("timestamp"),
+        observed_at="ts", tiebreak="event_id",
+    ).select("user_id", "event_id", "event_type",
+             dround(F.col("value"), 4).alias("value"))
+
+
+SCD_AS_OF_SQL = f"""
+SELECT user_id, event_id, event_type, {sql_round('value')} AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{_AS_OF_TS}')
+WHERE rn = 1
+"""
+
 # ------------------------------------------------- sessions & running windows
 
 
@@ -789,6 +821,7 @@ QUERIES = {
     "sync_stats": (sync_stats, SYNC_STATS_SQL),
     "merge_upsert_lifecycle": (merge_upsert_lifecycle, MERGE_UPSERT_SQL),
     "scd2_latest_event": (scd2_latest_event, SCD2_SQL),
+    "scd_as_of_event": (scd_as_of_event, SCD_AS_OF_SQL),
     "session_counts": (session_counts, SESSION_SQL),
     "running_user_value": (running_user_value, RUNNING_SQL),
     "tumbling_daily_stats": (tumbling_daily_stats, TUMBLING_SQL),

@@ -337,6 +337,39 @@ def test_scd2_append_and_latest(spark):
     assert len(latest) == 1 and latest[0].score == 2.0
 
 
+def test_scd2_as_of_time_travel(spark):
+    """r16 (r15 verdict task 8) lifecycle: write versions with
+    scd2_append, then read the history AS OF three instants — before
+    any version (entity absent), between versions (the v1 row), and
+    after the last (== latest_snapshot). A second entity born late
+    must be absent from the early reads and present after its birth."""
+    from sc_crawler_spark.operators.windows import as_of_snapshot
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    t2 = datetime.datetime(2024, 3, 1)
+    cols = ["vendor_id", "server_id", "score", "observed_at"]
+    hist = spark.createDataFrame([("aws", "a", 1.0, t0)], cols)
+    hist = scd2_append(hist, spark.createDataFrame(
+        [("aws", "a", 2.0, t1), ("aws", "b", 9.0, t1)], cols))
+    hist = scd2_append(hist, spark.createDataFrame(
+        [("aws", "a", 3.0, t2)], cols))
+
+    def as_of(ts):
+        return {(r.server_id): r.score for r in as_of_snapshot(
+            hist, ["vendor_id", "server_id"], F.lit(ts),
+            observed_at="observed_at").collect()}
+
+    assert as_of(datetime.datetime(2023, 12, 1)) == {}      # pre-history
+    assert as_of(t0) == {"a": 1.0}                          # boundary: <=
+    assert as_of(datetime.datetime(2024, 1, 15)) == {"a": 1.0}
+    assert as_of(datetime.datetime(2024, 2, 15)) == {"a": 2.0, "b": 9.0}
+    late = as_of(datetime.datetime(2024, 4, 1))             # == latest
+    want = {r.server_id: r.score for r in latest_snapshot(
+        hist, ["vendor_id", "server_id"]).collect()}
+    assert late == want == {"a": 3.0, "b": 9.0}
+
+
 # ----------------------------- workload-score invariants (FIXTURES.md §2.6)
 
 
