@@ -529,6 +529,57 @@ WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
       / CAST({16 ** 6} AS DOUBLE) < p.p_keep
 """
 
+# -------------------------------------------- weighted reservoir (A-ES, r16)
+
+_WRS_K = 200
+
+
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES reservoir, the standard way a training
+    pipeline draws a fixed-size sample biased to long/high-quality
+    documents: each doc gets key u^(1/w) (equivalently ln(u)/w, the
+    monotone form used here — better float spread for large w) with a
+    DETERMINISTIC md5-derived uniform, and the global top-k keys ARE
+    the weighted sample. Weight = text length.
+
+    Engine parity: u = (md5-prefix integer + 0.5) / 16^6 (the +0.5
+    keeps u strictly inside (0,1), so ln never sees 0) — exact
+    rational, identical in both engines; the ranking key is rounded
+    to 12 decimals through DECIMAL before the top-k (doc_id
+    tiebreak), so a last-ulp ln() divergence cannot flip selection
+    except on a ~2^-40 rounding-boundary coincidence.
+
+    Scale shape: one stateless scan computes (key, weight) per row,
+    and the global top-k is TakeOrdered (per-partition heaps + one
+    k-row merge at the driver) — no full sort, no shuffle of the
+    corpus; at 100 TB this is the cheapest possible pass."""
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    w = F.length("text").cast("double")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                 16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(16 ** 6)))
+    key = dround(F.log(u) / w, 12)
+    return (docs.select("doc_id", "source",
+                        F.length("text").cast("long").alias("weight"),
+                        key.alias("_k"))
+            .orderBy(F.col("_k").desc(), F.col("doc_id"))
+            .limit(_WRS_K)
+            .select("doc_id", "source", "weight",
+                    dround(F.col("_k"), 6).alias("sample_key")))
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS weight,
+         {sql_round("ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
+                    " AS BIGINT) + 0.5) / CAST(" + str(16 ** 6) + " AS DOUBLE))"
+                    " / CAST(length(text) AS DOUBLE)", 12)} AS k
+  FROM documents)
+SELECT doc_id, source, weight, {sql_round('k', 6)} AS sample_key
+FROM keyed ORDER BY k DESC, doc_id LIMIT {_WRS_K}
+"""
+
 # ------------------------------------------------------- sequence packing
 
 _PACK_BUDGET = 256
@@ -1433,6 +1484,7 @@ QUERIES = {
     "domain_balanced_sample": (domain_balanced_sample, DOMAIN_SAMPLE_SQL),
     "html_extract_text": (html_extract_text, HTML_EXTRACT_SQL),
     "temperature_mix_sample": (temperature_mix_sample, MIX_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "pack_sequences_docs": (pack_sequences_docs, PACK_SQL),
     "training_shard_stats": (training_shard_stats, SHARD_STATS_SQL),
     "train_split_stats": (train_split_stats, SPLIT_STATS_SQL),
