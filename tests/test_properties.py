@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from sc_crawler_spark.operators.upsert import merge_upsert
 from sc_crawler_spark.operators.windows import keep_last_dedup
@@ -846,3 +847,63 @@ def test_containment_band_prefilter_block_col(spark):
         df, "text", "doc_id", k=3, threshold=0.8, block_col="lang",
         band_prefilter=True).collect()}
     assert got == {(1, 2)}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 6),           # pk
+              st.integers(0, 100),         # observed_at
+              st.integers(-50, 50)),       # value
+    min_size=1, max_size=25),
+    ts=st.integers(-5, 105))
+def test_as_of_snapshot_is_python_filter_semantics(spark, rows, ts):
+    """r16 SCD2 time-travel property: as_of(ts) == the reference
+    semantics computed locally — for each pk, the max-observed_at row
+    among versions with observed_at <= ts (value as tiebreak to make
+    duplicate (pk, observed_at) fixtures deterministic); and
+    as_of(max_ts) == latest_snapshot exactly."""
+    from sc_crawler_spark.operators.windows import (
+        as_of_snapshot, latest_snapshot)
+
+    df = spark.createDataFrame(rows, "k int, observed_at int, v int")
+    got = {r["k"]: (r["observed_at"], r["v"])
+           for r in as_of_snapshot(df, ["k"], F.lit(ts),
+                                   tiebreak="v").collect()}
+    want = {}
+    for k, oa, v in rows:
+        if oa <= ts and (k not in want or (oa, v) > want[k]):
+            want[k] = (oa, v)
+    assert got == want
+    max_ts = max(oa for _, oa, _ in rows)
+    a = sorted(map(tuple, as_of_snapshot(
+        df, ["k"], F.lit(max_ts), tiebreak="v").collect()))
+    b = sorted(map(tuple, latest_snapshot(df, ["k"], tiebreak="v").collect()))
+    assert a == b
+
+
+def test_weighted_sample_is_topk_of_key_order(spark):
+    """r16 A-ES property: the emitted sample is EXACTLY the top-k of
+    the deterministic key ordering recomputed locally (md5-uniform,
+    ln(u)/w, doc_id tiebreak), i.e. selection is a pure function of
+    (doc_id, weight) — no rand(), no partitioning dependence."""
+    import hashlib as _h
+    import math
+
+    from sc_crawler_spark.queries.curation import (
+        _WRS_K, weighted_sample_docs)
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r.doc_id, r.weight)
+           for r in weighted_sample_docs(spark, sf).collect()]
+    docs = load(spark, sf, "documents").select("doc_id", "text").collect()
+    keyed = []
+    for r in docs:
+        m = int(_h.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        u = (m + 0.5) / 16 ** 6
+        k = round(math.log(u) / len(r.text), 12)
+        keyed.append((-k, r.doc_id, len(r.text)))
+    keyed.sort()
+    want = [(d, w) for _, d, w in keyed[:_WRS_K]]
+    assert got == want and len(got) == _WRS_K
