@@ -841,3 +841,24 @@ def test_r15_hybrid_served_arm_serves_from_artifacts(spark, tmp_path):
     finally:
         os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
         os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
+
+
+def test_r16_weighted_sample_is_takeordered_no_exchange(spark):
+    """weighted_sample_docs must plan as TakeOrderedAndProject over the
+    single scan — per-partition top-k heaps, zero exchanges; a full
+    sort (or any shuffle) of the corpus would make the 'cheapest
+    possible pass' claim false at 100 TB."""
+    plan = _plan(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_r16_scd_as_of_filters_before_window_group_limit(spark):
+    """scd_as_of_event: the as-of timestamp predicate must apply BELOW
+    the ranking window, and the rank<=1 filter must push into
+    WindowGroupLimit (per-partition top-1 before the pk shuffle) —
+    the one-filter-one-window shape as_of_snapshot promises."""
+    plan = _plan(spark, "scd_as_of_event")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
