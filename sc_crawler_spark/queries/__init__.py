@@ -68,14 +68,14 @@ _PRIORITY = [
     # (scd_as_of_event, the r16 SCD2 time-travel reader — never
     # driver-checked). Window: the 16 r12-stale names FIRST (the
     # staged head of the r15 _TAIL, keeping the rotation promise),
-    # then the 9 names whose CODE is new or changed this round —
+    # then the 10 names whose CODE is new or changed this round —
     # scd_as_of_event (new, task 8); q3/q5 (the size-gated reduced-
     # orders broadcast, task 1); embed_ann_lsh (the inline-score band
     # join rewrite, task 1); hybrid_rrf_retrieval + contrastive_
     # triplets (IVF serve gates now parameter-pinned, ADVICE #1);
     # bm25_retrieval + bm25_pruned_retrieval (query_stride became a
     # recorded, gated artifact parameter on their shared corpus-stats
-    # chain, ADVICE #2) — then the 25 stalest r13 greens. The 21
+    # chain, ADVICE #2) — then the 24 stalest r13 greens. The 22
     # remaining r13 names head _TAIL and rotate first in r17; after
     # r16 greens no name's evidence is older than r13. ---
     "argmax_customer_per_nation",
@@ -97,6 +97,7 @@ _PRIORITY = [
     # new / code-changed this round (fresh evidence needed)
     "scd_as_of_event",
     "weighted_sample_docs",
+    "gopher_quality_rules",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "embed_ann_lsh",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "contrastive_triplets",
     "bm25_retrieval",
     "bm25_pruned_retrieval",
-    # stalest r13 greens (25 of 46 unpromoted)
+    # stalest r13 greens (24 of 46 unpromoted)
     "count_expansion",
     "weighted_geomean_price",
     "q18_large_orders",
@@ -129,13 +130,14 @@ _PRIORITY = [
     "pack_sequences_docs",
     "asof_latest_event_value",
     "benchmark_catalog_stats",
-    "benchmark_config_pk",
 ]
 _TAIL = [
-    # The 21 r13-stale names left past the 50-slot cap (the second
-    # new r16 entry, weighted_sample_docs, displaced
-    # config_tolerance_filter) — they rotate FIRST in r17 (pytest
+    # The 22 r13-stale names left past the 50-slot cap (the second
+    # and third new r16 entries, weighted_sample_docs and
+    # gopher_quality_rules, displaced config_tolerance_filter and
+    # benchmark_config_pk) — they rotate FIRST in r17 (pytest
     # re-runs their oracles every round meanwhile).
+    "benchmark_config_pk",
     "config_tolerance_filter",
     "dedup_boilerplate_chunks",
     "dedup_embed_cosine",

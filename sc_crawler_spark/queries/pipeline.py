@@ -617,6 +617,106 @@ FROM documents
 """
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The PUBLISHED Gopher document-quality rule set (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", App. A1.1 — the
+    filter battery most open pipelines quote): word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# or ...) <= 0.1, >= 80% of words contain an alphabetic char,
+    and >= 2 of 8 canonical stop words present. Emitted per doc:
+    each rule flag, the underlying statistics (rounded), and the
+    conjunction — a pipeline keeps `passes` and AUDITS the rest
+    (which rule kills which doc is the number curation teams tune).
+    On the synthetic fixture the stop-word rule dominates (the
+    generator vocabulary carries one canonical stop word, so
+    `passes` is all-false while word-count kills ~44% — exactly the
+    per-rule attribution the audit columns exist to expose); the
+    thresholds are kept at the PUBLISHED values, not tuned to the
+    fixture.
+
+    Everything is one stateless row-local projection over higher-
+    order array functions — zero shuffles at any corpus size; the
+    word split (on single spaces, empties dropped) is spelled
+    identically in both engines so every count is integer-exact and
+    the two ratios round through DECIMAL."""
+    docs = load(spark, sf, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda w: w != F.lit(""))
+    wc = F.size(words)
+    wcd = F.greatest(wc, F.lit(1)).cast("double")
+    mwl = (F.aggregate(words, F.lit(0),
+                       lambda acc, w: acc + F.length(w)).cast("double")
+           / wcd)
+    alpha = (F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+             .cast("double") / wcd)
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = ((F.length("text")
+              - F.length(F.regexp_replace("text", r"\.\.\.", "")))
+             / F.lit(3)).cast("long")
+    sym = (n_hash + n_ell).cast("double") / wcd
+    stops = sum((F.array_contains(words, s).cast("int")
+                 for s in _GOPHER_STOPS), F.lit(0))
+    # flags compare the ROUNDED ratios (the published columns) in
+    # BOTH engines, so a value at a rule boundary can never pass on
+    # one side of the round and fail on the other
+    mwl_r, sym_r, alpha_r = dround(mwl, 6), dround(sym, 6), dround(alpha, 6)
+    r_wc = (wc >= 50) & (wc <= 100_000)
+    r_mwl = (mwl_r >= 3.0) & (mwl_r <= 10.0)
+    r_sym = sym_r <= 0.1
+    r_alpha = alpha_r >= 0.8
+    r_stop = stops >= 2
+    return docs.select(
+        "doc_id", wc.cast("long").alias("word_count"),
+        mwl_r.alias("mean_word_len"),
+        sym_r.alias("symbol_ratio"),
+        alpha_r.alias("alpha_frac"),
+        stops.cast("long").alias("stop_words"),
+        r_wc.alias("ok_word_count"), r_mwl.alias("ok_mean_word_len"),
+        r_sym.alias("ok_symbol_ratio"), r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stop_words"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
+_G_WORDS = "[w FOR w IN string_split(lower(text), ' ') IF w != '']"
+_G_WC = f"len({_G_WORDS})"
+_G_WCD = f"CAST(greatest({_G_WC}, 1) AS DOUBLE)"
+_G_MWL = (f"CAST(list_aggregate(list_transform({_G_WORDS},"
+          f" w -> length(w)), 'sum') AS DOUBLE) / {_G_WCD}")
+_G_ALPHA = (f"CAST(len([w FOR w IN {_G_WORDS} IF regexp_matches(w,"
+            f" '[a-z]')]) AS DOUBLE) / {_G_WCD}")
+_G_SYM = ("CAST((length(text) - length(replace(text, '#', '')))"
+          " + (length(text) - length(replace(text, '...', ''))) // 3"
+          f" AS DOUBLE) / {_G_WCD}")
+_G_STOPS = " + ".join(
+    f"CAST(list_contains({_G_WORDS}, '{s}') AS INT)"
+    for s in _GOPHER_STOPS)
+GOPHER_SQL = f"""
+WITH stats AS (
+  SELECT doc_id, {_G_WC} AS word_count,
+         {sql_round(_G_MWL, 6)} AS mean_word_len,
+         {sql_round(_G_SYM, 6)} AS symbol_ratio,
+         {sql_round(_G_ALPHA, 6)} AS alpha_frac,
+         CAST({_G_STOPS} AS BIGINT) AS stop_words
+  FROM documents)
+SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_frac,
+       stop_words,
+       word_count BETWEEN 50 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+       symbol_ratio <= 0.1 AS ok_symbol_ratio,
+       alpha_frac >= 0.8 AS ok_alpha,
+       stop_words >= 2 AS ok_stop_words,
+       (word_count BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         AND stop_words >= 2 AS passes
+FROM stats
+"""
+
+
 def doc_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed TRAINED classifier (r13 breadth — the learned step
     above the heuristic tiers): logistic regression by full-batch
@@ -4406,6 +4506,7 @@ QUERIES = {
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, BPE_TOKEN_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
+    "gopher_quality_rules": (gopher_quality_rules, GOPHER_SQL),
     "doc_quality_lr_train": (doc_quality_lr_train, _lr_sql()),
     "doc_quality_lr_apply": (doc_quality_lr_apply, _lr_apply_sql()),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),

@@ -60,6 +60,8 @@ def list_artifacts(root: str) -> list[dict]:
     — the meta is written LAST by every builder), and on-disk bytes."""
     import json
 
+    if not os.path.isdir(root):
+        return []  # nothing landed yet — an empty lake, not an error
     cands = [root] + sorted(
         os.path.join(root, d) for d in os.listdir(root)
         if os.path.isdir(os.path.join(root, d)))
