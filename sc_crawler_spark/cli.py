@@ -1395,6 +1395,29 @@ def cmd_artifacts(action: str, root: str, keep: int = 1,
           f"{'' if apply else ' (dry-run)'}")
 
 
+def cmd_explain(spark: SparkSession, name: str, sf_dir: str,
+                mode: str = "formatted") -> None:
+    """Print a registry query's physical plan (r16 ops surface): the
+    same `.explain()` view the plan-pin tests assert on — operators,
+    join strategies, `PushedFilters`/`ReadSchema` per scan — so a
+    cluster operator can audit what a query will do BEFORE running it
+    at 100 TB. Modes: simple | extended | codegen | cost | formatted."""
+    from .queries import REGISTRY
+
+    if name not in REGISTRY:
+        import difflib
+        near = difflib.get_close_matches(name, REGISTRY, n=3)
+        raise SystemExit(
+            f"explain: unknown query {name!r}"
+            + (f" — did you mean {', '.join(near)}?" if near else ""))
+    df = REGISTRY[name][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString(mode))
+    print(f"explain: {name} @ {sf_dir} ({mode})")
+    print(plan)
+
+
 def cmd_versions(spark: SparkSession, lake: str,
                  table: str | None = None) -> None:
     """Time-travel surface: list each table's retained snapshot
@@ -1822,6 +1845,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--apply", action="store_true",
                    help="prune: actually delete (default: dry-run)")
 
+    p = sub.add_parser("explain",
+                       help="print a registry query's physical plan "
+                            "(join strategies, pushed filters, read "
+                            "schemas) without running it")
+    p.add_argument("--name", required=True,
+                   help="registry query name (see __spark_entry__."
+                        "queries())")
+    p.add_argument("--sf", default="/root/testdata/sf0.01",
+                   help="lake dir the plan is built against")
+    p.add_argument("--mode", default="formatted",
+                   choices=["simple", "extended", "codegen", "cost",
+                            "formatted"])
+
     p = sub.add_parser("versions",
                        help="list retained snapshot versions per table")
     p.add_argument("--lake", required=True)
@@ -1958,6 +1994,8 @@ def main(argv: list[str] | None = None) -> None:
             cmd_ann_index(spark, args.lake, args.out, args.table,
                           args.vec_col, args.id_col, args.n_cells,
                           args.iters, args.force)
+    elif args.cmd == "explain":
+        cmd_explain(spark, args.name, args.sf, args.mode)
     elif args.cmd == "versions":
         cmd_versions(spark, args.lake, args.table)
     elif args.cmd == "sql":

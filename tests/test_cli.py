@@ -842,3 +842,18 @@ def test_annindex_fold_drift_tripwire(spark, tmp_path, capsys):
     cli.main(["annindex", "--fold", lake3, "--base", base,
               "--out", quiet_dir])
     assert "WARNING" not in capsys.readouterr().out
+
+
+def test_explain_cli(spark, tmp_path, capsys):
+    """`explain` prints the physical plan (scans with ReadSchema, the
+    join strategy) without executing, and unknown names fail loud with
+    a suggestion."""
+    import pytest as _pytest
+
+    cli.main(["explain", "--name", "q5_local_supplier_volume",
+              "--sf", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert "ReadSchema" in out and "BroadcastHashJoin" in out
+    with _pytest.raises(SystemExit) as ei:
+        cli.main(["explain", "--name", "q5_local_supplier_volum"])
+    assert "did you mean" in str(ei.value)
