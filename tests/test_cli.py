@@ -857,3 +857,46 @@ def test_explain_cli(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit) as ei:
         cli.main(["explain", "--name", "q5_local_supplier_volum"])
     assert "did you mean" in str(ei.value)
+
+
+def test_bm25index_query_stride_zero_indexes_all_docs(spark, tmp_path,
+                                                      capsys):
+    """r16 ADVICE #2 e2e: the default build EXCLUDES doc_id % 13 == 0
+    (the retrieval convention, now a recorded+gated parameter), and
+    `--query-stride 0` indexes every document; meta n_docs is the
+    count idf/avgdl actually saw in both cases."""
+    from sc_crawler_spark.sinks import postings_store
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(
+        [(13, "alpha beta gamma"), (14, "alpha delta epsilon"),
+         (15, "zeta eta theta")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(lake, "documents.parquet"))
+
+    out = str(tmp_path / "idx_default")
+    cli.main(["bm25index", "--lake", lake, "--out", out])
+    assert "query_stride=13" in capsys.readouterr().out
+    meta = postings_store.read_bm25_meta(out)
+    assert meta["query_stride"] == 13 and meta["n_docs"] == 2
+    ids = {r.doc_id for r in
+           postings_store.load_postings(spark, out).collect()}
+    assert 13 not in ids and {14, 15} <= ids
+
+    out2 = str(tmp_path / "idx_all")
+    cli.main(["bm25index", "--lake", lake, "--out", out2,
+              "--query-stride", "0"])
+    capsys.readouterr()
+    meta2 = postings_store.read_bm25_meta(out2)
+    assert meta2["query_stride"] is None and meta2["n_docs"] == 3
+    ids2 = {r.doc_id for r in
+            postings_store.load_postings(spark, out2).collect()}
+    assert {13, 14, 15} <= ids2
+    # the stride is gated: a consumer expecting the 13-convention
+    # must NOT match the index-all artifact
+    digest = meta2["digest"]
+    assert postings_store.bm25_index_matches(out2, digest,
+                                             query_stride=None)
+    assert not postings_store.bm25_index_matches(out2, digest,
+                                                 query_stride=13)
