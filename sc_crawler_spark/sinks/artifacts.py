@@ -104,11 +104,17 @@ def prune(root: str, keep: int = 1,
     by_kind: dict[str, list[dict]] = {}
     for e in arts:
         by_kind.setdefault(e["kind"], []).append(e)
+    root_abs = os.path.abspath(root)
     for kind_arts in by_kind.values():  # newest-first within kind
         for i, e in enumerate(kind_arts):
             if i < max(keep, 1):  # newest always survives
                 kept.append(e)
             elif e["digest"] in active_digests:
+                refused.append(e)
+            elif e["path"] == root_abs:
+                # the root dir CONTAINS the other artifacts — rmtree
+                # here would take the survivors with it; refuse and
+                # let the operator relocate it
                 refused.append(e)
             else:
                 deleted.append(e)

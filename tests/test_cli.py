@@ -900,3 +900,31 @@ def test_bm25index_query_stride_zero_indexes_all_docs(spark, tmp_path,
                                              query_stride=None)
     assert not postings_store.bm25_index_matches(out2, digest,
                                                  query_stride=13)
+
+
+def test_artifacts_prune_never_deletes_the_root_itself(spark, tmp_path):
+    """Edge case: --root pointing AT an artifact that also contains a
+    newer artifact in a subdir — deleting the root would rmtree the
+    survivor with it; prune must refuse the root entry instead."""
+    import time as _time
+
+    from sc_crawler_spark.sinks import artifacts, postings_store
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string")
+    root = str(tmp_path / "rootidx")
+    postings_store.write_bm25_index(docs, root, "text", "doc_id",
+                                    max_postings=64)
+    _time.sleep(0.05)
+    batch = spark.createDataFrame([(3, "eta theta iota")],
+                                  "doc_id long, text string")
+    inner = os.path.join(root, "folded")
+    postings_store.fold_bm25_index(spark, root, batch, inner)
+
+    res = artifacts.prune(root, keep=1, apply=True)
+    assert [e["path"] for e in res["refused"]] == [os.path.abspath(root)]
+    assert not res["deleted"]
+    # both artifacts still intact
+    assert postings_store.read_bm25_meta(root) is not None
+    assert postings_store.read_bm25_meta(inner) is not None
