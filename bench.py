@@ -918,6 +918,10 @@ def main() -> None:
                     scale["hybrid_fused_overlap"] = round(
                         len(served_pairs & exact_pairs)
                         / max(1, len(exact_pairs)), 3)
+                except Exception as exc:
+                    # a quality-metric failure must not take the
+                    # whole scale block's aggregates with it
+                    scale["hybrid_fused_overlap_error"] = str(exc)[:120]
                 finally:
                     os.environ.pop("SC_SPARK_BM25_INDEX_DIR", None)
                     os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
