@@ -545,43 +545,48 @@ def main() -> None:
     # block's per-query partition auto-sizer — BOTH settings are
     # restored for the scale block, where AQE's runtime re-planning
     # and wider shuffles earn their keep.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = REGISTRY[name][0](spark, sf_dir)
-        build_total += time.perf_counter() - t0
-        best_s = best_d = float("inf")
-        first: list = [None, None]
-        for rep in range(3):
+    try:
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            df.count()
-            el = time.perf_counter() - t0
-            best_s = min(best_s, el)
-            if rep == 0:
-                first[0] = round(el, 3)
-            try:
-                el = _duckdb_time(REGISTRY[name][1], sf_dir, reps=1)
-                best_d = min(best_d, el)
-                # r16 ADVICE: first SUCCESSFUL rep, not rep 0 — a
-                # rep-0 exception followed by later successes used
-                # to leave a null in single_run and break the
-                # cross-round comparability the field exists for
-                if first[1] is None:
-                    first[1] = round(el, 3)
-            except Exception as exc:
-                # per-query accumulation (last-exception-wins hid
-                # which query actually failed)
-                duck_errs[name] = str(exc)[:200]
-        timings[name] = round(best_s, 3)
-        if best_d < float("inf"):
-            duck_h[name] = round(best_d, 3)
-            duck_errs.pop(name, None)  # a later rep succeeded
-        single_run[name] = first
-    # restore the scale-block session shape (the 64x auto-sizer
-    # overrides partitions per query; AQE must be back ON for it)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+            df = REGISTRY[name][0](spark, sf_dir)
+            build_total += time.perf_counter() - t0
+            best_s = best_d = float("inf")
+            first: list = [None, None]
+            for rep in range(3):
+                t0 = time.perf_counter()
+                df.count()
+                el = time.perf_counter() - t0
+                best_s = min(best_s, el)
+                if rep == 0:
+                    first[0] = round(el, 3)
+                try:
+                    el = _duckdb_time(REGISTRY[name][1], sf_dir, reps=1)
+                    best_d = min(best_d, el)
+                    # r16 ADVICE: first SUCCESSFUL rep, not rep 0 — a
+                    # rep-0 exception followed by later successes used
+                    # to leave a null in single_run and break the
+                    # cross-round comparability the field exists for
+                    if first[1] is None:
+                        first[1] = round(el, 3)
+                except Exception as exc:
+                    # per-query accumulation (last-exception-wins hid
+                    # which query actually failed)
+                    duck_errs[name] = str(exc)[:200]
+            timings[name] = round(best_s, 3)
+            if best_d < float("inf"):
+                duck_h[name] = round(best_d, 3)
+                duck_errs.pop(name, None)  # a later rep succeeded
+            single_run[name] = first
+    finally:
+        # restore the SAVED session shape (the 64x auto-sizer and AQE
+        # must come back even if a graded query raises; no hardcoded
+        # duplicate of the get_spark(...) value to drift from)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # ---- DuckDB oracle at the SAME sf: the 2x grade is self-contained
     oracle: dict[str, object] = {}
@@ -893,11 +898,21 @@ def main() -> None:
             if name == "hybrid_rrf_retrieval":
                 # the r14 weak-mark A/B: the same 10-query hybrid with
                 # no artifacts — pruned index rebuilt in-plan + brute
-                # dense arm — so BENCH shows what serving buys
+                # dense arm — so BENCH shows what serving buys. The
+                # FIRST rep collects its 50 fused rows (driver-side
+                # cost of 50 rows ~ nothing) so the overlap metric
+                # below reuses them instead of paying a third full
+                # in-plan execution.
                 inplan = float("inf")
-                for _ in range(2):
+                exact_pairs: set | None = None
+                for rep in range(2):
                     t0 = time.perf_counter()
-                    REGISTRY[name][0](spark, qdir).count()
+                    if rep == 0:
+                        rows = REGISTRY[name][0](spark, qdir).collect()
+                        exact_pairs = {(r.query_id, r.doc_id)
+                                       for r in rows}
+                    else:
+                        REGISTRY[name][0](spark, qdir).count()
                     inplan = min(inplan, time.perf_counter() - t0)
                 scale["hybrid_rrf_inplan_sec"] = round(inplan, 3)
                 # r16 (verdict task 3b): the quality number beside the
@@ -907,9 +922,6 @@ def main() -> None:
                 # The lexical arm is bit-equal, so all drift here is
                 # the dense arm's cell pruning.
                 try:
-                    exact_pairs = {
-                        (r.query_id, r.doc_id) for r in
-                        REGISTRY[name][0](spark, qdir).collect()}
                     os.environ["SC_SPARK_BM25_INDEX_DIR"] = hidx
                     os.environ["SC_SPARK_ANN_INDEX_DIR"] = aidx
                     served_pairs = {

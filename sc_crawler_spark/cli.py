@@ -1395,6 +1395,19 @@ def cmd_artifacts(action: str, root: str, keep: int = 1,
           f"{'' if apply else ' (dry-run)'}")
 
 
+def _require_registry_query(name: str) -> None:
+    """Fail loud (with a close-match suggestion) for unknown registry
+    names — callable BEFORE any SparkSession exists."""
+    from .queries import REGISTRY
+
+    if name not in REGISTRY:
+        import difflib
+        near = difflib.get_close_matches(name, REGISTRY, n=3)
+        raise SystemExit(
+            f"explain: unknown query {name!r}"
+            + (f" — did you mean {', '.join(near)}?" if near else ""))
+
+
 def cmd_explain(spark: SparkSession, name: str, sf_dir: str,
                 mode: str = "formatted") -> None:
     """Print a registry query's physical plan (r16 ops surface): the
@@ -1404,12 +1417,7 @@ def cmd_explain(spark: SparkSession, name: str, sf_dir: str,
     at 100 TB. Modes: simple | extended | codegen | cost | formatted."""
     from .queries import REGISTRY
 
-    if name not in REGISTRY:
-        import difflib
-        near = difflib.get_close_matches(name, REGISTRY, n=3)
-        raise SystemExit(
-            f"explain: unknown query {name!r}"
-            + (f" — did you mean {', '.join(near)}?" if near else ""))
+    _require_registry_query(name)
     df = REGISTRY[name][0](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
@@ -1928,6 +1936,9 @@ def main(argv: list[str] | None = None) -> None:
         cmd_artifacts(args.action, args.root, args.keep,
                       set(args.active or []), args.apply)
         return
+    if args.cmd == "explain":
+        _require_registry_query(args.name)  # fail BEFORE the ~15 s
+        # session spin-up — the lookup needs no SparkSession
     spark = get_spark("sc-crawler-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "pull":

@@ -411,16 +411,16 @@ def cosine_topk_ivf_sq(queries: DataFrame, corpus: DataFrame, vec_col: str,
 _SIG_EXPRS: dict[tuple, Column] = {}
 
 
-def lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
-                   planes: list[list[int]]) -> DataFrame:
-    """Per-vector sign signature: bit j = 1 iff dot(v, plane_j) > 0.
-
-    The whole signature is ONE parsed SQL expression: the +/-1 plane
-    matrix would otherwise cost n_planes x dim F.lit py4j roundtrips
-    (~2s of cold plan-build at 16x64) for the same zip_with/aggregate
-    fold the string spells out. The parsed Column is memoized per plane
-    matrix — unresolved expressions are immutable and reusable across
-    plans, so repeat builds skip the big-literal parse too."""
+def _sig_expr(planes: list[list[int]]) -> Column:
+    """The memoized sign-signature expression over column ``_v``: bit
+    j = 1 iff dot(_v, plane_j) > 0, as ONE parsed SQL expression — the
+    +/-1 plane matrix would otherwise cost n_planes x dim F.lit py4j
+    roundtrips (~2 s of cold plan-build at 16x64) for the same
+    zip_with/aggregate fold the string spells out. The parsed Column
+    is memoized per plane matrix — unresolved expressions are
+    immutable and reusable across plans, so repeat builds skip the
+    big-literal parse too. Both consumers (lsh_signatures,
+    _signed_frame) call this one builder."""
     key = tuple(tuple(p) for p in planes)
     sig = _SIG_EXPRS.get(key)
     if sig is None:
@@ -432,6 +432,14 @@ def lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
             for plane in planes
         )
         sig = _SIG_EXPRS[key] = F.expr(f"concat({bits})").alias("lsh_sig")
+    return sig
+
+
+def lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
+                   planes: list[list[int]]) -> DataFrame:
+    """Per-vector sign signature: bit j = 1 iff dot(v, plane_j) > 0
+    (see :func:`_sig_expr` for the parse-once mechanics)."""
+    sig = _sig_expr(planes)
     return df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")) \
              .select(F.col(id_col), sig)
 
@@ -443,11 +451,7 @@ def _signed_frame(df: DataFrame, src_id: str, src_vec: str, id_out: str,
     LSH consumer (band explode + cosine verify) reads; callers cache
     it so the parquet scan, the double cast, the norm fold, and the
     n_planes sign fold run once per session, not once per run."""
-    key = tuple(tuple(p) for p in planes)
-    sig = _SIG_EXPRS.get(key)
-    if sig is None:  # populate the same memoized parse
-        lsh_signatures(df.limit(0), src_vec, src_id, planes)
-        sig = _SIG_EXPRS[key]
+    sig = _sig_expr(planes)
     return (df.select(F.col(src_id).alias(id_out),
                       as_double(F.col(src_vec)).alias(vec_out))
             .withColumn(norm_out, norm(F.col(vec_out)))

@@ -684,8 +684,11 @@ def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
 _G_WORDS = "[w FOR w IN string_split(lower(text), ' ') IF w != '']"
 _G_WC = f"len({_G_WORDS})"
 _G_WCD = f"CAST(greatest({_G_WC}, 1) AS DOUBLE)"
-_G_MWL = (f"CAST(list_aggregate(list_transform({_G_WORDS},"
-          f" w -> length(w)), 'sum') AS DOUBLE) / {_G_WCD}")
+# coalesce: DuckDB list_aggregate([], 'sum') is NULL where Spark's
+# F.aggregate with init 0 is 0 — an empty/whitespace-only doc must
+# yield mean 0.0 in BOTH engines or the oracle diverges row-for-row
+_G_MWL = (f"CAST(coalesce(list_aggregate(list_transform({_G_WORDS},"
+          f" w -> length(w)), 'sum'), 0) AS DOUBLE) / {_G_WCD}")
 _G_ALPHA = (f"CAST(len([w FOR w IN {_G_WORDS} IF regexp_matches(w,"
             f" '[a-z]')]) AS DOUBLE) / {_G_WCD}")
 _G_SYM = ("CAST((length(text) - length(replace(text, '#', '')))"

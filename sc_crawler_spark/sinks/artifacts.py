@@ -27,7 +27,8 @@ from __future__ import annotations
 import os
 import shutil
 
-META_NAME = "_META.json"
+from .index_store import META_NAME
+
 KINDS = ("minhash", "bm25", "ivf")
 
 
@@ -58,7 +59,9 @@ def list_artifacts(root: str) -> list[dict]:
     itself if it is one), newest meta first. Each entry: path, kind,
     digest, n (docs/vecs if recorded), mtime of the meta (commit time
     — the meta is written LAST by every builder), and on-disk bytes."""
-    import json
+    # the ONE completeness rule every store defines ("no readable
+    # meta == absent") — reuse it, never restate it
+    from .index_store import read_index_meta
 
     if not os.path.isdir(root):
         return []  # nothing landed yet — an empty lake, not an error
@@ -68,10 +71,8 @@ def list_artifacts(root: str) -> list[dict]:
     out = []
     for path in cands:
         mp = os.path.join(path, META_NAME)
-        try:
-            with open(mp) as f:
-                meta = json.load(f)
-        except (OSError, ValueError):
+        meta = read_index_meta(path)
+        if meta is None:
             continue
         kind = _infer_kind(meta)
         if kind is None or "digest" not in meta:

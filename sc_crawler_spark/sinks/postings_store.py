@@ -81,6 +81,14 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
     # data — and bm25_index_matches for the old spec would serve the
     # inconsistent index. Deleting the meta up front restores the
     # "crashed build reads as absent" invariant for rebuilds too.
+    # stride 0 would modulo-by-zero every row to NULL (empty index,
+    # landed as "valid"); stride 1 holds out EVERY doc. Both are
+    # always caller errors — fail loud, never land a 0-doc artifact.
+    # (The CLI maps --query-stride 0 to None before reaching here.)
+    if query_stride is not None and query_stride < 2:
+        raise ValueError(
+            f"query_stride must be >= 2 or None (got {query_stride}); "
+            "None indexes every document")
     invalidate_meta(out)
     digest = corpus_digest(df, text_col, id_col)
     toked = df.select(F.col(id_col).alias("doc_id"),
@@ -175,9 +183,12 @@ def fold_bm25_index(spark: SparkSession, base_dir: str,
         os.path.join(out, "postings"))
     folded = dict(meta,
                   digest=merge_digests([meta["digest"], batch_digest]),
-                  # indexed-doc count (batch rows surviving the
-                  # stride filter), consistent with write_bm25_index
-                  n_docs=meta["n_docs"] + b_lens.count())
+                  # indexed-doc count from the MERGED lens table —
+                  # exact regardless of base provenance (a pre-r16
+                  # base recorded the full df.count() including
+                  # held-out query docs; base-meta + batch would
+                  # inherit that drift)
+                  n_docs=lens_stored.count())
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(folded, f, indent=1, sort_keys=True)
     return folded
