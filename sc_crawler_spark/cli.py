@@ -1344,8 +1344,13 @@ def cmd_ann_index_fold(spark: SparkSession, base: str, batch_lake: str,
     b_imb = folded.get("baseline_occupancy_imbalance")
     b_mcd = folded.get("baseline_mean_cos_dist")
     drifted = []
+    # The flat 4.0 floor applies only when the base predates the
+    # baseline stats (pre-r16): an index already >= 4x imbalanced at
+    # BUILD time would otherwise warn on every zero-drift fold. With a
+    # recorded baseline, only the 1.5x-relative check fires.
     if imb is not None and (
-            imb >= 4.0 or (b_imb is not None and imb >= 1.5 * b_imb)):
+            (b_imb is None and imb >= 4.0)
+            or (b_imb is not None and imb >= 1.5 * b_imb)):
         drifted.append(f"occupancy_imbalance {imb} (baseline {b_imb})")
     if (mcd is not None and b_mcd is not None and b_mcd > 0
             and mcd >= 1.2 * b_mcd):

@@ -555,7 +555,10 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     k-row merge at the driver) — no full sort, no shuffle of the
     corpus; at 100 TB this is the cheapest possible pass."""
     docs = load(spark, sf, "documents").select("doc_id", "source", "text")
-    w = F.length("text").cast("double")
+    # greatest(len, 1): a zero-length doc would divide ln(u) by 0.0
+    # (-Infinity), which Spark's DECIMAL cast NULLs while DuckDB's
+    # raises — same wcd guard gopher_quality_rules uses.
+    w = F.greatest(F.length("text"), F.lit(1)).cast("double")
     u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
                  16, 10).cast("double") + F.lit(0.5))
          / F.lit(float(16 ** 6)))
@@ -574,7 +577,7 @@ WITH keyed AS (
   SELECT doc_id, source, CAST(length(text) AS BIGINT) AS weight,
          {sql_round("ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
                     " AS BIGINT) + 0.5) / CAST(" + str(16 ** 6) + " AS DOUBLE))"
-                    " / CAST(length(text) AS DOUBLE)", 12)} AS k
+                    " / CAST(greatest(length(text), 1) AS DOUBLE)", 12)} AS k
   FROM documents)
 SELECT doc_id, source, weight, {sql_round('k', 6)} AS sample_key
 FROM keyed ORDER BY k DESC, doc_id LIMIT {_WRS_K}

@@ -1794,6 +1794,14 @@ _RRF_TOP_K = 5
 # iterations change which inverted lists exist, hence recall.
 _SERVE_IVF_N_CELLS = 8
 _SERVE_IVF_ITERS = 2
+# Dense-arm probe depth for the opt-in serve. r17: 3 -> 4 after the
+# overlap A/B (scripts/ab_hybrid_probe.py): fused-top-5 overlap
+# served-vs-in-plan 0.72 -> 0.78 -> 0.86 at n_probe 3/4/5 on sf0.01;
+# 4 is the knee (+0.06 overlap for +1/8 corpus scanned per query,
+# probe 5 would scan 62.5% and stop being approximate). The 64x bench
+# publishes the same metric as scale.hybrid_fused_overlap (gate
+# >= 0.6, target >= 0.7).
+_SERVE_IVF_N_PROBE = 4
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
@@ -1891,7 +1899,8 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             v_rank = (similarity.ivf_probe_topk(
                 qv, cents,
                 assigned.filter(F.col("neighbor_id") % 13 != 0),
-                "embedding", "vec_id", k=_RRF_DEPTH, n_probe=3)
+                "embedding", "vec_id", k=_RRF_DEPTH,
+                n_probe=_SERVE_IVF_N_PROBE)
                 .select("query_id",
                         F.col("neighbor_id").alias("doc_id"),
                         F.col("rank").cast("long").alias("rank_v")))
@@ -2069,7 +2078,8 @@ def contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
             top = similarity.ivf_probe_topk(
                 qv, cents,
                 assigned.filter(F.col("neighbor_id") % 13 != 0),
-                "embedding", "vec_id", k=20, n_probe=3)
+                "embedding", "vec_id", k=20,
+                n_probe=_SERVE_IVF_N_PROBE)
     if top is None:
         top = similarity.cosine_topk_bruteforce(
             qv, cand, "embedding", "vec_id", k=20)

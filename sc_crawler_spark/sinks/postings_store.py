@@ -210,7 +210,14 @@ def bm25_index_matches(out: str, digest: str, **params) -> bool:
         return False
     if meta.get("kind") != "bm25":
         return False
-    return all(meta.get(k) == v for k, v in params.items())
+    # A pre-r16 meta lacks the query_stride key; those artifacts were
+    # built with the then-hard-coded %13 hold-out, so missing MUST read
+    # as 13 (mirroring fold_bm25_index) — otherwise requesting
+    # query_stride=None against a legacy artifact would "match" via
+    # None == None and silently serve an index missing every 13th doc.
+    return all(
+        (meta.get(k, 13) if k == "query_stride" else meta.get(k)) == v
+        for k, v in params.items())
 
 
 def load_postings(spark: SparkSession, out: str) -> DataFrame:
