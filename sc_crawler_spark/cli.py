@@ -1314,11 +1314,21 @@ def cmd_ann_index(spark: SparkSession, lake: str, out: str,
 
 
 def cmd_ann_index_fold(spark: SparkSession, base: str, batch_lake: str,
-                       out: str, table: str = "embeddings") -> None:
+                       out: str, table: str = "embeddings",
+                       rebuild_if_drifted: bool = False) -> None:
     """Fold a new vector batch into a landed IVF artifact (r15): the
     standard production IVF insert — assign against the stored
     centroids, append to the inverted lists, merge the digest; no
-    retrain, no base re-read. The base stays read-only and true."""
+    retrain, no base re-read. The base stays read-only and true.
+
+    ``rebuild_if_drifted`` (r17, closing the r16 trip-wire's loop):
+    when the fold trips the drift threshold, retrain the index at the
+    stored spec over the union corpus IN PLACE at ``out`` (sinks/
+    ann_store.rebuild_ivf_index — fresh Lloyd centroids, fresh drift
+    baseline, the fold's merged digest) and DELETE the superseded
+    base artifact (sinks/artifacts.delete_artifact, meta-first). The
+    flag is the opt-in for that destructive tail; without it the
+    command only warns."""
     from .sinks import ann_store
 
     meta = ann_store.read_ann_meta(base)
@@ -1360,6 +1370,21 @@ def cmd_ann_index_fold(spark: SparkSession, base: str, batch_lake: str,
               + "; ".join(drifted)
               + " — recommend a full rebuild (annindex --force) "
                 "instead of further folds")
+        if rebuild_if_drifted:
+            from .sinks import artifacts
+
+            rebuilt = ann_store.rebuild_ivf_index(
+                spark, base, batch, out,
+                union_digest=folded["digest"])
+            print(f"annindex: rebuilt {out} at the stored spec "
+                  f"(n_cells={rebuilt['n_cells']} "
+                  f"iters={rebuilt['iters']}) "
+                  f"digest={rebuilt['digest']} — "
+                  f"occupancy_imbalance {rebuilt['occupancy_imbalance']}"
+                  f" mean_cos_dist {rebuilt['mean_cos_dist']} "
+                  f"(drifted fold had {imb} / {mcd})")
+            artifacts.delete_artifact(base)
+            print(f"annindex: pruned superseded base {base}")
 
 
 def cmd_artifacts(action: str, root: str, keep: int = 1,
@@ -1838,6 +1863,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--force", action="store_true",
                    help="rebuild even when digest+params match")
+    p.add_argument("--rebuild-if-drifted", action="store_true",
+                   help="fold mode: when the fold trips the drift "
+                        "threshold, retrain at the stored spec over "
+                        "the union corpus and DELETE the superseded "
+                        "base artifact")
 
     p = sub.add_parser("artifacts",
                        help="retention over the digest-keyed index "
@@ -2003,7 +2033,8 @@ def main(argv: list[str] | None = None) -> None:
             if not args.base:
                 raise SystemExit("annindex --fold requires --base")
             cmd_ann_index_fold(spark, args.base, args.fold, args.out,
-                               args.table)
+                               args.table,
+                               rebuild_if_drifted=args.rebuild_if_drifted)
         else:
             if not args.lake:
                 raise SystemExit("annindex requires --lake (or --fold)")

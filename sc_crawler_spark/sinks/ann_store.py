@@ -212,6 +212,46 @@ def fold_ivf_index(spark: SparkSession, base_dir: str,
     return folded
 
 
+def rebuild_ivf_index(spark: SparkSession, base_dir: str,
+                      batch: DataFrame, out: str,
+                      union_digest: str) -> dict:
+    """Full retrain over base-corpus ∪ batch at the base's stored
+    spec — the documented fix for fold-induced centroid staleness
+    (r17, closing the loop the r16 drift trip-wire opened). The base
+    vectors come from its landed assign table (the inverted lists
+    store the full as_double vectors), so no original lake re-read is
+    needed; Lloyd retrains from scratch and the fresh build records a
+    new drift baseline.
+
+    ``union_digest`` (the fold's merge_digests result) overrides the
+    content hash write_ivf_index computes: the assign store holds
+    as_double(vec), whose xxhash64 differs from the original float32
+    lake's even though the VALUES are identical (exact widening), so
+    the content-derived digest would spuriously mismatch consumers
+    hashing the original corpus. The merged digest is the true union
+    digest by construction."""
+    from ..operators.similarity import as_double
+
+    meta = read_ann_meta(base_dir)
+    if meta is None:
+        raise ValueError(f"no complete IVF artifact at {base_dir}")
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    _cents, base_assigned = load_ivf_index(spark, base_dir)
+    union = (base_assigned
+             .select(F.col("neighbor_id").alias(id_col),
+                     F.col("cv").alias(vec_col))
+             .unionByName(batch.select(
+                 F.col(id_col),
+                 as_double(F.col(vec_col)).alias(vec_col))))
+    rebuilt = write_ivf_index(union, out, vec_col, id_col,
+                              n_cells=meta["n_cells"],
+                              iters=meta["iters"])
+    rebuilt["digest"] = union_digest
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(rebuilt, f, indent=1, sort_keys=True)
+    return rebuilt
+
+
 def read_ann_meta(out: str) -> dict | None:
     """The artifact's meta, or None for absent/incomplete builds."""
     try:

@@ -121,11 +121,18 @@ def prune(root: str, keep: int = 1,
                 deleted.append(e)
     if apply:
         for e in deleted:
-            # meta first: a racing reader sees "absent", never a meta
-            # over half-deleted data
-            try:
-                os.remove(os.path.join(e["path"], META_NAME))
-            except OSError:
-                pass
-            shutil.rmtree(e["path"], ignore_errors=True)
+            delete_artifact(e["path"])
     return {"kept": kept, "refused": refused, "deleted": deleted}
+
+
+def delete_artifact(path: str) -> None:
+    """Remove one artifact dir with the store-wide race discipline:
+    meta FIRST, so a reader that races the deletion sees a meta-less
+    directory — "absent", the safe answer — never a meta pointing at
+    half-deleted parquet. Used by :func:`prune` and by `annindex
+    --rebuild-if-drifted` (the superseded base after a rebuild)."""
+    try:
+        os.remove(os.path.join(path, META_NAME))
+    except OSError:
+        pass
+    shutil.rmtree(path, ignore_errors=True)

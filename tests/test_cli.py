@@ -844,6 +844,75 @@ def test_annindex_fold_drift_tripwire(spark, tmp_path, capsys):
     assert "WARNING" not in capsys.readouterr().out
 
 
+def test_annindex_rebuild_if_drifted(spark, tmp_path, capsys):
+    """r17 (r16 verdict task 4): `annindex --fold --rebuild-if-drifted`
+    closes the loop the r16 trip-wire opened — a drifted fold trips
+    the warning, the command retrains at the stored spec over the
+    union corpus (base vectors from the landed assign table, no lake
+    re-read), the fresh build's drift stats recover (the retrained
+    centroids actually FIT the drifted distribution), the rebuilt
+    meta keeps the fold's merged union digest, and the superseded
+    base artifact is pruned (meta-first delete)."""
+    from sc_crawler_spark.sinks import ann_store
+
+    # base: two tight clusters (same fixture as the trip-wire test)
+    rows = [(i, [1.0, 0.05 * (i % 3), 0.0, 0.0]) for i in range(10)]
+    rows += [(10 + i, [0.05 * (i % 3), 1.0, 0.0, 0.0]) for i in range(10)]
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(os.path.join(lake, "embeddings.parquet"))
+    base = str(tmp_path / "base_idx")
+    ann_store.write_ivf_index(
+        spark.read.parquet(os.path.join(lake, "embeddings.parquet")),
+        base, "embedding", "vec_id", n_cells=2, iters=1)
+
+    # drifted batch: orthogonal to both centroids — piles into one
+    # cell at cos-distance ~1, tripping both thresholds
+    lake2 = str(tmp_path / "lake2")
+    os.makedirs(lake2)
+    spark.createDataFrame(
+        [(100 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(20)],
+        "vec_id long, embedding array<double>") \
+        .write.parquet(os.path.join(lake2, "embeddings.parquet"))
+    out = str(tmp_path / "folded_idx")
+    cli.main(["annindex", "--fold", lake2, "--base", base,
+              "--out", out, "--rebuild-if-drifted"])
+    printed = capsys.readouterr().out
+    assert "WARNING centroid drift" in printed
+    assert "rebuilt" in printed and "pruned superseded base" in printed
+
+    # the rebuild landed at the stored spec with a FRESH baseline …
+    rmeta = ann_store.read_ann_meta(out)
+    assert rmeta is not None and rmeta["n_cells"] == 2
+    assert "baseline_occupancy_imbalance" not in rmeta
+    # … its retrained centroids fit the drifted distribution: the
+    # third cluster gets its own centroid, so mean cos-distance drops
+    # well below the drifted fold's ~0.5 (2 centroids for 3 clusters)
+    assert rmeta["mean_cos_dist"] < 0.2
+    assert rmeta["n_vecs"] == 40
+    # … with the fold's merged union digest, so consumers hashing the
+    # union corpus still gate-match
+    union = spark.read.parquet(
+        os.path.join(lake, "embeddings.parquet")).unionByName(
+        spark.read.parquet(os.path.join(lake2, "embeddings.parquet")))
+    udigest = ann_store.embedding_digest(union, "embedding", "vec_id")
+    assert rmeta["digest"] == udigest
+    # … and the superseded base is gone (meta-first: absent either way)
+    assert ann_store.read_ann_meta(base) is None
+    assert not os.path.exists(base)
+
+    # served probe over the rebuilt artifact finds the drifted batch's
+    # own neighborhood — the recall the stale centroids were losing
+    from pyspark.sql import functions as F
+    q = spark.read.parquet(os.path.join(lake2, "embeddings.parquet")) \
+        .filter(F.col("vec_id") == 100)
+    got = ann_store.cosine_topk_served(
+        q, spark, out, "embedding", "vec_id", k=5, n_probe=1)
+    ids = {r.neighbor_id for r in got.collect()}
+    assert ids and ids <= set(range(100, 120))
+
+
 def test_explain_cli(spark, tmp_path, capsys):
     """`explain` prints the physical plan (scans with ReadSchema, the
     join strategy) without executing, and unknown names fail loud with
