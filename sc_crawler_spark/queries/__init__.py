@@ -62,81 +62,22 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 # rotate to the tail. After r8 greens, the oldest driver evidence is
 # the 29 r6 names past the cap -> they head the r9 window.
 _PRIORITY = [
-    # --- r16 rotation (r15 verdict task 2). Evidence ledger entering
-    # r16, recomputed from the union of CORRECTNESS_r01-r15: 50 names
-    # r15-fresh, 43 r14-fresh, 48 r13-fresh, 16 r12-fresh, 1 brand-new
-    # (scd_as_of_event, the r16 SCD2 time-travel reader — never
-    # driver-checked). Window: the 16 r12-stale names FIRST (the
-    # staged head of the r15 _TAIL, keeping the rotation promise),
-    # then the 10 names whose CODE is new or changed this round —
-    # scd_as_of_event (new, task 8); q3/q5 (the size-gated reduced-
-    # orders broadcast, task 1); embed_ann_lsh (the inline-score band
-    # join rewrite, task 1); hybrid_rrf_retrieval + contrastive_
-    # triplets (IVF serve gates now parameter-pinned, ADVICE #1);
-    # bm25_retrieval + bm25_pruned_retrieval (query_stride became a
-    # recorded, gated artifact parameter on their shared corpus-stats
-    # chain, ADVICE #2) — then the 24 stalest r13 greens. The 22
-    # remaining r13 names head _TAIL and rotate first in r17; after
-    # r16 greens no name's evidence is older than r13. ---
-    "argmax_customer_per_nation",
-    "media_jpeg_stats",
-    "url_canonical_dedup",
-    "doc_langid",
-    "dim_join_enrichment",
-    "price_quartiles",
-    "min_unit_price_per_part",
-    "distinct_part_counts",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "semi_join_big_spenders",
-    "top1_order_per_customer",
-    "exact_median_price",
-    "mode_brand_per_type",
-    "group_merge_nations",
-    "minmax_bounds_part",
-    # new / code-changed this round (fresh evidence needed)
-    "scd_as_of_event",
-    "weighted_sample_docs",
-    "gopher_quality_rules",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "embed_ann_lsh",
-    "hybrid_rrf_retrieval",
-    "contrastive_triplets",
-    "bm25_retrieval",
-    "bm25_pruned_retrieval",
-    # stalest r13 greens (24 of 46 unpromoted)
-    "count_expansion",
-    "weighted_geomean_price",
-    "q18_large_orders",
-    "longtail_price_assembly",
-    "dedup_substring_spans",
-    "decontaminate_spans",
-    "dedup_incremental_batch",
-    "embed_ann_ivf_pq",
-    "gap_fill_interp_value",
-    "embed_knn_classify",
-    "dedup_semantic_clusters",
-    "train_split_stats",
-    "sku_prefix_join",
-    "q8_national_market_share",
-    "sig_fig_prices",
-    "unit_conversions",
-    "extract_brand_number",
-    "q9_product_type_profit",
-    "q16_parts_supplier",
-    "q12_priority_shipmode",
-    "q19_discounted_revenue",
-    "pack_sequences_docs",
-    "asof_latest_event_value",
-    "benchmark_catalog_stats",
-]
-_TAIL = [
-    # The 22 r13-stale names left past the 50-slot cap (the second
-    # and third new r16 entries, weighted_sample_docs and
-    # gopher_quality_rules, displaced config_tolerance_filter and
-    # benchmark_config_pk) — they rotate FIRST in r17 (pytest
-    # re-runs their oracles every round meanwhile).
+    # --- r17 rotation (r16 verdict task 1). Evidence ledger entering
+    # r17, from the r16 verdict's recomputed r1-r16 union: 50 names
+    # r16-fresh, 46 r15-fresh, 42 r14-fresh, 22 r13-stale, 2
+    # brand-new this round (retrieval_eval — the ranked-retrieval
+    # scoreboard, task 2 — and mmr_select, the MMR diversity
+    # selection, task 8). Window: the 22 r13-stale names FIRST (the
+    # staged head of the r16 _TAIL, keeping the promise that no
+    # name's driver evidence ages past 3 rounds), then the 6 names
+    # whose CODE is new or changed this round — retrieval_eval +
+    # mmr_select (new); bm25_retrieval (Robertson -> Lucene idf after
+    # the eval exposed the negative-idf collapse); weighted_sample_
+    # docs (zero-length weight guard, ADVICE #2); hybrid_rrf_
+    # retrieval + contrastive_triplets (dense-arm serve probe 3 -> 4,
+    # task 3) — then the 22 stalest r14 greens. The 20 remaining r14
+    # names head _TAIL and rotate first in r18; after r17 greens no
+    # name's evidence is older than r14. ---
     "benchmark_config_pk",
     "config_tolerance_filter",
     "dedup_boilerplate_chunks",
@@ -159,7 +100,14 @@ _TAIL = [
     "lr_calibration_bins",
     "source_token_kl",
     "doc_oov_rate",
-    # r14-fresh (CORRECTNESS_r14 greens) — next-stalest.
+    # new / code-changed this round (fresh evidence needed)
+    "retrieval_eval",
+    "mmr_select",
+    "bm25_retrieval",
+    "weighted_sample_docs",
+    "hybrid_rrf_retrieval",
+    "contrastive_triplets",
+    # stalest r14 greens (22 of 42)
     "approx_heavy_hitters",
     "cluster_balanced_sample",
     "unimax_mixture_weights",
@@ -182,6 +130,11 @@ _TAIL = [
     "shuffled_sample_orders",
     "standardize_part_names",
     "sync_stats",
+]
+_TAIL = [
+    # The 20 r14-stale names left past the 50-slot cap — they rotate
+    # FIRST in r18 (pytest re-runs their oracles every round
+    # meanwhile).
     "tiered_price_billing",
     "tumbling_daily_stats",
     "workload_breakdown",
@@ -202,9 +155,7 @@ _TAIL = [
     "domain_balanced_sample",
     "html_extract_text",
     "dedup_containment",
-    # r15-fresh (CORRECTNESS_r15 greens, minus this round's
-    # re-promoted code-changed names) — freshest evidence, deepest
-    # tail.
+    # r15-fresh (CORRECTNESS_r15 greens) — next-stalest.
     "embed_ann_pq",
     "approx_median_price",
     "approx_distinct_users",
@@ -251,6 +202,55 @@ _TAIL = [
     "anti_join_no_orders",
     "keep_last_dedup_lineitem",
     "except_building_buyers",
+    # r16-fresh (CORRECTNESS_r16 greens, minus this round's
+    # re-promoted code-changed names) — freshest evidence, deepest
+    # tail.
+    "argmax_customer_per_nation",
+    "media_jpeg_stats",
+    "url_canonical_dedup",
+    "doc_langid",
+    "dim_join_enrichment",
+    "price_quartiles",
+    "min_unit_price_per_part",
+    "distinct_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "semi_join_big_spenders",
+    "top1_order_per_customer",
+    "exact_median_price",
+    "mode_brand_per_type",
+    "group_merge_nations",
+    "minmax_bounds_part",
+    "scd_as_of_event",
+    "gopher_quality_rules",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "embed_ann_lsh",
+    "bm25_pruned_retrieval",
+    "count_expansion",
+    "weighted_geomean_price",
+    "q18_large_orders",
+    "longtail_price_assembly",
+    "dedup_substring_spans",
+    "decontaminate_spans",
+    "dedup_incremental_batch",
+    "embed_ann_ivf_pq",
+    "gap_fill_interp_value",
+    "embed_knn_classify",
+    "dedup_semantic_clusters",
+    "train_split_stats",
+    "sku_prefix_join",
+    "q8_national_market_share",
+    "sig_fig_prices",
+    "unit_conversions",
+    "extract_brand_number",
+    "q9_product_type_profit",
+    "q16_parts_supplier",
+    "q12_priority_shipmode",
+    "q19_discounted_revenue",
+    "pack_sequences_docs",
+    "asof_latest_event_value",
+    "benchmark_catalog_stats",
 ]
 REGISTRY = {
     n: REGISTRY[n]

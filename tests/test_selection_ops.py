@@ -73,6 +73,35 @@ def test_bm25_prefers_docs_containing_query_terms(spark):
         assert prompt & set(toks[h.doc_id]), (h.query_id, h.doc_id)
 
 
+def test_retrieval_eval_scoreboard(spark):
+    """r17 (r16 verdict task 2): the ranked-retrieval scoreboard
+    grades every arm on the deterministic bigram-containment qrel
+    fixture. Floors are the regression gates for the r17 Lucene-idf
+    switch: Robertson idf scored the exact arm 0.000 across ALL
+    metrics on this fixture (negative idf for every prompt term —
+    ranked by term ABSENCE); Lucene idf measured
+    nDCG@5/MRR/P@5/R@5 = 0.145/0.292/0.108/0.131."""
+    from sc_crawler_spark.queries.pipeline import retrieval_eval
+
+    rows = {r.arm: r for r in retrieval_eval(spark, SF).collect()}
+    assert set(rows) == {"bm25", "bm25_pruned", "hybrid_rrf"}
+    for r in rows.values():
+        for m in ("ndcg_at_5", "mrr_at_5", "precision_at_5",
+                  "recall_at_5"):
+            assert 0.0 <= getattr(r, m) <= 1.0, (r.arm, m)
+    # every %13 query has >= 1 relevant doc at tau=3 on this fixture;
+    # the hybrid serves its 10-query subset
+    assert rows["bm25"].n_queries == 39
+    assert rows["bm25_pruned"].n_queries == 39
+    assert rows["hybrid_rrf"].n_queries == 10
+    # the Lucene-idf regression gates (Robertson scored 0.000)
+    assert rows["bm25"].ndcg_at_5 >= 0.1
+    assert rows["bm25_pruned"].ndcg_at_5 >= 0.1
+    assert rows["hybrid_rrf"].ndcg_at_5 >= 0.03
+    # pruning approximates the exact arm from below on this fixture
+    assert rows["bm25"].ndcg_at_5 >= rows["bm25_pruned"].ndcg_at_5
+
+
 def test_rrf_fuses_only_arm_candidates(spark):
     from sc_crawler_spark.queries.pipeline import (
         _RRF_TOP_K, hybrid_rrf_retrieval)
@@ -436,7 +465,7 @@ def test_contrastive_triplets_ivf_served_variant(spark, tmp_path):
 
     from sc_crawler_spark.operators import similarity
     from sc_crawler_spark.queries.pipeline import (
-        _TRIPLET_NEGS, contrastive_triplets)
+        _SERVE_IVF_N_PROBE, _TRIPLET_NEGS, contrastive_triplets)
     from sc_crawler_spark.sinks import ann_store
     from sc_crawler_spark.tables import load
 
@@ -456,7 +485,8 @@ def test_contrastive_triplets_ivf_served_variant(spark, tmp_path):
                    for r in similarity.ivf_probe_topk(
                        qv, cents,
                        assigned.filter(F.col("neighbor_id") % 13 != 0),
-                       "embedding", "vec_id", k=20, n_probe=3)
+                       "embedding", "vec_id", k=20,
+                       n_probe=_SERVE_IVF_N_PROBE)
                    .collect()}
         by_q = {}
         for t in trips:
