@@ -923,8 +923,9 @@ def main() -> None:
                 scale["hybrid_rrf_inplan_sec"] = round(inplan, 3)
                 # r16 (verdict task 3b): the quality number beside the
                 # speed numbers — fused top-5 overlap of the SERVED
-                # hybrid (IVF dense arm, n_probe=3, approximate by
-                # design) vs the exact in-plan fusion, at this scale.
+                # hybrid (IVF dense arm, _SERVE_IVF_N_PROBE=4 since
+                # r17, approximate by design) vs the exact in-plan
+                # fusion, at this scale.
                 # The lexical arm is bit-equal, so all drift here is
                 # the dense arm's cell pruning.
                 try:
