@@ -3412,6 +3412,102 @@ def _mmr_sql() -> str:
 MMR_SQL = _mmr_sql()
 
 
+# ------------------------------------------ corpus diversity stats
+
+
+def corpus_diversity_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical-diversity scoreboard (r17): type-token
+    ratio, distinct-bigram ratio, and unigram entropy (bits) — the
+    mode-collapse detectors a pipeline ingesting synthetic or
+    model-generated data needs (repetitive generations crater
+    distinct-n and entropy long before quality heuristics notice).
+
+    Engine parity: entropy uses the identity
+    H = log2(N) - (sum over terms of c * log2(c)) / N with EXACT
+    integer c and N — the inner sum is DECIMAL(28,12)-routed (each
+    c*log2(c) term is an exact-integer-input float, the log2-parity
+    doctrine), so both engines fold identical decimals in any order;
+    ratios divide exact integers as doubles; everything rounds to 6.
+
+    Scale shape: one explode -> (source, term) count with map-side
+    partial aggregation (the tf shuffle class), one (source, bigram)
+    distinct (same class), then a ~|sources|-row final agg. No
+    windows, no joins, no driver loops; at 100 TB the (source, term)
+    shuffle is the intrinsic cost of exact per-source vocabulary."""
+    docs = load(spark, sf, "documents")
+    toked = docs.select("doc_id", "source",
+                        tokens(F.col("text")).alias("toks"))
+    terms = (toked.select("source", F.explode("toks").alias("term"))
+             .groupBy("source", "term")
+             .agg(F.count("*").alias("c")))
+    uni = (terms.groupBy("source")
+           .agg(F.countDistinct("term").alias("v"),
+                F.sum("c").alias("n"),
+                F.sum((F.col("c").cast("double")
+                       * F.log2(F.col("c").cast("double")))
+                      .cast("decimal(28,12)")).alias("s_clog")))
+    bg = (toked.select("source",
+                       F.explode(_bigrams(F.col("toks"))).alias("bg"))
+          .groupBy("source")
+          .agg(F.countDistinct("bg").alias("v_bg"),
+               F.count("*").alias("n_bg")))
+    base = (toked.groupBy("source")
+            .agg(F.count("*").alias("n_docs")))
+    return (base.join(uni, "source").join(bg, "source")
+            .select("source", F.col("n_docs").cast("long"),
+                    F.col("n").cast("long").alias("n_tokens"),
+                    dround(F.col("v").cast("double")
+                           / F.col("n").cast("double"), 6)
+                    .alias("type_token_ratio"),
+                    dround(F.col("v_bg").cast("double")
+                           / F.col("n_bg").cast("double"), 6)
+                    .alias("distinct_bigram_ratio"),
+                    dround(F.log2(F.col("n").cast("double"))
+                           - F.col("s_clog").cast("double")
+                           / F.col("n").cast("double"), 6)
+                    .alias("unigram_entropy_bits"))
+            .orderBy("source"))
+
+
+# NOTE: _bigrams emits DISTINCT bigrams per doc (it array_distincts),
+# so n_bg counts distinct-per-doc occurrences, not raw positions —
+# the oracle mirrors exactly (DISTINCT doc_id, bg pairs then COUNT).
+DIVERSITY_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents),
+terms AS (
+  SELECT source, unnest(toks) AS term FROM toked),
+tc AS (
+  SELECT source, term, COUNT(*) AS c FROM terms GROUP BY source, term),
+uni AS (
+  SELECT source, COUNT(*) AS v, SUM(c) AS n,
+         SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+             AS DECIMAL(28,12))) AS s_clog
+  FROM tc GROUP BY source),
+bgrams AS (
+  SELECT DISTINCT doc_id, source, unnest(
+    [toks[i] || ' ' || toks[i + 1]
+     FOR i IN generate_series(1, len(toks) - 1)]) AS bg
+  FROM toked),
+bg AS (
+  SELECT source, COUNT(DISTINCT bg) AS v_bg, COUNT(*) AS n_bg
+  FROM bgrams GROUP BY source),
+base AS (SELECT source, COUNT(*) AS n_docs FROM toked GROUP BY source)
+SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n AS BIGINT) AS n_tokens,
+       {sql_round("CAST(v AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+         AS type_token_ratio,
+       {sql_round("CAST(v_bg AS DOUBLE) / CAST(n_bg AS DOUBLE)", 6)}
+         AS distinct_bigram_ratio,
+       {sql_round("log2(CAST(n AS DOUBLE))"
+                  " - CAST(s_clog AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+         AS unigram_entropy_bits
+FROM base JOIN uni USING (source) JOIN bg USING (source)
+ORDER BY base.source
+"""
+
+
 # -------------------------------------------- ANN recall scoreboard
 
 _ANN_EVAL_ARMS = ("lsh", "ivf", "sq", "ivf_pq")
@@ -4937,6 +5033,7 @@ QUERIES = {
     "retrieval_eval": (retrieval_eval, RETRIEVAL_EVAL_SQL),
     "mmr_select": (mmr_select, MMR_SQL),
     "ann_recall_eval": (ann_recall_eval, _ann_recall_eval_sql()),
+    "corpus_diversity_stats": (corpus_diversity_stats, DIVERSITY_SQL),
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
     "quality_quantile_normalize": (quality_quantile_normalize,
                                    QUALITY_QNORM_SQL),
