@@ -3306,35 +3306,38 @@ WHERE rank <= 5
 # ------------------------------------------ MMR diversity selection
 
 _MMR_K = 10
+_MMR_POOL = 100
 _MMR_LAMBDA = 0.7
 
 
 def mmr_select(spark: SparkSession, sf: str) -> DataFrame:
-    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     1998) over the embedding corpus — the standard diversity-aware
     complement to cluster_balanced_sample (r17, r16 verdict task 8):
-    greedily pick K vectors maximizing
+    from the relevance top-``_MMR_POOL`` candidate pool, greedily
+    pick K vectors maximizing
     ``lambda * rel(d) - (1 - lambda) * max_{s in S} cos(d, s)`` —
     relevance is cosine to the query vector (vec_id 0, the shared
     cosine-arm convention), redundancy is similarity to the
     already-selected set. Output: the K picks in selection order with
     their relevance / redundancy / MMR score.
 
-    Greedy rounds follow the broadcast-of-scalar epoch doctrine
-    (LR/BPE/k-means): each of the K rounds collects exactly ONE row —
-    the argmax pick — and folds its vector back as a literal into a
-    row-local ``greatest(red, cos(cv, pick))`` column update. No
-    join, no shuffle, ever: every round is one TakeOrdered pass
-    (per-partition heaps) over the candidate scan. K passes over the
-    corpus is the textbook greedy-MMR cost; at 100 TB pre-filter the
-    candidate pool (e.g. a top-N relevance cut or the IVF probe set)
-    before the greedy tail — the operator composes with any
-    DataFrame-shaped pool.
+    MMR as PUBLISHED re-ranks a retrieved candidate list, not the
+    raw corpus — so the corpus is touched exactly ONCE: a TakeOrdered
+    relevance top-100 (per-partition heaps, no shuffle), after which
+    the K greedy rounds run over the 100-row pool (localCheckpointed;
+    each round collects the single argmax pick and folds its vector
+    back as a literal into a row-local ``greatest(red, cos)`` update
+    — the broadcast-of-scalar epoch doctrine). Measured at the
+    1.024M-vector 512x fixture: the pre-pool full-corpus variant paid
+    K corpus passes (36.7 s warm); this shape pays one (~4 s). At
+    100 TB the pool cut composes with the IVF probe set instead of
+    the brute scan.
 
     Engine parity: cosines are 12-decimal rounded before every
     argmax (vec_id tiebreak -> total order), the score recombines the
     ROUNDED rel/red (identically parenthesized), and the oracle
-    unrolls the identical K rounds as chained CTEs."""
+    unrolls the identical pool cut + K rounds as chained CTEs."""
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     from ..functions.vectors import as_double, dot, norm
@@ -3348,7 +3351,11 @@ def mmr_select(spark: SparkSession, sf: str) -> DataFrame:
                     dround(dot(F.col("cv"), F.col("qv"))
                            / (F.col("cn") * F.col("qn")), 12)
                     .alias("rel"))
-            .withColumn("red", F.lit(0.0)))
+            # the ONE corpus pass: relevance top-N pool, total order
+            .orderBy(F.col("rel").desc(), F.col("vec_id"))
+            .limit(_MMR_POOL)
+            .withColumn("red", F.lit(0.0))
+            .localCheckpoint(eager=True))
     lam = _MMR_LAMBDA
     picks = []
     for i in range(1, _MMR_K + 1):
@@ -3374,24 +3381,26 @@ def mmr_select(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _mmr_sql() -> str:
-    """DuckDB oracle: the identical K greedy rounds unrolled as
-    chained CTEs (the pack_sequences / k-means replay doctrine)."""
+    """DuckDB oracle: the identical pool cut + K greedy rounds
+    unrolled as chained CTEs (the pack_sequences / k-means replay
+    doctrine)."""
     lam = _MMR_LAMBDA
     sim = ("round(list_inner_product(c.cv, s.cv) "
            "/ (sqrt(list_inner_product(c.cv, c.cv)) "
            "* sqrt(list_inner_product(s.cv, s.cv))), 12)")
     score = (f"round({lam} * rel - {round(1.0 - lam, 12)} * red, 12)")
     ctes = [f"""c0 AS (
-  SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS cv,
-         round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.qv)
-               / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
-                                          CAST(c.embedding AS DOUBLE[])))
-                  * sqrt(list_inner_product(q.qv, q.qv))), 12) AS rel,
-         0.0 AS red
-  FROM embeddings c,
-       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-        WHERE vec_id = 0) q
-  WHERE c.vec_id != 0)"""]
+  SELECT vec_id, cv, rel, 0.0 AS red FROM (
+    SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS cv,
+           round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 12) AS rel
+    FROM embeddings c,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0) q
+    WHERE c.vec_id != 0)
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL})"""]
     for i in range(1, _MMR_K + 1):
         ctes.append(f"""s{i} AS (
   SELECT vec_id, cv, rel, red, {score} AS score
