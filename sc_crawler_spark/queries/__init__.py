@@ -64,23 +64,24 @@ for mod in (tpch, lifecycle, pipeline, domain, extra, dims, curation):
 _PRIORITY = [
     # --- r17 rotation (r16 verdict task 1). Evidence ledger entering
     # r17, from the r16 verdict's recomputed r1-r16 union: 50 names
-    # r16-fresh, 46 r15-fresh, 42 r14-fresh, 22 r13-stale, 4
+    # r16-fresh, 46 r15-fresh, 42 r14-fresh, 22 r13-stale, 5
     # brand-new this round (retrieval_eval — the ranked-retrieval
     # scoreboard, task 2; mmr_select — MMR diversity selection,
     # task 8; ann_recall_eval — the ANN ladder's recall@5 as a
     # driver-visible oracle row; corpus_diversity_stats — per-source
-    # type-token / distinct-bigram / entropy mode-collapse
-    # detectors). Window: the 22 r13-stale names FIRST (the staged
-    # head of the r16 _TAIL, keeping the promise that no name's
-    # driver evidence ages past 3 rounds), then the 8 names whose
-    # CODE is new or changed this round — the four new entries;
-    # bm25_retrieval (Robertson -> Lucene idf after retrieval_eval
-    # exposed the negative-idf collapse); weighted_sample_docs
-    # (zero-length weight guard, ADVICE #2); hybrid_rrf_retrieval +
-    # contrastive_triplets (dense-arm serve probe 3 -> 4, task 3) —
-    # then the 20 stalest r14 greens. The 22 remaining r14 names
-    # head _TAIL and rotate first in r18; after r17 greens no name's
-    # evidence is older than r14. ---
+    # type-token / distinct-bigram / entropy mode-collapse detectors;
+    # dedup_pair_eval — MinHash-LSH pair precision/recall vs the
+    # exact unblocked Jaccard truth). Window: the 22 r13-stale names
+    # FIRST (the staged head of the r16 _TAIL, keeping the promise
+    # that no name's driver evidence ages past 3 rounds), then the 9
+    # names whose CODE is new or changed this round — the five new
+    # entries; bm25_retrieval (Robertson -> Lucene idf after
+    # retrieval_eval exposed the negative-idf collapse);
+    # weighted_sample_docs (zero-length weight guard, ADVICE #2);
+    # hybrid_rrf_retrieval + contrastive_triplets (dense-arm serve
+    # probe 3 -> 4, task 3) — then the 19 stalest r14 greens. The 23
+    # remaining r14 names head _TAIL and rotate first in r18; after
+    # r17 greens no name's evidence is older than r14. ---
     "benchmark_config_pk",
     "config_tolerance_filter",
     "dedup_boilerplate_chunks",
@@ -108,6 +109,7 @@ _PRIORITY = [
     "mmr_select",
     "ann_recall_eval",
     "corpus_diversity_stats",
+    "dedup_pair_eval",
     "bm25_retrieval",
     "weighted_sample_docs",
     "hybrid_rrf_retrieval",
@@ -132,14 +134,15 @@ _PRIORITY = [
     "range_join_event_window",
     "running_user_value",
     "scd2_latest_event",
-    "shuffled_sample_orders",
 ]
 _TAIL = [
-    # The 22 r14-stale names left past the 50-slot cap
-    # (standardize_part_names and sync_stats displaced by the third
-    # and fourth new r17 entries, ann_recall_eval and
-    # corpus_diversity_stats) — they rotate FIRST in r18 (pytest
-    # re-runs their oracles every round meanwhile).
+    # The 23 r14-stale names left past the 50-slot cap
+    # (shuffled_sample_orders, standardize_part_names, and sync_stats
+    # displaced by the third through fifth new r17 entries:
+    # ann_recall_eval, corpus_diversity_stats, dedup_pair_eval) —
+    # they rotate FIRST in r18 (pytest re-runs their oracles every
+    # round meanwhile).
+    "shuffled_sample_orders",
     "standardize_part_names",
     "sync_stats",
     "tiered_price_billing",

@@ -2898,6 +2898,79 @@ def _minhash_sql(n_hashes: int = 8, band_rows: int = 2, threshold: float = 0.5) 
             "SELECT id_a, id_b, jaccard FROM pairs")
 
 
+def dedup_pair_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-tier quality scoreboard (r17 — the third eval row after
+    retrieval_eval and ann_recall_eval): pair precision/recall of the
+    production MinHash-LSH path against the EXACT unblocked Jaccard
+    ground truth (ngram_jaccard_pairs with no language blocking and
+    no df cap — every >= 0.5 pair, quadratic-risk form reserved for
+    evaluation). The sf0.001 banding-recall claim lived only in
+    pytest (14/14 pairs); this makes the number a driver-visible
+    oracle row at every fixture.
+
+    The LSH path verifies candidates with exact full-set Jaccard at
+    the same threshold, so precision is 1.0 BY CONSTRUCTION (any
+    predicted pair is a true pair) — published anyway as the
+    invariant the driver can see break; recall isolates pure banding
+    misses (pairs whose minhash signatures never collide in any
+    band).
+
+    Scale shape: the two pair queries dominate (both plan-audited);
+    the metric tail is one (id_a, id_b) join on pair sets + three
+    scalar aggregates."""
+    corpus = _docs_with_clones(spark, sf)
+    pred = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5).select("id_a", "id_b")
+    truth = dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.5,
+        block_col=None, max_df=None).select("id_a", "id_b")
+    n_hit = (pred.join(truth, ["id_a", "id_b"])
+             .agg(F.count("*").alias("n_hit")))
+    n_pred = pred.agg(F.count("*").alias("n_pred"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    return (n_pred.crossJoin(n_truth).crossJoin(n_hit)
+            .select(F.col("n_pred").cast("long"),
+                    F.col("n_truth").cast("long"),
+                    F.col("n_hit").cast("long"),
+                    dround(F.col("n_hit").cast("double")
+                           / F.col("n_pred").cast("double"), 6)
+                    .alias("precision"),
+                    dround(F.col("n_hit").cast("double")
+                           / F.col("n_truth").cast("double"), 6)
+                    .alias("recall")))
+
+
+def _dedup_pair_eval_sql() -> str:
+    """Oracle: the minhash pair chain + the UNBLOCKED exact-Jaccard
+    chain (the _capped_pair_sql machinery minus hot/rare blocking and
+    the lang equality) as scoped subqueries, then the count tail."""
+    truth_sql = f"""
+WITH {_CORPUS_SQL}, {_SHINGLE_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN cnt ca ON ca.doc_id = a.doc_id
+JOIN cnt cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+HAVING {sql_round("COUNT(*) / (ca.n + cb.n - COUNT(*))", 6)} >= 0.5
+"""
+    return f"""
+WITH pred AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+truth AS (SELECT id_a, id_b FROM ({truth_sql})),
+h AS (SELECT COUNT(*) AS n_hit FROM pred JOIN truth USING (id_a, id_b)),
+p AS (SELECT COUNT(*) AS n_pred FROM pred),
+t AS (SELECT COUNT(*) AS n_truth FROM truth)
+SELECT CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       {sql_round("CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)", 6)}
+         AS precision,
+       {sql_round("CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)", 6)}
+         AS recall
+FROM p CROSS JOIN t CROSS JOIN h
+"""
+
+
 def dedup_edit_similarity(spark: SparkSession, sf: str, *,
                           fast_signatures: bool = False) -> DataFrame:
     """Second-metric verification of the near-dup pairs: CHARACTER
@@ -5043,6 +5116,7 @@ QUERIES = {
     "mmr_select": (mmr_select, MMR_SQL),
     "ann_recall_eval": (ann_recall_eval, _ann_recall_eval_sql()),
     "corpus_diversity_stats": (corpus_diversity_stats, DIVERSITY_SQL),
+    "dedup_pair_eval": (dedup_pair_eval, _dedup_pair_eval_sql()),
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
     "quality_quantile_normalize": (quality_quantile_normalize,
                                    QUALITY_QNORM_SQL),
