@@ -1410,7 +1410,7 @@ def bm25_retrieval(spark: SparkSession, sf: str,
                     F.col("rank").cast("long").alias("rank")))
 
 
-def _tf_from_toked(corpus: DataFrame) -> DataFrame:
+def _tf_from_toked(corpus: DataFrame, with_len: bool = False) -> DataFrame:
     """(doc_id, term, tf) with ZERO shuffle (r14): per-doc run-length
     over the SORTED token array — group starts are the positions
     where the sorted array changes, tf is the gap to the next start —
@@ -1422,7 +1422,14 @@ def _tf_from_toked(corpus: DataFrame) -> DataFrame:
     exchange barrier. The sorted array is materialized as its own
     column first — element_at inside the lambdas must reference a
     bound column, or Catalyst inlines the array_sort into every
-    lambda occurrence (the README's higher-order-function pitfall)."""
+    lambda occurrence (the README's higher-order-function pitfall).
+
+    ``with_len=True`` (r17) additionally emits ``len_d`` = size(toks)
+    per row: the doc length is already in hand here (column ``n``),
+    so a consumer that needs BM25 length normalization can carry it
+    through the explode instead of joining a separate corpus-sized
+    lens table back on doc_id — that join cost _bm25_scored a full
+    extra scan+tokenize of the corpus plus a SortMergeJoin."""
     s = corpus.select("doc_id", F.array_sort("toks").alias("s"),
                       F.size("toks").alias("n"))
     # n == 0 guard (r15 ADVICE #4): sequence(1, 0) yields the
@@ -1446,11 +1453,14 @@ def _tf_from_toked(corpus: DataFrame) -> DataFrame:
         lambda a, b: F.struct(F.element_at("s", a).alias("term"),
                               (b - a).alias("tf")))
     empty = F.array().cast("array<struct<term:string,tf:int>>")
-    return (w.select("doc_id",
-                     F.explode(F.when(F.col("n") == 0, empty)
-                               .otherwise(tfs)).alias("t"))
-            .select("doc_id", F.col("t.term").alias("term"),
-                    F.col("t.tf").cast("long").alias("tf")))
+    exploded = w.select("doc_id", "n",
+                        F.explode(F.when(F.col("n") == 0, empty)
+                                  .otherwise(tfs)).alias("t"))
+    cols = ["doc_id", F.col("t.term").alias("term"),
+            F.col("t.tf").cast("long").alias("tf")]
+    if with_len:
+        cols.append(F.col("n").cast("long").alias("len_d"))
+    return exploded.select(*cols)
 
 
 def _bm25_scored(toked: DataFrame, q_terms: DataFrame) -> DataFrame:
@@ -1459,8 +1469,15 @@ def _bm25_scored(toked: DataFrame, q_terms: DataFrame) -> DataFrame:
     (doc_id, toks) table, queries (doc_id%13==0) are excluded from
     the searchable corpus."""
     corpus = toked.filter(F.col("doc_id") % 13 != 0)
-    tf = _tf_from_toked(corpus)
-    lens = corpus.select("doc_id", F.size("toks").alias("len_d"))
+    # len_d rides the tf explode (r17): the former separate
+    # lens = corpus.select(doc_id, size(toks)) table cost a SECOND
+    # full scan+tokenize of the corpus AND a SortMergeJoin (exchange
+    # + sort on both sides) to glue it back onto hit — for a value
+    # _tf_from_toked already holds per row. Same len_d values, so
+    # every per-term contribution and the exact DECIMAL sum are
+    # bit-identical; only the plan changes (64x: 4 corpus scans -> 3,
+    # one SMJ deleted).
+    tf = _tf_from_toked(corpus, with_len=True)
     stats = corpus.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("total_len"))
@@ -1501,8 +1518,7 @@ def _bm25_scored(toked: DataFrame, q_terms: DataFrame) -> DataFrame:
     contrib = (idf * ((F.col("tf").cast("double")
                        * F.lit(_BM25_K1 + 1.0)) / denom)) \
         .cast("decimal(28,12)")
-    return (hit.join(lens, "doc_id")
-            .join(F.broadcast(stats))
+    return (hit.join(F.broadcast(stats))
             .withColumn("c", contrib)
             .groupBy("query_id", "doc_id")
             .agg(F.sum("c").alias("s")))
