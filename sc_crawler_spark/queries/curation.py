@@ -843,10 +843,13 @@ def doc_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     never joined to itself), and the per-doc final agg. All counts
     integer: no float convention needed beyond the output ratio."""
     docs = load(spark, sf, "documents")
-    toks = tokens(F.col("text"))
+    # token array materialized once — _grams(toks, 3) + the size guard
+    # reference toks 6x; inline = 6 splits per row (r17)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     grams = F.when(F.size(toks) >= 3, F.array_distinct(_grams(toks, 3))) \
              .otherwise(F.expr("CAST(array() AS array<string>)"))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g = toked.select("doc_id", F.explode(grams).alias("gram"))
     df_w = Window.partitionBy("gram")
     per = (g.withColumn("df", F.count("*").over(df_w))
            .groupBy("doc_id")
@@ -939,7 +942,12 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     DSIR feature frame."""
     from pyspark.storagelevel import StorageLevel
     docs = load(spark, sf, "documents")
-    ts = tokens(F.col("text"))
+    # token array materialized once — the unigram+bigram bucket
+    # expression references it 5x (size guard, _grams x3, concat);
+    # inline = 5 splits per row (r17)
+    toked = docs.select("doc_id", "source",
+                        tokens(F.col("text")).alias("_toks"))
+    ts = F.col("_toks")
     n = F.size(ts)
     # bigrams via the zip-with-shifted-self fold (_grams), NOT
     # per-index element_at over a sequence: the indexed form walks the
@@ -951,7 +959,7 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(ts, big),
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
         .cast("long") % _DSIR_B)
-    feat = (docs.select("doc_id", "source", buckets.alias("bks"))
+    feat = (toked.select("doc_id", "source", buckets.alias("bks"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     inst = feat.select("doc_id", "source", F.explode("bks").alias("bucket"))
     is_tgt = F.col("source") == _DSIR_TARGET
@@ -1055,11 +1063,14 @@ def dsir_log_ratios(docs: DataFrame) -> DataFrame:
     broadcastable model artifact `streaming.stream_dsir_gate`
     serves — the train-offline / gate-at-ingest loop of
     stream_lr_quality_gate, for importance instead of quality."""
-    ts = tokens(F.col("text"))
+    # token array materialized once — see dsir_select (5 refs) (r17)
+    toked = docs.select("doc_id", "source",
+                        tokens(F.col("text")).alias("_toks"))
+    ts = F.col("_toks")
     n = F.size(ts)
     big = F.when(n >= 2, _grams(ts, 2)) \
            .otherwise(F.expr("CAST(array() AS array<string>)"))
-    grams = docs.select(
+    grams = toked.select(
         "doc_id", "source", F.explode(F.concat(ts, big)).alias("gram"))
     bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
               .cast("long") % _DSIR_B)
@@ -1309,8 +1320,13 @@ def emit_training_corpus(spark: SparkSession, sf: str, *,
     # (pipeline.lang_argmax): at 512x the old explode -> broadcast-join
     # chain materialized ~256M token rows and dominated this query's
     # cost; as a codegen'd filter it rides the corpus scan
-    best = lang_argmax(tokens(F.col("text")))
-    lang_ids = (docs.select("doc_id", best.alias("b"))
+    # token array materialized once — lang_argmax references toks 10
+    # times; an inline split(lower(text)) would be re-evaluated per
+    # reference (r17, same fix as doc_langid/training_set_select)
+    best = lang_argmax(F.col("_toks"))
+    lang_ids = (docs.select("doc_id",
+                            tokens(F.col("text")).alias("_toks"))
+                .select("doc_id", best.alias("b"))
                 .filter((F.col("b.n") > 0) & (F.col("b.lang") == lang))
                 .select("doc_id"))
 

@@ -114,13 +114,18 @@ cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)"""
 def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting: whitespace tokens, char count, mean word length."""
     docs = load(spark, sf, "documents")
-    n_tok = F.size(tokens(F.col("text")))
-    sum_tok_len = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
-    return docs.select(
+    # n_tokens materialized once in a child projection: the inline form
+    # evaluated split(lower(text)) twice (output + mean denominator) —
+    # CollapseProject keeps a non-cheap multi-ref alias un-inlined (r17)
+    base = docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
-        dround(sum_tok_len / n_tok, 6).alias("mean_word_len"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("_stl"),
+    )
+    return base.select(
+        "doc_id", "n_tokens", "n_chars_actual",
+        dround(F.col("_stl") / F.col("n_tokens"), 6).alias("mean_word_len"),
     )
 
 
@@ -155,14 +160,22 @@ def doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     no shuffle except the trivial final collect."""
     docs = load(spark, sf, "documents")
     low = F.lower(F.col("text"))
-    return docs.select(
+    # the counts are materialized once in a child projection — the
+    # inline form ran the BPE regexp_count and the whitespace split
+    # TWICE each (output + ratio operands); CollapseProject keeps
+    # non-cheap multi-ref aliases un-inlined (r17)
+    base = docs.select(
         "doc_id",
         F.regexp_count(low, F.lit(_BPE_PATTERN)).alias("n_bpe_pieces"),
         F.regexp_count(low, F.lit(r" ?[a-z]+")).alias("n_word_pieces"),
         F.regexp_count(low, F.lit(r" ?[0-9]+")).alias("n_digit_pieces"),
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
-        dround(F.regexp_count(low, F.lit(_BPE_PATTERN))
-               / F.size(tokens(F.col("text"))), 6).alias("pieces_per_word"),
+    )
+    return base.select(
+        "doc_id", "n_bpe_pieces", "n_word_pieces", "n_digit_pieces",
+        "n_ws_tokens",
+        dround(F.col("n_bpe_pieces") / F.col("n_ws_tokens"), 6)
+        .alias("pieces_per_word"),
     )
 
 
@@ -913,9 +926,13 @@ def doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     replays the relational explode/join/window formulation, so the
     hash match proves the two formulations equivalent."""
     docs = load(spark, sf, "documents")
-    best = lang_argmax(tokens(F.col("text")))
+    # materialize the token array once: lang_argmax references its toks
+    # argument 10 times (two hits() per language), so an inline
+    # split(lower(text)) would be evaluated per reference (r17)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    best = lang_argmax(F.col("_toks"))
     return (
-        docs.select("doc_id", best.alias("b"))
+        toked.select("doc_id", best.alias("b"))
         .filter(F.col("b.n") > 0)
         .select("doc_id", F.col("b.lang").alias("pred_lang"),
                 F.col("b.n").cast("long").alias("n_hits"))
@@ -1128,15 +1145,19 @@ def doc_lm2_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     vocab-sized unigram join, per-doc final agg. The LM is never
     materialized driver-side."""
     docs = load(spark, sf, "documents")
-    toks_arr = tokens(F.col("text"))
+    # token array materialized per scan: _adjacent_pairs_arr references
+    # its argument 4x (zip_with x2, size, slice bound), so the inline
+    # form re-split the text per reference (r17)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    toks_arr = F.col("_toks")
     bigrams = _adjacent_pairs_arr(toks_arr, "prev", "cur")
-    tf2 = (docs.select("doc_id", F.explode(bigrams).alias("b"))
+    tf2 = (toked.select("doc_id", F.explode(bigrams).alias("b"))
            .select("doc_id", "b.prev", "b.cur")
            .groupBy("doc_id", "prev", "cur")
            .agg(F.count("*").alias("tf2")))
-    uni = (docs.select(F.explode(toks_arr).alias("term"))
+    uni = (toked.select(F.explode(toks_arr).alias("term"))
            .groupBy("term").agg(F.count("*").alias("cu")))
-    total = docs.agg(F.sum(F.size(toks_arr)).alias("total"))
+    total = toked.agg(F.sum(F.size(toks_arr)).alias("total"))
     c2 = F.sum("tf2").over(Window.partitionBy("prev", "cur"))
     c1 = F.sum("tf2").over(Window.partitionBy("prev"))
     p = ((F.lit(0.75) * (c2.cast("double") / c1.cast("double")))
@@ -2411,14 +2432,17 @@ def bigram_pmi_top(spark: SparkSession, sf: str) -> DataFrame:
     total broadcasts, then TakeOrderedAndProject top-k — never a
     global sort of the bigram table."""
     docs = load(spark, sf, "documents")
-    ts = tokens(F.col("text"))
-    c2 = (docs.select(F.explode(_adjacent_pairs_arr(ts)).alias("p"))
+    # token array materialized per scan (see doc_lm2_perplexity — the
+    # pairs helper references its argument 4x; inline = 4 splits) (r17)
+    toked = docs.select(tokens(F.col("text")).alias("_toks"))
+    ts = F.col("_toks")
+    c2 = (toked.select(F.explode(_adjacent_pairs_arr(ts)).alias("p"))
           .select("p.a", "p.b")
           .groupBy("a", "b").agg(F.count("*").alias("c2"))
           .filter(F.col("c2") >= _PMI_MIN_COUNT))
-    uni = (docs.select(F.explode(ts).alias("term"))
+    uni = (toked.select(F.explode(ts).alias("term"))
            .groupBy("term").agg(F.count("*").alias("cu")))
-    tot = docs.agg(
+    tot = toked.agg(
         F.sum(F.size(ts)).alias("t1"),
         F.sum(F.greatest(F.size(ts) - 1, F.lit(0))).alias("t2"))
     pmi = dround(
@@ -4637,7 +4661,14 @@ def training_set_select(spark: SparkSession, sf: str) -> DataFrame:
     top counts >= 1 both rank ties by language name ascending."""
     langs = sorted(LANG_MARKERS)
     corpus = _docs_with_clones(spark, sf)
-    toks = tokens(F.col("text"))
+    # Materialize the token array ONCE in a child projection: the five
+    # language candidates + n_tokens + quality's mean-word-length all
+    # read the column reference. CollapseProject keeps the split
+    # un-inlined (non-cheap alias with >1 use), so this deletes six
+    # redundant split(lower(text)) evaluations from the projection
+    # (r17: derived stage 16.3 -> 11.6 s at 64x, bit-identical).
+    base = corpus.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     def _hits(markers):
         # single-arg lambda on purpose: a two-parameter lambda would be
         # called by F.filter as (element, index)
@@ -4651,10 +4682,11 @@ def training_set_select(spark: SparkSession, sf: str) -> DataFrame:
         )
         for i, l in enumerate(langs)
     ]
-    derived = corpus.select(
+    derived = base.select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("_sha"),
-        dround(quality_score(F.col("text")).cast("double"), 6).alias("quality"),
+        dround(quality_score(F.col("text"), toks=toks).cast("double"), 6)
+        .alias("quality"),
         F.size(toks).alias("n_tokens"),
         F.greatest(*cands).alias("_best"),
     )

@@ -709,7 +709,9 @@ def stream_dsir_gate(docs: DataFrame, lr_by_bucket: list,
         raise ValueError(
             f"stream_dsir_gate: expected {_DSIR_B} bucket ratios, "
             f"got {len(lr_by_bucket)}")
-    ts = tokens(F.col("text"))
+    # token array materialized once — see dsir_select (5 refs) (r17)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    ts = F.col("_toks")
     n = F.size(ts)
     big = F.when(n >= 2, _grams(ts, 2)) \
            .otherwise(F.expr("CAST(array() AS array<string>)"))
@@ -718,7 +720,7 @@ def stream_dsir_gate(docs: DataFrame, lr_by_bucket: list,
         F.concat(ts, big),
         lambda g: (F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
                    .cast("long") % _DSIR_B).cast("int"))
-    w = docs.select("doc_id", buckets.alias("bks"))
+    w = toked.select("doc_id", buckets.alias("bks"))
     s = F.aggregate(F.col("bks"), F.lit(0.0),
                     lambda acc, b: acc + F.element_at(lr_arr, b + 1))
     return (w.select(
