@@ -296,12 +296,24 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
     """(id, shingles: array<string>) — tokens materialized first so the
     split isn't re-evaluated per shingle (see shingles_from_tokens).
 
-    Repartitions on the id first: corpora often arrive as one or two
-    parquet files, which would pin the tokenize/shingle compute to as many
-    tasks; the raw-text shuffle is cheap next to serial hashing.
+    Repartitions on the id ONLY when the source parallelism is too low
+    (fewer partitions than cores): corpora that arrive as one or two
+    parquet files would pin the tokenize/shingle compute to as many
+    tasks, and there the raw-text shuffle is cheap next to serial
+    hashing. A corpus already split across >= cores files (the normal
+    lake layout) skips the shuffle outright — at 64x the unconditional
+    repartition moved ~1 GB of raw text for nothing (r17), and at
+    100 TB it would be a full-corpus exchange.
     """
     keep = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
-    toked = df.repartition(F.col(id_col)).select(
+    src = df
+    try:
+        if df.rdd.getNumPartitions() < df.sparkSession.sparkContext \
+                .defaultParallelism:
+            src = df.repartition(F.col(id_col))
+    except Exception:
+        src = df.repartition(F.col(id_col))
+    toked = src.select(
         *keep, tokens(F.col(text_col)).alias("_toks")
     )
     return toked.select(
