@@ -14,6 +14,8 @@ dropped (doc_id+200000 for doc_id%10=5).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -22,7 +24,7 @@ from ..functions.text import (
     LANG_MARKERS, punct_ratio, quality_score, rolling_fingerprint, tokens,
 )
 from ..operators import chunking, dedup, graph, similarity
-from ..tables import load
+from ..tables import load, table_disk_bytes
 
 # ------------------------------------------------------------ corpus helpers
 
@@ -1018,6 +1020,32 @@ FROM c
 """
 
 
+def _term_dict_open(sf: str) -> bool:
+    """Gate for the broadcast term-dictionary regime of the tf-idf /
+    unigram-LM family (r17): True when the corpus's on-disk bytes are
+    KNOWN and small enough that its full vocabulary must comfortably
+    fit a broadcast.
+
+    Why a gate and not always-broadcast: the dictionary is the whole
+    vocabulary, which grows with the corpus (Heaps' law) — at the
+    100 TB target it can be tens of GB and broadcasting it would OOM
+    the driver, so past the gate (or when the size is unknowable —
+    object stores) the query keeps the term-partitioned-window shape,
+    which degrades to a shuffle instead of dying. Why disk bytes and
+    not a vocab count: counting the vocabulary is itself a corpus
+    pass, paid inside the timed query; the parquet footprint is the
+    same ground-truth listing gated_broadcast uses. The default (env
+    ``SC_SPARK_TERM_DICT_MAX_CORPUS_BYTES``) is deliberately
+    conservative: the vocabulary of an 8 GiB natural-language corpus
+    is a few tens of MB of strings — inside the session's 64 MB
+    broadcast budget with an order of magnitude to spare, because
+    vocabulary grows ~O(corpus^0.5) while the gate is linear."""
+    max_bytes = int(os.environ.get(
+        "SC_SPARK_TERM_DICT_MAX_CORPUS_BYTES", str(8 << 30)))
+    size = table_disk_bytes(sf, "documents")
+    return size is not None and size < max_bytes
+
+
 def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (smoothed idf =
     log2((N+1)/(df+1)), score routed through DECIMAL(28,12) like every
@@ -1025,27 +1053,56 @@ def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     engine-exact; rank on the ROUNDED score with a term tiebreak so the
     kept rows are deterministic).
 
-    Scale shape: two key-partitioned shuffles and nothing else — the
-    (doc,term) tf table is the ZERO-shuffle per-row run-length
-    (_tf_from_toked, r14: the explode+groupBy it replaces paid a full
-    corpus shuffle for the same rows), a term-partitioned window for
-    document frequency (no self-join, no recomputed scan), and the
-    per-doc top-k window whose ``rn <= 3`` filter Spark pushes down
-    as WindowGroupLimit, so each shuffle partition retains only its
-    top rows. The corpus-size scalar is a 1-row broadcast cross join
-    (compute-once, q11 pattern), never a driver collect."""
+    Scale shape (r17, two regimes behind _term_dict_open — identical
+    integers either way, so the rounded scores and the oracle hash
+    never move):
+
+    - DICTIONARY regime (corpus under the gate): document frequency is
+      a broadcast (term, df) dictionary built from one row-local
+      corpus pass (explode array_distinct(toks) -> partially-
+      aggregated count — the exchange carries one row per term per map
+      task, not the tf table). tf then stays in SCAN partitioning all
+      the way to the top-k window, where a doc's rows are CONTIGUOUS
+      (they come off one explode), so the partial WindowGroupLimit
+      keeps exactly 3 rows/doc and the per-doc exchange ships 3
+      rows/doc instead of every (doc, term) row. The r14-r16 window
+      form shuffled the FULL tf table by term (vocab-skewed — hot
+      stopwords) and then shipped all of it again into the doc_id
+      exchange, where the partial limit barely filtered because each
+      doc's terms were spread over every term partition. Interleaved
+      best-of-3 at the 512x-docs corpus: 17.9 -> 13.6 s, and the same
+      change moves the unigram LM 19.6 -> 14.3 s (scripts/
+      ab_tfidf_dict_r17.py; exceptAll both ways = 0 at that scale,
+      vocabulary there 15,003 terms).
+    - WINDOW regime (past the gate / unknowable size): the r14-r16
+      shape — a term-partitioned window for df (no self-join, no
+      recomputed scan), vocab too big to broadcast, degrade to the
+      shuffle instead of dying.
+
+    The (doc,term) tf table is the ZERO-shuffle per-row run-length in
+    both regimes (_tf_from_toked, r14); the corpus-size scalar is a
+    1-row broadcast cross join (compute-once, q11 pattern), never a
+    driver collect; the ``rn <= 3`` filter compiles to
+    WindowGroupLimit in both regimes."""
     docs = load(spark, sf, "documents")
-    tf = _tf_from_toked(
-        docs.select("doc_id", tokens(F.col("text")).alias("toks")))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tf = _tf_from_toked(toked)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    df_w = Window.partitionBy("term")
+    if _term_dict_open(sf):
+        df_tbl = (toked.select(F.explode(F.array_distinct("toks"))
+                               .alias("term"))
+                  .groupBy("term").agg(F.count("*").alias("df")))
+        rel = tf.join(F.broadcast(df_tbl), "term")
+        df_val = F.col("df")
+    else:
+        rel = tf
+        df_val = F.count("*").over(Window.partitionBy("term"))
     score = (
         F.col("tf")
-        * F.log2((F.col("n_docs") + F.lit(1.0))
-                 / (F.count("*").over(df_w) + F.lit(1.0)))
+        * F.log2((F.col("n_docs") + F.lit(1.0)) / (df_val + F.lit(1.0)))
     ).cast("decimal(28,12)")
     scored = (
-        tf.join(F.broadcast(n_docs))
+        rel.join(F.broadcast(n_docs))
         .withColumn("tfidf", dround(score, 6))
     )
     topk = Window.partitionBy("doc_id").orderBy(
@@ -1084,13 +1141,16 @@ def doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     per-doc sum is order-independent and engine-exact, and perplexity
     = 2^bits is applied to the ALREADY-ROUNDED exponent.
 
-    Scale shape: same three shuffles as tf-idf — (doc,term) tf, a
-    term-partitioned window for the corpus count c (the LM is never
-    materialized driver-side), per-doc final agg; the total-token
-    scalar is a 1-row broadcast cross join computed map-side from
-    token counts, not an explode."""
+    Scale shape: same regimes as tf-idf (r17, _term_dict_open) — under
+    the gate the corpus count c is a broadcast (term, c) dictionary
+    from one row-local pass and the per-doc agg partial-aggregates in
+    scan partitioning (one corpus-sized exchange carrying one row per
+    doc); past it, the r14-r16 term-partitioned window (the LM is
+    never materialized driver-side). The total-token scalar is a 1-row
+    broadcast cross join computed map-side from token counts, not an
+    explode."""
     docs = load(spark, sf, "documents")
-    per_doc = _unigram_lm_per_doc(docs)
+    per_doc = _unigram_lm_per_doc(docs, use_dict=_term_dict_open(sf))
     xent = dround(
         F.col("sbits").cast("double") / F.col("n_tokens").cast("double"), 6)
     return per_doc.select(
@@ -1098,19 +1158,37 @@ def doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         dround(F.pow(F.lit(2.0), xent), 4).alias("perplexity"))
 
 
-def _unigram_lm_per_doc(docs: DataFrame) -> DataFrame:
+def _unigram_lm_per_doc(docs: DataFrame,
+                        use_dict: bool = False) -> DataFrame:
     """Per-doc unigram-LM tally (doc_id, n_tokens, sbits) — the chain
     shared by doc_lm_perplexity and perplexity_bucket_filter. sbits is
     the DECIMAL(28,12)-routed sum of -tf*log2(c/total) per term. The
-    tf table is the zero-shuffle run-length (_tf_from_toked, r14)."""
-    tf = _tf_from_toked(
-        docs.select("doc_id", tokens(F.col("text")).alias("toks")))
+    tf table is the zero-shuffle run-length (_tf_from_toked, r14).
+
+    ``use_dict=True`` (r17, callers pass _term_dict_open's verdict)
+    sources the corpus term count c from a broadcast dictionary built
+    by one row-local corpus pass (explode toks -> partially-aggregated
+    count) instead of a term-partitioned window over tf: the window
+    shuffled the FULL tf table by term (vocab-skewed) and left the
+    per-doc groupBy re-shuffling from term partitioning; with the
+    dictionary, tf stays in scan partitioning where a doc's rows are
+    contiguous, so the groupBy partial-aggregates each doc to ONE row
+    before its exchange. Same exact c integers either way — bits and
+    the DECIMAL sums are bit-identical."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tf = _tf_from_toked(toked)
     total = docs.agg(
         F.sum(F.size(tokens(F.col("text")))).alias("total"))
-    c_w = Window.partitionBy("term")
+    if use_dict:
+        c_tbl = (toked.select(F.explode("toks").alias("term"))
+                 .groupBy("term").agg(F.count("*").alias("_c")))
+        tf = tf.join(F.broadcast(c_tbl), "term")
+        c_val = F.col("_c")
+    else:
+        c_val = F.sum("tf").over(Window.partitionBy("term"))
     bits = (
         -F.col("tf")
-        * F.log2(F.sum("tf").over(c_w).cast("double")
+        * F.log2(c_val.cast("double")
                  / F.col("total").cast("double"))
     ).cast("decimal(28,12)")
     return (
@@ -1502,18 +1580,33 @@ def _bm25_scored(toked: DataFrame, q_terms: DataFrame) -> DataFrame:
     stats = corpus.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("total_len"))
-    # df over the query-relevant tf slice BEFORE the query join —
-    # (doc, term) is unique in tf, so the term window counts docs;
-    # after the q_terms join the same window would double-count a
-    # term shared by several queries. The ORDERLESS window (no sort,
-    # one hash exchange + per-partition count) measured FASTER than
-    # the groupBy-df + broadcast-dictionary alternative at 512x
-    # (13-14 s vs 19-25 s interleaved): the dictionary formulation
-    # forks the DAG above tf and re-pays the explode+groupBy on both
-    # branches, which costs more than the window's term-skewed
-    # exchange saves — measured r14, kept deliberately.
-    rel = tf.join(F.broadcast(q_terms.select("term").distinct()), "term")
-    rel = rel.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    # df per QUERY term as a broadcast dictionary (r17). The r14
+    # term-window formulation shuffled the full query-relevant tf
+    # slice by term — a skewed exchange (hot stopword postings, and
+    # AQE skew-split does not apply to windows) that ALSO destroyed
+    # map-side partial aggregation downstream: after the term
+    # exchange a (query, doc) pair's <=8 term contributions live in
+    # <=8 different partitions, so the final groupBy re-shuffled
+    # ~every hit row. The df dictionary instead comes from one cheap
+    # row-local corpus pass (explode distinct toks, broadcast-filter
+    # to query terms, partially-aggregated count — the exchange
+    # carries one row per term per map task). With tf zero-shuffle
+    # and every join broadcast, the whole scoring chain is now
+    # map-local off the scan, so the groupBy's partial aggregate
+    # collapses each (query, doc) pair's terms BEFORE the single
+    # remaining exchange. The r14 objection to a df dictionary was
+    # that it forked the DAG above tf, re-paying the run-length
+    # explode on both branches; building df from the raw token
+    # arrays instead of from tf avoids the fork. Same exact df
+    # integers (count of corpus docs containing the term), so idf,
+    # every contribution, and the DECIMAL sums are bit-identical.
+    qdict = q_terms.select("term").distinct()
+    df_tbl = (corpus.select(F.explode(F.array_distinct("toks"))
+                            .alias("term"))
+              .join(F.broadcast(qdict), "term")
+              .groupBy("term").agg(F.count("*").alias("df")))
+    rel = (tf.join(F.broadcast(qdict), "term")
+           .join(F.broadcast(df_tbl), "term"))
     hit = rel.join(F.broadcast(q_terms), "term")
     avgdl = (F.col("total_len").cast("double")
              / F.col("n_docs").cast("double"))
@@ -2539,7 +2632,7 @@ def perplexity_bucket_filter(spark: SparkSession, sf: str) -> DataFrame:
     avoid, paid on every run for an edge only reachable on toy
     corpora."""
     docs = load(spark, sf, "documents")
-    per_doc = _unigram_lm_per_doc(docs)
+    per_doc = _unigram_lm_per_doc(docs, use_dict=_term_dict_open(sf))
     xent = dround(
         F.col("sbits").cast("double") / F.col("n_tokens").cast("double"), 6)
     scored = per_doc.select(
@@ -3063,7 +3156,6 @@ JOIN corpus b ON p.id_b = b.doc_id
 """
 
 
-import os
 import weakref
 
 _PAIR_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \

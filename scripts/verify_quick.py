@@ -30,7 +30,16 @@ def value_hash(rows, cols):
 def _norm(v):
     import datetime
     import decimal
-    if isinstance(v, float):
+    # NULL-vs-NaN and int-vs-float parity: Spark .collect() yields
+    # None / int for a nullable bigint while DuckDB .fetchdf() yields
+    # numpy nan / float64 for the same column — normalize both sides
+    # to one spelling or every nullable numeric column "mismatches"
+    # (found on hybrid_rrf_retrieval's rank_b/rank_v, r17).
+    if v is None:
+        return "nan"
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
         return f"{v:.6f}" if v == v else "nan"
     if isinstance(v, decimal.Decimal):
         return f"{float(v):.6f}"

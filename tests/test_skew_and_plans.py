@@ -306,28 +306,68 @@ def test_r7_chunk_documents_never_shuffles(spark):
     assert "Generate" in plan
 
 
-def test_r7_tfidf_df_via_window_not_self_join(spark):
-    """Document frequency must come from a term-partitioned window over
-    the tf relation, not a tf-to-df self-join — a self-join recomputes
-    the corpus explode twice. Plan: no join except the 1-row corpus-size
-    broadcast, and the per-doc top-3 filter pushes into
-    WindowGroupLimit so each shuffle partition keeps only its top rows."""
+def test_r17_tfidf_dict_regime_under_gate(spark):
+    """Under the _term_dict_open gate (sf0.01 is far under it),
+    document frequency is a BROADCAST dictionary: two broadcasts (the
+    1-row n_docs scalar + the (term, df) dictionary), no sort-merge /
+    cartesian, and tf flows to the top-k window in scan partitioning —
+    the only corpus-sized exchange is the per-doc one fed by a partial
+    WindowGroupLimit (3 rows/doc)."""
     plan = _plan(spark, "tfidf_keywords")
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # exactly one broadcast: the 1-row n_docs scalar
+    assert plan.count("BroadcastExchange (") == 2
+    # the term-partitioned df window is gone in this regime
+    assert "windowspecdefinition(term" not in plan
+
+
+def test_r17_tfidf_window_regime_past_gate(spark, monkeypatch):
+    """Past the gate (vocab too big to broadcast) the r14-r16 shape is
+    kept: df from a term-partitioned window, no self-join, exactly one
+    broadcast (the n_docs scalar) — degrade to shuffle, never OOM."""
+    monkeypatch.setenv("SC_SPARK_TERM_DICT_MAX_CORPUS_BYTES", "0")
+    plan = _plan(spark, "tfidf_keywords")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange (") == 1
+    assert "windowspecdefinition(term" in plan
 
 
-def test_r7_lm_perplexity_holds_lm_distributed(spark):
-    """The unigram LM (term -> corpus count) must stay a term-
-    partitioned window — never collected, never a second corpus scan
-    joined back per token. Only broadcast: the 1-row total-tokens
-    scalar."""
+def test_r17_lm_dict_regime_under_gate(spark):
+    """Under the gate the unigram LM is a broadcast (term, c)
+    dictionary: two broadcasts (total-tokens scalar + dictionary), no
+    sort-merge, and the per-doc aggregate partial-aggregates in scan
+    partitioning (no term window)."""
+    plan = _plan(spark, "doc_lm_perplexity")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange (") == 2
+    assert "windowspecdefinition(term" not in plan
+
+
+def test_r17_lm_window_regime_past_gate(spark, monkeypatch):
+    """Past the gate the LM stays a term-partitioned window — never
+    collected, never a second corpus scan joined back per token. Only
+    broadcast: the 1-row total-tokens scalar."""
+    monkeypatch.setenv("SC_SPARK_TERM_DICT_MAX_CORPUS_BYTES", "0")
     plan = _plan(spark, "doc_lm_perplexity")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange (") == 1
-    assert "Window" in plan
+    assert "windowspecdefinition(term" in plan
+
+
+def test_r17_term_dict_regimes_bit_identical(spark, monkeypatch):
+    """The two regimes must return IDENTICAL rows (same df/c integers,
+    same DECIMAL routing) — the gate may only change the plan."""
+    dict_tfidf = _collect_sorted(spark, "tfidf_keywords")
+    dict_lm = _collect_sorted(spark, "doc_lm_perplexity")
+    monkeypatch.setenv("SC_SPARK_TERM_DICT_MAX_CORPUS_BYTES", "0")
+    assert _collect_sorted(spark, "tfidf_keywords") == dict_tfidf
+    assert _collect_sorted(spark, "doc_lm_perplexity") == dict_lm
+
+
+def _collect_sorted(spark, name):
+    df = REGISTRY[name][0](spark, SF_ORACLE)
+    return sorted(map(tuple, df.collect()))
 
 
 def test_r7_funnel_single_user_shuffle(spark):
