@@ -1740,23 +1740,36 @@ def _bm25_pruned_postings(toked: DataFrame, max_postings: int) -> DataFrame:
     re-prune without re-reading one byte of base text — exact, because
     idf/avgdl are global: adding docs changes every posting's
     contribution, so an incremental index must re-derive the pruned
-    set from the merged raw statistics, never append to it."""
-    tf, lens = _bm25_corpus_stats(toked)
+    set from the merged raw statistics, never append to it.
+
+    The IN-PLAN form carries len_d through the tf explode
+    (with_len=True, r17) so the prune tail skips the corpus-wide
+    tf-to-lens SortMergeJoin the exact arm already shed; the
+    build/fold paths keep split tables — the landed tf parquet stays
+    (doc_id, term, tf) so legacy artifacts union cleanly at fold time,
+    and there the doc_id join over the STORED raw tables is the price
+    of never re-reading base text."""
+    tf, lens = _bm25_corpus_stats(toked, with_len=True)
     return _bm25_prune_from_tf(tf, lens, max_postings)
 
 
 def _bm25_corpus_stats(toked: DataFrame,
-                       query_stride: int | None = 13) -> tuple:
+                       query_stride: int | None = 13,
+                       with_len: bool = False) -> tuple:
     """The text pass: (tf, lens) for the searchable corpus. By the
     retrieval convention, query docs (doc_id % ``query_stride`` == 0)
     are excluded from the index; pass ``query_stride=None`` to index
     every document (arbitrary-lake builds with no held-out query
     set — r16 ADVICE: the stride is a recorded artifact parameter,
     not a silent constant). tf is the zero-shuffle run-length; lens
-    is row-local."""
+    is row-local. ``with_len=True`` (r17, in-plan callers only) rides
+    len_d through the tf explode so the prune tail can skip its
+    doc_id join; the artifact build/fold paths MUST keep the default —
+    the landed tf parquet format is (doc_id, term, tf) and a fold
+    unions legacy bases by name."""
     corpus = (toked if query_stride is None
               else toked.filter(F.col("doc_id") % query_stride != 0))
-    return (_tf_from_toked(corpus),
+    return (_tf_from_toked(corpus, with_len=with_len),
             corpus.select("doc_id", F.size("toks").alias("len_d")))
 
 
@@ -1766,10 +1779,20 @@ def _bm25_prune_from_tf(tf: DataFrame, lens: DataFrame,
     12-decimal rounding, per-term top-``max_postings`` with the
     doc_id tiebreak — consumed by the in-plan query, the artifact
     build, and the artifact fold (all three produce bit-identical
-    postings for the same raw tables)."""
+    postings for the same raw tables).
+
+    When ``tf`` already carries len_d (the in-plan caller rides it
+    through the tf explode, r17) the corpus-wide tf-to-lens doc_id
+    SortMergeJoin is skipped — same len_d values per row, so every
+    12-decimal contribution and the top-M cut are bit-identical; the
+    stored-table callers (build/fold) pass split tables and keep the
+    join. The 1-row stats aggregate always comes from lens (one
+    row-local pass, no shuffle)."""
     stats = lens.agg(
         F.count("*").alias("n_docs"),
         F.sum("len_d").alias("total_len"))
+    if "len_d" not in tf.columns:
+        tf = tf.join(lens, "doc_id")
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = (F.col("total_len").cast("double")
              / F.col("n_docs").cast("double"))
@@ -1787,7 +1810,7 @@ def _bm25_prune_from_tf(tf: DataFrame, lens: DataFrame,
                       * F.lit(_BM25_K1 + 1.0)) / denom)
     wt = Window.partitionBy("term").orderBy(
         F.col("c").desc(), F.col("doc_id"))
-    return (tf.join(lens, "doc_id")
+    return (tf
             .join(F.broadcast(stats))
             .join(F.broadcast(dfc), "term")
             .withColumn("c", dround(contrib, 12))

@@ -306,6 +306,21 @@ def test_r7_chunk_documents_never_shuffles(spark):
     assert "Generate" in plan
 
 
+def test_r17_pruned_inplan_no_lens_join(spark):
+    """The IN-PLAN pruned-postings chain rides len_d through the tf
+    explode (r17): no corpus-wide tf-to-lens SortMergeJoin — every
+    join in the plan is a broadcast (stats scalar, df dictionary,
+    query terms) and the per-term top-M still compiles to
+    WindowGroupLimit. (The artifact build/fold paths keep split
+    stored tables and the doc_id join; their bit-equality with this
+    plan is pinned in test_selection_ops.)"""
+    plan = _plan(spark, "bm25_pruned_retrieval")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_r17_tfidf_dict_regime_under_gate(spark):
     """Under the _term_dict_open gate (sf0.01 is far under it),
     document frequency is a BROADCAST dictionary: two broadcasts (the
