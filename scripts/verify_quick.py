@@ -44,7 +44,10 @@ def _norm(v):
     if isinstance(v, decimal.Decimal):
         return f"{float(v):.6f}"
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # pandas NaT subclasses datetime but raises on strftime — it is
+        # DuckDB-pandas' spelling of a NULL timestamp (Spark: None,
+        # already mapped to "nan" above)
+        return "nan" if v != v else v.strftime("%Y-%m-%d %H:%M:%S")
     return v
 
 
