@@ -897,7 +897,9 @@ def incremental_minhash_pairs(new_df: DataFrame,
                               base_index: tuple[DataFrame, DataFrame],
                               text_col: str, id_col: str, k: int = 3,
                               n_hashes: int = 8, band_rows: int = 2,
-                              threshold: float = 0.6) -> DataFrame:
+                              threshold: float = 0.6,
+                              new_index: tuple[DataFrame, DataFrame]
+                              | None = None) -> DataFrame:
     """INCREMENTAL MinHash-LSH dedup — the production mode: match a new
     batch against a precomputed corpus index (:func:`minhash_index`)
     plus itself, WITHOUT re-processing the corpus. Per-batch work is
@@ -915,15 +917,28 @@ def incremental_minhash_pairs(new_df: DataFrame,
 
     Returns (id_a, id_b, jaccard, is_cross) with id_a < id_b;
     ``is_cross`` marks new-vs-corpus matches (False = both docs are in
-    the new batch)."""
+    the new batch).
+
+    ``new_index`` optionally passes the batch's OWN (shingles,
+    signatures) tables when the caller has already computed (and
+    cached) them — the streaming micro-batch path lands both tables
+    anyway, so recomputing the md5 signature aggregate from text here
+    would pay the batch's most expensive stage twice (r17). Must be
+    exactly ``minhash_index(new_df, ...)`` under the same k/n_hashes;
+    results are identical by construction."""
     if band_rows <= 0 or n_hashes % band_rows != 0:
         raise ValueError(
             f"incremental_minhash_pairs: band_rows={band_rows} must "
             f"divide n_hashes={n_hashes}")
     base_sh, base_sig = base_index
-    new_sh = doc_shingles(new_df, text_col, id_col, k).cache()
-    new_sig = _signatures_from_shingles(new_sh, id_col, n_hashes)
-    new_bands = _band_table(new_sig, id_col, n_hashes, band_rows).cache()
+    if new_index is not None:
+        new_sh, new_sig = new_index
+        new_bands = _band_table(new_sig, id_col, n_hashes, band_rows)
+    else:
+        new_sh = doc_shingles(new_df, text_col, id_col, k).cache()
+        new_sig = _signatures_from_shingles(new_sh, id_col, n_hashes)
+        new_bands = _band_table(new_sig, id_col, n_hashes,
+                                band_rows).cache()
     base_bands = _band_table(base_sig, id_col, n_hashes, band_rows)
     probe = new_bands.select(F.col(id_col).alias("id_n"), "band", "sig")
     build = (

@@ -286,8 +286,8 @@ def _near_dedup_batch(batch: DataFrame, batch_id: int, pairs_dir: str,
     (all overwrite-own-``batch=<id>``-partition — idempotent under
     checkpoint replay), and return the landed pair partition's path."""
     from ..operators.dedup import (
-        _signatures_from_shingles, doc_shingles,
-        incremental_minhash_pairs, minhash_lsh_pairs)
+        _band_table, _signatures_from_shingles, doc_shingles,
+        incremental_minhash_pairs, verified_pairs_from_index)
 
     spark = batch.sparkSession
     sh_dir = os.path.join(index_dir, "shingles")
@@ -312,24 +312,32 @@ def _near_dedup_batch(batch: DataFrame, batch_id: int, pairs_dir: str,
             spark, seed_index_dir)
         base_sh = _union(seed_sh, base_sh)
         base_sig = _union(seed_sig, base_sig)
+    # The batch's own tables are computed ONCE and cached for the
+    # micro-batch's lifetime: the five per-batch actions (pairs,
+    # shingles, signatures, digest, and the gate's accepted write)
+    # would otherwise each re-run the tokenize/shingle/md5-aggregate
+    # chain from raw text — measured as the bulk of the ingest-gate
+    # leg at 512x seed scale (r17). Unpersisted before return so
+    # per-batch cache never accumulates across micro-batches.
+    batch = batch.cache()
+    new_sh = doc_shingles(batch, text_col, id_col, k).cache()
+    new_sig = _signatures_from_shingles(new_sh, id_col, n_hashes).cache()
     if base_sh is not None and base_sig is not None:
         pairs = incremental_minhash_pairs(
             batch, (base_sh, base_sig), text_col, id_col, k=k,
             n_hashes=n_hashes, band_rows=band_rows,
-            threshold=threshold)
-    else:  # first batch: nothing standing, the batch IS the corpus
-        pairs = minhash_lsh_pairs(
-            batch, text_col, id_col, k=k, n_hashes=n_hashes,
-            band_rows=band_rows, threshold=threshold
+            threshold=threshold, new_index=(new_sh, new_sig))
+    else:  # first batch: nothing standing, the batch IS the corpus —
+        # same body as minhash_lsh_pairs, over the already-cached tables
+        pairs = verified_pairs_from_index(
+            new_sh, _band_table(new_sig, id_col, n_hashes, band_rows),
+            id_col, threshold
         ).withColumn("is_cross", F.lit(False))
     pair_part = os.path.join(pairs_dir, f"batch={batch_id}")
     pairs.write.mode("overwrite").parquet(pair_part)
-    new_sh = doc_shingles(batch, text_col, id_col, k)
     new_sh.write.mode("overwrite").parquet(
         os.path.join(sh_dir, f"batch={batch_id}"))
-    _signatures_from_shingles(
-        new_sh, id_col, n_hashes
-    ).write.mode("overwrite").parquet(
+    new_sig.write.mode("overwrite").parquet(
         os.path.join(sig_dir, f"batch={batch_id}"))
     # partial corpus digest (xor of xxhash64(id,text) + count):
     # what makes the accumulated stream FOLDABLE into a new
@@ -343,6 +351,8 @@ def _near_dedup_batch(batch: DataFrame, batch_id: int, pairs_dir: str,
         F.count("*").alias("n"),
     ).write.mode("overwrite").parquet(
         os.path.join(index_dir, "digest", f"batch={batch_id}"))
+    for df_ in (new_sig, new_sh, batch):
+        df_.unpersist()
     return pair_part
 
 
@@ -395,7 +405,11 @@ def stream_ingest_gate(docs: DataFrame, out_dir: str, pairs_dir: str,
             .select("doc_id", "log_weight")
         surv = (batch.select("doc_id", "text")
                 .join(quality, "doc_id")       # inner joins = AND of
-                .join(importance, "doc_id"))   # the row-local gates
+                .join(importance, "doc_id")    # the row-local gates
+                # cached: the dedup stage's five actions and the
+                # accepted write below each re-evaluate surv, and the
+                # two gates tokenize the batch per evaluation (r17)
+                .cache())
         pair_part = _near_dedup_batch(
             surv.select("doc_id", "text"), batch_id, pairs_dir,
             index_dir, "text", "doc_id", k, n_hashes, band_rows,
@@ -413,6 +427,7 @@ def stream_ingest_gate(docs: DataFrame, out_dir: str, pairs_dir: str,
         accepted = surv.join(dropped, "doc_id", "left_anti")
         accepted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}"))
+        surv.unpersist()
 
     return (
         docs.writeStream.foreachBatch(_apply)
