@@ -822,9 +822,12 @@ def main() -> None:
                 corpus = _docs_with_clones(spark, qdir)
                 digest = index_store.corpus_digest(corpus, "text",
                                                    "doc_id")
+                # layout=2 (r18): shingles id-range-clustered for the
+                # streaming probe's row-group pruning — a pre-r18
+                # artifact rebuilds once (build cost published below)
                 if not index_store.index_matches(
                         idx_dir, digest, k=3, n_hashes=8, band_rows=2,
-                        threshold=0.5):
+                        threshold=0.5, layout=2):
                     t0 = time.perf_counter()
                     index_store.write_minhash_index(
                         corpus, idx_dir, "text", "doc_id")
@@ -859,14 +862,26 @@ def main() -> None:
                         if attempt:
                             raise
                         scale.setdefault("spark_retried", []).append(name)
+                # r18 (r17 verdict task 5 — volatility guard): EVERY
+                # scale entry now gets TWO warm reps, both published
+                # (previously expensive entries stopped after one, and
+                # two rounds running a single-shot warm reading cost a
+                # day of adjudication each: serve_pagerank r16 26.2 s
+                # vs 4.8 isolated, training_corpus_emit r17 18.34 s vs
+                # 7.75 at 8 cores). Additions-only: spark/spark_cold
+                # keep their meaning (best / cold); the per-rep warm
+                # values land under spark_warm, and the compact tail
+                # line appends the SLOWER warm rep as a 4th per-query
+                # element so the spread is driver-visible.
+                warm: list[float] = []
                 for _ in range(2):
                     if prerun:
                         prerun()
                     t0 = time.perf_counter()
                     REGISTRY[name][0](spark, qdir, **kw).count()
-                    best = min(best, time.perf_counter() - t0)
-                    if best >= 5.0:  # expensive: stop at 2 runs total
-                        break
+                    el = time.perf_counter() - t0
+                    warm.append(round(el, 3))
+                    best = min(best, el)
             except Exception as exc:
                 # fault-isolate per query: a repeated failure must not
                 # destroy the whole graded scale block — the failed
@@ -890,6 +905,7 @@ def main() -> None:
                     os.environ.pop("SC_SPARK_ANN_INDEX_DIR", None)
             spark_s[name] = round(best, 3)
             scale.setdefault("spark_cold", {})[name] = round(cold, 3)
+            scale.setdefault("spark_warm", {})[name] = warm
             if name == "embed_ann_ivf":
                 # the serve-vs-rebuild A/B: same query + spec, env
                 # gate off, so every run re-pays the 1M x 64-cell
@@ -1183,9 +1199,12 @@ def main() -> None:
         "protocol": "prepared-plan interleaved best-of-3 per engine, "
                     "sf0.1 block AQE-off/4-part (statically broadcast-"
                     "hinted at KB scale; build published separately; "
-                    "single_run kept); scale block best-of-2/3 with "
-                    "cold run published, AQE on; fold_cycle legs "
-                    "best-of-2 with single_run kept",
+                    "single_run kept); scale block best-of-3 (cold + "
+                    "2 warm reps, all published — r18 volatility "
+                    "guard), AQE on; fold_cycle legs best-of-2 with "
+                    "single_run kept; embed_ann_ivf re-baselined at "
+                    "n_probe=12 since r17 (recall headroom, oracle in "
+                    "lockstep) — not comparable to pre-r17 rounds",
         "oracle_sf": oracle,
         "scale": scale,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -1204,17 +1223,23 @@ def main() -> None:
     cold_m = scale.get("spark_cold") or {}
     sc_spark = scale.get("spark") or {}
     sc_duck = scale.get("duckdb") or {}
+    warm_m = scale.get("spark_warm") or {}
 
     def _r2(v):
         return None if v is None else round(v, 2)
 
-    def _summary(with_cold=True, with_duck=True):
+    def _summary(with_cold=True, with_duck=True, with_warm2=True):
         sf_q = {n: [timings[n]] + ([duck_h.get(n)] if with_duck else [])
                 for n in timings}
         scale_q = {
             n: [_r2(sc_spark[n])]
             + ([_r2(sc_duck.get(n))] if with_duck else [])
             + ([_r2(cold_m.get(n))] if with_cold else [])
+            # r18 volatility guard: the SLOWER warm rep as a 4th
+            # element, so a single-shot co-tenant spike is visible in
+            # the driver artifact itself (dropped first on budget)
+            + ([_r2(max(warm_m[n]))]
+               if with_warm2 and warm_m.get(n) else [])
             for n in sc_spark}
         fc = scale.get("fold_cycle") or {}
         return json.dumps({
@@ -1241,9 +1266,12 @@ def main() -> None:
 
     line = _summary()
     if len(line) > 1900:
-        line = _summary(with_cold=False)
+        line = _summary(with_warm2=False)
     if len(line) > 1900:
-        line = _summary(with_cold=False, with_duck=False)
+        line = _summary(with_warm2=False, with_cold=False)
+    if len(line) > 1900:
+        line = _summary(with_warm2=False, with_cold=False,
+                        with_duck=False)
     print(line)
     spark.stop()
 

@@ -899,7 +899,8 @@ def incremental_minhash_pairs(new_df: DataFrame,
                               n_hashes: int = 8, band_rows: int = 2,
                               threshold: float = 0.6,
                               new_index: tuple[DataFrame, DataFrame]
-                              | None = None) -> DataFrame:
+                              | None = None,
+                              probe_prefilter_max: int = 0) -> DataFrame:
     """INCREMENTAL MinHash-LSH dedup — the production mode: match a new
     batch against a precomputed corpus index (:func:`minhash_index`)
     plus itself, WITHOUT re-processing the corpus. Per-batch work is
@@ -925,7 +926,22 @@ def incremental_minhash_pairs(new_df: DataFrame,
     anyway, so recomputing the md5 signature aggregate from text here
     would pay the batch's most expensive stage twice (r17). Must be
     exactly ``minhash_index(new_df, ...)`` under the same k/n_hashes;
-    results are identical by construction."""
+    results are identical by construction.
+
+    ``probe_prefilter_max`` > 0 (r18, the streaming probe's opt-in —
+    the registry query path keeps its collect-free plan at the
+    default 0) bounds-collects the candidate pair set once it is
+    known: when the band join yields at most that many candidates,
+    the verify stage re-roots on the collected (tiny) candidate
+    table and pushes the cross-candidate ids into the BASE shingle
+    scan as an In filter — against an id-range-clustered artifact
+    (index_store layout 2) parquet min-max stats then prune the
+    heavy shingle-array row groups to Theta(candidates) instead of
+    decoding Theta(corpus). Larger candidate sets fall back to the
+    unfiltered plan. Result-identical either way: the collected set
+    IS the full candidate set, and dropping base rows whose id is in
+    no candidate removes only rows the verify join could never
+    match."""
     if band_rows <= 0 or n_hashes % band_rows != 0:
         raise ValueError(
             f"incremental_minhash_pairs: band_rows={band_rows} must "
@@ -961,6 +977,16 @@ def incremental_minhash_pairs(new_df: DataFrame,
         .select("id_n", "id_e", "is_cross")
         .distinct()
     )
+    if probe_prefilter_max > 0:
+        rows = cand.limit(probe_prefilter_max + 1).collect()
+        if len(rows) <= probe_prefilter_max:
+            spark = new_df.sparkSession
+            cand = spark.createDataFrame(rows, cand.schema)
+            cross_ids = sorted({r["id_e"] for r in rows
+                                if r["is_cross"]})
+            base_sh = (base_sh.filter(F.col(id_col).isin(cross_ids))
+                       if cross_ids
+                       else base_sh.filter(F.lit(False)))
     sh_n = new_sh.select(F.col(id_col).alias("id_n"),
                          F.col("shingles").alias("sh_a"))
     sh_e = (base_sh.select(F.col(id_col).alias("id_e"),

@@ -1744,11 +1744,10 @@ def _bm25_pruned_postings(toked: DataFrame, max_postings: int) -> DataFrame:
 
     The IN-PLAN form carries len_d through the tf explode
     (with_len=True, r17) so the prune tail skips the corpus-wide
-    tf-to-lens SortMergeJoin the exact arm already shed; the
-    build/fold paths keep split tables — the landed tf parquet stays
-    (doc_id, term, tf) so legacy artifacts union cleanly at fold time,
-    and there the doc_id join over the STORED raw tables is the price
-    of never re-reading base text."""
+    tf-to-lens SortMergeJoin the exact arm already shed; since r18
+    the artifact build/fold land len_d inside tf too (legacy bases
+    are shimmed from their lens table once, at fold time), so the
+    stored-table prune sheds the same join."""
     tf, lens = _bm25_corpus_stats(toked, with_len=True)
     return _bm25_prune_from_tf(tf, lens, max_postings)
 
@@ -1762,11 +1761,11 @@ def _bm25_corpus_stats(toked: DataFrame,
     every document (arbitrary-lake builds with no held-out query
     set — r16 ADVICE: the stride is a recorded artifact parameter,
     not a silent constant). tf is the zero-shuffle run-length; lens
-    is row-local. ``with_len=True`` (r17, in-plan callers only) rides
-    len_d through the tf explode so the prune tail can skip its
-    doc_id join; the artifact build/fold paths MUST keep the default —
-    the landed tf parquet format is (doc_id, term, tf) and a fold
-    unions legacy bases by name."""
+    is row-local. ``with_len=True`` (r17 in-plan; r18 also the
+    artifact build/fold) rides len_d through the tf explode so the
+    prune tail skips its doc_id join; the landed tf format carries
+    len_d since r18, and fold_bm25_index shims a legacy (doc_id,
+    term, tf) base back from its lens table exactly once."""
     corpus = (toked if query_stride is None
               else toked.filter(F.col("doc_id") % query_stride != 0))
     return (_tf_from_toked(corpus, with_len=with_len),

@@ -87,9 +87,22 @@ def write_minhash_index(df: DataFrame, out: str, text_col: str,
         "text_col": text_col, "id_col": id_col,
         "k": k, "n_hashes": n_hashes, "band_rows": band_rows,
         "threshold": threshold,
+        # layout 2 (r18): shingles range-partitioned + sorted by id
+        # for probe-side row-group pruning. Readers that don't care
+        # ignore it; the bench gate keys on it to rebuild old layouts.
+        "layout": 2,
     }
     sh = doc_shingles(df, text_col, id_col, k)
-    sh.write.mode("overwrite").parquet(os.path.join(out, "shingles"))
+    # id-range-clustered layout (r18, r17 verdict task 2): the heavy
+    # shingle-array table is written range-partitioned + sorted by id,
+    # so a streaming probe that pushes its (bounded) candidate-id set
+    # into the scan prunes row groups / pages via parquet min-max
+    # stats instead of decoding the whole corpus's arrays. Schema-
+    # compatible with every existing reader; recorded as layout=2 so
+    # the bench gate rebuilds pre-r18 artifacts once.
+    (sh.repartitionByRange(F.col(id_col))
+     .sortWithinPartitions(id_col)
+     .write.mode("overwrite").parquet(os.path.join(out, "shingles")))
 
     spark = df.sparkSession
     sh_stored = spark.read.parquet(os.path.join(out, "shingles"))
@@ -187,8 +200,12 @@ def fold_minhash_index(spark: SparkSession, base_dir: str,
             os.path.join(stream_index_dir, stream_sub)).drop("batch")
         return base.unionByName(new)
 
-    _cat("shingles", "shingles").write.mode("overwrite").parquet(
-        os.path.join(out, "shingles"))
+    # same id-range-clustered layout as the builder (r18): the folded
+    # artifact's shingle table stays probe-prunable
+    (_cat("shingles", "shingles")
+     .repartitionByRange(F.col(id_col))
+     .sortWithinPartitions(id_col)
+     .write.mode("overwrite").parquet(os.path.join(out, "shingles")))
     _cat("signatures", "signatures").write.mode("overwrite").parquet(
         os.path.join(out, "signatures"))
 
@@ -207,7 +224,9 @@ def fold_minhash_index(spark: SparkSession, base_dir: str,
      .unionByName(stream_pairs)
      .write.mode("overwrite").parquet(os.path.join(out, "pairs")))
 
-    folded = dict(meta, digest=folded_digest)
+    # the fold rewrites shingles in the clustered layout regardless of
+    # the base's vintage, so the folded meta records layout 2
+    folded = dict(meta, digest=folded_digest, layout=2)
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(folded, f, indent=1, sort_keys=True)
     return folded

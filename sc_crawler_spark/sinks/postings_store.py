@@ -15,9 +15,14 @@ Layout::
     <root>/postings/   parquet (term, doc_id, c), repartitioned BY
                        term — a query batch equi-joins co-located
                        posting buckets
-    <root>/tf/         parquet (doc_id, term, tf), term-clustered —
-                       the RAW postings the fold path re-prunes from
-    <root>/lens/       parquet (doc_id, len_d)
+    <root>/tf/         parquet (doc_id, term, tf, len_d), term-
+                       clustered — the RAW postings the fold path
+                       re-prunes from; len_d rides each row (r18) so
+                       prune/fold skip the corpus-wide doc_id join.
+                       Legacy (pre-r18) artifacts lack len_d — the
+                       fold shims it back from lens exactly once.
+    <root>/lens/       parquet (doc_id, len_d) — 1-row stats source,
+                       n_docs count, legacy-reader compat
     <root>/_META.json  {digest, n_docs, text_col, id_col,
                         max_postings, k1, b, query_stride,
                         idf: "lucene"}
@@ -93,7 +98,14 @@ def write_bm25_index(df: DataFrame, out: str, text_col: str,
     digest = corpus_digest(df, text_col, id_col)
     toked = df.select(F.col(id_col).alias("doc_id"),
                       tokens(F.col(text_col)).alias("toks"))
-    tf, lens = _bm25_corpus_stats(toked, query_stride=query_stride)
+    # len_d rides the landed tf (r18, r17 verdict task 3): the doc
+    # length is in hand at explode time, so landing it beside tf lets
+    # the prune tail (and every future fold over this artifact) skip
+    # the corpus-wide tf-to-lens doc_id join the in-plan form already
+    # shed in r17. The lens table still lands — it is the 1-row stats
+    # source and the n_docs count, and legacy readers expect it.
+    tf, lens = _bm25_corpus_stats(toked, query_stride=query_stride,
+                                  with_len=True)
     meta = {
         "digest": digest, "kind": "bm25",
         "text_col": text_col, "id_col": id_col,
@@ -168,8 +180,17 @@ def fold_bm25_index(spark: SparkSession, base_dir: str,
     # the batch inherits the artifact's recorded query-doc stride
     # (r16 ADVICE) — a fold can never change indexing convention
     b_tf, b_lens = _bm25_corpus_stats(
-        toked, query_stride=meta.get("query_stride", 13))
+        toked, query_stride=meta.get("query_stride", 13),
+        with_len=True)
     base_tf, base_lens = load_raw(spark, base_dir)
+    # legacy-artifact shim (r18): a pre-r18 base landed tf WITHOUT
+    # len_d — reconstruct it from the base lens table once, at fold
+    # time, so the folded artifact is upgraded to the len_d-carrying
+    # format and every later fold over it skips the join for good.
+    # Same len_d values per row, so the re-derived postings are
+    # bit-identical either way (the _bm25_prune_from_tf contract).
+    if "len_d" not in base_tf.columns:
+        base_tf = base_tf.join(base_lens, "doc_id")
     tf = base_tf.unionByName(b_tf)
     lens = base_lens.unionByName(b_lens)
     tf.repartition("term").write.mode("overwrite").parquet(

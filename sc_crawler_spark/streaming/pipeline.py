@@ -323,10 +323,19 @@ def _near_dedup_batch(batch: DataFrame, batch_id: int, pairs_dir: str,
     new_sh = doc_shingles(batch, text_col, id_col, k).cache()
     new_sig = _signatures_from_shingles(new_sh, id_col, n_hashes).cache()
     if base_sh is not None and base_sig is not None:
+        # candidate-id pushdown (r18): the probe's verify stage reads
+        # the STANDING corpus-sized shingle table per micro-batch; a
+        # micro-batch only ever needs the few candidate rows, so the
+        # streaming path opts into the gated bounded-collect + In
+        # filter (row-group pruning against the id-clustered layout).
+        # Registry/offline callers keep the collect-free plan.
+        pre_max = int(os.environ.get(
+            "SC_SPARK_PROBE_PREFILTER_MAX", str(64 * 1024)))
         pairs = incremental_minhash_pairs(
             batch, (base_sh, base_sig), text_col, id_col, k=k,
             n_hashes=n_hashes, band_rows=band_rows,
-            threshold=threshold, new_index=(new_sh, new_sig))
+            threshold=threshold, new_index=(new_sh, new_sig),
+            probe_prefilter_max=pre_max)
     else:  # first batch: nothing standing, the batch IS the corpus —
         # same body as minhash_lsh_pairs, over the already-cached tables
         pairs = verified_pairs_from_index(

@@ -468,6 +468,54 @@ def test_bm25_fold_equals_one_shot_build(spark, tmp_path):
             str(tmp_path / "f2"))
 
 
+def test_bm25_fold_upgrades_legacy_tf_format(spark, tmp_path):
+    """r18 (r17 verdict task 3): the landed tf table now carries
+    len_d so prune/fold skip the corpus-wide doc_id join. A legacy
+    (pre-r18) artifact landed tf WITHOUT len_d — folding over it must
+    shim len_d back from the lens table and still produce postings
+    bit-equal to a one-shot build, and the folded artifact must be
+    upgraded to the len_d-carrying format."""
+    from sc_crawler_spark.sinks import postings_store
+    from sc_crawler_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    base_dir = str(tmp_path / "base")
+    fold_dir = str(tmp_path / "folded")
+    full_dir = str(tmp_path / "oneshot")
+
+    postings_store.write_bm25_index(base, base_dir, "text", "doc_id",
+                                    max_postings=64)
+    # new-format build lands len_d inside tf
+    tf_path = f"{base_dir}/tf"
+    assert "len_d" in spark.read.parquet(tf_path).columns
+    # downgrade the base to the legacy layout: rewrite tf without len_d
+    legacy_tf = spark.read.parquet(tf_path).drop("len_d")
+    tmp_tf = str(tmp_path / "tf_legacy")
+    legacy_tf.write.parquet(tmp_tf)
+    import shutil
+    shutil.rmtree(tf_path)
+    shutil.move(tmp_tf, tf_path)
+    assert "len_d" not in spark.read.parquet(tf_path).columns
+
+    folded = postings_store.fold_bm25_index(spark, base_dir, batch,
+                                            fold_dir)
+    oneshot = postings_store.write_bm25_index(docs, full_dir, "text",
+                                              "doc_id", max_postings=64)
+    assert folded["digest"] == oneshot["digest"]
+
+    def _postings(d):
+        return sorted((r.term, r.doc_id, str(r.c)) for r in
+                      postings_store.load_postings(spark, d).collect())
+
+    assert _postings(fold_dir) == _postings(full_dir)
+    assert len(_postings(fold_dir)) > 0
+    # the folded artifact is upgraded: its tf carries len_d
+    assert "len_d" in spark.read.parquet(f"{fold_dir}/tf").columns
+
+
 def test_contrastive_triplets_ivf_served_variant(spark, tmp_path):
     """r15 (r14 verdict task 7): with a matching IVF artifact the
     triplet query's positive/exclusion top-20 probes the landed

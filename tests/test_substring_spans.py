@@ -207,3 +207,46 @@ def test_incremental_minhash_reingested_ids(spark):
     assert out[(1, 2)].jaccard == 1.0
     # corrected doc 3 matches 1 and 2 (old text of 3 matched nothing)
     assert (1, 3) in out and (2, 3) in out
+
+
+def test_incremental_minhash_probe_prefilter_identical(spark):
+    """r18 (r17 verdict task 2): the streaming probe's opt-in
+    candidate pushdown (bounded-collect of the candidate set + In
+    filter on the base shingle scan) must be result-identical to the
+    collect-free plan — both when the candidate set fits the gate and
+    when it overflows (fallback)."""
+    from sc_crawler_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_index)
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = spark.createDataFrame(
+        [(1, txt), (2, txt),
+         (3, "totally different words entirely unrelated here now")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, txt), (11, txt),
+         (12, "nothing in common with anything whatsoever at all")],
+        "doc_id long, text string")
+    idx = minhash_index(base, "text", "doc_id", k=3, n_hashes=8)
+
+    def run(pre_max):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard, r.is_cross)
+            for r in incremental_minhash_pairs(
+                new, idx, "text", "doc_id", k=3, n_hashes=8,
+                band_rows=2, threshold=0.5,
+                probe_prefilter_max=pre_max).collect())
+
+    off = run(0)
+    assert off == run(10_000)       # gate admits: pushdown plan
+    assert off == run(1)            # gate overflows: fallback plan
+    assert len(off) == 5            # same edges as the contract test
+
+    # a batch with NO candidates at all: the pushdown must produce
+    # the empty result, not error on an empty In list
+    alien = spark.createDataFrame(
+        [(20, "completely novel vocabulary nothing shared here")],
+        "doc_id long, text string")
+    assert incremental_minhash_pairs(
+        alien, idx, "text", "doc_id", k=3, n_hashes=8, band_rows=2,
+        threshold=0.5, probe_prefilter_max=10_000).count() == 0
